@@ -1,38 +1,593 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every operator from SURVEY.md §2 that is implemented in cernan_spark/ gets
+a ``queries()`` entry (Spark plan) and, where SQL-expressible, a matching
+``oracle_sql()`` DuckDB twin. Transcripts are derived deterministically
+from the ``events`` view on BOTH sides (cernan_spark.sources.transcripts.
+TRANSCRIPTS_FROM_EVENTS_SQL) so the whole parse→enrich→route→aggregate
+pipeline is oracle-checkable.
+
+Float discipline: sums/means/quantiles are rounded to 4-6 decimals on both
+sides; epoch seconds use Spark ``unix_timestamp`` ↔ DuckDB
+``CAST(floor(epoch(ts)) AS BIGINT)`` (verified identical).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from cernan_spark.functions.graphite import parse_graphite_lines
+from cernan_spark.functions.statsd import parse_statsd_lines
+from cernan_spark.operators.aggregate import (
+    agg_histograms,
+    gauge_carry_forward,
+    prometheus_accumulate,
+    with_bin,
+    zero_pad,
+)
+from cernan_spark.operators.enrich import enrich_tags
+from cernan_spark.operators.filters import delay_filter_counts, flush_boundary_filter
+from cernan_spark.operators.route import route, routed_counts
+from cernan_spark.sources.dimensions import default_routes, default_tag_dicts
+from cernan_spark.sources.transcripts import (
+    TRANSCRIPTS_FROM_EVENTS_SQL,
+    transcripts_from_events,
+)
+
+# ---------------------------------------------------------------------------
+# shared building blocks
+# ---------------------------------------------------------------------------
+
+#: DuckDB CTE: transcripts + the parsed-telemetry twin. The parse oracle
+#: re-derives (name, value, kind, persist) from the raw events columns —
+#: exactly what parsing the formatted text must reconstruct.
+_ORACLE_PRELUDE = f"""
+WITH transcripts AS ({TRANSCRIPTS_FROM_EVENTS_SQL}),
+parsed AS (
+  SELECT
+    'conv-' || lpad(CAST(user_id AS VARCHAR), 6, '0') AS conv_id,
+    CAST(row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS INTEGER) AS turn_idx,
+    event_id AS order_key,
+    CASE event_type WHEN 'click' THEN 'clicks' WHEN 'view' THEN 'views'
+         WHEN 'purchase' THEN 'purchase_ms' WHEN 'signup' THEN 'signups'
+         WHEN 'error' THEN 'errors' END AS name,
+    CASE event_type WHEN 'signup' THEN CAST(printf('%.2f', value) AS DOUBLE) * 2.0
+         ELSE CAST(printf('%.2f', value) AS DOUBLE) END AS value,
+    CASE event_type WHEN 'view' THEN 'SET'
+         WHEN 'purchase' THEN 'SUMMARIZE' WHEN 'error' THEN 'SUMMARIZE'
+         ELSE 'SUM' END AS kind,
+    (event_type = 'view') AS persist,
+    CAST(floor(epoch(ts)) AS BIGINT) AS epoch,
+    ts
+  FROM events
+)
+"""
+
+
+def _utc(spark: SparkSession) -> None:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def _parsed(spark: SparkSession, sf_dir: str, masks=None) -> DataFrame:
+    """Spark twin of the oracle ``parsed`` CTE: parse statsd lines out of
+    the events-derived transcripts."""
+    _utc(spark)
+    t = transcripts_from_events(spark, sf_dir)
+    return parse_statsd_lines(t, line_col="text", masks=masks).withColumn(
+        "epoch", F.unix_timestamp("ts")
+    )
+
+
+def _r4(c) -> F.Column:
+    return F.round(c, 4)
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def q_transcripts_stable_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-turn text equality under the stable (conv_id, turn_idx) order —
+    the north-rule row invariant."""
+    _utc(spark)
+    return transcripts_from_events(spark, sf_dir).select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts"
+    )
+
+
+def q_parse_statsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statsd grok parse: name/value/kind/persist incl. sample-rate ×2 on
+    signups (|c|@0.5). Reference protocols/statsd.rs:22-163."""
+    return _parsed(spark, sf_dir).select(
+        "conv_id", "turn_idx", "name", _r4(F.col("value")).alias("value"),
+        "kind", "persist",
+    )
+
+
+def q_parse_graphite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graphite triples `name value epoch` → Set rows with wire timestamps
+    (protocols/graphite.rs:9-47). Lines synthesized from events on both
+    sides."""
+    _utc(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    lines = ev.select(
+        F.col("event_id"),
+        F.concat_ws(
+            " ",
+            F.concat(F.lit("gr."), F.col("event_type")),
+            F.format_string("%.2f", F.col("value")),
+            F.unix_timestamp("ts").cast("string"),
+        ).alias("line"),
+    )
+    return parse_graphite_lines(lines).select(
+        "event_id", "name", "value", "kind", "persist",
+        F.col("event_epoch").alias("epoch"),
+    )
+
+
+def q_bucket_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 300 s Sum merge law (buckets.rs:146-178; Value::add Sum)."""
+    p = _parsed(spark, sf_dir).filter(F.col("kind") == "SUM")
+    return (
+        p.groupBy("name", F.floor(F.col("epoch") / 300).cast("long").alias("bin"))
+        .agg(_r4(F.sum("value")).alias("sum_value"), F.count("*").alias("n_points"))
+    )
+
+
+def q_bucket_set_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set = last-write-wins under the stable order key (telemetry.rs:
+    108-118; order = (conv_id, turn_idx) ↔ event_id)."""
+    p = _parsed(spark, sf_dir).filter(F.col("kind") == "SET")
+    return (
+        p.groupBy("name", F.floor(F.col("epoch") / 300).cast("long").alias("bin"))
+        .agg(
+            F.max_by("value", F.col("order_key")).alias("last_value"),
+            F.count("*").alias("n_points"),
+        )
+    )
+
+
+def q_bucket_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Summarize: quantile queries at flush (telemetry.rs:726-732). Exact
+    percentiles here so the oracle can match; the pipeline's scale path
+    uses percentile_approx (ε-bounded, like CKMS)."""
+    p = _parsed(spark, sf_dir).filter(F.col("kind") == "SUMMARIZE")
+    return (
+        p.groupBy("name", F.floor(F.col("epoch") / 3600).cast("long").alias("bin"))
+        .agg(
+            _r4(F.expr("percentile(value, 0.5)")).alias("p50"),
+            _r4(F.expr("percentile(value, 0.9)")).alias("p90"),
+            _r4(F.expr("percentile(value, 0.99)")).alias("p99"),
+            _r4(F.sum("value")).alias("samples_sum"),
+            F.count("*").alias("n_points"),
+        )
+        # mean derived from the rounded sum so both engines divide the same
+        # double (a raw avg() can land on a .xxxx5 rounding boundary)
+        .withColumn(
+            "mean_value", _r4(F.col("samples_sum") / F.col("n_points"))
+        )
+    )
+
+
+def q_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram kind: fixed bounds [1,10,100,1000], bin-wise counts
+    (telemetry.rs:127-137,429-438). errors matches the ^errors$ mask."""
+    p = (
+        _parsed(spark, sf_dir)
+        .filter((F.col("name") == "errors"))
+        .withColumn("kind", F.lit("HISTOGRAM"))
+        .withColumn("bin", F.floor(F.col("epoch") / 3600).cast("long"))
+    )
+    h = agg_histograms(p)
+    return h.select(
+        "name", "bin",
+        F.posexplode("hist").alias("bucket_idx", "b"),
+    ).select(
+        "name", "bin", "bucket_idx", F.col("b.cnt").alias("cnt")
+    ).filter(F.col("cnt") > 0)
+
+
+def q_gauge_carry_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gauge persistence: per-bin value with carry-forward into empty bins
+    (buckets.rs:100-116,163-175). views = plain gauges (Set+persist)."""
+    p = _parsed(spark, sf_dir).filter(F.col("name") == "views")
+    cf = gauge_carry_forward(p, bin_width=3600, key_cols=["name"])
+    return cf.select("name", "bin", "gauge_value", "n_points")
+
+
+def q_delay_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DelayFilter accept/reject accounting (delay_filter.rs:52-81):
+    |t − ref| < 7 days around 2024-01-15T00:00:00Z."""
+    _utc(spark)
+    t = transcripts_from_events(spark, sf_dir)
+    return delay_filter_counts(t, 7 * 86400, 1705276800)
+
+
+def q_route_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fan-out routing: per-sink routed-row counts (util.rs:28-68 clone
+    semantics — one event lands in every matching sink)."""
+    p = _parsed(spark, sf_dir).withColumn("match_kind_value", F.lit("telemetry"))
+    routed = route(p, default_routes(spark))
+    return routed_counts(routed)
+
+
+def q_enrich_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast default-tag overlay (TagIter, metric/mod.rs:43-85):
+    role→origin and tool→tool_class dictionaries."""
+    _utc(spark)
+    t = transcripts_from_events(spark, sf_dir)
+    e = enrich_tags(t, default_tag_dicts(spark))
+    return (
+        e.select(
+            "role",
+            F.col("tags")["origin"].alias("origin"),
+            F.col("tags")["tool_class"].alias("tool_class"),
+            F.col("tags")["source"].alias("source"),
+        )
+        .groupBy("role", "origin", "tool_class", "source")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_prometheus_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prometheus perpetual accumulators (prometheus.rs:209-332): counters
+    never reset → cumulative sum over bins."""
+    p = _parsed(spark, sf_dir).filter(F.col("kind") == "SUM")
+    per_bin = p.groupBy(
+        "name", F.floor(F.col("epoch") / 3600).cast("long").alias("bin")
+    ).agg(F.sum("value").alias("agg_value"), F.count("*").alias("n_points"))
+    cum = prometheus_accumulate(per_bin.withColumn("kind", F.lit("SUM")), ["name"])
+    return cum.select("name", "bin", _r4(F.col("cum_value")).alias("cum_value"), "cum_count")
+
+
+def q_flush_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FlushBoundaryFilter: only settled bins are released
+    (flush_boundary_filter.rs:56-91) — drop each series' in-progress max
+    bin."""
+    p = _parsed(spark, sf_dir)
+    binned = p.withColumn("bin", F.floor(F.col("epoch") / 3600).cast("long"))
+    mx = binned.agg(F.max("bin").alias("_max_bin"))
+    held = flush_boundary_filter(
+        binned.crossJoin(F.broadcast(mx)), F.col("_max_bin")
+    )
+    return held.groupBy("name").agg(F.count("*").alias("n_released"))
+
+
+def q_zero_pad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wavefront gap zero-padding (wavefront.rs:203-342): missing bins in a
+    series' span emit 0-points."""
+    p = _parsed(spark, sf_dir).filter(F.col("name") == "purchase_ms")
+    per_bin = p.groupBy(
+        "name", F.floor(F.col("epoch") / 1800).cast("long").alias("bin")
+    ).agg(F.sum("value").alias("agg_value"))
+    padded = zero_pad(per_bin, ["name"])
+    return padded.select("name", "bin", _r4(F.col("agg_value")).alias("agg_value"))
+
+
+def q_tick_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """keep_count.lua per-tick counter (tests/programmable_filter.rs:
+    466-576): count of telemetry per flush window."""
+    p = _parsed(spark, sf_dir)
+    return p.groupBy(
+        F.floor(F.col("epoch") / 3600).cast("long").alias("bin")
+    ).agg(F.count("*").alias("count_per_tick"))
+
+
+# --- training-data operators over documents / embeddings -------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on text, canonical = min doc_id."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        d.groupBy(F.md5("text").alias("text_hash"))
+        .agg(F.min("doc_id").alias("canonical_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace tokenizer) per document."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        F.size(F.array_distinct(F.split("text", " "))).alias("n_distinct_tokens"),
+    )
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length + lexical-diversity ratios per document."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.length("text").alias("len_chars"),
+        F.size(toks).alias("n_tokens"),
+        _r4(F.size(F.array_distinct(toks)) / F.size(toks)).alias("distinct_ratio"),
+        _r4(F.length(F.regexp_replace("text", " ", "")) / F.size(toks)).alias(
+            "avg_token_len"
+        ),
+    )
+
+
+def q_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language/source profile of the corpus (language-ID rollup)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return d.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        _r4(F.avg("n_chars")).alias("avg_chars"),
+    )
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 per probe (vec_id < 5) — the ANN baseline.
+    Dot products fold left-to-right in doubles on both engines."""
+    _utc(spark)
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    probes = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    dot = F.aggregate(
+        F.zip_with("qv", "v", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    norm = lambda c: F.sqrt(
+        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    )
+    scored = (
+        e.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid", "vec_id",
+            (dot / (norm(F.col("qv")) * norm(F.col("v")))).alias("cos"),
+        )
+    )
+    w = W.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("qid", "vec_id", F.round("cos", 6).alias("cos"), "rank")
+    )
+
+
+def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidate pairs (rows-only check; not ANSI-SQL
+    expressible). See cernan_spark.operators.dedup."""
+    from cernan_spark.operators.dedup import minhash_lsh_candidates
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return minhash_lsh_candidates(d)
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full parse→enrich→route→aggregate at sf0.001."""
+    from cernan_spark.plans.pipeline import run_pipeline
+
+    _utc(spark)
+    t = transcripts_from_events(spark, "/root/testdata/sf0.001")
+    out = run_pipeline(spark, t)
+    return out["aggregates"]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "transcripts_stable_order": q_transcripts_stable_order,
+        "parse_statsd": q_parse_statsd,
+        "parse_graphite": q_parse_graphite,
+        "bucket_sum": q_bucket_sum,
+        "bucket_set_last": q_bucket_set_last,
+        "bucket_quantiles": q_bucket_quantiles,
+        "bucket_histogram": q_bucket_histogram,
+        "gauge_carry_forward": q_gauge_carry_forward,
+        "delay_filter": q_delay_filter,
+        "route_fanout": q_route_fanout,
+        "enrich_tags": q_enrich_tags,
+        "prometheus_cumulative": q_prometheus_cumulative,
+        "flush_boundary": q_flush_boundary,
+        "zero_pad": q_zero_pad,
+        "tick_count": q_tick_count,
+        "dedup_exact": q_dedup_exact,
+        "token_count": q_token_count,
+        "quality_score": q_quality_score,
+        "lang_profile": q_lang_profile,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "minhash_dedup": q_minhash_dedup,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    P = _ORACLE_PRELUDE
+    return {
+        "transcripts_stable_order": P
+        + "SELECT conv_id, turn_idx, role, text, tool, ts FROM transcripts",
+        "parse_statsd": P
+        + "SELECT conv_id, turn_idx, name, round(value, 4) AS value, kind, persist FROM parsed",
+        "parse_graphite": """
+            SELECT event_id,
+                   'gr.' || event_type AS name,
+                   CAST(printf('%.2f', value) AS DOUBLE) AS value,
+                   'SET' AS kind, FALSE AS persist,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS epoch
+            FROM events
+        """,
+        "bucket_sum": P
+        + """
+            SELECT name, CAST(floor(epoch / 300) AS BIGINT) AS bin,
+                   round(sum(value), 4) AS sum_value, count(*) AS n_points
+            FROM parsed WHERE kind = 'SUM' GROUP BY 1, 2
+        """,
+        "bucket_set_last": P
+        + """
+            SELECT name, CAST(floor(epoch / 300) AS BIGINT) AS bin,
+                   arg_max(value, order_key) AS last_value, count(*) AS n_points
+            FROM parsed WHERE kind = 'SET' GROUP BY 1, 2
+        """,
+        "bucket_quantiles": P
+        + """
+            SELECT name, CAST(floor(epoch / 3600) AS BIGINT) AS bin,
+                   round(quantile_cont(value, 0.5), 4) AS p50,
+                   round(quantile_cont(value, 0.9), 4) AS p90,
+                   round(quantile_cont(value, 0.99), 4) AS p99,
+                   round(sum(value), 4) AS samples_sum,
+                   count(*) AS n_points,
+                   round(round(sum(value), 4) / count(*), 4) AS mean_value
+            FROM parsed WHERE kind = 'SUMMARIZE' GROUP BY 1, 2
+        """,
+        "bucket_histogram": P
+        + """
+            SELECT name, CAST(floor(epoch / 3600) AS BIGINT) AS bin,
+                   CASE WHEN value <= 1 THEN 0 WHEN value <= 10 THEN 1
+                        WHEN value <= 100 THEN 2 WHEN value <= 1000 THEN 3
+                        ELSE 4 END AS bucket_idx,
+                   count(*) AS cnt
+            FROM parsed WHERE name = 'errors' GROUP BY 1, 2, 3
+        """,
+        "gauge_carry_forward": P
+        + """
+            , per_bin AS (
+              SELECT name, CAST(floor(epoch / 3600) AS BIGINT) AS bin,
+                     arg_max(value, order_key) AS gauge_value,
+                     count(*) AS n_points
+              FROM parsed WHERE name = 'views' GROUP BY 1, 2
+            ), spans AS (
+              SELECT name, min(bin) AS lo, max(bin) AS hi FROM per_bin GROUP BY 1
+            ), bins AS (
+              SELECT name, unnest(range(lo, hi + 1)) AS bin FROM spans
+            )
+            SELECT b.name, b.bin,
+                   last_value(p.gauge_value IGNORE NULLS)
+                     OVER (PARTITION BY b.name ORDER BY b.bin) AS gauge_value,
+                   coalesce(p.n_points, 0) AS n_points
+            FROM bins b LEFT JOIN per_bin p ON b.name = p.name AND b.bin = p.bin
+        """,
+        "delay_filter": """
+            SELECT CASE WHEN abs(CAST(floor(epoch(ts)) AS BIGINT) - 1705276800) < 604800
+                        THEN 'accept' ELSE 'reject' END AS disposition,
+                   count(*) AS n
+            FROM events GROUP BY 1
+        """,
+        "route_fanout": P
+        + """
+            , routes(match_kind, name_mask, sink) AS (VALUES
+                ('telemetry', '.*', 'console'),
+                ('telemetry', '.*', 'wavefront'),
+                ('telemetry', '.*', 'prometheus'),
+                ('telemetry', '^purchase.*', 'influxdb'),
+                ('telemetry', '^errors$', 'influxdb'))
+            SELECT r.sink, count(*) AS n_rows
+            FROM parsed p JOIN routes r
+              ON r.match_kind = 'telemetry' AND regexp_matches(p.name, r.name_mask)
+            GROUP BY 1
+        """,
+        "enrich_tags": P
+        + """
+            SELECT t.role,
+                   CASE t.role WHEN 'user' THEN 'human' WHEN 'assistant' THEN 'model'
+                        WHEN 'system' THEN 'config' WHEN 'tool' THEN 'tool' END AS origin,
+                   CASE t.tool WHEN 'bash' THEN 'shell' WHEN 'read' THEN 'fs'
+                        WHEN 'write' THEN 'fs' WHEN 'grep' THEN 'search'
+                        WHEN 'search' THEN 'search' ELSE NULL END AS tool_class,
+                   'cernan_spark' AS source,
+                   count(*) AS n
+            FROM transcripts t GROUP BY 1, 2, 3, 4
+        """,
+        "prometheus_cumulative": P
+        + """
+            , per_bin AS (
+              SELECT name, CAST(floor(epoch / 3600) AS BIGINT) AS bin,
+                     sum(value) AS agg_value, count(*) AS n_points
+              FROM parsed WHERE kind = 'SUM' GROUP BY 1, 2
+            )
+            SELECT name, bin,
+                   round(sum(agg_value) OVER (PARTITION BY name ORDER BY bin), 4) AS cum_value,
+                   CAST(sum(n_points) OVER (PARTITION BY name ORDER BY bin) AS BIGINT) AS cum_count
+            FROM per_bin
+        """,
+        "flush_boundary": P
+        + """
+            SELECT name, count(*) AS n_released
+            FROM parsed
+            WHERE CAST(floor(epoch / 3600) AS BIGINT) <
+                  (SELECT max(CAST(floor(epoch / 3600) AS BIGINT)) FROM parsed)
+            GROUP BY 1
+        """,
+        "zero_pad": P
+        + """
+            , per_bin AS (
+              SELECT name, CAST(floor(epoch / 1800) AS BIGINT) AS bin,
+                     sum(value) AS agg_value
+              FROM parsed WHERE name = 'purchase_ms' GROUP BY 1, 2
+            ), spans AS (
+              SELECT name, min(bin) AS lo, max(bin) AS hi FROM per_bin GROUP BY 1
+            ), bins AS (
+              SELECT name, unnest(range(lo, hi + 1)) AS bin FROM spans
+            )
+            SELECT b.name, b.bin, round(coalesce(p.agg_value, 0.0), 4) AS agg_value
+            FROM bins b LEFT JOIN per_bin p ON b.name = p.name AND b.bin = p.bin
+        """,
+        "tick_count": P
+        + """
+            SELECT CAST(floor(epoch / 3600) AS BIGINT) AS bin,
+                   count(*) AS count_per_tick
+            FROM parsed GROUP BY 1
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS text_hash, min(doc_id) AS canonical_id,
+                   count(*) AS n_copies
+            FROM documents GROUP BY 1
+        """,
+        "token_count": """
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+                   CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_distinct_tokens
+            FROM documents
+        """,
+        "quality_score": """
+            SELECT doc_id,
+                   CAST(length(text) AS INTEGER) AS len_chars,
+                   CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+                   round(len(list_distinct(string_split(text, ' '))) * 1.0
+                         / len(string_split(text, ' ')), 4) AS distinct_ratio,
+                   round(length(replace(text, ' ', '')) * 1.0
+                         / len(string_split(text, ' ')), 4) AS avg_token_len
+            FROM documents
+        """,
+        "lang_profile": """
+            SELECT lang, source, count(*) AS n_docs,
+                   round(avg(n_chars), 4) AS avg_chars
+            FROM documents GROUP BY 1, 2
+        """,
+        "ann_cosine_topk": """
+            WITH flat AS (
+              SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+              FROM embeddings, range(1, 65) t(i)
+            ), norms AS (
+              SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM flat GROUP BY 1
+            ), dots AS (
+              SELECT a.vec_id AS qid, b.vec_id, sum(a.x * b.x) AS dot
+              FROM flat a JOIN flat b ON a.i = b.i
+              WHERE a.vec_id < 5 AND b.vec_id <> a.vec_id
+              GROUP BY 1, 2
+            ), scored AS (
+              SELECT d.qid, d.vec_id, d.dot / (na.nrm * nb.nrm) AS cos
+              FROM dots d
+              JOIN norms na ON na.vec_id = d.qid
+              JOIN norms nb ON nb.vec_id = d.vec_id
+            )
+            SELECT qid, vec_id, round(cos, 6) AS cos, rank FROM (
+              SELECT qid, vec_id, cos,
+                     CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS INTEGER) AS rank
+              FROM scored
+            ) WHERE rank <= 5
+        """,
+        # minhash_dedup: intentionally no oracle (LSH banding is not
+        # ANSI-SQL expressible) → rows-only check.
+    }

@@ -1,0 +1,67 @@
+"""Line explosion + wire-format classification.
+
+Cernan knows the wire format per source socket (statsd vs graphite vs log
+tail); the transcripts table multiplexes them into one ``text`` column, so
+we classify each line declaratively. Multi-line packets (statsd allows
+newline-separated metrics in one datagram, statsd.rs:20-28) are exploded
+with a stable intra-turn position.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from cernan_spark.functions.graphite import GRAPHITE_LINE_RX
+from cernan_spark.functions.statsd import STATSD_LINE_RX
+
+CLASS_STATSD = "statsd"
+CLASS_GRAPHITE = "graphite"
+CLASS_JSON = "json"
+CLASS_LOG = "log"
+CLASS_BAD = "bad"
+
+
+def explode_lines(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One row per newline-separated line; adds (line, line_pos).
+
+    ``order_key`` (if present) is refined to ``order_key*4096 + line_pos`` so
+    intra-packet order stays total (cernan preserves packet order of
+    receipt).
+    """
+    out = df.select(
+        "*", F.posexplode(F.split(F.col(text_col), "\n")).alias("line_pos", "line")
+    )
+    if "order_key" in df.columns:
+        out = out.withColumn(
+            "order_key", F.col("order_key") * 4096 + F.col("line_pos")
+        )
+    return out
+
+
+def line_class(line: Column) -> Column:
+    """Classify one line: statsd | graphite | json | log | bad.
+
+    Order matters: statsd, then graphite, then JSON object, then prose →
+    log. Telemetry-shaped lines that fail their grammar (contain ``|`` or
+    ``:`` / empty / single bare token) are ``bad`` — counted, never shipped
+    (mirrors parse_statsd's false return, statsd.rs:553-573).
+    """
+    is_json_obj = F.from_json(line, "map<string,string>").isNotNull() & line.startswith("{")
+    return (
+        F.when(line.rlike(STATSD_LINE_RX), F.lit(CLASS_STATSD))
+        .when(line.rlike(GRAPHITE_LINE_RX), F.lit(CLASS_GRAPHITE))
+        .when(is_json_obj, F.lit(CLASS_JSON))
+        .when(
+            (line == "")
+            | line.contains("|")
+            | (line.contains(":") & ~line.contains(" "))
+            | line.rlike(r"^\S+$"),
+            F.lit(CLASS_BAD),
+        )
+        .otherwise(F.lit(CLASS_LOG))
+    )
+
+
+def classify_lines(df: DataFrame, line_col: str = "line") -> DataFrame:
+    return df.withColumn("line_class", line_class(F.col(line_col)))

@@ -1,0 +1,353 @@
+"""The bucket aggregation engine: cernan's ``Buckets`` as one hash aggregate.
+
+Reference semantics (/root/reference/src/buckets.rs:146-178 and
+src/metric/telemetry.rs:94-137):
+
+* group key = (name, tags, kind) + tumbling time bin ``floor(epoch /
+  bin_width)`` (integer-division bins, telemetry.rs:816-828);
+* merge laws within a group: Sum = addition, Set = last-write-wins (by the
+  stable order key), Summarize = sketch union (→ percentile_approx) plus
+  exact sum/count/mean, Histogram = bin-wise count addition;
+* gauge persistence: a persisted series' value carries forward across bins
+  and survives flushes (buckets.rs:100-116,163-175) — implemented as an
+  ordered running fold, see :func:`gauge_carry_forward`.
+
+Scale notes: each per-kind aggregate is a single shuffle with map-side
+partial aggregation (Spark HashAggregate); the tag map is canonicalized to
+a sortable string key so grouping never touches MapType. Skewed series keys
+are handled upstream by salting (operators/skew.py) + AQE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+#: Wavefront's default quantile list (reference src/sink/wavefront.rs:110-126)
+DEFAULT_QUANTILES = [0.0, 0.25, 0.5, 0.75, 0.9, 0.95, 0.99, 0.999, 1.0]
+#: CKMS default error bound ε=0.001 → percentile_approx accuracy ≈ 1/ε
+DEFAULT_ACCURACY = 1000
+
+
+def canonical_tags(tags: Column) -> Column:
+    """Map → canonical 'k=v,k=v' string, sorted by key.
+
+    Grouping on MapType is not allowed in Spark; cernan hashes the sorted
+    tag iterator the same way (src/metric/telemetry.rs:844-873).
+    """
+    entries = F.array_sort(F.map_entries(tags))
+    return F.array_join(
+        F.transform(entries, lambda e: F.concat(e["key"], F.lit("="), e["value"])),
+        ",",
+    )
+
+
+def with_bin(df: DataFrame, bin_width: int, ts_col: str = "ts") -> DataFrame:
+    """Tumbling integer-division bin: floor(epoch_seconds / bin_width)."""
+    epoch = (
+        F.col("event_epoch")
+        if "event_epoch" in df.columns
+        else F.unix_timestamp(F.col(ts_col))
+    )
+    if "event_epoch" in df.columns:
+        epoch = F.coalesce(F.col("event_epoch"), F.unix_timestamp(F.col(ts_col)))
+    return df.withColumn("bin", F.floor(epoch / F.lit(bin_width)).cast("long"))
+
+
+def _group_cols(df: DataFrame) -> list[str]:
+    cols = ["name", "bin"]
+    if "tags_key" in df.columns:
+        cols.insert(1, "tags_key")
+    return cols
+
+
+def agg_sums(df: DataFrame) -> DataFrame:
+    """kind=SUM merge law: addition (telemetry.rs:96-107)."""
+    return (
+        df.filter(F.col("kind") == "SUM")
+        .groupBy(*_group_cols(df))
+        .agg(
+            F.sum("value").alias("agg_value"),
+            F.count("*").alias("n_points"),
+            F.max("persist").alias("persist"),
+        )
+        .withColumn("kind", F.lit("SUM"))
+    )
+
+
+def agg_sets(df: DataFrame, order_col: str = "order_key") -> DataFrame:
+    """kind=SET merge law: last write wins under the stable total order
+    (telemetry.rs:108-118; determinism via (conv_id, turn_idx) order key)."""
+    return (
+        df.filter(F.col("kind") == "SET")
+        .groupBy(*_group_cols(df))
+        .agg(
+            F.max_by("value", F.col(order_col)).alias("agg_value"),
+            F.count("*").alias("n_points"),
+            F.max("persist").alias("persist"),
+        )
+        .withColumn("kind", F.lit("SET"))
+    )
+
+
+def agg_summarize(
+    df: DataFrame,
+    quantiles: list[float] | None = None,
+    accuracy: int = DEFAULT_ACCURACY,
+    exact: bool = False,
+) -> DataFrame:
+    """kind=SUMMARIZE: quantile sketch union + exact sum/count/mean.
+
+    ``exact=True`` computes exact percentiles (for oracle comparison);
+    the scale path uses percentile_approx, whose per-partition sketches
+    merge map-side exactly like cernan's CKMS union (telemetry.rs:119-126).
+    """
+    qs = quantiles or DEFAULT_QUANTILES
+    q_arr = F.array(*[F.lit(q) for q in qs])
+    pct = (
+        F.percentile("value", q_arr)
+        if exact
+        else F.percentile_approx("value", q_arr, F.lit(accuracy))
+    )
+    return (
+        df.filter(F.col("kind") == "SUMMARIZE")
+        .groupBy(*_group_cols(df))
+        .agg(
+            pct.alias("quantile_values"),
+            F.sum("value").alias("samples_sum"),
+            F.count("*").alias("n_points"),
+            F.avg("value").alias("mean_value"),
+        )
+        .withColumn("quantile_probs", F.array(*[F.lit(q) for q in qs]))
+        .withColumn("kind", F.lit("SUMMARIZE"))
+    )
+
+
+def agg_histograms(
+    df: DataFrame, default_bounds: list[float] | None = None
+) -> DataFrame:
+    """kind=HISTOGRAM: fixed-bound bins, bin-wise count addition
+    (telemetry.rs:127-137,429-438). value ≤ bound → that bucket; above all
+    bounds → the +Inf bucket (index = size(bounds)).
+
+    Two-phase: per-(key,bucket) count (the big shuffle, map-side combined),
+    then tiny per-key pivot into an ordered bucket array.
+    """
+    bounds_col = (
+        F.col("bounds")
+        if "bounds" in df.columns
+        else F.lit(None).cast("array<double>")
+    )
+    db = default_bounds or [1.0, 10.0, 100.0, 1000.0]
+    bounds = F.coalesce(bounds_col, F.array(*[F.lit(b) for b in db]))
+    h = df.filter(F.col("kind") == "HISTOGRAM").withColumn("_bounds", bounds)
+    # index of first bound >= value == count of bounds < value
+    h = h.withColumn(
+        "bucket_idx",
+        F.size(F.filter(F.col("_bounds"), lambda b: b < F.col("value"))),
+    )
+    per_bucket = h.groupBy(*_group_cols(h), "_bounds", "bucket_idx").agg(
+        F.count("*").alias("cnt")
+    )
+    return (
+        per_bucket.groupBy(*_group_cols(per_bucket), "_bounds")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("bucket_idx"), F.col("cnt")))
+            ).alias("_sparse"),
+            F.sum("cnt").alias("n_points"),
+        )
+        .withColumn(
+            # densify: one entry per bound + the +Inf bucket
+            "hist",
+            F.transform(
+                F.concat(F.col("_bounds"), F.array(F.lit(float("inf")))),
+                lambda b, i: F.struct(
+                    b.alias("bound"),
+                    F.coalesce(
+                        F.element_at(
+                            F.map_from_entries(F.col("_sparse")), i.cast("int")
+                        ),
+                        F.lit(0).cast("long"),
+                    ).alias("cnt"),
+                ),
+            ),
+        )
+        .withColumnRenamed("_bounds", "bounds")
+        .drop("_sparse")
+        .withColumn("kind", F.lit("HISTOGRAM"))
+    )
+
+
+def bucket_aggregate(
+    parsed: DataFrame,
+    bin_width: int = 60,
+    quantiles: list[float] | None = None,
+    accuracy: int = DEFAULT_ACCURACY,
+    order_col: str = "order_key",
+) -> DataFrame:
+    """Full Buckets::add equivalent: union of the four per-kind aggregates
+    on one wide schema. Input needs (name, value, kind, persist[, bounds],
+    ts|event_epoch, order_key[, tags_key])."""
+    df = with_bin(parsed, bin_width)
+    sums = agg_sums(df).select(
+        *_group_cols(df), "kind", "agg_value", "n_points", "persist"
+    )
+    sets = agg_sets(df, order_col).select(
+        *_group_cols(df), "kind", "agg_value", "n_points", "persist"
+    )
+    scalar = sums.unionByName(sets).select(
+        "*",
+        F.lit(None).cast("array<double>").alias("quantile_values"),
+        F.lit(None).cast("array<double>").alias("quantile_probs"),
+        F.lit(None).cast("double").alias("samples_sum"),
+        F.lit(None).cast("double").alias("mean_value"),
+        F.lit(None).cast("array<struct<bound:double,cnt:bigint>>").alias("hist"),
+    )
+    summ = agg_summarize(df, quantiles, accuracy).select(
+        *_group_cols(df),
+        "kind",
+        F.lit(None).cast("double").alias("agg_value"),
+        "n_points",
+        F.lit(False).alias("persist"),
+        "quantile_values",
+        "quantile_probs",
+        "samples_sum",
+        "mean_value",
+        F.lit(None).cast("array<struct<bound:double,cnt:bigint>>").alias("hist"),
+    )
+    hist = agg_histograms(df).select(
+        *_group_cols(df),
+        "kind",
+        F.lit(None).cast("double").alias("agg_value"),
+        "n_points",
+        F.lit(False).alias("persist"),
+        F.lit(None).cast("array<double>").alias("quantile_values"),
+        F.lit(None).cast("array<double>").alias("quantile_probs"),
+        F.lit(None).cast("double").alias("samples_sum"),
+        F.lit(None).cast("double").alias("mean_value"),
+        "hist",
+    )
+    return scalar.unionByName(summ).unionByName(hist)
+
+
+# ---------------------------------------------------------------------------
+# gauge persistence / carry-forward
+# ---------------------------------------------------------------------------
+
+def gauge_running_value(
+    gauges: DataFrame,
+    key_cols: list[str] | None = None,
+    order_col: str = "order_key",
+) -> DataFrame:
+    """The statsd gauge fold: Set replaces, signed-delta Sum adds, in stable
+    order (reference test fitness_for_statsd_gauge, src/buckets.rs:240-309).
+
+    Input: rows with kind SET (plain ``g``) or SUM (delta ``+g``/``-g``) and
+    persist=true. Adds ``running_value``. Window-only — no joins; one
+    shuffle on the series key.
+    """
+    keys = key_cols or (["name", "tags_key"] if "tags_key" in gauges.columns else ["name"])
+    w = W.partitionBy(*keys).orderBy(order_col)
+    is_set = (F.col("kind") == "SET").cast("long")
+    seg = F.sum(is_set).over(w.rowsBetween(W.unboundedPreceding, 0))
+    df = gauges.withColumn("_seg", seg)
+    wseg = W.partitionBy(*keys, "_seg").orderBy(order_col)
+    base = F.first(
+        F.when(F.col("kind") == "SET", F.col("value")), ignorenulls=True
+    ).over(wseg.rowsBetween(W.unboundedPreceding, 0))
+    deltas = F.sum(
+        F.when(F.col("kind") == "SUM", F.col("value")).otherwise(F.lit(0.0))
+    ).over(wseg.rowsBetween(W.unboundedPreceding, 0))
+    return df.withColumn(
+        "running_value", F.coalesce(base, F.lit(0.0)) + deltas
+    ).drop("_seg")
+
+
+def gauge_carry_forward(
+    gauges: DataFrame,
+    bin_width: int = 60,
+    key_cols: list[str] | None = None,
+    order_col: str = "order_key",
+    fill_gaps: bool = True,
+) -> DataFrame:
+    """Per-bin gauge value with carry-forward into empty bins
+    (buckets.rs:163-175): bin value = running value at end of bin; bins with
+    no events inherit the previous bin's value (sequence gap-fill, only
+    between first and last observed bin per series)."""
+    keys = key_cols or (["name", "tags_key"] if "tags_key" in gauges.columns else ["name"])
+    run = gauge_running_value(gauges, keys, order_col)
+    binned = with_bin(run, bin_width)
+    per_bin = binned.groupBy(*keys, "bin").agg(
+        F.max_by("running_value", F.col(order_col)).alias("gauge_value"),
+        F.count("*").alias("n_points"),
+    )
+    if not fill_gaps:
+        return per_bin
+    spans = per_bin.groupBy(*keys).agg(
+        F.min("bin").alias("_lo"), F.max("bin").alias("_hi")
+    )
+    all_bins = spans.select(
+        *keys, F.explode(F.sequence(F.col("_lo"), F.col("_hi"))).alias("bin")
+    )
+    filled = all_bins.join(per_bin, keys + ["bin"], "left")
+    wfill = W.partitionBy(*keys).orderBy("bin").rowsBetween(W.unboundedPreceding, 0)
+    return filled.select(
+        *keys,
+        "bin",
+        F.last("gauge_value", ignorenulls=True).over(wfill).alias("gauge_value"),
+        F.coalesce("n_points", F.lit(0)).alias("n_points"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# sink-side aggregate transforms
+# ---------------------------------------------------------------------------
+
+def zero_pad(
+    per_bin: DataFrame, key_cols: list[str], value_col: str = "agg_value"
+) -> DataFrame:
+    """Wavefront gap padding: emit 0-points for missing bins inside each
+    series' observed span (reference src/sink/wavefront.rs:203-342 pads
+    around gaps; we fill the whole gap — a superset with identical
+    at-the-gap behavior). sequence() + explode + left join + coalesce(0)."""
+    spans = per_bin.groupBy(*key_cols).agg(
+        F.min("bin").alias("_lo"), F.max("bin").alias("_hi")
+    )
+    all_bins = spans.select(
+        *key_cols, F.explode(F.sequence(F.col("_lo"), F.col("_hi"))).alias("bin")
+    )
+    joined = all_bins.join(per_bin, key_cols + ["bin"], "left")
+    return joined.withColumn(value_col, F.coalesce(F.col(value_col), F.lit(0.0)))
+
+
+def prometheus_accumulate(per_bin: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Prometheus perpetual accumulators: Sum/Histogram accumulate forever,
+    Set keeps the latest value, timestamps are dropped (reference
+    src/sink/prometheus.rs:209-332). Cumulative-over-bins window."""
+    w = W.partitionBy(*key_cols).orderBy("bin").rowsBetween(W.unboundedPreceding, 0)
+    return (
+        per_bin.withColumn(
+            "cum_value",
+            F.when(F.col("kind") == "SUM", F.sum("agg_value").over(w))
+            .when(F.col("kind") == "SET", F.last("agg_value", ignorenulls=True).over(w))
+            .otherwise(F.lit(None)),
+        )
+        .withColumn("cum_count", F.sum("n_points").over(w))
+    )
+
+
+def cumulative_histogram(hist_rows: DataFrame) -> DataFrame:
+    """Prometheus exposition: running-sum ``le`` buckets ending at +Inf
+    (reference src/sink/prometheus.rs:523-563). Pure array fold — no extra
+    shuffle: cumulative count per bucket via a scan over the hist array."""
+    return hist_rows.withColumn(
+        "hist_cum",
+        F.expr(
+            """
+            transform(hist, (x, i) ->
+              struct(x.bound as le,
+                     aggregate(slice(hist, 1, i + 1), 0L, (acc, y) -> acc + y.cnt) as cum_cnt))
+            """
+        ),
+    )

@@ -1,0 +1,195 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact dedup is a hash groupBy. Near-dup detection is MinHash+LSH done
+entirely with built-in expressions (no Python in the hot path):
+
+  shingle (n-gram split) → per-permutation min of xxhash64 → band →
+  band-bucket groupBy → candidate pairs within buckets → verify Jaccard.
+
+At 100 TB the only wide operations are the band-bucket groupBy (shuffles
+(doc_id, band_hash) pairs — tiny rows) and the candidate self-join, which
+is bounded by bucket size; a cap on bucket width (drop degenerate buckets)
+keeps the join from exploding on boilerplate-heavy corpora.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingle set of a document (distinct)."""
+    toks = F.split(text, r"\s+")
+    return F.array_distinct(
+        F.filter(
+            F.transform(
+                toks,
+                lambda _x, i: F.when(
+                    i + n <= F.size(toks),
+                    F.array_join(F.slice(toks, i + 1, n), " "),
+                ),
+            ),
+            lambda s: s.isNotNull(),
+        )
+    )
+
+
+def minhash_signature(shingle_col: Column, num_hashes: int = 32) -> Column:
+    """num_hashes-wide MinHash signature: min over shingles of
+    xxhash64(seed_i, shingle). All JVM-side."""
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(shingle_col, lambda s: F.xxhash64(F.lit(i), s))
+            )
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    max_bucket: int = 50,
+) -> DataFrame:
+    """Near-duplicate candidate pairs (id_a < id_b) that share ≥1 LSH band,
+    with their estimated (signature) Jaccard similarity.
+
+    rows/band = num_hashes/bands; buckets wider than ``max_bucket`` are
+    dropped (degenerate boilerplate) — logged via the `oversize` marker
+    column upstream if needed.
+    """
+    rows_per_band = num_hashes // bands
+    sig = docs.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(shingles(F.col(text_col), shingle_n), num_hashes).alias(
+            "sig"
+        ),
+    )
+    banded = sig.select(
+        "id",
+        "sig",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.lit(b),
+                        *[
+                            F.element_at("sig", b * rows_per_band + r + 1)
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "band_hash"),
+    )
+    buckets = (
+        banded.groupBy("band", "band_hash")
+        .agg(F.collect_list(F.struct("id", "sig")).alias("members"))
+        .filter((F.size("members") > 1) & (F.size("members") <= max_bucket))
+    )
+    # pairs within a bucket, deduped across bands by (id_a, id_b)
+    pairs = buckets.select(
+        F.explode(
+            F.filter(
+                F.flatten(
+                    F.transform(
+                        F.col("members"),
+                        lambda a: F.transform(
+                            F.col("members"),
+                            lambda b: F.when(
+                                a["id"] < b["id"],
+                                F.struct(
+                                    a["id"].alias("id_a"),
+                                    b["id"].alias("id_b"),
+                                    a["sig"].alias("sig_a"),
+                                    b["sig"].alias("sig_b"),
+                                ),
+                            ),
+                        ),
+                    )
+                ),
+                lambda p: p.isNotNull(),
+            )
+        ).alias("p")
+    ).select("p.id_a", "p.id_b", "p.sig_a", "p.sig_b").dropDuplicates(
+        ["id_a", "id_b"]
+    )
+    est = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda a, b: (a == b).cast("int")),
+            lambda x: x == 1,
+        )
+    ) / F.lit(
+        float(
+            # signature length
+            num_hashes
+        )
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round(est, 4).alias("est_jaccard")
+    )
+
+
+def exact_jaccard_pairs(
+    docs: DataFrame,
+    candidates: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Verify candidate pairs with true shingle-set Jaccard (the verify
+    stage after LSH; joins are broadcast-sized after banding)."""
+    sh = docs.select(
+        F.col(id_col).alias("id"), shingles(F.col(text_col), shingle_n).alias("sh")
+    )
+    a = sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a")
+    b = sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b")
+    joined = candidates.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return joined.select(
+        "id_a", "id_b", F.round(inter / union, 4).alias("jaccard")
+    )
+
+
+def simhash(text: Column, bits: int = 64) -> Column:
+    """64-bit SimHash of the token set: per-bit majority vote over token
+    hashes, built from bitwise expressions (no UDF).
+
+    For each bit position b: sum over tokens of (hash>>b & 1 ? 1 : -1);
+    bit set if positive."""
+    toks = F.array_distinct(F.split(text, r"\s+"))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    bit_votes = [
+        F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(h.bitwiseAND(F.lit(1 << b) if b < 63 else F.lit(-(2**63))) != 0, 1).otherwise(-1),
+        )
+        for b in range(bits)
+    ]
+    out = F.lit(0).cast("long")
+    for b, vote in enumerate(bit_votes):
+        bitval = F.lit(1 << b) if b < 63 else F.lit(-(2**63))
+        out = out + F.when(vote > 0, bitval).otherwise(F.lit(0).cast("long"))
+    return out
+
+
+def simhash_dedup(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """SimHash fingerprints + exact-fingerprint duplicate groups."""
+    s = docs.select(F.col(id_col), simhash(F.col(text_col)).alias("simhash"))
+    return s.groupBy("simhash").agg(
+        F.min(id_col).alias("canonical_id"),
+        F.count("*").alias("n_docs"),
+        F.sort_array(F.collect_list(id_col)).alias("members"),
+    )

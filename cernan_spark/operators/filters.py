@@ -1,0 +1,144 @@
+"""Row-level filters: cernan's Filter trait is flatMap over events
+(reference src/filter/mod.rs:53-62). Each becomes a declarative transform.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def delay_filter(
+    df: DataFrame,
+    tolerance_seconds: int,
+    ref_epoch: int | Column,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Reject events with |t − ref| ≥ tolerance (late/early data).
+
+    Reference src/filter/delay_filter.rs:52-81 (strict <). In batch the
+    reference clock is a parameter (event-time max or job start); in
+    streaming this is the watermark. The predicate is pushed into the scan
+    by Catalyst when ts maps to a partition column.
+    """
+    ref = F.lit(ref_epoch) if isinstance(ref_epoch, int) else ref_epoch
+    epoch = (
+        F.coalesce(F.col("event_epoch"), F.unix_timestamp(F.col(ts_col)))
+        if "event_epoch" in df.columns
+        else F.unix_timestamp(F.col(ts_col))
+    )
+    return df.filter(F.abs(epoch - ref) < F.lit(tolerance_seconds))
+
+
+def delay_filter_counts(
+    df: DataFrame,
+    tolerance_seconds: int,
+    ref_epoch: int,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Accept/reject accounting (cernan emits telemetry for both,
+    delay_filter.rs:60-74)."""
+    epoch = F.unix_timestamp(F.col(ts_col))
+    return df.select(
+        F.when(
+            F.abs(epoch - F.lit(ref_epoch)) < F.lit(tolerance_seconds),
+            F.lit("accept"),
+        )
+        .otherwise(F.lit("reject"))
+        .alias("disposition")
+    ).groupBy("disposition").agg(F.count("*").alias("n"))
+
+
+def flush_boundary_filter(
+    binned: DataFrame, max_complete_bin: int | Column, bin_col: str = "bin"
+) -> DataFrame:
+    """Release only settled bins (hold the in-progress tail).
+
+    Reference src/filter/flush_boundary_filter.rs:56-91 holds events for k
+    flush pulses so one second never splits across two flushes; in batch
+    that is exactly 'emit only bins strictly below the high-watermark bin'.
+    """
+    mx = (
+        F.lit(max_complete_bin)
+        if isinstance(max_complete_bin, int)
+        else max_complete_bin
+    )
+    return binned.filter(F.col(bin_col) < mx)
+
+
+# ---------------------------------------------------------------------------
+# Programmable filter registry — the Lua hook surface as named transforms
+# (reference src/filter/programmable_filter.rs + examples/scripts/*.lua)
+# ---------------------------------------------------------------------------
+
+def xf_identity(df: DataFrame) -> DataFrame:
+    """identity.lua: pass everything through unchanged."""
+    return df
+
+
+def xf_name_rewrite(df: DataFrame, pattern: str, replacement: str) -> DataFrame:
+    """collectd_scrub.lua:6-12 — regex rewrite of the metric name."""
+    return df.withColumn("name", F.regexp_replace("name", pattern, replacement))
+
+
+def xf_add_tag(df: DataFrame, key: str, value: str) -> DataFrame:
+    """add_keys.lua — set a tag (overwrites existing key: Lua set_tag)."""
+    empty = F.expr("map()")
+    tags = F.coalesce(F.col("tags"), empty) if "tags" in df.columns else empty
+    newm = F.create_map(F.lit(key), F.lit(value))
+    return df.withColumn(
+        "tags", F.map_zip_with(newm, tags, lambda _k, v1, v2: F.coalesce(v1, v2))
+    )
+
+
+def xf_remove_tag(df: DataFrame, key: str) -> DataFrame:
+    """remove_keys.lua — drop a tag key."""
+    return df.withColumn(
+        "tags", F.map_filter(F.col("tags"), lambda k, _v: k != F.lit(key))
+    )
+
+
+def xf_drop_all(df: DataFrame) -> DataFrame:
+    """clear_metrics.lua / clear_logs.lua — drop every event."""
+    return df.filter(F.lit(False))
+
+
+def xf_json_extract_fields(df: DataFrame, line_col: str = "line") -> DataFrame:
+    """json_parse.lua — parse the payload as JSON into ``fields``."""
+    return df.withColumn("fields", F.from_json(F.col(line_col), "map<string,string>"))
+
+
+def xf_field_from_path(df: DataFrame, field: str = "filename") -> DataFrame:
+    """field_from_path.lua — set a field from the log path's basename."""
+    base = F.element_at(F.split(F.col("path"), "/"), -1)
+    empty = F.expr("map()")
+    fields = F.coalesce(F.col("fields"), empty) if "fields" in df.columns else empty
+    return df.withColumn(
+        "fields",
+        F.map_zip_with(
+            F.create_map(F.lit(field), base), fields, lambda _k, a, b: F.coalesce(a, b)
+        ),
+    )
+
+
+def xf_tick_count(df: DataFrame, bin_col: str = "bin") -> DataFrame:
+    """keep_count.lua — per-flush-window event count emitted as a metric
+    (tests/programmable_filter.rs:466-576)."""
+    return df.groupBy(bin_col).agg(F.count("*").alias("count_per_tick"))
+
+
+#: The named-transform registry standing in for user Lua scripts.
+PROGRAMMABLE_REGISTRY = {
+    "identity": xf_identity,
+    "name_rewrite": xf_name_rewrite,
+    "add_tag": xf_add_tag,
+    "remove_tag": xf_remove_tag,
+    "drop_all": xf_drop_all,
+    "json_extract_fields": xf_json_extract_fields,
+    "field_from_path": xf_field_from_path,
+    "tick_count": xf_tick_count,
+}
+
+
+def apply_programmable(df: DataFrame, name: str, /, **kwargs) -> DataFrame:
+    return PROGRAMMABLE_REGISTRY[name](df, **kwargs)

@@ -1,0 +1,150 @@
+"""Sink-side output formatting: each cernan sink's wire format as a
+formatted string column over its routed/aggregated table.
+
+At scale each sink is one partitioned write of a routed table; the
+formatting expressions are whole-stage-codegen string concat — no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from cernan_spark.operators.aggregate import cumulative_histogram
+
+
+def _tags_kv(tags: Column, sep: str = " ", quote: bool = True) -> Column:
+    entries = F.array_sort(F.map_entries(tags))
+    if quote:
+        fmt = lambda e: F.concat(e["key"], F.lit('="'), e["value"], F.lit('"'))
+    else:
+        fmt = lambda e: F.concat(e["key"], F.lit("="), e["value"])
+    return F.array_join(F.transform(entries, fmt), sep)
+
+
+def wavefront_format(agg: DataFrame, bin_width: int) -> DataFrame:
+    """`name value ts tag="v" ...` lines (reference
+    src/sink/wavefront.rs:386-457): scalar kinds emit one line; Summarize
+    emits one line per quantile plus `.count` and `.mean` companions
+    (wavefront.rs:531-573)."""
+    ts = (F.col("bin") * bin_width).cast("string")
+    tags = F.coalesce(F.col("tags"), F.expr("map()")) if "tags" in agg.columns else F.expr("map()")
+    kv = _tags_kv(tags)
+
+    scalar = agg.filter(F.col("kind").isin("SUM", "SET")).select(
+        F.concat_ws(" ", F.col("name"), F.col("agg_value").cast("string"), ts, kv).alias("line"),
+        F.lit("point").alias("series_kind"),
+    )
+    summ = agg.filter(F.col("kind") == "SUMMARIZE")
+    q = summ.select(
+        "name", "bin", "n_points", "mean_value",
+        F.explode(F.arrays_zip("quantile_probs", "quantile_values")).alias("qz"),
+    ).select(
+        F.concat_ws(
+            " ",
+            F.concat(F.col("name"), F.lit(".q"),
+                     F.regexp_replace(F.format_number(F.col("qz.quantile_probs"), 3), r"\.?0+$", "")),
+            F.col("qz.quantile_values").cast("string"),
+            ts,
+            F.lit(""),
+        ).alias("line"),
+        F.lit("quantile").alias("series_kind"),
+    )
+    companions = summ.select(
+        F.explode(
+            F.array(
+                F.concat_ws(" ", F.concat(F.col("name"), F.lit(".count")),
+                            F.col("n_points").cast("string"), ts),
+                F.concat_ws(" ", F.concat(F.col("name"), F.lit(".mean")),
+                            F.col("mean_value").cast("string"), ts),
+            )
+        ).alias("line"),
+    ).withColumn("series_kind", F.lit("companion"))
+    return scalar.unionByName(q).unionByName(companions)
+
+
+def prometheus_format(cum: DataFrame) -> DataFrame:
+    """Exposition text (reference src/sink/prometheus.rs:499-675): counters
+    from cumulative sums, gauges from latest Set, histograms as running-sum
+    `le` buckets. Names sanitized to [a-zA-Z0-9:_] (prometheus.rs:607-628).
+    Input: prometheus_accumulate output restricted to each key's last bin."""
+    san = F.regexp_replace(F.col("name"), r"[^a-zA-Z0-9:_]", "_")
+    scalar = cum.filter(F.col("kind").isin("SUM", "SET")).select(
+        F.concat(
+            F.lit("# TYPE "), san,
+            F.when(F.col("kind") == "SUM", F.lit(" counter\n")).otherwise(F.lit(" gauge\n")),
+            san, F.lit(" "), F.col("cum_value").cast("string"),
+        ).alias("exposition")
+    )
+    hist = cum.filter(F.col("kind") == "HISTOGRAM")
+    if "hist" in cum.columns:
+        hist = cumulative_histogram(hist).select(
+            F.concat(
+                F.lit("# TYPE "), san, F.lit(" histogram\n"),
+                F.array_join(
+                    F.transform(
+                        F.col("hist_cum"),
+                        lambda b: F.concat(
+                            san, F.lit('_bucket{le="'),
+                            F.when(b["le"] == float("inf"), F.lit("+Inf"))
+                            .otherwise(b["le"].cast("string")),
+                            F.lit('"} '), b["cum_cnt"].cast("string"),
+                        ),
+                    ),
+                    "\n",
+                ),
+            ).alias("exposition")
+        )
+        return scalar.unionByName(hist)
+    return scalar
+
+
+def influxdb_format(points: DataFrame) -> DataFrame:
+    """Line protocol `name[,tag=v] value=<v> <ns>` with nanosecond
+    timestamps (reference src/sink/influxdb.rs:102-124). InfluxDB buffers
+    raw points without merging (influxdb.rs:285-287) → input is the routed
+    UNaggregated telemetry."""
+    tags = F.coalesce(F.col("tags"), F.expr("map()")) if "tags" in points.columns else F.expr("map()")
+    kv = _tags_kv(tags, sep=",", quote=False)
+    epoch_ns = (F.unix_timestamp("ts").cast("long") * F.lit(1_000_000_000)).cast("string")
+    return points.select(
+        F.concat(
+            F.col("name"),
+            F.when(kv != "", F.concat(F.lit(","), kv)).otherwise(F.lit("")),
+            F.lit(" value="), F.col("value").cast("string"), F.lit(" "), epoch_ns,
+        ).alias("line")
+    )
+
+
+def elasticsearch_format(logs: DataFrame) -> DataFrame:
+    """Bulk-index JSON doc with a deterministic id and date-suffixed index
+    (reference src/sink/elasticsearch.rs:126-158): payload + path + ts +
+    flattened tags/fields merged into the doc."""
+    empty = F.expr("map()")
+    doc = F.to_json(
+        F.struct(
+            F.sha2(F.concat_ws("|", "conv_id", F.col("order_key").cast("string")), 256).alias("uuid"),
+            F.col("conv_id").alias("path"),
+            F.col("line").alias("payload"),
+            F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ssXXX").alias("timestamp"),
+            F.coalesce(F.col("tags"), empty).alias("tags") if "tags" in logs.columns else empty.alias("tags"),
+        )
+    )
+    index = F.concat(F.lit("cernan-"), F.date_format("ts", "yyyy.MM.dd"))
+    return logs.select(index.alias("index"), doc.alias("doc"))
+
+
+def console_format(agg: DataFrame, bin_width: int) -> DataFrame:
+    """Human text like the console sink's per-kind sections
+    (reference src/sink/console.rs:161-208)."""
+    ts = F.from_unixtime(F.col("bin") * bin_width).cast("string")
+    val = F.coalesce(
+        F.col("agg_value"),
+        F.col("samples_sum"),
+        F.col("n_points").cast("double"),
+    )
+    return agg.select(
+        F.concat_ws(
+            " ", ts, F.col("kind"), F.col("name"), F.lit("="), val.cast("string")
+        ).alias("line")
+    )

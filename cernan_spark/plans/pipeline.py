@@ -1,0 +1,156 @@
+"""The flagship DAG: parse → enrich → route → aggregate over transcripts.
+
+Mirrors cernan's statsd-packet lifecycle (SURVEY.md §3.1): ingest/parse
+(src/source/statsd.rs:89-205 → protocols/statsd.rs:22-163), fan-out routing
+(src/util.rs:28-68), bucket aggregation (src/buckets.rs:146-178), per-sink
+flush formatting (src/sink/*.rs) — re-expressed as one declarative Spark
+plan per stage. Stage boundaries:
+
+  scan (column-pruned parquet) ─ narrow → explode/classify/parse/enrich
+  (single codegen stage) → broadcast route (no shuffle) → per-kind hash
+  aggregate (THE shuffle, map-side combined) → sink formatting (narrow).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cernan_spark.functions.classify import classify_lines, explode_lines
+from cernan_spark.functions.graphite import parse_graphite_lines
+from cernan_spark.functions.jsonlog import parse_json_logs
+from cernan_spark.functions.statsd import parse_statsd_lines
+from cernan_spark.operators.aggregate import (
+    bucket_aggregate,
+    canonical_tags,
+    prometheus_accumulate,
+)
+from cernan_spark.operators.enrich import enrich_tags
+from cernan_spark.operators.route import route, routed_counts, unrouted
+from cernan_spark.sources.dimensions import (
+    default_histogram_masks,
+    default_routes,
+    default_tag_dicts,
+)
+
+
+@dataclass
+class PipelineConfig:
+    bin_width: int = 60
+    quantiles: list[float] = field(
+        default_factory=lambda: [0.0, 0.25, 0.5, 0.75, 0.9, 0.95, 0.99, 0.999, 1.0]
+    )
+    accuracy: int = 1000
+    with_tags: bool = True
+
+
+def parse_stage(
+    transcripts: DataFrame, masks: DataFrame | None = None
+) -> dict[str, DataFrame]:
+    """Explode text into lines, classify, parse each wire format.
+
+    Returns {'telemetry', 'logs', 'bad'} DataFrames. Telemetry rows carry
+    (name, value, kind, persist[, bounds], event_epoch) + provenance
+    (conv_id, turn_idx, order_key, role, tool, ts).
+    """
+    if "order_key" not in transcripts.columns:
+        transcripts = transcripts.withColumn(
+            "order_key",
+            F.xxhash64("conv_id") * 65536 + F.col("turn_idx").cast("long"),
+        )
+    lines = classify_lines(explode_lines(transcripts))
+
+    statsd = parse_statsd_lines(
+        lines.filter(F.col("line_class") == "statsd"), masks=masks
+    ).withColumn("event_epoch", F.lit(None).cast("long"))
+    graphite = parse_graphite_lines(lines.filter(F.col("line_class") == "graphite"))
+    common = [
+        "conv_id", "turn_idx", "order_key", "role", "tool", "ts",
+        "name", "value", "kind", "persist", "event_epoch",
+    ]
+    telemetry = (
+        statsd.withColumn("bounds_", F.col("bounds") if "bounds" in statsd.columns
+                          else F.lit(None).cast("array<double>"))
+        .select(*common, F.col("bounds_").alias("bounds"))
+        .unionByName(
+            graphite.select(
+                *common, F.lit(None).cast("array<double>").alias("bounds")
+            )
+        )
+    )
+    logs = parse_json_logs(
+        lines.filter(F.col("line_class").isin("json", "log"))
+    )
+    bad = lines.filter(F.col("line_class") == "bad")
+    return {"telemetry": telemetry, "logs": logs, "bad": bad}
+
+
+def run_pipeline(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    cfg: PipelineConfig | None = None,
+    routes: DataFrame | None = None,
+    tag_dicts: DataFrame | None = None,
+    masks: DataFrame | None = None,
+) -> dict[str, DataFrame]:
+    """Full parse → enrich → route → aggregate. Returns every materializable
+    stage so callers (tests, bench, sinks) pick what they need lazily."""
+    cfg = cfg or PipelineConfig()
+    routes = routes if routes is not None else default_routes(spark)
+    tag_dicts = tag_dicts if tag_dicts is not None else default_tag_dicts(spark)
+    masks = masks if masks is not None else default_histogram_masks(spark)
+
+    stages = parse_stage(transcripts, masks=masks)
+    telemetry, logs, bad = stages["telemetry"], stages["logs"], stages["bad"]
+
+    if cfg.with_tags:
+        telemetry = enrich_tags(telemetry, tag_dicts).withColumn(
+            "tags_key", canonical_tags(F.col("tags"))
+        )
+        logs = enrich_tags(logs, tag_dicts)
+
+    telemetry = telemetry.withColumn("match_kind_value", F.lit("telemetry"))
+    logs = logs.withColumn("match_kind_value", F.lit("log")).withColumn(
+        "name", F.col("conv_id")
+    )
+
+    routed_tel = route(telemetry, routes)
+    routed_logs = route(logs, routes)
+    dropped = unrouted(telemetry, routes)
+
+    # Aggregate once with `sink` folded into the group key: one shuffle
+    # covers every sink instead of one scan+shuffle per sink.
+    agg = _agg_per_sink(routed_tel, cfg)
+
+    prom = prometheus_accumulate(
+        agg.filter(F.col("sink") == "prometheus"), ["sink", "name", "kind"]
+    )
+
+    return {
+        "telemetry": telemetry,
+        "logs": logs,
+        "bad": bad,
+        "routed_telemetry": routed_tel,
+        "routed_logs": routed_logs,
+        "dropped": dropped,
+        "aggregates": agg,
+        "prometheus": prom,
+        "sink_counts": routed_counts(
+            routed_tel.select("sink").unionByName(routed_logs.select("sink"))
+        ),
+    }
+
+
+def _agg_per_sink(routed_tel: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """Bucket-aggregate with `sink` folded into the group key (one shuffle
+    covers all sinks instead of one scan per sink)."""
+    keyed = routed_tel.withColumn("name", F.concat_ws("\x1f", "sink", "name"))
+    agg = bucket_aggregate(
+        keyed, bin_width=cfg.bin_width, quantiles=cfg.quantiles, accuracy=cfg.accuracy
+    )
+    split = F.split(F.col("name"), "\x1f", 2)
+    return agg.withColumn("sink", split.getItem(0)).withColumn(
+        "name", split.getItem(1)
+    )

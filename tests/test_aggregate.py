@@ -1,0 +1,139 @@
+"""Bucket aggregation tests: merge laws, gauge persistence scenario
+(fixture F6 ← reference src/buckets.rs:240-309), zero padding, prometheus
+accumulation — each against hand-computed or model-computed goldens."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cernan_spark.model import bucket_model
+from cernan_spark.operators.aggregate import (
+    agg_histograms,
+    bucket_aggregate,
+    gauge_carry_forward,
+    gauge_running_value,
+    prometheus_accumulate,
+    with_bin,
+    zero_pad,
+)
+
+PARSED_SCHEMA = (
+    "name string, value double, kind string, persist boolean, "
+    "event_epoch long, ts timestamp, order_key long"
+)
+
+
+def _parsed_df(spark, rows):
+    """rows: (name, value, kind, persist, epoch, order_key)"""
+    return spark.createDataFrame(
+        [(n, v, k, p, e, None, o) for n, v, k, p, e, o in rows], PARSED_SCHEMA
+    )
+
+
+def test_sum_and_set_merge_laws(spark):
+    rows = [
+        ("cnt", 1.0, "SUM", False, 100, 1),
+        ("cnt", 2.5, "SUM", False, 110, 2),   # same 60s bin
+        ("cnt", 4.0, "SUM", False, 170, 3),   # next bin
+        ("gauge", 5.0, "SET", True, 100, 4),
+        ("gauge", 7.0, "SET", True, 111, 5),  # later order → wins
+        ("gauge", 6.0, "SET", True, 105, 2),  # earlier order, same bin
+    ]
+    agg = bucket_aggregate(_parsed_df(spark, rows), bin_width=60)
+    got = {
+        (r["name"], r["bin"], r["kind"]): r["agg_value"]
+        for r in agg.filter(F.col("kind").isin("SUM", "SET")).collect()
+    }
+    assert got[("cnt", 1, "SUM")] == pytest.approx(3.5)
+    assert got[("cnt", 2, "SUM")] == pytest.approx(4.0)
+    assert got[("gauge", 1, "SET")] == pytest.approx(7.0)  # last by order_key
+
+    model = bucket_model(
+        [(n, v, k, e, o) for n, v, k, p, e, o in rows], bin_width=60
+    )
+    for (name, kind, b), mv in model.items():
+        if kind in ("SUM", "SET"):
+            assert got[(name, b, kind)] == pytest.approx(mv)
+
+
+def test_summarize_quantiles_within_eps(spark):
+    vals = [float(i) for i in range(1, 101)]
+    rows = [("t", v, "SUMMARIZE", False, 100, i) for i, v in enumerate(vals)]
+    agg = bucket_aggregate(_parsed_df(spark, rows), bin_width=3600)
+    r = agg.filter(F.col("kind") == "SUMMARIZE").collect()[0]
+    qs = dict(zip(r["quantile_probs"], r["quantile_values"]))
+    # percentile_approx error bound: rank error < n/accuracy = 0.1
+    assert qs[0.0] == 1.0 and qs[1.0] == 100.0
+    assert abs(qs[0.5] - 50.0) <= 2.0
+    assert r["samples_sum"] == pytest.approx(sum(vals))
+    assert r["n_points"] == 100
+    assert r["mean_value"] == pytest.approx(50.5)
+
+
+def test_histogram_bucketing(spark):
+    rows = [
+        ("h", 0.5, "HISTOGRAM", False, 10, 1),
+        ("h", 1.0, "HISTOGRAM", False, 11, 2),    # == bound → lower bucket
+        ("h", 5.0, "HISTOGRAM", False, 12, 3),
+        ("h", 50.0, "HISTOGRAM", False, 13, 4),
+        ("h", 5000.0, "HISTOGRAM", False, 14, 5),  # overflow → +Inf
+    ]
+    df = with_bin(_parsed_df(spark, rows), 3600)
+    out = agg_histograms(df).collect()[0]
+    counts = {e["bound"]: e["cnt"] for e in out["hist"]}
+    assert counts[1.0] == 2
+    assert counts[10.0] == 1
+    assert counts[100.0] == 1
+    assert counts[1000.0] == 0
+    assert counts[float("inf")] == 1
+    assert out["n_points"] == 5
+
+
+def test_gauge_statsd_scenario(spark):
+    """fitness_for_statsd_gauge (buckets.rs:240-309): lO:1|g → set 1.0;
+    lO:+2|g → delta, inherits → 3.0; new bin without events inherits; plain
+    gauge later resets (does NOT add)."""
+    rows = [
+        ("lO", 1.0, "SET", True, 0, 1),    # lO:1|g
+        ("lO", 2.0, "SUM", True, 1, 2),    # lO:+2|g  → 3.0
+        ("lO", 0.0, "SET", True, 130, 3),  # bin 2: plain gauge resets to 0
+    ]
+    run = gauge_running_value(_parsed_df(spark, rows), key_cols=["name"])
+    trace = [r["running_value"] for r in run.orderBy("order_key").collect()]
+    assert trace == [1.0, 3.0, 0.0]
+
+    cf = gauge_carry_forward(_parsed_df(spark, rows), bin_width=60, key_cols=["name"])
+    by_bin = {r["bin"]: (r["gauge_value"], r["n_points"]) for r in cf.collect()}
+    assert by_bin[0] == (3.0, 2)
+    assert by_bin[1] == (3.0, 0)   # empty bin inherits (buckets.rs:163-175)
+    assert by_bin[2] == (0.0, 1)
+
+
+def test_delta_gauge_before_any_set(spark):
+    """Deltas with no prior Set accumulate from 0 (buckets.rs:643-673)."""
+    rows = [
+        ("g", 1.5, "SUM", True, 0, 1),
+        ("g", -2.0, "SUM", True, 1, 2),
+    ]
+    run = gauge_running_value(_parsed_df(spark, rows), key_cols=["name"])
+    trace = [r["running_value"] for r in run.orderBy("order_key").collect()]
+    assert trace == [1.5, -0.5]
+
+
+def test_zero_pad_gaps(spark):
+    per_bin = spark.createDataFrame(
+        [("m", 10, 1.0), ("m", 13, 2.0)], "name string, bin long, agg_value double"
+    )
+    out = {r["bin"]: r["agg_value"] for r in zero_pad(per_bin, ["name"]).collect()}
+    assert out == {10: 1.0, 11: 0.0, 12: 0.0, 13: 2.0}
+
+
+def test_prometheus_accumulate(spark):
+    per_bin = spark.createDataFrame(
+        [("c", "SUM", 1, 1.0, 2), ("c", "SUM", 2, 2.0, 1), ("c", "SUM", 4, 3.0, 1)],
+        "name string, kind string, bin long, agg_value double, n_points long",
+    )
+    cum = prometheus_accumulate(per_bin, ["name"])
+    got = {r["bin"]: (r["cum_value"], r["cum_count"]) for r in cum.collect()}
+    assert got == {1: (1.0, 2), 2: (3.0, 3), 4: (6.0, 4)}

@@ -1,0 +1,118 @@
+"""Routing fan-out, unrouted accounting, tag-overlay precedence, JSON merge
+precedence, programmable-filter registry."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cernan_spark.functions.jsonlog import json_encode, merge_maps_first_wins
+from cernan_spark.operators.enrich import enrich_tags
+from cernan_spark.operators.filters import (
+    apply_programmable,
+    delay_filter,
+    xf_add_tag,
+    xf_name_rewrite,
+    xf_remove_tag,
+)
+from cernan_spark.operators.route import route, routed_counts, unrouted
+from cernan_spark.sources.dimensions import default_tag_dicts
+
+
+def _tel(spark, names):
+    return spark.createDataFrame(
+        [(n, "telemetry") for n in names], "name string, match_kind_value string"
+    )
+
+
+def _routes(spark, rows):
+    return spark.createDataFrame(
+        [(f"r{i}", mk, mask, sink, 100) for i, (mk, mask, sink) in enumerate(rows)],
+        "rule_id string, match_kind string, name_mask string, sink string, priority int",
+    )
+
+
+def test_route_fanout_clone_semantics(spark):
+    routes = _routes(
+        spark,
+        [
+            ("telemetry", ".*", "console"),
+            ("telemetry", "^a", "wavefront"),
+            ("log", ".*", "elasticsearch"),
+        ],
+    )
+    tel = _tel(spark, ["abc", "xyz"])
+    routed = route(tel, routes)
+    got = sorted((r["name"], r["sink"]) for r in routed.collect())
+    # 'abc' fans out to BOTH console and wavefront (clone per consumer)
+    assert got == [("abc", "console"), ("abc", "wavefront"), ("xyz", "console")]
+    counts = {r["sink"]: r["n_rows"] for r in routed_counts(routed).collect()}
+    assert counts == {"console": 2, "wavefront": 1}
+
+
+def test_unrouted_dropped_with_count(spark):
+    routes = _routes(spark, [("telemetry", "^a", "console")])
+    tel = _tel(spark, ["abc", "xyz", "zzz"])
+    assert unrouted(tel, routes).count() == 2
+
+
+def test_enrich_event_tags_win(spark):
+    """Overlay precedence: event tags ⊳ defaults (telemetry.rs:956-984)."""
+    df = spark.createDataFrame(
+        [("user", "bash", {"origin": "override", "custom": "1"})],
+        "role string, tool string, tags map<string,string>",
+    )
+    out = enrich_tags(df, default_tag_dicts(spark)).collect()[0]["tags"]
+    assert out["origin"] == "override"     # event value wins over role default
+    assert out["custom"] == "1"            # event-only key kept
+    assert out["tool_class"] == "shell"    # tool default applied
+    assert out["source"] == "cernan_spark" # global default applied
+
+
+def test_json_merge_first_wins(spark):
+    """parsed ⊳ fields ⊳ meta precedence (json_encode_filter.rs:101-155)."""
+    df = spark.createDataFrame(
+        [('{"a": "parsed", "b": "parsed"}', {"b": "field", "c": "field"})],
+        "line string, fields map<string,string>",
+    )
+    out = df.select(
+        merge_maps_first_wins(
+            F.from_json("line", "map<string,string>"), F.col("fields")
+        ).alias("m")
+    ).collect()[0]["m"]
+    assert out == {"a": "parsed", "b": "parsed", "c": "field"}
+
+
+def test_json_encode_non_object_passthrough(spark):
+    df = spark.createDataFrame(
+        [("not json at all", None, None, "/var/log/x", None)],
+        "line string, fields map<string,string>, tags map<string,string>, "
+        "path string, ts timestamp",
+    )
+    out = json_encode(df).collect()[0]["raw_json"]
+    assert '"payload":"not json at all"' in out
+    assert '"path":"/var/log/x"' in out
+
+
+def test_programmable_registry(spark):
+    df = spark.createDataFrame(
+        [("collectd.host.cpu", {"k": "v"})], "name string, tags map<string,string>"
+    )
+    r = xf_name_rewrite(df, r"^collectd\.", "sys.").collect()[0]
+    assert r["name"] == "sys.host.cpu"
+    r = xf_add_tag(df, "env", "prod").collect()[0]
+    assert r["tags"]["env"] == "prod" and r["tags"]["k"] == "v"
+    r = xf_remove_tag(df, "k").collect()[0]
+    assert "k" not in r["tags"]
+    assert apply_programmable(df, "identity").collect()[0]["name"] == "collectd.host.cpu"
+    assert apply_programmable(df, "drop_all").count() == 0
+
+
+def test_delay_filter_strict_bound(spark):
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = spark.sql(
+        "SELECT * FROM VALUES (timestamp'2024-01-01 00:00:00'),"
+        "(timestamp'2024-01-01 00:00:09'), (timestamp'2024-01-01 00:00:10') AS t(ts)"
+    )
+    ref = 1704067200  # 2024-01-01T00:00:00Z
+    out = delay_filter(df, 10, ref)
+    assert out.count() == 2  # strict <, the +10s row is rejected

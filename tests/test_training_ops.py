@@ -1,0 +1,70 @@
+"""Training-data operators: dedup (exact / MinHash-LSH / SimHash), shingle
+Jaccard, similarity search."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cernan_spark.operators.dedup import (
+    exact_jaccard_pairs,
+    minhash_lsh_candidates,
+    shingles,
+    simhash_dedup,
+)
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (1, "the quick brown fox jumps over the lazy dog near the river bank now"),  # near-dup of 0
+    (2, "completely different text about spark query engines and shuffles here"),
+    (3, "the quick brown fox jumps over the lazy dog near the river bank today"),  # exact dup of 0
+    (4, "another unrelated document mentioning minhash banding and jaccard"),
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame([("a b c d",)], "text string")
+    out = df.select(shingles(F.col("text"), 2).alias("s")).collect()[0]["s"]
+    assert sorted(out) == ["a b", "b c", "c d"]
+
+
+def test_minhash_finds_near_dups(spark):
+    cands = minhash_lsh_candidates(_docs(spark), num_hashes=32, bands=16)
+    pairs = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in cands.collect()}
+    assert (0, 3) in pairs and pairs[(0, 3)] == 1.0   # exact dup: identical sigs
+    assert (0, 1) in pairs                             # near dup caught by a band
+    assert (0, 2) not in pairs and (2, 4) not in pairs # unrelated not candidates
+
+
+def test_exact_jaccard_verify(spark):
+    docs = _docs(spark)
+    cands = minhash_lsh_candidates(docs, num_hashes=32, bands=16)
+    verified = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in exact_jaccard_pairs(docs, cands.select("id_a", "id_b")).collect()
+    }
+    assert verified[(0, 3)] == 1.0
+    assert 0.5 < verified[(0, 1)] < 1.0
+
+
+def test_simhash_groups_exact_dups(spark):
+    out = simhash_dedup(_docs(spark))
+    groups = {tuple(r["members"]) for r in out.collect()}
+    assert (0, 3) in groups  # identical docs share a fingerprint
+
+
+def test_simhash_near_dups_close(spark):
+    # hamming distance between near-dups < between unrelated docs
+    from cernan_spark.operators.dedup import simhash
+
+    h = {
+        r["doc_id"]: r["h"]
+        for r in _docs(spark).select("doc_id", simhash(F.col("text")).alias("h")).collect()
+    }
+    ham = lambda a, b: bin((a ^ b) & ((1 << 64) - 1)).count("1")
+    assert ham(h[0], h[1]) < ham(h[0], h[2])
+    assert ham(h[0], h[3]) == 0
