@@ -35,15 +35,64 @@ def shingles(text: Column, n: int = 3) -> Column:
     )
 
 
-def minhash_signature(shingle_col: Column, num_hashes: int = 32) -> Column:
-    """num_hashes-wide MinHash signature: min over shingles of
-    xxhash64(seed_i, shingle). All JVM-side."""
+_MERSENNE31 = (1 << 31) - 1
+
+
+def _perm_coeffs(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    import random
+
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, _MERSENNE31), rng.randrange(_MERSENNE31))
+        for _ in range(num_hashes)
+    ]
+
+
+def with_shingle_hashes(
+    df: DataFrame, text_col: str = "text", n: int = 3, out_col: str = "_h"
+) -> DataFrame:
+    """Adds ``out_col: array<long>`` — distinct word-n-gram hashes
+    (mod 2^31−1) built by polynomial combination of per-token hashes; no
+    n-gram strings are materialized.
+
+    Intermediates are staged as real columns between selects: Catalyst's
+    CollapseProject would otherwise inline the token-hash array into every
+    lambda reference and recompute split+hash per shingle position (O(n²)).
+    """
+    p = F.lit(_MERSENNE31)
+    staged = df.withColumn(
+        "_tok_h",
+        F.transform(
+            F.split(F.col(text_col), r"\s+"),
+            lambda t: F.pmod(F.xxhash64(t), p),
+        ),
+    )
+    # rolling combine via zip_with over shifted slices (single-level HOFs)
+    th = F.col("_tok_h")
+    sz = F.size(th)
+    out = F.slice(th, 1, F.greatest(sz - (n - 1), F.lit(0)))
+    for k in range(1, n):
+        shifted = F.slice(th, k + 1, F.greatest(sz - (n - 1), F.lit(0)))
+        out = F.zip_with(
+            out, shifted, lambda acc, h: (acc * F.lit(1_000_003) + h) % p
+        )
+    return staged.withColumn(out_col, F.array_distinct(out)).drop("_tok_h")
+
+
+def minhash_signature(hash_col: Column, num_hashes: int = 32) -> Column:
+    """num_hashes-wide MinHash signature over a PRE-HASHED shingle array
+    (array<long>, values already reduced mod 2^31−1): min over shingles of
+    the universal-hash permutation (a_i·h + b_i) mod (2^31−1). Products
+    stay < 2^62, so no ANSI long overflow. Hashing strings once and
+    permuting longs is ~num_hashes× cheaper than re-hashing strings per
+    permutation."""
+    p = F.lit(_MERSENNE31)
     return F.array(
         *[
             F.array_min(
-                F.transform(shingle_col, lambda s: F.xxhash64(F.lit(i), s))
+                F.transform(hash_col, lambda h: (h * F.lit(a) + F.lit(b)) % p)
             )
-            for i in range(num_hashes)
+            for a, b in _perm_coeffs(num_hashes)
         ]
     )
 
@@ -65,11 +114,19 @@ def minhash_lsh_candidates(
     column upstream if needed.
     """
     rows_per_band = num_hashes // bands
-    sig = docs.select(
-        F.col(id_col).alias("id"),
-        minhash_signature(shingles(F.col(text_col), shingle_n), num_hashes).alias(
-            "sig"
-        ),
+    # stage 1: hash each shingle once (array<long>). Shingle hashes are
+    # combined arithmetically from per-token hashes — no n-gram strings are
+    # ever materialized. The input is repartitioned first: signature
+    # computation is CPU-bound and a few-file parquet scan would otherwise
+    # pin it to a handful of tasks.
+    par = docs.sparkSession.sparkContext.defaultParallelism * 2
+    hashed = with_shingle_hashes(
+        docs.repartition(par).select(F.col(id_col).alias("id"), text_col),
+        text_col,
+        shingle_n,
+    ).select("id", "_h").filter(F.size("_h") > 0)
+    sig = hashed.select(
+        "id", minhash_signature(F.col("_h"), num_hashes).alias("sig")
     )
     banded = sig.select(
         "id",
