@@ -42,21 +42,28 @@ def explode_lines(df: DataFrame, text_col: str = "text") -> DataFrame:
 def line_class(line: Column) -> Column:
     """Classify one line: statsd | graphite | json | log | bad.
 
-    Order matters: statsd, then graphite, then JSON object, then prose →
-    log. Telemetry-shaped lines that fail their grammar (contain ``|`` or
-    ``:`` / empty / single bare token) are ``bad`` — counted, never shipped
-    (mirrors parse_statsd's false return, statsd.rs:553-573).
+    Order matters: statsd, then graphite, then JSON-object candidate, then
+    prose → log. Telemetry-shaped lines that fail their grammar (contain
+    ``|`` or ``:`` / empty / single bare token) are ``bad`` — counted,
+    never shipped (mirrors parse_statsd's false return, statsd.rs:553-573).
+
+    The statsd check reuses the string-op validity predicate (cheap);
+    JSON candidacy is a '{' prefix — actual parse validity is settled on
+    the log path by from_json (invalid objects ship as-is, matching
+    json_encode_filter.rs:85-120).
     """
-    is_json_obj = F.from_json(line, "map<string,string>").isNotNull() & line.startswith("{")
+    from cernan_spark.functions.statsd import statsd_parse_columns
+
+    statsd_valid = statsd_parse_columns(line)[4]
     return (
-        F.when(line.rlike(STATSD_LINE_RX), F.lit(CLASS_STATSD))
+        F.when(statsd_valid, F.lit(CLASS_STATSD))
         .when(line.rlike(GRAPHITE_LINE_RX), F.lit(CLASS_GRAPHITE))
-        .when(is_json_obj, F.lit(CLASS_JSON))
+        .when(line.startswith("{"), F.lit(CLASS_JSON))
         .when(
             (line == "")
             | line.contains("|")
             | (line.contains(":") & ~line.contains(" "))
-            | line.rlike(r"^\S+$"),
+            | ~line.contains(" "),
             F.lit(CLASS_BAD),
         )
         .otherwise(F.lit(CLASS_LOG))

@@ -35,26 +35,45 @@ KIND_HISTOGRAM = "HISTOGRAM"
 
 
 def statsd_parse_columns(line: Column) -> list[Column]:
-    """Columns (name, value, kind, persist, is_valid) parsed from one line."""
-    name = F.regexp_extract(line, STATSD_LINE_RX, 1)
-    val_str = F.regexp_extract(line, STATSD_LINE_RX, 2)
-    ty = F.regexp_extract(line, STATSD_LINE_RX, 3)
-    rate_str = F.regexp_extract(line, STATSD_LINE_RX, 4)
+    """Columns (name, value, kind, persist, is_valid) parsed from one line.
 
-    valid = ty != F.lit("")
-    signed = F.substring(val_str, 1, 1).isin("+", "-")
-    raw_val = val_str.cast("double")
-    scale = F.when(rate_str == "", F.lit(1.0)).otherwise(
-        F.lit(1.0) / rate_str.cast("double")
+    Pure string-position ops (substring_index / try_cast), mirroring the
+    reference's find(':')/find('|')/find('@') scan — and several times
+    cheaper per row than running a grammar regex once per output column.
+    """
+    name = F.substring_index(line, ":", 1)
+    rest = F.substring(line, F.length(name) + 2, F.lit(1 << 30))
+    val_str = F.substring_index(rest, "|", 1)
+    tyrate = F.substring(rest, F.length(val_str) + 2, F.lit(1 << 30))
+    # 'c|@0.2' and 'c@0.2' both → ty 'c' (pipe stripped only in the rate
+    # form — a bare trailing pipe like 'c|' is invalid, statsd.rs:120-148)
+    ty_part = F.substring_index(tyrate, "@", 1)
+    has_rate = F.length(tyrate) > F.length(ty_part)
+    ty = F.when(
+        has_rate & ty_part.endswith("|"),
+        F.substring(ty_part, 1, F.length(ty_part) - 1),
+    ).otherwise(ty_part)
+    rate_str = F.when(has_rate, F.substring(tyrate, F.length(ty_part) + 2, F.lit(1 << 30)))
+
+    raw_val = val_str.try_cast("double")
+    rate = rate_str.try_cast("double")
+    valid = (
+        line.contains(":")
+        & (F.length(name) > 0)
+        & rest.contains("|")
+        & (F.length(val_str) > 0)
+        & raw_val.isNotNull()
+        & ty.isin("c", "g", "ms", "h")
+        & (~has_rate | (rate.isNotNull() & (F.length(rate_str) > 0)))
     )
-    value = raw_val * scale
+    signed = F.substring(val_str, 1, 1).isin("+", "-")
+    value = F.when(has_rate, raw_val * (F.lit(1.0) / rate)).otherwise(raw_val)
 
     kind = (
         F.when(ty == "c", F.lit(KIND_SUM))
         .when((ty == "g") & signed, F.lit(KIND_SUM))
         .when(ty == "g", F.lit(KIND_SET))
-        .when(ty.isin("ms", "h"), F.lit(KIND_SUMMARIZE))
-        .otherwise(F.lit(None).cast("string"))
+        .otherwise(F.lit(KIND_SUMMARIZE))
     )
     persist = ty == "g"
 
@@ -65,6 +84,24 @@ def statsd_parse_columns(line: Column) -> list[Column]:
         F.when(valid, persist).otherwise(F.lit(None).cast("boolean")).alias("persist"),
         valid.alias("is_valid"),
     ]
+
+
+def mask_bounds_expr(masks: DataFrame, name_col: str = "name") -> Column:
+    """First-match-wins name→bounds CASE chain compiled from the tiny mask
+    rules table (collected driver-side): a pure codegen'd expression — no
+    join/window/shuffle on the fact table. The reference scans masks
+    linearly per metric the same way (statsd.rs:105-115)."""
+    rules = sorted(
+        masks.select("mask", "bounds", "priority").collect(),
+        key=lambda r: r["priority"],
+    )
+    expr = F.lit(None).cast("array<double>")
+    for r in reversed(rules):
+        expr = F.when(
+            F.col(name_col).rlike(r["mask"]),
+            F.array(*[F.lit(float(b)) for b in r["bounds"]]),
+        ).otherwise(expr)
+    return expr
 
 
 def parse_statsd_lines(
@@ -86,42 +123,13 @@ def parse_statsd_lines(
         out = out.filter(F.col("is_valid"))
 
     if masks is not None:
-        m = F.broadcast(
-            masks.select(
-                F.col("mask"),
-                F.col("bounds").alias("_mask_bounds"),
-                F.col("priority").alias("_mask_priority"),
-            )
+        bounds_expr = F.when(
+            F.col("kind") == KIND_SUMMARIZE, mask_bounds_expr(masks)
         )
-        joined = out.join(
-            m,
-            (F.col("kind") == KIND_SUMMARIZE)
-            & F.regexp_like(F.col("name"), F.col("mask")),
-            "left",
-        )
-        # first matching rule wins, by priority (reference scans in config
-        # order and breaks on first match)
-        from pyspark.sql import Window as W
-
-        order_cols = [c for c in ("order_key", "turn_idx") if c in df.columns]
-        w = W.partitionBy(*(order_cols or [line_col]), "name").orderBy(
-            F.col("_mask_priority").asc_nulls_last()
-        )
-        joined = (
-            joined.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn", "mask")
-        )
-        out = joined.select(
-            "*",
-            F.when(F.col("_mask_bounds").isNotNull(), F.lit(KIND_HISTOGRAM))
-            .otherwise(F.col("kind"))
-            .alias("_kind2"),
-        )
-        out = (
-            out.drop("kind")
-            .withColumnRenamed("_kind2", "kind")
-            .withColumnRenamed("_mask_bounds", "bounds")
-            .drop("_mask_priority")
+        out = out.withColumn("bounds", bounds_expr).withColumn(
+            "kind",
+            F.when(F.col("bounds").isNotNull(), F.lit(KIND_HISTOGRAM)).otherwise(
+                F.col("kind")
+            ),
         )
     return out

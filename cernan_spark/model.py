@@ -89,12 +89,8 @@ def classify_py(line: str) -> str:
         return "statsd"
     if parse_graphite_py(line) is not None:
         return "graphite"
-    try:
-        obj = json.loads(line)
-        if isinstance(obj, dict) and line.startswith("{"):
-            return "json"
-    except (ValueError, TypeError):
-        pass
+    if line.startswith("{"):
+        return "json"
     if (
         line == ""
         or "|" in line

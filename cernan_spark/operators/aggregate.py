@@ -179,6 +179,116 @@ def agg_histograms(
     )
 
 
+def bucket_aggregate_onepass(
+    parsed: DataFrame,
+    bin_width: int = 60,
+    quantiles: list[float] | None = None,
+    accuracy: int = DEFAULT_ACCURACY,
+    order_col: str = "order_key",
+    max_hist_buckets: int = 8,
+    bounds_expr: Column | None = None,
+) -> DataFrame:
+    """All four merge laws in ONE hash aggregate (one scan, one shuffle).
+
+    ``kind`` is part of the group key, so each group holds exactly one
+    kind and the conditional aggregates never mix laws:
+
+      SUM → sum(value)   SET → max_by(value, order)
+      SUMMARIZE → percentile_approx sketch + exact sum/count/mean
+      HISTOGRAM → per-bucket conditional counts (bucket index precomputed
+      per row), re-zipped with the group's bounds post-agg
+
+    This replaces the 4-branch union (which re-scanned the upstream once
+    per kind). Output schema matches :func:`bucket_aggregate`.
+    """
+    qs = quantiles or DEFAULT_QUANTILES
+    df = with_bin(parsed, bin_width)
+    group = _group_cols(df) + ["kind"]
+
+    has_bounds = "bounds" in df.columns
+    db = [1.0, 10.0, 100.0, 1000.0]
+    if bounds_expr is None and has_bounds:
+        bounds = F.coalesce(F.col("bounds"), F.array(*[F.lit(b) for b in db]))
+    elif bounds_expr is not None:
+        bounds = F.coalesce(bounds_expr, F.array(*[F.lit(b) for b in db]))
+    else:
+        bounds = F.array(*[F.lit(b) for b in db])
+    df = df.withColumn("_bounds", F.when(F.col("kind") == "HISTOGRAM", bounds))
+    df = df.withColumn(
+        "_bidx",
+        F.when(
+            F.col("kind") == "HISTOGRAM",
+            F.size(F.filter(F.col("_bounds"), lambda b: b < F.col("value"))),
+        ),
+    )
+
+    is_sum = F.col("kind") == "SUM"
+    is_set = F.col("kind") == "SET"
+    is_summ = F.col("kind") == "SUMMARIZE"
+    q_arr = F.array(*[F.lit(q) for q in qs])
+
+    aggs = [
+        F.sum(F.when(is_sum, F.col("value"))).alias("_sum_value"),
+        F.max_by(
+            F.when(is_set, F.col("value")), F.when(is_set, F.col(order_col))
+        ).alias("_set_value"),
+        F.count("*").alias("n_points"),
+        F.max(F.coalesce(F.col("persist"), F.lit(False))).alias("persist"),
+        F.percentile_approx(
+            F.when(is_summ, F.col("value")), q_arr, F.lit(accuracy)
+        ).alias("_qv"),
+        F.sum(F.when(is_summ, F.col("value"))).alias("_ssum"),
+        F.avg(F.when(is_summ, F.col("value"))).alias("_smean"),
+        *[
+            F.sum(F.when(F.col("_bidx") == i, F.lit(1)).otherwise(F.lit(0))).alias(
+                f"_hb{i}"
+            )
+            for i in range(max_hist_buckets + 1)
+        ],
+    ]
+    g = df.groupBy(*group).agg(*aggs)
+
+    # bounds are a pure function of (kind, name) — recompute post-agg from
+    # the same expression instead of dragging an array through the
+    # aggregation buffer (arrays in ObjectHashAggregate buffers are the
+    # single most expensive component of a wide agg).
+    hist_counts = F.array(*[F.col(f"_hb{i}") for i in range(max_hist_buckets + 1)])
+    post_bounds = (
+        F.coalesce(bounds_expr, F.array(*[F.lit(b) for b in db]))
+        if bounds_expr is not None
+        else F.array(*[F.lit(b) for b in db])
+    )
+    all_bounds = F.concat(post_bounds, F.array(F.lit(float("inf"))))
+    hist = F.when(
+        F.col("kind") == "HISTOGRAM",
+        F.transform(
+            all_bounds,
+            lambda b, i: F.struct(
+                b.alias("bound"),
+                F.element_at(hist_counts, i.cast("int") + 1)
+                .cast("bigint")
+                .alias("cnt"),
+            ),
+        ),
+    )
+    return g.select(
+        *_group_cols(df),
+        "kind",
+        F.when(is_sum, F.col("_sum_value"))
+        .when(is_set, F.col("_set_value"))
+        .alias("agg_value"),
+        "n_points",
+        F.when(is_sum | is_set, F.col("persist")).otherwise(F.lit(False)).alias(
+            "persist"
+        ),
+        F.when(is_summ, F.col("_qv")).alias("quantile_values"),
+        F.when(is_summ, F.array(*[F.lit(q) for q in qs])).alias("quantile_probs"),
+        F.when(is_summ, F.col("_ssum")).alias("samples_sum"),
+        F.when(is_summ, F.col("_smean")).alias("mean_value"),
+        hist.alias("hist"),
+    )
+
+
 def bucket_aggregate(
     parsed: DataFrame,
     bin_width: int = 60,
@@ -188,7 +298,11 @@ def bucket_aggregate(
 ) -> DataFrame:
     """Full Buckets::add equivalent: union of the four per-kind aggregates
     on one wide schema. Input needs (name, value, kind, persist[, bounds],
-    ts|event_epoch, order_key[, tags_key])."""
+    ts|event_epoch, order_key[, tags_key]).
+
+    NOTE: prefer :func:`bucket_aggregate_onepass` in pipelines — it does
+    the same work in one scan+shuffle; this 4-branch form re-scans the
+    upstream per kind and exists for per-kind composability/testing."""
     df = with_bin(parsed, bin_width)
     sums = agg_sums(df).select(
         *_group_cols(df), "kind", "agg_value", "n_points", "persist"

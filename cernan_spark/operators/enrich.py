@@ -29,6 +29,64 @@ def _scope_map(tag_dicts: DataFrame, scope: str) -> DataFrame:
     )
 
 
+def enrich_tags_fast(
+    df: DataFrame,
+    tag_dicts: DataFrame,
+    role_col: str = "role",
+    tool_col: str = "tool",
+) -> DataFrame:
+    """Fast path for rows WITHOUT event tags (the transcripts case): the
+    merged default-tag map and its canonical 'k=v,…' key are precomputed
+    driver-side per (role, tool) combo — the dictionaries are tiny config —
+    and attached with ONE broadcast hash join. No per-row map allocation.
+
+    Rows whose role/tool values are outside the dictionaries fall back to
+    the global defaults.
+    """
+    rows = tag_dicts.collect()
+    role_d: dict[str, dict[str, str]] = {}
+    tool_d: dict[str, dict[str, str]] = {}
+    glob: dict[str, str] = {}
+    for r in rows:
+        if r["scope"] == "role":
+            role_d.setdefault(r["key"], {})[r["tag_key"]] = r["tag_value"]
+        elif r["scope"] == "tool":
+            tool_d.setdefault(r["key"], {})[r["tag_key"]] = r["tag_value"]
+        else:
+            glob[r["tag_key"]] = r["tag_value"]
+
+    def merged(role: str, tool: str) -> dict[str, str]:
+        # first-wins precedence: role ⊳ tool ⊳ global
+        out = dict(role_d.get(role, {}))
+        for k, v in tool_d.get(tool, {}).items():
+            out.setdefault(k, v)
+        for k, v in glob.items():
+            out.setdefault(k, v)
+        return out
+
+    def key_of(m: dict[str, str]) -> str:
+        return ",".join(f"{k}={m[k]}" for k in sorted(m))
+
+    combos = [
+        (ro, to, merged(ro, to), key_of(merged(ro, to)))
+        for ro in role_d
+        for to in tool_d
+    ]
+    spark = df.sparkSession
+    dim = spark.createDataFrame(
+        combos,
+        f"{role_col} string, {tool_col} string, tags map<string,string>, tags_key string",
+    )
+    out = df.join(F.broadcast(dim), [role_col, tool_col], "left")
+    fallback = merged("\x00none\x00", "\x00none\x00")  # global-only defaults
+    fb_map = F.create_map(
+        *[x for kv in fallback.items() for x in (F.lit(kv[0]), F.lit(kv[1]))]
+    ) if fallback else F.expr("map()")
+    return out.withColumn("tags", F.coalesce(F.col("tags"), fb_map)).withColumn(
+        "tags_key", F.coalesce(F.col("tags_key"), F.lit(key_of(fallback)))
+    )
+
+
 def enrich_tags(
     df: DataFrame,
     tag_dicts: DataFrame,

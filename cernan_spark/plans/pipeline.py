@@ -27,7 +27,7 @@ from cernan_spark.operators.aggregate import (
     canonical_tags,
     prometheus_accumulate,
 )
-from cernan_spark.operators.enrich import enrich_tags
+from cernan_spark.operators.enrich import enrich_tags, enrich_tags_fast
 from cernan_spark.operators.route import route, routed_counts, unrouted
 from cernan_spark.sources.dimensions import (
     default_histogram_masks,
@@ -60,12 +60,39 @@ def parse_stage(
             "order_key",
             F.xxhash64("conv_id") * 65536 + F.col("turn_idx").cast("long"),
         )
-    lines = classify_lines(explode_lines(transcripts))
+    # Parse once, classify from parse validity (classifying first and then
+    # re-parsing would evaluate the whole statsd string scan twice per line).
+    exploded = explode_lines(transcripts)
+    parsed_all = parse_statsd_lines(exploded, masks=masks, keep_invalid=True)
+    from cernan_spark.functions.classify import (
+        CLASS_BAD, CLASS_GRAPHITE, CLASS_JSON, CLASS_LOG, CLASS_STATSD,
+    )
+    from cernan_spark.functions.graphite import GRAPHITE_LINE_RX
 
-    statsd = parse_statsd_lines(
-        lines.filter(F.col("line_class") == "statsd"), masks=masks
-    ).withColumn("event_epoch", F.lit(None).cast("long"))
-    graphite = parse_graphite_lines(lines.filter(F.col("line_class") == "graphite"))
+    line = F.col("line")
+    lines = parsed_all.withColumn(
+        "line_class",
+        F.when(F.col("is_valid"), F.lit(CLASS_STATSD))
+        .when(line.rlike(GRAPHITE_LINE_RX), F.lit(CLASS_GRAPHITE))
+        .when(line.startswith("{"), F.lit(CLASS_JSON))
+        .when(
+            (line == "")
+            | line.contains("|")
+            | (line.contains(":") & ~line.contains(" "))
+            | ~line.contains(" "),
+            F.lit(CLASS_BAD),
+        )
+        .otherwise(F.lit(CLASS_LOG)),
+    )
+
+    statsd = lines.filter(F.col("line_class") == "statsd").withColumn(
+        "event_epoch", F.lit(None).cast("long")
+    )
+    graphite = parse_graphite_lines(
+        lines.filter(F.col("line_class") == "graphite").drop(
+            "name", "value", "kind", "persist", "is_valid", "bounds"
+        )
+    )
     common = [
         "conv_id", "turn_idx", "order_key", "role", "tool", "ts",
         "name", "value", "kind", "persist", "event_epoch",
@@ -106,10 +133,10 @@ def run_pipeline(
     telemetry, logs, bad = stages["telemetry"], stages["logs"], stages["bad"]
 
     if cfg.with_tags:
-        telemetry = enrich_tags(telemetry, tag_dicts).withColumn(
-            "tags_key", canonical_tags(F.col("tags"))
-        )
-        logs = enrich_tags(logs, tag_dicts)
+        # transcripts carry no event tags → the precomputed-combo fast path
+        # (one broadcast join, no per-row map merging)
+        telemetry = enrich_tags_fast(telemetry, tag_dicts)
+        logs = enrich_tags_fast(logs, tag_dicts)
 
     telemetry = telemetry.withColumn("match_kind_value", F.lit("telemetry"))
     logs = logs.withColumn("match_kind_value", F.lit("log")).withColumn(
@@ -120,9 +147,21 @@ def run_pipeline(
     routed_logs = route(logs, routes)
     dropped = unrouted(telemetry, routes)
 
-    # Aggregate once with `sink` folded into the group key: one shuffle
-    # covers every sink instead of one scan+shuffle per sink.
-    agg = _agg_per_sink(routed_tel, cfg)
+    # Aggregate ONCE on the un-fanned telemetry (one scan, one shuffle via
+    # bucket_aggregate_onepass), then fan the per-series aggregates out to
+    # sinks with a broadcast route join — the fan-out multiplies tiny
+    # aggregate rows, not raw events. Valid because sinks share bin_width
+    # here; per-sink widths would use _agg_per_sink instead.
+    from cernan_spark.functions.statsd import mask_bounds_expr
+    from cernan_spark.operators.aggregate import bucket_aggregate_onepass
+
+    agg_once = bucket_aggregate_onepass(
+        telemetry, bin_width=cfg.bin_width, quantiles=cfg.quantiles,
+        accuracy=cfg.accuracy, bounds_expr=mask_bounds_expr(masks),
+    )
+    agg = route(
+        agg_once.withColumn("match_kind_value", F.lit("telemetry")), routes
+    ).drop("match_kind_value", "rule_id")
 
     prom = prometheus_accumulate(
         agg.filter(F.col("sink") == "prometheus"), ["sink", "name", "kind"]

@@ -40,9 +40,13 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "64g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # quantile sketches (TypedImperativeAggregate) otherwise fall back
+        # to sort-based aggregation past 128 in-memory groups — far too
+        # conservative for per-(series, bin) sketching
+        .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "131072")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

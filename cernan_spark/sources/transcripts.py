@@ -217,24 +217,30 @@ def synthetic_transcripts(
     text = F.replace(text, F.lit("%v"), vs)
     text = F.replace(text, F.lit("%i"), i_.cast("string"))
 
+    # Conversations run concurrently in 24 hour-slots of a simulated day
+    # (real telemetry: many series points share each (name, bin) group), and
     # ~4 turns share each epoch second within a conversation → bins merge
+    # both within and across conversations.
     ts = F.timestamp_seconds(
-        F.lit(base_epoch) + raw_conv * 3600 + F.floor(F.pmod(F.col("id"), turns_per_conv) / 4) * 7
+        F.lit(base_epoch)
+        + F.pmod(raw_conv, F.lit(24)) * 3600
+        + F.floor(F.pmod(F.col("id"), turns_per_conv) / 4) * 7
     )
 
-    from pyspark.sql import Window as W
+    # turn_idx without a window (a row_number over conv_id would serialize
+    # the hot key into one task — the very skew this fixture exists to
+    # exercise downstream): normal convs get their dense in-conv position;
+    # the hot conv uses the globally-unique id (unique + ordered, sparse).
+    turn_idx = (
+        F.when(hot, F.col("id")).otherwise(F.pmod(F.col("id"), turns_per_conv))
+    ).cast("int")
 
-    w = W.partitionBy("conv_id").orderBy("id")
-    return (
-        df.select(
-            F.concat(F.lit("conv-"), F.lpad(conv.cast("string"), 6, "0")).alias("conv_id"),
-            F.col("id"),
-            _pick(ROLES, F.col("h")).alias("role"),
-            text.alias("text"),
-            _pick(TOOLS, F.col("h2")).alias("tool"),
-            ts.alias("ts"),
-        )
-        .withColumn("turn_idx", (F.row_number().over(w) - 1).cast("int"))
-        .select("conv_id", "turn_idx", "role", "text", "tool", "ts",
-                F.col("id").alias("order_key"))
+    return df.select(
+        F.concat(F.lit("conv-"), F.lpad(conv.cast("string"), 6, "0")).alias("conv_id"),
+        turn_idx.alias("turn_idx"),
+        _pick(ROLES, F.col("h")).alias("role"),
+        text.alias("text"),
+        _pick(TOOLS, F.col("h2")).alias("tool"),
+        ts.alias("ts"),
+        F.col("id").alias("order_key"),
     )
