@@ -358,6 +358,127 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_json_log_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON log-line field extraction (json_encode_filter.rs:85-120):
+    events.props is a JSON payload column."""
+    _utc(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.select(
+        "event_id",
+        F.from_json("props", "map<string,string>")["k"].alias("k_val"),
+    )
+
+
+def q_wavefront_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wavefront wire lines `name value ts` for aggregated SUM series
+    (wavefront.rs:386-457) — byte-identical formatting both engines."""
+    p = _parsed(spark, sf_dir).filter(F.col("kind") == "SUM")
+    per_bin = p.groupBy(
+        "name", F.floor(F.col("epoch") / 300).cast("long").alias("bin")
+    ).agg(F.round(F.sum("value"), 4).alias("v"))
+    return per_bin.select(
+        F.concat_ws(
+            " ",
+            "name",
+            F.format_string("%.4f", F.col("v")),
+            (F.col("bin") * 300).cast("string"),
+        ).alias("line")
+    )
+
+
+def q_console_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Console sink human lines with RFC-ish formatted bin timestamps
+    (console.rs:161-208)."""
+    _utc(spark)
+    p = _parsed(spark, sf_dir).filter(F.col("kind") == "SUM")
+    per_bin = p.groupBy(
+        "name", F.floor(F.col("epoch") / 3600).cast("long").alias("bin")
+    ).agg(F.count("*").alias("n"))
+    return per_bin.select(
+        F.concat_ws(
+            " ",
+            F.from_unixtime(F.col("bin") * 3600, "yyyy-MM-dd HH:mm:ss"),
+            F.lit("SUM"),
+            "name",
+            F.col("n").cast("string"),
+        ).alias("line")
+    )
+
+
+def q_influx_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """InfluxDB line protocol with ns timestamps over raw routed points —
+    influx buffers without merging (influxdb.rs:102-124,285-287)."""
+    p = _parsed(spark, sf_dir).filter(
+        F.col("name").isin("purchase_ms", "errors")
+    )
+    return p.select(
+        F.concat(
+            "name",
+            F.lit(" value="),
+            F.format_string("%.4f", F.col("value")),
+            F.lit(" "),
+            (F.col("epoch") * F.lit(1_000_000_000)).cast("string"),
+        ).alias("line")
+    )
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization over the event stream: a >30 min silence starts a new
+    session (lag + cumulative sum — the standard log-pipeline idiom)."""
+    _utc(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = W.partitionBy("user_id").orderBy("event_id")
+    gap = F.unix_timestamp("ts") - F.lag(F.unix_timestamp("ts")).over(w)
+    sess = ev.withColumn(
+        "new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    ).withColumn(
+        "session_idx",
+        F.sum("new_sess").over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    return sess.groupBy("user_id").agg(
+        F.max("session_idx").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )
+
+
+def q_topk_docs_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 longest documents per language (Top-K per group pattern)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = W.partitionBy("lang").orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    return (
+        d.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("lang", "doc_id", "n_chars", "rank")
+    )
+
+
+def q_token_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-set Jaccard for consecutive doc pairs (the exact-verify stage
+    of near-dup detection, SQL-expressible twin of shingle Jaccard)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 200
+    )
+    toks = F.array_distinct(F.split("text", " "))
+    t = d.select("doc_id", toks.alias("t"))
+    a = t.select(F.col("doc_id").alias("id_a"), F.col("t").alias("ta"))
+    b = t.select(F.col("doc_id").alias("id_b"), F.col("t").alias("tb"))
+    pairs = a.join(b, F.col("id_b") == F.col("id_a") + 1)
+    inter = F.size(F.array_intersect("ta", "tb"))
+    un = F.size(F.array_union("ta", "tb"))
+    return pairs.select(
+        "id_a", "id_b", F.round(inter / un, 4).alias("jaccard")
+    )
+
+
+def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprint duplicate groups (rows-only; bit-vote fold is
+    not ANSI-SQL expressible). See cernan_spark.operators.dedup.simhash."""
+    from cernan_spark.operators.dedup import simhash_dedup
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash_dedup(d).filter(F.col("n_docs") > 1)
+
+
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidate pairs (rows-only check; not ANSI-SQL
     expressible). See cernan_spark.operators.dedup."""
@@ -394,6 +515,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flush_boundary": q_flush_boundary,
         "zero_pad": q_zero_pad,
         "tick_count": q_tick_count,
+        "json_log_fields": q_json_log_fields,
+        "wavefront_lines": q_wavefront_lines,
+        "console_lines": q_console_lines,
+        "influx_lines": q_influx_lines,
+        "sessionize": q_sessionize,
+        "topk_docs_per_lang": q_topk_docs_per_lang,
+        "token_jaccard_pairs": q_token_jaccard_pairs,
+        "simhash_dedup": q_simhash_dedup,
         "dedup_exact": q_dedup_exact,
         "token_count": q_token_count,
         "quality_score": q_quality_score,
@@ -539,6 +668,69 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS count_per_tick
             FROM parsed GROUP BY 1
         """,
+        "json_log_fields": """
+            SELECT event_id, json_extract_string(props, '$.k') AS k_val
+            FROM events
+        """,
+        "wavefront_lines": P
+        + """
+            SELECT name || ' ' || printf('%.4f', round(sum(value), 4)) || ' ' ||
+                   CAST(CAST(floor(epoch / 300) AS BIGINT) * 300 AS VARCHAR) AS line
+            FROM parsed WHERE kind = 'SUM'
+            GROUP BY name, floor(epoch / 300)
+        """,
+        "console_lines": P
+        + """
+            SELECT strftime(to_timestamp(CAST(floor(epoch / 3600) AS BIGINT) * 3600),
+                            '%Y-%m-%d %H:%M:%S')
+                   || ' SUM ' || name || ' ' || CAST(count(*) AS VARCHAR) AS line
+            FROM parsed WHERE kind = 'SUM'
+            GROUP BY name, floor(epoch / 3600)
+        """,
+        "influx_lines": P
+        + """
+            SELECT name || ' value=' || printf('%.4f', value) || ' ' ||
+                   CAST(epoch * 1000000000 AS VARCHAR) AS line
+            FROM parsed WHERE name IN ('purchase_ms', 'errors')
+        """,
+        "sessionize": """
+            WITH g AS (
+              SELECT user_id, event_id,
+                     CAST(floor(epoch(ts)) AS BIGINT)
+                     - lag(CAST(floor(epoch(ts)) AS BIGINT))
+                       OVER (PARTITION BY user_id ORDER BY event_id) AS gap
+              FROM events
+            ), s AS (
+              SELECT user_id,
+                     sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY event_id) AS session_idx
+              FROM g
+            )
+            SELECT user_id, CAST(max(session_idx) AS BIGINT) AS n_sessions,
+                   count(*) AS n_events
+            FROM s GROUP BY 1
+        """,
+        "topk_docs_per_lang": """
+            SELECT lang, doc_id, n_chars, rank FROM (
+              SELECT lang, doc_id, n_chars,
+                     CAST(row_number() OVER (
+                       PARTITION BY lang ORDER BY n_chars DESC, doc_id
+                     ) AS INTEGER) AS rank
+              FROM documents
+            ) WHERE rank <= 3
+        """,
+        "token_jaccard_pairs": """
+            WITH t AS (
+              SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+              FROM documents WHERE doc_id < 200
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(len(list_intersect(a.toks, b.toks)) * 1.0 /
+                         len(list_distinct(list_concat(a.toks, b.toks))), 4) AS jaccard
+            FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
+        """,
+        # simhash_dedup / minhash_dedup: rows-only (bit-vote folds and LSH
+        # banding are not ANSI-SQL expressible)
         "dedup_exact": """
             SELECT md5(text) AS text_hash, min(doc_id) AS canonical_id,
                    count(*) AS n_copies

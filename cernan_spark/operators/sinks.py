@@ -134,6 +134,22 @@ def elasticsearch_format(logs: DataFrame) -> DataFrame:
     return logs.select(index.alias("index"), doc.alias("doc"))
 
 
+def kafka_format(logs: DataFrame) -> DataFrame:
+    """Kafka record shape: payload bytes keyed by order_by with metadata
+    headers (reference src/sink/kafka.rs:271-430; order_by keying keeps
+    per-key ordering through partitioned topics)."""
+    empty = F.expr("map()")
+    tags = F.coalesce(F.col("tags"), empty) if "tags" in logs.columns else empty
+    return logs.select(
+        F.col("order_key").cast("string").alias("key"),
+        F.col("line").cast("binary").alias("value"),
+        F.map_concat(
+            tags,
+            F.create_map(F.lit("path"), F.col("conv_id")),
+        ).alias("headers"),
+    )
+
+
 def console_format(agg: DataFrame, bin_width: int) -> DataFrame:
     """Human text like the console sink's per-kind sections
     (reference src/sink/console.rs:161-208)."""

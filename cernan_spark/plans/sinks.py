@@ -1,0 +1,79 @@
+"""Fan-out shipping: format every routed sink table and write it,
+checkpointed per partition (the end of cernan's DAG — src/sink/*.rs).
+
+One pipeline output feeds N sinks; each write is resumable via the shared
+lineage table (plans/checkpoint.py). In local mode sinks land as parquet
+directories under ``base_path/<sink>``; on a cluster the same calls target
+Iceberg tables (connector jars absent in this image — the writer falls
+back to parquet paths; see _write)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cernan_spark.operators.aggregate import prometheus_accumulate
+from cernan_spark.operators.sinks import (
+    console_format,
+    elasticsearch_format,
+    influxdb_format,
+    kafka_format,
+    prometheus_format,
+    wavefront_format,
+)
+from cernan_spark.plans.checkpoint import checkpointed_write
+
+
+def _write(df: DataFrame, path: str) -> None:
+    df.write.mode("overwrite").parquet(path)
+
+
+def write_sinks(
+    spark: SparkSession,
+    out: dict[str, DataFrame],
+    base_path: str,
+    bin_width: int = 60,
+    lineage_path: str | None = None,
+) -> dict[str, str]:
+    """Materialize every configured sink from a run_pipeline output dict.
+
+    Returns {sink: path}. Aggregating sinks (console/wavefront/prometheus)
+    format the shared aggregate table; influxdb ships raw routed points
+    (it buffers without merging, influxdb.rs:285-287); elasticsearch/kafka
+    ship routed log lines; null discards (write skipped)."""
+    agg = out["aggregates"]
+    routed_tel = out["routed_telemetry"]
+    routed_logs = out["routed_logs"]
+    paths: dict[str, str] = {}
+
+    def sink_of(name: str) -> DataFrame:
+        return agg.filter(F.col("sink") == name)
+
+    targets = {
+        "console": console_format(sink_of("console"), bin_width),
+        "wavefront": wavefront_format(sink_of("wavefront"), bin_width),
+        "prometheus": prometheus_format(
+            prometheus_accumulate(sink_of("prometheus"), ["name", "kind"])
+        ),
+        "influxdb": influxdb_format(
+            routed_tel.filter(F.col("sink") == "influxdb")
+        ),
+        "elasticsearch": elasticsearch_format(
+            routed_logs.filter(F.col("sink") == "elasticsearch")
+        ),
+        "kafka": kafka_format(routed_logs.filter(F.col("sink") == "kafka")),
+    }
+    for sink, df in targets.items():
+        path = f"{base_path}/{sink}"
+        if lineage_path is not None:
+            checkpointed_write(
+                spark,
+                df.withColumn("sink", F.lit(sink)),
+                path,
+                lineage_path,
+                key_col=df.columns[0],
+            )
+        else:
+            _write(df, path)
+        paths[sink] = path
+    return paths

@@ -1,0 +1,128 @@
+"""Streaming parse → aggregate: cernan's true operating mode.
+
+Mapping (SURVEY.md §2.7):
+
+* TimerFlush pulses (reference src/source/flush.rs:17-49) → micro-batch
+  triggers;
+* tumbling `bin_width` windows (sink configs, e.g. console.rs:28-31) →
+  `F.window(ts, N seconds)`;
+* DelayFilter / age_threshold late-data rejection
+  (delay_filter.rs:52-81, wavefront.rs:643-651) → `withWatermark`;
+* gauge persistence across flushes (buckets.rs:100-116,163-175) →
+  `applyInPandasWithState` keeping the running gauge value per series;
+* FlushBoundaryFilter (complete bins only) → append output mode, which
+  only emits a window once the watermark passes it.
+
+The batch and streaming paths share the parse layer — the same column
+expressions run under `readStream`.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from cernan_spark.functions.statsd import parse_statsd_lines
+
+TRANSCRIPT_SCHEMA = (
+    "conv_id string, turn_idx int, role string, text string, tool string, "
+    "ts timestamp, order_key long"
+)
+
+
+def stream_transcripts(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 4
+) -> DataFrame:
+    """File-source stream over a transcripts parquet directory (the
+    FileServer tail, reference src/source/file/file_server.rs:67-178;
+    maxFilesPerTrigger plays the valve/backpressure role, util.rs:79-85)."""
+    return (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def streaming_parse(stream: DataFrame) -> DataFrame:
+    """Statsd parse on the stream — identical column expressions as batch."""
+    return parse_statsd_lines(stream, line_col="text")
+
+
+def streaming_bucket_aggregate(
+    parsed: DataFrame,
+    bin_width: int = 60,
+    watermark: str = "10 minutes",
+    quantiles: list[float] | None = None,
+    accuracy: int = 1000,
+) -> DataFrame:
+    """Windowed Sum/count/quantile aggregation with late-data rejection.
+
+    Append mode + watermark = cernan's FlushBoundaryFilter semantics: a bin
+    is emitted exactly once, after it can no longer change."""
+    qs = quantiles or [0.5, 0.9, 0.99]
+    q_arr = F.array(*[F.lit(q) for q in qs])
+    is_sum = F.col("kind") == "SUM"
+    is_summ = F.col("kind") == "SUMMARIZE"
+    return (
+        parsed.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", f"{bin_width} seconds"), "name", "kind")
+        .agg(
+            F.sum(F.when(is_sum, F.col("value"))).alias("sum_value"),
+            F.count("*").alias("n_points"),
+            F.percentile_approx(
+                F.when(is_summ, F.col("value")), q_arr, F.lit(accuracy)
+            ).alias("quantile_values"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# stateful gauge: the persist flag across micro-batches
+# ---------------------------------------------------------------------------
+
+GAUGE_OUTPUT_SCHEMA = "name string, running_value double, n_events long"
+GAUGE_STATE_SCHEMA = "running double, n long"
+
+
+def _gauge_fold(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-series gauge fold (Set replaces, delta-Sum adds) carrying the
+    running value in GroupState across micro-batches — the streaming twin
+    of operators/aggregate.gauge_running_value."""
+    if state.exists:
+        running, n = state.get
+    else:
+        running, n = 0.0, 0
+    for pdf in pdfs:
+        pdf = pdf.sort_values("order_key")
+        for kind, value in zip(pdf["kind"], pdf["value"]):
+            if kind == "SET":
+                running = float(value)
+            else:
+                running += float(value)
+        n += len(pdf)
+    state.update((running, n))
+    yield pd.DataFrame(
+        {"name": [key[0]], "running_value": [running], "n_events": [n]}
+    )
+
+
+def streaming_gauge(parsed: DataFrame) -> DataFrame:
+    """Persisted-gauge running value per series, updated every micro-batch
+    (update output mode). The per-group pandas fold is tiny (gauges per
+    series per batch), so the Python boundary is off the hot path."""
+    gauges = parsed.filter(F.col("persist"))
+    return gauges.groupBy("name").applyInPandasWithState(
+        _gauge_fold,
+        GAUGE_OUTPUT_SCHEMA,
+        GAUGE_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

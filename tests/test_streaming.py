@@ -1,0 +1,87 @@
+"""Structured Streaming: windowed aggregation with watermark (append =
+complete bins only), stateful gauge across micro-batches."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from cernan_spark.streaming.pipeline import (
+    stream_transcripts,
+    streaming_bucket_aggregate,
+    streaming_gauge,
+    streaming_parse,
+)
+
+
+@pytest.fixture()
+def stream_dir(spark):
+    d = tempfile.mkdtemp(prefix="stream_test_")
+    rows = [
+        # (conv, turn, role, text, tool, ts, order_key)
+        ("c1", 0, "user", "cnt:1|c", "none", "2024-01-01 00:00:05", 1),
+        ("c1", 1, "user", "cnt:2|c", "none", "2024-01-01 00:00:30", 2),
+        ("c1", 2, "user", "cnt:4|c", "none", "2024-01-01 00:01:10", 3),
+        ("c1", 3, "user", "g1:5|g", "none", "2024-01-01 00:01:20", 4),
+        ("c1", 4, "user", "g1:+2|g", "none", "2024-01-01 00:01:25", 5),
+        # much later row advances the watermark past the first windows
+        ("c1", 5, "user", "cnt:8|c", "none", "2024-01-01 01:00:00", 6),
+    ]
+    df = spark.createDataFrame(
+        [(c, t, r, x, tl, ts, o) for c, t, r, x, tl, ts, o in rows],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts_s string, order_key long",
+    ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s").select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts", "order_key"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(d)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_windowed_agg_append(spark, stream_dir):
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    parsed = streaming_parse(stream_transcripts(spark, stream_dir))
+    agg = streaming_bucket_aggregate(parsed, bin_width=60, watermark="5 minutes")
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("agg_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql(
+            "SELECT name, kind, window.start AS ws, sum_value, n_points FROM agg_out"
+        ).collect()
+    finally:
+        q.stop()
+    got = {(r["name"], str(r["ws"])): (r["sum_value"], r["n_points"]) for r in rows}
+    # append mode emitted only bins the watermark has passed (the 01:00:00
+    # window is still open → absent), mirroring FlushBoundaryFilter
+    assert got[("cnt", "2024-01-01 00:00:00")] == (3.0, 2)
+    assert got[("cnt", "2024-01-01 00:01:00")] == (4.0, 1)
+    assert ("cnt", "2024-01-01 01:00:00") not in got
+
+
+def test_streaming_gauge_state(spark, stream_dir):
+    parsed = streaming_parse(stream_transcripts(spark, stream_dir))
+    g = streaming_gauge(parsed)
+    q = (
+        g.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("gauge_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql(
+            "SELECT name, running_value, n_events FROM gauge_out"
+        ).collect()
+    finally:
+        q.stop()
+    last = {r["name"]: (r["running_value"], r["n_events"]) for r in rows}
+    # g1:5|g then delta +2 → 7.0 (set-then-add fold, buckets.rs:240-309)
+    assert last["g1"] == (7.0, 2)
