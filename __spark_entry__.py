@@ -488,6 +488,39 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_candidates(d)
 
 
+def q_ann_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN scale path: random-hyperplane LSH top-k (rows-only; recall vs the
+    brute-force oracle is asserted in tests/test_similarity_multimodal)."""
+    from cernan_spark.operators.similarity import cosine_topk_lsh
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    probes = e.filter(F.col("vec_id") < 5)
+    return cosine_topk_lsh(e, probes, k=5, bits=16, bands=8).select(
+        "qid", "vec_id", F.round("cos", 6).alias("cos"), "rank"
+    )
+
+
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via LSH buckets (rows-only)."""
+    from cernan_spark.operators.similarity import embedding_near_dup_pairs
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_near_dup_pairs(e, threshold=0.9).select(
+        "id_a", "id_b", F.round("cos", 6).alias("cos")
+    )
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode/feature plumbing over binary media columns via
+    mapInPandas (rows-only; decode stubbed — libs absent in container)."""
+    from cernan_spark.operators.multimodal import extract_features, synthetic_media
+
+    media = synthetic_media(spark, n=256)
+    return extract_features(media).select(
+        "media_id", "kind", "n_bytes", "sha256", "width", "height", "duration_ms"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full parse→enrich→route→aggregate at sf0.001."""
     from cernan_spark.plans.pipeline import run_pipeline
@@ -528,6 +561,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "lang_profile": q_lang_profile,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_cosine_lsh": q_ann_cosine_lsh,
+        "embedding_near_dups": q_embedding_near_dups,
+        "multimodal_features": q_multimodal_features,
         "minhash_dedup": q_minhash_dedup,
     }
 

@@ -1,0 +1,219 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths:
+
+* :func:`cosine_topk_bruteforce` — exact baseline: broadcast the probe set,
+  score every (probe, candidate) pair with JVM-side fold expressions,
+  window top-k. Right answer, O(N·Q) — fine for Q small.
+* :func:`cosine_topk_lsh` — scale path: random-hyperplane LSH. Each vector
+  gets a b-bit sign signature; candidates are restricted to buckets that
+  match a probe's signature within one band. Recall < 1.0 by construction;
+  bucket size bounds the join. At 100 TB the bucket join shuffles only
+  (bucket_key, vec) pairs and AQE handles skewed buckets.
+
+Plus :func:`embedding_near_dup_pairs` — embedding-cosine near-duplicate
+detection (LSH buckets → verified cosine ≥ threshold).
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, x: s + x)
+    )
+
+
+def with_unit_vector(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Stage a double-typed, L2-normalized copy of the vector (cosine
+    becomes plain dot product; staged so downstream refs don't recompute)."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    df = df.withColumn("_v", v)
+    n = _norm(F.col("_v"))
+    df = df.withColumn("_n", n)
+    return df.withColumn(
+        "unit", F.transform(F.col("_v"), lambda x: x / F.col("_n"))
+    ).drop("_v", "_n")
+
+
+def cosine_topk_bruteforce(
+    vectors: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k: broadcast probes × all vectors."""
+    base = with_unit_vector(vectors, vec_col).select(
+        F.col(id_col).alias("vec_id"), F.col("unit")
+    )
+    q = with_unit_vector(probes, vec_col).select(
+        F.col(id_col).alias("qid"), F.col("unit").alias("qunit")
+    )
+    scored = base.crossJoin(F.broadcast(q)).filter(
+        F.col("vec_id") != F.col("qid")
+    ).select("qid", "vec_id", _dot(F.col("qunit"), F.col("unit")).alias("cos"))
+    w = W.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
+    rng = random.Random(seed)
+    return [
+        [rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(bits)
+    ]
+
+
+def signature_col(vec: Column, planes: list[list[float]]) -> Column:
+    """b-bit sign signature of a vector under fixed random hyperplanes —
+    pure fold expressions, evaluated JVM-side."""
+    bits = []
+    for p in planes:
+        plane = F.array(*[F.lit(x) for x in p])
+        bits.append((_dot(vec, plane) >= 0).cast("int"))
+    out = F.lit(0).cast("long")
+    for i, b in enumerate(bits):
+        out = out + b.cast("long") * F.lit(1 << i)
+    return out
+
+
+def cosine_topk_lsh(
+    vectors: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    bits: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: random-hyperplane signatures split into bands;
+    candidates share at least one exact band with the probe. One shuffle on
+    (band, band_sig); per-bucket scoring; exact rescoring of candidates."""
+    planes = _hyperplanes(dim, bits, seed)
+    rows_per_band = bits // bands
+
+    def banded(df: DataFrame, prefix: str) -> DataFrame:
+        u = with_unit_vector(df, vec_col).select(
+            F.col(id_col).alias(f"{prefix}id"), F.col("unit").alias(f"{prefix}unit")
+        )
+        u = u.withColumn("_sig", signature_col(F.col(f"{prefix}unit"), planes))
+        bands_arr = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftrightunsigned(
+                        F.col("_sig"), b * rows_per_band
+                    ).bitwiseAND(F.lit((1 << rows_per_band) - 1)).alias("bsig"),
+                )
+                for b in range(bands)
+            ]
+        )
+        return u.select(
+            f"{prefix}id", f"{prefix}unit", F.explode(bands_arr).alias("bb")
+        ).select(f"{prefix}id", f"{prefix}unit", "bb.band", "bb.bsig")
+
+    cand = banded(vectors, "v")
+    qr = banded(probes, "q")
+    pairs = (
+        cand.join(F.broadcast(qr), ["band", "bsig"])
+        .filter(F.col("vid") != F.col("qid"))
+        .select("qid", "vid", "qunit", "vunit")
+        .dropDuplicates(["qid", "vid"])
+    )
+    scored = pairs.select(
+        "qid",
+        F.col("vid").alias("vec_id"),
+        _dot(F.col("qunit"), F.col("vunit")).alias("cos"),
+    )
+    w = W.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def embedding_near_dup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    bits: int = 16,
+    bands: int = 4,
+    max_bucket: int = 200,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cos ≥ threshold)
+    via LSH bucketing + exact verification within buckets."""
+    planes = _hyperplanes(dim, bits, seed)
+    rows_per_band = bits // bands
+    u = with_unit_vector(vectors, vec_col).select(
+        F.col(id_col).alias("id"), "unit"
+    ).withColumn("_sig", signature_col(F.col("unit"), planes))
+    banded = u.select(
+        "id",
+        "unit",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("_sig"), b * rows_per_band)
+                        .bitwiseAND(F.lit((1 << rows_per_band) - 1))
+                        .alias("bsig"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "unit", "bb.band", "bb.bsig")
+    buckets = (
+        banded.groupBy("band", "bsig")
+        .agg(F.collect_list(F.struct("id", "unit")).alias("m"))
+        .filter((F.size("m") > 1) & (F.size("m") <= max_bucket))
+    )
+    pairs = (
+        buckets.select(
+            F.explode(
+                F.filter(
+                    F.flatten(
+                        F.transform(
+                            F.col("m"),
+                            lambda a: F.transform(
+                                F.col("m"),
+                                lambda b: F.when(
+                                    a["id"] < b["id"],
+                                    F.struct(
+                                        a["id"].alias("id_a"),
+                                        b["id"].alias("id_b"),
+                                        _dot(a["unit"], b["unit"]).alias("cos"),
+                                    ),
+                                ),
+                            ),
+                        )
+                    ),
+                    lambda p: p.isNotNull(),
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b", "p.cos")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return pairs.filter(F.col("cos") >= threshold)

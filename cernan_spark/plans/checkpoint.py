@@ -85,8 +85,12 @@ def checkpointed_write(
 
     # lineage + per-partition throughput metrics (one aggregate job over the
     # data just written — reads back the committed files, so the counts are
-    # what is actually on disk)
-    written = spark.read.parquet(out_path)
+    # what is actually on disk). A sink with zero routed rows writes no
+    # files at all → nothing to record.
+    try:
+        written = spark.read.parquet(out_path)
+    except Exception:  # noqa: BLE001 — empty write: no parquet footers yet
+        return spark.createDataFrame([], LINEAGE_SCHEMA)
     new_parts = written.select(F.col(sink_col).alias("sink"), "part").distinct().join(
         F.broadcast(done), ["sink", "part"], "left_anti"
     )

@@ -1,0 +1,51 @@
+"""spark-submit entry point: the full parse→enrich→route→aggregate job.
+
+    spark-submit --py-files cernan_spark.zip jobs/run_pipeline_job.py \
+        --input /path/to/transcripts_parquet \
+        --output /path/to/sinks_out \
+        --lineage /path/to/lineage \
+        --bin-width 60
+
+Resumable: re-running with the same --lineage path skips partitions that
+already committed (plans/checkpoint.py). Per-partition lineage + throughput
+metrics land in the lineage table; `--metrics` prints the rollup.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="transcripts parquet path")
+    ap.add_argument("--output", required=True, help="sink output base path")
+    ap.add_argument("--lineage", default=None, help="lineage/checkpoint table path")
+    ap.add_argument("--bin-width", type=int, default=60)
+    ap.add_argument("--cpus", type=int, default=None, help="local[N] (omit on a cluster)")
+    ap.add_argument("--metrics", action="store_true", help="print per-run metrics rollup")
+    args = ap.parse_args(argv)
+
+    from cernan_spark.session import get_spark
+    from cernan_spark.plans.pipeline import PipelineConfig, run_pipeline
+    from cernan_spark.plans.sinks import write_sinks
+
+    spark = get_spark(app_name="cernan_spark_pipeline", cpus=args.cpus)
+    transcripts = spark.read.parquet(args.input)
+    out = run_pipeline(spark, transcripts, PipelineConfig(bin_width=args.bin_width))
+    paths = write_sinks(
+        spark, out, args.output, bin_width=args.bin_width, lineage_path=args.lineage
+    )
+    for sink, p in sorted(paths.items()):
+        print(f"sink {sink}: {p}")
+
+    if args.metrics and args.lineage:
+        from cernan_spark.plans.checkpoint import run_metrics
+
+        run_metrics(spark, args.lineage).show(truncate=False)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
