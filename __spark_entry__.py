@@ -488,6 +488,48 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_candidates(d)
 
 
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring operator (stopword/digit ratios + verdict)."""
+    from cernan_spark.operators.textstats import quality_scores
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    q = quality_scores(d)
+    return q.select(
+        "doc_id",
+        "n_tokens",
+        F.round("stopword_ratio", 4).alias("stopword_ratio"),
+        F.round("digit_ratio", 4).alias("digit_ratio"),
+        "quality_ok",
+    )
+
+
+def q_bpeish_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token budget per document (≤4-char word pieces)."""
+    from cernan_spark.operators.textstats import token_stats
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return token_stats(d).select("doc_id", "n_tokens", "n_bpeish_tokens")
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID (rows-only; tested deterministically
+    in tests/test_framing_textstats.py)."""
+    from cernan_spark.operators.textstats import lang_id
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return lang_id(d).select("doc_id", "lang_pred", "lang_score")
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-min rolling-hash fingerprints (rows-only)."""
+    from cernan_spark.operators.textstats import doc_fingerprint
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 500
+    )
+    return doc_fingerprint(d).select("doc_id", "fingerprint")
+
+
 def q_ann_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN scale path: random-hyperplane LSH top-k (rows-only; recall vs the
     brute-force oracle is asserted in tests/test_similarity_multimodal)."""
@@ -560,6 +602,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "quality_score": q_quality_score,
         "lang_profile": q_lang_profile,
+        "text_quality": q_text_quality,
+        "bpeish_tokens": q_bpeish_tokens,
+        "lang_id": q_lang_id,
+        "doc_fingerprint": q_doc_fingerprint,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_cosine_lsh": q_ann_cosine_lsh,
         "embedding_near_dups": q_embedding_near_dups,
@@ -765,8 +811,37 @@ def oracle_sql() -> dict[str, str]:
                          len(list_distinct(list_concat(a.toks, b.toks))), 4) AS jaccard
             FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
         """,
-        # simhash_dedup / minhash_dedup: rows-only (bit-vote folds and LSH
-        # banding are not ANSI-SQL expressible)
+        "text_quality": """
+            WITH t AS (
+              SELECT doc_id, text, string_split(text, ' ') AS toks,
+                     length(text) AS n_chars FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len(toks) AS INTEGER) AS n_tokens,
+                   round(len(list_filter(toks, x -> list_contains(
+                     ['the','and','of','to','a','in','is','it','that','for'],
+                     lower(x)))) * 1.0 / greatest(len(toks), 1), 4) AS stopword_ratio,
+                   round(length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0
+                         / greatest(n_chars, 1), 4) AS digit_ratio,
+                   (len(toks) >= 5
+                    AND len(list_distinct(toks)) * 1.0 / greatest(len(toks),1) >= 0.3
+                    AND length(regexp_replace(text, '[^[:punct:]]', '', 'g')) * 1.0
+                        / greatest(n_chars,1) <= 0.3
+                    AND length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0
+                        / greatest(n_chars,1) <= 0.3) AS quality_ok
+            FROM t
+        """,
+        "bpeish_tokens": """
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+                   CAST(list_sum(list_transform(string_split(text, ' '),
+                        x -> CAST(ceil(length(x) / 4.0) AS INTEGER))) AS INTEGER)
+                     AS n_bpeish_tokens
+            FROM documents
+        """,
+        # lang_id / doc_fingerprint / simhash_dedup / minhash_dedup:
+        # rows-only (per-language score folds, rolling-hash sketches, and
+        # LSH banding are not ANSI-SQL expressible)
         "dedup_exact": """
             SELECT md5(text) AS text_hash, min(doc_id) AS canonical_id,
                    count(*) AS n_copies

@@ -451,6 +451,36 @@ def prometheus_accumulate(per_bin: DataFrame, key_cols: list[str]) -> DataFrame:
     )
 
 
+def prometheus_windowed_summaries(
+    parsed: DataFrame,
+    capacity_seconds: int,
+    now_epoch: int,
+    quantiles: list[float] | None = None,
+    accuracy: int = DEFAULT_ACCURACY,
+) -> DataFrame:
+    """Prometheus Summarize handling: samples live in a sliding window of
+    ``capacity_in_seconds`` and are purged by age before quantile queries
+    (reference src/sink/prometheus.rs:95-195, purge 127-148). Batch form:
+    age filter (pushed into the scan) then one sketch aggregate per name."""
+    qs = quantiles or DEFAULT_QUANTILES
+    q_arr = F.array(*[F.lit(q) for q in qs])
+    epoch = (
+        F.coalesce(F.col("event_epoch"), F.unix_timestamp(F.col("ts")))
+        if "event_epoch" in parsed.columns
+        else F.unix_timestamp(F.col("ts"))
+    )
+    live = parsed.filter(
+        (F.col("kind") == "SUMMARIZE")
+        & (epoch > F.lit(now_epoch - capacity_seconds))
+        & (epoch <= F.lit(now_epoch))
+    )
+    return live.groupBy("name").agg(
+        F.percentile_approx("value", q_arr, F.lit(accuracy)).alias("quantile_values"),
+        F.sum("value").alias("samples_sum"),
+        F.count("*").alias("n_points"),
+    )
+
+
 def cumulative_histogram(hist_rows: DataFrame) -> DataFrame:
     """Prometheus exposition: running-sum ``le`` buckets ending at +Inf
     (reference src/sink/prometheus.rs:523-563). Pure array fold — no extra

@@ -1,0 +1,126 @@
+"""Text analysis operators for training-data pipelines: token stats,
+quality scoring, n-gram language ID, document fingerprinting.
+
+All pure column expressions (codegen'd); dictionaries (stopwords per
+language) are tiny broadcast literals.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_MERSENNE31 = (1 << 31) - 1
+
+#: minimal per-language stopword profiles for the n-gram/stopword heuristic
+LANG_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es", "se", "no"],
+    "fr": ["le", "la", "de", "et", "un", "en", "est", "que", "pour", "dans"],
+    "de": ["der", "die", "und", "das", "ist", "ein", "zu", "den", "mit", "von"],
+}
+
+
+def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace + BPE-ish token counts per row."""
+    toks = F.split(F.col(text_col), r"\s+")
+    # BPE-ish: word pieces of ≤4 chars — ceil(len/4) per word, summed
+    bpe = F.aggregate(
+        toks,
+        F.lit(0),
+        lambda acc, t: acc + F.ceil(F.length(t) / 4.0).cast("int"),
+    )
+    return df.withColumn("n_tokens", F.size(toks)).withColumn(
+        "n_distinct_tokens", F.size(F.array_distinct(toks))
+    ).withColumn("n_bpeish_tokens", bpe)
+
+
+def quality_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / digit / stopword / diversity ratios — the
+    standard cheap quality filters for pretraining corpora."""
+    t = F.col(text_col)
+    toks = F.split(t, r"\s+")
+    n_chars = F.length(t)
+    stop_en = F.array(*[F.lit(w) for w in LANG_STOPWORDS["en"]])
+    return (
+        df.withColumn("len_chars", n_chars)
+        .withColumn("n_tokens", F.size(toks))
+        .withColumn(
+            "punct_ratio",
+            F.round(
+                F.length(F.regexp_replace(t, r"[^\p{Punct}]", "")) / F.greatest(n_chars, F.lit(1)),
+                6,
+            ),
+        )
+        .withColumn(
+            "digit_ratio",
+            F.round(
+                F.length(F.regexp_replace(t, r"[^0-9]", "")) / F.greatest(n_chars, F.lit(1)),
+                6,
+            ),
+        )
+        .withColumn(
+            "stopword_ratio",
+            F.round(
+                F.size(F.filter(toks, lambda x: F.array_contains(stop_en, F.lower(x))))
+                / F.greatest(F.size(toks), F.lit(1)),
+                6,
+            ),
+        )
+        .withColumn(
+            "distinct_ratio",
+            F.round(F.size(F.array_distinct(toks)) / F.greatest(F.size(toks), F.lit(1)), 6),
+        )
+        .withColumn(
+            "quality_ok",
+            (F.size(toks) >= 5)
+            & (F.col("distinct_ratio") >= 0.3)
+            & (F.col("punct_ratio") <= 0.3)
+            & (F.col("digit_ratio") <= 0.3),
+        )
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-profile language ID: score = fraction of tokens hitting each
+    language's stopword list; best score wins, 'und' when nothing hits."""
+    toks = F.transform(F.split(F.col(text_col), r"\s+"), F.lower)
+    out = df.withColumn("_toks", toks)
+    score_cols = []
+    for lang, words in LANG_STOPWORDS.items():
+        arr = F.array(*[F.lit(w) for w in words])
+        score = F.size(
+            F.filter(F.col("_toks"), lambda x: F.array_contains(arr, x))
+        ) / F.greatest(F.size(F.col("_toks")), F.lit(1))
+        out = out.withColumn(f"_s_{lang}", score)
+        score_cols.append(lang)
+    best = F.greatest(*[F.col(f"_s_{l}") for l in score_cols])
+    pred = F.lit("und")
+    for lang in reversed(score_cols):
+        pred = F.when(
+            (F.col(f"_s_{lang}") == best) & (best > 0), F.lit(lang)
+        ).otherwise(pred)
+    out = out.withColumn("lang_pred", pred).withColumn(
+        "lang_score", F.round(best, 6)
+    )
+    return out.drop("_toks", *[f"_s_{l}" for l in score_cols])
+
+
+def doc_fingerprint(
+    df: DataFrame, text_col: str = "text", k: int = 8, ngram: int = 8
+) -> DataFrame:
+    """Rolling-hash document fingerprint: k smallest hashes of character
+    n-grams (a k-min sketch — overlap estimates resemblance, the classic
+    winnowing/fingerprint scheme). Character n-grams via substring over a
+    staged position sequence; hashes JVM-side."""
+    t = F.col(text_col)
+    staged = df.withColumn(
+        "_grams",
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(t) - (ngram - 1), F.lit(1))),
+            lambda i: F.pmod(F.xxhash64(F.substring(t, i, ngram)), F.lit(_MERSENNE31)),
+        ),
+    )
+    return staged.withColumn(
+        "fingerprint", F.slice(F.array_sort(F.array_distinct(F.col("_grams"))), 1, k)
+    ).drop("_grams")

@@ -1,0 +1,110 @@
+"""Binary framing (native/avro wire shapes) + text-analysis operators."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+from pyspark.sql import functions as F
+
+from cernan_spark.functions.framing import (
+    AVRO_HEADER_LEN,
+    decode_avro_header,
+    encode_frames,
+    frames_from_stream,
+)
+from cernan_spark.operators.aggregate import prometheus_windowed_summaries
+from cernan_spark.operators.textstats import (
+    doc_fingerprint,
+    lang_id,
+    quality_scores,
+    token_stats,
+)
+
+
+def test_avro_header_roundtrip(spark):
+    blob = b"avro-bytes-here"
+    payload = struct.pack(">IIQQ", 1, 1, 42, 777) + blob
+    df = spark.createDataFrame([(payload,)], "payload binary")
+    r = decode_avro_header(df).collect()[0]
+    assert (r["version"], r["control"], r["id"], r["order_by"]) == (1, 1, 42, 777)
+    assert bytes(r["avro_blob"]) == blob
+    assert AVRO_HEADER_LEN == 24
+
+
+def test_frame_split_and_reencode(spark):
+    f1, f2 = b"hello", b"world!!"
+    stream = struct.pack(">I", len(f1)) + f1 + struct.pack(">I", len(f2)) + f2
+    stream += b"\x00\x00\x00\xff(partial"  # trailing partial frame → dropped
+    df = spark.createDataFrame([(1, stream)], "conn_id long, stream binary")
+    rows = frames_from_stream(df).orderBy("frame_idx").collect()
+    assert [bytes(r["frame"]) for r in rows] == [f1, f2]
+    # re-encode gives back the original framing (native sink relay)
+    re = encode_frames(frames_from_stream(df)).orderBy("frame_idx").collect()
+    assert b"".join(bytes(r["framed"]) for r in re) == (
+        struct.pack(">I", len(f1)) + f1 + struct.pack(">I", len(f2)) + f2
+    )
+
+
+def test_token_stats_and_quality(spark):
+    df = spark.createDataFrame(
+        [("the cat and the hat sat on a mat",), ("1 2 3 4 5 !!!! ....",)],
+        "text string",
+    )
+    q = quality_scores(token_stats(df)).collect()
+    good = next(r for r in q if r["text"].startswith("the cat"))
+    bad = next(r for r in q if r["text"].startswith("1 2"))
+    assert good["n_tokens"] == 9 and good["quality_ok"]
+    assert good["stopword_ratio"] > 0.3
+    assert not bad["quality_ok"]  # digits+punct heavy
+    assert bad["digit_ratio"] > 0.2
+
+
+def test_lang_id_heuristic(spark):
+    df = spark.createDataFrame(
+        [
+            ("the quick fox is in the barn and it is fine",),
+            ("el perro y la casa de un hombre que no es",),
+            ("zzz qqq www",),
+        ],
+        "text string",
+    )
+    got = {r["text"][:2]: r["lang_pred"] for r in lang_id(df).collect()}
+    assert got["th"] == "en"
+    assert got["el"] == "es"
+    assert got["zz"] == "und"
+
+
+def test_doc_fingerprint_overlap(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (1, "the quick brown fox jumps over the lazy cat"),
+            (2, "completely different content right here folks"),
+        ],
+        "doc_id long, text string",
+    )
+    fp = {r["doc_id"]: set(r["fingerprint"]) for r in doc_fingerprint(df).collect()}
+    sim01 = len(fp[0] & fp[1])
+    sim02 = len(fp[0] & fp[2])
+    assert sim01 > sim02
+    # deterministic
+    fp2 = {r["doc_id"]: set(r["fingerprint"]) for r in doc_fingerprint(df).collect()}
+    assert fp == fp2
+
+
+def test_prometheus_windowed_summary_purges_by_age(spark):
+    rows = [
+        ("lat", 1.0, "SUMMARIZE", False, 100, None, 1),
+        ("lat", 100.0, "SUMMARIZE", False, 900, None, 2),
+        ("lat", 50.0, "SUMMARIZE", False, 950, None, 3),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "name string, value double, kind string, persist boolean, "
+        "event_epoch long, ts timestamp, order_key long",
+    )
+    out = prometheus_windowed_summaries(df, capacity_seconds=100, now_epoch=960)
+    r = out.collect()[0]
+    # the t=100 sample aged out; only 100.0 and 50.0 remain
+    assert r["n_points"] == 2 and r["samples_sum"] == 150.0
