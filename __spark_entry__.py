@@ -30,7 +30,6 @@ from cernan_spark.operators.aggregate import (
     agg_histograms,
     gauge_carry_forward,
     prometheus_accumulate,
-    with_bin,
     zero_pad,
 )
 from cernan_spark.operators.enrich import enrich_tags

@@ -13,7 +13,6 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from cernan_spark.functions.graphite import GRAPHITE_LINE_RX
-from cernan_spark.functions.statsd import STATSD_LINE_RX
 
 CLASS_STATSD = "statsd"
 CLASS_GRAPHITE = "graphite"

@@ -17,7 +17,6 @@ detection (LSH buckets → verified cosine ≥ threshold).
 
 from __future__ import annotations
 
-import math
 import random
 
 from pyspark.sql import Column, DataFrame, Window as W

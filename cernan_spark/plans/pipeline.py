@@ -18,15 +18,11 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from cernan_spark.functions.classify import classify_lines, explode_lines
+from cernan_spark.functions.classify import explode_lines
 from cernan_spark.functions.graphite import parse_graphite_lines
 from cernan_spark.functions.jsonlog import parse_json_logs
 from cernan_spark.functions.statsd import parse_statsd_lines
-from cernan_spark.operators.aggregate import (
-    bucket_aggregate,
-    canonical_tags,
-    prometheus_accumulate,
-)
+from cernan_spark.operators.aggregate import bucket_aggregate, prometheus_accumulate
 from cernan_spark.operators.enrich import enrich_tags, enrich_tags_fast
 from cernan_spark.operators.route import route, routed_counts, unrouted
 from cernan_spark.sources.dimensions import (

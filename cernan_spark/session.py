@@ -48,6 +48,9 @@ def get_spark(
         # conservative for per-(series, bin) sketching
         .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "131072")
     )
+    gc_opts = os.environ.get("SPARK_GC_OPTS")
+    if gc_opts:
+        builder = builder.config("spark.driver.extraJavaOptions", gc_opts)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 from cernan_spark.functions.classify import classify_lines
 from cernan_spark.functions.graphite import parse_graphite_lines
 from cernan_spark.functions.statsd import parse_statsd_lines
-from cernan_spark.model import classify_py, parse_graphite_py, parse_statsd_py
+from cernan_spark.model import classify_py, parse_statsd_py
 
 # (line, name, value, kind, persist) — reference statsd.rs:358-420,577-623
 STATSD_GOLDEN = [
