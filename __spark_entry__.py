@@ -60,7 +60,13 @@ parsed AS (
          WHEN 'error' THEN 'errors' END AS name,
     CASE event_type WHEN 'signup' THEN CAST(printf('%.2f', value) AS DOUBLE) * 2.0
          ELSE CAST(printf('%.2f', value) AS DOUBLE) END AS value,
-    CASE event_type WHEN 'view' THEN 'SET'
+    CASE event_type
+         -- views are statsd gauges ('|g'): a signed wire value (leading
+         -- '-'/'+') is a delta gauge → kind Sum (statsd.rs:66-116); the
+         -- sign rule is mirrored here so a negative event value cannot
+         -- flip the oracle vs the parser.
+         WHEN 'view' THEN (CASE WHEN printf('%.2f', value) LIKE '-%'
+                           THEN 'SUM' ELSE 'SET' END)
          WHEN 'purchase' THEN 'SUMMARIZE' WHEN 'error' THEN 'SUMMARIZE'
          ELSE 'SUM' END AS kind,
     (event_type = 'view') AS persist,
@@ -470,21 +476,35 @@ def q_token_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash fingerprint duplicate groups (rows-only; bit-vote fold is
-    not ANSI-SQL expressible). See cernan_spark.operators.dedup.simhash."""
+    """SimHash fingerprint duplicate groups (rows-only; xxhash64 bit votes
+    have no DuckDB twin). Array members stringified — the driver's pandas
+    canonicalizer cannot sort list cells."""
     from cernan_spark.operators.dedup import simhash_dedup
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return simhash_dedup(d).filter(F.col("n_docs") > 1)
+    g = simhash_dedup(d).filter(F.col("n_docs") > 1)
+    return g.select(
+        "simhash",
+        "canonical_id",
+        "n_docs",
+        F.array_join(
+            F.transform("members", lambda m: m.cast("string")), ","
+        ).alias("members"),
+    )
 
 
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup candidate pairs (rows-only check; not ANSI-SQL
-    expressible). See cernan_spark.operators.dedup."""
+    """MinHash+LSH near-dup candidate pairs, portable-hash mode: every hash
+    in the pipeline (token poly-hash → shingle combine → universal-hash
+    permutations → banding classes → signature match count) is reproduced
+    bit-for-bit by the DuckDB oracle. The xxhash64 fast path is the same
+    code with portable=False (tests/test_training_ops.py)."""
     from cernan_spark.operators.dedup import minhash_lsh_candidates
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return minhash_lsh_candidates(d)
+    return minhash_lsh_candidates(d, portable=True).select(
+        "id_a", "id_b", "n_match", "est_jaccard"
+    )
 
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -511,8 +531,8 @@ def q_bpeish_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stopword-profile language ID (rows-only; tested deterministically
-    in tests/test_framing_textstats.py)."""
+    """Stopword-profile language ID — oracle-checked (per-language score
+    CASE generated from the same LANG_STOPWORDS dict on both sides)."""
     from cernan_spark.operators.textstats import lang_id
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -520,13 +540,20 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """k-min rolling-hash fingerprints (rows-only)."""
+    """k-min rolling-hash fingerprints, portable-hash mode (DuckDB twin
+    hashes the same char 8-grams), stringified for the driver canon."""
     from cernan_spark.operators.textstats import doc_fingerprint
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
         F.col("doc_id") < 500
     )
-    return doc_fingerprint(d).select("doc_id", "fingerprint")
+    fp = doc_fingerprint(d, portable=True)
+    return fp.select(
+        "doc_id",
+        F.array_join(
+            F.transform("fingerprint", lambda h: h.cast("string")), ","
+        ).alias("fingerprint"),
+    )
 
 
 def q_ann_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -542,11 +569,20 @@ def q_ann_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs via LSH buckets (rows-only)."""
-    from cernan_spark.operators.similarity import embedding_near_dup_pairs
+    """Embedding-cosine near-dup pairs via LSH buckets + exact verify.
+    The corpus has no natural near-dups (max pairwise cos ≈ 0.51), so 50
+    deterministic twins are seeded (similarity.seed_near_dups) — the LSH
+    path must recover every seeded pair; the oracle is brute-force cosine
+    over the identically-augmented set, unit vectors + ordered folds on
+    both engines → bit-identical doubles."""
+    from cernan_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+        seed_near_dups,
+    )
 
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return embedding_near_dup_pairs(e, threshold=0.9).select(
+    aug = seed_near_dups(e, n_seed=50, id_offset=1_000_000, delta=0.05)
+    return embedding_near_dup_pairs(aug, threshold=0.9).select(
         "id_a", "id_b", F.round("cos", 6).alias("cos")
     )
 
@@ -611,6 +647,152 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "minhash_dedup": q_minhash_dedup,
     }
+
+
+# ---------------------------------------------------------------------------
+# generated oracle SQL for the sketch operators (portable-hash twins)
+# ---------------------------------------------------------------------------
+
+def _minhash_oracle_sql(
+    num_hashes: int = 32, bands: int = 8, shingle_n: int = 3, max_bucket: int = 50
+) -> str:
+    """DuckDB twin of minhash_lsh_candidates(portable=True): same token
+    poly-hash, shingle combine, permutation coefficients (shared
+    _perm_coeffs seed), band equivalence classes, bucket cap and signature
+    match count."""
+    from cernan_spark.functions.porthash import portable_hash_sql
+    from cernan_spark.operators.dedup import _perm_coeffs
+
+    rpb = num_hashes // bands
+    perms = ", ".join(
+        f"list_min(list_transform(hs, h -> (h * {a} + {b}) % 2147483647))"
+        for a, b in _perm_coeffs(num_hashes)
+    )
+    banded = "\n  UNION ALL ".join(
+        f"SELECT id, sig, {b} AS band, "
+        + " || '_' || ".join(
+            f"CAST(sig[{b * rpb + r + 1}] AS VARCHAR)" for r in range(rpb)
+        )
+        + " AS bkey FROM sigs"
+        for b in range(bands)
+    )
+    return f"""
+WITH tokh AS (
+  SELECT doc_id AS id,
+         list_transform(string_split_regex(text, '\\s+'),
+                        t -> {portable_hash_sql("t")}) AS th
+  FROM documents
+), sh AS (
+  SELECT id,
+         list_distinct(list_transform(
+           range(1, greatest(len(th) - {shingle_n - 1}, 0) + 1),
+           i -> {"(" * (shingle_n - 1)}th[i]{"".join(f" * 1000003 + th[i+{k}]) % 2147483647" for k in range(1, shingle_n))})) AS hs
+  FROM tokh
+), sigs AS (
+  SELECT id, [{perms}] AS sig FROM sh WHERE len(hs) > 0
+), banded AS (
+  {banded}
+), bsz AS (
+  SELECT band, bkey, count(*) AS n FROM banded GROUP BY 1, 2
+), pairs AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sig AS sig_a, b.sig AS sig_b
+  FROM banded a
+  JOIN banded b ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id
+  JOIN bsz s ON s.band = a.band AND s.bkey = a.bkey
+            AND s.n > 1 AND s.n <= {max_bucket}
+)
+SELECT id_a, id_b,
+       CAST(len(list_filter(range(1, {num_hashes + 1}), i -> sig_a[i] = sig_b[i])) AS INTEGER) AS n_match,
+       round(len(list_filter(range(1, {num_hashes + 1}), i -> sig_a[i] = sig_b[i])) / {float(num_hashes)}, 4) AS est_jaccard
+FROM pairs
+"""
+
+
+def _doc_fingerprint_oracle_sql(k: int = 8, ngram: int = 8) -> str:
+    """DuckDB twin of doc_fingerprint(portable=True): poly-hash the same
+    char n-grams, distinct-sort, keep the k smallest, stringify."""
+    from cernan_spark.functions.porthash import portable_hash_sql
+
+    gram = f"substr(text, CAST(i AS INTEGER), {ngram})"
+    return f"""
+WITH g AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(length(text) - {ngram - 1}, 1) + 1),
+                        i -> {portable_hash_sql(gram)}) AS grams
+  FROM documents WHERE doc_id < 500
+)
+SELECT doc_id,
+       array_to_string(list_transform(list_sort(list_distinct(grams))[1:{k}],
+                                      v -> CAST(v AS VARCHAR)), ',') AS fingerprint
+FROM g
+"""
+
+
+def _lang_id_oracle_sql() -> str:
+    """DuckDB twin of textstats.lang_id, generated from the same
+    LANG_STOPWORDS profiles (priority on ties follows the Spark fold:
+    earlier dict entries win)."""
+    from cernan_spark.operators.textstats import LANG_STOPWORDS
+
+    scores = ",\n    ".join(
+        f"len(list_filter(toks, x -> list_contains({words!r}, x))) * 1.0"
+        f" / greatest(len(toks), 1) AS s_{lang}"
+        for lang, words in LANG_STOPWORDS.items()
+    )
+    langs = list(LANG_STOPWORDS)
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    case = " ".join(f"WHEN s_{lang} = best THEN '{lang}'" for lang in langs)
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         list_transform(string_split_regex(text, '\\s+'), x -> lower(x)) AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id,
+    {scores}
+  FROM t
+), b AS (
+  SELECT *, {best} AS best FROM s
+)
+SELECT doc_id,
+       CASE WHEN best <= 0 THEN 'und' {case} ELSE 'und' END AS lang_pred,
+       round(best, 6) AS lang_score
+FROM b
+"""
+
+
+def _near_dup_oracle_sql(
+    n_seed: int = 50, id_offset: int = 1_000_000, delta: float = 0.05,
+    threshold: float = 0.9,
+) -> str:
+    """Brute-force cosine near-dup oracle over the identically-seeded
+    corpus. Unit vectors and left-to-right folds mirror
+    similarity.with_unit_vector exactly → bit-identical doubles."""
+    fold = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), {items}), "
+        "(acc, x2) -> acc + x2)"
+    )
+    nrm = fold.format(items="list_transform(v, y -> y * y)")
+    dot = fold.format(items="list_transform(range(1, len(a.u) + 1), i -> a.u[i] * b.u[i])")
+    return f"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), aug AS (
+  SELECT vec_id, v FROM base
+  UNION ALL
+  SELECT vec_id + {id_offset},
+         list_transform(range(1, len(v) + 1),
+                        i -> v[i] + (CASE WHEN i = 1 THEN {delta} ELSE 0.0 END))
+  FROM base WHERE vec_id < {n_seed}
+), unit AS (
+  SELECT vec_id, list_transform(v, x -> x / sqrt({nrm})) AS u FROM aug
+), pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, {dot} AS cos
+  FROM unit a JOIN unit b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, round(cos, 6) AS cos FROM pairs WHERE cos >= {threshold}
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -838,9 +1020,13 @@ def oracle_sql() -> dict[str, str]:
                      AS n_bpeish_tokens
             FROM documents
         """,
-        # lang_id / doc_fingerprint / simhash_dedup / minhash_dedup:
-        # rows-only (per-language score folds, rolling-hash sketches, and
-        # LSH banding are not ANSI-SQL expressible)
+        # simhash_dedup stays rows-only (xxhash64 has no DuckDB twin);
+        # minhash / doc_fingerprint / lang_id / embedding_near_dups are
+        # value-checked via generated portable-hash SQL twins:
+        "minhash_dedup": _minhash_oracle_sql(),
+        "doc_fingerprint": _doc_fingerprint_oracle_sql(),
+        "lang_id": _lang_id_oracle_sql(),
+        "embedding_near_dups": _near_dup_oracle_sql(),
         "dedup_exact": """
             SELECT md5(text) AS text_hash, min(doc_id) AS canonical_id,
                    count(*) AS n_copies
@@ -890,6 +1076,7 @@ def oracle_sql() -> dict[str, str]:
               FROM scored
             ) WHERE rank <= 5
         """,
-        # minhash_dedup: intentionally no oracle (LSH banding is not
-        # ANSI-SQL expressible) → rows-only check.
+        # ann_cosine_lsh / multimodal_features: intentionally rows-only
+        # (probabilistic recall path asserted vs the exact twin in pytest;
+        # multimodal stub asserted via golden hash in pytest).
     }

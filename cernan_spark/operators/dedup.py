@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from cernan_spark.functions.porthash import portable_hash
+
 
 def shingles(text: Column, n: int = 3) -> Column:
     """Word n-gram shingle set of a document (distinct)."""
@@ -49,23 +51,34 @@ def _perm_coeffs(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
 
 
 def with_shingle_hashes(
-    df: DataFrame, text_col: str = "text", n: int = 3, out_col: str = "_h"
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    out_col: str = "_h",
+    portable: bool = False,
 ) -> DataFrame:
     """Adds ``out_col: array<long>`` — distinct word-n-gram hashes
     (mod 2^31−1) built by polynomial combination of per-token hashes; no
     n-gram strings are materialized.
+
+    ``portable=True`` swaps the xxhash64 token hash for the cross-engine
+    polynomial hash (functions/porthash.py) so the whole MinHash pipeline
+    is bit-checkable against a DuckDB oracle; xxhash64 stays the default
+    scale path (JVM-native, ~3× cheaper per token).
 
     Intermediates are staged as real columns between selects: Catalyst's
     CollapseProject would otherwise inline the token-hash array into every
     lambda reference and recompute split+hash per shingle position (O(n²)).
     """
     p = F.lit(_MERSENNE31)
+    tok_hash = (
+        (lambda t: portable_hash(t))
+        if portable
+        else (lambda t: F.pmod(F.xxhash64(t), p))
+    )
     staged = df.withColumn(
         "_tok_h",
-        F.transform(
-            F.split(F.col(text_col), r"\s+"),
-            lambda t: F.pmod(F.xxhash64(t), p),
-        ),
+        F.transform(F.split(F.col(text_col), r"\s+"), tok_hash),
     )
     # rolling combine via zip_with over shifted slices (single-level HOFs)
     th = F.col("_tok_h")
@@ -105,13 +118,16 @@ def minhash_lsh_candidates(
     bands: int = 8,
     shingle_n: int = 3,
     max_bucket: int = 50,
+    portable: bool = False,
 ) -> DataFrame:
     """Near-duplicate candidate pairs (id_a < id_b) that share ≥1 LSH band,
-    with their estimated (signature) Jaccard similarity.
+    with their estimated (signature) Jaccard similarity and the exact
+    signature match count ``n_match`` (an integer — float-free evidence).
 
     rows/band = num_hashes/bands; buckets wider than ``max_bucket`` are
     dropped (degenerate boilerplate) — logged via the `oversize` marker
-    column upstream if needed.
+    column upstream if needed. ``portable=True`` makes every hash in the
+    pipeline DuckDB-reproducible (see with_shingle_hashes).
     """
     rows_per_band = num_hashes // bands
     # stage 1: hash each shingle once (array<long>). Shingle hashes are
@@ -124,6 +140,7 @@ def minhash_lsh_candidates(
         docs.repartition(par).select(F.col(id_col).alias("id"), text_col),
         text_col,
         shingle_n,
+        portable=portable,
     ).select("id", "_h").filter(F.size("_h") > 0)
     sig = hashed.select(
         "id", minhash_signature(F.col("_h"), num_hashes).alias("sig")
@@ -178,19 +195,19 @@ def minhash_lsh_candidates(
     ).select("p.id_a", "p.id_b", "p.sig_a", "p.sig_b").dropDuplicates(
         ["id_a", "id_b"]
     )
-    est = F.size(
+    n_match = F.size(
         F.filter(
             F.zip_with("sig_a", "sig_b", lambda a, b: (a == b).cast("int")),
             lambda x: x == 1,
         )
-    ) / F.lit(
-        float(
-            # signature length
-            num_hashes
-        )
     )
+    # k/num_hashes is an exact binary fraction for power-of-two num_hashes —
+    # no rounding ambiguity across engines.
     return pairs.select(
-        "id_a", "id_b", F.round(est, 4).alias("est_jaccard")
+        "id_a",
+        "id_b",
+        n_match.alias("n_match"),
+        F.round(n_match / F.lit(float(num_hashes)), 4).alias("est_jaccard"),
     )
 
 
@@ -216,12 +233,45 @@ def exact_jaccard_pairs(
     )
 
 
+_BIT_MASKS = [1 << b for b in range(63)] + [-(2**63)]  # two's-complement top bit
+
+
 def simhash(text: Column, bits: int = 64) -> Column:
     """64-bit SimHash of the token set: per-bit majority vote over token
     hashes, built from bitwise expressions (no UDF).
 
-    For each bit position b: sum over tokens of (hash>>b & 1 ? 1 : -1);
-    bit set if positive."""
+    ONE pass over the token hashes: the fold accumulates a 64-element vote
+    array (zip_with against a constant mask array), then one zip_with turns
+    positive votes into set bits. The sum of distinct bit masks (with
+    −2^63 for the top bit, added last) reconstructs the long without ANSI
+    overflow. Replaces the previous 64-independent-folds form — identical
+    fingerprints (pytest-asserted vs :func:`simhash_naive`), 64× fewer
+    array traversals per row."""
+    assert bits == 64, "simhash is a 64-bit fingerprint"
+    mask_arr = F.array(*[F.lit(m).cast("long") for m in _BIT_MASKS])
+    toks = F.array_distinct(F.split(text, r"\s+"))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            mask_arr,
+            lambda a, m: a
+            + F.when(h.bitwiseAND(m) != F.lit(0).cast("long"), 1).otherwise(-1),
+        ),
+    )
+    signed = F.zip_with(
+        votes,
+        mask_arr,
+        lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(signed, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+def simhash_naive(text: Column, bits: int = 64) -> Column:
+    """Reference form of :func:`simhash` (one independent fold per bit) —
+    kept only for the pytest equality assertion; do not use in pipelines."""
     toks = F.array_distinct(F.split(text, r"\s+"))
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
     bit_votes = [
@@ -229,14 +279,15 @@ def simhash(text: Column, bits: int = 64) -> Column:
             hashes,
             F.lit(0),
             lambda acc, h: acc
-            + F.when(h.bitwiseAND(F.lit(1 << b) if b < 63 else F.lit(-(2**63))) != 0, 1).otherwise(-1),
+            + F.when(h.bitwiseAND(F.lit(_BIT_MASKS[b])) != 0, 1).otherwise(-1),
         )
         for b in range(bits)
     ]
     out = F.lit(0).cast("long")
     for b, vote in enumerate(bit_votes):
-        bitval = F.lit(1 << b) if b < 63 else F.lit(-(2**63))
-        out = out + F.when(vote > 0, bitval).otherwise(F.lit(0).cast("long"))
+        out = out + F.when(vote > 0, F.lit(_BIT_MASKS[b])).otherwise(
+            F.lit(0).cast("long")
+        )
     return out
 
 

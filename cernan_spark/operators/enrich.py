@@ -40,8 +40,11 @@ def enrich_tags_fast(
     driver-side per (role, tool) combo — the dictionaries are tiny config —
     and attached with ONE broadcast hash join. No per-row map allocation.
 
-    Rows whose role/tool values are outside the dictionaries fall back to
-    the global defaults.
+    Rows whose role/tool values are outside the dictionaries map to a
+    sentinel 'other' key per axis, so partial matches (known role,
+    unlisted tool — or vice versa) still receive the matching scope's
+    defaults, exactly like :func:`enrich_tags`'s independent overlays
+    (TagIter precedence, src/metric/mod.rs:43-85).
     """
     rows = tag_dicts.collect()
     role_d: dict[str, dict[str, str]] = {}
@@ -67,18 +70,32 @@ def enrich_tags_fast(
     def key_of(m: dict[str, str]) -> str:
         return ",".join(f"{k}={m[k]}" for k in sorted(m))
 
+    OTHER = "\x00other\x00"  # sentinel for values outside a dictionary
     combos = [
         (ro, to, merged(ro, to), key_of(merged(ro, to)))
-        for ro in role_d
-        for to in tool_d
+        for ro in [*role_d, OTHER]
+        for to in [*tool_d, OTHER]
     ]
     spark = df.sparkSession
     dim = spark.createDataFrame(
         combos,
-        f"{role_col} string, {tool_col} string, tags map<string,string>, tags_key string",
+        "_role_j string, _tool_j string, tags map<string,string>, tags_key string",
     )
-    out = df.join(F.broadcast(dim), [role_col, tool_col], "left")
-    fallback = merged("\x00none\x00", "\x00none\x00")  # global-only defaults
+    role_j = F.when(
+        F.col(role_col).isin(list(role_d)), F.col(role_col)
+    ).otherwise(F.lit(OTHER))
+    tool_j = F.when(
+        F.col(tool_col).isin(list(tool_d)), F.col(tool_col)
+    ).otherwise(F.lit(OTHER))
+    out = (
+        df.withColumn("_role_j", role_j)
+        .withColumn("_tool_j", tool_j)
+        .join(F.broadcast(dim), ["_role_j", "_tool_j"], "left")
+        .drop("_role_j", "_tool_j")
+    )
+    # every combo exists in dim (sentinels included) — coalesce only guards
+    # the degenerate all-empty-dictionary case
+    fallback = merged(OTHER, OTHER)
     fb_map = F.create_map(
         *[x for kv in fallback.items() for x in (F.lit(kv[0]), F.lit(kv[1]))]
     ) if fallback else F.expr("map()")

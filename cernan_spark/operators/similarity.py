@@ -148,6 +148,34 @@ def cosine_topk_lsh(
     )
 
 
+def seed_near_dups(
+    vectors: DataFrame,
+    n_seed: int = 50,
+    id_offset: int = 1_000_000,
+    delta: float = 0.05,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Union the corpus with deterministic near-duplicate copies: for
+    ``id < n_seed``, add a twin at ``id + id_offset`` whose first component
+    is shifted by ``delta`` (cosine vs the original ≈ 0.999). The synthetic
+    testdata corpus has no natural near-dups (max pairwise cosine ≈ 0.51),
+    so this seeds exactly ``n_seed`` known pairs for the detector to find —
+    the perturbation is plain double arithmetic, reproducible in ANSI SQL
+    for the oracle. Output: (id_col, vec_col: array<double>)."""
+    base = vectors.select(
+        F.col(id_col),
+        F.transform(vec_col, lambda x: x.cast("double")).alias(vec_col),
+    )
+    seeded = base.filter(F.col(id_col) < n_seed).select(
+        (F.col(id_col) + F.lit(id_offset)).alias(id_col),
+        F.transform(
+            vec_col, lambda x, i: F.when(i == 0, x + F.lit(delta)).otherwise(x)
+        ).alias(vec_col),
+    )
+    return base.unionByName(seeded)
+
+
 def embedding_near_dup_pairs(
     vectors: DataFrame,
     threshold: float = 0.95,

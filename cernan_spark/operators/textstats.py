@@ -107,18 +107,35 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def doc_fingerprint(
-    df: DataFrame, text_col: str = "text", k: int = 8, ngram: int = 8
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 8,
+    ngram: int = 8,
+    portable: bool = False,
 ) -> DataFrame:
     """Rolling-hash document fingerprint: k smallest hashes of character
     n-grams (a k-min sketch — overlap estimates resemblance, the classic
     winnowing/fingerprint scheme). Character n-grams via substring over a
-    staged position sequence; hashes JVM-side."""
+    staged position sequence; hashes JVM-side. ``portable=True`` swaps
+    xxhash64 for the cross-engine polynomial hash (functions/porthash.py)
+    so fingerprints are value-checkable against a DuckDB oracle."""
+    from cernan_spark.functions.porthash import portable_hash
+
     t = F.col(text_col)
+    gram_hash = (
+        (lambda i: portable_hash(F.substring(t, i, ngram)))
+        if portable
+        else (
+            lambda i: F.pmod(
+                F.xxhash64(F.substring(t, i, ngram)), F.lit(_MERSENNE31)
+            )
+        )
+    )
     staged = df.withColumn(
         "_grams",
         F.transform(
             F.sequence(F.lit(1), F.greatest(F.length(t) - (ngram - 1), F.lit(1))),
-            lambda i: F.pmod(F.xxhash64(F.substring(t, i, ngram)), F.lit(_MERSENNE31)),
+            gram_hash,
         ),
     )
     return staged.withColumn(

@@ -9,7 +9,7 @@ back to parquet paths; see _write)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from cernan_spark.operators.aggregate import prometheus_accumulate
@@ -52,8 +52,21 @@ def write_sinks(
     targets = {
         "console": console_format(sink_of("console"), bin_width),
         "wavefront": wavefront_format(sink_of("wavefront"), bin_width),
+        # prometheus_format's contract is "one row per key = the current
+        # accumulator snapshot" (prometheus.rs:209-332): keep only each
+        # (name, kind)'s LAST bin of the perpetual accumulation — without
+        # this the exposition repeats one TYPE/sample line per bin with
+        # intermediate cumulative values.
         "prometheus": prometheus_format(
             prometheus_accumulate(sink_of("prometheus"), ["name", "kind"])
+            .withColumn(
+                "_rn",
+                F.row_number().over(
+                    W.partitionBy("name", "kind").orderBy(F.col("bin").desc())
+                ),
+            )
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
         ),
         "influxdb": influxdb_format(
             routed_tel.filter(F.col("sink") == "influxdb")

@@ -116,3 +116,31 @@ def test_delay_filter_strict_bound(spark):
     ref = 1704067200  # 2024-01-01T00:00:00Z
     out = delay_filter(df, 10, ref)
     assert out.count() == 2  # strict <, the +10s row is rejected
+
+
+def test_enrich_fast_equals_slow_on_partial_matches(spark):
+    """enrich_tags_fast must give partial-match rows (known role, unlisted
+    tool — and vice versa) the matching scope's defaults, identically to
+    enrich_tags' independent overlays (TagIter, metric/mod.rs:43-85)."""
+    from cernan_spark.operators.enrich import enrich_tags_fast
+
+    df = spark.createDataFrame(
+        [
+            ("user", "bash"),        # full match
+            ("user", "none"),        # role-only match (the signup case)
+            ("martian", "bash"),     # tool-only match
+            ("martian", "none"),     # global-only
+            (None, None),            # nulls
+        ],
+        "role string, tool string",
+    )
+    dicts = default_tag_dicts(spark)
+    slow = {
+        (r["role"], r["tool"]): dict(r["tags"])
+        for r in enrich_tags(df, dicts).collect()
+    }
+    fast = {
+        (r["role"], r["tool"]): dict(r["tags"])
+        for r in enrich_tags_fast(df, dicts).collect()
+    }
+    assert fast == slow

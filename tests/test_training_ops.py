@@ -68,3 +68,33 @@ def test_simhash_near_dups_close(spark):
     ham = lambda a, b: bin((a ^ b) & ((1 << 64) - 1)).count("1")
     assert ham(h[0], h[1]) < ham(h[0], h[2])
     assert ham(h[0], h[3]) == 0
+
+
+def test_simhash_onefold_equals_naive(spark):
+    """The one-pass vote-array fold must produce bit-identical fingerprints
+    to the per-bit-fold reference form (64× fewer array traversals)."""
+    from cernan_spark.operators.dedup import simhash, simhash_naive
+
+    got = (
+        _docs(spark)
+        .select(
+            "doc_id",
+            simhash(F.col("text")).alias("fast"),
+            simhash_naive(F.col("text")).alias("naive"),
+        )
+        .collect()
+    )
+    assert all(r["fast"] == r["naive"] for r in got)
+
+
+def test_minhash_portable_matches_xxhash_pairs(spark):
+    """portable=True changes the hash family, not the algorithm: on a
+    corpus with an unambiguous near-dup, both modes find the same pair
+    with high signature agreement."""
+    for portable in (False, True):
+        cands = minhash_lsh_candidates(
+            _docs(spark), num_hashes=32, bands=16, portable=portable
+        )
+        pairs = {(r["id_a"], r["id_b"]): r["n_match"] for r in cands.collect()}
+        assert (0, 1) in pairs or (0, 3) in pairs
+        assert pairs.get((0, 3), 32) == 32  # exact dup: every row agrees
