@@ -587,6 +587,52 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_native_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native-protocol federation path (native.rs:63-203 + native.proto):
+    events → multi-sample Telemetry payloads (protobuf-encoded, pure-Python
+    proto2 codec in Arrow batches) → u32-BE framed per-connection streams →
+    frame split → payload decode → one row per sample. Value-checked: the
+    oracle states what a lossless encode→frame→decode must reproduce,
+    including the reference's float-truncated ms→s timestamp (native.rs:149)."""
+    from cernan_spark.functions.framing import encode_frames, frames_from_stream
+    from cernan_spark.functions.nativeproto import (
+        decode_native_frames,
+        telemetry_to_native_frames,
+    )
+
+    _utc(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    grp = (
+        ev.withColumn("bin", F.floor(F.unix_timestamp("ts") / 3600).cast("long"))
+        .groupBy(F.col("event_type").alias("name"), "bin")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("event_id", "value"))),
+                lambda s: s["value"],
+            ).alias("samples")
+        )
+    )
+    tel = grp.select(
+        F.pmod(F.xxhash64("name"), F.lit(8)).alias("conn_id"),
+        "name",
+        "samples",
+        F.lit("SUMMARIZE").alias("kind"),
+        (F.col("bin") * 3_600_000).alias("ts_ms"),
+    )
+    framed = encode_frames(telemetry_to_native_frames(tel, ts_ms_col="ts_ms"))
+    streams = framed.groupBy("conn_id").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list("framed")),
+            F.lit(b""),
+            lambda acc, x: F.concat(acc, x),
+        ).alias("stream")
+    )
+    out = decode_native_frames(frames_from_stream(streams))
+    return out.filter(F.col("record_kind") == "telemetry").select(
+        "name", "sample_idx", "value", "kind", F.col("event_epoch").alias("epoch")
+    )
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode/feature plumbing over binary media columns via
     mapInPandas (rows-only; decode stubbed — libs absent in container)."""
@@ -646,6 +692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": q_embedding_near_dups,
         "multimodal_features": q_multimodal_features,
         "minhash_dedup": q_minhash_dedup,
+        "native_roundtrip": q_native_roundtrip,
     }
 
 
@@ -1075,6 +1122,21 @@ def oracle_sql() -> dict[str, str]:
                      CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS INTEGER) AS rank
               FROM scored
             ) WHERE rank <= 5
+        """,
+        "native_roundtrip": """
+            WITH e AS (
+              SELECT event_type, event_id, value,
+                     CAST(floor(CAST(floor(epoch(ts)) AS BIGINT) / 3600) AS BIGINT) AS bin
+              FROM events
+            )
+            SELECT event_type AS name,
+                   CAST(row_number() OVER (PARTITION BY event_type, bin
+                                           ORDER BY event_id) - 1 AS INTEGER) AS sample_idx,
+                   value, 'SUMMARIZE' AS kind,
+                   -- the reference's ms→s conversion is (ms as f64 * 0.001)
+                   -- as i64 (native.rs:149): float-truncated, mirrored here
+                   CAST(floor(CAST(bin * 3600000 AS DOUBLE) * 0.001) AS BIGINT) AS epoch
+            FROM e
         """,
         # ann_cosine_lsh / multimodal_features: intentionally rows-only
         # (probabilistic recall path asserted vs the exact twin in pytest;

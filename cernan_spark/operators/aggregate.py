@@ -353,14 +353,89 @@ def gauge_running_value(
     gauges: DataFrame,
     key_cols: list[str] | None = None,
     order_col: str = "order_key",
+    chunk_size: int = 1 << 16,
 ) -> DataFrame:
     """The statsd gauge fold: Set replaces, signed-delta Sum adds, in stable
     order (reference test fitness_for_statsd_gauge, src/buckets.rs:240-309).
 
-    Input: rows with kind SET (plain ``g``) or SUM (delta ``+g``/``-g``) and
-    persist=true. Adds ``running_value``. Window-only — no joins; one
-    shuffle on the series key.
+    Scale-safe segmented scan — a hot series does NOT serialize into one
+    task (the whole-series ``Window.partitionBy(name)`` form puts every
+    point of a popular gauge in a single partition; at 100 TB that is the
+    job's critical path). Instead:
+
+    1. rows are chunked by ``floor(order_key / chunk_size)`` — the intra-
+       chunk fold runs per (series, chunk) partition, in parallel;
+    2. a per-chunk summary (has_set, chunk-final value — absolute if the
+       chunk saw a SET, else the chunk's delta total) is merged per series
+       with one ordered window over the tiny chunk table (rows = points /
+       chunk_size);
+    3. each chunk's carry-in (running value at the end of the previous
+       chunk) joins back and offsets rows before the chunk's first SET.
+
+    Identical output to the whole-series fold (pytest-asserted), but the
+    big window is keyed (series, chunk) → parallelism scales with data.
     """
+    keys = key_cols or (["name", "tags_key"] if "tags_key" in gauges.columns else ["name"])
+    is_set_c = F.col("kind") == "SET"
+    df = gauges.withColumn(
+        "_chunk", F.floor(F.col(order_col) / F.lit(chunk_size)).cast("long")
+    )
+
+    # 1. intra-chunk segmented fold (partitioned by (keys, chunk))
+    wc = W.partitionBy(*keys, "_chunk").orderBy(order_col)
+    seg = F.sum(is_set_c.cast("long")).over(wc.rowsBetween(W.unboundedPreceding, 0))
+    df = df.withColumn("_seg", seg)
+    wseg = W.partitionBy(*keys, "_chunk", "_seg").orderBy(order_col)
+    base = F.first(F.when(is_set_c, F.col("value")), ignorenulls=True).over(
+        wseg.rowsBetween(W.unboundedPreceding, 0)
+    )
+    deltas = F.sum(
+        F.when(F.col("kind") == "SUM", F.col("value")).otherwise(F.lit(0.0))
+    ).over(wseg.rowsBetween(W.unboundedPreceding, 0))
+    # absolute once a SET was seen in this chunk (_seg > 0); else the
+    # chunk-relative delta prefix sum
+    df = df.withColumn("_intra", F.coalesce(base, F.lit(0.0)) + deltas)
+
+    # 2. per-chunk summary + per-series ordered merge (tiny table)
+    chunks = df.groupBy(*keys, "_chunk").agg(
+        F.max(is_set_c).alias("_has_set"),
+        F.max_by("_intra", F.col(order_col)).alias("_final"),
+    )
+    w2 = W.partitionBy(*keys).orderBy("_chunk")
+    seg2 = F.sum(F.col("_has_set").cast("long")).over(
+        w2.rowsBetween(W.unboundedPreceding, 0)
+    )
+    chunks = chunks.withColumn("_seg2", seg2)
+    w3 = W.partitionBy(*keys, "_seg2").orderBy("_chunk")
+    base2 = F.first(F.when(F.col("_has_set"), F.col("_final")), ignorenulls=True).over(
+        w3.rowsBetween(W.unboundedPreceding, 0)
+    )
+    rel = F.sum(
+        F.when(~F.col("_has_set"), F.col("_final")).otherwise(F.lit(0.0))
+    ).over(w3.rowsBetween(W.unboundedPreceding, 0))
+    carry_out = F.coalesce(base2, F.lit(0.0)) + rel
+    carry = chunks.withColumn(
+        "_carry_in", F.lag(carry_out, 1, 0.0).over(w2)
+    ).select(*keys, "_chunk", "_carry_in")
+
+    # 3. offset pre-SET rows by the previous chunk's closing value
+    out = df.join(carry, [*keys, "_chunk"], "left").withColumn(
+        "running_value",
+        F.when(F.col("_seg") > 0, F.col("_intra")).otherwise(
+            F.coalesce(F.col("_carry_in"), F.lit(0.0)) + F.col("_intra")
+        ),
+    )
+    return out.drop("_chunk", "_seg", "_intra", "_carry_in")
+
+
+def gauge_running_value_global(
+    gauges: DataFrame,
+    key_cols: list[str] | None = None,
+    order_col: str = "order_key",
+) -> DataFrame:
+    """Whole-series-window form of :func:`gauge_running_value` — one task
+    per series. Kept only as the pytest equality reference; do not use in
+    pipelines (hot series serialize)."""
     keys = key_cols or (["name", "tags_key"] if "tags_key" in gauges.columns else ["name"])
     w = W.partitionBy(*keys).orderBy(order_col)
     is_set = (F.col("kind") == "SET").cast("long")

@@ -75,38 +75,35 @@ def checkpointed_write(
         "left_anti",
     )
 
-    t0 = time.perf_counter()
-    (
-        todo.write.mode("overwrite")
-        .partitionBy(sink_col, "part")
-        .parquet(out_path)
-    )
-    wall = time.perf_counter() - t0
-
-    # lineage + per-partition throughput metrics (one aggregate job over the
-    # data just written — reads back the committed files, so the counts are
-    # what is actually on disk). A sink with zero routed rows writes no
-    # files at all → nothing to record.
+    # Lineage counts come from ``todo`` itself, NOT from re-reading the sink
+    # output: at scale re-scanning out_path reads every partition ever
+    # committed on every run — the bookkeeping would cost more than the
+    # write. todo is persisted so the count aggregate and the write share
+    # one computation of the upstream (the aggregate materializes the cache,
+    # the write drains it).
+    todo = todo.persist()
     try:
-        written = spark.read.parquet(out_path)
-    except Exception:  # noqa: BLE001 — empty write: no parquet footers yet
-        return spark.createDataFrame([], LINEAGE_SCHEMA)
-    new_parts = written.select(F.col(sink_col).alias("sink"), "part").distinct().join(
-        F.broadcast(done), ["sink", "part"], "left_anti"
-    )
-    lineage = (
-        written.select(F.col(sink_col).alias("sink"), "part")
-        .join(F.broadcast(new_parts), ["sink", "part"], "left_semi")
-        .groupBy("sink", "part")
-        .agg(F.count("*").alias("n_rows"))
-        .select(
-            F.lit(run_id).alias("run_id"),
-            "sink",
-            "part",
-            "n_rows",
-            F.lit(wall).alias("wall_sec"),
-            F.lit(int(time.time())).alias("committed_at_epoch"),
+        t0 = time.perf_counter()
+        counts = (
+            todo.groupBy(F.col(sink_col).alias("sink"), "part")
+            .agg(F.count("*").alias("n_rows"))
+            .collect()
         )
+        (
+            todo.write.mode("overwrite")
+            .partitionBy(sink_col, "part")
+            .parquet(out_path)
+        )
+        wall = time.perf_counter() - t0
+    finally:
+        todo.unpersist()
+
+    if not counts:  # nothing new to commit (all partitions already done)
+        return spark.createDataFrame([], LINEAGE_SCHEMA)
+    now = int(time.time())
+    lineage = spark.createDataFrame(
+        [(run_id, r["sink"], r["part"], r["n_rows"], wall, now) for r in counts],
+        LINEAGE_SCHEMA,
     )
     lineage.write.mode("append").parquet(lineage_path)
     return spark.read.parquet(lineage_path).filter(F.col("run_id") == run_id)

@@ -65,3 +65,36 @@ def test_rerun_is_idempotent_after_partial_loss(spark, tmpdir):
     shutil.rmtree(lin)
     checkpointed_write(spark, df, out, lin, n_buckets=2)
     assert spark.read.parquet(out).count() == 20  # overwritten, not appended
+
+
+def test_lineage_never_rescans_committed_output(spark, tmpdir):
+    """Lineage counts must come from the new rows, not from re-reading the
+    sink output (VERDICT r1: a full out_path re-scan per run costs more
+    than the write at scale). Committed files from earlier runs are
+    corrupted here — a lineage path that re-read them would blow up or
+    miscount; the new-partition counts must still be exact."""
+    import glob
+    import os
+
+    out, lin = f"{tmpdir}/out", f"{tmpdir}/lineage"
+    first = checkpointed_write(spark, _routed(spark, ["alpha"]), out, lin)
+    assert first.count() > 0
+
+    # corrupt every committed parquet file (simulates 'unreadably large')
+    for f in glob.glob(f"{out}/**/*.parquet", recursive=True):
+        with open(f, "wb") as fh:
+            fh.write(b"not parquet")
+    assert glob.glob(f"{out}/**/*.parquet", recursive=True)
+
+    second = checkpointed_write(spark, _routed(spark, ["alpha", "zeta"]), out, lin)
+    got = {(r["sink"], r["part"]): r["n_rows"] for r in second.collect()}
+    done1 = {(r["sink"], r["part"]) for r in first.collect()}
+    assert got, "new partitions must be committed"
+    assert not (set(got) & done1), "already-committed partitions re-recorded"
+    assert all(n == 1 for n in got.values())  # one 'zeta' row per sink part
+
+    # os.path sanity: the corrupted run-1 files are still there untouched
+    assert any(
+        open(f, "rb").read() == b"not parquet"
+        for f in glob.glob(f"{out}/**/*.parquet", recursive=True)
+    )
