@@ -253,6 +253,114 @@ def q_prometheus_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cum.select("name", "bin", _r4(F.col("cum_value")).alias("cum_value"), "cum_count")
 
 
+def q_prometheus_cumulative_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prometheus perpetual HISTOGRAM accumulation (prometheus.rs:209-332):
+    bucket counts accumulate bin-wise forever — exploded to (name, bin,
+    bucket_idx, cum_cnt) rows for the oracle."""
+    p = (
+        _parsed(spark, sf_dir)
+        .filter(F.col("name") == "errors")
+        .withColumn("kind", F.lit("HISTOGRAM"))
+        .withColumn("bin", F.floor(F.col("epoch") / 3600).cast("long"))
+    )
+    h = agg_histograms(p).select(
+        "name", "bin", "kind",
+        F.lit(None).cast("double").alias("agg_value"),
+        "n_points", "hist",
+    )
+    cum = prometheus_accumulate(h, ["name"])
+    return cum.select(
+        "name", "bin", F.posexplode("cum_hist").alias("bucket_idx", "b")
+    ).select("name", "bin", "bucket_idx", F.col("b.cnt").alias("cum_cnt"))
+
+
+def q_console_sections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Console sink per-kind sections with min/max/50/90/99/999 summaries
+    (console.rs:100-195). Values pre-rounded to 4 decimals on both engines
+    (Rust f64 Display is not reproducible cross-engine)."""
+    from cernan_spark.operators.sinks import CONSOLE_STATS, console_sections
+
+    p = _parsed(spark, sf_dir).withColumn(
+        "bin", F.floor(F.col("epoch") / 3600).cast("long")
+    )
+    probs = F.array(*[F.lit(q) for _, q in CONSOLE_STATS])
+    nul = lambda t: F.lit(None).cast(t)
+    wide_cols = [
+        "name", "bin", "kind", "agg_value", "quantile_values",
+        "quantile_probs", "hist",
+    ]
+    sums = (
+        p.filter(F.col("kind") == "SUM")
+        .groupBy("name", "bin")
+        .agg(_r4(F.sum("value")).alias("agg_value"))
+        .select(
+            "name", "bin", F.lit("SUM").alias("kind"), "agg_value",
+            nul("array<double>").alias("quantile_values"),
+            nul("array<double>").alias("quantile_probs"),
+            nul("array<struct<bound:double,cnt:bigint>>").alias("hist"),
+        )
+    )
+    sets = (
+        p.filter(F.col("kind") == "SET")
+        .groupBy("name", "bin")
+        .agg(_r4(F.max_by("value", F.col("order_key"))).alias("agg_value"))
+        .select(
+            "name", "bin", F.lit("SET").alias("kind"), "agg_value",
+            nul("array<double>").alias("quantile_values"),
+            nul("array<double>").alias("quantile_probs"),
+            nul("array<struct<bound:double,cnt:bigint>>").alias("hist"),
+        )
+    )
+    # discrete quantile (sorted-list element at floor(q*(n-1))): exact
+    # arithmetic on both engines — continuous interpolation differs by one
+    # ULP between Spark percentile and DuckDB quantile_cont at q=0.999
+    sv = F.array_sort(F.collect_list("value"))
+    summ = (
+        p.filter(F.col("kind") == "SUMMARIZE")
+        .groupBy("name", "bin")
+        .agg(sv.alias("_sv"))
+        .withColumn(
+            "quantile_values",
+            F.array(
+                *[
+                    F.round(
+                        F.element_at(
+                            "_sv",
+                            (
+                                F.floor(F.lit(q) * (F.size("_sv") - 1)) + 1
+                            ).cast("int"),
+                        ),
+                        4,
+                    )
+                    for _, q in CONSOLE_STATS
+                ]
+            ),
+        )
+        .select(
+            "name", "bin", F.lit("SUMMARIZE").alias("kind"),
+            nul("double").alias("agg_value"),
+            "quantile_values", probs.alias("quantile_probs"),
+            nul("array<struct<bound:double,cnt:bigint>>").alias("hist"),
+        )
+    )
+    hist = agg_histograms(
+        p.filter(F.col("name") == "errors").withColumn("kind", F.lit("HISTOGRAM"))
+    ).select(
+        "name", "bin", F.lit("HISTOGRAM").alias("kind"),
+        nul("double").alias("agg_value"),
+        nul("array<double>").alias("quantile_values"),
+        nul("array<double>").alias("quantile_probs"),
+        "hist",
+    )
+    wide = (
+        sums.select(wide_cols)
+        .unionByName(sets.select(wide_cols))
+        .unionByName(summ.select(wide_cols))
+        .unionByName(hist.select(wide_cols))
+    )
+    return console_sections(wide, 3600)
+
+
 def q_flush_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FlushBoundaryFilter: only settled bins are released
     (flush_boundary_filter.rs:56-91) — drop each series' in-progress max
@@ -668,6 +776,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "route_fanout": q_route_fanout,
         "enrich_tags": q_enrich_tags,
         "prometheus_cumulative": q_prometheus_cumulative,
+        "prometheus_cumulative_hist": q_prometheus_cumulative_hist,
+        "console_sections": q_console_sections,
         "flush_boundary": q_flush_boundary,
         "zero_pad": q_zero_pad,
         "tick_count": q_tick_count,
@@ -949,6 +1059,76 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(agg_value) OVER (PARTITION BY name ORDER BY bin), 4) AS cum_value,
                    CAST(sum(n_points) OVER (PARTITION BY name ORDER BY bin) AS BIGINT) AS cum_count
             FROM per_bin
+        """,
+        "prometheus_cumulative_hist": P
+        + """
+            , per AS (
+              SELECT name, CAST(floor(epoch / 3600) AS BIGINT) AS bin,
+                     CASE WHEN value <= 1 THEN 0 WHEN value <= 10 THEN 1
+                          WHEN value <= 100 THEN 2 WHEN value <= 1000 THEN 3
+                          ELSE 4 END AS bucket_idx,
+                     count(*) AS cnt
+              FROM parsed WHERE name = 'errors' GROUP BY 1, 2, 3
+            ), bins AS (
+              SELECT DISTINCT name, bin FROM per
+            ), idx AS (
+              SELECT unnest(range(0, 5)) AS bucket_idx
+            ), dense AS (
+              SELECT b.name, b.bin, i.bucket_idx, coalesce(p.cnt, 0) AS cnt
+              FROM bins b CROSS JOIN idx i
+              LEFT JOIN per p ON p.name = b.name AND p.bin = b.bin
+                             AND p.bucket_idx = i.bucket_idx
+            )
+            SELECT name, bin, CAST(bucket_idx AS INTEGER) AS bucket_idx,
+                   CAST(sum(cnt) OVER (PARTITION BY name, bucket_idx
+                                       ORDER BY bin) AS BIGINT) AS cum_cnt
+            FROM dense
+        """,
+        "console_sections": P
+        + """
+            , b AS (SELECT *, CAST(floor(epoch / 3600) AS BIGINT) AS bin FROM parsed)
+            SELECT 'sums' AS section,
+                   '    ' || name || '(' || CAST(bin * 3600 AS VARCHAR) || '): '
+                   || printf('%.4f', round(sum(value), 4)) AS line
+            FROM b WHERE kind = 'SUM' GROUP BY name, bin
+            UNION ALL
+            SELECT 'sets',
+                   '    ' || name || '(' || CAST(bin * 3600 AS VARCHAR) || '): '
+                   || printf('%.4f', round(arg_max(value, order_key), 4))
+            FROM b WHERE kind = 'SET' GROUP BY name, bin
+            """
+        + "".join(
+            f"""
+            UNION ALL
+            SELECT 'summaries',
+                   '    ' || name || ': {label} '
+                   || printf('%.4f', round((list_sort(list(value)))
+                        [CAST(floor({q} * (count(*) - 1)) AS INTEGER) + 1], 4))
+            FROM b WHERE kind = 'SUMMARIZE' GROUP BY name, bin"""
+            for label, q in [
+                ("min", 0.0), ("max", 1.0), ("50", 0.5),
+                ("90", 0.9), ("99", 0.99), ("999", 0.999),
+            ]
+        )
+        + """
+            UNION ALL
+            SELECT 'histograms',
+                   '    ' || h.name || '_'
+                   || (CASE WHEN bnd.bound IS NULL THEN 'pos_inf'
+                            ELSE printf('%.4f', bnd.bound) END)
+                   || '(' || CAST(h.bin * 3600 AS VARCHAR) || '): '
+                   || CAST(coalesce(c.cnt, 0) AS VARCHAR)
+            FROM (SELECT DISTINCT name, bin FROM b WHERE name = 'errors') h
+            CROSS JOIN (VALUES (1.0, 0), (10.0, 1), (100.0, 2), (1000.0, 3),
+                               (NULL, 4)) AS bnd(bound, bidx)
+            LEFT JOIN (
+              SELECT name, bin,
+                     CASE WHEN value <= 1 THEN 0 WHEN value <= 10 THEN 1
+                          WHEN value <= 100 THEN 2 WHEN value <= 1000 THEN 3
+                          ELSE 4 END AS bidx,
+                     count(*) AS cnt
+              FROM b WHERE name = 'errors' GROUP BY 1, 2, 3
+            ) c ON c.name = h.name AND c.bin = h.bin AND c.bidx = bnd.bidx
         """,
         "flush_boundary": P
         + """

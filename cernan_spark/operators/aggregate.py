@@ -510,12 +510,86 @@ def zero_pad(
     return joined.withColumn(value_col, F.coalesce(F.col(value_col), F.lit(0.0)))
 
 
+def wavefront_persist_reinsert(
+    agg: DataFrame, key_cols: list[str] | None = None
+) -> DataFrame:
+    """Wavefront persist re-insertion (wavefront.rs:423-426): a persisted
+    telemetry re-enters the aggregation at every subsequent flush,
+    re-timestamped — i.e. a persisted series keeps emitting its last value
+    in every later window, forever, until overwritten. Batch form: extend
+    each persist series with carried values through the GLOBAL max bin
+    (the last flush). Synthesized rows carry ``reinserted=true`` and
+    n_points=0. Joins are span-table sized, never per-point."""
+    keys = key_cols or (
+        ["name", "tags_key"] if "tags_key" in agg.columns else ["name"]
+    )
+    agg = agg.withColumn("reinserted", F.lit(False))
+    pers = agg.filter(F.col("persist"))
+    hi = agg.agg(F.max("bin").alias("_hi"))
+    spans = pers.groupBy(*keys).agg(
+        F.min("bin").alias("_lo"), F.max("bin").alias("_series_hi"),
+        F.first("kind").alias("_kind"),
+    ).crossJoin(F.broadcast(hi))
+    all_bins = spans.select(
+        *keys, "_kind",
+        F.explode(F.sequence(F.col("_lo"), F.col("_hi"))).alias("bin"),
+    )
+    filled = all_bins.join(
+        pers.select(*keys, "bin", "agg_value", "n_points"), [*keys, "bin"], "left"
+    )
+    wfill = W.partitionBy(*keys).orderBy("bin").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    synth = (
+        filled.withColumn(
+            "_carried", F.last("agg_value", ignorenulls=True).over(wfill)
+        )
+        .filter(F.col("agg_value").isNull())  # only the gap/tail bins
+        .select(
+            *keys,
+            "bin",
+            F.col("_carried").alias("agg_value"),
+            F.lit(0).cast("long").alias("n_points"),
+            F.col("_kind").alias("kind"),
+            F.lit(True).alias("persist"),
+            F.lit(True).alias("reinserted"),
+        )
+    )
+    base_cols = [*keys, "bin", "agg_value", "n_points", "kind", "persist",
+                 "reinserted"]
+    return agg.select(base_cols).unionByName(synth.select(base_cols))
+
+
+def prometheus_reject_kind_changes(
+    per_bin: DataFrame, key_cols: list[str] | None = None
+) -> DataFrame:
+    """Prometheus kind-change rejection (prometheus.rs:279-310): the first-
+    seen aggregation kind of a name wins; later reports under a different
+    kind are rejected, never merged. Batch form: first kind by bin order
+    per key; mismatching rows get ``kind_rejected=true`` (callers filter
+    and count them — the reference increments a rejection counter and
+    drops). The window runs on the tiny per-bin table, not raw points."""
+    keys = key_cols or ["name"]
+    w = W.partitionBy(*keys).orderBy("bin", "kind").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    first_kind = F.first("kind").over(w)
+    return per_bin.withColumn(
+        "kind_rejected", F.col("kind") != first_kind
+    )
+
+
 def prometheus_accumulate(per_bin: DataFrame, key_cols: list[str]) -> DataFrame:
-    """Prometheus perpetual accumulators: Sum/Histogram accumulate forever,
-    Set keeps the latest value, timestamps are dropped (reference
-    src/sink/prometheus.rs:209-332). Cumulative-over-bins window."""
+    """Prometheus perpetual accumulators: Sum AND Histogram accumulate
+    forever (bin-wise count addition for histograms), Set keeps the latest
+    value, timestamps are dropped (reference src/sink/prometheus.rs:209-332).
+
+    Scalar kinds: one cumulative window over the per-bin table. Histograms:
+    posexplode buckets → cumulative count per (key, bucket) over bins →
+    reassemble the bucket array (``cum_hist``) — all on per-bin aggregates,
+    never raw points."""
     w = W.partitionBy(*key_cols).orderBy("bin").rowsBetween(W.unboundedPreceding, 0)
-    return (
+    out = (
         per_bin.withColumn(
             "cum_value",
             F.when(F.col("kind") == "SUM", F.sum("agg_value").over(w))
@@ -524,6 +598,31 @@ def prometheus_accumulate(per_bin: DataFrame, key_cols: list[str]) -> DataFrame:
         )
         .withColumn("cum_count", F.sum("n_points").over(w))
     )
+    if "hist" not in per_bin.columns:
+        return out
+    h = per_bin.filter(F.col("kind") == "HISTOGRAM").select(
+        *key_cols, "bin", F.posexplode("hist").alias("_i", "_b")
+    )
+    wh = W.partitionBy(*key_cols, "_i").orderBy("bin").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    hc = h.withColumn("_cum_cnt", F.sum(F.col("_b.cnt")).over(wh))
+    cum_hist = (
+        hc.groupBy(*key_cols, "bin")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("_i", F.col("_b.bound").alias("bound"), "_cum_cnt")
+                    )
+                ),
+                lambda x: F.struct(
+                    x["bound"].alias("bound"), x["_cum_cnt"].alias("cnt")
+                ),
+            ).alias("cum_hist")
+        )
+    )
+    return out.join(cum_hist, [*key_cols, "bin"], "left")
 
 
 def prometheus_windowed_summaries(

@@ -118,18 +118,25 @@ def influxdb_format(points: DataFrame) -> DataFrame:
 
 def elasticsearch_format(logs: DataFrame) -> DataFrame:
     """Bulk-index JSON doc with a deterministic id and date-suffixed index
-    (reference src/sink/elasticsearch.rs:126-158): payload + path + ts +
-    flattened tags/fields merged into the doc."""
+    (reference src/sink/elasticsearch.rs:126-158): the doc body is the
+    base payload (uuid/path/payload/timestamp) with every tag AND every
+    parsed field inserted as a top-level key — fields override tags
+    override base keys, matching the reference's insert order."""
+    from cernan_spark.functions.jsonlog import merge_maps_first_wins
+
     empty = F.expr("map()")
-    doc = F.to_json(
-        F.struct(
-            F.sha2(F.concat_ws("|", "conv_id", F.col("order_key").cast("string")), 256).alias("uuid"),
-            F.col("conv_id").alias("path"),
-            F.col("line").alias("payload"),
-            F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ssXXX").alias("timestamp"),
-            F.coalesce(F.col("tags"), empty).alias("tags") if "tags" in logs.columns else empty.alias("tags"),
-        )
+    tags = F.coalesce(F.col("tags"), empty) if "tags" in logs.columns else empty
+    fields = (
+        F.coalesce(F.col("fields"), empty) if "fields" in logs.columns else empty
     )
+    base = F.create_map(
+        F.lit("uuid"),
+        F.sha2(F.concat_ws("|", "conv_id", F.col("order_key").cast("string")), 256),
+        F.lit("path"), F.col("conv_id"),
+        F.lit("payload"), F.col("line"),
+        F.lit("timestamp"), F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ssXXX"),
+    )
+    doc = F.to_json(merge_maps_first_wins(fields, tags, base))
     index = F.concat(F.lit("cernan-"), F.date_format("ts", "yyyy.MM.dd"))
     return logs.select(index.alias("index"), doc.alias("doc"))
 
@@ -147,6 +154,72 @@ def kafka_format(logs: DataFrame) -> DataFrame:
             tags,
             F.create_map(F.lit("path"), F.col("conv_id")),
         ).alias("headers"),
+    )
+
+
+#: console.rs:162-183 Summarize stat lines: (label, quantile)
+CONSOLE_STATS = [
+    ("min", 0.0), ("max", 1.0), ("50", 0.5), ("90", 0.9),
+    ("99", 0.99), ("999", 0.999),
+]
+
+
+def console_sections(agg: DataFrame, bin_width: int) -> DataFrame:
+    """Console sink per-kind sections (reference src/sink/console.rs:100-195):
+
+      sums / sets:   ``    name(timestamp): value``
+      summaries:     ``    name: <min|max|50|90|99|999> <quantile>``
+      histograms:    ``    name_<bound|pos_inf>(timestamp): count``
+
+    Output rows (section, line); values %.4f-formatted (the reference
+    prints Rust f64 Display — not reproducible cross-engine, so the wire
+    format is pinned to 4 decimals here and in the oracle). Input: the
+    wide bucket-aggregate table."""
+    ts = (F.col("bin") * bin_width).cast("string")
+    v4 = lambda c: F.format_string("%.4f", c)
+
+    def scalar(kind: str, section: str) -> DataFrame:
+        return agg.filter(F.col("kind") == kind).select(
+            F.lit(section).alias("section"),
+            F.concat(
+                F.lit("    "), F.col("name"), F.lit("("), ts, F.lit("): "),
+                v4(F.col("agg_value")),
+            ).alias("line"),
+        )
+
+    summ = agg.filter(F.col("kind") == "SUMMARIZE")
+    stat_lines = []
+    for label, q in CONSOLE_STATS:
+        qv = F.element_at(
+            "quantile_values",
+            F.array_position("quantile_probs", F.lit(q)).cast("int"),
+        )
+        stat_lines.append(
+            F.concat(
+                F.lit("    "), F.col("name"), F.lit(": "), F.lit(label),
+                F.lit(" "), v4(qv),
+            )
+        )
+    summaries = summ.select(
+        F.lit("summaries").alias("section"),
+        F.explode(F.array(*stat_lines)).alias("line"),
+    )
+    hist = agg.filter(F.col("kind") == "HISTOGRAM").select(
+        "name", "bin", F.explode("hist").alias("b")
+    ).select(
+        F.lit("histograms").alias("section"),
+        F.concat(
+            F.lit("    "), F.col("name"), F.lit("_"),
+            F.when(F.col("b.bound") == float("inf"), F.lit("pos_inf"))
+            .otherwise(v4(F.col("b.bound"))),
+            F.lit("("), ts, F.lit("): "), F.col("b.cnt").cast("string"),
+        ).alias("line"),
+    )
+    return (
+        scalar("SUM", "sums")
+        .unionByName(scalar("SET", "sets"))
+        .unionByName(summaries)
+        .unionByName(hist)
     )
 
 

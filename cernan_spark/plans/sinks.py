@@ -12,7 +12,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from cernan_spark.operators.aggregate import prometheus_accumulate
+from cernan_spark.operators.aggregate import (
+    prometheus_accumulate,
+    wavefront_persist_reinsert,
+)
 from cernan_spark.operators.sinks import (
     console_format,
     elasticsearch_format,
@@ -49,9 +52,17 @@ def write_sinks(
     def sink_of(name: str) -> DataFrame:
         return agg.filter(F.col("sink") == name)
 
+    # persisted series re-enter every later flush window re-timestamped
+    # (wavefront.rs:423-426): append the synthesized carry rows before
+    # formatting so gap/tail bins still emit lines
+    wf = sink_of("wavefront")
+    wf_all = wf.unionByName(
+        wavefront_persist_reinsert(wf).filter(F.col("reinserted")),
+        allowMissingColumns=True,
+    )
     targets = {
         "console": console_format(sink_of("console"), bin_width),
-        "wavefront": wavefront_format(sink_of("wavefront"), bin_width),
+        "wavefront": wavefront_format(wf_all, bin_width),
         # prometheus_format's contract is "one row per key = the current
         # accumulator snapshot" (prometheus.rs:209-332): keep only each
         # (name, kind)'s LAST bin of the perpetual accumulation — without

@@ -104,3 +104,95 @@ def test_write_sinks_end_to_end(spark):
         assert all(" = " in r["line"] for r in con)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_prometheus_histogram_accumulates_forever(spark):
+    """HISTOGRAM buckets accumulate bin-wise across flushes and never reset
+    (prometheus.rs:209-332)."""
+    rows = [
+        ("lat", 1, "HISTOGRAM", None, 3, False, None, None, None, None,
+         [(1.0, 2), (10.0, 1), (float("inf"), 0)]),
+        ("lat", 2, "HISTOGRAM", None, 2, False, None, None, None, None,
+         [(1.0, 0), (10.0, 1), (float("inf"), 1)]),
+    ]
+    df = spark.createDataFrame(rows, AGG_SCHEMA)
+    cum = prometheus_accumulate(df, ["name"]).orderBy("bin").collect()
+    assert [tuple(b["cnt"] for b in r["cum_hist"]) for r in cum] == [
+        (2, 1, 0),
+        (2, 2, 1),
+    ]
+    assert [r["cum_count"] for r in cum] == [3, 5]
+
+
+def test_prometheus_kind_change_rejected(spark):
+    """First-seen kind wins; later reports under another kind are rejected,
+    never merged (prometheus.rs:279-310)."""
+    from cernan_spark.operators.aggregate import prometheus_reject_kind_changes
+
+    rows = [
+        ("m", 1, "SUM", 5.0, 1, False, None, None, None, None, None),
+        ("m", 2, "SET", 9.0, 1, False, None, None, None, None, None),
+        ("m", 3, "SUM", 2.0, 1, False, None, None, None, None, None),
+    ]
+    df = spark.createDataFrame(rows, AGG_SCHEMA)
+    out = prometheus_reject_kind_changes(df, ["name"]).orderBy("bin").collect()
+    assert [r["kind_rejected"] for r in out] == [False, True, False]
+
+
+def test_wavefront_persist_reinsert_carries_to_last_flush(spark):
+    """A persisted gauge re-enters every later window re-timestamped
+    (wavefront.rs:423-426): gap and tail bins carry the last value with
+    n_points=0; non-persist series are untouched."""
+    from cernan_spark.operators.aggregate import wavefront_persist_reinsert
+
+    rows = [
+        ("g", 1, "SET", 7.0, 1, True, None, None, None, None, None),
+        ("g", 3, "SET", 9.0, 1, True, None, None, None, None, None),
+        ("c", 5, "SUM", 1.0, 1, False, None, None, None, None, None),
+    ]
+    df = spark.createDataFrame(rows, AGG_SCHEMA)
+    out = wavefront_persist_reinsert(df, ["name"])
+    got = sorted(
+        (r["name"], r["bin"], r["agg_value"], r["n_points"], r["reinserted"])
+        for r in out.collect()
+    )
+    assert got == [
+        ("c", 5, 1.0, 1, False),
+        ("g", 1, 7.0, 1, False),
+        ("g", 2, 7.0, 0, True),   # gap carries 7
+        ("g", 3, 9.0, 1, False),
+        ("g", 4, 9.0, 0, True),   # tail carries 9 ...
+        ("g", 5, 9.0, 0, True),   # ... through the global max bin
+    ]
+
+
+def test_elasticsearch_doc_merges_tags_and_fields(spark):
+    """The ES doc body carries every tag AND parsed field as top-level
+    keys; fields override tags override base (elasticsearch.rs:126-158)."""
+    import json
+
+    from cernan_spark.operators.sinks import elasticsearch_format
+
+    import datetime as dt
+
+    logs = spark.createDataFrame(
+        [
+            (
+                "conv-1", 10, "hello world",
+                dt.datetime(2024, 1, 15, 0, 0, 0),
+                {"env": "prod", "path": "tag-tries-to-override"},
+                {"status": "500", "env": "field-wins"},
+            )
+        ],
+        "conv_id string, order_key long, line string, ts timestamp, "
+        "tags map<string,string>, fields map<string,string>",
+    )
+    row = elasticsearch_format(logs).collect()[0]
+    doc = json.loads(row["doc"])
+    assert doc["payload"] == "hello world"
+    assert doc["status"] == "500"          # parsed field merged in
+    assert doc["env"] == "field-wins"      # fields override tags
+    # serde_json obj.insert REPLACES: tags overwrite base keys too
+    # (elasticsearch.rs:147-155 inserts tags/fields into the base object)
+    assert doc["path"] == "tag-tries-to-override"
+    assert row["index"].startswith("cernan-2024.01.15")
