@@ -127,6 +127,28 @@ def xf_tick_count(df: DataFrame, bin_col: str = "bin") -> DataFrame:
     return df.groupBy(bin_col).agg(F.count("*").alias("count_per_tick"))
 
 
+def xf_metric_query(
+    df: DataFrame,
+    prob: float,
+    bin_col: str = "bin",
+    exact: bool = True,
+    accuracy: int = 1000,
+) -> DataFrame:
+    """metric_query(q) — the Lua hook that queries the quantile structure of
+    the current window's samples for a metric (programmable_filter.rs
+    PAYLOAD_LIB 'metric_query' → telemetry.query()). Batch form: the
+    per-(name, window) quantile joined back to every row as
+    ``query_value``. Exact percentile for oracle parity; ``exact=False``
+    uses the mergeable percentile_approx sketch (the CKMS analog) at scale."""
+    q = (
+        F.expr(f"percentile(value, {prob})")
+        if exact
+        else F.percentile_approx("value", F.lit(prob), F.lit(accuracy))
+    )
+    per_win = df.groupBy("name", bin_col).agg(q.alias("query_value"))
+    return df.join(per_win, ["name", bin_col], "left")
+
+
 #: The named-transform registry standing in for user Lua scripts.
 PROGRAMMABLE_REGISTRY = {
     "identity": xf_identity,
@@ -137,8 +159,34 @@ PROGRAMMABLE_REGISTRY = {
     "json_extract_fields": xf_json_extract_fields,
     "field_from_path": xf_field_from_path,
     "tick_count": xf_tick_count,
+    "metric_query": xf_metric_query,
 }
 
 
 def apply_programmable(df: DataFrame, name: str, /, **kwargs) -> DataFrame:
     return PROGRAMMABLE_REGISTRY[name](df, **kwargs)
+
+
+def apply_programmable_safe(
+    df: DataFrame, filter_path: str, func: str, /, **kwargs
+) -> tuple[DataFrame, DataFrame]:
+    """Failure-accounted filter application (programmable_filter.rs
+    run_lua_func:576-618): a missing function or a function that errors
+    emits a ``cernan.filter.<path>.<func>.failure`` Sum telemetry and the
+    ORIGINAL events pass through unchanged. Returns (events, failures) —
+    failures is an empty frame on success."""
+    spark = df.sparkSession
+    fail_schema = "name string, value double, kind string"
+    ok = spark.createDataFrame([], fail_schema)
+    try:
+        out = PROGRAMMABLE_REGISTRY[func](df, **kwargs)
+        # force plan resolution now: a bad transform must fail HERE, not at
+        # the terminal action (mirrors pcall's eager error surface)
+        out.schema  # noqa: B018
+        return out, ok
+    except Exception:  # noqa: BLE001 — NoSuchFunction / analysis error
+        fail = spark.createDataFrame(
+            [(f"cernan.filter.{filter_path}.{func}.failure", 1.0, "SUM")],
+            fail_schema,
+        )
+        return df, fail

@@ -62,3 +62,24 @@ def unrouted(
 def routed_counts(routed: DataFrame) -> DataFrame:
     """Per-sink routed-row counts — the golden per-sink count check."""
     return routed.groupBy("sink").agg(F.count("*").alias("n_rows"))
+
+
+#: sinks a route may legally forward to (the configured sink set)
+KNOWN_SINKS = frozenset(
+    {"console", "wavefront", "prometheus", "influxdb", "elasticsearch",
+     "kafka", "native", "null"}
+)
+
+
+def validate_routes(routes: DataFrame, known_sinks=KNOWN_SINKS) -> None:
+    """Topology validation at job start (reference src/bin/cernan.rs:406-420:
+    every configured forward must resolve to an existing node, else the
+    process exits). Raises ValueError listing dangling forwards. The routes
+    table is tiny config — collecting it driver-side is the point."""
+    sinks = {r["sink"] for r in routes.select("sink").distinct().collect()}
+    dangling = sorted(sinks - set(known_sinks))
+    if dangling:
+        raise ValueError(
+            "unable to fulfill configured forward(s): "
+            + ", ".join(f"=> {s}" for s in dangling)
+        )

@@ -1,0 +1,91 @@
+"""FileServer tail semantics: append / rotation / truncation / partial
+lines — the reference's FileWatcher property suite
+(src/source/file/mod.rs:28-402) re-expressed over the ledger tail source."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+
+from cernan_spark.sources.filetail import commit_tail, tail_files
+
+
+@pytest.fixture()
+def tdir():
+    d = tempfile.mkdtemp(prefix="tail_test_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _tail(spark, tdir):
+    df = tail_files(spark, f"{tdir}/*.log", f"{tdir}/ledger")
+    lines = [r["line"] for r in df.orderBy("path", "end_offset").collect()]
+    commit_tail(spark, df, f"{tdir}/ledger")
+    return lines
+
+
+def test_append_reads_only_new_lines(spark, tdir):
+    log = f"{tdir}/app.log"
+    with open(log, "w") as fh:
+        fh.write("one\ntwo\nthree\n")
+    assert _tail(spark, tdir) == ["one", "two", "three"]
+    with open(log, "a") as fh:
+        fh.write("four\nfive\n")
+    assert _tail(spark, tdir) == ["four", "five"]
+    assert _tail(spark, tdir) == []  # quiescent
+
+
+def test_partial_trailing_line_waits_for_newline(spark, tdir):
+    log = f"{tdir}/app.log"
+    with open(log, "w") as fh:
+        fh.write("done\npart")
+    assert _tail(spark, tdir) == ["done"]
+    with open(log, "a") as fh:
+        fh.write("ial\n")
+    assert _tail(spark, tdir) == ["partial"]
+
+
+def test_rotation_carries_offset_no_loss_no_dup(spark, tdir):
+    """mv app.log app.log.1 && new app.log: the rotated file's unread tail
+    is still read exactly once (identity = content head, not path), and the
+    fresh file is read from zero (file/mod.rs rotation property)."""
+    log = f"{tdir}/app.log"
+    with open(log, "w") as fh:
+        fh.write("a1\na2\n")
+    assert _tail(spark, tdir) == ["a1", "a2"]
+    # writer appends one more line, then logrotate renames before any tail
+    with open(log, "a") as fh:
+        fh.write("a3\n")
+    os.rename(log, f"{tdir}/app.1.log")
+    with open(log, "w") as fh:
+        fh.write("b1\n")
+    got = _tail(spark, tdir)
+    assert sorted(got) == ["a3", "b1"]  # no re-read of a1/a2, no loss of a3
+
+
+def test_truncation_rereads_from_zero(spark, tdir):
+    """Truncate-and-rewrite restarts at offset zero (file/mod.rs truncation
+    property): new content must be read even though the path was consumed."""
+    log = f"{tdir}/app.log"
+    with open(log, "w") as fh:
+        fh.write("old-1\nold-2\nold-3\n")
+    assert _tail(spark, tdir) == ["old-1", "old-2", "old-3"]
+    with open(log, "w") as fh:  # truncate + new (different head) content
+        fh.write("new-1\n")
+    assert _tail(spark, tdir) == ["new-1"]
+
+
+def test_truncate_same_head_shrinks_offset(spark, tdir):
+    """If the file shrinks below the consumed offset but keeps its head
+    (in-place truncation mid-file), reading restarts from zero."""
+    log = f"{tdir}/app.log"
+    with open(log, "w") as fh:
+        fh.write("keep\n" + "x" * 200 + "\n")
+    assert len(_tail(spark, tdir)) == 2
+    # shrink: same 64-byte head region start, smaller size
+    with open(log, "w") as fh:
+        fh.write("keep\n")
+    assert _tail(spark, tdir) == ["keep"]

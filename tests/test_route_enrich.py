@@ -144,3 +144,69 @@ def test_enrich_fast_equals_slow_on_partial_matches(spark):
         for r in enrich_tags_fast(df, dicts).collect()
     }
     assert fast == slow
+
+
+def test_metric_query_hook(spark):
+    """metric_query(q) exposes the window's quantile to the filter
+    (programmable_filter.rs PAYLOAD_LIB 'metric_query')."""
+    df = spark.createDataFrame(
+        [("m", 0, float(v)) for v in range(1, 11)] + [("m", 1, 100.0)],
+        "name string, bin long, value double",
+    )
+    out = apply_programmable(df, "metric_query", prob=0.5)
+    got = {(r["bin"], r["value"]): r["query_value"] for r in out.collect()}
+    assert got[(0, 1.0)] == 5.5       # median of 1..10
+    assert got[(1, 100.0)] == 100.0   # singleton window
+
+
+def test_programmable_failure_accounting(spark):
+    """Unknown/erroring functions emit cernan.filter.<path>.<func>.failure
+    and pass the ORIGINAL events through (run_lua_func:576-618)."""
+    from cernan_spark.operators.filters import apply_programmable_safe
+
+    df = spark.createDataFrame([("m", 1.0)], "name string, value double")
+    out, failures = apply_programmable_safe(df, "scripts.demo", "no_such_fn")
+    assert out.collect() == df.collect()           # pass-through
+    (f,) = failures.collect()
+    assert f["name"] == "cernan.filter.scripts.demo.no_such_fn.failure"
+    assert (f["value"], f["kind"]) == (1.0, "SUM")
+
+    ok, failures2 = apply_programmable_safe(df, "scripts.demo", "identity")
+    assert failures2.count() == 0
+    assert ok.collect() == df.collect()
+
+
+def test_validate_routes_rejects_dangling_forward(spark):
+    """Topology validation: forwards to unknown nodes abort at start
+    (cernan.rs:406-420)."""
+    import pytest as _pytest
+
+    from cernan_spark.operators.route import validate_routes
+    from cernan_spark.sources.dimensions import default_routes
+
+    validate_routes(default_routes(spark))  # healthy topology passes
+
+    bad = _routes(spark, [("telemetry", ".*", "console"),
+                          ("telemetry", ".*", "no_such_sink")])
+    with _pytest.raises(ValueError, match="no_such_sink"):
+        validate_routes(bad)
+
+
+def test_internal_telemetry_names(spark):
+    """cernan.* self-metrics derived from a pipeline run carry reference
+    metric names and consistent counts (internal.rs:105-455)."""
+    from cernan_spark.plans.pipeline import run_pipeline
+    from cernan_spark.plans.telemetry import internal_telemetry
+    from cernan_spark.sources.transcripts import synthetic_transcripts
+
+    t = synthetic_transcripts(spark, n_convs=20, turns_per_conv=10)
+    out = run_pipeline(spark, t)
+    m = {r["name"]: r["value"] for r in internal_telemetry(spark, out).collect()}
+    assert m["cernan.statsd.packet"] > 0
+    assert "cernan.statsd.bad_packet" in m
+    assert m["cernan.sinks.console.records.total_delivered"] > 0
+    assert any(k.startswith("cernan.sinks.wavefront.aggregation.") for k in m)
+    # routed totals must agree with the pipeline's own sink_counts
+    sc = {r["sink"]: r["n_rows"] for r in out["sink_counts"].collect()}
+    for sink, n in sc.items():
+        assert m[f"cernan.sinks.{sink}.records.total_delivered"] == float(n)
