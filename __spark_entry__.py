@@ -741,6 +741,70 @@ def q_native_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro source path (avro.rs:27-163): events → Avro OCF containers
+    (dependency-free writer) → v2 payload header (+KV metadata, sync bit)
+    → header decode + container validation + record decode. Value-checked:
+    a lossless encode→decode must reproduce every (name, value, epoch)."""
+    import pandas as _pd
+
+    from cernan_spark.functions.avrowire import (
+        decode_avro_frames,
+        encode_avro_payload,
+        write_container,
+    )
+
+    _utc(spark)
+    schema = {
+        "type": "record",
+        "name": "telem",
+        "fields": [
+            {"name": "name", "type": "string"},
+            {"name": "value", "type": "double"},
+            {"name": "ts", "type": "long"},
+        ],
+    }
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "epoch", F.unix_timestamp("ts")
+    )
+    grp = ev.groupBy(
+        F.col("event_type").alias("name"),
+        F.floor(F.col("epoch") / 3600).cast("long").alias("bin"),
+    ).agg(
+        F.sort_array(F.collect_list(F.struct("event_id", "value", "epoch"))).alias(
+            "recs"
+        )
+    )
+
+    def enc(batches):
+        for pdf in batches:
+            rows = []
+            for i, (name, recs) in enumerate(zip(pdf["name"], pdf["recs"])):
+                records = [
+                    {"name": name, "value": float(r["value"]),
+                     "ts": int(r["epoch"])}
+                    for r in recs
+                ]
+                blob = write_container(records, schema)
+                rows.append(
+                    (0, i, encode_avro_payload(blob, id_=i, control=1))
+                )
+            yield _pd.DataFrame(
+                rows, columns=["conn_id", "frame_idx", "frame"]
+            )
+
+    frames = grp.mapInPandas(enc, "conn_id long, frame_idx int, frame binary")
+    dec = decode_avro_frames(frames).filter(F.col("avro_valid"))
+    rec = F.from_json(
+        "record_json", "name string, ts long, value double"
+    )
+    return dec.select(rec.alias("r")).select(
+        F.col("r.name").alias("name"),
+        F.col("r.value").alias("value"),
+        F.col("r.ts").alias("epoch"),
+    )
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode/feature plumbing over binary media columns via
     mapInPandas (rows-only; decode stubbed — libs absent in container)."""
@@ -803,6 +867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "minhash_dedup": q_minhash_dedup,
         "native_roundtrip": q_native_roundtrip,
+        "avro_roundtrip": q_avro_roundtrip,
     }
 
 
@@ -1317,6 +1382,11 @@ def oracle_sql() -> dict[str, str]:
                    -- as i64 (native.rs:149): float-truncated, mirrored here
                    CAST(floor(CAST(bin * 3600000 AS DOUBLE) * 0.001) AS BIGINT) AS epoch
             FROM e
+        """,
+        "avro_roundtrip": """
+            SELECT event_type AS name, value,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS epoch
+            FROM events
         """,
         # ann_cosine_lsh / multimodal_features: intentionally rows-only
         # (probabilistic recall path asserted vs the exact twin in pytest;

@@ -1,0 +1,83 @@
+"""Avro source wire format: OCF reader/writer round trip, container
+validation, v2 header metadata KVs, ACK flag, Spark decode operator."""
+
+from __future__ import annotations
+
+import json
+
+from cernan_spark.functions.avrowire import (
+    CONTROL_SYNC,
+    decode_avro_frames,
+    decode_avro_payload,
+    encode_avro_payload,
+    read_container,
+    write_container,
+)
+
+SCHEMA = {
+    "type": "record",
+    "name": "telem",
+    "fields": [
+        {"name": "name", "type": "string"},
+        {"name": "value", "type": "double"},
+        {"name": "ts", "type": "long"},
+    ],
+}
+RECS = [
+    {"name": "cpu", "value": 0.5, "ts": 1700000000},
+    {"name": "mem", "value": -2.25, "ts": 1700000060},
+]
+
+
+def test_container_roundtrip_decodes_records():
+    c = read_container(write_container(RECS, SCHEMA))
+    assert c["err"] is None
+    assert c["codec"] == "null"
+    assert c["n_blocks"] == 1 and c["n_records"] == 2
+    assert c["records"] == RECS
+
+
+def test_container_validation_rejects_garbage():
+    assert read_container(b"not avro at all")["err"] == "bad magic"
+    good = bytearray(write_container(RECS, SCHEMA))
+    good[-1] ^= 0xFF  # corrupt the trailing sync marker
+    assert read_container(bytes(good))["err"] == "sync marker mismatch"
+
+
+def test_v2_header_metadata_kvs_and_ack():
+    blob = write_container(RECS, SCHEMA)
+    buf = encode_avro_payload(
+        blob, version=2, control=CONTROL_SYNC, id_=77, order_by=9,
+        metadata={b"shard": b"a1", b"tenant": b"blue"},
+    )
+    p = decode_avro_payload(buf)
+    assert (p["version"], p["id"], p["order_by"]) == (2, 77, 9)
+    assert p["sync"] is True  # sender expects an ACK with id 77
+    assert p["metadata"] == {"shard": b"a1", "tenant": b"blue"}
+    assert p["avro_blob"] == blob
+
+
+def test_v1_header_has_no_metadata_section():
+    blob = write_container(RECS, SCHEMA)
+    p = decode_avro_payload(encode_avro_payload(blob, version=1, id_=5))
+    assert p["metadata"] == {}
+    assert p["avro_blob"] == blob
+
+
+def test_spark_decode_avro_frames(spark):
+    blob = write_container(RECS, SCHEMA)
+    bad = b"Obj\x01garbage"
+    frames = spark.createDataFrame(
+        [
+            (0, 0, encode_avro_payload(blob, id_=1, control=CONTROL_SYNC)),
+            (0, 1, encode_avro_payload(bad, id_=2)),
+        ],
+        "conn_id long, frame_idx int, frame binary",
+    )
+    rows = decode_avro_frames(frames).collect()
+    ok = [r for r in rows if r["avro_valid"]]
+    assert len(ok) == 2  # one row per decoded record
+    assert {json.loads(r["record_json"])["name"] for r in ok} == {"cpu", "mem"}
+    assert all(r["needs_ack"] for r in ok)
+    bad_rows = [r for r in rows if not r["avro_valid"]]
+    assert len(bad_rows) == 1 and bad_rows[0]["record_json"] is None
