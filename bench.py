@@ -22,10 +22,19 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import functions as F
 
 
-def time_action(fn):
-    t0 = time.perf_counter()
-    n = fn()
-    return time.perf_counter() - t0, n
+def time_action(fn, reps: int | None = None):
+    """Warm once (codegen/JIT compile + page cache — identical work at any
+    data scale, so folding it into per-query time only measures the
+    driver), then report the best of ``reps`` timed runs (virtualized-host
+    noise is ±2×; the floor is the steady-state number a cluster sees)."""
+    reps = reps or int(os.environ.get("BENCH_REPS", "2"))
+    fn()  # warmup: plan + whole-stage-codegen compile
+    best, n = float("inf"), None
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        n = fn()
+        best = min(best, time.perf_counter() - t0)
+    return best, n
 
 
 def main() -> None:

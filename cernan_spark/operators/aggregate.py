@@ -353,10 +353,15 @@ def gauge_running_value(
     gauges: DataFrame,
     key_cols: list[str] | None = None,
     order_col: str = "order_key",
-    chunk_size: int = 1 << 16,
+    chunk_size: int = 1 << 20,
 ) -> DataFrame:
     """The statsd gauge fold: Set replaces, signed-delta Sum adds, in stable
     order (reference test fitness_for_statsd_gauge, src/buckets.rs:240-309).
+
+    ``chunk_size`` trades parallelism for per-chunk task size: a hot series
+    with P points spreads over P/chunk_size tasks (1M-point chunks sort
+    comfortably in one task; small inputs collapse to one chunk and pay no
+    extra stages beyond the tiny chunk merge).
 
     Scale-safe segmented scan — a hot series does NOT serialize into one
     task (the whole-series ``Window.partitionBy(name)`` form puts every

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from cernan_spark.operators.aggregate import (
     prometheus_accumulate,
+    prometheus_reject_kind_changes,
     wavefront_persist_reinsert,
 )
 from cernan_spark.operators.sinks import (
@@ -68,8 +69,16 @@ def write_sinks(
         # (name, kind)'s LAST bin of the perpetual accumulation — without
         # this the exposition repeats one TYPE/sample line per bin with
         # intermediate cumulative values.
+        # a name that flips aggregation kind is rejected, first-seen wins
+        # (prometheus.rs:279-310) — rejected rows never reach the
+        # accumulator or the exposition
         "prometheus": prometheus_format(
-            prometheus_accumulate(sink_of("prometheus"), ["name", "kind"])
+            prometheus_accumulate(
+                prometheus_reject_kind_changes(sink_of("prometheus"), ["name"])
+                .filter(~F.col("kind_rejected"))
+                .drop("kind_rejected"),
+                ["name", "kind"],
+            )
             .withColumn(
                 "_rn",
                 F.row_number().over(

@@ -48,9 +48,15 @@ def get_spark(
         # conservative for per-(series, bin) sketching
         .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "131072")
     )
-    gc_opts = os.environ.get("SPARK_GC_OPTS")
+    # throughput collector by default: G1's pause-time goal costs ~15% on
+    # the allocation-heavy parse stage and degraded N→4N scaling efficiency
+    # from 0.86 to 0.72 (BENCH.md). Local mode = driver JVM; on a cluster
+    # the executor option carries it. Override with SPARK_GC_OPTS.
+    gc_opts = os.environ.get("SPARK_GC_OPTS", "-XX:+UseParallelGC")
     if gc_opts:
-        builder = builder.config("spark.driver.extraJavaOptions", gc_opts)
+        builder = builder.config(
+            "spark.driver.extraJavaOptions", gc_opts
+        ).config("spark.executor.extraJavaOptions", gc_opts)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
