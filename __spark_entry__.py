@@ -274,6 +274,61 @@ def q_prometheus_cumulative_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("name", "bin", "bucket_idx", F.col("b.cnt").alias("cum_cnt"))
 
 
+def q_prometheus_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prometheus Summarize sliding-window handling (prometheus.rs:95-195):
+    samples older than capacity_in_seconds are purged before quantile
+    queries. Batch twin over a fixed 'now'; discrete quantiles for
+    cross-engine exactness."""
+    p = _parsed(spark, sf_dir).filter(F.col("kind") == "SUMMARIZE")
+    # window = last 6h of the event span, 'now' = max epoch (deterministic)
+    mx = p.agg(F.max("epoch").alias("_now"))
+    live = p.crossJoin(F.broadcast(mx)).filter(
+        (F.col("epoch") > F.col("_now") - 21600) & (F.col("epoch") <= F.col("_now"))
+    )
+    sv = F.array_sort(F.collect_list("value"))
+    qat = lambda q: F.round(
+        F.element_at("_sv", (F.floor(F.lit(q) * (F.size("_sv") - 1)) + 1).cast("int")),
+        4,
+    )
+    return (
+        live.groupBy("name")
+        .agg(
+            sv.alias("_sv"),
+            _r4(F.sum("value")).alias("samples_sum"),
+            F.count("*").alias("n_points"),
+        )
+        .select(
+            "name",
+            qat(0.5).alias("p50"),
+            qat(0.9).alias("p90"),
+            qat(0.99).alias("p99"),
+            "samples_sum",
+            "n_points",
+        )
+    )
+
+
+def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite training-data pipeline: quality filter → exact dedup
+    (keep min doc_id) → language ID → per-language doc/token budget. One
+    oracle-checked query chaining four already-verified operators — the
+    shape of a real pretraining-corpus build."""
+    from cernan_spark.operators.textstats import lang_id, quality_scores, token_stats
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    q = quality_scores(d).filter(F.col("quality_ok"))
+    w = W.partitionBy(F.md5("text")).orderBy("doc_id")
+    uniq = q.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") == 1
+    ).drop("_rn")
+    enriched = token_stats(lang_id(uniq).select("doc_id", "text", "lang_pred"))
+    return enriched.groupBy("lang_pred").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("n_bpeish_tokens").alias("total_bpeish_tokens"),
+    )
+
+
 def q_console_sections(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Console sink per-kind sections with min/max/50/90/99/999 summaries
     (console.rs:100-195). Values pre-rounded to 4 decimals on both engines
@@ -676,6 +731,21 @@ def q_ann_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat ANN (KMeans coarse quantizer). Probing ALL cells makes the
+    index path exactly equal to brute force — so the full machinery
+    (centroid fit, cell assignment, probe-cell selection, cell join, exact
+    rescoring) is value-checked against a brute-force oracle; the partial-
+    probe recall path is asserted in pytest."""
+    from cernan_spark.operators.similarity import cosine_topk_ivf
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    probes = e.filter(F.col("vec_id") < 5)
+    return cosine_topk_ivf(e, probes, k=5, n_cells=8, n_probe=8).select(
+        "qid", "vec_id", F.round("cos", 6).alias("cos"), "rank"
+    )
+
+
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs via LSH buckets + exact verify.
     The corpus has no natural near-dups (max pairwise cos ≈ 0.51), so 50
@@ -841,7 +911,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "enrich_tags": q_enrich_tags,
         "prometheus_cumulative": q_prometheus_cumulative,
         "prometheus_cumulative_hist": q_prometheus_cumulative_hist,
+        "prometheus_windowed": q_prometheus_windowed,
         "console_sections": q_console_sections,
+        "corpus_pipeline": q_corpus_pipeline,
         "flush_boundary": q_flush_boundary,
         "zero_pad": q_zero_pad,
         "tick_count": q_tick_count,
@@ -863,6 +935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_cosine_lsh": q_ann_cosine_lsh,
+        "ann_cosine_ivf": q_ann_cosine_ivf,
         "embedding_near_dups": q_embedding_near_dups,
         "multimodal_features": q_multimodal_features,
         "minhash_dedup": q_minhash_dedup,
@@ -980,6 +1053,69 @@ SELECT doc_id,
        CASE WHEN best <= 0 THEN 'und' {case} ELSE 'und' END AS lang_pred,
        round(best, 6) AS lang_score
 FROM b
+"""
+
+
+def _lang_score_sql(toks: str = "toks") -> tuple[str, str]:
+    """(score column exprs, best→pred CASE) generated from LANG_STOPWORDS —
+    shared by the lang_id and corpus_pipeline oracles."""
+    from cernan_spark.operators.textstats import LANG_STOPWORDS
+
+    scores = ",\n    ".join(
+        f"len(list_filter({toks}, x -> list_contains({words!r}, lower(x)))) * 1.0"
+        f" / greatest(len({toks}), 1) AS s_{lang}"
+        for lang, words in LANG_STOPWORDS.items()
+    )
+    langs = list(LANG_STOPWORDS)
+    case = (
+        "CASE WHEN best <= 0 THEN 'und' "
+        + " ".join(f"WHEN s_{lang} = best THEN '{lang}'" for lang in langs)
+        + " ELSE 'und' END"
+    )
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    return scores, f"(SELECT *, {best} AS best FROM __S__) b", case
+
+
+def _corpus_pipeline_oracle_sql() -> str:
+    """DuckDB twin of q_corpus_pipeline: quality gate → md5 dedup (min
+    doc_id wins) → language ID → per-language doc/token budgets."""
+    scores, _, case = _lang_score_sql()
+    from cernan_spark.operators.textstats import LANG_STOPWORDS
+
+    best = "greatest(" + ", ".join(f"s_{la}" for la in LANG_STOPWORDS) + ")"
+    return f"""
+WITH t AS (
+  SELECT doc_id, text, string_split_regex(text, '\\s+') AS toks,
+         length(text) AS n_chars
+  FROM documents
+), qual AS (
+  SELECT doc_id, text, toks FROM t
+  WHERE len(toks) >= 5
+    AND len(list_distinct(toks)) * 1.0 / greatest(len(toks), 1) >= 0.3
+    AND length(regexp_replace(text, '[^[:punct:]]', '', 'g')) * 1.0
+        / greatest(n_chars, 1) <= 0.3
+    AND length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0
+        / greatest(n_chars, 1) <= 0.3
+), uniq AS (
+  SELECT doc_id, toks FROM (
+    SELECT doc_id, toks,
+           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM qual
+  ) WHERE rn = 1
+), s AS (
+  SELECT doc_id, toks,
+    {scores}
+  FROM uniq
+), lang AS (
+  SELECT doc_id, toks, {case} AS lang_pred
+  FROM (SELECT *, {best} AS best FROM s)
+)
+SELECT lang_pred, count(*) AS n_docs,
+       CAST(sum(len(toks)) AS BIGINT) AS total_tokens,
+       CAST(sum(list_sum(list_transform(toks,
+            x -> CAST(ceil(length(x) / 4.0) AS INTEGER)))) AS BIGINT)
+         AS total_bpeish_tokens
+FROM lang GROUP BY 1
 """
 
 
@@ -1149,6 +1285,27 @@ def oracle_sql() -> dict[str, str]:
                                        ORDER BY bin) AS BIGINT) AS cum_cnt
             FROM dense
         """,
+        "prometheus_windowed": P
+        + """
+            , s AS (
+              SELECT name, value, epoch FROM parsed WHERE kind = 'SUMMARIZE'
+            ), m AS (SELECT max(epoch) AS now FROM s),
+            live AS (
+              SELECT name, value FROM s, m
+              WHERE epoch > now - 21600 AND epoch <= now
+            )
+            SELECT name,
+                   round((list_sort(list(value)))
+                     [CAST(floor(0.5 * (count(*) - 1)) AS INTEGER) + 1], 4) AS p50,
+                   round((list_sort(list(value)))
+                     [CAST(floor(0.9 * (count(*) - 1)) AS INTEGER) + 1], 4) AS p90,
+                   round((list_sort(list(value)))
+                     [CAST(floor(0.99 * (count(*) - 1)) AS INTEGER) + 1], 4) AS p99,
+                   round(sum(value), 4) AS samples_sum,
+                   count(*) AS n_points
+            FROM live GROUP BY name
+        """,
+        "corpus_pipeline": _corpus_pipeline_oracle_sql(),
         "console_sections": P
         + """
             , b AS (SELECT *, CAST(floor(epoch / 3600) AS BIGINT) AS bin FROM parsed)
@@ -1382,6 +1539,31 @@ def oracle_sql() -> dict[str, str]:
                    -- as i64 (native.rs:149): float-truncated, mirrored here
                    CAST(floor(CAST(bin * 3600000 AS DOUBLE) * 0.001) AS BIGINT) AS epoch
             FROM e
+        """,
+        "ann_cosine_ivf": """
+            WITH base AS (
+              SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings
+            ), unit AS (
+              SELECT vec_id,
+                     list_transform(v, x -> x / sqrt(list_reduce(
+                       list_prepend(CAST(0.0 AS DOUBLE),
+                                    list_transform(v, y -> y * y)),
+                       (a, x2) -> a + x2))) AS u
+              FROM base
+            ), scored AS (
+              SELECT q.vec_id AS qid, c.vec_id,
+                     list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                       list_transform(range(1, 65), i -> q.u[i] * c.u[i])),
+                       (acc, x) -> acc + x) AS cos
+              FROM unit q JOIN unit c ON q.vec_id < 5 AND c.vec_id <> q.vec_id
+            )
+            SELECT qid, vec_id, round(cos, 6) AS cos, rank FROM (
+              SELECT qid, vec_id, cos,
+                     CAST(row_number() OVER (PARTITION BY qid
+                       ORDER BY cos DESC, vec_id) AS INTEGER) AS rank
+              FROM scored
+            ) WHERE rank <= 5
         """,
         "avro_roundtrip": """
             SELECT event_type AS name, value,

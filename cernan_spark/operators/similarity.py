@@ -148,6 +148,86 @@ def cosine_topk_lsh(
     )
 
 
+def cosine_topk_ivf(
+    vectors: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: a KMeans coarse quantizer partitions the
+    corpus into ``n_cells`` cells; each query scores only the ``n_probe``
+    cells whose centroids are nearest — the classic IVF-Flat index shape.
+
+    Spark-first: centroids come from MLlib KMeans (one distributed fit on
+    unit vectors); cell assignment and probe-cell selection are pure
+    argmax-of-dot expressions over broadcast centroid literals (no Python
+    in the scan); the probe is ONE equi-join on cell id — at 100 TB the
+    corpus shuffles once at index build (write bucketed by cell), and each
+    query touches n_probe/n_cells of the data. Exact rescoring inside the
+    probed cells; recall < 1 by construction (asserted vs the brute-force
+    twin in pytest)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    base = with_unit_vector(vectors, vec_col).select(
+        F.col(id_col).alias("vid"), F.col("unit")
+    )
+    train = base.select(array_to_vector("unit").alias("features"))
+    model = KMeans(k=n_cells, seed=seed, maxIter=10).fit(train)
+    centers = [c.tolist() for c in model.clusterCenters()]
+
+    def dots_to_centers(unit: Column) -> Column:
+        return F.array(
+            *[_dot(unit, F.array(*[F.lit(x) for x in c])) for c in centers]
+        )
+
+    # corpus side: cell = argmax dot (ties broken by first position)
+    cd = dots_to_centers(F.col("unit"))
+    corpus = base.withColumn("_d", cd).withColumn(
+        "cell", F.array_position(F.col("_d"), F.array_max("_d")).cast("int")
+    ).drop("_d")
+
+    # probe side: the n_probe best cells per query
+    q = with_unit_vector(probes, vec_col).select(
+        F.col(id_col).alias("qid"), F.col("unit").alias("qunit")
+    )
+    qd = dots_to_centers(F.col("qunit"))
+    ranked = F.slice(
+        F.reverse(
+            F.array_sort(
+                F.zip_with(
+                    qd,
+                    F.sequence(F.lit(1), F.lit(n_cells)),
+                    lambda d, i: F.struct(d.alias("d"), i.alias("cell")),
+                )
+            )
+        ),
+        1,
+        n_probe,
+    )
+    qcells = q.withColumn("_pc", ranked).select(
+        "qid", "qunit", F.explode(F.col("_pc.cell")).alias("cell")
+    ).withColumn("cell", F.col("cell").cast("int"))
+
+    pairs = corpus.join(F.broadcast(qcells), "cell").filter(
+        F.col("vid") != F.col("qid")
+    )
+    scored = pairs.select(
+        "qid",
+        F.col("vid").alias("vec_id"),
+        _dot(F.col("qunit"), F.col("unit")).alias("cos"),
+    )
+    w = W.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def seed_near_dups(
     vectors: DataFrame,
     n_seed: int = 50,

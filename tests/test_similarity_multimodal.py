@@ -119,3 +119,31 @@ def test_multimodal_golden_hash(spark):
     assert digest == (
         "f075f9c2f8bb47f4a687ce68fd725311c94bfd1b22e4e208f709a1847811724c"
     )
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    """IVF-Flat (KMeans coarse quantizer, n_probe cells searched) must
+    recover most of the exact top-k; with n_probe = n_cells it IS exact."""
+    from cernan_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_ivf,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    probes = e.filter(F.col("vec_id") < 5)
+    exact = {
+        (r["qid"], r["vec_id"])
+        for r in cosine_topk_bruteforce(e, probes, k=5).collect()
+    }
+    approx = {
+        (r["qid"], r["vec_id"])
+        for r in cosine_topk_ivf(e, probes, k=5, n_cells=16, n_probe=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, recall
+
+    full = {
+        (r["qid"], r["vec_id"])
+        for r in cosine_topk_ivf(e, probes, k=5, n_cells=8, n_probe=8).collect()
+    }
+    assert full == exact  # probing every cell degenerates to exact search
