@@ -467,30 +467,94 @@ def gauge_carry_forward(
 ) -> DataFrame:
     """Per-bin gauge value with carry-forward into empty bins
     (buckets.rs:163-175): bin value = running value at end of bin; bins with
-    no events inherit the previous bin's value (sequence gap-fill, only
-    between first and last observed bin per series)."""
+    no events inherit the previous bin's value.
+
+    Plan shape (audited): ONE scan of the raw points, ONE wide window
+    keyed (series, bin) — the time bin doubles as the parallelism chunk —
+    feeding ONE hash aggregate on the same partitioning (no extra
+    exchange); everything after runs on the tiny per-bin table (series ×
+    bins rows): an ordered per-series merge, then sequence-explode gap
+    fill. The previous form folded per-row running values first and
+    re-scanned the source three times."""
     keys = key_cols or (["name", "tags_key"] if "tags_key" in gauges.columns else ["name"])
-    run = gauge_running_value(gauges, keys, order_col)
-    binned = with_bin(run, bin_width)
-    per_bin = binned.groupBy(*keys, "bin").agg(
-        F.max_by("running_value", F.col(order_col)).alias("gauge_value"),
+    is_set_c = F.col("kind") == "SET"
+    df = with_bin(gauges, bin_width)
+
+    # 1. intra-bin segmented fold (the only pass over raw points)
+    wb = W.partitionBy(*keys, "bin").orderBy(order_col)
+    seg = F.sum(is_set_c.cast("long")).over(wb.rowsBetween(W.unboundedPreceding, 0))
+    df = df.withColumn("_seg", seg)
+    wseg = W.partitionBy(*keys, "bin", "_seg").orderBy(order_col)
+    base = F.first(F.when(is_set_c, F.col("value")), ignorenulls=True).over(
+        wseg.rowsBetween(W.unboundedPreceding, 0)
+    )
+    deltas = F.sum(
+        F.when(F.col("kind") == "SUM", F.col("value")).otherwise(F.lit(0.0))
+    ).over(wseg.rowsBetween(W.unboundedPreceding, 0))
+    df = df.withColumn("_intra", F.coalesce(base, F.lit(0.0)) + deltas)
+
+    # 2. per-bin summary — same grouping keys as the window partitioning,
+    # so the aggregate reuses the shuffle
+    per_bin = df.groupBy(*keys, "bin").agg(
+        F.max(is_set_c).alias("_has_set"),
+        F.max_by("_intra", F.col(order_col)).alias("_final"),
         F.count("*").alias("n_points"),
+    )
+
+    # 3. per-series ordered merge over bins (tiny table): bin-end value =
+    # absolute once a SET was seen, else carry + relative delta total
+    w2 = W.partitionBy(*keys).orderBy("bin")
+    seg2 = F.sum(F.col("_has_set").cast("long")).over(
+        w2.rowsBetween(W.unboundedPreceding, 0)
+    )
+    per_bin = per_bin.withColumn("_seg2", seg2)
+    w3 = W.partitionBy(*keys, "_seg2").orderBy("bin")
+    base2 = F.first(F.when(F.col("_has_set"), F.col("_final")), ignorenulls=True).over(
+        w3.rowsBetween(W.unboundedPreceding, 0)
+    )
+    rel = F.sum(
+        F.when(~F.col("_has_set"), F.col("_final")).otherwise(F.lit(0.0))
+    ).over(w3.rowsBetween(W.unboundedPreceding, 0))
+    per_bin = per_bin.select(
+        *keys,
+        "bin",
+        (F.coalesce(base2, F.lit(0.0)) + rel).alias("gauge_value"),
+        "n_points",
     )
     if not fill_gaps:
         return per_bin
-    spans = per_bin.groupBy(*keys).agg(
-        F.min("bin").alias("_lo"), F.max("bin").alias("_hi")
+
+    # 4. gap fill WITHOUT a self-join: each bin emits itself plus the empty
+    # bins up to (exclusive) the series' next observed bin, carrying its
+    # value — one lead() on the existing per-series window, one explode
+    nxt = F.lead("bin").over(W.partitionBy(*keys).orderBy("bin"))
+    gap_seq = F.when(
+        nxt.isNotNull() & (nxt > F.col("bin") + 1),
+        F.sequence(F.col("bin") + 1, nxt - 1),
     )
-    all_bins = spans.select(
-        *keys, F.explode(F.sequence(F.col("_lo"), F.col("_hi"))).alias("bin")
-    )
-    filled = all_bins.join(per_bin, keys + ["bin"], "left")
-    wfill = W.partitionBy(*keys).orderBy("bin").rowsBetween(W.unboundedPreceding, 0)
-    return filled.select(
-        *keys,
-        "bin",
-        F.last("gauge_value", ignorenulls=True).over(wfill).alias("gauge_value"),
-        F.coalesce("n_points", F.lit(0)).alias("n_points"),
+    return (
+        per_bin.withColumn(
+            "_bins",
+            F.concat(
+                F.array(F.col("bin")),
+                F.coalesce(gap_seq, F.array().cast("array<bigint>")),
+            ),
+        )
+        .select(
+            *keys,
+            "gauge_value",
+            "n_points",
+            F.posexplode("_bins").alias("_i", "bin"),
+        )
+        .select(
+            *keys,
+            "bin",
+            "gauge_value",
+            F.when(F.col("_i") == 0, F.col("n_points"))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("n_points"),
+        )
     )
 
 
@@ -504,15 +568,41 @@ def zero_pad(
     """Wavefront gap padding: emit 0-points for missing bins inside each
     series' observed span (reference src/sink/wavefront.rs:203-342 pads
     around gaps; we fill the whole gap — a superset with identical
-    at-the-gap behavior). sequence() + explode + left join + coalesce(0)."""
-    spans = per_bin.groupBy(*key_cols).agg(
-        F.min("bin").alias("_lo"), F.max("bin").alias("_hi")
+    at-the-gap behavior).
+
+    Join-free: each bin emits itself plus 0-valued rows for the empty bins
+    up to the series' next observed bin — one lead() window + one explode
+    over the per-bin table (the previous spans+self-join form re-scanned
+    the upstream twice)."""
+    other = [c for c in per_bin.columns if c not in {*key_cols, "bin", value_col}]
+    nxt = F.lead("bin").over(W.partitionBy(*key_cols).orderBy("bin"))
+    gap_seq = F.when(
+        nxt.isNotNull() & (nxt > F.col("bin") + 1),
+        F.sequence(F.col("bin") + 1, nxt - 1),
     )
-    all_bins = spans.select(
-        *key_cols, F.explode(F.sequence(F.col("_lo"), F.col("_hi"))).alias("bin")
+    return (
+        per_bin.withColumn(
+            "_bins",
+            F.concat(
+                F.array(F.col("bin")),
+                F.coalesce(gap_seq, F.array().cast("array<bigint>")),
+            ),
+        )
+        .select(
+            *key_cols,
+            value_col,
+            *other,
+            F.posexplode("_bins").alias("_i", "bin"),
+        )
+        .select(
+            *key_cols,
+            "bin",
+            F.when(F.col("_i") == 0, F.col(value_col))
+            .otherwise(F.lit(0.0))
+            .alias(value_col),
+            *other,
+        )
     )
-    joined = all_bins.join(per_bin, key_cols + ["bin"], "left")
-    return joined.withColumn(value_col, F.coalesce(F.col(value_col), F.lit(0.0)))
 
 
 def wavefront_persist_reinsert(
