@@ -32,6 +32,14 @@ def main(argv: list[str] | None = None) -> int:
     from cernan_spark.plans.sinks import write_sinks
 
     spark = get_spark(app_name="cernan_spark_pipeline", cpus=args.cpus)
+
+    # topology validation at job start, like the reference's config check
+    # (cernan.rs:406-420: a dangling forward aborts before any work)
+    from cernan_spark.operators.route import validate_routes
+    from cernan_spark.sources.dimensions import default_routes
+
+    validate_routes(default_routes(spark))
+
     transcripts = spark.read.parquet(args.input)
     out = run_pipeline(spark, transcripts, PipelineConfig(bin_width=args.bin_width))
     paths = write_sinks(
@@ -42,8 +50,11 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.metrics and args.lineage:
         from cernan_spark.plans.checkpoint import run_metrics
+        from cernan_spark.plans.telemetry import internal_telemetry
 
         run_metrics(spark, args.lineage).show(truncate=False)
+        # cernan.* self-metrics for this run (internal.rs:105-455 analog)
+        internal_telemetry(spark, out).show(truncate=False)
     return 0
 
 

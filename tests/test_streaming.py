@@ -85,3 +85,50 @@ def test_streaming_gauge_state(spark, stream_dir):
     last = {r["name"]: (r["running_value"], r["n_events"]) for r in rows}
     # g1:5|g then delta +2 → 7.0 (set-then-add fold, buckets.rs:240-309)
     assert last["g1"] == (7.0, 2)
+
+
+def test_streaming_late_data_dropped_after_watermark(spark, stream_dir):
+    """DelayFilter semantics in streaming: once the watermark passes a
+    window, late arrivals for it are DROPPED — the emitted bin never
+    changes (delay_filter.rs:52-81 ↔ withWatermark + append mode)."""
+    import pyspark.sql.functions as F_
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    parsed = streaming_parse(stream_transcripts(spark, stream_dir))
+    agg = streaming_bucket_aggregate(parsed, bin_width=60, watermark="5 minutes")
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        before = {
+            (r["name"], str(r["ws"])): (r["sum_value"], r["n_points"])
+            for r in spark.sql(
+                "SELECT name, window.start AS ws, sum_value, n_points FROM late_out"
+            ).collect()
+        }
+        # a late row lands in the long-closed 00:00 window (watermark is
+        # already at 01:00:00 - 5min from the fixture's last row)
+        late = spark.createDataFrame(
+            [("c9", 0, "user", "cnt:100|c", "none", "2024-01-01 00:00:10", 99)],
+            "conv_id string, turn_idx int, role string, text string, "
+            "tool string, ts_s string, order_key long",
+        ).withColumn("ts", F_.col("ts_s").cast("timestamp")).drop("ts_s").select(
+            "conv_id", "turn_idx", "role", "text", "tool", "ts", "order_key"
+        )
+        late.coalesce(1).write.mode("append").parquet(stream_dir)
+        q.processAllAvailable()
+        after = {
+            (r["name"], str(r["ws"])): (r["sum_value"], r["n_points"])
+            for r in spark.sql(
+                "SELECT name, window.start AS ws, sum_value, n_points FROM late_out"
+            ).collect()
+        }
+    finally:
+        q.stop()
+    # the closed 00:00 bin is unchanged: the late 100-count never lands
+    assert after[("cnt", "2024-01-01 00:00:00")] == (3.0, 2)
+    assert after == before
