@@ -76,9 +76,11 @@ def prometheus_format(cum: DataFrame) -> DataFrame:
             san, F.lit(" "), F.col("cum_value").cast("string"),
         ).alias("exposition")
     )
-    hist = cum.filter(F.col("kind") == "HISTOGRAM")
+    parts = [scalar]
     if "hist" in cum.columns:
-        hist = cumulative_histogram(hist).select(
+        hist = cumulative_histogram(
+            cum.filter(F.col("kind") == "HISTOGRAM")
+        ).select(
             F.concat(
                 F.lit("# TYPE "), san, F.lit(" histogram\n"),
                 F.array_join(
@@ -95,8 +97,38 @@ def prometheus_format(cum: DataFrame) -> DataFrame:
                 ),
             ).alias("exposition")
         )
-        return scalar.unionByName(hist)
-    return scalar
+        parts.append(hist)
+    # summaries: quantile series + _sum/_count companions
+    # (prometheus.rs:564-597; quantile list 568)
+    if "quantile_values" in cum.columns:
+        summ = cum.filter(F.col("kind") == "SUMMARIZE")
+        qlines = F.array_join(
+            F.transform(
+                F.arrays_zip("quantile_probs", "quantile_values"),
+                lambda z: F.concat(
+                    san, F.lit('{quantile="'),
+                    z["quantile_probs"].cast("string"), F.lit('"} '),
+                    z["quantile_values"].cast("string"),
+                ),
+            ),
+            "\n",
+        )
+        summary = summ.select(
+            F.concat(
+                F.lit("# TYPE "), san, F.lit(" summary\n"),
+                qlines, F.lit("\n"),
+                san, F.lit("_sum "),
+                F.coalesce(F.col("samples_sum"), F.lit(0.0)).cast("string"),
+                F.lit("\n"),
+                san, F.lit("_count "),
+                F.col("n_points").cast("double").cast("string"),
+            ).alias("exposition")
+        )
+        parts.append(summary)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def influxdb_format(points: DataFrame) -> DataFrame:

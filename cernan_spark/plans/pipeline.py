@@ -40,6 +40,10 @@ class PipelineConfig:
     )
     accuracy: int = 1000
     with_tags: bool = True
+    #: per-sink late/early-data rejection window in seconds (wavefront
+    #: age_threshold, wavefront.rs:643-651; None = accept everything).
+    #: Batch 'now' = the input's max event time.
+    age_threshold_s: int | None = None
 
 
 def parse_stage(
@@ -127,6 +131,26 @@ def run_pipeline(
 
     stages = parse_stage(transcripts, masks=masks)
     telemetry, logs, bad = stages["telemetry"], stages["logs"], stages["bad"]
+
+    if cfg.age_threshold_s is not None:
+        # wavefront-style age_threshold (wavefront.rs:643-651): reject
+        # telemetry older/newer than the window around 'now' (batch now =
+        # max event time — a deterministic high-watermark)
+        from cernan_spark.operators.filters import delay_filter
+
+        now_ref = telemetry.agg(
+            F.max(F.coalesce(F.col("event_epoch"), F.unix_timestamp("ts"))).alias(
+                "_now"
+            )
+        )
+        # wavefront's bound is inclusive (<=, wavefront.rs:645) while
+        # DelayFilter's is strict (<); +1 on integer seconds makes the
+        # strict filter inclusive at the configured threshold
+        telemetry = delay_filter(
+            telemetry.crossJoin(F.broadcast(now_ref)),
+            cfg.age_threshold_s + 1,
+            F.col("_now"),
+        ).drop("_now")
 
     if cfg.with_tags:
         # transcripts carry no event tags → the precomputed-combo fast path

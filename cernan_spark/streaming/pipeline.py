@@ -35,16 +35,24 @@ TRANSCRIPT_SCHEMA = (
 
 
 def stream_transcripts(
-    spark: SparkSession, path: str, max_files_per_trigger: int = 4
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int = 4,
+    max_bytes_per_trigger: int | None = None,
 ) -> DataFrame:
     """File-source stream over a transcripts parquet directory (the
-    FileServer tail, reference src/source/file/file_server.rs:67-178;
-    maxFilesPerTrigger plays the valve/backpressure role, util.rs:79-85)."""
-    return (
-        spark.readStream.schema(TRANSCRIPT_SCHEMA)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(path)
+    FileServer tail, reference src/source/file/file_server.rs:67-178).
+
+    Backpressure = the valve (util.rs:79-85): the reference's sinks close
+    the valve by stored-value/byte counts (wavefront >10k values,
+    influxdb >100k, kafka by in-flight bytes); the streaming analog caps
+    per-micro-batch intake by file count and/or bytes."""
+    rs = spark.readStream.schema(TRANSCRIPT_SCHEMA).option(
+        "maxFilesPerTrigger", max_files_per_trigger
     )
+    if max_bytes_per_trigger is not None:
+        rs = rs.option("maxBytesPerTrigger", max_bytes_per_trigger)
+    return rs.parquet(path)
 
 
 def streaming_parse(stream: DataFrame) -> DataFrame:

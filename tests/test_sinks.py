@@ -196,3 +196,49 @@ def test_elasticsearch_doc_merges_tags_and_fields(spark):
     # (elasticsearch.rs:147-155 inserts tags/fields into the base object)
     assert doc["path"] == "tag-tries-to-override"
     assert row["index"].startswith("cernan-2024.01.15")
+
+
+def test_prometheus_summary_exposition(spark):
+    """Summarize kinds expose quantile series + _sum/_count companions
+    (prometheus.rs:564-597)."""
+    rows = [
+        ("lat", 3, "SUMMARIZE", None, 4, False,
+         [1.0, 9.0], [0.5, 0.99], 20.0, 5.0, None),
+    ]
+    df = spark.createDataFrame(rows, AGG_SCHEMA).withColumn(
+        "cum_value", F.lit(None).cast("double")
+    )
+    expo = {r["exposition"] for r in prometheus_format(df).collect()}
+    summary = next(e for e in expo if "summary" in e)
+    assert '# TYPE lat summary' in summary
+    assert 'lat{quantile="0.5"} 1.0' in summary
+    assert 'lat{quantile="0.99"} 9.0' in summary
+    assert "lat_sum 20.0" in summary
+    assert "lat_count 4.0" in summary
+
+
+def test_pipeline_age_threshold_rejects_stale(spark):
+    """wavefront age_threshold (wavefront.rs:643-651): telemetry outside
+    |t - now| <= threshold never reaches the aggregator; bound inclusive."""
+    from cernan_spark.plans.pipeline import PipelineConfig, run_pipeline
+
+    rows = [
+        ("c1", 0, "user", "m:1|c", "none", "2024-01-01 00:00:00", 1),  # stale
+        ("c1", 1, "user", "m:2|c", "none", "2024-01-01 02:59:00", 2),  # inside
+        ("c1", 2, "user", "m:4|c", "none", "2024-01-01 03:00:00", 3),  # = now
+    ]
+    t = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string, "
+        "ts_s string, order_key long",
+    ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+    out = run_pipeline(
+        spark, t, PipelineConfig(bin_width=3600, age_threshold_s=3600)
+    )
+    total = (
+        out["aggregates"]
+        .filter((F.col("sink") == "wavefront") & (F.col("kind") == "SUM"))
+        .agg(F.sum("agg_value"))
+        .collect()[0][0]
+    )
+    assert total == 6.0  # 2 + 4 kept; the 3h-old point rejected
