@@ -638,6 +638,28 @@ def q_token_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster resolution: connected components over verified
+    candidate pairs (token Jaccard ≥ 0.5 on consecutive docs — long
+    transitive chains in this corpus), every member labeled with the
+    cluster's min doc_id. Spark: pointer-doubling min-label propagation;
+    oracle: DuckDB recursive CTE reachability."""
+    from cernan_spark.operators.dedup import dedup_groups
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 200
+    )
+    toks = F.array_distinct(F.split("text", " "))
+    t = d.select("doc_id", toks.alias("t"))
+    a = t.select(F.col("doc_id").alias("id_a"), F.col("t").alias("ta"))
+    b = t.select(F.col("doc_id").alias("id_b"), F.col("t").alias("tb"))
+    jac = F.size(F.array_intersect("ta", "tb")) / F.size(
+        F.array_union("ta", "tb")
+    )
+    pairs = a.join(b, F.col("id_b") == F.col("id_a") + 1).filter(jac >= 0.5)
+    return dedup_groups(pairs.select("id_a", "id_b"))
+
+
 def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprint duplicate groups (rows-only; xxhash64 bit votes
     have no DuckDB twin). Array members stringified — the driver's pandas
@@ -924,6 +946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "topk_docs_per_lang": q_topk_docs_per_lang,
         "token_jaccard_pairs": q_token_jaccard_pairs,
+        "dedup_groups": q_dedup_groups,
         "simhash_dedup": q_simhash_dedup,
         "dedup_exact": q_dedup_exact,
         "token_count": q_token_count,
@@ -1468,6 +1491,27 @@ def oracle_sql() -> dict[str, str]:
                         x -> CAST(ceil(length(x) / 4.0) AS INTEGER))) AS INTEGER)
                      AS n_bpeish_tokens
             FROM documents
+        """,
+        "dedup_groups": """
+            WITH RECURSIVE t AS (
+              SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+              FROM documents WHERE doc_id < 200
+            ), p AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
+              WHERE len(list_intersect(a.toks, b.toks)) * 1.0 /
+                    len(list_distinct(list_concat(a.toks, b.toks))) >= 0.5
+            ), edges AS (
+              SELECT id_a AS src, id_b AS dst FROM p
+              UNION SELECT id_b, id_a FROM p
+            ), nodes AS (
+              SELECT DISTINCT src AS id FROM edges
+            ), walk(id, label) AS (
+              SELECT id, id FROM nodes
+              UNION
+              SELECT e.src, w.label FROM edges e JOIN walk w ON w.id = e.dst
+            )
+            SELECT id, min(label) AS canonical_id FROM walk GROUP BY id
         """,
         # simhash_dedup stays rows-only (xxhash64 has no DuckDB twin);
         # minhash / doc_fingerprint / lang_id / embedding_near_dups are

@@ -301,3 +301,79 @@ def simhash_dedup(
         F.count("*").alias("n_docs"),
         F.sort_array(F.collect_list(id_col)).alias("members"),
     )
+
+
+def dedup_groups(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Connected components over near-duplicate pairs → (id, canonical_id):
+    the cluster-resolution step after candidate detection in a corpus
+    build (every member of a transitively-connected dup cluster collapses
+    to the minimum id).
+
+    Spark-first iterative min-label propagation (the alternating large-
+    star/small-star contraction, Kiveris et al., "Connected Components in
+    MapReduce and Beyond"): each round joins every node's label with its
+    neighbors' labels and keeps the minimum; converges in O(log d) rounds
+    for diameter d — near-dup clusters are shallow (dozens of rounds would
+    mean a pathological chain). Each round is one shuffle on the edge
+    table, which is candidate-pair sized (tiny next to the corpus).
+    Deterministic; no driver-side graph state beyond the converged check.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        )
+        .distinct()
+    )
+    labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
+        "label", F.col("id")
+    )
+    for i in range(max_iters):
+        # hop: min label among neighbors
+        nbr = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("label").alias("_nbr_min"))
+        )
+        hopped = (
+            labels.join(nbr, labels["id"] == nbr["src"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("_nbr_min"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        # jump: label ← label's label (pointer doubling — a chain of
+        # diameter d converges in O(log d) rounds instead of d)
+        l2 = hopped.select(
+            F.col("id").alias("_lid"), F.col("label").alias("_llabel")
+        )
+        new_labels = (
+            hopped.join(l2, hopped["label"] == l2["_lid"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("_llabel"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        # checkpoint the lineage every round: iterative self-joins double
+        # the plan depth per iteration otherwise
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id"), F.col("label").alias("canonical_id"))

@@ -98,3 +98,29 @@ def test_minhash_portable_matches_xxhash_pairs(spark):
         pairs = {(r["id_a"], r["id_b"]): r["n_match"] for r in cands.collect()}
         assert (0, 1) in pairs or (0, 3) in pairs
         assert pairs.get((0, 3), 32) == 32  # exact dup: every row agrees
+
+
+def test_dedup_groups_connected_components(spark):
+    """Cluster resolution: transitive chains collapse to the min id in
+    O(log d) pointer-doubling rounds (a 6-node chain + a star + a pair)."""
+    from cernan_spark.operators.dedup import dedup_groups
+
+    pairs = spark.createDataFrame(
+        [
+            # chain 10-11-12-13-14-15
+            (10, 11), (11, 12), (12, 13), (13, 14), (14, 15),
+            # star centered at 20
+            (20, 21), (20, 22), (20, 23),
+            # isolated pair (reversed order on input)
+            (31, 30),
+        ],
+        "id_a long, id_b long",
+    )
+    got = {
+        r["id"]: r["canonical_id"] for r in dedup_groups(pairs, max_iters=6).collect()
+    }
+    assert got == {
+        10: 10, 11: 10, 12: 10, 13: 10, 14: 10, 15: 10,
+        20: 20, 21: 20, 22: 20, 23: 20,
+        30: 30, 31: 30,
+    }
