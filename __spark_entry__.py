@@ -724,6 +724,17 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lang_id(d).select("doc_id", "lang_pred", "lang_score")
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals: duplicate-token fraction +
+    top word-bigram share (explode → count → max/total per doc)."""
+    from cernan_spark.operators.textstats import repetition_stats
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return repetition_stats(d).select(
+        "doc_id", "n_tokens", "dup_token_frac", "top_bigram_frac"
+    )
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-min rolling-hash fingerprints, portable-hash mode (DuckDB twin
     hashes the same char 8-grams), stringified for the driver canon."""
@@ -955,6 +966,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "bpeish_tokens": q_bpeish_tokens,
         "lang_id": q_lang_id,
+        "repetition_stats": q_repetition_stats,
         "doc_fingerprint": q_doc_fingerprint,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_cosine_lsh": q_ann_cosine_lsh,
@@ -1520,6 +1532,26 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": _doc_fingerprint_oracle_sql(),
         "lang_id": _lang_id_oracle_sql(),
         "embedding_near_dups": _near_dup_oracle_sql(),
+        "repetition_stats": """
+            WITH t AS (
+              SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+            ), b AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(1, len(tk)),
+                            i -> tk[i] || ' ' || tk[i + 1])) AS bg
+              FROM t
+            ), c AS (
+              SELECT doc_id, bg, count(*) AS n FROM b GROUP BY 1, 2
+            ), m AS (
+              SELECT doc_id, max(n) AS mx, sum(n) AS tot FROM c GROUP BY 1
+            )
+            SELECT t.doc_id,
+                   CAST(len(tk) AS INTEGER) AS n_tokens,
+                   round(1.0 - len(list_distinct(tk)) * 1.0
+                         / greatest(len(tk), 1), 4) AS dup_token_frac,
+                   round(coalesce(m.mx * 1.0 / m.tot, 0.0), 4) AS top_bigram_frac
+            FROM t LEFT JOIN m ON m.doc_id = t.doc_id
+        """,
         "dedup_exact": """
             SELECT md5(text) AS text_hash, min(doc_id) AS canonical_id,
                    count(*) AS n_copies

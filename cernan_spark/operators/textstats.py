@@ -141,3 +141,51 @@ def doc_fingerprint(
     return staged.withColumn(
         "fingerprint", F.slice(F.array_sort(F.array_distinct(F.col("_grams"))), 1, k)
     ).drop("_grams")
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals for pretraining quality filtering:
+    the fraction of tokens that are repeats, and the most frequent word
+    bigram's share of all bigrams.
+
+    Scale shape: the bigram mode cannot be a per-row expression without a
+    per-row hash table — so bigrams explode to (doc, bigram) rows, ONE
+    hash aggregate counts them, a second tiny aggregate takes max/total
+    per doc, and the result broadcast-joins back onto the per-doc stats.
+    Both aggregates are map-side combined; the explode multiplies rows by
+    tokens-per-doc but each row is a (long, string) pair."""
+    toks = F.split(F.col(text_col), " ")
+    base = df.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.round(
+            1.0
+            - F.size(F.array_distinct(toks))
+            / F.greatest(F.size(toks), F.lit(1)),
+            4,
+        ).alias("dup_token_frac"),
+        F.zip_with(
+            F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+            F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+            lambda x, y: F.concat_ws(" ", x, y),
+        ).alias("_bigrams"),
+    )
+    counts = (
+        base.select("doc_id", F.explode("_bigrams").alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count("*").alias("n"))
+    )
+    per_doc = counts.groupBy("doc_id").agg(
+        F.max("n").alias("_mx"), F.sum("n").alias("_tot")
+    )
+    return (
+        base.drop("_bigrams")
+        .join(per_doc, "doc_id", "left")
+        .withColumn(
+            "top_bigram_frac",
+            F.round(
+                F.coalesce(F.col("_mx") / F.col("_tot"), F.lit(0.0)), 4
+            ),
+        )
+        .drop("_mx", "_tot")
+    )

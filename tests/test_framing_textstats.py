@@ -108,3 +108,25 @@ def test_prometheus_windowed_summary_purges_by_age(spark):
     r = out.collect()[0]
     # the t=100 sample aged out; only 100.0 and 50.0 remain
     assert r["n_points"] == 2 and r["samples_sum"] == 150.0
+
+
+def test_repetition_stats_signals(spark):
+    """Gopher repetition rules: a degenerate doc scores high on both
+    signals, a diverse doc scores low."""
+    from cernan_spark.operators.textstats import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam"),
+            (2, "one two three four five six"),
+            (3, "solo"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["dup_token_frac"], r["top_bigram_frac"])
+        for r in repetition_stats(df).collect()
+    }
+    assert got[1] == (round(1 - 1 / 6, 4), 1.0)   # all bigrams identical
+    assert got[2] == (0.0, 0.2)                    # 5 distinct bigrams
+    assert got[3] == (0.0, 0.0)                    # no bigrams at all
