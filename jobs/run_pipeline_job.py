@@ -14,7 +14,13 @@ metrics land in the lineage table; `--metrics` prints the rollup.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
+
+# plain `python jobs/run_pipeline_job.py` puts jobs/ (not the repo root) on
+# sys.path; under spark-submit the --py-files zip provides the package and
+# this insert is a harmless no-op
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(argv: list[str] | None = None) -> int:
