@@ -1,0 +1,135 @@
+"""Property-based tests (the reference's test strategy is quickcheck-heavy
+— SURVEY §5): wire codecs must round-trip arbitrary payloads, and the
+chunked gauge fold must equal the whole-series fold on arbitrary programs."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from cernan_spark.functions.nativeproto import (
+    decode_payload,
+    encode_logline,
+    encode_payload,
+    encode_telemetry,
+)
+from cernan_spark.functions.avrowire import (
+    decode_avro_payload,
+    encode_avro_payload,
+    read_container,
+    write_container,
+)
+
+_name = st.text(
+    alphabet=st.characters(min_codepoint=33, max_codepoint=0x2FF), min_size=1,
+    max_size=24,
+)
+_tags = st.dictionaries(_name, _name, max_size=4)
+_samples = st.lists(
+    st.floats(allow_nan=False, allow_infinity=False, width=64), max_size=8
+)
+
+
+@given(
+    name=_name,
+    samples=_samples,
+    kind=st.sampled_from(["SUM", "SET", "SUMMARIZE", "HISTOGRAM"]),
+    persist=st.booleans(),
+    tags=_tags,
+    ts=st.integers(min_value=0, max_value=2**53),
+)
+@settings(max_examples=200, deadline=None)
+def test_native_telemetry_roundtrip_property(name, samples, kind, persist, tags, ts):
+    buf = encode_payload(points=[
+        encode_telemetry(name, samples, kind=kind, persist=persist,
+                         metadata=tags, timestamp_ms=ts)
+    ])
+    (p,), lines = decode_payload(buf)
+    assert lines == []
+    assert p["name"] == name
+    assert p["samples"] == samples
+    assert p["kind"] == kind
+    assert p["persist"] is persist
+    assert p["metadata"] == tags
+    assert p["timestamp_ms"] == ts
+
+
+@given(path=_name, value=st.text(max_size=200), tags=_tags,
+       ts=st.integers(min_value=-(2**40), max_value=2**40))
+@settings(max_examples=100, deadline=None)
+def test_native_logline_roundtrip_property(path, value, tags, ts):
+    _, (ln,) = decode_payload(
+        encode_payload(lines=[encode_logline(path, value, tags, ts)])
+    )
+    assert (ln["path"], ln["value"], ln["metadata"], ln["timestamp_ms"]) == (
+        path, value, tags, ts,
+    )
+
+
+_recs = st.lists(
+    st.fixed_dictionaries(
+        {
+            "name": st.text(max_size=20),
+            "value": st.floats(allow_nan=False, allow_infinity=False, width=64),
+            "ts": st.integers(min_value=-(2**62), max_value=2**62),
+        }
+    ),
+    max_size=10,
+)
+
+_AVRO_SCHEMA = {
+    "type": "record",
+    "name": "telem",
+    "fields": [
+        {"name": "name", "type": "string"},
+        {"name": "value", "type": "double"},
+        {"name": "ts", "type": "long"},
+    ],
+}
+
+
+@given(records=_recs, id_=st.integers(min_value=0, max_value=2**63 - 1),
+       control=st.integers(min_value=0, max_value=3))
+@settings(max_examples=100, deadline=None)
+def test_avro_container_roundtrip_property(records, id_, control):
+    blob = write_container(records, _AVRO_SCHEMA)
+    p = decode_avro_payload(encode_avro_payload(blob, id_=id_, control=control))
+    assert p["id"] == id_
+    assert p["sync"] is bool(control & 1)
+    c = read_container(p["avro_blob"])
+    assert c["err"] is None
+    assert c["records"] == records
+
+
+def test_gauge_chunked_equals_global_property(spark):
+    """Arbitrary SET/SUM programs: the chunked fold must match the
+    whole-series fold on every prefix (30 seeded random programs, chunk
+    size 7 forcing many boundary crossings)."""
+    import random
+
+    from cernan_spark.operators.aggregate import (
+        gauge_running_value,
+        gauge_running_value_global,
+    )
+
+    rng = random.Random(2024)
+    rows = []
+    for s in range(30):
+        n = rng.randint(1, 40)
+        for i in range(n):
+            kind = "SET" if rng.random() < rng.choice([0.0, 0.1, 0.5, 1.0]) else "SUM"
+            rows.append((f"s{s}", kind, float(rng.randint(-50, 50)), i))
+    df = spark.createDataFrame(
+        rows, "name string, kind string, value double, order_key long"
+    )
+    fast = {
+        (r["name"], r["order_key"]): r["running_value"]
+        for r in gauge_running_value(df, ["name"], chunk_size=7).collect()
+    }
+    slow = {
+        (r["name"], r["order_key"]): r["running_value"]
+        for r in gauge_running_value_global(df, ["name"]).collect()
+    }
+    assert fast.keys() == slow.keys()
+    for k, v in slow.items():
+        assert abs(fast[k] - v) < 1e-9, (k, fast[k], v)
