@@ -8,13 +8,28 @@ local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
 The flagship measurement is end-to-end turns/sec through
 parse→enrich→route→aggregate (BASELINE.json metric). Run
 scripts/scaling_bench.py for the N vs 4N parallelism comparison.
+
+Methodology (round 3): each query's DataFrame plan is built ONCE and the
+*write* is timed over BENCH_REPS repetitions (best-of). A cluster job
+plans + whole-stage-codegen-compiles once and then streams terabytes
+through the compiled stages, so steady-state execution IS the throughput
+number; rebuilding the plan per rep (the round-2 bench) re-ran Catalyst
+analysis + ~6-10 s of janino codegen compilation per measurement and
+reported that driver-side constant as if it scaled with data. The synth
+input is materialized to parquet first for the same reason: the pipeline
+is the thing under test, not the row generator. MinHash is benched with
+portable=False (xxhash64) — the scale path a cluster runs — while the
+correctness entry keeps portable=True for its DuckDB oracle
+(VERDICT r2 asks #1 and #2).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -22,19 +37,23 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import functions as F
 
 
-def time_action(fn, reps: int | None = None):
-    """Warm once (codegen/JIT compile + page cache — identical work at any
-    data scale, so folding it into per-query time only measures the
-    driver), then report the best of ``reps`` timed runs (virtualized-host
-    noise is ±2×; the floor is the steady-state number a cluster sees)."""
+def time_write(df, reps: int | None = None):
+    """Warm once (codegen/JIT compile + page cache — one-time cost on any
+    real job, identical at any data scale), then report the best of
+    ``reps`` timed noop-writes of the SAME plan (virtualized-host noise is
+    ±2×; the floor is the steady-state number a cluster sees)."""
     reps = reps or int(os.environ.get("BENCH_REPS", "2"))
-    fn()  # warmup: plan + whole-stage-codegen compile
-    best, n = float("inf"), None
+
+    def run():
+        df.write.format("noop").mode("overwrite").save()
+
+    run()  # warmup: analysis + whole-stage-codegen compile
+    best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        n = fn()
+        run()
         best = min(best, time.perf_counter() - t0)
-    return best, n
+    return best
 
 
 def main() -> None:
@@ -62,39 +81,43 @@ def main() -> None:
     # 1. flagship: full pipeline over events-derived transcripts at sf
     t = transcripts_from_events(spark, sf_dir)
     n_turns_sf = t.count()
-    sec, _ = time_action(
-        lambda: run_pipeline(spark, t)["aggregates"].write.format("noop").mode(
-            "overwrite"
-        ).save()
-    )
-    queries["pipeline_e2e_sf"] = sec
+    queries["pipeline_e2e_sf"] = time_write(run_pipeline(spark, t)["aggregates"])
 
-    # 2. throughput at scale: synthetic transcripts, fixed size
-    synth = synthetic_transcripts(
-        spark, n_convs=synth_turns // 40, turns_per_conv=40
-    )
-    sec, _ = time_action(
-        lambda: run_pipeline(spark, synth)["aggregates"].write.format("noop").mode(
-            "overwrite"
-        ).save()
-    )
-    queries["pipeline_e2e_synth"] = sec
-    turns_per_sec = synth_turns / sec
+    # 2. throughput at scale: synthetic transcripts, fixed size,
+    #    materialized first (the generator is not the system under test)
+    synth_dir = tempfile.mkdtemp(prefix="bench_synth_")
+    try:
+        synthetic_transcripts(
+            spark, n_convs=synth_turns // 40, turns_per_conv=40
+        ).write.mode("overwrite").parquet(synth_dir)
+        synth = spark.read.parquet(synth_dir)
+        sec = time_write(run_pipeline(spark, synth)["aggregates"])
+        queries["pipeline_e2e_synth"] = sec
+        turns_per_sec = synth_turns / sec
 
-    # 3. individual operators at sf (driver-oracle twins)
-    for name in (
-        "bucket_sum",
-        "bucket_quantiles",
-        "gauge_carry_forward",
-        "route_fanout",
-        "dedup_exact",
-        "ann_cosine_topk",
-        "minhash_dedup",
-    ):
-        fn = entry.queries()[name]
-        sec, _ = time_action(lambda fn=fn: fn(spark, sf_dir).write.format(
-            "noop").mode("overwrite").save())
-        queries[name] = sec
+        # 3. individual operators at sf
+        for name in (
+            "bucket_sum",
+            "bucket_quantiles",
+            "gauge_carry_forward",
+            "route_fanout",
+            "dedup_exact",
+            "ann_cosine_topk",
+        ):
+            queries[name] = time_write(entry.queries()[name](spark, sf_dir))
+
+        # minhash: bench the xxhash64 scale path (the correctness entry keeps
+        # portable=True solely so DuckDB can mirror the hash bit-for-bit)
+        from cernan_spark.operators.dedup import minhash_lsh_candidates
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        queries["minhash_dedup"] = time_write(
+            minhash_lsh_candidates(docs, portable=False).select(
+                "id_a", "id_b", "n_match", "est_jaccard"
+            )
+        )
+    finally:
+        shutil.rmtree(synth_dir, ignore_errors=True)
 
     total = sum(queries.values())
     print(
