@@ -661,21 +661,20 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash fingerprint duplicate groups (rows-only; xxhash64 bit votes
-    have no DuckDB twin). Array members stringified — the driver's pandas
-    canonicalizer cannot sort list cells."""
-    from cernan_spark.operators.dedup import simhash_dedup
+    """Hamming-radius SimHash near-dup pairs (distance ≤ 3 via 4-chunk
+    banding, Manku et al.) over the corpus + 50 seeded one-token-edit
+    twins, portable-hash mode: the 31-bit fingerprint, chunk banding,
+    bucket cap and XOR popcount are all reproduced bit-for-bit by the
+    DuckDB oracle. The xxhash64/64-bit fast path is the same code with
+    portable=False (tests/test_training_ops.py asserts seeded-twin
+    recall on it)."""
+    from cernan_spark.operators.dedup import (
+        seed_text_near_dups,
+        simhash_hamming_pairs,
+    )
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    g = simhash_dedup(d).filter(F.col("n_docs") > 1)
-    return g.select(
-        "simhash",
-        "canonical_id",
-        "n_docs",
-        F.array_join(
-            F.transform("members", lambda m: m.cast("string")), ","
-        ).alias("members"),
-    )
+    return simhash_hamming_pairs(seed_text_near_dups(d), portable=True)
 
 
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1035,6 +1034,59 @@ SELECT id_a, id_b,
        CAST(len(list_filter(range(1, {num_hashes + 1}), i -> sig_a[i] = sig_b[i])) AS INTEGER) AS n_match,
        round(len(list_filter(range(1, {num_hashes + 1}), i -> sig_a[i] = sig_b[i])) / {float(num_hashes)}, 4) AS est_jaccard
 FROM pairs
+"""
+
+
+def _simhash_oracle_sql(
+    k: int = 3,
+    n_chunks: int = 4,
+    max_bucket: int = 100,
+    n_seed: int = 50,
+    id_offset: int = 1_000_000,
+    suffix: str = " zq",
+) -> str:
+    """DuckDB twin of simhash_hamming_pairs(portable=True) over the seeded
+    corpus: same token poly-hash, per-bit majority vote (31-bit
+    fingerprint), chunk layout, bucket cap and XOR-popcount radius."""
+    from cernan_spark.functions.porthash import portable_hash_sql
+    from cernan_spark.operators.dedup import simhash_chunk_layout
+
+    bits = 31
+    fp_terms = " + ".join(
+        f"CASE WHEN 2 * len(list_filter(hs, h -> ((h >> {b}) & 1) = 1)) "
+        f"> len(hs) THEN CAST({1 << b} AS BIGINT) ELSE 0 END"
+        for b in range(bits)
+    )
+    chunked = "\n  UNION ALL ".join(
+        f"SELECT id, fp, {i} AS chunk, (fp >> {off}) & {(1 << w) - 1} AS cval FROM fp"
+        for i, (off, w) in enumerate(simhash_chunk_layout(bits, n_chunks))
+    )
+    return f"""
+WITH seeded AS (
+  SELECT doc_id AS id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {id_offset} AS id, text || '{suffix}' AS text
+  FROM documents WHERE doc_id < {n_seed}
+), tokh AS (
+  SELECT id,
+         list_transform(list_distinct(string_split_regex(text, '\\s+')),
+                        t -> {portable_hash_sql("t")}) AS hs
+  FROM seeded
+), fp AS (
+  SELECT id, ({fp_terms}) AS fp FROM tokh
+), ch AS (
+  {chunked}
+), bsz AS (
+  SELECT chunk, cval, count(*) AS n FROM ch GROUP BY 1, 2
+), pairs AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.fp AS fa, b.fp AS fb
+  FROM ch a
+  JOIN ch b ON a.chunk = b.chunk AND a.cval = b.cval AND a.id < b.id
+  JOIN bsz s ON s.chunk = a.chunk AND s.cval = a.cval
+            AND s.n > 1 AND s.n <= {max_bucket}
+)
+SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS INTEGER) AS hamming
+FROM pairs WHERE bit_count(xor(fa, fb)) <= {k}
 """
 
 
@@ -1525,9 +1577,10 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id, min(label) AS canonical_id FROM walk GROUP BY id
         """,
-        # simhash_dedup stays rows-only (xxhash64 has no DuckDB twin);
-        # minhash / doc_fingerprint / lang_id / embedding_near_dups are
-        # value-checked via generated portable-hash SQL twins:
+        # minhash / simhash / doc_fingerprint / lang_id /
+        # embedding_near_dups are value-checked via generated
+        # portable-hash SQL twins:
+        "simhash_dedup": _simhash_oracle_sql(),
         "minhash_dedup": _minhash_oracle_sql(),
         "doc_fingerprint": _doc_fingerprint_oracle_sql(),
         "lang_id": _lang_id_oracle_sql(),

@@ -124,3 +124,69 @@ def test_dedup_groups_connected_components(spark):
         20: 20, 21: 20, 22: 20, 23: 20,
         30: 30, 31: 30,
     }
+
+
+def test_simhash_hamming_banding_is_complete(spark):
+    """Pigeonhole guarantee: chunk-banded candidate generation finds EVERY
+    pair within hamming distance k (< n_chunks) — compare against the
+    brute-force all-pairs popcount on a small corpus."""
+    from cernan_spark.operators.dedup import simhash, simhash_hamming_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_hamming_pairs(docs, k=3, n_chunks=4).collect()
+    }
+    fp = {
+        r["doc_id"]: r["fp"]
+        for r in docs.select("doc_id", simhash(F.col("text")).alias("fp")).collect()
+    }
+    ids = sorted(fp)
+    ham = lambda a, b: bin((a ^ b) & ((1 << 64) - 1)).count("1")
+    want = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if ham(fp[a], fp[b]) <= 3
+    }
+    assert got == want
+
+
+def test_simhash_hamming_seeded_twin_recall(spark):
+    """Seeded one-token-edit twins land within small hamming distance of
+    their original; the banded search recovers them on the xxhash64 scale
+    path. Distances are deterministic (xxhash64), so the counts are exact:
+    17/50 twins at radius 3, 36/50 at radius 7 (sf0.01 corpus)."""
+    from cernan_spark.operators.dedup import (
+        seed_text_near_dups,
+        simhash_hamming_pairs,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    seeded = seed_text_near_dups(docs)
+
+    def twins_found(k, n_chunks, max_bucket=100):
+        pairs = simhash_hamming_pairs(
+            seeded, k=k, n_chunks=n_chunks, max_bucket=max_bucket
+        )
+        return pairs.filter(F.col("id_b") - F.col("id_a") == 1_000_000).count()
+
+    assert twins_found(3, 4) == 17
+    # wider radius: 8-bit chunks over 550 docs make some buckets exceed the
+    # degenerate-bucket cap, costing one pair; uncapped, pigeonhole recovers
+    # every distance-≤7 twin
+    assert twins_found(7, 8) == 35
+    assert twins_found(7, 8, max_bucket=10_000) == 36  # recall 0.72
+
+
+def test_simhash_portable_mode_31_bits(spark):
+    """portable=True yields a 31-bit fingerprint (DuckDB-reproducible) and
+    the hamming-pairs pipeline still returns only radius-k pairs."""
+    from cernan_spark.operators.dedup import seed_text_near_dups, simhash_hamming_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = simhash_hamming_pairs(
+        seed_text_near_dups(docs, n_seed=10), portable=True
+    ).collect()
+    assert all(0 <= r["hamming"] <= 3 for r in out)
+    assert any(r["id_b"] - r["id_a"] == 1_000_000 for r in out)
