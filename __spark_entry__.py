@@ -429,6 +429,96 @@ def q_flush_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return held.groupBy("name").agg(F.count("*").alias("n_released"))
 
 
+def q_streaming_bucket_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch≡streaming equivalence gate (VERDICT r2 ask #4): the SAME
+    corpus flows through the Structured Streaming path — readStream over
+    the transcripts parquet, micro-batched (maxFilesPerTrigger=2,
+    availableNow), watermarked tumbling windows, append mode — and the
+    result is value-checked against the batch/DuckDB windowed aggregation.
+    Append mode emits exactly the bins whose window end ≤ final watermark
+    (max event time − delay): cernan's FlushBoundaryFilter semantics
+    (flush_boundary_filter.rs:56-91 + flush.rs:17-49) — a bin is shipped
+    once, after it can no longer change. The oracle reproduces that
+    emitted set arithmetically."""
+    _utc(spark)
+    import shutil
+    import tempfile
+    import uuid
+
+    from cernan_spark.streaming.pipeline import (
+        stream_transcripts,
+        streaming_bucket_aggregate,
+        streaming_parse,
+    )
+
+    bin_width, delay_s = 300, 600
+    tmp = tempfile.mkdtemp(prefix="stream_eq_")
+    qname = f"stream_eq_{uuid.uuid4().hex[:8]}"
+    try:
+        # range-partition by event time so micro-batches consume files in
+        # time order (a real log tail's arrival order); an arbitrary file
+        # order would legitimately drop whole out-of-order files as late
+        # data, making the emitted set depend on file scheduling
+        t = transcripts_from_events(spark, sf_dir)
+        t.repartitionByRange(8, "ts").sortWithinPartitions("ts").write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        # FileStreamSource orders by (mtime, path); the ranged part files
+        # share an mtime, so stamp strictly increasing mtimes in range
+        # order to pin consumption order
+        import glob
+        import os
+
+        parts = sorted(glob.glob(f"{tmp}/part-*.parquet"))
+        base = int(os.stat(parts[0]).st_mtime)
+        for i, f in enumerate(parts):
+            os.utime(f, (base + i, base + i))
+        # watermark emission lags one micro-batch: windows finalize during
+        # batch N using the watermark committed after batch N−1, so the
+        # last data batch's bins would never flush under availableNow.
+        # One sentinel row at the corpus max event time, alone in the
+        # final micro-batch, drives that flush; its own bin ends past the
+        # watermark and is never emitted.
+        max_ts_row = t.agg(F.max("ts").alias("mx")).collect()[0]
+        spark.createDataFrame(
+            [("wm", 0, "system", "wm_sentinel:0|c", "none",
+              max_ts_row["mx"], 1 << 60)],
+            "conv_id string, turn_idx int, role string, text string, "
+            "tool string, ts timestamp, order_key long",
+        ).coalesce(1).write.mode("append").parquet(tmp)
+        sent = [
+            p for p in glob.glob(f"{tmp}/part-*.parquet") if p not in parts
+        ][0]
+        os.utime(sent, (base + 100, base + 100))
+        parsed = streaming_parse(
+            stream_transcripts(spark, tmp, max_files_per_trigger=2)
+        )
+        agg = streaming_bucket_aggregate(
+            parsed, bin_width=bin_width, watermark=f"{delay_s} seconds"
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    # memory-sink rows live in the session after termination; project to
+    # the oracle-comparable shape (sums only exist for the SUM law)
+    return spark.table(qname).select(
+        "name",
+        "kind",
+        (F.unix_timestamp(F.col("window.start")) / bin_width)
+        .cast("long")
+        .alias("bin"),
+        _r4(F.col("sum_value")).alias("sum_value"),
+        "n_points",
+    )
+
+
 def q_zero_pad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wavefront gap zero-padding (wavefront.rs:203-342): missing bins in a
     series' span emit 0-points."""
@@ -947,6 +1037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "console_sections": q_console_sections,
         "corpus_pipeline": q_corpus_pipeline,
         "flush_boundary": q_flush_boundary,
+        "streaming_bucket_sums": q_streaming_bucket_sums,
         "zero_pad": q_zero_pad,
         "tick_count": q_tick_count,
         "json_log_fields": q_json_log_fields,
@@ -1446,6 +1537,21 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(floor(epoch / 3600) AS BIGINT) <
                   (SELECT max(CAST(floor(epoch / 3600) AS BIGINT)) FROM parsed)
             GROUP BY 1
+        """,
+        # batch≡streaming gate: the Spark side is the Structured Streaming
+        # path (availableNow micro-batches + watermark + append mode); the
+        # oracle is the plain batch windowed aggregation restricted to the
+        # bins append mode finalizes (window end ≤ max event time − delay)
+        "streaming_bucket_sums": P
+        + """
+            SELECT name, kind,
+                   CAST(floor(epoch / 300) AS BIGINT) AS bin,
+                   round(sum(CASE WHEN kind = 'SUM' THEN value END), 4) AS sum_value,
+                   count(*) AS n_points
+            FROM parsed
+            WHERE (floor(epoch / 300) + 1) * 300 <=
+                  (SELECT max(epoch) FROM parsed) - 600
+            GROUP BY 1, 2, 3
         """,
         "zero_pad": P
         + """

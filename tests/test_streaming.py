@@ -132,3 +132,36 @@ def test_streaming_late_data_dropped_after_watermark(spark, stream_dir):
     # the closed 00:00 bin is unchanged: the late 100-count never lands
     assert after[("cnt", "2024-01-01 00:00:00")] == (3.0, 2)
     assert after == before
+
+
+def test_batch_streaming_equivalence_gate(spark):
+    """VERDICT r2 ask #4: the same corpus through the streaming path
+    (availableNow micro-batches, watermark, append mode) and the batch
+    one-pass aggregate yields identical (name, kind, bin) rows — sums and
+    counts — over the bins append mode finalizes."""
+    import __spark_entry__ as em
+
+    sf = "/root/testdata/sf0.001"
+    streamed = {
+        (r["name"], r["kind"], r["bin"], r["sum_value"], r["n_points"])
+        for r in em.q_streaming_bucket_sums(spark, sf).collect()
+    }
+    assert streamed, "streaming emitted nothing"
+
+    from cernan_spark.operators.aggregate import bucket_aggregate_onepass
+
+    p = em._parsed(spark, sf)
+    batch = bucket_aggregate_onepass(p, bin_width=300)
+    emitted_bins = {b for (_, _, b, _, _) in streamed}
+    got = {
+        (
+            r["name"],
+            r["kind"],
+            r["bin"],
+            round(r["agg_value"], 4) if r["kind"] == "SUM" else None,
+            r["n_points"],
+        )
+        for r in batch.collect()
+        if r["bin"] in emitted_bins
+    }
+    assert got == streamed
