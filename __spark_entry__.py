@@ -998,8 +998,10 @@ def q_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal decode/feature plumbing over binary media columns via
-    mapInPandas (rows-only; decode stubbed — libs absent in container)."""
+    """Multimodal decode/feature extraction over binary media columns via
+    mapInPandas (rows-only; golden-hash pytest). PNG dimensions and WAV
+    durations are REAL stdlib decodes of real fixture bytes; only video
+    (MP4) stays a deterministic stand-in — no codec stack in container."""
     from cernan_spark.operators.multimodal import extract_features, synthetic_media
 
     media = synthetic_media(spark, n=256)

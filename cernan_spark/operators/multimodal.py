@@ -2,16 +2,20 @@
 metadata, processed via Arrow-batched mapInPandas.
 
 The Spark-side plumbing (schemas, batch iteration, partition sizing,
-deterministic fake features) is real and tested; the actual codec calls
-are STUBBED — image/audio libraries are not in this container. Each stub
-either raises NotImplementedError (strict mode) or produces a
-deterministic fake derived from the bytes (test mode), so pipelines and
-tests exercise the full distributed path.
+deterministic features) is real and tested. Decode is REAL for the two
+most common container formats — PNG dimensions (IHDR struct read) and
+WAV duration (RIFF chunk walk) — with no external libraries; formats
+that genuinely need a codec stack (JPEG entropy decode, MP4) raise
+NotImplementedError in strict mode or produce a deterministic fake
+derived from the bytes, so pipelines still exercise the full
+distributed path.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
+import zlib
 from typing import Iterator
 
 import numpy as np
@@ -36,17 +40,116 @@ FEATURE_SCHEMA = (
 )
 
 
+# ---------------------------------------------------------------------------
+# dependency-free PNG / WAV codecs (encode for fixtures, decode for real)
+# ---------------------------------------------------------------------------
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(width: int, height: int, seed: int = 0) -> bytes:
+    """Minimal REAL grayscale-8 PNG (signature + IHDR + zlib IDAT + IEND,
+    correct CRCs — loadable by any PNG reader). Deterministic pixel ramp
+    from ``seed``; used to build media fixtures without PIL."""
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + bytes(((x * 31 + y * 17 + seed) % 256) for x in range(width))
+        for y in range(height)
+    )
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png_size(content: bytes) -> tuple[int, int] | None:
+    """PNG (width, height) from the IHDR struct — a pure byte read; None
+    if the bytes are not a PNG."""
+    if len(content) >= 24 and content[:8] == PNG_SIG and content[12:16] == b"IHDR":
+        w, h = struct.unpack(">II", content[16:24])
+        return w, h
+    return None
+
+
+def encode_wav(
+    n_samples: int, sample_rate: int = 8000, seed: int = 0
+) -> bytes:
+    """Minimal REAL PCM16 mono WAV (RIFF/fmt/data) with a deterministic
+    waveform; used to build media fixtures without soundfile."""
+    data = b"".join(
+        struct.pack("<h", ((i * i + seed * 97) % 20000) - 10000)
+        for i in range(n_samples)
+    )
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    riff_size = 4 + (8 + len(fmt)) + (8 + len(data))
+    return (
+        b"RIFF"
+        + struct.pack("<I", riff_size)
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def decode_wav_duration_ms(content: bytes) -> int | None:
+    """WAV duration from the RIFF chunk walk (fmt byte_rate + data size) —
+    pure struct reads; None if the bytes are not a RIFF/WAVE container."""
+    if len(content) < 12 or content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        return None
+    pos, byte_rate, data_size = 12, None, None
+    while pos + 8 <= len(content):
+        tag = content[pos : pos + 4]
+        size = struct.unpack("<I", content[pos + 4 : pos + 8])[0]
+        if tag == b"fmt " and pos + 20 <= len(content):
+            byte_rate = struct.unpack("<I", content[pos + 16 : pos + 20])[0]
+        elif tag == b"data":
+            data_size = size
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if byte_rate and data_size is not None:
+        return int(data_size * 1000 // byte_rate)
+    return None
+
+
 def synthetic_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
-    """Deterministic fake media table: bytes derived from xxhash of the id
-    (generated distributively — content is a hash-seeded byte string)."""
+    """Deterministic media table, generated distributively: image rows are
+    REAL tiny PNGs and audio rows REAL tiny WAVs (8 seeded variants each,
+    embedded as binary literals from the stdlib encoders above); video
+    rows stay opaque hash-seeded bytes (MP4 needs a codec stack)."""
     kinds = F.array(F.lit("image"), F.lit("audio"), F.lit("video"))
     mimes = F.array(F.lit("image/png"), F.lit("audio/wav"), F.lit("video/mp4"))
     idx = (F.pmod(F.xxhash64(F.lit(seed), F.col("id")), F.lit(3)) + 1).cast("int")
+    variant = (
+        F.pmod(F.xxhash64(F.lit(seed + 1), F.col("id")), F.lit(8)) + 1
+    ).cast("int")
+    pngs = F.array(
+        *[F.lit(encode_png(16 + 3 * i, 20 + 5 * i, seed=i)) for i in range(8)]
+    )
+    wavs = F.array(*[F.lit(encode_wav(800 + 160 * i, seed=i)) for i in range(8)])
+    kind = F.element_at(kinds, idx)
+    fake = F.sha2(
+        F.concat(F.lit(str(seed)), F.col("id").cast("string")), 512
+    ).cast("binary")
     return spark.range(n).select(
         F.col("id").alias("media_id"),
-        F.element_at(kinds, idx).alias("kind"),
-        F.sha2(F.concat(F.lit(str(seed)), F.col("id").cast("string")), 512)
-        .cast("binary")
+        kind.alias("kind"),
+        F.when(kind == "image", F.element_at(pngs, variant))
+        .when(kind == "audio", F.element_at(wavs, variant))
+        .otherwise(fake)
         .alias("content"),
         F.element_at(mimes, idx).alias("mime"),
         F.create_map(F.lit("source"), F.lit("synthetic")).alias("meta"),
@@ -54,17 +157,27 @@ def synthetic_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
 
 
 def _decode_image(content: bytes, strict: bool) -> tuple[int, int]:
-    """STUB: real impl would use PIL/libvips (not in this container)."""
+    """REAL for PNG (IHDR struct read); other raster formats need an
+    entropy decoder (PIL/libvips, absent in container) → strict raises,
+    non-strict yields a deterministic fake."""
+    size = decode_png_size(content)
+    if size is not None:
+        return size
     if strict:
-        raise NotImplementedError("image decode requires PIL/libvips")
+        raise NotImplementedError("non-PNG image decode requires PIL/libvips")
     h = hashlib.sha256(content).digest()
     return 16 + h[0] % 64, 16 + h[1] % 64  # deterministic fake (w, h)
 
 
 def _decode_duration(content: bytes, strict: bool) -> int:
-    """STUB: real impl would use ffprobe/soundfile."""
+    """REAL for WAV (RIFF chunk walk); compressed a/v (MP4 etc.) needs
+    ffmpeg/soundfile → strict raises, non-strict yields a deterministic
+    fake."""
+    dur = decode_wav_duration_ms(content)
+    if dur is not None:
+        return dur
     if strict:
-        raise NotImplementedError("a/v decode requires ffmpeg/soundfile")
+        raise NotImplementedError("non-WAV a/v decode requires ffmpeg/soundfile")
     h = hashlib.sha256(content).digest()
     return 100 + int.from_bytes(h[2:4], "big") % 10_000
 

@@ -65,13 +65,22 @@ def test_multimodal_feature_extraction(spark):
     media = synthetic_media(spark, n=30)
     feats = extract_features(media).collect()
     assert len(feats) == 30
+    # the 8 seeded fixture variants: PNGs 16+3i × 20+5i, WAVs 100+20i ms
+    png_sizes = {(16 + 3 * i, 20 + 5 * i) for i in range(8)}
+    wav_durs = {100 + 20 * i for i in range(8)}
     for r in feats:
-        assert r["n_bytes"] == 128  # sha2-512 hex string bytes (content stub)
         assert len(r["sha256"]) == 64
         assert len(r["feature"]) == 8
         if r["kind"] == "image":
-            assert r["width"] is not None and r["duration_ms"] is None
+            # REAL decode: IHDR width/height of a real PNG fixture
+            assert (r["width"], r["height"]) in png_sizes
+            assert r["duration_ms"] is None
+        elif r["kind"] == "audio":
+            # REAL decode: RIFF fmt/data duration of a real WAV fixture
+            assert r["duration_ms"] in wav_durs
+            assert r["width"] is None
         else:
+            assert r["n_bytes"] == 128  # opaque video bytes (sha2-512 hex)
             assert r["duration_ms"] is not None and r["width"] is None
     # determinism: same seed → same features
     again = extract_features(synthetic_media(spark, n=30)).collect()
@@ -80,10 +89,38 @@ def test_multimodal_feature_extraction(spark):
     }
 
 
-def test_multimodal_strict_mode_raises(spark):
-    media = synthetic_media(spark, n=3)
+def test_png_wav_codec_roundtrip():
+    from cernan_spark.operators.multimodal import (
+        decode_png_size,
+        decode_wav_duration_ms,
+        encode_png,
+        encode_wav,
+    )
+
+    assert decode_png_size(encode_png(37, 55, seed=3)) == (37, 55)
+    assert decode_wav_duration_ms(encode_wav(1600, sample_rate=8000)) == 200
+    assert decode_wav_duration_ms(encode_wav(44100, sample_rate=44100)) == 1000
+    # non-media bytes → None (falls through to strict/fake handling)
+    assert decode_png_size(b"\x89PNGgarbage") is None
+    assert decode_png_size(b"") is None
+    assert decode_wav_duration_ms(b"RIFFxxxx") is None
+    assert decode_wav_duration_ms(b"not audio at all") is None
+
+
+def test_multimodal_strict_mode(spark):
+    media = synthetic_media(spark, n=12)
+    # strict now SUCCEEDS for PNG/WAV (real decoders) ...
+    ok = extract_features(
+        media.filter(F.col("kind") != "video"), strict=True
+    ).collect()
+    assert ok and all(
+        r["width"] is not None or r["duration_ms"] is not None for r in ok
+    )
+    # ... and still raises for formats that need a codec stack (MP4)
     with pytest.raises(Exception, match="NotImplementedError|decode"):
-        extract_features(media, strict=True).collect()
+        extract_features(
+            media.filter(F.col("kind") == "video"), strict=True
+        ).collect()
 
 
 def test_frame_sample_plan(spark):
@@ -101,9 +138,10 @@ def test_frame_sample_plan(spark):
 
 
 def test_multimodal_golden_hash(spark):
-    """The stubbed decode path is DETERMINISTIC: the full feature table for
-    the seeded 64-row corpus hashes to a pinned digest (VERDICT r1 asked
-    for golden-hash evidence instead of a rows-only count)."""
+    """The decode path is DETERMINISTIC: the full feature table for the
+    seeded 64-row corpus (real PNG/WAV fixtures + opaque video bytes)
+    hashes to a pinned digest (VERDICT r1 asked for golden-hash evidence
+    instead of a rows-only count)."""
     import hashlib
 
     rows = extract_features(synthetic_media(spark, n=64)).collect()
@@ -117,7 +155,7 @@ def test_multimodal_golden_hash(spark):
     )
     digest = hashlib.sha256(canon.encode()).hexdigest()
     assert digest == (
-        "f075f9c2f8bb47f4a687ce68fd725311c94bfd1b22e4e208f709a1847811724c"
+        "d3c39df4e8e4cd5598e63f861028a54474c394eccc9daefdc176c3b8f324b07d"
     )
 
 
