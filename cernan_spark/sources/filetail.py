@@ -6,10 +6,16 @@ the stored offset, a rotated file keeps its read offset under its new name,
 a truncated or replaced file is re-read from zero, and a partial trailing
 line is never consumed until its newline arrives.
 
-Spark-native mapping: files are identified by their *content head bytes* (the
-portable stand-in for an inode — rotation moves bytes to a new path but the
-head bytes are unchanged), and a tiny **ledger** table records
-``(identity, consumed_bytes)``. Each tail run:
+Spark-native mapping: files are identified by ``(device, inode)`` exactly
+like the reference (file_watcher.rs:39-185) — rotation renames the path but
+keeps the inode, so the read offset carries over; a replaced file has a new
+inode and starts at zero. The first ≤64 content bytes are stored alongside
+as a *verifier*: if the stored head no longer prefix-matches the file (an
+unrelated file reusing a recycled inode, or an in-place rewrite), the entry
+is ignored and the file is read fresh. Filesystems without inodes (some
+object-store mounts report st_ino=0) fall back to the head bytes as the
+identity. A tiny **ledger** table records ``(identity, consumed, head)``.
+Each tail run:
 
 1. lists the glob driver-side (file listing is driver work in Spark's own
    sources too), computes each file's identity + new byte range;
@@ -18,10 +24,13 @@ head bytes are unchanged), and a tiny **ledger** table records
    ranged reads);
 3. the caller commits consumed offsets back to the ledger after its action
    (at-least-once on crash, exactly-once once the ledger write lands —
-   same contract as the hopper-backed reference).
+   same contract as the hopper-backed reference). A commit OVERWRITES the
+   offset with what this run actually read (never ``max``): after an
+   in-place truncation the ledger must shrink, or every later run would
+   re-deliver the whole file from zero until it outgrew the stale offset.
 
-Rotation   → same head hash under a new path: consumed offset carries over.
-Truncate   → size < consumed or head changed: identity changes → offset 0.
+Rotation   → same (dev, ino) under a new path: consumed offset carries over.
+Truncate   → size < consumed, or head verifier fails: re-read from zero.
 Partial    → bytes after the last ``\\n`` stay unconsumed until complete.
 """
 
@@ -35,38 +44,44 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-LEDGER_SCHEMA = "identity string, consumed long"
+LEDGER_SCHEMA = "identity string, consumed long, head string"
 _HEAD_BYTES = 64
 
 
 def _head_hex(path: str) -> str:
-    """Identity = the file's first bytes (≤64), hex-encoded. A ledger entry
-    matches a file when the entry's head is a PREFIX of the file's head —
-    stable under appends even while the file is still shorter than 64
-    bytes (a fixed-length hash would change identity on every append)."""
+    """First ≤64 content bytes, hex-encoded — the identity *verifier*
+    (prefix-stable under appends even while the file is shorter than 64
+    bytes; a fixed-length hash would change on every early append)."""
     with open(path, "rb") as fh:
         return fh.read(_HEAD_BYTES).hex()
 
 
-def _load_ledger(spark: SparkSession, ledger_path: str) -> dict[str, int]:
+def _identity(path: str) -> str:
+    """(device, inode) — the reference's file identity
+    (file_watcher.rs:39-185); survives rename (rotation), changes on
+    replace. Falls back to head bytes where the fs reports no inode."""
+    st = os.stat(path)
+    if st.st_ino:
+        return f"{st.st_dev}:{st.st_ino}"
+    return "head:" + _head_hex(path)
+
+
+def _load_ledger(
+    spark: SparkSession, ledger_path: str
+) -> dict[str, tuple[int, str]]:
     try:
         return {
-            r["identity"]: r["consumed"]
+            r["identity"]: (r["consumed"], r["head"])
             for r in spark.read.parquet(ledger_path).collect()
         }
     except Exception:  # noqa: BLE001 — first run
         return {}
 
 
-def _match(ledger: dict[str, int], fhead: str) -> tuple[str, int] | None:
-    """Longest ledger head that prefixes the file head. A file whose head
-    shrank below a stored head is NOT a match (that is a truncation —
-    re-read from zero)."""
-    best = None
-    for k in ledger:
-        if fhead.startswith(k) and (best is None or len(k) > len(best)):
-            best = k
-    return (best, ledger[best]) if best is not None else None
+def _heads_agree(stored: str, current: str) -> bool:
+    """True when one head prefixes the other (the file may have been
+    shorter than 64 bytes when the head was stored, or may still be)."""
+    return current.startswith(stored) or stored.startswith(current)
 
 
 def tail_files(
@@ -80,13 +95,20 @@ def tail_files(
         size = os.path.getsize(path)
         if size == 0:
             continue
+        ident = _identity(path)
         fhead = _head_hex(path)
-        hit = _match(ledger, fhead)
-        start = hit[1] if hit else 0
+        start = 0
+        hit = ledger.get(ident)
+        if hit is not None:
+            consumed, stored_head = hit
+            # verifier: a recycled inode holding an unrelated file, or an
+            # in-place rewrite, must not inherit the old offset
+            if _heads_agree(stored_head, fhead):
+                start = consumed
         if size < start:  # truncated in place below the consumed offset
             start = 0
         if size > start:
-            ranges.append((fhead, path, start, size))
+            ranges.append((ident, path, start, size))
     if not ranges:
         return spark.createDataFrame(
             [], "identity string, path string, end_offset long, line string"
@@ -129,23 +151,29 @@ def commit_tail(
     spark: SparkSession, lines: DataFrame, ledger_path: str
 ) -> None:
     """Advance the ledger to the end of the last complete line per file
-    identity (call after the downstream action succeeds)."""
+    identity (call after the downstream action succeeds). This run's reads
+    are authoritative — the stored offset is OVERWRITTEN, so a truncation
+    that re-read from zero shrinks the ledger instead of replaying the
+    whole file on every subsequent run."""
     prev = _load_ledger(spark, ledger_path)
     new = {
-        r["identity"]: r["consumed"]
+        r["identity"]: (r["consumed"], r["path"])
         for r in lines.groupBy("identity")
-        .agg(F.max("end_offset").alias("consumed"))
+        .agg(
+            F.max("end_offset").alias("consumed"),
+            F.first("path").alias("path"),
+        )
         .collect()
     }
     merged = dict(prev)
-    for k, v in new.items():
-        # retire stale shorter heads of the same file (its head grew past
-        # them) so they cannot shadow-match unrelated future files
-        for old in [o for o in merged if o != k and k.startswith(o)]:
-            del merged[old]
-        merged[k] = max(v, merged.get(k, 0))
+    for ident, (consumed, path) in new.items():
+        try:
+            head = _head_hex(path)
+        except OSError:  # rotated/removed between read and commit
+            head = prev.get(ident, (0, ""))[1]
+        merged[ident] = (consumed, head)
     if not merged:
         return
-    spark.createDataFrame(list(merged.items()), LEDGER_SCHEMA).write.mode(
-        "overwrite"
-    ).parquet(ledger_path)
+    spark.createDataFrame(
+        [(k, c, h) for k, (c, h) in merged.items()], LEDGER_SCHEMA
+    ).write.mode("overwrite").parquet(ledger_path)
