@@ -256,8 +256,9 @@ def decode_avro_frames(frames: DataFrame, frame_col: str = "frame") -> DataFrame
     """Decode length-stripped avro-source frames: header fields + container
     validation + one row per decoded record (record_json; null when the
     schema is not a flat primitive record — the blob stays opaque exactly
-    like the reference). Invalid containers yield one row with
-    avro_valid=false (the reference drops + logs them)."""
+    like the reference). Invalid containers — AND malformed payload
+    headers, which the reference maps to Payload::Invalid and drops —
+    yield one row with avro_valid=false instead of failing the job."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -265,7 +266,14 @@ def decode_avro_frames(frames: DataFrame, frame_col: str = "frame") -> DataFrame
             for cid, fidx, blob in zip(
                 pdf["conn_id"], pdf["frame_idx"], pdf[frame_col]
             ):
-                p = decode_avro_payload(bytes(blob))
+                try:
+                    p = decode_avro_payload(bytes(blob))
+                except Exception:  # noqa: BLE001 — malformed header bytes
+                    rows.append(
+                        (cid, fidx, None, None, None, None, {}, False,
+                         0, 0, None)
+                    )
+                    continue
                 meta = {
                     k: v.decode("utf-8", errors="replace")
                     for k, v in p["metadata"].items()

@@ -258,7 +258,10 @@ def decode_native_frames(frames: DataFrame, frame_col: str = "frame") -> DataFra
     """Decode length-stripped native frames (frames_from_stream output) into
     telemetry rows (one per sample, native.rs:151-178 multi-sample insert)
     and log rows. Arrow-batched; empty-sample points dropped like the
-    reference."""
+    reference. A malformed/truncated frame yields ONE row with
+    record_kind='invalid' instead of failing the job — the reference logs
+    and drops bad payloads (native.rs:198-202 returns Err), it never
+    aborts the accept loop."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -266,7 +269,14 @@ def decode_native_frames(frames: DataFrame, frame_col: str = "frame") -> DataFra
             for cid, fidx, blob in zip(
                 pdf["conn_id"], pdf["frame_idx"], pdf[frame_col]
             ):
-                points, lines = decode_payload(bytes(blob))
+                try:
+                    points, lines = decode_payload(bytes(blob))
+                except Exception:  # noqa: BLE001 — malformed wire bytes
+                    rows.append(
+                        (cid, fidx, "invalid", None, None, None, None,
+                         None, None, None, None, None, None)
+                    )
+                    continue
                 for p in points:
                     if not p["samples"]:
                         continue  # native.rs:151-153

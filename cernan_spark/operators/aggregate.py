@@ -747,7 +747,7 @@ def prometheus_windowed_summaries(
         F.percentile_approx("value", q_arr, F.lit(accuracy)).alias("quantile_values"),
         F.sum("value").alias("samples_sum"),
         F.count("*").alias("n_points"),
-    )
+    ).withColumn("quantile_probs", F.array(*[F.lit(q) for q in qs]))
 
 
 def cumulative_histogram(hist_rows: DataFrame) -> DataFrame:

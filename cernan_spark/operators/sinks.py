@@ -63,11 +63,20 @@ def wavefront_format(agg: DataFrame, bin_width: int) -> DataFrame:
     return scalar.unionByName(q).unionByName(companions)
 
 
-def prometheus_format(cum: DataFrame) -> DataFrame:
+def prometheus_format(
+    cum: DataFrame, summaries: DataFrame | None = None
+) -> DataFrame:
     """Exposition text (reference src/sink/prometheus.rs:499-675): counters
     from cumulative sums, gauges from latest Set, histograms as running-sum
     `le` buckets. Names sanitized to [a-zA-Z0-9:_] (prometheus.rs:607-628).
-    Input: prometheus_accumulate output restricted to each key's last bin."""
+    Input: prometheus_accumulate output restricted to each key's last bin.
+
+    Histogram bucket counts come from ``cum_hist`` (the perpetually
+    accumulated counts across ALL bins, prometheus.rs:279-310) when the
+    accumulator provides it, falling back to the single-bin ``hist``.
+    ``summaries``, when given, feeds the summary section from the
+    capacity-windowed operator (prometheus_windowed_summaries — the
+    reference's Windowed accumulator) instead of the last bin's sketch."""
     san = F.regexp_replace(F.col("name"), r"[^a-zA-Z0-9:_]", "_")
     scalar = cum.filter(F.col("kind").isin("SUM", "SET")).select(
         F.concat(
@@ -78,9 +87,12 @@ def prometheus_format(cum: DataFrame) -> DataFrame:
     )
     parts = [scalar]
     if "hist" in cum.columns:
-        hist = cumulative_histogram(
-            cum.filter(F.col("kind") == "HISTOGRAM")
-        ).select(
+        hsrc = cum.filter(F.col("kind") == "HISTOGRAM")
+        if "cum_hist" in cum.columns:
+            hsrc = hsrc.withColumn(
+                "hist", F.coalesce(F.col("cum_hist"), F.col("hist"))
+            )
+        hist = cumulative_histogram(hsrc).select(
             F.concat(
                 F.lit("# TYPE "), san, F.lit(" histogram\n"),
                 F.array_join(
@@ -99,9 +111,19 @@ def prometheus_format(cum: DataFrame) -> DataFrame:
         )
         parts.append(hist)
     # summaries: quantile series + _sum/_count companions
-    # (prometheus.rs:564-597; quantile list 568)
-    if "quantile_values" in cum.columns:
-        summ = cum.filter(F.col("kind") == "SUMMARIZE")
+    # (prometheus.rs:564-597; quantile list 568). Source: the windowed
+    # accumulator when wired, else the input's own Summarize rows. Counts
+    # render integer-style, matching Rust's f64 Display of whole numbers.
+    summ = (
+        summaries
+        if summaries is not None
+        else (
+            cum.filter(F.col("kind") == "SUMMARIZE")
+            if "quantile_values" in cum.columns
+            else None
+        )
+    )
+    if summ is not None:
         qlines = F.array_join(
             F.transform(
                 F.arrays_zip("quantile_probs", "quantile_values"),
@@ -121,7 +143,7 @@ def prometheus_format(cum: DataFrame) -> DataFrame:
                 F.coalesce(F.col("samples_sum"), F.lit(0.0)).cast("string"),
                 F.lit("\n"),
                 san, F.lit("_count "),
-                F.col("n_points").cast("double").cast("string"),
+                F.col("n_points").cast("long").cast("string"),
             ).alias("exposition")
         )
         parts.append(summary)
@@ -176,15 +198,20 @@ def elasticsearch_format(logs: DataFrame) -> DataFrame:
 def kafka_format(logs: DataFrame) -> DataFrame:
     """Kafka record shape: payload bytes keyed by order_by with metadata
     headers (reference src/sink/kafka.rs:271-430; order_by keying keeps
-    per-key ordering through partitioned topics)."""
+    per-key ordering through partitioned topics). Event tags take
+    precedence over the synthesized ``path`` header (the same tags-beat-
+    base order as the elasticsearch doc) — a plain map_concat would throw
+    under Spark's default mapKeyDedupPolicy=EXCEPTION whenever an event
+    carries a tag literally named ``path``."""
+    from cernan_spark.functions.jsonlog import merge_maps_first_wins
+
     empty = F.expr("map()")
     tags = F.coalesce(F.col("tags"), empty) if "tags" in logs.columns else empty
     return logs.select(
         F.col("order_key").cast("string").alias("key"),
         F.col("line").cast("binary").alias("value"),
-        F.map_concat(
-            tags,
-            F.create_map(F.lit("path"), F.col("conv_id")),
+        merge_maps_first_wins(
+            tags, F.create_map(F.lit("path"), F.col("conv_id"))
         ).alias("headers"),
     )
 

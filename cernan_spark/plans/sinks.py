@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from cernan_spark.operators.aggregate import (
     prometheus_accumulate,
     prometheus_reject_kind_changes,
+    prometheus_windowed_summaries,
     wavefront_persist_reinsert,
 )
 from cernan_spark.operators.sinks import (
@@ -32,12 +33,29 @@ def _write(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").parquet(path)
 
 
+def _prometheus_summaries(routed_points: DataFrame, capacity_s: int) -> DataFrame:
+    """Windowed Summarize quantiles for the exposition: batch 'now' is the
+    routed points' max event time (one tiny driver action over an
+    aggregate, not a per-row collect)."""
+    epoch = F.coalesce(
+        F.col("event_epoch") if "event_epoch" in routed_points.columns
+        else F.lit(None).cast("long"),
+        F.unix_timestamp("ts"),
+    )
+    now_row = routed_points.agg(F.max(epoch).alias("mx")).collect()[0]
+    now_epoch = now_row["mx"] if now_row["mx"] is not None else 0
+    return prometheus_windowed_summaries(
+        routed_points, capacity_seconds=capacity_s, now_epoch=now_epoch
+    )
+
+
 def write_sinks(
     spark: SparkSession,
     out: dict[str, DataFrame],
     base_path: str,
     bin_width: int = 60,
     lineage_path: str | None = None,
+    summary_capacity_s: int = 3600,
 ) -> dict[str, str]:
     """Materialize every configured sink from a run_pipeline output dict.
 
@@ -71,12 +89,20 @@ def write_sinks(
         # intermediate cumulative values.
         # a name that flips aggregation kind is rejected, first-seen wins
         # (prometheus.rs:279-310) — rejected rows never reach the
-        # accumulator or the exposition
+        # accumulator or the exposition. Summarize kinds live in the
+        # reference's capacity_in_seconds Windowed accumulator
+        # (prometheus.rs:95-195), not the Perpetual one: the summary
+        # section is fed from the windowed operator over the RAW routed
+        # points (window = capacity, batch 'now' = max event time), while
+        # SUM/SET/HISTOGRAM come from the perpetual accumulation's last
+        # snapshot (histogram buckets from cum_hist — accumulated across
+        # all bins, not the final bin alone).
         "prometheus": prometheus_format(
             prometheus_accumulate(
                 prometheus_reject_kind_changes(sink_of("prometheus"), ["name"])
                 .filter(~F.col("kind_rejected"))
-                .drop("kind_rejected"),
+                .drop("kind_rejected")
+                .filter(F.col("kind") != "SUMMARIZE"),
                 ["name", "kind"],
             )
             .withColumn(
@@ -86,7 +112,11 @@ def write_sinks(
                 ),
             )
             .filter(F.col("_rn") == 1)
-            .drop("_rn")
+            .drop("_rn"),
+            summaries=_prometheus_summaries(
+                routed_tel.filter(F.col("sink") == "prometheus"),
+                summary_capacity_s,
+            ),
         ),
         "influxdb": influxdb_format(
             routed_tel.filter(F.col("sink") == "influxdb")

@@ -81,3 +81,16 @@ def test_spark_decode_avro_frames(spark):
     assert all(r["needs_ack"] for r in ok)
     bad_rows = [r for r in rows if not r["avro_valid"]]
     assert len(bad_rows) == 1 and bad_rows[0]["record_json"] is None
+
+
+def test_malformed_avro_header_flags_not_fails(spark):
+    """ADVICE r2: a truncated/garbage payload header yields one
+    avro_valid=false row (the reference's Payload::Invalid), never a job
+    failure."""
+    frames = spark.createDataFrame(
+        [(1, 0, bytearray(b"\x00\x01")), (1, 1, bytearray(b""))],
+        "conn_id long, frame_idx int, frame binary",
+    )
+    rows = decode_avro_frames(frames).collect()
+    assert len(rows) == 2
+    assert all(r["avro_valid"] is False for r in rows)

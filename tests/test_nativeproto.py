@@ -120,3 +120,16 @@ def test_spark_encode_frame_stream_decode_roundtrip(spark):
         ("lat", 1, 0.2, "SUMMARIZE", 120),
         ("mem", 0, 7.5, "SET", 60),
     ]
+
+
+def test_malformed_native_frame_flags_not_fails(spark):
+    """ADVICE r2: one bad frame must not fail the whole job after retries —
+    the reference logs + drops invalid payloads (native.rs:198-202)."""
+    frames = spark.createDataFrame(
+        [(1, 0, bytearray(b"\xff\xff\xff garbage not protobuf \x01"))],
+        "conn_id long, frame_idx int, frame binary",
+    )
+    rows = decode_native_frames(frames).collect()
+    assert len(rows) == 1
+    assert rows[0]["record_kind"] == "invalid"
+    assert rows[0]["name"] is None

@@ -214,7 +214,8 @@ def test_prometheus_summary_exposition(spark):
     assert 'lat{quantile="0.5"} 1.0' in summary
     assert 'lat{quantile="0.99"} 9.0' in summary
     assert "lat_sum 20.0" in summary
-    assert "lat_count 4.0" in summary
+    # integer-style count (Rust f64 Display prints whole numbers bare)
+    assert "lat_count 4" in summary and "lat_count 4.0" not in summary
 
 
 def test_pipeline_age_threshold_rejects_stale(spark):
@@ -242,3 +243,46 @@ def test_pipeline_age_threshold_rejects_stale(spark):
         .collect()[0][0]
     )
     assert total == 6.0  # 2 + 4 kept; the 3h-old point rejected
+
+
+def test_write_sinks_prometheus_histogram_accumulates_and_windowed_summary(spark):
+    """ADVICE r2: the shipped exposition must show PERPETUALLY accumulated
+    histogram bucket counts (cum_hist), not the final bin's counts alone;
+    and the summary section is fed from the capacity-windowed accumulator
+    over raw routed points, with an integer-style _count."""
+    import tempfile as _tf, shutil as _sh
+    from cernan_spark.plans.pipeline import run_pipeline
+    from cernan_spark.plans.sinks import write_sinks
+    from cernan_spark.sources.transcripts import synthetic_transcripts
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    d = _tf.mkdtemp(prefix="sinks_prom_")
+    try:
+        t = synthetic_transcripts(spark, n_convs=40, turns_per_conv=20, seed=11)
+        out = run_pipeline(spark, t)
+        paths = write_sinks(spark, out, d)
+        expo = [r["exposition"] for r in spark.read.parquet(paths["prometheus"]).collect()]
+        hists = [e for e in expo if " histogram\n" in e]
+        assert hists, "expected a histogram exposition (hist.bucketed routes to prometheus)"
+        # total accumulated bucket count at +Inf equals the FULL point count
+        # across every bin for that series, not just the last bin's
+        agg = out["aggregates"].filter(
+            (F.col("sink") == "prometheus") & (F.col("kind") == "HISTOGRAM")
+        )
+        import re
+
+        total = {
+            re.sub(r"[^a-zA-Z0-9:_]", "_", r["name"]): r["n"]
+            for r in agg.groupBy("name").agg(F.sum("n_points").alias("n")).collect()
+        }
+        for e in hists:
+            name = e.split(" ")[2]
+            inf_count = int(e.rsplit('"} ', 1)[1])
+            assert inf_count == total[name]
+        summaries = [e for e in expo if " summary\n" in e]
+        assert summaries, "expected a summary exposition"
+        for e in summaries:
+            count_line = [l for l in e.splitlines() if "_count" in l][0]
+            assert "." not in count_line.split()[-1]  # integer-style
+    finally:
+        _sh.rmtree(d, ignore_errors=True)
