@@ -132,11 +132,14 @@ def run_pipeline(
     stages = parse_stage(transcripts, masks=masks)
     telemetry, logs, bad = stages["telemetry"], stages["logs"], stages["bad"]
 
+    telemetry_unfiltered = None
     if cfg.age_threshold_s is not None:
         # wavefront-style age_threshold (wavefront.rs:643-651): reject
         # telemetry older/newer than the window around 'now' (batch now =
         # max event time — a deterministic high-watermark)
         from cernan_spark.operators.filters import delay_filter
+
+        telemetry_unfiltered = telemetry
 
         now_ref = telemetry.agg(
             F.max(F.coalesce(F.col("event_epoch"), F.unix_timestamp("ts"))).alias(
@@ -187,7 +190,7 @@ def run_pipeline(
         agg.filter(F.col("sink") == "prometheus"), ["sink", "name", "kind"]
     )
 
-    return {
+    result = {
         "telemetry": telemetry,
         "logs": logs,
         "bad": bad,
@@ -200,6 +203,10 @@ def run_pipeline(
             routed_tel.select("sink").unionByName(routed_logs.select("sink"))
         ),
     }
+    if telemetry_unfiltered is not None:
+        # pre-delay-filter rows, for the internal accept/reject accounting
+        result["telemetry_unfiltered"] = telemetry_unfiltered
+    return result
 
 
 def _agg_per_sink(routed_tel: DataFrame, cfg: PipelineConfig) -> DataFrame:
