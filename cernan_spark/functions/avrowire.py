@@ -23,6 +23,7 @@ from __future__ import annotations
 import io
 import json
 import struct
+import zlib
 from typing import Iterator
 
 import pandas as pd
@@ -112,11 +113,18 @@ def _enc_record(rec: dict, schema: dict) -> bytes:
 # OCF reader / writer (null codec)
 # ---------------------------------------------------------------------------
 
-def write_container(records: list[dict], schema: dict, sync: bytes = b"S" * 16) -> bytes:
-    """Minimal OCF writer (null codec) for tests and the avro sink path."""
+def write_container(
+    records: list[dict],
+    schema: dict,
+    sync: bytes = b"S" * 16,
+    codec: str = "null",
+) -> bytes:
+    """Minimal OCF writer for tests and the avro sink path. Codecs: null
+    and deflate (raw DEFLATE stream per the Avro spec — no zlib header or
+    checksum, stdlib zlib with wbits=-15)."""
     meta = {
         "avro.schema": json.dumps(schema, sort_keys=True).encode(),
-        "avro.codec": b"null",
+        "avro.codec": codec.encode(),
     }
     out = bytearray(MAGIC)
     out += _enc_long(len(meta))
@@ -125,6 +133,11 @@ def write_container(records: list[dict], schema: dict, sync: bytes = b"S" * 16) 
     out += _enc_long(0)  # end of metadata map
     out += sync
     body = b"".join(_enc_record(r, schema) for r in records)
+    if codec == "deflate":
+        comp = zlib.compressobj(wbits=-15)
+        body = comp.compress(body) + comp.flush()
+    elif codec != "null":
+        raise ValueError(f"unsupported codec: {codec}")
     out += _enc_long(len(records)) + _enc_long(len(body)) + body + sync
     return bytes(out)
 
@@ -133,8 +146,9 @@ def read_container(blob: bytes) -> dict:
     """Parse an OCF: returns {schema, codec, records, n_blocks, err}.
     Structure is fully validated (magic, metadata, per-block sync marker —
     what the reference's from_container checks); records are decoded when
-    the codec is null and the schema is a flat primitive record, else left
-    as counts only (the reference never decodes records at all)."""
+    the codec is null or deflate (raw-DEFLATE blocks inflated via stdlib
+    zlib) and the schema is a flat primitive record, else left as counts
+    only (the reference never decodes records at all — value-add)."""
     out = {"schema": None, "codec": None, "records": [], "n_blocks": 0,
            "n_records": 0, "decoded": False, "err": None}
     try:
@@ -158,7 +172,7 @@ def read_container(blob: bytes) -> dict:
         out["schema"], out["codec"] = schema, codec
         sync = buf.read(16)
         decodable = (
-            codec == "null"
+            codec in ("null", "deflate")
             and isinstance(schema, dict)
             and schema.get("type") == "record"
             and all(
@@ -180,6 +194,8 @@ def read_container(blob: bytes) -> dict:
             out["n_blocks"] += 1
             out["n_records"] += count
             if decodable:
+                if codec == "deflate":
+                    block = zlib.decompress(block, -15)
                 bbuf = io.BytesIO(block)
                 for _ in range(count):
                     out["records"].append(_dec_record(bbuf, schema))

@@ -99,8 +99,39 @@ def xf_remove_tag(df: DataFrame, key: str) -> DataFrame:
 
 
 def xf_drop_all(df: DataFrame) -> DataFrame:
-    """clear_metrics.lua / clear_logs.lua — drop every event."""
+    """Drop every event (the degenerate clear on a homogeneous frame)."""
     return df.filter(F.lit(False))
+
+
+def xf_clear_metrics(df: DataFrame, class_col: str = "record_kind") -> DataFrame:
+    """clear_metrics.lua — drop metric events, pass logs. On a mixed frame
+    (``class_col`` present) only telemetry rows drop; a homogeneous
+    telemetry frame empties."""
+    if class_col in df.columns:
+        return df.filter(F.col(class_col) != "telemetry")
+    return df.filter(F.lit(False))
+
+
+def xf_clear_logs(df: DataFrame, class_col: str = "record_kind") -> DataFrame:
+    """clear_logs.lua — drop log events, pass metrics."""
+    if class_col in df.columns:
+        return df.filter(F.col(class_col) != "log")
+    return df.filter(F.lit(False))
+
+
+def xf_set_value(df: DataFrame, value: str, value_col: str = "line") -> DataFrame:
+    """set_value.lua — overwrite the event's value/payload with a constant
+    (payload.log_set_value(pyld, 1, "foo"))."""
+    return df.withColumn(value_col, F.lit(value))
+
+
+def xf_collectd_scrub(df: DataFrame) -> DataFrame:
+    """collectd_scrub.lua — strip the host segment from collectd metric
+    names: ``collectd[.@]<host>…`` → ``collectd…`` (the exact Lua pattern
+    ``^(collectd)[%.@][%w_-]+(.*)``); non-collectd names pass unchanged."""
+    return df.withColumn(
+        "name", F.regexp_replace("name", r"^collectd[.@][\w-]+", "collectd")
+    )
 
 
 def xf_json_extract_fields(df: DataFrame, line_col: str = "line") -> DataFrame:
@@ -149,13 +180,26 @@ def xf_metric_query(
     return df.join(per_win, ["name", bin_col], "left")
 
 
-#: The named-transform registry standing in for user Lua scripts.
+#: The named-transform registry standing in for user Lua scripts. Coverage
+#: of the reference integration suite's 15 scripts
+#: (tests/programmable_filter.rs:13-699): identity, clear_metrics,
+#: clear_logs, remove_keys→remove_tag, field_from_path, set_value,
+#: add_keys→add_tag, json_parse→json_extract_fields, keep_count→tick_count,
+#: collectd_scrub — direct transforms below. demonstrate_require exercises
+#: the Lua module loader, whose analog here is the Python import system
+#: every transform already uses (N/A as a transform). lua_error /
+#: missing_func / insufficient_args exercise runtime-error handling —
+#: covered by apply_programmable_safe's failure accounting.
 PROGRAMMABLE_REGISTRY = {
     "identity": xf_identity,
     "name_rewrite": xf_name_rewrite,
     "add_tag": xf_add_tag,
     "remove_tag": xf_remove_tag,
     "drop_all": xf_drop_all,
+    "clear_metrics": xf_clear_metrics,
+    "clear_logs": xf_clear_logs,
+    "set_value": xf_set_value,
+    "collectd_scrub": xf_collectd_scrub,
     "json_extract_fields": xf_json_extract_fields,
     "field_from_path": xf_field_from_path,
     "tick_count": xf_tick_count,

@@ -89,15 +89,17 @@ _AVRO_SCHEMA = {
 
 
 @given(records=_recs, id_=st.integers(min_value=0, max_value=2**63 - 1),
-       control=st.integers(min_value=0, max_value=3))
+       control=st.integers(min_value=0, max_value=3),
+       codec=st.sampled_from(["null", "deflate"]))
 @settings(max_examples=100, deadline=None)
-def test_avro_container_roundtrip_property(records, id_, control):
-    blob = write_container(records, _AVRO_SCHEMA)
+def test_avro_container_roundtrip_property(records, id_, control, codec):
+    blob = write_container(records, _AVRO_SCHEMA, codec=codec)
     p = decode_avro_payload(encode_avro_payload(blob, id_=id_, control=control))
     assert p["id"] == id_
     assert p["sync"] is bool(control & 1)
     c = read_container(p["avro_blob"])
     assert c["err"] is None
+    assert c["codec"] == codec
     assert c["records"] == records
 
 

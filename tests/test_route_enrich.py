@@ -107,6 +107,38 @@ def test_programmable_registry(spark):
     assert apply_programmable(df, "drop_all").count() == 0
 
 
+def test_programmable_round3_scripts(spark):
+    """The remaining reference integration scripts as transforms
+    (tests/programmable_filter.rs): collectd_scrub's exact host-strip
+    pattern, set_value's constant overwrite, clear_metrics/clear_logs'
+    per-class drops on a mixed frame."""
+    df = spark.createDataFrame(
+        [
+            ("collectd.host-1.cpu", "telemetry", "x"),
+            ("collectd@host_2.mem.free", "telemetry", "x"),
+            ("other.metric", "telemetry", "x"),
+            ("log-a", "log", "payload text"),
+        ],
+        "name string, record_kind string, line string",
+    )
+    scrubbed = {r["name"] for r in apply_programmable(df, "collectd_scrub").collect()}
+    assert "collectd.cpu" in scrubbed            # dot separator, '-' in host
+    assert "collectd.mem.free" in scrubbed       # '@' separator, '_' in host
+    assert "other.metric" in scrubbed            # non-collectd untouched
+    assert "log-a" in scrubbed
+
+    sv = apply_programmable(df, "set_value", value="foo").collect()
+    assert all(r["line"] == "foo" for r in sv)
+
+    cm = apply_programmable(df, "clear_metrics").collect()
+    assert [r["record_kind"] for r in cm] == ["log"]
+    cl = apply_programmable(df, "clear_logs").collect()
+    assert all(r["record_kind"] == "telemetry" for r in cl) and len(cl) == 3
+    # homogeneous frames (no class column) empty entirely
+    tel_only = df.drop("record_kind")
+    assert apply_programmable(tel_only, "clear_metrics").count() == 0
+
+
 def test_delay_filter_strict_bound(spark):
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.sql(
