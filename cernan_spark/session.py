@@ -47,6 +47,13 @@ def get_spark(
         # to sort-based aggregation past 128 in-memory groups — far too
         # conservative for per-(series, bin) sketching
         .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "131072")
+        # ContextCleaner frees broadcast/shuffle state via weak refs, i.e.
+        # only when the DRIVER GCs — with a 64g heap and a throughput
+        # collector that can be never: repeated jobs in one JVM degraded
+        # monotonically (6→34s over 4 identical runs) as torrent blocks and
+        # shuffle files piled up. A periodic driver GC bounds the backlog;
+        # single-pass cluster jobs are unaffected.
+        .config("spark.cleaner.periodicGC.interval", "10s")
     )
     # throughput collector by default: G1's pause-time goal costs ~15% on
     # the allocation-heavy parse stage and degraded N→4N scaling efficiency
