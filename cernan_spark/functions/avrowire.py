@@ -10,10 +10,11 @@ The reference VALIDATES the blob is a well-formed Avro container
 (``serde_avro::from_container``) and forwards it opaque; sync-flagged
 payloads are ACKed with the payload id. This module goes one step further
 for the training-pipeline story: a dependency-free OCF reader (magic, file
-metadata map, sync-marker-checked blocks, null codec) that also DECODES
-records for flat record schemas of primitive fields — enough to land
-telemetry-shaped Avro (``{name, value, ts}``) as typed rows. No Avro
-library exists in this image; zigzag-varint primitives are ~40 lines.
+metadata map, sync-marker-checked blocks, null + deflate codecs) that also
+DECODES records for any structurally walkable schema — nested records,
+unions, arrays, maps, enums, fixed, named-type references — enough to land
+arbitrary telemetry-shaped Avro as typed rows. No Avro library exists in
+this image; zigzag-varint primitives are ~40 lines.
 
 Arrow-batched via ``mapInPandas`` like the other wire codecs.
 """
@@ -96,17 +97,151 @@ _PRIM_DEC = {
 }
 
 
-def _dec_record(buf: io.BytesIO, schema: dict):
-    out = {}
-    for f in schema["fields"]:
-        out[f["name"]] = _PRIM_DEC[f["type"]](buf)
-    return out
+# ---------------------------------------------------------------------------
+# full structural codec: nested records, unions, arrays, maps, enums, fixed
+# (value-add beyond the reference, which forwards every container opaque —
+# /root/reference/src/source/avro.rs:80-163 only VALIDATES; decoding nested
+# schemas makes the blob queryable as typed rows)
+# ---------------------------------------------------------------------------
+
+def _register_named(schema, named: dict) -> None:
+    """Pre-walk a schema, registering record/enum/fixed definitions by
+    (full)name so later references by name resolve (Avro spec §Names)."""
+    if isinstance(schema, dict):
+        t = schema.get("type")
+        if t in ("record", "enum", "fixed") and "name" in schema:
+            ns = schema.get("namespace")
+            named[schema["name"]] = schema
+            if ns:
+                named[f"{ns}.{schema['name']}"] = schema
+        if t == "record":
+            for f in schema.get("fields", []):
+                _register_named(f.get("type"), named)
+        elif t == "array":
+            _register_named(schema.get("items"), named)
+        elif t == "map":
+            _register_named(schema.get("values"), named)
+    elif isinstance(schema, list):
+        for s in schema:
+            _register_named(s, named)
 
 
-def _enc_record(rec: dict, schema: dict) -> bytes:
-    return b"".join(
-        _PRIM_ENC[f["type"]](rec[f["name"]]) for f in schema["fields"]
-    )
+def _dec_blocks(buf: io.BytesIO):
+    """Array/map item-count blocks: count, or negative count + byte size,
+    terminated by 0 (Avro spec §Data Serialization)."""
+    while True:
+        n = _dec_long(buf)
+        if n == 0:
+            return
+        if n < 0:
+            _dec_long(buf)  # block byte size, present in the negative form
+            n = -n
+        for _ in range(n):
+            yield
+
+
+def _dec_any(buf: io.BytesIO, schema, named: dict):
+    """Recursive decode of one value for any Avro schema node."""
+    if isinstance(schema, str):
+        if schema in _PRIM_DEC:
+            return _PRIM_DEC[schema](buf)
+        return _dec_any(buf, named[schema], named)  # named-type reference
+    if isinstance(schema, list):  # union: zigzag branch index, then value
+        idx = _dec_long(buf)
+        return _dec_any(buf, schema[idx], named)
+    t = schema["type"]
+    if t == "record":
+        return {
+            f["name"]: _dec_any(buf, f["type"], named)
+            for f in schema["fields"]
+        }
+    if t == "array":
+        return [_dec_any(buf, schema["items"], named) for _ in _dec_blocks(buf)]
+    if t == "map":
+        return {
+            _dec_bytes(buf).decode("utf-8"): _dec_any(buf, schema["values"], named)
+            for _ in _dec_blocks(buf)
+        }
+    if t == "enum":
+        return schema["symbols"][_dec_long(buf)]
+    if t == "fixed":
+        return buf.read(schema["size"])
+    if t in _PRIM_DEC:  # {"type": "long", "logicalType": ...} wrapper form
+        return _PRIM_DEC[t](buf)
+    raise ValueError(f"undecodable schema node: {t!r}")
+
+
+def _branch_accepts(val, schema, named: dict) -> bool:
+    if isinstance(schema, str) and schema not in _PRIM_ENC:
+        schema = named[schema]
+    t = schema if isinstance(schema, str) else schema.get("type")
+    if val is None:
+        return t == "null"
+    if isinstance(val, bool):
+        return t == "boolean"
+    if isinstance(val, int):
+        return t in ("int", "long")
+    if isinstance(val, float):
+        return t in ("float", "double")
+    if isinstance(val, str):
+        return t == "string" or (
+            t == "enum" and val in schema.get("symbols", [])
+        )
+    if isinstance(val, bytes):
+        return t == "bytes" or (t == "fixed" and len(val) == schema["size"])
+    if isinstance(val, dict):
+        if t == "record":
+            return set(val) == {f["name"] for f in schema["fields"]}
+        return t == "map"
+    if isinstance(val, list):
+        return t == "array"
+    return False
+
+
+def _enc_any(val, schema, named: dict) -> bytes:
+    if isinstance(schema, str):
+        if schema in _PRIM_ENC:
+            return _PRIM_ENC[schema](val)
+        return _enc_any(val, named[schema], named)
+    if isinstance(schema, list):
+        # writer branch choice: first branch whose shape accepts the value
+        for i, s in enumerate(schema):
+            if _branch_accepts(val, s, named):
+                return _enc_long(i) + _enc_any(val, s, named)
+        raise ValueError("no union branch accepts value")
+    t = schema["type"]
+    if t == "record":
+        return b"".join(
+            _enc_any(val[f["name"]], f["type"], named) for f in schema["fields"]
+        )
+    if t == "array":
+        body = b"".join(_enc_any(v, schema["items"], named) for v in val)
+        return (_enc_long(len(val)) + body if val else b"") + _enc_long(0)
+    if t == "map":
+        body = b"".join(
+            _enc_str(k) + _enc_any(v, schema["values"], named)
+            for k, v in val.items()
+        )
+        return (_enc_long(len(val)) + body if val else b"") + _enc_long(0)
+    if t == "enum":
+        return _enc_long(schema["symbols"].index(val))
+    if t == "fixed":
+        assert len(val) == schema["size"]
+        return bytes(val)
+    if t in _PRIM_ENC:
+        return _PRIM_ENC[t](val)
+    raise ValueError(f"unencodable schema node: {t!r}")
+
+
+def _jsonable(v):
+    """bytes → hex so decoded records are JSON-serializable losslessly."""
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, dict):
+        return {k: _jsonable(x) for k, x in v.items()}
+    if isinstance(v, list):
+        return [_jsonable(x) for x in v]
+    return v
 
 
 # ---------------------------------------------------------------------------
@@ -132,7 +267,9 @@ def write_container(
         out += _enc_str(k) + _enc_bytes(meta[k])
     out += _enc_long(0)  # end of metadata map
     out += sync
-    body = b"".join(_enc_record(r, schema) for r in records)
+    named: dict = {}
+    _register_named(schema, named)
+    body = b"".join(_enc_any(r, schema, named) for r in records)
     if codec == "deflate":
         comp = zlib.compressobj(wbits=-15)
         body = comp.compress(body) + comp.flush()
@@ -147,8 +284,10 @@ def read_container(blob: bytes) -> dict:
     Structure is fully validated (magic, metadata, per-block sync marker —
     what the reference's from_container checks); records are decoded when
     the codec is null or deflate (raw-DEFLATE blocks inflated via stdlib
-    zlib) and the schema is a flat primitive record, else left as counts
-    only (the reference never decodes records at all — value-add)."""
+    zlib) and the schema walks — nested records, unions, arrays, maps,
+    enums, fixed, and named-type references all decode (bytes/fixed values
+    surface hex-encoded); an unwalkable schema degrades to counts only
+    (the reference never decodes records at all — value-add)."""
     out = {"schema": None, "codec": None, "records": [], "n_blocks": 0,
            "n_records": 0, "decoded": False, "err": None}
     try:
@@ -171,15 +310,12 @@ def read_container(blob: bytes) -> dict:
         codec = meta.get("avro.codec", b"null").decode()
         out["schema"], out["codec"] = schema, codec
         sync = buf.read(16)
-        decodable = (
-            codec in ("null", "deflate")
-            and isinstance(schema, dict)
-            and schema.get("type") == "record"
-            and all(
-                isinstance(f.get("type"), str) and f["type"] in _PRIM_DEC
-                for f in schema.get("fields", [])
-            )
-        )
+        # full structural decode for any walkable schema (nested records,
+        # unions, arrays, maps, enums, fixed); falls back to counts-only on
+        # the first undecodable block — container validation is unaffected
+        decodable = codec in ("null", "deflate")
+        named: dict = {}
+        _register_named(schema, named)
         while True:
             head = buf.read(1)
             if not head:
@@ -194,12 +330,21 @@ def read_container(blob: bytes) -> dict:
             out["n_blocks"] += 1
             out["n_records"] += count
             if decodable:
-                if codec == "deflate":
-                    block = zlib.decompress(block, -15)
-                bbuf = io.BytesIO(block)
-                for _ in range(count):
-                    out["records"].append(_dec_record(bbuf, schema))
-        out["decoded"] = decodable
+                try:
+                    if codec == "deflate":
+                        block = zlib.decompress(block, -15)
+                    bbuf = io.BytesIO(block)
+                    recs = [
+                        _jsonable(_dec_any(bbuf, schema, named))
+                        for _ in range(count)
+                    ]
+                    if bbuf.read(1):
+                        raise ValueError("trailing bytes after last record")
+                    out["records"].extend(recs)
+                except Exception:  # noqa: BLE001 — schema walk mismatch
+                    decodable = False
+                    out["records"] = []
+        out["decoded"] = decodable and out["err"] is None
         return out
     except Exception as e:  # noqa: BLE001 — invalid container
         out["err"] = f"invalid container: {e}"

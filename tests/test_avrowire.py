@@ -94,3 +94,54 @@ def test_malformed_avro_header_flags_not_fails(spark):
     rows = decode_avro_frames(frames).collect()
     assert len(rows) == 2
     assert all(r["avro_valid"] is False for r in rows)
+
+
+NESTED_SCHEMA = {
+    "type": "record", "name": "Env", "namespace": "co.x",
+    "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "inner", "type": {"type": "record", "name": "Inner",
+         "fields": [{"name": "s", "type": "string"},
+                    {"name": "u", "type": ["null", "double"]}]}},
+        {"name": "tags", "type": {"type": "map", "values": "string"}},
+        {"name": "vals", "type": {"type": "array", "items": "long"}},
+        {"name": "col", "type": {"type": "enum", "name": "Color",
+                                 "symbols": ["RED", "GREEN"]}},
+        {"name": "fx", "type": {"type": "fixed", "name": "Fx", "size": 4}},
+        {"name": "again", "type": "Inner"},  # named-type reference
+        {"name": "ts", "type": {"type": "long",
+                                "logicalType": "timestamp-millis"}},
+    ],
+}
+NESTED_RECS = [
+    {"id": 1, "inner": {"s": "a", "u": None}, "tags": {"k": "v", "q": "w"},
+     "vals": [1, -2, 3], "col": "GREEN", "fx": b"\x01\x02\x03\x04",
+     "again": {"s": "b", "u": 2.5}, "ts": 1700000000000},
+    {"id": -7, "inner": {"s": "", "u": 0.25}, "tags": {}, "vals": [],
+     "col": "RED", "fx": b"ABCD", "again": {"s": "z", "u": None}, "ts": 0},
+]
+
+
+def test_nested_schema_structural_roundtrip():
+    """Nested records, unions, arrays, maps, enums, fixed and named-type
+    references all decode (both codecs); bytes/fixed surface as hex."""
+    expected = [dict(r, fx=r["fx"].hex()) for r in NESTED_RECS]
+    for codec in ("null", "deflate"):
+        out = read_container(write_container(NESTED_RECS, NESTED_SCHEMA,
+                                             codec=codec))
+        assert out["err"] is None and out["decoded"], out["err"]
+        assert out["records"] == expected
+
+
+def test_unwalkable_schema_degrades_to_counts_only():
+    """A schema node the walker can't decode (here: an unresolved named
+    reference) degrades to counts-only; container validation still runs."""
+    blob = write_container(RECS, SCHEMA)
+    meta = json.dumps(SCHEMA, sort_keys=True).encode()
+    assert meta in blob and b'"double"' in meta
+    # same-length replacement keeps the metadata length prefix valid
+    poisoned = blob.replace(meta, meta.replace(b'"double"', b'"doubl3"'))
+    out = read_container(poisoned)
+    assert out["err"] is None          # structure (sync markers) intact
+    assert out["decoded"] is False and out["records"] == []
+    assert out["n_records"] == len(RECS)
