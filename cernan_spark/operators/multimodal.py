@@ -2,13 +2,14 @@
 metadata, processed via Arrow-batched mapInPandas.
 
 The Spark-side plumbing (schemas, batch iteration, partition sizing,
-deterministic features) is real and tested. Decode is REAL for the two
-most common container formats — PNG dimensions (IHDR struct read) and
-WAV duration (RIFF chunk walk) — with no external libraries; formats
-that genuinely need a codec stack (JPEG entropy decode, MP4) raise
-NotImplementedError in strict mode or produce a deterministic fake
-derived from the bytes, so pipelines still exercise the full
-distributed path.
+deterministic features) is real and tested. Decode is REAL for the three
+most common container formats — PNG dimensions (IHDR struct read), WAV
+duration (RIFF chunk walk), and MP4 duration/dimensions (ISO-BMFF
+moov/mvhd/tkhd box walk) — with no external libraries; formats that
+genuinely need a codec stack (JPEG entropy decode, compressed sample
+decode) raise NotImplementedError in strict mode or produce a
+deterministic fake derived from the bytes, so pipelines still exercise
+the full distributed path.
 """
 
 from __future__ import annotations
@@ -125,11 +126,107 @@ def decode_wav_duration_ms(content: bytes) -> int | None:
     return None
 
 
+def _mp4_box(tag: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + tag + payload
+
+
+_MP4_UNITY_MATRIX = struct.pack(
+    ">9i", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000
+)
+
+
+def encode_mp4(
+    duration_ms: int, width: int = 64, height: int = 48,
+    timescale: int = 1000, seed: int = 0,
+) -> bytes:
+    """Minimal REAL ISO-BMFF MP4 (ftyp + moov{mvhd, trak{tkhd}} + mdat)
+    with correct box sizes — walkable by any MP4 parser. The mdat payload
+    is a deterministic ramp from ``seed`` (no codec stack exists here to
+    produce real samples); used to build media fixtures without ffmpeg."""
+    dur = duration_ms * timescale // 1000
+    mvhd = (
+        struct.pack(">I", 0)                    # version 0 + flags
+        + struct.pack(">IIII", 0, 0, timescale, dur)
+        + struct.pack(">IHH", 0x00010000, 0x0100, 0)  # rate, volume, rsvd
+        + b"\x00" * 8                           # reserved
+        + _MP4_UNITY_MATRIX
+        + b"\x00" * 24                          # pre_defined
+        + struct.pack(">I", 2)                  # next_track_ID
+    )
+    tkhd = (
+        struct.pack(">I", 3)                    # version 0 + flags (enabled)
+        + struct.pack(">IIIII", 0, 0, 1, 0, dur)  # times, track 1, duration
+        + b"\x00" * 8                           # reserved
+        + struct.pack(">HHHH", 0, 0, 0, 0)      # layer, group, volume, rsvd
+        + _MP4_UNITY_MATRIX
+        + struct.pack(">II", width << 16, height << 16)  # 16.16 fixed
+    )
+    mdat = bytes((i * 37 + seed * 101) % 256 for i in range(64))
+    return (
+        _mp4_box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+        + _mp4_box(b"moov", _mp4_box(b"mvhd", mvhd)
+                   + _mp4_box(b"trak", _mp4_box(b"tkhd", tkhd)))
+        + _mp4_box(b"mdat", mdat)
+    )
+
+
+def _mp4_boxes(buf: bytes, pos: int, end: int):
+    """Yield (tag, payload_start, payload_end) walking sibling boxes."""
+    while pos + 8 <= end:
+        size = struct.unpack(">I", buf[pos : pos + 4])[0]
+        tag = buf[pos + 4 : pos + 8]
+        head = 8
+        if size == 1:  # 64-bit largesize form
+            if pos + 16 > end:
+                return
+            size = struct.unpack(">Q", buf[pos + 8 : pos + 16])[0]
+            head = 16
+        elif size == 0:  # box extends to EOF
+            size = end - pos
+        if size < head or pos + size > end:
+            return
+        yield tag, pos + head, pos + size
+        pos += size
+
+
+def decode_mp4_meta(content: bytes) -> tuple[int, int, int] | None:
+    """(duration_ms, width, height) from the moov/mvhd + trak/tkhd box walk
+    — pure struct reads (both mvhd/tkhd versions); None if the bytes are
+    not an ISO-BMFF container."""
+    if len(content) < 16 or content[4:8] not in (b"ftyp", b"moov"):
+        return None
+    dur_ms = width = height = None
+    for tag, s, e in _mp4_boxes(content, 0, len(content)):
+        if tag != b"moov":
+            continue
+        for t2, s2, e2 in _mp4_boxes(content, s, e):
+            if t2 == b"mvhd" and e2 - s2 >= 24:
+                ver = content[s2]
+                if ver == 1 and e2 - s2 >= 32:
+                    ts, = struct.unpack(">I", content[s2 + 20 : s2 + 24])
+                    dur, = struct.unpack(">Q", content[s2 + 24 : s2 + 32])
+                else:
+                    ts, dur = struct.unpack(">II", content[s2 + 12 : s2 + 20])
+                if ts:
+                    dur_ms = int(dur * 1000 // ts)
+            elif t2 == b"trak" and width is None:
+                for t3, s3, e3 in _mp4_boxes(content, s2, e2):
+                    off = 88 if content[s3] == 1 else 76
+                    if t3 == b"tkhd" and e3 - s3 >= off + 8:
+                        w, h = struct.unpack(
+                            ">II", content[s3 + off : s3 + off + 8]
+                        )
+                        width, height = w >> 16, h >> 16
+    if dur_ms is None:
+        return None
+    return dur_ms, width or 0, height or 0
+
+
 def synthetic_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
     """Deterministic media table, generated distributively: image rows are
-    REAL tiny PNGs and audio rows REAL tiny WAVs (8 seeded variants each,
-    embedded as binary literals from the stdlib encoders above); video
-    rows stay opaque hash-seeded bytes (MP4 needs a codec stack)."""
+    REAL tiny PNGs, audio rows REAL tiny WAVs, and video rows REAL tiny
+    ISO-BMFF MP4 containers (8 seeded variants each, embedded as binary
+    literals from the stdlib encoders above)."""
     kinds = F.array(F.lit("image"), F.lit("audio"), F.lit("video"))
     mimes = F.array(F.lit("image/png"), F.lit("audio/wav"), F.lit("video/mp4"))
     idx = (F.pmod(F.xxhash64(F.lit(seed), F.col("id")), F.lit(3)) + 1).cast("int")
@@ -140,16 +237,20 @@ def synthetic_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
         *[F.lit(encode_png(16 + 3 * i, 20 + 5 * i, seed=i)) for i in range(8)]
     )
     wavs = F.array(*[F.lit(encode_wav(800 + 160 * i, seed=i)) for i in range(8)])
+    mp4s = F.array(
+        *[
+            F.lit(encode_mp4(700 + 150 * i, width=64 + 16 * i,
+                             height=48 + 12 * i, seed=i))
+            for i in range(8)
+        ]
+    )
     kind = F.element_at(kinds, idx)
-    fake = F.sha2(
-        F.concat(F.lit(str(seed)), F.col("id").cast("string")), 512
-    ).cast("binary")
     return spark.range(n).select(
         F.col("id").alias("media_id"),
         kind.alias("kind"),
         F.when(kind == "image", F.element_at(pngs, variant))
         .when(kind == "audio", F.element_at(wavs, variant))
-        .otherwise(fake)
+        .otherwise(F.element_at(mp4s, variant))
         .alias("content"),
         F.element_at(mimes, idx).alias("mime"),
         F.create_map(F.lit("source"), F.lit("synthetic")).alias("meta"),
@@ -169,17 +270,26 @@ def _decode_image(content: bytes, strict: bool) -> tuple[int, int]:
     return 16 + h[0] % 64, 16 + h[1] % 64  # deterministic fake (w, h)
 
 
-def _decode_duration(content: bytes, strict: bool) -> int:
-    """REAL for WAV (RIFF chunk walk); compressed a/v (MP4 etc.) needs
-    ffmpeg/soundfile → strict raises, non-strict yields a deterministic
-    fake."""
+def _decode_av(
+    content: bytes, strict: bool
+) -> tuple[int, int | None, int | None]:
+    """(duration_ms, width, height). REAL for WAV (RIFF chunk walk) and
+    MP4 (moov box walk — duration from mvhd, dimensions from tkhd); other
+    compressed a/v needs ffmpeg/soundfile → strict raises, non-strict
+    yields a deterministic fake."""
     dur = decode_wav_duration_ms(content)
     if dur is not None:
-        return dur
+        return dur, None, None
+    meta = decode_mp4_meta(content)
+    if meta is not None:
+        d, w, h = meta
+        return d, (w or None), (h or None)
     if strict:
-        raise NotImplementedError("non-WAV a/v decode requires ffmpeg/soundfile")
-    h = hashlib.sha256(content).digest()
-    return 100 + int.from_bytes(h[2:4], "big") % 10_000
+        raise NotImplementedError(
+            "non-WAV/MP4 a/v decode requires ffmpeg/soundfile"
+        )
+    hd = hashlib.sha256(content).digest()
+    return 100 + int.from_bytes(hd[2:4], "big") % 10_000, None, None
 
 
 def extract_features(
@@ -210,8 +320,8 @@ def extract_features(
                     iw, ih = _decode_image(content, strict)
                     w.append(iw); h.append(ih); dur.append(None)
                 else:
-                    w.append(None); h.append(None)
-                    dur.append(_decode_duration(content, strict))
+                    d, vw, vh = _decode_av(content, strict)
+                    w.append(vw); h.append(vh); dur.append(d)
                 digest = hashlib.sha256(b"feat" + content).digest()
                 feats.append(
                     np.frombuffer(digest[: feature_dim * 4], dtype=">u4")
@@ -231,7 +341,8 @@ def frame_sample_plan(
     media: DataFrame, every_ms: int = 1000, strict: bool = False
 ) -> DataFrame:
     """Video frame-sampling plumbing: one row per planned frame timestamp
-    (explode of a sequence) — the decode itself is the stub above."""
+    (explode of a sequence over the REAL mvhd duration) — extracting pixel
+    data at those timestamps would need a codec stack (strict mode)."""
     feats = extract_features(media.filter(F.col("kind") == "video"), strict=strict)
     return feats.select(
         "media_id",

@@ -6,6 +6,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from cernan_spark.operators.multimodal import (
+    MEDIA_SCHEMA,
     extract_features,
     frame_sample_plan,
     synthetic_media,
@@ -65,9 +66,11 @@ def test_multimodal_feature_extraction(spark):
     media = synthetic_media(spark, n=30)
     feats = extract_features(media).collect()
     assert len(feats) == 30
-    # the 8 seeded fixture variants: PNGs 16+3i × 20+5i, WAVs 100+20i ms
+    # the 8 seeded fixture variants: PNGs 16+3i × 20+5i, WAVs 100+20i ms,
+    # MP4s 700+150i ms at (64+16i) × (48+12i)
     png_sizes = {(16 + 3 * i, 20 + 5 * i) for i in range(8)}
     wav_durs = {100 + 20 * i for i in range(8)}
+    mp4_meta = {(700 + 150 * i, 64 + 16 * i, 48 + 12 * i) for i in range(8)}
     for r in feats:
         assert len(r["sha256"]) == 64
         assert len(r["feature"]) == 8
@@ -80,8 +83,8 @@ def test_multimodal_feature_extraction(spark):
             assert r["duration_ms"] in wav_durs
             assert r["width"] is None
         else:
-            assert r["n_bytes"] == 128  # opaque video bytes (sha2-512 hex)
-            assert r["duration_ms"] is not None and r["width"] is None
+            # REAL decode: mvhd duration + tkhd dimensions of a real MP4
+            assert (r["duration_ms"], r["width"], r["height"]) in mp4_meta
     # determinism: same seed → same features
     again = extract_features(synthetic_media(spark, n=30)).collect()
     assert {r["media_id"]: r["sha256"] for r in feats} == {
@@ -107,20 +110,35 @@ def test_png_wav_codec_roundtrip():
     assert decode_wav_duration_ms(b"not audio at all") is None
 
 
+def test_mp4_codec_roundtrip():
+    from cernan_spark.operators.multimodal import decode_mp4_meta, encode_mp4
+
+    assert decode_mp4_meta(encode_mp4(1234, width=320, height=240)) == (
+        1234, 320, 240,
+    )
+    assert decode_mp4_meta(
+        encode_mp4(500, width=0, height=0, timescale=90000)
+    )[0] == 500
+    assert decode_mp4_meta(b"not a video") is None
+    assert decode_mp4_meta(b"") is None
+    assert decode_mp4_meta(b"\x00\x00\x00\x08ftyp") is None  # no moov
+
+
 def test_multimodal_strict_mode(spark):
     media = synthetic_media(spark, n=12)
-    # strict now SUCCEEDS for PNG/WAV (real decoders) ...
-    ok = extract_features(
-        media.filter(F.col("kind") != "video"), strict=True
-    ).collect()
-    assert ok and all(
+    # strict SUCCEEDS for PNG/WAV/MP4 (all three are real decoders now) ...
+    ok = extract_features(media, strict=True).collect()
+    assert len(ok) == 12 and all(
         r["width"] is not None or r["duration_ms"] is not None for r in ok
     )
-    # ... and still raises for formats that need a codec stack (MP4)
+    # ... and still raises for bytes no stdlib walker understands
+    garbage = spark.createDataFrame(
+        [(99, "video", bytearray(b"\x00opaque compressed stream"),
+          "video/webm", {})],
+        MEDIA_SCHEMA,
+    )
     with pytest.raises(Exception, match="NotImplementedError|decode"):
-        extract_features(
-            media.filter(F.col("kind") == "video"), strict=True
-        ).collect()
+        extract_features(garbage, strict=True).collect()
 
 
 def test_frame_sample_plan(spark):
@@ -139,9 +157,9 @@ def test_frame_sample_plan(spark):
 
 def test_multimodal_golden_hash(spark):
     """The decode path is DETERMINISTIC: the full feature table for the
-    seeded 64-row corpus (real PNG/WAV fixtures + opaque video bytes)
-    hashes to a pinned digest (VERDICT r1 asked for golden-hash evidence
-    instead of a rows-only count)."""
+    seeded 64-row corpus (real PNG/WAV/MP4 fixtures) hashes to a pinned
+    digest (VERDICT r1 asked for golden-hash evidence instead of a
+    rows-only count)."""
     import hashlib
 
     rows = extract_features(synthetic_media(spark, n=64)).collect()
@@ -155,7 +173,7 @@ def test_multimodal_golden_hash(spark):
     )
     digest = hashlib.sha256(canon.encode()).hexdigest()
     assert digest == (
-        "d3c39df4e8e4cd5598e63f861028a54474c394eccc9daefdc176c3b8f324b07d"
+        "8c34f3662bc0350c942676fdb6e18c27cbf581f9e9c00e688dd55e7668170bf3"
     )
 
 
