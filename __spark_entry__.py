@@ -842,15 +842,18 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN scale path: random-hyperplane LSH top-k (rows-only; recall vs the
-    brute-force oracle is asserted in tests/test_similarity_multimodal)."""
+    """ANN scale path: random-hyperplane LSH top-k. Portable ±1 planes
+    (hash-derived Rademacher projections) let the DuckDB oracle replay the
+    ENTIRE index path — signatures, banding, bucket join, exact rescore —
+    bit-for-bit; the Gaussian-plane production path's recall is asserted in
+    tests/test_similarity_multimodal."""
     from cernan_spark.operators.similarity import cosine_topk_lsh
 
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     probes = e.filter(F.col("vec_id") < 5)
-    return cosine_topk_lsh(e, probes, k=5, bits=16, bands=8).select(
-        "qid", "vec_id", F.round("cos", 6).alias("cos"), "rank"
-    )
+    return cosine_topk_lsh(
+        e, probes, k=5, bits=16, bands=8, portable=True
+    ).select("qid", "vec_id", F.round("cos", 6).alias("cos"), "rank")
 
 
 def q_ann_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -999,15 +1002,137 @@ def q_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode/feature extraction over binary media columns via
-    mapInPandas (rows-only; golden-hash pytest). PNG dimensions and WAV
-    durations are REAL stdlib decodes of real fixture bytes; only video
-    (MP4) stays a deterministic stand-in — no codec stack in container."""
+    mapInPandas (rows-only; golden-hash pytest). PNG dimensions, WAV
+    durations, and MP4 durations/dimensions are all REAL stdlib struct
+    decodes of real fixture bytes — no external codec libraries."""
     from cernan_spark.operators.multimodal import extract_features, synthetic_media
 
     media = synthetic_media(spark, n=256)
     return extract_features(media).select(
         "media_id", "kind", "n_bytes", "sha256", "width", "height", "duration_ms"
     )
+
+
+def _mixed_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transcripts whose text exercises every line class (statsd, graphite,
+    JSON log, plain log, bad) — one class per event_type, deterministically,
+    so the full parse_stage classification + internal telemetry counters are
+    oracle-checkable."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    et = F.col("event_type")
+    text = (
+        F.when(et == "click", F.concat(
+            F.lit("clicks:"), F.format_string("%.2f", F.col("value")), F.lit("|c")))
+        .when(et == "view", F.concat_ws(
+            " ", F.lit("gr.views"), F.format_string("%.2f", F.col("value")),
+            F.unix_timestamp("ts").cast("string")))
+        .when(et == "purchase", F.col("props"))           # JSON object log
+        .when(et == "signup", F.concat(
+            F.lit("signup ok user "), F.col("user_id").cast("string")))
+        .otherwise(F.concat(                              # error → bad line
+            F.lit("badline-"), F.col("event_id").cast("string")))
+    )
+    w = W.partitionBy("user_id").orderBy("event_id")
+    return ev.select(
+        F.concat(F.lit("conv-"),
+                 F.lpad(F.col("user_id").cast("string"), 6, "0")).alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        text.alias("text"),
+        F.lit("none").alias("tool"),
+        F.col("ts"),
+        F.col("event_id").alias("order_key"),
+    )
+
+
+def q_internal_telemetry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cernan.* self-telemetry series for one full pipeline run over a
+    mixed-class corpus (internal.rs:105-455): per-protocol packet counts,
+    per-filter accept/reject, per-sink delivery, wavefront/prometheus
+    aggregation counters — every count oracle-checked."""
+    from cernan_spark.plans.pipeline import run_pipeline
+    from cernan_spark.plans.telemetry import internal_telemetry
+
+    _utc(spark)
+    out = run_pipeline(spark, _mixed_transcripts(spark, sf_dir))
+    return internal_telemetry(spark, out).select(
+        "name", F.col("value").cast("double").alias("value"), "kind"
+    )
+
+
+def _synthetic_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Routed-log-shaped rows with a tag named ``path`` (contends with the
+    synthesized base key) and a field named ``payload`` (contends with the
+    base payload) — the precedence probes for the ES/Kafka formatters."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.select(
+        F.concat(F.lit("conv-"),
+                 F.lpad(F.col("user_id").cast("string"), 6, "0")).alias("conv_id"),
+        F.col("event_id").alias("order_key"),
+        F.concat(F.lit("log line "), F.col("event_id").cast("string")).alias("line"),
+        F.col("ts"),
+        F.create_map(
+            F.lit("path"), F.concat(F.lit("tag-"), F.col("event_type")),
+            F.lit("env"), F.lit("test"),
+        ).alias("tags"),
+        F.create_map(F.lit("payload"), F.lit("field-payload")).alias("fields"),
+    )
+
+
+def q_es_bulk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Elasticsearch bulk-doc build (elasticsearch.rs:126-158): date-suffixed
+    index, deterministic sha256 uuid, and the fields ⊳ tags ⊳ base merge
+    precedence — the contested keys (``path``: tag beats base; ``payload``:
+    field beats base) are extracted from the rendered doc JSON."""
+    from cernan_spark.operators.sinks import elasticsearch_format
+
+    _utc(spark)
+    docs = elasticsearch_format(_synthetic_logs(spark, sf_dir))
+    return docs.select(
+        "index",
+        F.get_json_object("doc", "$.uuid").alias("uuid"),
+        F.get_json_object("doc", "$.path").alias("path_val"),
+        F.get_json_object("doc", "$.payload").alias("payload_val"),
+        F.get_json_object("doc", "$.timestamp").alias("ts_val"),
+        F.get_json_object("doc", "$.env").alias("env_val"),
+    )
+
+
+def q_kafka_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kafka record shape (kafka.rs:271-430): payload keyed by order_by with
+    first-wins header merge — an event tag literally named ``path`` beats
+    the synthesized path header instead of throwing (ADVICE r2 #4)."""
+    from cernan_spark.operators.sinks import kafka_format
+
+    _utc(spark)
+    rec = kafka_format(_synthetic_logs(spark, sf_dir))
+    hdr = F.array_join(
+        F.transform(
+            F.array_sort(F.map_entries("headers")),
+            lambda e: F.concat(e["key"], F.lit("="), e["value"]),
+        ),
+        ",",
+    )
+    return rec.select(
+        "key", F.col("value").cast("string").alias("payload"), hdr.alias("headers")
+    )
+
+
+def q_prometheus_exposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prometheus exposition text for the counter/gauge sections
+    (prometheus.rs:499-628): TYPE headers, name sanitization to
+    [a-zA-Z0-9:_] (the decorated ``.raw-total`` suffix forces it), and the
+    value rendering — byte-identical vs DuckDB."""
+    from cernan_spark.operators.sinks import prometheus_format
+
+    p = _parsed(spark, sf_dir)
+    cum = (
+        p.groupBy("name", "kind")
+        .agg(F.count("*").cast("double").alias("cum_value"))
+        .filter(F.col("kind").isin("SUM", "SET"))
+        .withColumn("name", F.concat("name", F.lit(".raw-total")))
+    )
+    return prometheus_format(cum).select("exposition")
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1068,6 +1193,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup": q_minhash_dedup,
         "native_roundtrip": q_native_roundtrip,
         "avro_roundtrip": q_avro_roundtrip,
+        "internal_telemetry": q_internal_telemetry,
+        "es_bulk_docs": q_es_bulk_docs,
+        "kafka_records": q_kafka_records,
+        "prometheus_exposition": q_prometheus_exposition,
     }
 
 
@@ -1330,6 +1459,73 @@ WITH base AS (
   FROM unit a JOIN unit b ON a.vec_id < b.vec_id
 )
 SELECT id_a, id_b, round(cos, 6) AS cos FROM pairs WHERE cos >= {threshold}
+"""
+
+
+def _ann_lsh_oracle_sql(
+    dim: int = 64, bits: int = 16, bands: int = 8, k: int = 5,
+    n_probes: int = 5,
+) -> str:
+    """Replay of cosine_topk_lsh(portable=True): the ±1 planes come from
+    the same universal hash (similarity._portable_hyperplanes), signatures
+    and band buckets are rebuilt in SQL, candidates bucket-join, and the
+    exact rescore uses the same left-to-right folds → bit-identical."""
+    a, b, p = 1103515245, 12345, (1 << 31) - 1
+    fold = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), {items}), "
+        "(acc, x2) -> acc + x2)"
+    )
+    nrm = fold.format(items="list_transform(v, y -> y * y)")
+
+    def bit(i: int) -> str:
+        items = (
+            f"list_transform(range(1, {dim + 1}), j -> u[j] * "
+            f"(CASE WHEN (({a} * ({i * dim} + (j - 1)) + {b}) % {p}) % 2 = 0 "
+            f"THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END))"
+        )
+        return (
+            f"CASE WHEN {fold.format(items=items)} >= 0 "
+            f"THEN 1 ELSE 0 END AS b{i}"
+        )
+
+    bitcols = ",\n         ".join(bit(i) for i in range(bits))
+    rpb = bits // bands
+    assert rpb == 2, "oracle assumes 2-bit bands"
+    band_branches = "\n  UNION ALL ".join(
+        f"SELECT vec_id, {bnd} AS band, b{2 * bnd} + 2 * b{2 * bnd + 1} AS bsig "
+        "FROM sig"
+        for bnd in range(bands)
+    )
+    dot = fold.format(
+        items=f"list_transform(range(1, {dim + 1}), i -> a.u[i] * c.u[i])"
+    )
+    return f"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), unit AS (
+  SELECT vec_id, list_transform(v, x -> x / sqrt({nrm})) AS u FROM base
+), sig AS (
+  SELECT vec_id, {bitcols}
+  FROM unit
+), banded AS (
+  {band_branches}
+), cand AS (
+  SELECT DISTINCT q.vec_id AS qid, c.vec_id AS vid
+  FROM banded q JOIN banded c ON q.band = c.band AND q.bsig = c.bsig
+  WHERE q.vec_id < {n_probes} AND c.vec_id <> q.vec_id
+), scored AS (
+  SELECT cd.qid, cd.vid, {dot} AS cos
+  FROM cand cd
+  JOIN unit a ON a.vec_id = cd.qid
+  JOIN unit c ON c.vec_id = cd.vid
+)
+SELECT qid, vid AS vec_id, round(cos, 6) AS cos, rank FROM (
+  SELECT qid, vid, cos,
+         CAST(row_number() OVER (PARTITION BY qid
+           ORDER BY cos DESC, vid) AS INTEGER) AS rank
+  FROM scored
+) WHERE rank <= {k}
 """
 
 
@@ -1807,7 +2003,98 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(epoch(ts)) AS BIGINT) AS epoch
             FROM events
         """,
-        # ann_cosine_lsh / multimodal_features: intentionally rows-only
-        # (probabilistic recall path asserted vs the exact twin in pytest;
-        # multimodal stub asserted via golden hash in pytest).
+        # every internal_telemetry series re-derived from the mixed-class
+        # corpus: one line class per event_type (click=statsd, view=graphite,
+        # purchase=JSON log, signup=plain log, error=bad), bin_width=60
+        "internal_telemetry": """
+            WITH ev AS (
+              SELECT event_type,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS epoch
+              FROM events
+            ), c AS (
+              SELECT
+                count(*) FILTER (event_type = 'click') AS n_click,
+                count(*) FILTER (event_type = 'view') AS n_view,
+                count(*) FILTER (event_type = 'purchase') AS n_purchase,
+                count(*) FILTER (event_type = 'signup') AS n_signup,
+                count(*) FILTER (event_type = 'error') AS n_error,
+                count(DISTINCT CASE WHEN event_type = 'click'
+                                    THEN epoch // 60 END) AS sum_groups,
+                count(DISTINCT CASE WHEN event_type = 'view'
+                                    THEN epoch // 60 END) AS set_groups
+              FROM ev
+            )
+            SELECT name, CAST(value AS DOUBLE) AS value, 'SUM' AS kind FROM (
+              SELECT 'cernan.statsd.packet' AS name, n_click AS value FROM c
+              UNION ALL SELECT 'cernan.statsd.bad_packet', n_error FROM c
+              UNION ALL SELECT 'cernan.graphite.packet', n_view FROM c
+              UNION ALL SELECT 'cernan.graphite.telemetry.received', n_view FROM c
+              UNION ALL SELECT 'cernan.filters.delay.telemetry.accept',
+                               n_click + n_view FROM c
+              UNION ALL SELECT 'cernan.filters.delay.telemetry.reject', 0 FROM c
+              UNION ALL SELECT 'cernan.filters.delay.log.accept',
+                               n_purchase + n_signup FROM c
+              UNION ALL SELECT 'cernan.filters.delay.log.reject', 0 FROM c
+              UNION ALL SELECT 'cernan.filters.json_encode.log.processed',
+                               n_purchase + n_signup FROM c
+              UNION ALL SELECT 'cernan.filters.json_encode.log.parsed',
+                               n_purchase FROM c
+              UNION ALL SELECT 'cernan.sinks.console.records.total_delivered',
+                               n_click + n_view FROM c
+              UNION ALL SELECT 'cernan.sinks.wavefront.records.total_delivered',
+                               n_click + n_view FROM c
+              UNION ALL SELECT 'cernan.sinks.prometheus.records.total_delivered',
+                               n_click + n_view FROM c
+              UNION ALL SELECT 'cernan.sinks.elasticsearch.records.total_delivered',
+                               n_purchase + n_signup FROM c
+              UNION ALL SELECT 'cernan.sinks.kafka.records.total_delivered',
+                               n_purchase + n_signup FROM c
+              UNION ALL SELECT 'cernan.sinks.wavefront.aggregations.total_stored',
+                               sum_groups + set_groups FROM c
+              UNION ALL SELECT 'cernan.sinks.wavefront.aggregation.sum',
+                               sum_groups FROM c
+              UNION ALL SELECT 'cernan.sinks.wavefront.aggregation.set',
+                               set_groups FROM c
+              UNION ALL SELECT
+                'cernan.sinks.wavefront.aggregation.summarize.total_percentiles',
+                0 FROM c
+              UNION ALL SELECT 'cernan.sinks.prometheus.aggregation.reportable',
+                               2 FROM c
+              UNION ALL SELECT 'cernan.sinks.prometheus.aggregation.kind_rejected',
+                               0 FROM c
+            )
+        """,
+        "es_bulk_docs": """
+            SELECT 'cernan-' || strftime(ts, '%Y.%m.%d') AS index,
+                   sha256('conv-' || lpad(CAST(user_id AS VARCHAR), 6, '0')
+                          || '|' || CAST(event_id AS VARCHAR)) AS uuid,
+                   'tag-' || event_type AS path_val,
+                   'field-payload' AS payload_val,
+                   strftime(ts, '%Y-%m-%dT%H:%M:%S') || 'Z' AS ts_val,
+                   'test' AS env_val
+            FROM events
+        """,
+        "kafka_records": """
+            SELECT CAST(event_id AS VARCHAR) AS key,
+                   'log line ' || CAST(event_id AS VARCHAR) AS payload,
+                   'env=test,path=tag-' || event_type AS headers
+            FROM events
+        """,
+        "prometheus_exposition": P
+        + """
+            SELECT '# TYPE ' || s
+                   || CASE WHEN kind = 'SUM' THEN ' counter' ELSE ' gauge' END
+                   || chr(10) || s || ' '
+                   || CAST(CAST(n AS DOUBLE) AS VARCHAR) AS exposition
+            FROM (
+              SELECT regexp_replace(name || '.raw-total', '[^a-zA-Z0-9:_]',
+                                    '_', 'g') AS s,
+                     kind, count(*) AS n
+              FROM parsed WHERE kind IN ('SUM', 'SET') GROUP BY 1, 2
+            )
+        """,
+        "ann_cosine_lsh": _ann_lsh_oracle_sql(),
+        # multimodal_features: intentionally rows-only (PNG/WAV decodes are
+        # real stdlib struct reads asserted via golden hash in pytest; no
+        # image/audio stack exists in DuckDB to oracle against).
     }

@@ -78,6 +78,30 @@ def _hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
     ]
 
 
+#: universal-hash constants for the portable (cross-engine) planes
+_PORTABLE_A = 1103515245
+_PORTABLE_B = 12345
+_PORTABLE_P = (1 << 31) - 1
+
+
+def _portable_hyperplanes(dim: int, bits: int) -> list[list[float]]:
+    """Rademacher ±1 hyperplanes from a universal integer hash — exactly
+    reproducible in ANSI SQL (the DuckDB oracle regenerates the identical
+    planes), unlike the Gaussian default. sign(i, j) = +1 iff
+    ((a·(i·dim+j) + b) mod p) is even. The sign-signature LSH guarantee
+    (P[bit collision] = 1 − θ/π) holds for Rademacher projections just as
+    for Gaussian ones (±1 entries are a symmetric sub-gaussian draw)."""
+    return [
+        [
+            1.0
+            if ((_PORTABLE_A * (i * dim + j) + _PORTABLE_B) % _PORTABLE_P) % 2 == 0
+            else -1.0
+            for j in range(dim)
+        ]
+        for i in range(bits)
+    ]
+
+
 def signature_col(vec: Column, planes: list[list[float]]) -> Column:
     """b-bit sign signature of a vector under fixed random hyperplanes —
     pure fold expressions, evaluated JVM-side."""
@@ -101,11 +125,17 @@ def cosine_topk_lsh(
     bits: int = 16,
     bands: int = 4,
     seed: int = 42,
+    portable: bool = False,
 ) -> DataFrame:
     """Approximate top-k: random-hyperplane signatures split into bands;
     candidates share at least one exact band with the probe. One shuffle on
-    (band, band_sig); per-bucket scoring; exact rescoring of candidates."""
-    planes = _hyperplanes(dim, bits, seed)
+    (band, band_sig); per-bucket scoring; exact rescoring of candidates.
+    ``portable=True`` swaps Gaussian planes for hash-derived ±1 planes so a
+    SQL oracle can replay the whole index path bit-for-bit."""
+    planes = (
+        _portable_hyperplanes(dim, bits) if portable
+        else _hyperplanes(dim, bits, seed)
+    )
     rows_per_band = bits // bands
 
     def banded(df: DataFrame, prefix: str) -> DataFrame:
