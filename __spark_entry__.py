@@ -1119,19 +1119,31 @@ def q_kafka_records(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_prometheus_exposition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Prometheus exposition text for the counter/gauge sections
-    (prometheus.rs:499-628): TYPE headers, name sanitization to
-    [a-zA-Z0-9:_] (the decorated ``.raw-total`` suffix forces it), and the
-    value rendering — byte-identical vs DuckDB."""
+    """Prometheus exposition text for the counter/gauge AND histogram
+    sections (prometheus.rs:499-628): TYPE headers, name sanitization to
+    [a-zA-Z0-9:_] (the decorated ``.raw-total`` suffix forces it), value
+    rendering, and running-sum ``le`` buckets ending at +Inf —
+    byte-identical vs DuckDB."""
     from cernan_spark.operators.sinks import prometheus_format
 
     p = _parsed(spark, sf_dir)
-    cum = (
+    scalars = (
         p.groupBy("name", "kind")
         .agg(F.count("*").cast("double").alias("cum_value"))
         .filter(F.col("kind").isin("SUM", "SET"))
         .withColumn("name", F.concat("name", F.lit(".raw-total")))
     )
+    hist = agg_histograms(
+        p.filter(F.col("name") == "errors")
+        .withColumn("kind", F.lit("HISTOGRAM"))
+        .withColumn("bin", F.lit(0).cast("long"))
+    ).select(
+        F.concat("name", F.lit(".raw-total")).alias("name"),
+        "kind",
+        F.lit(None).cast("double").alias("cum_value"),
+        "hist",
+    )
+    cum = scalars.unionByName(hist, allowMissingColumns=True)
     return prometheus_format(cum).select("exposition")
 
 
@@ -2091,6 +2103,26 @@ def oracle_sql() -> dict[str, str]:
                                     '_', 'g') AS s,
                      kind, count(*) AS n
               FROM parsed WHERE kind IN ('SUM', 'SET') GROUP BY 1, 2
+            )
+            UNION ALL
+            SELECT '# TYPE errors_raw_total histogram' || chr(10)
+                || 'errors_raw_total_bucket{le="1.0"} '
+                || CAST(c1 AS VARCHAR) || chr(10)
+                || 'errors_raw_total_bucket{le="10.0"} '
+                || CAST(c2 AS VARCHAR) || chr(10)
+                || 'errors_raw_total_bucket{le="100.0"} '
+                || CAST(c3 AS VARCHAR) || chr(10)
+                || 'errors_raw_total_bucket{le="1000.0"} '
+                || CAST(c4 AS VARCHAR) || chr(10)
+                || 'errors_raw_total_bucket{le="+Inf"} '
+                || CAST(n AS VARCHAR) AS exposition
+            FROM (
+              SELECT count(*) FILTER (value <= 1) AS c1,
+                     count(*) FILTER (value <= 10) AS c2,
+                     count(*) FILTER (value <= 100) AS c3,
+                     count(*) FILTER (value <= 1000) AS c4,
+                     count(*) AS n
+              FROM parsed WHERE name = 'errors'
             )
         """,
         "ann_cosine_lsh": _ann_lsh_oracle_sql(),
