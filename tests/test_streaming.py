@@ -165,3 +165,84 @@ def test_batch_streaming_equivalence_gate(spark):
         if r["bin"] in emitted_bins
     }
     assert got == streamed
+
+
+def test_batch_streaming_gauge_equivalence(spark, tmp_path):
+    """Stateful-gauge batch≡streaming gate: the applyInPandasWithState
+    fold's final running value per series (across THREE pinned-order
+    micro-batches) equals the batch gauge_running_value fold over the same
+    corpus in order_key order — cernan's persist semantics
+    (buckets.rs:240-309) hold identically on both paths."""
+    import glob
+    import os
+    import uuid
+
+    from cernan_spark.functions.statsd import parse_statsd_lines
+    from cernan_spark.operators.aggregate import gauge_running_value
+
+    rows = []
+    for i in range(300):
+        series = f"g{i % 10}"
+        if i % 7 == 0:
+            text = f"{series}:{(i % 50) + 1}|g"          # SET (replace)
+        elif i % 3 == 0:
+            text = f"{series}:-{(i % 5) + 1}|g"          # delta down (SUM)
+        else:
+            text = f"{series}:+{(i % 4) + 1}|g"          # delta up (SUM)
+        rows.append(("c1", i, "user", text, "none", i))
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, order_key long",
+    ).withColumn(
+        "ts", F.timestamp_seconds(F.lit(1704067200) + F.col("order_key"))
+    ).select("conv_id", "turn_idx", "role", "text", "tool", "ts", "order_key")
+
+    # three files landing in order_key order (strictly increasing mtimes:
+    # FileStreamSource consumes by (mtime, path))
+    d = str(tmp_path / "gauge_stream")
+    stamped: set[str] = set()
+    for part in range(3):
+        df.filter(
+            (F.col("order_key") >= part * 100)
+            & (F.col("order_key") < (part + 1) * 100)
+        ).coalesce(1).write.mode("append").parquet(d)
+        for f in glob.glob(f"{d}/part-*.parquet"):
+            if f not in stamped:
+                os.utime(f, (1_700_000_000 + part, 1_700_000_000 + part))
+                stamped.add(f)
+
+    qname = f"gauge_eq_{uuid.uuid4().hex[:8]}"
+    parsed = streaming_parse(stream_transcripts(spark, d, max_files_per_trigger=1))
+    q = (
+        streaming_gauge(parsed)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(qname)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # update mode appends one row per (series, batch); the final state per
+    # series is the row with the highest (monotonic) n_events
+    stream_final = {
+        r["name"]: (r["running_value"], r["n_events"])
+        for r in spark.sql(
+            f"SELECT name, max_by(running_value, n_events) AS running_value, "
+            f"max(n_events) AS n_events FROM {qname} GROUP BY name"
+        ).collect()
+    }
+
+    batch = parse_statsd_lines(df, line_col="text").filter(F.col("persist"))
+    rv = gauge_running_value(batch)
+    batch_final = {
+        r["name"]: (r["running_value"], r["n_events"])
+        for r in rv.groupBy("name")
+        .agg(
+            F.max_by("running_value", "order_key").alias("running_value"),
+            F.count("*").alias("n_events"),
+        )
+        .collect()
+    }
+    assert len(stream_final) == 10
+    assert stream_final == batch_final
