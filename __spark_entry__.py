@@ -1118,6 +1118,35 @@ def q_kafka_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_benchmark_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (n-gram overlap test): every 97th doc is
+    the 'benchmark'; 40 training docs are deterministically contaminated
+    by appending the first 10 tokens of a benchmark doc. The overlap
+    operator must flag exactly the contaminated docs (plus any natural
+    8-gram collisions, which the oracle reproduces identically)."""
+    from cernan_spark.operators.textstats import benchmark_ngram_overlap
+
+    _utc(spark)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    snippet = F.array_join(F.slice(F.split("text", " "), 1, 10), " ")
+    twins = (
+        d.filter(F.col("doc_id") < 40)
+        .join(
+            bench.select(
+                F.col("doc_id").alias("_bid"), snippet.alias("_snip")
+            ),
+            F.col("_bid") == 97 * (F.col("doc_id") % 5),
+        )
+        .select(
+            (F.col("doc_id") + 3_000_000).alias("doc_id"),
+            F.concat_ws(" ", "text", "_snip").alias("text"),
+        )
+    )
+    training = d.filter(F.col("doc_id") % 97 != 0).unionByName(twins)
+    return benchmark_ngram_overlap(training, bench, n=8)
+
+
 def q_prometheus_exposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prometheus exposition text for the counter/gauge AND histogram
     sections (prometheus.rs:499-628): TYPE headers, name sanitization to
@@ -1209,6 +1238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_bulk_docs": q_es_bulk_docs,
         "kafka_records": q_kafka_records,
         "prometheus_exposition": q_prometheus_exposition,
+        "benchmark_decontam": q_benchmark_decontam,
     }
 
 
@@ -2126,6 +2156,46 @@ def oracle_sql() -> dict[str, str]:
             )
         """,
         "ann_cosine_lsh": _ann_lsh_oracle_sql(),
+        "benchmark_decontam": """
+            WITH docs AS (SELECT doc_id, text FROM documents),
+            bench AS (
+              SELECT doc_id AS bench_id, text FROM docs WHERE doc_id % 97 = 0
+            ),
+            twins AS (
+              SELECT d.doc_id + 3000000 AS doc_id,
+                     d.text || ' ' || array_to_string(
+                       list_slice(string_split(b.text, ' '), 1, 10), ' ') AS text
+              FROM docs d JOIN bench b ON b.bench_id = 97 * (d.doc_id % 5)
+              WHERE d.doc_id < 40
+            ),
+            training AS (
+              SELECT doc_id, text FROM docs WHERE doc_id % 97 <> 0
+              UNION ALL SELECT doc_id, text FROM twins
+            ),
+            tsh AS (
+              SELECT doc_id, unnest(list_distinct(
+                CASE WHEN len(toks) >= 8 THEN
+                  list_transform(range(1, len(toks) - 6),
+                    i -> array_to_string(list_slice(toks, i, i + 7), ' '))
+                ELSE CAST([] AS VARCHAR[]) END)) AS shingle
+              FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                    FROM training)
+            ),
+            bsh AS (
+              SELECT bench_id, unnest(list_distinct(
+                CASE WHEN len(toks) >= 8 THEN
+                  list_transform(range(1, len(toks) - 6),
+                    i -> array_to_string(list_slice(toks, i, i + 7), ' '))
+                ELSE CAST([] AS VARCHAR[]) END)) AS shingle
+              FROM (SELECT bench_id, string_split(text, ' ') AS toks
+                    FROM bench)
+            )
+            SELECT t.doc_id,
+                   count(DISTINCT t.shingle) AS n_hit_shingles,
+                   count(DISTINCT b.bench_id) AS n_benchmarks
+            FROM tsh t JOIN bsh b ON t.shingle = b.shingle
+            GROUP BY 1
+        """,
         # multimodal_features: intentionally rows-only (PNG/WAV decodes are
         # real stdlib struct reads asserted via golden hash in pytest; no
         # image/audio stack exists in DuckDB to oracle against).

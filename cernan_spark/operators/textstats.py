@@ -189,3 +189,49 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         )
         .drop("_mx", "_tot")
     )
+
+
+def benchmark_ngram_overlap(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: flag training docs that share at least
+    one distinct word ``n``-gram with any benchmark document (the standard
+    13-gram overlap test from published LLM data cards, ``n`` configurable).
+
+    Spark-first: distinct shingles per side, ONE equi-join on the shingle,
+    distinct-hit counts per doc. The benchmark side is broadcast — eval
+    sets are tiny relative to a 100 TB corpus — so the corpus never
+    shuffles; each scan task probes a hash map. At full scale, hash each
+    shingle to int64 (``xxhash64``) so the probe key is 8 bytes instead of
+    an n-word string; string shingles are kept here for cross-engine
+    oracle equality.
+
+    Output: (doc_id, n_hit_shingles, n_benchmarks) — one row per
+    CONTAMINATED training doc only.
+    """
+
+    def shingles(df: DataFrame, out_id: str) -> DataFrame:
+        toks = F.split(F.col(text_col), " ")
+        grams = F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - n + 1),
+                lambda i: F.array_join(F.slice(toks, i, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return df.select(
+            F.col(id_col).alias(out_id),
+            F.explode(F.array_distinct(grams)).alias("shingle"),
+        )
+
+    hits = shingles(docs, "doc_id").join(
+        F.broadcast(shingles(benchmark, "bench_id")), "shingle"
+    )
+    return hits.groupBy("doc_id").agg(
+        F.countDistinct("shingle").alias("n_hit_shingles"),
+        F.countDistinct("bench_id").alias("n_benchmarks"),
+    )

@@ -130,3 +130,33 @@ def test_repetition_stats_signals(spark):
     assert got[1] == (round(1 - 1 / 6, 4), 1.0)   # all bigrams identical
     assert got[2] == (0.0, 0.2)                    # 5 distinct bigrams
     assert got[3] == (0.0, 0.0)                    # no bigrams at all
+
+
+def test_benchmark_decontamination_flags_seeded_overlap(spark):
+    """benchmark_ngram_overlap flags exactly the docs that share an n-gram
+    with the benchmark set — seeded contamination is fully recovered, and
+    clean docs never false-positive."""
+    from cernan_spark.operators.textstats import benchmark_ngram_overlap
+
+    def doc(i, words):
+        return (i, " ".join(words))
+
+    bench = spark.createDataFrame(
+        [doc(100, [f"b{j}" for j in range(12)])], "doc_id long, text string"
+    )
+    training = spark.createDataFrame(
+        [
+            # contaminated: carries benchmark tokens b2..b9 (one 8-gram)
+            doc(1, ["x0", "x1"] + [f"b{j}" for j in range(2, 10)] + ["x2"]),
+            # clean: same vocabulary but never 8 consecutive benchmark words
+            doc(2, [f"b{j}" for j in range(7)] + ["zz"] + ["b7", "b8"]),
+            # too short for any 8-gram
+            doc(3, ["b0", "b1", "b2"]),
+        ],
+        "doc_id long, text string",
+    )
+    hits = {
+        r["doc_id"]: (r["n_hit_shingles"], r["n_benchmarks"])
+        for r in benchmark_ngram_overlap(training, bench, n=8).collect()
+    }
+    assert hits == {1: (1, 1)}
