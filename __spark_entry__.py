@@ -274,6 +274,37 @@ def q_prometheus_cumulative_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("name", "bin", "bucket_idx", F.col("b.cnt").alias("cum_cnt"))
 
 
+def q_prometheus_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental perpetual accumulation: the corpus splits at its median
+    bin into two 'runs'; run 1's final accumulator state
+    (prometheus_final_state) seeds run 2 (prometheus_resume). The oracle
+    is ONE-PASS cumulative accumulation over the whole history restricted
+    to run-2 bins — resume must be indistinguishable from never having
+    stopped."""
+    from cernan_spark.operators.aggregate import (
+        prometheus_final_state,
+        prometheus_resume,
+    )
+
+    p = _parsed(spark, sf_dir).filter(F.col("kind") == "SUM")
+    per_bin = (
+        p.groupBy("name", F.floor(F.col("epoch") / 3600).cast("long").alias("bin"))
+        .agg(F.sum("value").alias("agg_value"), F.count("*").alias("n_points"))
+        .withColumn("kind", F.lit("SUM"))
+    )
+    bounds = per_bin.agg(F.min("bin").alias("mn"), F.max("bin").alias("mx"))
+    pb = per_bin.crossJoin(F.broadcast(bounds)).withColumn(
+        "_thr", F.floor((F.col("mn") + F.col("mx")) / 2).cast("long")
+    )
+    early = pb.filter(F.col("bin") < F.col("_thr")).drop("mn", "mx", "_thr")
+    late = pb.filter(F.col("bin") >= F.col("_thr")).drop("mn", "mx", "_thr")
+    state = prometheus_final_state(prometheus_accumulate(early, ["name"]), ["name"])
+    resumed = prometheus_resume(state, late, ["name"])
+    return resumed.select(
+        "name", "bin", _r4(F.col("cum_value")).alias("cum_value"), "cum_count"
+    )
+
+
 def q_prometheus_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prometheus Summarize sliding-window handling (prometheus.rs:95-195):
     samples older than capacity_in_seconds are purged before quantile
@@ -1239,6 +1270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kafka_records": q_kafka_records,
         "prometheus_exposition": q_prometheus_exposition,
         "benchmark_decontam": q_benchmark_decontam,
+        "prometheus_resume": q_prometheus_resume,
     }
 
 
@@ -2156,6 +2188,24 @@ def oracle_sql() -> dict[str, str]:
             )
         """,
         "ann_cosine_lsh": _ann_lsh_oracle_sql(),
+        # one-pass cumulative over ALL bins, restricted to run-2 bins —
+        # what a correct resume must be indistinguishable from
+        "prometheus_resume": P
+        + """
+            , per_bin AS (
+              SELECT name, CAST(floor(epoch / 3600) AS BIGINT) AS bin,
+                     sum(value) AS v, count(*) AS n
+              FROM parsed WHERE kind = 'SUM' GROUP BY 1, 2
+            ), thr AS (
+              SELECT (min(bin) + max(bin)) // 2 AS t FROM per_bin
+            )
+            SELECT name, bin,
+                   round(sum(v) OVER (PARTITION BY name ORDER BY bin), 4)
+                     AS cum_value,
+                   sum(n) OVER (PARTITION BY name ORDER BY bin) AS cum_count
+            FROM per_bin
+            QUALIFY bin >= (SELECT t FROM thr)
+        """,
         "benchmark_decontam": """
             WITH docs AS (SELECT doc_id, text FROM documents),
             bench AS (

@@ -720,6 +720,53 @@ def prometheus_accumulate(per_bin: DataFrame, key_cols: list[str]) -> DataFrame:
     return out.join(cum_hist, [*key_cols, "bin"], "left")
 
 
+def prometheus_final_state(cum: DataFrame, key_cols: list[str]) -> DataFrame:
+    """The accumulator's FINAL row per key — the state a scheduled
+    incremental job persists between runs (the batch analog of the
+    reference's long-lived in-process accumulators,
+    src/sink/prometheus.rs:209-332: the process never restarts from zero;
+    an incremental Spark job must not either)."""
+    w = W.partitionBy(*key_cols).orderBy(F.col("bin").desc())
+    cols = ["bin", "kind", "cum_value", "cum_count"] + (
+        ["cum_hist"] if "cum_hist" in cum.columns else []
+    )
+    return (
+        cum.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(*key_cols, *cols)
+    )
+
+
+def prometheus_resume(
+    prev_state: DataFrame, new_per_bin: DataFrame, key_cols: list[str]
+) -> DataFrame:
+    """Resume perpetual accumulation from a persisted state: the previous
+    run's final row per key seeds the cumulative windows as one synthetic
+    bin (its recorded bin necessarily precedes every new bin), then the
+    seed row is dropped — the output is bit-identical to one-pass
+    accumulation over the full history (window sums continue left-to-right
+    from the seed, preserving float addition order). Sum/Histogram add,
+    Set carries the latest value forward; keys with no new bins emit
+    nothing (their persisted state remains current)."""
+    base = [*key_cols, "bin"] + (["kind"] if "kind" not in key_cols else [])
+    seed_cols = [
+        *base,
+        F.col("cum_value").alias("agg_value"),
+        F.col("cum_count").alias("n_points"),
+    ]
+    if "cum_hist" in prev_state.columns:
+        seed_cols.append(F.col("cum_hist").alias("hist"))
+    seed = prev_state.select(*seed_cols).withColumn("_seed", F.lit(True))
+    body_cols = [*base, "agg_value", "n_points"] + (
+        ["hist"] if "hist" in new_per_bin.columns else []
+    )
+    body = new_per_bin.select(*body_cols).withColumn("_seed", F.lit(False))
+    acc = prometheus_accumulate(
+        seed.unionByName(body, allowMissingColumns=True), key_cols
+    )
+    return acc.filter(~F.col("_seed")).drop("_seed")
+
+
 def prometheus_windowed_summaries(
     parsed: DataFrame,
     capacity_seconds: int,

@@ -202,3 +202,67 @@ def test_gauge_fold_parallelizes_hot_series(spark):
     last = out.orderBy(F.col("order_key").desc()).limit(1).collect()[0]
     # id 199000 is the last SET (=100); 999 deltas of +1 follow
     assert last["running_value"] == 100.0 + 999.0
+
+
+def test_prometheus_resume_equals_one_pass(spark):
+    """prometheus_resume(state, run2) ≡ prometheus_accumulate(run1 ∪ run2)
+    restricted to run-2 bins — for SUM (adds), SET (latest carries across
+    the run boundary), and HISTOGRAM (bucket vectors add); a key with no
+    run-2 bins emits nothing."""
+    from pyspark.sql import functions as F
+
+    from cernan_spark.operators.aggregate import (
+        prometheus_accumulate,
+        prometheus_final_state,
+        prometheus_resume,
+    )
+
+    def hist(*counts):
+        return [{"bound": float(b), "cnt": c}
+                for b, c in zip([1.0, 10.0, float("inf")], counts)]
+
+    rows = [
+        # (name, kind, bin, agg_value, n_points, hist)
+        ("c", "SUM", 1, 5.0, 2, None),
+        ("c", "SUM", 2, 7.0, 1, None),
+        ("c", "SUM", 4, 1.5, 1, None),
+        ("g", "SET", 1, 3.0, 1, None),          # run-1 only: carries
+        ("g", "SET", 5, 9.0, 1, None),
+        ("h", "HISTOGRAM", 2, None, 3, hist(1, 2, 0)),
+        ("h", "HISTOGRAM", 6, None, 2, hist(0, 1, 1)),
+        ("old", "SUM", 1, 2.0, 1, None),        # no run-2 bins
+    ]
+    schema = (
+        "name string, kind string, bin long, agg_value double, "
+        "n_points long, hist array<struct<bound:double,cnt:long>>"
+    )
+    per_bin = spark.createDataFrame(rows, schema)
+    thr = 3
+    run1 = per_bin.filter(F.col("bin") < thr)
+    run2 = per_bin.filter(F.col("bin") >= thr)
+
+    state = prometheus_final_state(
+        prometheus_accumulate(run1, ["name", "kind"]), ["name", "kind"]
+    )
+    resumed = prometheus_resume(state, run2, ["name", "kind"])
+    one_pass = prometheus_accumulate(per_bin, ["name", "kind"]).filter(
+        F.col("bin") >= thr
+    )
+
+    def canon(df):
+        return sorted(
+            (r["name"], r["kind"], r["bin"], r["cum_value"], r["cum_count"],
+             tuple((b["bound"], b["cnt"]) for b in r["cum_hist"])
+             if r["cum_hist"] is not None else None)
+            for r in df.select(
+                "name", "kind", "bin", "cum_value", "cum_count", "cum_hist"
+            ).collect()
+        )
+
+    r, o = canon(resumed), canon(one_pass)
+    assert r == o
+    by_key = {(n, k, b): (cv, cc, ch) for n, k, b, cv, cc, ch in r}
+    assert by_key[("c", "SUM", 4)][:2] == (13.5, 4)     # 5+7 state, +1.5
+    assert by_key[("g", "SET", 5)][0] == 9.0            # new SET wins
+    assert by_key[("h", "HISTOGRAM", 6)][2] == ((1.0, 1), (10.0, 3), (float("inf"), 1))
+    assert ("old", "SUM", 1) not in by_key              # stays in state only
