@@ -135,3 +135,95 @@ def test_gauge_chunked_equals_global_property(spark):
     assert fast.keys() == slow.keys()
     for k, v in slow.items():
         assert abs(fast[k] - v) < 1e-9, (k, fast[k], v)
+
+
+# ---------------------------------------------------------------------------
+# nested-avro structural codec: random schema trees + matching values
+# ---------------------------------------------------------------------------
+
+_AVRO_PRIM = st.sampled_from(
+    ["string", "long", "int", "double", "boolean", "null", "bytes"]
+)
+
+
+def _avro_schema_st(depth: int):
+    if depth == 0:
+        return _AVRO_PRIM
+    sub = _avro_schema_st(depth - 1)
+    return st.one_of(
+        _AVRO_PRIM,
+        st.builds(lambda v: {"type": "array", "items": v}, sub),
+        st.builds(lambda v: {"type": "map", "values": v}, sub),
+        # unions constrained to [null, X]: the writer's branch choice and
+        # the reader agree without float/int cross-branch ambiguity
+        st.builds(lambda v: ["null", v] if v != "null" else ["null"], _AVRO_PRIM),
+        st.just({"type": "enum", "name": f"E{depth}", "symbols": ["A", "B", "C"]}),
+        st.just({"type": "fixed", "name": f"X{depth}", "size": 4}),
+        st.builds(
+            lambda ts: {
+                "type": "record",
+                "name": f"R{depth}",
+                "fields": [
+                    {"name": f"f{i}", "type": t} for i, t in enumerate(ts)
+                ],
+            },
+            st.lists(sub, min_size=1, max_size=3),
+        ),
+    )
+
+
+def _avro_value_st(schema):
+    if isinstance(schema, str):
+        return {
+            "string": st.text(max_size=20),
+            "long": st.integers(-(2**63), 2**63 - 1),
+            "int": st.integers(-(2**31), 2**31 - 1),
+            "double": st.floats(allow_nan=False),
+            "boolean": st.booleans(),
+            "null": st.none(),
+            "bytes": st.binary(max_size=20),
+        }[schema]
+    if isinstance(schema, list):
+        return st.one_of([_avro_value_st(s) for s in schema])
+    t = schema["type"]
+    if t == "record":
+        return st.fixed_dictionaries(
+            {f["name"]: _avro_value_st(f["type"]) for f in schema["fields"]}
+        )
+    if t == "array":
+        return st.lists(_avro_value_st(schema["items"]), max_size=3)
+    if t == "map":
+        return st.dictionaries(
+            st.text(max_size=8), _avro_value_st(schema["values"]), max_size=3
+        )
+    if t == "enum":
+        return st.sampled_from(schema["symbols"])
+    if t == "fixed":
+        return st.binary(min_size=schema["size"], max_size=schema["size"])
+    raise AssertionError(schema)
+
+
+@given(data=st.data())
+@settings(max_examples=60, deadline=None)
+def test_avro_nested_schema_roundtrip_property(data):
+    """Any generated schema tree (records/arrays/maps/unions/enums/fixed up
+    to depth 2) round-trips value-exactly through the structural codec,
+    both codecs."""
+    from cernan_spark.functions.avrowire import (
+        _jsonable,
+        read_container,
+        write_container,
+    )
+
+    fields = data.draw(st.lists(_avro_schema_st(2), min_size=1, max_size=3))
+    schema = {
+        "type": "record",
+        "name": "Top",
+        "fields": [{"name": f"t{i}", "type": t} for i, t in enumerate(fields)],
+    }
+    recs = data.draw(st.lists(_avro_value_st(schema), max_size=3))
+    codec = data.draw(st.sampled_from(["null", "deflate"]))
+    out = read_container(write_container(recs, schema, codec=codec))
+    assert out["err"] is None and out["decoded"], out["err"]
+    assert out["records"] == [_jsonable(r) for r in recs]
+    assert out["n_records"] == len(recs)
