@@ -140,3 +140,88 @@ def test_inode_reuse_head_verifier(spark, tdir):
     with open(log, "w") as fh:  # same path; likely reuses the inode
         fh.write("different\n")
     assert _tail(spark, tdir) == ["different"]
+
+
+# ---------------------------------------------------------------------------
+# the reference's dominant FileWatcher pattern: an interpreted RANDOM
+# fs-action script (WriteLine/Partial/Rotate/Truncate/Tail) checked against
+# an in-test model (src/source/file/mod.rs:28-402)
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_ACTIONS = st.lists(
+    st.sampled_from(["write", "partial", "complete", "rotate", "truncate", "tail"]),
+    max_size=12,
+)
+
+
+@given(actions=_ACTIONS)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_filetail_random_script_matches_model(spark, actions):
+    """Interpret a random action script against the real filesystem + tail
+    source AND a byte-level model; every Tail must deliver exactly the
+    model's newly-completed lines (exactly-once across appends and
+    rotations; truncation re-reads per the module contract)."""
+    import itertools
+
+    d = tempfile.mkdtemp(prefix="tail_prop_")
+    try:
+        log = f"{d}/app.log"
+        open(log, "w").close()
+        cur = {"path": log, "buf": b"", "consumed": 0, "fresh": False}
+        files = [cur]
+        n = itertools.count()
+        rot = itertools.count(1)
+        for act in actions + ["tail"]:
+            if act == "write":
+                s = f"line-{next(n)}\n".encode()
+                with open(cur["path"], "ab") as fh:
+                    fh.write(s)
+                cur["buf"] += s
+            elif act == "partial":
+                s = f"part-{next(n)}".encode()
+                with open(cur["path"], "ab") as fh:
+                    fh.write(s)
+                cur["buf"] += s
+            elif act == "complete":
+                s = f"-end{next(n)}\n".encode()
+                with open(cur["path"], "ab") as fh:
+                    fh.write(s)
+                cur["buf"] += s
+            elif act == "rotate":
+                newp = f"{d}/app.log.{next(rot)}"
+                os.rename(cur["path"], newp)
+                cur["path"] = newp
+                open(log, "w").close()
+                cur = {"path": log, "buf": b"", "consumed": 0, "fresh": False}
+                files.append(cur)
+            elif act == "truncate":
+                s = f"trunc-{next(n)} fresh\n".encode()
+                with open(cur["path"], "wb") as fh:
+                    fh.write(s)
+                cur["buf"] = s
+                cur["fresh"] = True
+            else:  # tail
+                expected = []
+                for f in files:
+                    if f["fresh"] or len(f["buf"]) < f["consumed"]:
+                        f["consumed"] = 0
+                        f["fresh"] = False
+                    nl = f["buf"].rfind(b"\n") + 1
+                    if nl > f["consumed"]:
+                        expected += (
+                            f["buf"][f["consumed"]:nl].decode().splitlines()
+                        )
+                        f["consumed"] = nl
+                df = tail_files(spark, f"{d}/*.log*", f"{d}/ledger")
+                got = [r["line"] for r in df.collect()]
+                commit_tail(spark, df, f"{d}/ledger")
+                assert sorted(got) == sorted(expected), (actions, act)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
