@@ -1086,6 +1086,11 @@ def q_internal_telemetry(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _utc(spark)
     out = run_pipeline(spark, _mixed_transcripts(spark, sf_dir))
+    # the telemetry union has ~21 counting arms; persist the shared stage
+    # outputs so each is computed once, not once per arm (at scale the
+    # same stages are persisted because the sink writes consume them too)
+    for k in ("telemetry", "logs", "bad", "aggregates"):
+        out[k] = out[k].persist()
     return internal_telemetry(spark, out).select(
         "name", F.col("value").cast("double").alias("value"), "kind"
     )

@@ -3,38 +3,40 @@ emits about the pipeline itself (reference src/source/internal.rs:105-455 —
 per-source packet counters, per-filter accept/reject, per-sink delivery and
 aggregation counters).
 
-Batch form: one tiny union-of-aggregates DataFrame (name, value, kind)
-derived lazily from a ``run_pipeline`` output dict. Every branch is a
-count over an already-planned stage — Spark reuses the shared subplans; no
-extra scan of the raw input is added beyond the counting aggregates
-themselves. Metric names match the reference byte-for-byte where the
-concept maps (statsd/graphite packet counts, sink delivery totals,
-wavefront per-kind aggregation counters)."""
+Batch form: ONE multi-counter aggregate per pipeline stage (telemetry,
+logs, bad, sink counts, wavefront rollup, prometheus), unpivoted to
+(name, value, kind) rows — 6 jobs total instead of one job per series
+(a naive 21-arm union spent more time in per-arm planning/scheduling than
+in data). Metric names match the reference byte-for-byte where the concept
+maps (statsd/graphite packet counts, sink delivery totals, wavefront
+per-kind aggregation counters)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _SCHEMA = "name string, value double, kind string"
 
 
-def _counter(df: DataFrame, name: str) -> DataFrame:
-    return df.agg(
-        F.lit(name).alias("name"),
-        F.count("*").cast("double").alias("value"),
-        F.lit("SUM").alias("kind"),
+def _unpivot(one_row: DataFrame, names: list[tuple[str, str]]) -> DataFrame:
+    """1-row aggregate with columns [c0..cn] → (name, value, kind) rows."""
+    arr = F.array(
+        *[
+            F.struct(
+                F.lit(series).alias("name"),
+                F.coalesce(F.col(col).cast("double"), F.lit(0.0)).alias("value"),
+            )
+            for series, col in names
+        ]
+    )
+    return one_row.select(F.explode(arr).alias("s")).select(
+        "s.name", "s.value", F.lit("SUM").alias("kind")
     )
 
 
-def _value(df_agg, name: str) -> DataFrame:
-    """Wrap a 1-row aggregate (single numeric column) as a named series."""
-    col = df_agg.columns[0]
-    return df_agg.select(
-        F.lit(name).alias("name"),
-        F.coalesce(F.col(col).cast("double"), F.lit(0.0)).alias("value"),
-        F.lit("SUM").alias("kind"),
-    )
+def _cnt(cond: Column | None = None) -> Column:
+    return F.count(F.when(cond, F.lit(1))) if cond is not None else F.count("*")
 
 
 def internal_telemetry(
@@ -55,60 +57,80 @@ def internal_telemetry(
     * per-sink delivery: ``cernan.sinks.<sink>.records.total_delivered``;
     * wavefront aggregation block (internal.rs:284-309):
       ``…aggregations.total_stored``, ``…aggregation.<kind>``,
-      ``…aggregation.summarize.total_percentiles``;
+      ``…aggregation.summarize.total_percentiles`` — ONE rollup aggregate;
     * prometheus block: ``…aggregation.reportable`` (internal.rs:345) and
       the kind-rejection count (no reference series name — the reference
       drops silently; accounted here as ``…aggregation.kind_rejected``).
     """
     tel = out["telemetry"]
     logs = out["logs"]
-    # statsd lines carry no wire timestamp; graphite triples do
-    statsd_rows = tel.filter(F.col("event_epoch").isNull())
-    graphite_rows = tel.filter(F.col("event_epoch").isNotNull())
+
+    # --- telemetry: statsd lines carry no wire timestamp; graphite do ---
+    is_graphite = F.col("event_epoch").isNotNull()
+    tel_counts = tel.agg(
+        _cnt(~is_graphite).alias("c0"),
+        _cnt(is_graphite).alias("c1"),
+        _cnt().alias("c2"),
+    )
     parts = [
-        _counter(statsd_rows, "cernan.statsd.packet"),
-        _counter(out["bad"], "cernan.statsd.bad_packet"),
-        _counter(graphite_rows, "cernan.graphite.packet"),
-        _counter(graphite_rows, "cernan.graphite.telemetry.received"),
+        _unpivot(
+            tel_counts,
+            [
+                ("cernan.statsd.packet", "c0"),
+                ("cernan.graphite.packet", "c1"),
+                ("cernan.graphite.telemetry.received", "c1"),
+                ("cernan.filters.delay.telemetry.accept", "c2"),
+            ],
+        )
     ]
 
-    # delay filter accounting: run_pipeline exposes the pre-filter table
-    # when an age_threshold is configured; with no threshold everything is
-    # accepted (delay_filter.rs:60-74 emits both sides either way)
+    # delay-filter reject: run_pipeline exposes the pre-filter table when an
+    # age_threshold is configured; with no threshold everything is accepted
+    # (delay_filter.rs:60-74 emits both sides either way)
     pre = out.get("telemetry_unfiltered")
-    accept = _counter(tel, "cernan.filters.delay.telemetry.accept")
     if pre is not None:
         n_pre = pre.agg(F.count("*").alias("n"))
-        n_post = tel.agg(F.count("*").alias("n"))
-        reject = _value(
-            n_pre.crossJoin(n_post.withColumnRenamed("n", "n2")).select(
-                (F.col("n") - F.col("n2")).alias("n_rej")
-            ),
-            "cernan.filters.delay.telemetry.reject",
-        )
-    else:
-        reject = _value(
-            spark.createDataFrame([(0,)], "n long"),
-            "cernan.filters.delay.telemetry.reject",
-        )
-    parts += [
-        accept,
-        reject,
-        _counter(logs, "cernan.filters.delay.log.accept"),
-        _value(
-            spark.createDataFrame([(0,)], "n long"),
-            "cernan.filters.delay.log.reject",
-        ),
-        _counter(logs, "cernan.filters.json_encode.log.processed"),
-    ]
-    if "is_json_object" in logs.columns:
+        n_post = tel.agg(F.count("*").alias("n2"))
         parts.append(
-            _counter(
-                logs.filter(F.col("is_json_object")),
-                "cernan.filters.json_encode.log.parsed",
+            _unpivot(
+                n_pre.crossJoin(n_post).select(
+                    (F.col("n") - F.col("n2")).alias("c0")
+                ),
+                [("cernan.filters.delay.telemetry.reject", "c0")],
             )
         )
+    else:
+        parts.append(
+            spark.createDataFrame(
+                [("cernan.filters.delay.telemetry.reject", 0.0, "SUM")], _SCHEMA
+            )
+        )
+    parts.append(
+        spark.createDataFrame(
+            [("cernan.filters.delay.log.reject", 0.0, "SUM")], _SCHEMA
+        )
+    )
 
+    # --- logs: accept + json-encode counters in one aggregate ---
+    log_names = [
+        ("cernan.filters.delay.log.accept", "c0"),
+        ("cernan.filters.json_encode.log.processed", "c0"),
+    ]
+    log_aggs = [_cnt().alias("c0")]
+    if "is_json_object" in logs.columns:
+        log_aggs.append(_cnt(F.col("is_json_object")).alias("c1"))
+        log_names.append(("cernan.filters.json_encode.log.parsed", "c1"))
+    parts.append(_unpivot(logs.agg(*log_aggs), log_names))
+
+    # --- bad lines ---
+    parts.append(
+        _unpivot(
+            out["bad"].agg(_cnt().alias("c0")),
+            [("cernan.statsd.bad_packet", "c0")],
+        )
+    )
+
+    # --- per-sink delivery (already one grouped aggregate) ---
     parts.append(
         out["sink_counts"].select(
             F.concat(
@@ -121,41 +143,59 @@ def internal_telemetry(
         )
     )
 
+    # --- wavefront aggregation block: per-kind AND grand total in ONE
+    # rollup aggregate (the null-key row is the total) ---
     wf = out["aggregates"].filter(F.col("sink") == "wavefront")
-    parts += [
-        _counter(wf, "cernan.sinks.wavefront.aggregations.total_stored"),
-        wf.groupBy(F.lower("kind").alias("_k"))
-        .agg(F.count("*").cast("double").alias("value"))
-        .select(
-            F.concat(
-                F.lit("cernan.sinks.wavefront.aggregation."), F.col("_k")
-            ).alias("name"),
-            "value",
-            F.lit("SUM").alias("kind"),
-        ),
-        _value(
-            wf.filter(F.col("kind") == "SUMMARIZE").agg(
-                F.sum(F.size("quantile_values")).alias("n")
-            ),
-            "cernan.sinks.wavefront.aggregation.summarize.total_percentiles",
-        ),
-    ]
-
-    prom = out["aggregates"].filter(F.col("sink") == "prometheus")
+    roll = wf.rollup(F.lower("kind").alias("_k")).agg(
+        F.count("*").alias("_n"),
+        F.sum(
+            F.when(F.col("kind") == "SUMMARIZE", F.size("quantile_values"))
+        ).alias("_qn"),
+    )
     parts.append(
-        _value(
-            prom.agg(F.countDistinct("name", "kind").alias("n")),
-            "cernan.sinks.prometheus.aggregation.reportable",
+        roll.select(
+            F.when(
+                F.col("_k").isNull(),
+                F.lit("cernan.sinks.wavefront.aggregations.total_stored"),
+            )
+            .otherwise(
+                F.concat(
+                    F.lit("cernan.sinks.wavefront.aggregation."), F.col("_k")
+                )
+            )
+            .alias("name"),
+            F.col("_n").cast("double").alias("value"),
+            F.lit("SUM").alias("kind"),
         )
     )
+    parts.append(
+        _unpivot(
+            roll.filter(F.col("_k").isNull()).select(F.col("_qn").alias("c0")),
+            [
+                (
+                    "cernan.sinks.wavefront.aggregation.summarize."
+                    "total_percentiles",
+                    "c0",
+                )
+            ],
+        )
+    )
+
+    # --- prometheus block: reportable + kind-rejected in one aggregate ---
     from cernan_spark.operators.aggregate import prometheus_reject_kind_changes
 
+    prom = out["aggregates"].filter(F.col("sink") == "prometheus")
+    marked = prometheus_reject_kind_changes(prom, ["name"])
     parts.append(
-        _value(
-            prometheus_reject_kind_changes(prom, ["name"])
-            .filter(F.col("kind_rejected"))
-            .agg(F.count("*").alias("n")),
-            "cernan.sinks.prometheus.aggregation.kind_rejected",
+        _unpivot(
+            marked.agg(
+                F.countDistinct("name", "kind").alias("c0"),
+                _cnt(F.col("kind_rejected")).alias("c1"),
+            ),
+            [
+                ("cernan.sinks.prometheus.aggregation.reportable", "c0"),
+                ("cernan.sinks.prometheus.aggregation.kind_rejected", "c1"),
+            ],
         )
     )
 
