@@ -1183,6 +1183,32 @@ def q_benchmark_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     return benchmark_ngram_overlap(training, bench, n=8)
 
 
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing over a deterministically seeded corpus: every doc gets
+    an email, a plus-prefixed phone and a dotted-quad IP appended; the
+    redacted text and per-category counts must match the SQL replay
+    byte-for-byte (patterns restricted to the Java-regex ∩ RE2 subset)."""
+    from cernan_spark.operators.textstats import redact_pii
+
+    _utc(spark)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    seeded = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"), F.col("doc_id").cast("string"),
+            F.lit("@example.com ip 10."),
+            ((F.col("doc_id") % 200) + 1).cast("string"),
+            F.lit(".0."), (F.col("doc_id") % 250).cast("string"),
+            F.lit(" tel +1555"),
+            F.lpad(F.col("doc_id").cast("string"), 7, "0"),
+        ).alias("text"),
+    )
+    return redact_pii(seeded).select(
+        "doc_id", "n_email", "n_phone", "n_ipv4", "redacted"
+    )
+
+
 def q_prometheus_exposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prometheus exposition text for the counter/gauge AND histogram
     sections (prometheus.rs:499-628): TYPE headers, name sanitization to
@@ -1276,6 +1302,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prometheus_exposition": q_prometheus_exposition,
         "benchmark_decontam": q_benchmark_decontam,
         "prometheus_resume": q_prometheus_resume,
+        "pii_redaction": q_pii_redaction,
     }
 
 
@@ -2210,6 +2237,32 @@ def oracle_sql() -> dict[str, str]:
                    sum(n) OVER (PARTITION BY name ORDER BY bin) AS cum_count
             FROM per_bin
             QUALIFY bin >= (SELECT t FROM thr)
+        """,
+        "pii_redaction": r"""
+            WITH seeded AS (
+              SELECT doc_id,
+                     text || ' contact u' || CAST(doc_id AS VARCHAR)
+                          || '@example.com ip 10.'
+                          || CAST((doc_id % 200) + 1 AS VARCHAR)
+                          || '.0.' || CAST(doc_id % 250 AS VARCHAR)
+                          || ' tel +1555'
+                          || lpad(CAST(doc_id AS VARCHAR), 7, '0') AS text
+              FROM documents
+            )
+            SELECT doc_id,
+                   len(regexp_extract_all(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                     AS n_email,
+                   len(regexp_extract_all(text, '\+\d{7,15}')) AS n_phone,
+                   len(regexp_extract_all(text,
+                     '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
+                   regexp_replace(regexp_replace(regexp_replace(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                     '<EMAIL>', 'g'),
+                     '\+\d{7,15}', '<PHONE>', 'g'),
+                     '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')
+                     AS redacted
+            FROM seeded
         """,
         "benchmark_decontam": """
             WITH docs AS (SELECT doc_id, text FROM documents),

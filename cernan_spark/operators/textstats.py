@@ -235,3 +235,32 @@ def benchmark_ngram_overlap(
         F.countDistinct("shingle").alias("n_hit_shingles"),
         F.countDistinct("bench_id").alias("n_benchmarks"),
     )
+
+
+#: (category, pattern, replacement) — patterns restricted to the syntax
+#: subset Java regex and RE2 interpret identically (no backrefs/lookaround),
+#: so a SQL oracle can replay the scrub byte-for-byte.
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\+\d{7,15}", "<PHONE>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+]
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII scrubbing for pretraining corpora: emails, plus-prefixed phone
+    numbers, and dotted-quad IPs are replaced with typed placeholder tokens;
+    per-category match counts (on the ORIGINAL text) are kept for corpus
+    accounting. Pure column expressions — whole-stage codegen, no Python in
+    the scan; at 100 TB this is a narrow map over the text column."""
+    orig = F.col(text_col)
+    out = df
+    for cat, rx, _tok in PII_PATTERNS:
+        out = out.withColumn(
+            f"n_{cat}",
+            F.size(F.regexp_extract_all(orig, F.lit(rx), F.lit(0))),
+        )
+    red = orig
+    for _cat, rx, tok in PII_PATTERNS:
+        red = F.regexp_replace(red, rx, tok)
+    return out.withColumn("redacted", red)

@@ -160,3 +160,29 @@ def test_benchmark_decontamination_flags_seeded_overlap(spark):
         for r in benchmark_ngram_overlap(training, bench, n=8).collect()
     }
     assert hits == {1: (1, 1)}
+
+
+def test_pii_redaction_categories_and_counts(spark):
+    from cernan_spark.operators.textstats import redact_pii
+
+    rows = [
+        (1, "mail a@b.co and c.d+x@e-f.org twice"),
+        (2, "call +4915551234567 now"),
+        (3, "host 192.168.0.1 and 10.0.0.255."),
+        (4, "nothing sensitive here, 12.34 is a price not an ip"),
+        (5, "combo a@b.io +1234567 1.2.3.4"),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in redact_pii(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        ).collect()
+    }
+    assert out[1]["n_email"] == 2
+    assert out[1]["redacted"] == "mail <EMAIL> and <EMAIL> twice"
+    assert out[2]["n_phone"] == 1 and "<PHONE>" in out[2]["redacted"]
+    assert out[3]["n_ipv4"] == 2
+    assert out[3]["redacted"] == "host <IP> and <IP>."
+    assert (out[4]["n_email"], out[4]["n_phone"], out[4]["n_ipv4"]) == (0, 0, 0)
+    assert out[4]["redacted"] == rows[3][1]
+    assert out[5]["redacted"] == "combo <EMAIL> <PHONE> <IP>"
