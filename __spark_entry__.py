@@ -1183,6 +1183,27 @@ def q_benchmark_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     return benchmark_ngram_overlap(training, bench, n=8)
 
 
+def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token-budget corpus mixing: language-ID the docs, then
+    keep each language's deterministic pseudo-shuffled prefix within a
+    2,000-token budget — the oracle selects the identical prefix (portable
+    universal-hash order)."""
+    from cernan_spark.operators.textstats import (
+        lang_id,
+        sample_to_token_budget,
+        token_stats,
+    )
+
+    _utc(spark)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = token_stats(lang_id(d).select("doc_id", "text", "lang_pred"))
+    out = sample_to_token_budget(t, budget=2000)
+    return out.select(
+        "doc_id", "lang_pred",
+        F.col("n_tokens").cast("long").alias("n_tokens"), "cum_tokens",
+    )
+
+
 def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing over a deterministically seeded corpus: every doc gets
     an email, a plus-prefixed phone and a dotted-quad IP appended; the
@@ -1303,6 +1324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benchmark_decontam": q_benchmark_decontam,
         "prometheus_resume": q_prometheus_resume,
         "pii_redaction": q_pii_redaction,
+        "token_budget_sample": q_token_budget_sample,
     }
 
 
@@ -1565,6 +1587,47 @@ WITH base AS (
   FROM unit a JOIN unit b ON a.vec_id < b.vec_id
 )
 SELECT id_a, id_b, round(cos, 6) AS cos FROM pairs WHERE cos >= {threshold}
+"""
+
+
+def _token_budget_oracle_sql(budget: int = 2000) -> str:
+    """DuckDB twin of q_token_budget_sample: same lang-ID CASE, same
+    portable pseudo-shuffle order, same cumulative-prefix selection."""
+    from cernan_spark.operators.textstats import LANG_STOPWORDS
+
+    scores = ",\n    ".join(
+        f"len(list_filter(toks, x -> list_contains({words!r}, x))) * 1.0"
+        f" / greatest(len(toks), 1) AS s_{lang}"
+        for lang, words in LANG_STOPWORDS.items()
+    )
+    langs = list(LANG_STOPWORDS)
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    case = " ".join(f"WHEN s_{lang} = best THEN '{lang}'" for lang in langs)
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         list_transform(string_split_regex(text, '\\s+'), x -> lower(x)) AS toks,
+         len(string_split_regex(text, '\\s+')) AS n_tokens
+  FROM documents
+), s AS (
+  SELECT doc_id, n_tokens,
+    {scores}
+  FROM t
+), b AS (
+  SELECT *, {best} AS best FROM s
+), lang AS (
+  SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         CASE WHEN best <= 0 THEN 'und' {case} ELSE 'und' END AS lang_pred
+  FROM b
+), cum AS (
+  SELECT doc_id, lang_pred, n_tokens,
+         CAST(sum(n_tokens) OVER (PARTITION BY lang_pred
+           ORDER BY (1103515245 * doc_id + 12345) % 2147483647, doc_id)
+           AS BIGINT) AS cum_tokens
+  FROM lang
+)
+SELECT doc_id, lang_pred, n_tokens, cum_tokens
+FROM cum WHERE cum_tokens <= {budget}
 """
 
 
@@ -2220,6 +2283,7 @@ def oracle_sql() -> dict[str, str]:
             )
         """,
         "ann_cosine_lsh": _ann_lsh_oracle_sql(),
+        "token_budget_sample": _token_budget_oracle_sql(),
         # one-pass cumulative over ALL bins, restricted to run-2 bins —
         # what a correct resume must be indistinguishable from
         "prometheus_resume": P

@@ -264,3 +264,37 @@ def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     for _cat, rx, tok in PII_PATTERNS:
         red = F.regexp_replace(red, rx, tok)
     return out.withColumn("redacted", red)
+
+
+def sample_to_token_budget(
+    docs: DataFrame,
+    budget: int,
+    lang_col: str = "lang_pred",
+    tokens_col: str = "n_tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-language token-budget subsampling: keep a deterministic
+    pseudo-random prefix of each language's docs whose cumulative token
+    count stays within ``budget`` (the standard corpus-mixing step when
+    building a pretraining mix with per-language quotas).
+
+    The 'shuffle' order is a portable universal hash of the doc id — both
+    deterministic across reruns (resumability) and reproducible in ANSI SQL
+    (the DuckDB oracle selects the identical prefix). One window per
+    language; at 100 TB a hot language is chunked the same way the gauge
+    fold is (hash-bucket the window key) or budgeted per shard.
+    """
+    from pyspark.sql import Window as W
+
+    order = (
+        F.lit(1103515245) * F.col(id_col) + F.lit(12345)
+    ) % F.lit((1 << 31) - 1)
+    w = (
+        W.partitionBy(lang_col)
+        .orderBy(order.asc(), F.col(id_col))
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    cum = F.sum(F.col(tokens_col).cast("long")).over(w)
+    return docs.withColumn("cum_tokens", cum).filter(
+        F.col("cum_tokens") <= budget
+    )

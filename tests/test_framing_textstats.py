@@ -186,3 +186,28 @@ def test_pii_redaction_categories_and_counts(spark):
     assert (out[4]["n_email"], out[4]["n_phone"], out[4]["n_ipv4"]) == (0, 0, 0)
     assert out[4]["redacted"] == rows[3][1]
     assert out[5]["redacted"] == "combo <EMAIL> <PHONE> <IP>"
+
+
+def test_token_budget_sampler_prefix_property(spark):
+    """The sampler keeps a deterministic prefix per language: cumulative
+    tokens never exceed the budget, dropping any kept doc keeps the prefix
+    property, and reruns select the identical set."""
+    from cernan_spark.operators.textstats import sample_to_token_budget
+
+    rows = [(i, "en" if i % 2 == 0 else "de", 10 + (i % 7)) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, lang_pred string, n_tokens int")
+    kept = sample_to_token_budget(df, budget=100).collect()
+    by_lang = {}
+    for r in kept:
+        by_lang.setdefault(r["lang_pred"], []).append(r)
+    assert set(by_lang) == {"en", "de"}
+    for lang, rs in by_lang.items():
+        assert max(r["cum_tokens"] for r in rs) <= 100
+        # contiguous prefix: cum of the sorted rows is the running sum
+        rs.sort(key=lambda r: r["cum_tokens"])
+        run = 0
+        for r in rs:
+            run += r["n_tokens"]
+            assert r["cum_tokens"] == run
+    again = sample_to_token_budget(df, budget=100).collect()
+    assert {r["doc_id"] for r in again} == {r["doc_id"] for r in kept}
