@@ -1622,7 +1622,9 @@ WITH t AS (
 ), cum AS (
   SELECT doc_id, lang_pred, n_tokens,
          CAST(sum(n_tokens) OVER (PARTITION BY lang_pred
-           ORDER BY (1103515245 * doc_id + 12345) % 2147483647, doc_id)
+           ORDER BY ((1103515245 * ((doc_id % 2147483647 + 2147483647)
+                       % 2147483647) + 12345) % 2147483647 + 2147483647)
+                     % 2147483647, doc_id)
            AS BIGINT) AS cum_tokens
   FROM lang
 )

@@ -180,7 +180,12 @@ def _branch_accepts(val, schema, named: dict) -> bool:
     if isinstance(val, bool):
         return t == "boolean"
     if isinstance(val, int):
-        return t in ("int", "long")
+        # an "int" branch only accepts 32-bit values; an oversized value
+        # must fall through to a "long" branch (["int","long"] unions would
+        # otherwise emit an out-of-range int encoding)
+        if t == "int":
+            return -(1 << 31) <= val < (1 << 31)
+        return t == "long"
     if isinstance(val, float):
         return t in ("float", "double")
     if isinstance(val, str):
@@ -415,9 +420,10 @@ AVRO_DECODED_SCHEMA = (
 
 def decode_avro_frames(frames: DataFrame, frame_col: str = "frame") -> DataFrame:
     """Decode length-stripped avro-source frames: header fields + container
-    validation + one row per decoded record (record_json; null when the
-    schema is not a flat primitive record — the blob stays opaque exactly
-    like the reference). Invalid containers — AND malformed payload
+    validation + one row per decoded record (record_json is the structural
+    decode of ANY walkable schema — nested records, unions, arrays, maps,
+    enums, fixed, named refs; an unwalkable schema degrades to counts-only
+    rows with record_json null). Invalid containers — AND malformed payload
     headers, which the reference maps to Payload::Invalid and drops —
     yield one row with avro_valid=false instead of failing the job."""
 

@@ -272,6 +272,7 @@ def sample_to_token_budget(
     lang_col: str = "lang_pred",
     tokens_col: str = "n_tokens",
     id_col: str = "doc_id",
+    chunks: int = 64,
 ) -> DataFrame:
     """Per-language token-budget subsampling: keep a deterministic
     pseudo-random prefix of each language's docs whose cumulative token
@@ -280,21 +281,58 @@ def sample_to_token_budget(
 
     The 'shuffle' order is a portable universal hash of the doc id — both
     deterministic across reruns (resumability) and reproducible in ANSI SQL
-    (the DuckDB oracle selects the identical prefix). One window per
-    language; at 100 TB a hot language is chunked the same way the gauge
-    fold is (hash-bucket the window key) or budgeted per shard.
+    (the DuckDB oracle selects the identical prefix). The id is reduced mod
+    2^31-1 *before* the multiply and combined with ``pmod`` so the key never
+    overflows BIGINT under ANSI mode and orders negative ids identically to
+    the SQL replay.
+
+    Scale shape (two-phase, NOT one window per language — a hot language
+    must not serialize into a single task): the hash key is uniform on
+    [0, 2^31-1), so ``chunks`` contiguous key ranges per language preserve
+    the global order. Phase 1 map-side-aggregates per-(language, chunk)
+    token totals and prefix-sums them over the tiny (langs × chunks) table
+    to give each chunk its starting offset; chunks whose offset already
+    exceeds the budget are pruned before any wide work. Phase 2 runs the
+    ordered scan per (language, chunk) — parallel across chunks — and adds
+    the offset. Long addition is associative, so the result is
+    bit-identical to the single-window form (``chunks=1``).
     """
     from pyspark.sql import Window as W
 
-    order = (
-        F.lit(1103515245) * F.col(id_col) + F.lit(12345)
-    ) % F.lit((1 << 31) - 1)
-    w = (
+    m31 = F.lit(_MERSENNE31)
+    order = F.pmod(
+        F.lit(1103515245) * F.pmod(F.col(id_col).cast("long"), m31)
+        + F.lit(12345),
+        m31,
+    )
+    width = _MERSENNE31 // chunks + 1
+    staged = docs.withColumn("_ord", order).withColumn(
+        "_bkt", F.floor(F.col("_ord") / F.lit(width))
+    )
+    tok = F.col(tokens_col).cast("long")
+    totals = staged.groupBy(lang_col, "_bkt").agg(F.sum(tok).alias("_bt"))
+    wb = (
         W.partitionBy(lang_col)
-        .orderBy(order.asc(), F.col(id_col))
+        .orderBy("_bkt")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    offsets = totals.withColumn(
+        "_off", F.coalesce(F.sum("_bt").over(wb), F.lit(0).cast("long"))
+    )
+    # a chunk whose starting offset is already past the budget cannot
+    # contribute a row with cum_tokens <= budget (tokens are non-negative)
+    live = offsets.filter(F.col("_off") <= budget).select(
+        lang_col, "_bkt", "_off"
+    )
+    w = (
+        W.partitionBy(lang_col, "_bkt")
+        .orderBy(F.col("_ord").asc(), F.col(id_col))
         .rowsBetween(W.unboundedPreceding, 0)
     )
-    cum = F.sum(F.col(tokens_col).cast("long")).over(w)
-    return docs.withColumn("cum_tokens", cum).filter(
-        F.col("cum_tokens") <= budget
+    cum = F.col("_off") + F.sum(tok).over(w)
+    return (
+        staged.join(F.broadcast(live), [lang_col, "_bkt"])
+        .withColumn("cum_tokens", cum)
+        .filter(F.col("cum_tokens") <= budget)
+        .drop("_ord", "_bkt", "_off")
     )

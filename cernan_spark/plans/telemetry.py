@@ -186,10 +186,17 @@ def internal_telemetry(
 
     prom = out["aggregates"].filter(F.col("sink") == "prometheus")
     marked = prometheus_reject_kind_changes(prom, ["name"])
+    # reportable counts ACCEPTED series only: in the reference a rejected
+    # kind-change never enters the accumulator (prometheus.rs insert →
+    # reportable), so a name seen under two kinds must count once, not twice.
     parts.append(
         _unpivot(
             marked.agg(
-                F.countDistinct("name", "kind").alias("c0"),
+                F.countDistinct(
+                    F.when(
+                        ~F.col("kind_rejected"), F.struct("name", "kind")
+                    )
+                ).alias("c0"),
                 _cnt(F.col("kind_rejected")).alias("c1"),
             ),
             [

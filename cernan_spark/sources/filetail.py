@@ -78,9 +78,14 @@ def _load_ledger(
         return {}
 
 
-def _heads_agree(stored: str, current: str) -> bool:
+def _heads_agree(stored: str | None, current: str) -> bool:
     """True when one head prefixes the other (the file may have been
-    shorter than 64 bytes when the head was stored, or may still be)."""
+    shorter than 64 bytes when the head was stored, or may still be).
+    A ``None`` stored head means *unknown* — the verifier must FAIL, not
+    vacuously pass: an empty-string fallback would let a recycled inode
+    holding an unrelated file inherit the stale offset."""
+    if stored is None:
+        return False
     return current.startswith(stored) or stored.startswith(current)
 
 
@@ -170,7 +175,9 @@ def commit_tail(
         try:
             head = _head_hex(path)
         except OSError:  # rotated/removed between read and commit
-            head = prev.get(ident, (0, ""))[1]
+            # no prior entry → head stays None (unknown): the verifier
+            # treats it as a mismatch and the next run reads from zero
+            head = prev.get(ident, (0, None))[1]
         merged[ident] = (consumed, head)
     if not merged:
         return

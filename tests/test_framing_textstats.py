@@ -211,3 +211,39 @@ def test_token_budget_sampler_prefix_property(spark):
             assert r["cum_tokens"] == run
     again = sample_to_token_budget(df, budget=100).collect()
     assert {r["doc_id"] for r in again} == {r["doc_id"] for r in kept}
+
+
+def test_token_budget_chunked_equals_plain_window(spark):
+    """The two-phase chunked scan (hash-range buckets + per-bucket offsets)
+    is bit-identical to the single-window form (chunks=1) — including on a
+    hot-language corpus (one language = 80% of docs) and negative doc ids,
+    where the pmod key must order like the SQL replay."""
+    from cernan_spark.operators.textstats import sample_to_token_budget
+
+    rows = [
+        (i if i % 5 else -i, "en" if i % 5 else f"l{i % 3}", 5 + (i * 13) % 40)
+        for i in range(1, 400)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang_pred string, n_tokens int")
+    for budget in (0, 37, 500, 10**9):
+        plain = {
+            (r["doc_id"], r["lang_pred"], r["cum_tokens"])
+            for r in sample_to_token_budget(df, budget=budget, chunks=1).collect()
+        }
+        chunked = {
+            (r["doc_id"], r["lang_pred"], r["cum_tokens"])
+            for r in sample_to_token_budget(df, budget=budget, chunks=64).collect()
+        }
+        assert chunked == plain
+
+
+def test_token_budget_key_no_ansi_overflow(spark):
+    """doc_id beyond 2^33 (the ANSI-mode overflow regime flagged in review)
+    must not error and must still select a valid prefix."""
+    from cernan_spark.operators.textstats import sample_to_token_budget
+
+    big = 9_000_000_000  # > 8.4e9 where the unreduced multiply overflowed
+    rows = [(big + i, "en", 10) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, lang_pred string, n_tokens int")
+    kept = sample_to_token_budget(df, budget=55).collect()
+    assert len(kept) == 5 and max(r["cum_tokens"] for r in kept) == 50
