@@ -1230,6 +1230,52 @@ def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: boilerplate text injected into every third doc for the drop-stats query —
+#: identical texts collapse into one LSH bucket far wider than the cap
+_BOILER = (
+    "all rights reserved this content is provided as is without warranty "
+    "of any kind please subscribe to our newsletter for updates"
+)
+
+
+def q_dedup_drop_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-cap drop accounting for the LSH dedup operators
+    (``cernan.dedup.*`` telemetry series): every third doc's text is
+    replaced with a fixed boilerplate string, so one degenerate bucket per
+    band/chunk exceeds ``max_bucket`` and is dropped — the counts
+    (buckets_dropped, members_affected) are what an operator of a 100 TB
+    corpus build needs to see instead of silently losing near-dup pairs.
+    Portable-hash mode: the DuckDB oracle replays the banding and counts
+    the same oversize buckets."""
+    from cernan_spark.operators.dedup import (
+        bucket_drop_stats,
+        minhash_banded,
+        simhash_banded,
+    )
+
+    _utc(spark)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    boiler = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, F.lit(_BOILER))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    mh = bucket_drop_stats(
+        minhash_banded(boiler, portable=True),
+        ["band", "band_hash"],
+        max_bucket=50,
+        operator="minhash",
+    )
+    sh = bucket_drop_stats(
+        simhash_banded(boiler, portable=True),
+        ["chunk", "cval"],
+        max_bucket=100,
+        operator="simhash",
+    )
+    return mh.unionByName(sh).select("name", "value", "kind")
+
+
 def q_prometheus_exposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prometheus exposition text for the counter/gauge AND histogram
     sections (prometheus.rs:499-628): TYPE headers, name sanitization to
@@ -1315,6 +1361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": q_embedding_near_dups,
         "multimodal_features": q_multimodal_features,
         "minhash_dedup": q_minhash_dedup,
+        "dedup_drop_stats": q_dedup_drop_stats,
         "native_roundtrip": q_native_roundtrip,
         "avro_roundtrip": q_avro_roundtrip,
         "internal_telemetry": q_internal_telemetry,
@@ -1437,6 +1484,92 @@ WITH seeded AS (
 )
 SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS INTEGER) AS hamming
 FROM pairs WHERE bit_count(xor(fa, fb)) <= {k}
+"""
+
+
+def _dedup_drop_stats_oracle_sql(
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    mh_cap: int = 50,
+    n_chunks: int = 4,
+    sh_cap: int = 100,
+) -> str:
+    """DuckDB twin of q_dedup_drop_stats: replay the minhash banding and
+    simhash chunk banding over the boilerplate-seeded corpus, count the
+    buckets wider than each operator's cap and the members inside them."""
+    from cernan_spark.functions.porthash import portable_hash_sql
+    from cernan_spark.operators.dedup import _perm_coeffs, simhash_chunk_layout
+
+    rpb = num_hashes // bands
+    perms = ", ".join(
+        f"list_min(list_transform(hs, h -> (h * {a} + {b}) % 2147483647))"
+        for a, b in _perm_coeffs(num_hashes)
+    )
+    banded = "\n  UNION ALL ".join(
+        f"SELECT id, {b} AS band, "
+        + " || '_' || ".join(
+            f"CAST(sig[{b * rpb + r + 1}] AS VARCHAR)" for r in range(rpb)
+        )
+        + " AS bkey FROM sigs"
+        for b in range(bands)
+    )
+    bits = 31
+    fp_terms = " + ".join(
+        f"CASE WHEN 2 * len(list_filter(dhs, h -> ((h >> {b}) & 1) = 1)) "
+        f"> len(dhs) THEN CAST({1 << b} AS BIGINT) ELSE 0 END"
+        for b in range(bits)
+    )
+    chunked = "\n  UNION ALL ".join(
+        f"SELECT id, {i} AS chunk, (fp >> {off}) & {(1 << w) - 1} AS cval FROM fp"
+        for i, (off, w) in enumerate(simhash_chunk_layout(bits, n_chunks))
+    )
+    return f"""
+WITH boiler AS (
+  SELECT doc_id AS id,
+         CASE WHEN doc_id % 3 = 0 THEN '{_BOILER}' ELSE text END AS text
+  FROM documents
+), tokh AS (
+  SELECT id,
+         list_transform(string_split_regex(text, '\\s+'),
+                        t -> {portable_hash_sql("t")}) AS th
+  FROM boiler
+), sh AS (
+  SELECT id,
+         list_distinct(list_transform(
+           range(1, greatest(len(th) - {shingle_n - 1}, 0) + 1),
+           i -> {"(" * (shingle_n - 1)}th[i]{"".join(f" * 1000003 + th[i+{k}]) % 2147483647" for k in range(1, shingle_n))})) AS hs
+  FROM tokh
+), sigs AS (
+  SELECT id, [{perms}] AS sig FROM sh WHERE len(hs) > 0
+), banded AS (
+  {banded}
+), bsz AS (
+  SELECT band, bkey, count(*) AS n FROM banded GROUP BY 1, 2
+), mdrop AS (
+  SELECT count(*) AS b, coalesce(sum(n), 0) AS m FROM bsz WHERE n > {mh_cap}
+), dtokh AS (
+  SELECT id,
+         list_transform(list_distinct(string_split_regex(text, '\\s+')),
+                        t -> {portable_hash_sql("t")}) AS dhs
+  FROM boiler
+), fp AS (
+  SELECT id, ({fp_terms}) AS fp FROM dtokh
+), ch AS (
+  {chunked}
+), csz AS (
+  SELECT chunk, cval, count(*) AS n FROM ch GROUP BY 1, 2
+), sdrop AS (
+  SELECT count(*) AS b, coalesce(sum(n), 0) AS m FROM csz WHERE n > {sh_cap}
+)
+SELECT 'cernan.dedup.minhash.buckets_dropped' AS name,
+       CAST(b AS DOUBLE) AS value, 'SUM' AS kind FROM mdrop
+UNION ALL SELECT 'cernan.dedup.minhash.members_affected',
+       CAST(m AS DOUBLE), 'SUM' FROM mdrop
+UNION ALL SELECT 'cernan.dedup.simhash.buckets_dropped',
+       CAST(b AS DOUBLE), 'SUM' FROM sdrop
+UNION ALL SELECT 'cernan.dedup.simhash.members_affected',
+       CAST(m AS DOUBLE), 'SUM' FROM sdrop
 """
 
 
@@ -2057,6 +2190,7 @@ def oracle_sql() -> dict[str, str]:
         # portable-hash SQL twins:
         "simhash_dedup": _simhash_oracle_sql(),
         "minhash_dedup": _minhash_oracle_sql(),
+        "dedup_drop_stats": _dedup_drop_stats_oracle_sql(),
         "doc_fingerprint": _doc_fingerprint_oracle_sql(),
         "lang_id": _lang_id_oracle_sql(),
         "embedding_near_dups": _near_dup_oracle_sql(),

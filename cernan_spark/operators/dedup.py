@@ -110,25 +110,18 @@ def minhash_signature(hash_col: Column, num_hashes: int = 32) -> Column:
     )
 
 
-def minhash_lsh_candidates(
+def minhash_banded(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     num_hashes: int = 32,
     bands: int = 8,
     shingle_n: int = 3,
-    max_bucket: int = 50,
     portable: bool = False,
 ) -> DataFrame:
-    """Near-duplicate candidate pairs (id_a < id_b) that share ≥1 LSH band,
-    with their estimated (signature) Jaccard similarity and the exact
-    signature match count ``n_match`` (an integer — float-free evidence).
-
-    rows/band = num_hashes/bands; buckets wider than ``max_bucket`` are
-    dropped (degenerate boilerplate) — logged via the `oversize` marker
-    column upstream if needed. ``portable=True`` makes every hash in the
-    pipeline DuckDB-reproducible (see with_shingle_hashes).
-    """
+    """The banding stage of MinHash+LSH as its own frame —
+    (id, sig, band, band_hash) — shared by the candidate-pair operator and
+    the bucket-drop accounting (:func:`bucket_drop_stats`)."""
     rows_per_band = num_hashes // bands
     # stage 1: hash each shingle once (array<long>). Shingle hashes are
     # combined arithmetically from per-token hashes — no n-gram strings are
@@ -145,7 +138,7 @@ def minhash_lsh_candidates(
     sig = hashed.select(
         "id", minhash_signature(F.col("_h"), num_hashes).alias("sig")
     )
-    banded = sig.select(
+    return sig.select(
         "id",
         "sig",
         F.posexplode(
@@ -162,6 +155,65 @@ def minhash_lsh_candidates(
                 ]
             )
         ).alias("band", "band_hash"),
+    )
+
+
+def bucket_drop_stats(
+    banded: DataFrame, keys: list[str], max_bucket: int, operator: str
+) -> DataFrame:
+    """Accounting for LSH buckets dropped by the ``max_bucket`` cap:
+    ``cernan.dedup.<operator>.buckets_dropped`` / ``.members_affected``
+    as (name, value, kind) telemetry series — the same shape
+    :mod:`cernan_spark.plans.telemetry` emits, mirroring the reference's
+    hopper-full drop accounting (/root/reference/src/util.rs:28-68). At
+    100 TB a boilerplate-heavy shard silently losing near-dup pairs is an
+    operational event, not a footnote; these series make it visible."""
+    sizes = (
+        banded.groupBy(*keys)
+        .agg(F.count("*").alias("_sz"))
+        .filter(F.col("_sz") > max_bucket)
+    )
+    agg = sizes.agg(
+        F.count("*").cast("double").alias("_b"),
+        F.coalesce(F.sum("_sz"), F.lit(0)).cast("double").alias("_m"),
+    )
+    series = F.array(
+        F.struct(
+            F.lit(f"cernan.dedup.{operator}.buckets_dropped").alias("name"),
+            F.col("_b").alias("value"),
+        ),
+        F.struct(
+            F.lit(f"cernan.dedup.{operator}.members_affected").alias("name"),
+            F.col("_m").alias("value"),
+        ),
+    )
+    return agg.select(F.explode(series).alias("s")).select(
+        "s.name", "s.value", F.lit("SUM").alias("kind")
+    )
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    max_bucket: int = 50,
+    portable: bool = False,
+) -> DataFrame:
+    """Near-duplicate candidate pairs (id_a < id_b) that share ≥1 LSH band,
+    with their estimated (signature) Jaccard similarity and the exact
+    signature match count ``n_match`` (an integer — float-free evidence).
+
+    rows/band = num_hashes/bands; buckets wider than ``max_bucket`` are
+    dropped (degenerate boilerplate) — account for the drops with
+    :func:`bucket_drop_stats` over :func:`minhash_banded`.
+    ``portable=True`` makes every hash in the pipeline DuckDB-reproducible
+    (see with_shingle_hashes).
+    """
+    banded = minhash_banded(
+        docs, text_col, id_col, num_hashes, bands, shingle_n, portable
     )
     buckets = (
         banded.groupBy("band", "band_hash")
@@ -350,6 +402,33 @@ def simhash_chunk_layout(bits: int, n_chunks: int) -> list[tuple[int, int]]:
     return [(sum(widths[:i]), widths[i]) for i in range(n_chunks)]
 
 
+def simhash_banded(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_chunks: int = 4,
+    portable: bool = False,
+) -> DataFrame:
+    """The chunk-banding stage of SimHash dedup as its own frame —
+    (id, fp, chunk, cval) — shared by the pair operator and the
+    bucket-drop accounting (:func:`bucket_drop_stats`)."""
+    bits = 31 if portable else 64
+    layout = simhash_chunk_layout(bits, n_chunks)
+    fp = docs.select(
+        F.col(id_col).alias("id"),
+        simhash(F.col(text_col), portable=portable).alias("fp"),
+    )
+    chunk_vals = F.array(
+        *[
+            F.shiftrightunsigned("fp", off).bitwiseAND(F.lit((1 << w) - 1))
+            for off, w in layout
+        ]
+    )
+    return fp.select(
+        "id", "fp", F.posexplode(chunk_vals).alias("chunk", "cval")
+    )
+
+
 def simhash_hamming_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -378,21 +457,7 @@ def simhash_hamming_pairs(
     ≤ k, not only identical fingerprints.
     """
     assert k < n_chunks, "pigeonhole guarantee needs k < n_chunks"
-    bits = 31 if portable else 64
-    layout = simhash_chunk_layout(bits, n_chunks)
-    fp = docs.select(
-        F.col(id_col).alias("id"),
-        simhash(F.col(text_col), portable=portable).alias("fp"),
-    )
-    chunk_vals = F.array(
-        *[
-            F.shiftrightunsigned("fp", off).bitwiseAND(F.lit((1 << w) - 1))
-            for off, w in layout
-        ]
-    )
-    banded = fp.select(
-        "id", "fp", F.posexplode(chunk_vals).alias("chunk", "cval")
-    )
+    banded = simhash_banded(docs, text_col, id_col, n_chunks, portable)
     buckets = (
         banded.groupBy("chunk", "cval")
         .agg(F.collect_list(F.struct("id", "fp")).alias("members"))

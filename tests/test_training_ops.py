@@ -190,3 +190,41 @@ def test_simhash_portable_mode_31_bits(spark):
     ).collect()
     assert all(0 <= r["hamming"] <= 3 for r in out)
     assert any(r["id_b"] - r["id_a"] == 1_000_000 for r in out)
+
+
+def test_bucket_drop_stats_accounting(spark):
+    """Oversize LSH buckets are no longer dropped silently: the accounting
+    series count the buckets past the cap and the members inside them, and
+    report explicit zeros on a clean corpus."""
+    from pyspark.sql import functions as F
+
+    from cernan_spark.operators.dedup import bucket_drop_stats, minhash_banded
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    boiler = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, F.lit("the same boilerplate text"))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    banded = minhash_banded(boiler, bands=8)
+    out = {
+        r["name"]: r["value"]
+        for r in bucket_drop_stats(
+            banded, ["band", "band_hash"], max_bucket=10, operator="minhash"
+        ).collect()
+    }
+    n_boiler = docs.filter(F.col("doc_id") % 2 == 0).count()
+    assert out["cernan.dedup.minhash.buckets_dropped"] >= 8
+    assert out["cernan.dedup.minhash.members_affected"] >= 8 * n_boiler
+    clean = {
+        r["name"]: r["value"]
+        for r in bucket_drop_stats(
+            minhash_banded(docs, bands=8),
+            ["band", "band_hash"],
+            max_bucket=10_000,
+            operator="minhash",
+        ).collect()
+    }
+    assert clean["cernan.dedup.minhash.buckets_dropped"] == 0.0
+    assert clean["cernan.dedup.minhash.members_affected"] == 0.0
