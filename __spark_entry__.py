@@ -713,17 +713,15 @@ def q_influx_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization over the event stream: a >30 min silence starts a new
-    session (lag + cumulative sum — the standard log-pipeline idiom)."""
+    session. Runs through the chunked segmented scan
+    (operators/skew.sessionize_chunked) — a hot user spreads over
+    (user, chunk) tasks instead of serializing into one; bit-identical to
+    the plain lag+cumsum window (equality pytest in tests/test_skew.py)."""
+    from cernan_spark.operators.skew import sessionize_chunked
+
     _utc(spark)
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    w = W.partitionBy("user_id").orderBy("event_id")
-    gap = F.unix_timestamp("ts") - F.lag(F.unix_timestamp("ts")).over(w)
-    sess = ev.withColumn(
-        "new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
-    ).withColumn(
-        "session_idx",
-        F.sum("new_sess").over(w.rowsBetween(W.unboundedPreceding, 0)),
-    )
+    sess = sessionize_chunked(ev, "user_id", "event_id", "ts", gap_s=1800)
     return sess.groupBy("user_id").agg(
         F.max("session_idx").alias("n_sessions"),
         F.count("*").alias("n_events"),
@@ -731,14 +729,22 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_topk_docs_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-3 longest documents per language (Top-K per group pattern)."""
+    """Top-3 longest documents per language, via the salted two-phase
+    Top-K (operators/skew.salted_topk): a hot language ranks within
+    (lang, salt) first, so no single task sorts the whole group; the
+    re-rank over ≤ 3·n_salts survivors per group is tiny and the result is
+    identical to the single-window form."""
+    from cernan_spark.operators.skew import salted_topk
+
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    w = W.partitionBy("lang").orderBy(F.col("n_chars").desc(), F.col("doc_id"))
-    return (
-        d.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 3)
-        .select("lang", "doc_id", "n_chars", "rank")
+    top = salted_topk(
+        d,
+        ["lang"],
+        [F.col("n_chars").desc(), F.col("doc_id")],
+        k=3,
+        salt_src="doc_id",
     )
+    return top.select("lang", "doc_id", "n_chars", "rank")
 
 
 def q_token_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

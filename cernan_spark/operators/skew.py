@@ -18,10 +18,21 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def with_salt(df: DataFrame, n_salts: int = 16, salt_col: str = "_salt") -> DataFrame:
+def with_salt(
+    df: DataFrame,
+    n_salts: int = 16,
+    salt_col: str = "_salt",
+    src_col: str | None = None,
+) -> DataFrame:
     """Deterministic salt derived from the stable order key (never random —
-    reruns must route rows identically for resumability)."""
-    src = F.col("order_key") if "order_key" in df.columns else F.monotonically_increasing_id()
+    reruns must route rows identically for resumability). ``src_col`` names
+    the stable column to hash; defaults to ``order_key`` when present."""
+    if src_col is not None:
+        src = F.col(src_col)
+    elif "order_key" in df.columns:
+        src = F.col("order_key")
+    else:
+        src = F.monotonically_increasing_id()
     return df.withColumn(salt_col, F.pmod(F.xxhash64(src), F.lit(n_salts)).cast("int"))
 
 
@@ -41,3 +52,121 @@ def salted_count(df: DataFrame, key_cols: list[str], n_salts: int = 32) -> DataF
         .agg(F.count("*").alias("_c"))
     )
     return partial.groupBy(*key_cols).agg(F.sum("_c").alias("n_rows"))
+
+
+def salted_topk(
+    df: DataFrame,
+    group_cols: list[str],
+    order_by: list[Column],
+    k: int,
+    n_salts: int = 32,
+    rank_col: str = "rank",
+    salt_src: str | None = None,
+) -> DataFrame:
+    """Top-K per group without serializing a hot group into one task:
+    phase 1 ranks within (group, salt) and keeps each salt's local top-K —
+    a hot group's sort spreads over ``n_salts`` tasks — phase 2 re-ranks
+    the ≤ K·n_salts survivors per group. Any true top-K row is inside its
+    salt's top-K, so the result is identical to the single-window form
+    (``order_by`` must be a total order for a deterministic rank)."""
+    from pyspark.sql import Window as W
+
+    w1 = W.partitionBy(*group_cols, "_salt").orderBy(*order_by)
+    cand = (
+        with_salt(df, n_salts, src_col=salt_src)
+        .withColumn("_lr", F.row_number().over(w1))
+        .filter(F.col("_lr") <= k)
+        .drop("_lr")
+    )
+    w2 = W.partitionBy(*group_cols).orderBy(*order_by)
+    return (
+        cand.withColumn(rank_col, F.row_number().over(w2))
+        .filter(F.col(rank_col) <= k)
+        .drop("_salt")
+    )
+
+
+def sessionize_chunked(
+    events: DataFrame,
+    user_col: str = "user_id",
+    order_col: str = "event_id",
+    ts_col: str = "ts",
+    gap_s: int = 1800,
+    chunks: int = 64,
+) -> DataFrame:
+    """Sessionization (a silence longer than ``gap_s`` starts a new
+    session) WITHOUT one ordered window per user — a hot user must not
+    serialize into a single task. Output: the input plus ``session_idx``
+    (1-based per user, identical to the plain lag+cumsum window).
+
+    Two-phase segmented scan, same shape as the chunked gauge fold
+    (operators/aggregate.py) and token-budget sampler: ``order_col``'s
+    value range is cut into ``chunks`` contiguous buckets (order-preserving
+    by construction). Phase 1 scans within (user, bucket): in-bucket
+    session starts via lag, plus per-bucket first/last timestamps and
+    start counts — the per-bucket frame is tiny (users × chunks). Phase 2
+    orders the per-bucket frame to decide whether each bucket's FIRST
+    event continues the previous bucket's session (gap vs its last ts) and
+    prefix-sums the session starts before each bucket; the offset
+    broadcast-joins back. The one scalar driver read is the (min, max) of
+    ``order_col`` to size the buckets — same class as the streaming
+    sentinel derivation, not a data collect.
+    """
+    from pyspark.sql import Window as W
+
+    lo, hi = events.agg(
+        F.min(order_col).cast("long"), F.max(order_col).cast("long")
+    ).first()
+    if lo is None:
+        return events.withColumn("session_idx", F.lit(None).cast("long"))
+    width = max((hi - lo) // chunks + 1, 1)
+    staged = events.withColumn(
+        "_bkt", F.floor((F.col(order_col).cast("long") - F.lit(lo)) / F.lit(width))
+    )
+    wo = W.partitionBy(user_col, "_bkt").orderBy(order_col)
+    ts_s = F.unix_timestamp(ts_col)
+    gap = ts_s - F.lag(ts_s).over(wo)
+    # in-bucket starts: the bucket's first event (gap null) is decided in
+    # phase 2, so it carries flag 0 here
+    flagged = staged.withColumn(
+        "_new_rest",
+        F.when(gap.isNull(), 0).when(gap > gap_s, 1).otherwise(0),
+    ).withColumn(
+        "_cum_rest",
+        F.sum("_new_rest").over(wo.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    per_bucket = flagged.groupBy(user_col, "_bkt").agg(
+        F.min(F.struct(F.col(order_col).alias("o"), ts_s.alias("t"))).alias(
+            "_first"
+        ),
+        F.max(F.struct(F.col(order_col).alias("o"), ts_s.alias("t"))).alias(
+            "_last"
+        ),
+        F.sum("_new_rest").alias("_n_rest"),
+    )
+    wb = W.partitionBy(user_col).orderBy("_bkt")
+    prev_last = F.lag(F.col("_last")["t"]).over(wb)
+    first_new = F.when(
+        prev_last.isNull() | ((F.col("_first")["t"] - prev_last) > gap_s),
+        1,
+    ).otherwise(0)
+    offsets = (
+        per_bucket.withColumn("_first_new", first_new)
+        .withColumn(
+            "_before",
+            F.coalesce(
+                F.sum(F.col("_n_rest") + F.col("_first_new")).over(
+                    wb.rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select(user_col, "_bkt", "_first_new", "_before")
+    )
+    out = flagged.join(F.broadcast(offsets), [user_col, "_bkt"])
+    return out.withColumn(
+        "session_idx",
+        (F.col("_before") + F.col("_first_new") + F.col("_cum_rest")).cast(
+            "long"
+        ),
+    ).drop("_bkt", "_new_rest", "_cum_rest", "_first_new", "_before")

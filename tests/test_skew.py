@@ -53,3 +53,78 @@ def test_salted_repartition_partition_spread(spark):
         .count()
     )
     assert spread > 1  # one conversation no longer serializes into one task
+
+
+def test_salted_topk_equals_plain_window(spark):
+    """Two-phase salted Top-K returns exactly the single-window result,
+    including on a hot group holding 80% of rows."""
+    from pyspark.sql import Window as W
+
+    from cernan_spark.operators.skew import salted_topk
+
+    rows = [
+        (i, "hot" if i % 5 else f"g{i % 7}", (i * 37) % 1000)
+        for i in range(1, 2000)
+    ]
+    df = spark.createDataFrame(rows, "id long, grp string, score long")
+    order = [F.col("score").desc(), F.col("id")]
+    w = W.partitionBy("grp").orderBy(*order)
+    plain = {
+        (r["grp"], r["id"], r["rank"])
+        for r in df.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .collect()
+    }
+    salted = {
+        (r["grp"], r["id"], r["rank"])
+        for r in salted_topk(
+            df, ["grp"], order, k=5, n_salts=8, salt_src="id"
+        ).collect()
+    }
+    assert salted == plain and len(plain) > 0
+
+
+def test_sessionize_chunked_equals_plain_window(spark):
+    """The chunked segmented sessionization assigns every event the same
+    session_idx as the plain per-user ordered window — hot user (80% of
+    events), session boundaries placed adversarially at chunk edges."""
+    import datetime as dt
+
+    from pyspark.sql import Window as W
+
+    from cernan_spark.operators.skew import sessionize_chunked
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(1, 1200):
+        user = 7 if i % 5 else i % 3
+        # gaps alternate: mostly 60 s, every 13th event jumps >30 min
+        step = 60 if i % 13 else 2400
+        rows.append((i, user, base + dt.timedelta(seconds=i * step)))
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    w = W.partitionBy("user_id").orderBy("event_id")
+    gap = F.unix_timestamp("ts") - F.lag(F.unix_timestamp("ts")).over(w)
+    plain = {
+        (r["user_id"], r["event_id"], r["session_idx"])
+        for r in df.withColumn(
+            "new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+        )
+        .withColumn(
+            "session_idx",
+            F.sum("new_sess").over(w.rowsBetween(W.unboundedPreceding, 0)),
+        )
+        .collect()
+    }
+    for chunks in (1, 7, 64):
+        chunked = {
+            (r["user_id"], r["event_id"], r["session_idx"])
+            for r in sessionize_chunked(df, chunks=chunks).collect()
+        }
+        assert chunked == plain
+
+
+def test_sessionize_chunked_empty_frame(spark):
+    from cernan_spark.operators.skew import sessionize_chunked
+
+    df = spark.createDataFrame([], "event_id long, user_id long, ts timestamp")
+    assert sessionize_chunked(df).count() == 0
