@@ -2,14 +2,15 @@
 metadata, processed via Arrow-batched mapInPandas.
 
 The Spark-side plumbing (schemas, batch iteration, partition sizing,
-deterministic features) is real and tested. Decode is REAL for the three
-most common container formats — PNG dimensions (IHDR struct read), WAV
-duration (RIFF chunk walk), and MP4 duration/dimensions (ISO-BMFF
-moov/mvhd/tkhd box walk) — with no external libraries; formats that
-genuinely need a codec stack (JPEG entropy decode, compressed sample
-decode) raise NotImplementedError in strict mode or produce a
-deterministic fake derived from the bytes, so pipelines still exercise
-the full distributed path.
+deterministic features) is real and tested. METADATA decode is REAL for
+the five most common container formats — PNG dimensions (IHDR struct
+read), JPEG dimensions (SOFn marker walk), WAV duration (RIFF chunk
+walk), MP3 duration (MPEG-1 Layer III frame-header walk), and MP4
+duration/dimensions (ISO-BMFF moov/mvhd/tkhd box walk) — with no
+external libraries; payloads that genuinely need a codec stack (pixel /
+sample decode, other container formats) raise NotImplementedError in
+strict mode or produce a deterministic fake derived from the bytes, so
+pipelines still exercise the full distributed path.
 """
 
 from __future__ import annotations
@@ -126,6 +127,145 @@ def decode_wav_duration_ms(content: bytes) -> int | None:
     return None
 
 
+def _jpeg_seg(marker: int, payload: bytes) -> bytes:
+    return bytes([0xFF, marker]) + struct.pack(">H", 2 + len(payload)) + payload
+
+
+def encode_jpeg(width: int, height: int, seed: int = 0) -> bytes:
+    """Structurally REAL JPEG marker stream (SOI, JFIF APP0, DQT, SOF0 with
+    the true dimensions, DHT, SOS, EOI) — walkable by any JPEG header
+    parser. The entropy-coded scan data after SOS is a deterministic ramp
+    (producing real coefficients needs a Huffman/DCT encoder); the marker
+    metadata is what the SOF walk reads."""
+    app0 = b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+    dqt = b"\x00" + bytes((3 + (i + seed) % 13) for i in range(64))
+    sof0 = (
+        struct.pack(">BHH", 8, height, width)  # precision, lines, samples
+        + b"\x01"                              # 1 component (grayscale)
+        + b"\x01\x11\x00"                      # id, 1x1 sampling, DQT 0
+    )
+    dht = b"\x00" + bytes(16) + b""
+    sos = b"\x01\x01\x00\x00\x3f\x00"
+    scan = bytes(((i * 29 + seed * 7) % 255) for i in range(48))  # no 0xFF
+    return (
+        b"\xff\xd8"
+        + _jpeg_seg(0xE0, app0)
+        + _jpeg_seg(0xDB, dqt)
+        + _jpeg_seg(0xC0, sof0)
+        + _jpeg_seg(0xC4, dht)
+        + _jpeg_seg(0xDA, sos)
+        + scan
+        + b"\xff\xd9"
+    )
+
+
+_JPEG_SOF_MARKERS = frozenset(
+    {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+)
+
+
+def decode_jpeg_size(content: bytes) -> tuple[int, int] | None:
+    """JPEG (width, height) from the SOFn marker walk — pure byte reads
+    over the segment chain (SOI → APPn/DQT/… → SOFn), the same class of
+    stdlib decode as the PNG IHDR read; None if the bytes are not a JPEG
+    or no SOF marker precedes the scan."""
+    if len(content) < 4 or content[:2] != b"\xff\xd8":
+        return None
+    pos = 2
+    while pos + 4 <= len(content):
+        if content[pos] != 0xFF:
+            return None
+        marker = content[pos + 1]
+        if marker == 0xFF:  # fill byte
+            pos += 1
+            continue
+        if 0xD0 <= marker <= 0xD9 or marker == 0x01:  # standalone markers
+            pos += 2
+            continue
+        seg_len = struct.unpack(">H", content[pos + 2 : pos + 4])[0]
+        if seg_len < 2 or pos + 2 + seg_len > len(content):
+            return None
+        if marker in _JPEG_SOF_MARKERS:
+            if seg_len < 7:
+                return None
+            h, w = struct.unpack(">HH", content[pos + 5 : pos + 9])
+            return w, h
+        if marker == 0xDA:  # start of scan: entropy data follows, no SOF seen
+            return None
+        pos += 2 + seg_len
+    return None
+
+
+#: MPEG-1 Layer III bitrate (kbps) and sample-rate tables (frame headers)
+_MP3_BITRATES = [
+    None, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, None
+]
+_MP3_RATES = [44100, 48000, 32000, None]
+
+
+def encode_mp3(
+    n_frames: int, bitrate_kbps: int = 128, sample_rate: int = 44100,
+    seed: int = 0,
+) -> bytes:
+    """Structurally REAL MPEG-1 Layer III frame stream: each frame carries
+    a spec-correct 4-byte header (sync, version, layer, bitrate index,
+    sample-rate index) and the header-implied frame length; the audio
+    payload is a deterministic ramp (real samples need an MDCT encoder).
+    Duration decodes from the frame walk: n_frames · 1152 / sample_rate."""
+    br_idx = _MP3_BITRATES.index(bitrate_kbps)
+    sr_idx = _MP3_RATES.index(sample_rate)
+    frame_len = 144 * bitrate_kbps * 1000 // sample_rate  # padding bit 0
+    hdr = bytes(
+        [0xFF, 0xFB, (br_idx << 4) | (sr_idx << 2), 0xC4]
+    )  # MPEG1 L3 no-CRC, mono
+    body_len = frame_len - 4
+    out = bytearray()
+    for f in range(n_frames):
+        out += hdr
+        out += bytes(((i * 31 + f * 17 + seed * 7) % 255) for i in range(body_len))
+    return bytes(out)
+
+
+def decode_mp3_duration_ms(content: bytes) -> int | None:
+    """MP3 duration from the frame-header walk (MPEG-1 Layer III): at each
+    frame boundary read the 4-byte header, look the bitrate/sample-rate up
+    in the spec tables, hop the header-implied frame length and accumulate
+    1152 samples per frame — pure byte reads, the audio analog of the MP4
+    box walk. A leading ID3v2 tag is skipped via its synchsafe size. None
+    if the bytes are not an MPEG-1 Layer III stream."""
+    pos = 0
+    if content[:3] == b"ID3" and len(content) >= 10:
+        ss = content[6:10]
+        pos = 10 + (
+            (ss[0] << 21) | (ss[1] << 14) | (ss[2] << 7) | ss[3]
+        )
+    n_samples = 0
+    sample_rate = None
+    frames = 0
+    while pos + 4 <= len(content):
+        b0, b1, b2, _b3 = content[pos : pos + 4]
+        if b0 != 0xFF or (b1 & 0xFE) != 0xFA:  # sync + MPEG1 + Layer III
+            return None
+        bitrate = _MP3_BITRATES[b2 >> 4]
+        rate = _MP3_RATES[(b2 >> 2) & 0x3]
+        if bitrate is None or rate is None:
+            return None
+        if sample_rate is None:
+            sample_rate = rate
+        padding = (b2 >> 1) & 0x1
+        frame_len = 144 * bitrate * 1000 // rate + padding
+        # a frame must be present in full — garbage that merely starts
+        # with valid sync bytes is not an MP3 stream
+        if frame_len <= 4 or pos + frame_len > len(content):
+            return None
+        n_samples += 1152
+        frames += 1
+        pos += frame_len
+    if frames == 0 or sample_rate is None:
+        return None
+    return int(n_samples * 1000 // sample_rate)
+
+
 def _mp4_box(tag: bytes, payload: bytes) -> bytes:
     return struct.pack(">I", 8 + len(payload)) + tag + payload
 
@@ -224,19 +364,36 @@ def decode_mp4_meta(content: bytes) -> tuple[int, int, int] | None:
 
 def synthetic_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
     """Deterministic media table, generated distributively: image rows are
-    REAL tiny PNGs, audio rows REAL tiny WAVs, and video rows REAL tiny
-    ISO-BMFF MP4 containers (8 seeded variants each, embedded as binary
-    literals from the stdlib encoders above)."""
+    REAL tiny PNGs or JPEG marker streams, audio rows REAL tiny WAVs or
+    MPEG-1 Layer III frame streams, and video rows REAL tiny ISO-BMFF MP4
+    containers (8 seeded variants each, embedded as binary literals from
+    the stdlib encoders above; odd variants use the second format per
+    kind)."""
     kinds = F.array(F.lit("image"), F.lit("audio"), F.lit("video"))
-    mimes = F.array(F.lit("image/png"), F.lit("audio/wav"), F.lit("video/mp4"))
     idx = (F.pmod(F.xxhash64(F.lit(seed), F.col("id")), F.lit(3)) + 1).cast("int")
     variant = (
         F.pmod(F.xxhash64(F.lit(seed + 1), F.col("id")), F.lit(8)) + 1
     ).cast("int")
-    pngs = F.array(
-        *[F.lit(encode_png(16 + 3 * i, 20 + 5 * i, seed=i)) for i in range(8)]
+    images = F.array(
+        *[
+            F.lit(
+                encode_png(16 + 3 * i, 20 + 5 * i, seed=i)
+                if i % 2 == 0
+                else encode_jpeg(24 + 7 * i, 18 + 4 * i, seed=i)
+            )
+            for i in range(8)
+        ]
     )
-    wavs = F.array(*[F.lit(encode_wav(800 + 160 * i, seed=i)) for i in range(8)])
+    audios = F.array(
+        *[
+            F.lit(
+                encode_wav(800 + 160 * i, seed=i)
+                if i % 2 == 0
+                else encode_mp3(3 + i, seed=i)
+            )
+            for i in range(8)
+        ]
+    )
     mp4s = F.array(
         *[
             F.lit(encode_mp4(700 + 150 * i, width=64 + 16 * i,
@@ -244,28 +401,41 @@ def synthetic_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
             for i in range(8)
         ]
     )
+    img_mime = F.when(variant % 2 == 1, F.lit("image/png")).otherwise(
+        F.lit("image/jpeg")
+    )
+    aud_mime = F.when(variant % 2 == 1, F.lit("audio/wav")).otherwise(
+        F.lit("audio/mpeg")
+    )
     kind = F.element_at(kinds, idx)
     return spark.range(n).select(
         F.col("id").alias("media_id"),
         kind.alias("kind"),
-        F.when(kind == "image", F.element_at(pngs, variant))
-        .when(kind == "audio", F.element_at(wavs, variant))
+        F.when(kind == "image", F.element_at(images, variant))
+        .when(kind == "audio", F.element_at(audios, variant))
         .otherwise(F.element_at(mp4s, variant))
         .alias("content"),
-        F.element_at(mimes, idx).alias("mime"),
+        F.when(kind == "image", img_mime)
+        .when(kind == "audio", aud_mime)
+        .otherwise(F.lit("video/mp4"))
+        .alias("mime"),
         F.create_map(F.lit("source"), F.lit("synthetic")).alias("meta"),
     )
 
 
 def _decode_image(content: bytes, strict: bool) -> tuple[int, int]:
-    """REAL for PNG (IHDR struct read); other raster formats need an
-    entropy decoder (PIL/libvips, absent in container) → strict raises,
-    non-strict yields a deterministic fake."""
+    """REAL for PNG (IHDR struct read) and JPEG (SOFn marker walk); other
+    raster formats need an entropy decoder (PIL/libvips, absent in
+    container) → strict raises, non-strict yields a deterministic fake."""
     size = decode_png_size(content)
+    if size is None:
+        size = decode_jpeg_size(content)
     if size is not None:
         return size
     if strict:
-        raise NotImplementedError("non-PNG image decode requires PIL/libvips")
+        raise NotImplementedError(
+            "non-PNG/JPEG image decode requires PIL/libvips"
+        )
     h = hashlib.sha256(content).digest()
     return 16 + h[0] % 64, 16 + h[1] % 64  # deterministic fake (w, h)
 
@@ -273,11 +443,13 @@ def _decode_image(content: bytes, strict: bool) -> tuple[int, int]:
 def _decode_av(
     content: bytes, strict: bool
 ) -> tuple[int, int | None, int | None]:
-    """(duration_ms, width, height). REAL for WAV (RIFF chunk walk) and
-    MP4 (moov box walk — duration from mvhd, dimensions from tkhd); other
-    compressed a/v needs ffmpeg/soundfile → strict raises, non-strict
-    yields a deterministic fake."""
+    """(duration_ms, width, height). REAL for WAV (RIFF chunk walk), MP3
+    (frame-header walk) and MP4 (moov box walk — duration from mvhd,
+    dimensions from tkhd); other compressed a/v needs ffmpeg/soundfile →
+    strict raises, non-strict yields a deterministic fake."""
     dur = decode_wav_duration_ms(content)
+    if dur is None:
+        dur = decode_mp3_duration_ms(content)
     if dur is not None:
         return dur, None, None
     meta = decode_mp4_meta(content)
@@ -286,7 +458,7 @@ def _decode_av(
         return d, (w or None), (h or None)
     if strict:
         raise NotImplementedError(
-            "non-WAV/MP4 a/v decode requires ffmpeg/soundfile"
+            "non-WAV/MP3/MP4 a/v decode requires ffmpeg/soundfile"
         )
     hd = hashlib.sha256(content).digest()
     return 100 + int.from_bytes(hd[2:4], "big") % 10_000, None, None

@@ -66,21 +66,28 @@ def test_multimodal_feature_extraction(spark):
     media = synthetic_media(spark, n=30)
     feats = extract_features(media).collect()
     assert len(feats) == 30
-    # the 8 seeded fixture variants: PNGs 16+3i × 20+5i, WAVs 100+20i ms,
+    # the 8 seeded fixture variants per kind: even i → PNG 16+3i × 20+5i /
+    # WAV 100+20i ms; odd i → JPEG 24+7i × 18+4i / MP3 (3+i frames);
     # MP4s 700+150i ms at (64+16i) × (48+12i)
-    png_sizes = {(16 + 3 * i, 20 + 5 * i) for i in range(8)}
-    wav_durs = {100 + 20 * i for i in range(8)}
+    img_sizes = {
+        (16 + 3 * i, 20 + 5 * i) if i % 2 == 0 else (24 + 7 * i, 18 + 4 * i)
+        for i in range(8)
+    }
+    aud_durs = {
+        100 + 20 * i if i % 2 == 0 else (3 + i) * 1152 * 1000 // 44100
+        for i in range(8)
+    }
     mp4_meta = {(700 + 150 * i, 64 + 16 * i, 48 + 12 * i) for i in range(8)}
     for r in feats:
         assert len(r["sha256"]) == 64
         assert len(r["feature"]) == 8
         if r["kind"] == "image":
-            # REAL decode: IHDR width/height of a real PNG fixture
-            assert (r["width"], r["height"]) in png_sizes
+            # REAL decode: PNG IHDR read or JPEG SOF marker walk
+            assert (r["width"], r["height"]) in img_sizes
             assert r["duration_ms"] is None
         elif r["kind"] == "audio":
-            # REAL decode: RIFF fmt/data duration of a real WAV fixture
-            assert r["duration_ms"] in wav_durs
+            # REAL decode: WAV RIFF chunk walk or MP3 frame-header walk
+            assert r["duration_ms"] in aud_durs
             assert r["width"] is None
         else:
             # REAL decode: mvhd duration + tkhd dimensions of a real MP4
@@ -124,9 +131,40 @@ def test_mp4_codec_roundtrip():
     assert decode_mp4_meta(b"\x00\x00\x00\x08ftyp") is None  # no moov
 
 
+def test_jpeg_codec_roundtrip():
+    from cernan_spark.operators.multimodal import decode_jpeg_size, encode_jpeg
+
+    assert decode_jpeg_size(encode_jpeg(320, 240)) == (320, 240)
+    assert decode_jpeg_size(encode_jpeg(31, 17, seed=5)) == (31, 17)
+    assert decode_jpeg_size(b"\xff\xd8junk") is None
+    assert decode_jpeg_size(b"") is None
+    assert decode_jpeg_size(b"not a jpeg") is None
+
+
+def test_mp3_codec_roundtrip():
+    from cernan_spark.operators.multimodal import (
+        decode_mp3_duration_ms,
+        encode_mp3,
+    )
+
+    assert decode_mp3_duration_ms(encode_mp3(38)) == 38 * 1152 * 1000 // 44100
+    assert (
+        decode_mp3_duration_ms(encode_mp3(10, bitrate_kbps=64, sample_rate=32000))
+        == 10 * 1152 * 1000 // 32000
+    )
+    # leading ID3v2 tag is skipped via its synchsafe size
+    id3 = b"ID3\x04\x00\x00\x00\x00\x00\x0a" + bytes(10) + encode_mp3(5)
+    assert decode_mp3_duration_ms(id3) == 5 * 1152 * 1000 // 44100
+    # garbage that merely starts with sync bytes is not a frame stream
+    assert decode_mp3_duration_ms(b"\xff\xfbshort") is None
+    assert decode_mp3_duration_ms(b"RIFFnope") is None
+    assert decode_mp3_duration_ms(b"") is None
+
+
 def test_multimodal_strict_mode(spark):
     media = synthetic_media(spark, n=12)
-    # strict SUCCEEDS for PNG/WAV/MP4 (all three are real decoders now) ...
+    # strict SUCCEEDS for PNG/JPEG/WAV/MP3/MP4 (all five are real
+    # metadata decoders now) ...
     ok = extract_features(media, strict=True).collect()
     assert len(ok) == 12 and all(
         r["width"] is not None or r["duration_ms"] is not None for r in ok
@@ -157,7 +195,7 @@ def test_frame_sample_plan(spark):
 
 def test_multimodal_golden_hash(spark):
     """The decode path is DETERMINISTIC: the full feature table for the
-    seeded 64-row corpus (real PNG/WAV/MP4 fixtures) hashes to a pinned
+    seeded 64-row corpus (real PNG/JPEG/WAV/MP3/MP4 fixtures) hashes to a pinned
     digest (VERDICT r1 asked for golden-hash evidence instead of a
     rows-only count)."""
     import hashlib
@@ -173,7 +211,7 @@ def test_multimodal_golden_hash(spark):
     )
     digest = hashlib.sha256(canon.encode()).hexdigest()
     assert digest == (
-        "8c34f3662bc0350c942676fdb6e18c27cbf581f9e9c00e688dd55e7668170bf3"
+        "7705bd7e6adc854276b93ddd662ddba2ddcd8216a1d77505d40aee3479a19a71"
     )
 
 
