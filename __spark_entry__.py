@@ -1212,9 +1212,12 @@ def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing over a deterministically seeded corpus: every doc gets
-    an email, a plus-prefixed phone and a dotted-quad IP appended; the
-    redacted text and per-category counts must match the SQL replay
-    byte-for-byte (patterns restricted to the Java-regex ∩ RE2 subset)."""
+    an email, a plus-prefixed phone, a dotted-quad IP, a card number
+    (Luhn-valid for even doc ids, shape-only for odd), an SSN-shaped id
+    and an API-key-shaped token appended; the redacted text, the six
+    per-category counts and the Luhn-validated card count must match the
+    SQL replay byte-for-byte (patterns restricted to the Java-regex ∩ RE2
+    subset; the Luhn fold replays via list_reduce)."""
     from cernan_spark.operators.textstats import redact_pii
 
     _utc(spark)
@@ -1229,10 +1232,19 @@ def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(".0."), (F.col("doc_id") % 250).cast("string"),
             F.lit(" tel +1555"),
             F.lpad(F.col("doc_id").cast("string"), 7, "0"),
+            F.lit(" card "),
+            F.when(
+                F.col("doc_id") % 2 == 0, F.lit("4111 1111 1111 1111")
+            ).otherwise(F.lit("4111-1111-1111-1112")),
+            F.lit(" ssn 123-45-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" key sk_live_"),
+            F.lpad(F.col("doc_id").cast("string"), 16, "x"),
         ).alias("text"),
     )
     return redact_pii(seeded).select(
-        "doc_id", "n_email", "n_phone", "n_ipv4", "redacted"
+        "doc_id", "n_email", "n_phone", "n_ipv4", "n_ccard", "n_ssn",
+        "n_apikey", "n_ccard_luhn", "redacted",
     )
 
 
@@ -1490,6 +1502,61 @@ WITH seeded AS (
 )
 SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS INTEGER) AS hamming
 FROM pairs WHERE bit_count(xor(fa, fb)) <= {k}
+"""
+
+
+def _pii_oracle_sql() -> str:
+    """DuckDB twin of q_pii_redaction, generated from the SAME
+    PII_PATTERNS list the Spark operator uses (one source of truth for
+    the regexes) — per-category counts, the Luhn checksum fold over
+    card-shaped matches (list_reduce replay of the Spark aggregate), and
+    the ordered replacement chain."""
+    from cernan_spark.operators.textstats import PII_PATTERNS
+
+    counts = ",\n       ".join(
+        f"len(regexp_extract_all(text, '{rx}')) AS n_{cat}"
+        for cat, rx, _tok in PII_PATTERNS
+    )
+    red = "text"
+    for _cat, rx, tok in PII_PATTERNS:
+        red = f"regexp_replace({red}, '{rx}', '{tok}', 'g')"
+    cc_rx = next(rx for cat, rx, _ in PII_PATTERNS if cat == "ccard")
+    dd = "reverse(regexp_replace(c, '[- ]', '', 'g'))"
+    dig = f"(ascii(substr({dd}, CAST(i AS INTEGER), 1)) - 48)"
+    term = (
+        f"CASE WHEN (i - 1) % 2 = 1 THEN "
+        f"CASE WHEN 2 * {dig} > 9 THEN 2 * {dig} - 9 ELSE 2 * {dig} END "
+        f"ELSE {dig} END"
+    )
+    luhn = (
+        f"len(list_filter(regexp_extract_all(text, '{cc_rx}'), "
+        f"c -> length({dd}) >= 13 AND "
+        f"list_reduce(list_prepend(0, list_transform(range(1, length({dd}) + 1), "
+        f"i -> {term})), (a, x) -> a + x) % 10 = 0)) AS n_ccard_luhn"
+    )
+    return f"""
+WITH seeded AS (
+  SELECT doc_id,
+         text || ' contact u' || CAST(doc_id AS VARCHAR)
+              || '@example.com ip 10.'
+              || CAST((doc_id % 200) + 1 AS VARCHAR)
+              || '.0.' || CAST(doc_id % 250 AS VARCHAR)
+              || ' tel +1555'
+              || lpad(CAST(doc_id AS VARCHAR), 7, '0')
+              || ' card '
+              || CASE WHEN doc_id % 2 = 0 THEN '4111 1111 1111 1111'
+                      ELSE '4111-1111-1111-1112' END
+              || ' ssn 123-45-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              || ' key sk_live_'
+              || lpad(CAST(doc_id AS VARCHAR), 16, 'x') AS text
+  FROM documents
+)
+SELECT doc_id,
+       {counts},
+       {luhn},
+       {red} AS redacted
+FROM seeded
 """
 
 
@@ -2444,32 +2511,7 @@ def oracle_sql() -> dict[str, str]:
             FROM per_bin
             QUALIFY bin >= (SELECT t FROM thr)
         """,
-        "pii_redaction": r"""
-            WITH seeded AS (
-              SELECT doc_id,
-                     text || ' contact u' || CAST(doc_id AS VARCHAR)
-                          || '@example.com ip 10.'
-                          || CAST((doc_id % 200) + 1 AS VARCHAR)
-                          || '.0.' || CAST(doc_id % 250 AS VARCHAR)
-                          || ' tel +1555'
-                          || lpad(CAST(doc_id AS VARCHAR), 7, '0') AS text
-              FROM documents
-            )
-            SELECT doc_id,
-                   len(regexp_extract_all(text,
-                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
-                     AS n_email,
-                   len(regexp_extract_all(text, '\+\d{7,15}')) AS n_phone,
-                   len(regexp_extract_all(text,
-                     '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
-                   regexp_replace(regexp_replace(regexp_replace(text,
-                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
-                     '<EMAIL>', 'g'),
-                     '\+\d{7,15}', '<PHONE>', 'g'),
-                     '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')
-                     AS redacted
-            FROM seeded
-        """,
+        "pii_redaction": _pii_oracle_sql(),
         "benchmark_decontam": """
             WITH docs AS (SELECT doc_id, text FROM documents),
             bench AS (

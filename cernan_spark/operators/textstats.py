@@ -238,21 +238,56 @@ def benchmark_ngram_overlap(
 
 
 #: (category, pattern, replacement) — patterns restricted to the syntax
-#: subset Java regex and RE2 interpret identically (no backrefs/lookaround),
-#: so a SQL oracle can replay the scrub byte-for-byte.
+#: subset Java regex and RE2 interpret identically (no backrefs/lookaround;
+#: non-capturing groups are fine), so a SQL oracle can replay the scrub
+#: byte-for-byte. Replacement applies in list order, so earlier categories
+#: claim overlapping spans (e.g. plus-prefixed phones before card runs).
 PII_PATTERNS = [
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("phone", r"\+\d{7,15}", "<PHONE>"),
     ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("ccard", r"\b\d{4}[- ]?\d{4}[- ]?\d{4}[- ]?\d{3,4}\b", "<CCARD>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    (
+        "apikey",
+        r"\b(?:sk|pk|rk|api)_(?:live_|test_)?[A-Za-z0-9]{16,}\b",
+        "<KEY>",
+    ),
 ]
+
+
+def luhn_valid(card: Column) -> Column:
+    """True when the separator-stripped digit run passes the Luhn checksum
+    (the ISO/IEC 7812 card check digit): from the rightmost digit, double
+    every second one (subtracting 9 on overflow) and require the sum to be
+    divisible by 10. Pure column expressions over the reversed char array —
+    replayable in ANSI SQL for the oracle."""
+    ds = F.reverse(F.regexp_replace(card, r"[- ]", ""))
+    chars = F.split(ds, "")
+    terms = F.zip_with(
+        chars,
+        F.sequence(F.lit(0), F.greatest(F.size(chars) - 1, F.lit(0))),
+        lambda c, i: F.when(
+            i % 2 == 1,
+            F.when(
+                (F.ascii(c) - 48) * 2 > 9, (F.ascii(c) - 48) * 2 - 9
+            ).otherwise((F.ascii(c) - 48) * 2),
+        ).otherwise(F.ascii(c) - 48),
+    )
+    total = F.aggregate(terms, F.lit(0), lambda acc, x: acc + x)
+    return (F.length(ds) >= 13) & (total % 10 == 0)
 
 
 def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     """PII scrubbing for pretraining corpora: emails, plus-prefixed phone
-    numbers, and dotted-quad IPs are replaced with typed placeholder tokens;
+    numbers, dotted-quad IPs, card-shaped digit runs, SSN-shaped ids and
+    API-key-shaped tokens are replaced with typed placeholder tokens;
     per-category match counts (on the ORIGINAL text) are kept for corpus
-    accounting. Pure column expressions — whole-stage codegen, no Python in
-    the scan; at 100 TB this is a narrow map over the text column."""
+    accounting, plus ``n_ccard_luhn`` — how many card-shaped runs actually
+    pass the Luhn checksum (shape matches without a valid check digit are
+    usually order ids, not cards). Pure column expressions — whole-stage
+    codegen, no Python in the scan; at 100 TB this is a narrow map over
+    the text column."""
     orig = F.col(text_col)
     out = df
     for cat, rx, _tok in PII_PATTERNS:
@@ -260,6 +295,16 @@ def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
             f"n_{cat}",
             F.size(F.regexp_extract_all(orig, F.lit(rx), F.lit(0))),
         )
+    cc_rx = next(rx for cat, rx, _ in PII_PATTERNS if cat == "ccard")
+    out = out.withColumn(
+        "n_ccard_luhn",
+        F.size(
+            F.filter(
+                F.regexp_extract_all(orig, F.lit(cc_rx), F.lit(0)),
+                luhn_valid,
+            )
+        ),
+    )
     red = orig
     for _cat, rx, tok in PII_PATTERNS:
         red = F.regexp_replace(red, rx, tok)

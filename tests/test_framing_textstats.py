@@ -247,3 +247,35 @@ def test_token_budget_key_no_ansi_overflow(spark):
     df = spark.createDataFrame(rows, "doc_id long, lang_pred string, n_tokens int")
     kept = sample_to_token_budget(df, budget=55).collect()
     assert len(kept) == 5 and max(r["cum_tokens"] for r in kept) == 50
+
+
+def test_pii_extended_categories_adversarial(spark):
+    """Six-category PII scrub + Luhn gating under adversarial punctuation:
+    boundaries at commas/parens, separator-mixed cards, shape-valid but
+    checksum-invalid digit runs, and key-shaped tokens glued to punctuation."""
+    from cernan_spark.operators.textstats import redact_pii
+
+    rows = [
+        (0, "pay 4111 1111 1111 1111, or (4111-1111-1111-1112) now"),
+        (1, "ssn: 123-45-6789. but 1123-45-6789 has no boundary-3 run"),
+        (2, "token sk_live_abcDEF1234567890x, then api_0123456789abcdef!"),
+        (3, "short key sk_live_tooshort and code 1234-5678 stay put"),
+        (4, "order id 1234567890123456 looks like a card but fails luhn"),
+        (5, "visa test 4012888888881881 passes luhn"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    # two card-shaped runs, only the first passes Luhn
+    assert out[0]["n_ccard"] == 2 and out[0]["n_ccard_luhn"] == 1
+    assert out[0]["redacted"] == "pay <CCARD>, or (<CCARD>) now"
+    # \b keeps the 4-digit-prefixed lookalike from matching as SSN
+    assert out[1]["n_ssn"] == 1
+    assert out[1]["redacted"].startswith("ssn: <SSN>. but 1123-45-6789")
+    assert out[2]["n_apikey"] == 2
+    assert out[2]["redacted"] == "token <KEY>, then <KEY>!"
+    # <16 key chars and short digit groups are not PII
+    assert out[3]["n_apikey"] == 0 and out[3]["n_ccard"] == 0
+    assert out[3]["redacted"] == rows[3][1]
+    # shape match without a valid check digit: counted, redacted, not luhn
+    assert out[4]["n_ccard"] == 1 and out[4]["n_ccard_luhn"] == 0
+    assert out[5]["n_ccard_luhn"] == 1
