@@ -818,6 +818,31 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_minhash_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup across scheduled runs: run 1 indexes the first
+    half of the corpus (pairs + persisted signatures), run 2 hashes ONLY
+    the second half and bands new-vs-all from the stored signatures. The
+    union of both runs' pairs is compared against the ORACLE FOR THE
+    ONE-PASS FULL-CORPUS RUN — a hash match proves shard-1-then-resume is
+    equivalent to never having split the corpus (the dedup analog of
+    prometheus_resume)."""
+    from cernan_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        minhash_resume_candidates,
+        minhash_signatures,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    shard1 = d.filter(F.col("doc_id") % 2 == 0)
+    shard2 = d.filter(F.col("doc_id") % 2 != 0)
+    run1 = minhash_lsh_candidates(shard1, portable=True)
+    sigs1 = minhash_signatures(shard1, portable=True)
+    run2 = minhash_resume_candidates(shard2, sigs1, portable=True)
+    return run1.unionByName(run2).select(
+        "id_a", "id_b", "n_match", "est_jaccard"
+    )
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-scoring operator (stopword/digit ratios + verdict)."""
     from cernan_spark.operators.textstats import quality_scores
@@ -1380,6 +1405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "minhash_dedup": q_minhash_dedup,
         "dedup_drop_stats": q_dedup_drop_stats,
+        "minhash_resume": q_minhash_resume,
         "native_roundtrip": q_native_roundtrip,
         "avro_roundtrip": q_avro_roundtrip,
         "internal_telemetry": q_internal_telemetry,
@@ -2264,6 +2290,8 @@ def oracle_sql() -> dict[str, str]:
         "simhash_dedup": _simhash_oracle_sql(),
         "minhash_dedup": _minhash_oracle_sql(),
         "dedup_drop_stats": _dedup_drop_stats_oracle_sql(),
+        # the resumed two-shard run must equal the ONE-PASS replay
+        "minhash_resume": _minhash_oracle_sql(),
         "doc_fingerprint": _doc_fingerprint_oracle_sql(),
         "lang_id": _lang_id_oracle_sql(),
         "embedding_near_dups": _near_dup_oracle_sql(),

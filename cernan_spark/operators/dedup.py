@@ -110,19 +110,19 @@ def minhash_signature(hash_col: Column, num_hashes: int = 32) -> Column:
     )
 
 
-def minhash_banded(
+def minhash_signatures(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     num_hashes: int = 32,
-    bands: int = 8,
     shingle_n: int = 3,
     portable: bool = False,
 ) -> DataFrame:
-    """The banding stage of MinHash+LSH as its own frame —
-    (id, sig, band, band_hash) — shared by the candidate-pair operator and
-    the bucket-drop accounting (:func:`bucket_drop_stats`)."""
-    rows_per_band = num_hashes // bands
+    """(id, sig) — the persistable MinHash index state. Signature
+    computation (shingle hashing) is the expensive stage; persisting this
+    frame lets a scheduled ingest hash ONLY new docs and band new-vs-all
+    (:func:`minhash_resume_candidates`), the same accumulator-handoff
+    shape as the prometheus resume (operators/aggregate.py)."""
     # stage 1: hash each shingle once (array<long>). Shingle hashes are
     # combined arithmetically from per-token hashes — no n-gram strings are
     # ever materialized. The input is repartitioned first: signature
@@ -135,12 +135,20 @@ def minhash_banded(
         shingle_n,
         portable=portable,
     ).select("id", "_h").filter(F.size("_h") > 0)
-    sig = hashed.select(
+    return hashed.select(
         "id", minhash_signature(F.col("_h"), num_hashes).alias("sig")
     )
+
+
+def band_signatures(
+    sig: DataFrame, num_hashes: int = 32, bands: int = 8
+) -> DataFrame:
+    """(id, sig) → (id, sig, band, band_hash): the banding stage over
+    ALREADY-COMPUTED signatures — cheap (no text hashing), so resumed runs
+    re-band stored signatures instead of re-hashing old documents."""
+    rows_per_band = num_hashes // bands
     return sig.select(
-        "id",
-        "sig",
+        "*",  # passes through extra columns (e.g. the resume is_new flag)
         F.posexplode(
             F.array(
                 *[
@@ -155,6 +163,27 @@ def minhash_banded(
                 ]
             )
         ).alias("band", "band_hash"),
+    )
+
+
+def minhash_banded(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    portable: bool = False,
+) -> DataFrame:
+    """The banding stage of MinHash+LSH as its own frame —
+    (id, sig, band, band_hash) — shared by the candidate-pair operator and
+    the bucket-drop accounting (:func:`bucket_drop_stats`)."""
+    return band_signatures(
+        minhash_signatures(
+            docs, text_col, id_col, num_hashes, shingle_n, portable
+        ),
+        num_hashes,
+        bands,
     )
 
 
@@ -215,38 +244,67 @@ def minhash_lsh_candidates(
     banded = minhash_banded(
         docs, text_col, id_col, num_hashes, bands, shingle_n, portable
     )
+    return _score_pairs(_bucket_pairs(banded, max_bucket), num_hashes)
+
+
+def _bucket_pairs(
+    banded: DataFrame, max_bucket: int, new_only: bool = False
+) -> DataFrame:
+    """Candidate pairs (id_a < id_b, with their signatures) from a banded
+    frame: collect bucket members, drop oversize buckets, explode in-bucket
+    pairs, dedupe across bands. ``new_only=True`` expects an ``is_new``
+    flag column and keeps only pairs touching ≥1 new member (the resumed
+    run must not re-emit pairs the prior run already found)."""
+    mfields = [F.col("id"), F.col("sig")] + (
+        [F.col("is_new")] if new_only else []
+    )
     buckets = (
         banded.groupBy("band", "band_hash")
-        .agg(F.collect_list(F.struct("id", "sig")).alias("members"))
+        .agg(F.collect_list(F.struct(*mfields)).alias("members"))
         .filter((F.size("members") > 1) & (F.size("members") <= max_bucket))
     )
+    if new_only:
+        buckets = buckets.filter(
+            F.exists(F.col("members"), lambda m: m["is_new"])
+        )
+
+    def pair_of(a, b):
+        cond = a["id"] < b["id"]
+        if new_only:
+            cond = cond & (a["is_new"] | b["is_new"])
+        return F.when(
+            cond,
+            F.struct(
+                a["id"].alias("id_a"),
+                b["id"].alias("id_b"),
+                a["sig"].alias("sig_a"),
+                b["sig"].alias("sig_b"),
+            ),
+        )
+
     # pairs within a bucket, deduped across bands by (id_a, id_b)
-    pairs = buckets.select(
-        F.explode(
-            F.filter(
-                F.flatten(
-                    F.transform(
-                        F.col("members"),
-                        lambda a: F.transform(
+    return (
+        buckets.select(
+            F.explode(
+                F.filter(
+                    F.flatten(
+                        F.transform(
                             F.col("members"),
-                            lambda b: F.when(
-                                a["id"] < b["id"],
-                                F.struct(
-                                    a["id"].alias("id_a"),
-                                    b["id"].alias("id_b"),
-                                    a["sig"].alias("sig_a"),
-                                    b["sig"].alias("sig_b"),
-                                ),
+                            lambda a: F.transform(
+                                F.col("members"), lambda b: pair_of(a, b)
                             ),
-                        ),
-                    )
-                ),
-                lambda p: p.isNotNull(),
-            )
-        ).alias("p")
-    ).select("p.id_a", "p.id_b", "p.sig_a", "p.sig_b").dropDuplicates(
-        ["id_a", "id_b"]
+                        )
+                    ),
+                    lambda p: p.isNotNull(),
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b", "p.sig_a", "p.sig_b")
+        .dropDuplicates(["id_a", "id_b"])
     )
+
+
+def _score_pairs(pairs: DataFrame, num_hashes: int) -> DataFrame:
     n_match = F.size(
         F.filter(
             F.zip_with("sig_a", "sig_b", lambda a, b: (a == b).cast("int")),
@@ -260,6 +318,44 @@ def minhash_lsh_candidates(
         "id_b",
         n_match.alias("n_match"),
         F.round(n_match / F.lit(float(num_hashes)), 4).alias("est_jaccard"),
+    )
+
+
+def minhash_resume_candidates(
+    new_docs: DataFrame,
+    prior_sigs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    max_bucket: int = 50,
+    portable: bool = False,
+) -> DataFrame:
+    """Incremental near-dup detection for scheduled ingest: given the
+    persisted signature table of everything already indexed
+    (:func:`minhash_signatures` output) and a new shard, hash ONLY the new
+    docs, re-band stored signatures (cheap — no text), and emit candidate
+    pairs touching ≥1 new doc. The prior run's pairs plus this run's
+    pairs equal the one-pass result over the union corpus — the dedup
+    analog of the prometheus accumulator resume, oracle-checked by the
+    ``minhash_resume`` entry query against the one-pass SQL replay.
+
+    Caveat: the ``max_bucket`` cap is evaluated per run. A bucket that
+    crosses the cap only once the new shard lands drops its NEW pairs
+    here, while a one-pass run would also retroactively drop the
+    old-old pairs; :func:`bucket_drop_stats` over the combined banding
+    surfaces exactly these buckets.
+    """
+    new_sigs = minhash_signatures(
+        new_docs, text_col, id_col, num_hashes, shingle_n, portable
+    )
+    combined = new_sigs.withColumn("is_new", F.lit(True)).unionByName(
+        prior_sigs.select("id", "sig").withColumn("is_new", F.lit(False))
+    )
+    banded = band_signatures(combined, num_hashes, bands)
+    return _score_pairs(
+        _bucket_pairs(banded, max_bucket, new_only=True), num_hashes
     )
 
 

@@ -228,3 +228,38 @@ def test_bucket_drop_stats_accounting(spark):
     }
     assert clean["cernan.dedup.minhash.buckets_dropped"] == 0.0
     assert clean["cernan.dedup.minhash.members_affected"] == 0.0
+
+
+def test_minhash_resume_equals_one_pass(spark):
+    """(shard-1 pairs) ∪ (shard-2 resumed from stored signatures) must
+    equal the one-pass result over the union corpus — including twins
+    that straddle the shard boundary, which only the resumed banding of
+    new-vs-all can find."""
+    from cernan_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        minhash_resume_candidates,
+        minhash_signatures,
+        seed_text_near_dups,
+    )
+
+    docs = seed_text_near_dups(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet"),
+        n_seed=20,
+    )
+    # originals (doc_id < 20) land in shard 1, their twins (≥ 1e6) in
+    # shard 2 → every seeded pair crosses the boundary
+    shard1 = docs.filter(F.col("doc_id") < 1_000_000)
+    shard2 = docs.filter(F.col("doc_id") >= 1_000_000)
+
+    def pairset(df):
+        return {
+            (r["id_a"], r["id_b"], r["n_match"]) for r in df.collect()
+        }
+
+    one_pass = pairset(minhash_lsh_candidates(docs))
+    run1 = pairset(minhash_lsh_candidates(shard1))
+    sigs1 = minhash_signatures(shard1)
+    run2 = pairset(minhash_resume_candidates(shard2, sigs1))
+    assert run1 | run2 == one_pass
+    assert run1 & run2 == set()          # no pair re-emitted
+    assert any(b - a == 1_000_000 for a, b, _ in run2)  # cross-shard twins
