@@ -178,6 +178,45 @@ def cosine_topk_lsh(
     )
 
 
+def fit_ivf_centroids(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    seed: int = 42,
+) -> list[list[float]]:
+    """Train the IVF coarse quantizer (MLlib KMeans over unit vectors) and
+    return the centroids as plain lists — the persistable index state.
+    Centroid-sized, not corpus-sized: n_cells × dim doubles."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    base = with_unit_vector(vectors, vec_col)
+    train = base.select(array_to_vector("unit").alias("features"))
+    model = KMeans(k=n_cells, seed=seed, maxIter=10).fit(train)
+    return [c.tolist() for c in model.clusterCenters()]
+
+
+def save_ivf_centroids(spark, centers: list[list[float]], path: str) -> None:
+    """Persist centroids as a tiny (cell, center) table so scheduled runs
+    reuse the SAME quantizer: a retrained KMeans drifts cell assignments
+    across runs, which breaks an incrementally-maintained cell index."""
+    rows = [(i, c) for i, c in enumerate(centers)]
+    spark.createDataFrame(rows, "cell int, center array<double>").coalesce(
+        1
+    ).write.mode("overwrite").parquet(path)
+
+
+def load_ivf_centroids(spark, path: str) -> list[list[float]] | None:
+    """Load persisted centroids; None when the table does not exist yet
+    (first run → fit and save)."""
+    try:
+        rows = spark.read.parquet(path).orderBy("cell").collect()
+    except Exception:  # noqa: BLE001 — no index yet
+        return None
+    return [list(r["center"]) for r in rows]
+
+
 def cosine_topk_ivf(
     vectors: DataFrame,
     probes: DataFrame,
@@ -187,6 +226,8 @@ def cosine_topk_ivf(
     n_cells: int = 16,
     n_probe: int = 4,
     seed: int = 42,
+    centroids: list[list[float]] | None = None,
+    centroids_path: str | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: a KMeans coarse quantizer partitions the
     corpus into ``n_cells`` cells; each query scores only the ``n_probe``
@@ -199,16 +240,26 @@ def cosine_topk_ivf(
     corpus shuffles once at index build (write bucketed by cell), and each
     query touches n_probe/n_cells of the data. Exact rescoring inside the
     probed cells; recall < 1 by construction (asserted vs the brute-force
-    twin in pytest)."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    twin in pytest).
 
+    Index reuse: pass ``centroids`` directly, or ``centroids_path`` to
+    load a persisted quantizer (fit-and-save on first run) — cell
+    assignments then stay stable across scheduled runs instead of
+    drifting with every KMeans retrain."""
+    spark = vectors.sparkSession
     base = with_unit_vector(vectors, vec_col).select(
         F.col(id_col).alias("vid"), F.col("unit")
     )
-    train = base.select(array_to_vector("unit").alias("features"))
-    model = KMeans(k=n_cells, seed=seed, maxIter=10).fit(train)
-    centers = [c.tolist() for c in model.clusterCenters()]
+    centers = centroids
+    if centers is None and centroids_path is not None:
+        centers = load_ivf_centroids(spark, centroids_path)
+    if centers is None:
+        centers = fit_ivf_centroids(
+            vectors, id_col, vec_col, n_cells, seed
+        )
+        if centroids_path is not None:
+            save_ivf_centroids(spark, centers, centroids_path)
+    n_cells = len(centers)
 
     def dots_to_centers(unit: Column) -> Column:
         return F.array(

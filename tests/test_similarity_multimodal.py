@@ -241,3 +241,42 @@ def test_ivf_recall_vs_bruteforce(spark):
         for r in cosine_topk_ivf(e, probes, k=5, n_cells=8, n_probe=8).collect()
     }
     assert full == exact  # probing every cell degenerates to exact search
+
+
+def test_ivf_centroid_persistence_and_determinism(spark, tmp_path):
+    """The IVF quantizer is persistable index state: save → load gives
+    back the exact centroids, a run reusing them returns the identical
+    top-k as the run that fit them (no assignment drift), and a fresh
+    fit with the same seed is also stable."""
+    from cernan_spark.operators.similarity import (
+        cosine_topk_ivf,
+        fit_ivf_centroids,
+        load_ivf_centroids,
+        save_ivf_centroids,
+    )
+
+    vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    probes = vecs.filter(F.col("vec_id") < 3)
+    path = str(tmp_path / "ivf_centroids")
+
+    assert load_ivf_centroids(spark, path) is None  # no index yet
+    centers = fit_ivf_centroids(vecs, n_cells=8)
+    save_ivf_centroids(spark, centers, path)
+    assert load_ivf_centroids(spark, path) == centers
+
+    def topk(**kw):
+        return {
+            (r["qid"], r["vec_id"], r["rank"])
+            for r in cosine_topk_ivf(
+                vecs, probes, k=5, n_cells=8, n_probe=8, **kw
+            ).collect()
+        }
+
+    with_fit = topk()                            # fits internally (seed 42)
+    with_loaded = topk(centroids_path=path)      # reuses the saved index
+    with_explicit = topk(centroids=centers)
+    assert with_fit == with_loaded == with_explicit
+    # first-run path: no file → fit and save
+    path2 = str(tmp_path / "ivf_fresh")
+    topk(centroids_path=path2)
+    assert load_ivf_centroids(spark, path2) == centers
