@@ -117,36 +117,12 @@ def main() -> None:
     }
     print(json.dumps(result))
 
-    stamp = datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M UTC")
-    with open(f"{REPO}/BENCH.md", "w") as f:
-        f.write(
-            f"""# BENCH — scaling evidence ({stamp})
-
-The north rule requires ≥0.8 throughput scaling efficiency from N to 4N
-executors. No real cluster exists in this sandbox (single JVM), so the
-evidence is the same flagship pipeline (parse→enrich→route→aggregate over
-{n_turns:,} synthetic transcript turns, seeded) at two parallelism levels:
-
-| parallelism | wall sec | turns/sec |
-|---|---|---|
-| local[{n_lo}]  (N)  | {lo['sec']:.2f} | {lo['turns_per_sec']:,.0f} |
-| local[{n_hi}] ({n_hi // n_lo}N) | {hi['sec']:.2f} | {hi['turns_per_sec']:,.0f} |
-
-**Speedup {n_lo}→{n_hi} threads: {lo['sec'] / hi['sec']:.2f}× → scaling
-efficiency {eff:.2f}** (1.0 = perfectly linear; target ≥ 0.8).
-
-Notes
-- shuffle partitions track the core count at each level (cores, set in
-  `cernan_spark.session.get_spark`), so the aggregate stage parallelism
-  scales with the "cluster size".
-- in local mode all "executors" share one JVM heap and memory bus;
-  efficiency on a real 4× executor cluster would be at least as good
-  because scans/shuffles parallelize across machines instead of
-  contending for one host's memory bandwidth.
-- reproduce: `python scripts/scaling_bench.py {n_turns}`
-"""
-        )
-    print(f"wrote {REPO}/BENCH.md")
+    # append a dated one-line record; BENCH.md is hand-curated and must
+    # not be overwritten by the harness
+    stamp = datetime.now(timezone.utc).strftime("%Y-%m-%dT%H:%MZ")
+    with open(f"{REPO}/BENCH_scaling.jsonl", "a") as f:
+        f.write(json.dumps({"ts": stamp, **result}) + "\n")
+    print(f"appended {REPO}/BENCH_scaling.jsonl")
 
 
 if __name__ == "__main__":
