@@ -337,25 +337,24 @@ def seed_near_dups(
     return base.unionByName(seeded)
 
 
-def embedding_near_dup_pairs(
+def embedding_banded(
     vectors: DataFrame,
-    threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
     bits: int = 16,
     bands: int = 4,
-    max_bucket: int = 200,
     seed: int = 42,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (id_a < id_b, cos ≥ threshold)
-    via LSH bucketing + exact verification within buckets."""
+    """The hyperplane-LSH banding stage as its own frame —
+    (id, unit, band, bsig) — shared by the near-dup pair operator and the
+    bucket-drop accounting (dedup.bucket_drop_stats)."""
     planes = _hyperplanes(dim, bits, seed)
     rows_per_band = bits // bands
     u = with_unit_vector(vectors, vec_col).select(
         F.col(id_col).alias("id"), "unit"
     ).withColumn("_sig", signature_col(F.col("unit"), planes))
-    banded = u.select(
+    return u.select(
         "id",
         "unit",
         F.explode(
@@ -372,6 +371,27 @@ def embedding_near_dup_pairs(
             )
         ).alias("bb"),
     ).select("id", "unit", "bb.band", "bb.bsig")
+
+
+def embedding_near_dup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    bits: int = 16,
+    bands: int = 4,
+    max_bucket: int = 200,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cos ≥ threshold)
+    via LSH bucketing + exact verification within buckets. Oversize-bucket
+    drops are countable with
+    :func:`cernan_spark.operators.dedup.bucket_drop_stats` over
+    :func:`embedding_banded` (keys ``["band", "bsig"]``)."""
+    banded = embedding_banded(
+        vectors, id_col, vec_col, dim, bits, bands, seed
+    )
     buckets = (
         banded.groupBy("band", "bsig")
         .agg(F.collect_list(F.struct("id", "unit")).alias("m"))

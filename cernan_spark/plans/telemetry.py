@@ -9,7 +9,13 @@ logs, bad, sink counts, wavefront rollup, prometheus), unpivoted to
 (a naive 21-arm union spent more time in per-arm planning/scheduling than
 in data). Metric names match the reference byte-for-byte where the concept
 maps (statsd/graphite packet counts, sink delivery totals, wavefront
-per-kind aggregation counters)."""
+per-kind aggregation counters).
+
+Corpus-side pipelines emit the same (name, value, kind) shape:
+``cernan_spark.operators.dedup.bucket_drop_stats`` produces
+``cernan.dedup.<op>.buckets_dropped`` / ``.members_affected`` series
+(unionByName-compatible with this module's output — the batch analog of
+the reference's hopper-full drop accounting, util.rs:28-68)."""
 
 from __future__ import annotations
 

@@ -280,3 +280,33 @@ def test_ivf_centroid_persistence_and_determinism(spark, tmp_path):
     path2 = str(tmp_path / "ivf_fresh")
     topk(centroids_path=path2)
     assert load_ivf_centroids(spark, path2) == centers
+
+
+def test_embedding_bucket_drop_stats(spark):
+    """The embedding LSH's oversize-bucket cap is countable through the
+    same drop-accounting series as the text dedup operators."""
+    from cernan_spark.operators.dedup import bucket_drop_stats
+    from cernan_spark.operators.similarity import embedding_banded
+
+    e = _emb(spark).limit(200)
+    # duplicate one vector 60× → identical signatures → every band holds
+    # one bucket of ≥61 members
+    hot = e.filter(F.col("vec_id") == 0)
+    fat = e
+    for i in range(1, 61):
+        fat = fat.unionByName(
+            hot.select(
+                (F.col("vec_id") + 100000 + i).alias("vec_id"),
+                "embedding",
+                "label",
+            )
+        )
+    out = {
+        r["name"]: r["value"]
+        for r in bucket_drop_stats(
+            embedding_banded(fat), ["band", "bsig"], max_bucket=50,
+            operator="embedding",
+        ).collect()
+    }
+    assert out["cernan.dedup.embedding.buckets_dropped"] >= 4
+    assert out["cernan.dedup.embedding.members_affected"] >= 4 * 61
