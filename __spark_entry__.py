@@ -843,6 +843,30 @@ def q_minhash_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level boilerplate removal over a seeded composite corpus:
+    every doc gains a corpus-wide footer paragraph and a per-group shared
+    paragraph, so the first owner keeps each and every other copy drops;
+    the rebuilt clean_text must match the SQL replay byte-for-byte
+    (portable paragraph hash, min-of-struct ownership both engines)."""
+    from cernan_spark.operators.dedup import paragraph_dedup
+
+    _utc(spark)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    seeded = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\n\nall rights reserved subscribe to our newsletter"),
+            F.lit("\n\ngroup paragraph number "),
+            (F.col("doc_id") % 7).cast("string"),
+        ).alias("text"),
+    )
+    return paragraph_dedup(seeded, portable=True).select(
+        "doc_id", "n_paras", "n_dup_paras", "clean_text"
+    )
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-scoring operator (stopword/digit ratios + verdict)."""
     from cernan_spark.operators.textstats import quality_scores
@@ -1406,6 +1430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup": q_minhash_dedup,
         "dedup_drop_stats": q_dedup_drop_stats,
         "minhash_resume": q_minhash_resume,
+        "paragraph_dedup": q_paragraph_dedup,
         "native_roundtrip": q_native_roundtrip,
         "avro_roundtrip": q_avro_roundtrip,
         "internal_telemetry": q_internal_telemetry,
@@ -1528,6 +1553,56 @@ WITH seeded AS (
 )
 SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS INTEGER) AS hamming
 FROM pairs WHERE bit_count(xor(fa, fb)) <= {k}
+"""
+
+
+def _paragraph_dedup_oracle_sql() -> str:
+    """DuckDB twin of q_paragraph_dedup: same seeded composite text, same
+    portable paragraph hash, same min-of-struct first-owner rule (struct
+    comparison is lexicographic in both engines), same position-ordered
+    clean_text rebuild."""
+    from cernan_spark.functions.porthash import portable_hash_sql
+
+    sep = "chr(10) || chr(10)"
+    return f"""
+WITH seeded AS (
+  SELECT doc_id,
+         text || {sep} || 'all rights reserved subscribe to our newsletter'
+              || {sep} || 'group paragraph number '
+              || CAST(doc_id % 7 AS VARCHAR) AS text
+  FROM documents
+), paras AS (
+  SELECT doc_id AS id, u.p_idx, u.para
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(string_split(text, {sep}),
+                                 (s, i) -> struct_pack(p_idx := i - 1,
+                                                       para := s))) AS u
+    FROM seeded
+  )
+), hashed AS (
+  SELECT id, p_idx, para, {portable_hash_sql("para")} AS ph FROM paras
+), owners AS (
+  SELECT ph, count(*) AS n_copies,
+         min(struct_pack(d := id, p := p_idx)) AS owner
+  FROM hashed GROUP BY ph
+), flagged AS (
+  SELECT h.id, h.p_idx, h.para,
+         (o.n_copies = 1 OR (o.owner.d = h.id AND o.owner.p = h.p_idx))
+           AS keep
+  FROM hashed h JOIN owners o USING (ph)
+)
+SELECT id AS doc_id,
+       count(*) AS n_paras,
+       CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dup_paras,
+       array_to_string(
+         list_transform(
+           list_filter(
+             list_sort(list(struct_pack(p := p_idx, t := para, k := keep))),
+             x -> x.k),
+           x -> x.t),
+         {sep}) AS clean_text
+FROM flagged GROUP BY id
 """
 
 
@@ -2292,6 +2367,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_drop_stats": _dedup_drop_stats_oracle_sql(),
         # the resumed two-shard run must equal the ONE-PASS replay
         "minhash_resume": _minhash_oracle_sql(),
+        "paragraph_dedup": _paragraph_dedup_oracle_sql(),
         "doc_fingerprint": _doc_fingerprint_oracle_sql(),
         "lang_id": _lang_id_oracle_sql(),
         "embedding_near_dups": _near_dup_oracle_sql(),

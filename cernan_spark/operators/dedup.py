@@ -593,6 +593,63 @@ def simhash_hamming_pairs(
     )
 
 
+def paragraph_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n\n",
+    portable: bool = False,
+) -> DataFrame:
+    """Paragraph-level exact dedup — the standard boilerplate-removal pass
+    for pretraining corpora (repeated footers/headers/navigation blocks
+    recur across millions of pages while their documents are unique).
+    Keeps each distinct paragraph's FIRST occurrence (min (doc, position)
+    owner) and rebuilds every document without its duplicated paragraphs.
+
+    Output: (doc_id, n_paras, n_dup_paras, clean_text).
+
+    Scale shape: paragraphs explode to (doc, pos, hash) rows; ONE
+    map-side-combined groupBy on the paragraph hash finds each
+    paragraph's copy count and first owner (min-of-struct — no window, so
+    a paragraph repeated across half the corpus is a single combine-tree
+    aggregate, not one task's sort); an equi-join on the 8-byte hash
+    flags keepers and a per-doc aggregate stitches the kept paragraphs
+    back in position order. ``portable=True`` swaps xxhash64 for the
+    cross-engine poly-hash so a DuckDB oracle replays the whole pass."""
+    hash_fn = portable_hash if portable else F.xxhash64
+    paras = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("p_idx", "para"),
+    ).withColumn("ph", hash_fn(F.col("para")))
+    owners = paras.groupBy("ph").agg(
+        F.count("*").alias("n_copies"),
+        F.min(F.struct(F.col("id").alias("d"), F.col("p_idx").alias("p"))).alias(
+            "owner"
+        ),
+    )
+    flagged = paras.join(owners, "ph").withColumn(
+        "keep",
+        (F.col("n_copies") == 1)
+        | ((F.col("owner.d") == F.col("id")) & (F.col("owner.p") == F.col("p_idx"))),
+    )
+    kept = F.filter(
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col("p_idx").alias("p"), F.col("para").alias("t"),
+                         F.col("keep").alias("k"))
+            )
+        ),
+        lambda x: x["k"],
+    )
+    return flagged.groupBy("id").agg(
+        F.count("*").alias("n_paras"),
+        F.sum(F.when(~F.col("keep"), 1).otherwise(0)).alias("n_dup_paras"),
+        F.array_join(
+            F.transform(kept, lambda x: x["t"]), sep
+        ).alias("clean_text"),
+    ).withColumnRenamed("id", id_col)
+
+
 def dedup_groups(
     pairs: DataFrame,
     id_a: str = "id_a",

@@ -263,3 +263,32 @@ def test_minhash_resume_equals_one_pass(spark):
     assert run1 | run2 == one_pass
     assert run1 & run2 == set()          # no pair re-emitted
     assert any(b - a == 1_000_000 for a, b, _ in run2)  # cross-shard twins
+
+
+def test_paragraph_dedup_semantics(spark):
+    """Paragraph-level boilerplate removal: the first (doc, position)
+    occurrence of each repeated paragraph survives, later copies drop,
+    unique paragraphs are untouched, and clean_text preserves position
+    order."""
+    from cernan_spark.operators.dedup import paragraph_dedup
+
+    rows = [
+        (1, "alpha body\n\nshared footer\n\nmore alpha"),
+        (2, "beta body\n\nshared footer"),
+        (3, "shared footer\n\ngamma body"),
+        (4, "delta only"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in paragraph_dedup(df).collect()}
+    # doc 1 owns the footer (first occurrence) → keeps everything
+    assert out[1]["n_dup_paras"] == 0
+    assert out[1]["clean_text"] == rows[0][1]
+    # docs 2 and 3 lose their footer copy, keep their own bodies in order
+    assert out[2]["n_dup_paras"] == 1 and out[2]["clean_text"] == "beta body"
+    assert out[3]["n_dup_paras"] == 1 and out[3]["clean_text"] == "gamma body"
+    assert out[4] ["n_dup_paras"] == 0 and out[4]["clean_text"] == "delta only"
+    assert {r["n_paras"] for r in out.values()} == {3, 2, 2, 1}
+    # the portable oracle mode agrees with the xxhash64 scale path
+    port = {r["doc_id"]: r["clean_text"]
+            for r in paragraph_dedup(df, portable=True).collect()}
+    assert port == {k: v["clean_text"] for k, v in out.items()}
