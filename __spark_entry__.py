@@ -867,6 +867,45 @@ def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization (lower, strip control chars, collapse
+    whitespace, trim) over a corpus seeded with mixed case, tabs and
+    padding — norm_text must match the SQL replay byte-for-byte."""
+    from cernan_spark.operators.textstats import normalize_text
+
+    _utc(spark)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    seeded = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("  MiXeD "), F.lit("\t"), F.upper("text"), F.lit("  tail ")
+        ).alias("text"),
+    )
+    return normalize_text(seeded).select("doc_id", "norm_text")
+
+
+def q_url_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain rollup over a URL-seeded corpus: every doc gains one URL on
+    a per-group host and one on a shared CDN host; (host, n_docs,
+    n_mentions) is the table a domain blocklist or per-domain quota joins
+    against."""
+    from cernan_spark.operators.textstats import domain_rollup
+
+    _utc(spark)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    seeded = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" see https://Site"), (F.col("doc_id") % 23).cast("string"),
+            F.lit(".Example.com/page"), F.col("doc_id").cast("string"),
+            F.lit(" and http://cdn.example.org/x"),
+            (F.col("doc_id") % 5).cast("string"),
+        ).alias("text"),
+    )
+    return domain_rollup(seeded).select("host", "n_docs", "n_mentions")
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-scoring operator (stopword/digit ratios + verdict)."""
     from cernan_spark.operators.textstats import quality_scores
@@ -1431,6 +1470,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_drop_stats": q_dedup_drop_stats,
         "minhash_resume": q_minhash_resume,
         "paragraph_dedup": q_paragraph_dedup,
+        "normalize_text": q_normalize_text,
+        "url_domain_stats": q_url_domain_stats,
         "native_roundtrip": q_native_roundtrip,
         "avro_roundtrip": q_avro_roundtrip,
         "internal_telemetry": q_internal_telemetry,
@@ -2368,6 +2409,35 @@ def oracle_sql() -> dict[str, str]:
         # the resumed two-shard run must equal the ONE-PASS replay
         "minhash_resume": _minhash_oracle_sql(),
         "paragraph_dedup": _paragraph_dedup_oracle_sql(),
+        "normalize_text": r"""
+            SELECT doc_id,
+                   trim(regexp_replace(regexp_replace(
+                     lower('  MiXeD ' || chr(9) || upper(text) || '  tail '),
+                     '[\x00-\x1f\x7f]', ' ', 'g'),
+                     '\s+', ' ', 'g')) AS norm_text
+            FROM documents
+        """,
+        "url_domain_stats": r"""
+            WITH seeded AS (
+              SELECT doc_id,
+                     text || ' see https://Site' || CAST(doc_id % 23 AS VARCHAR)
+                          || '.Example.com/page' || CAST(doc_id AS VARCHAR)
+                          || ' and http://cdn.example.org/x'
+                          || CAST(doc_id % 5 AS VARCHAR) AS text
+              FROM documents
+            ), ex AS (
+              SELECT doc_id, lower(u) AS host
+              FROM (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(text,
+                         'https?://([A-Za-z0-9.-]+)[^\s]*', 1)) AS u
+                FROM seeded
+              )
+            )
+            SELECT host, count(DISTINCT doc_id) AS n_docs,
+                   count(*) AS n_mentions
+            FROM ex GROUP BY host
+        """,
         "doc_fingerprint": _doc_fingerprint_oracle_sql(),
         "lang_id": _lang_id_oracle_sql(),
         "embedding_near_dups": _near_dup_oracle_sql(),

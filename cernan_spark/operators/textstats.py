@@ -311,6 +311,62 @@ def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn("redacted", red)
 
 
+def normalize_text(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Canonical text normalization for dedup keys and quality filters:
+    lowercase, strip control characters, collapse runs of whitespace,
+    trim. Adds ``norm_text``. Pure column expressions (one narrow map);
+    the regex subset is shared by Java regex and RE2, so a SQL oracle
+    replays the normalization byte-for-byte. Exact-dedup on ``norm_text``
+    catches case/whitespace variants that byte-level dedup misses."""
+    t = F.col(text_col)
+    norm = F.lower(t)
+    norm = F.regexp_replace(norm, r"[\x00-\x1f\x7f]", " ")
+    norm = F.regexp_replace(norm, r"\s+", " ")
+    return df.withColumn("norm_text", F.trim(norm))
+
+
+#: scheme://host[/path] — the capture group is the host; RE2 ∩ Java syntax
+URL_PATTERN = r"https?://([A-Za-z0-9.-]+)[^\s]*"
+
+
+def url_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document URL accounting for web corpora: how many URLs, how
+    many distinct hosts, and the sorted distinct host list (the input to
+    domain-level filtering/mixing decisions — blocklists, per-domain
+    caps). Column expressions only; a 100 TB pass is a narrow map plus
+    nothing — the per-domain rollup is a separate tiny aggregate on the
+    exploded hosts."""
+    t = F.col(text_col)
+    hosts = F.transform(
+        F.regexp_extract_all(t, F.lit(URL_PATTERN), F.lit(1)), F.lower
+    )
+    return (
+        df.withColumn("n_urls", F.size(F.regexp_extract_all(t, F.lit(URL_PATTERN), F.lit(0))))
+        .withColumn("hosts", F.array_sort(F.array_distinct(hosts)))
+        .withColumn("n_hosts", F.size("hosts"))
+    )
+
+
+def domain_rollup(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(host, n_docs, n_mentions) across the corpus — the table a
+    domain-blocklist or per-domain quota joins against. One explode of
+    the raw (non-distinct) host matches plus one map-side-combined
+    aggregate on the host string."""
+    hosts = F.transform(
+        F.regexp_extract_all(
+            F.col(text_col), F.lit(URL_PATTERN), F.lit(1)
+        ),
+        F.lower,
+    )
+    ex = docs.select(F.col(id_col), F.explode(hosts).alias("host"))
+    return ex.groupBy("host").agg(
+        F.countDistinct(id_col).alias("n_docs"),
+        F.count("*").alias("n_mentions"),
+    )
+
+
 def sample_to_token_budget(
     docs: DataFrame,
     budget: int,

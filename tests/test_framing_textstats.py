@@ -279,3 +279,27 @@ def test_pii_extended_categories_adversarial(spark):
     # shape match without a valid check digit: counted, redacted, not luhn
     assert out[4]["n_ccard"] == 1 and out[4]["n_ccard_luhn"] == 0
     assert out[5]["n_ccard_luhn"] == 1
+
+
+def test_normalize_and_url_stats(spark):
+    from cernan_spark.operators.textstats import (
+        domain_rollup,
+        normalize_text,
+        url_stats,
+    )
+
+    rows = [
+        (1, "  Hello\t WORLD \x01 again  "),
+        (2, "links https://A.example.com/x?q=1 http://b.org/y https://a.example.COM/z"),
+        (3, "no urls here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    norm = {r["doc_id"]: r["norm_text"] for r in normalize_text(df).collect()}
+    assert norm[1] == "hello world again"
+    u = {r["doc_id"]: r for r in url_stats(df).collect()}
+    assert u[2]["n_urls"] == 3 and u[2]["n_hosts"] == 2
+    assert u[2]["hosts"] == ["a.example.com", "b.org"]
+    assert u[3]["n_urls"] == 0 and u[3]["hosts"] == []
+    roll = {r["host"]: (r["n_docs"], r["n_mentions"])
+            for r in domain_rollup(df).collect()}
+    assert roll["a.example.com"] == (1, 2) and roll["b.org"] == (1, 1)
