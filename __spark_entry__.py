@@ -843,6 +843,65 @@ def q_minhash_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-ingest exact dedup gate: the documents corpus (plus
+    seeded cross-batch duplicate twins) flows through the REAL readStream
+    micro-batch path — three pinned-mtime files, availableNow — and the
+    stateful first-seen fold's emitted canon must equal the batch
+    group-min the oracle computes (each distinct text exactly once, owned
+    by its minimum doc_id, duplicates arriving in LATER micro-batches
+    absorbed into state and never emitted)."""
+    _utc(spark)
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from cernan_spark.streaming.pipeline import streaming_exact_dedup
+
+    d0 = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    # twins of docs 0..49 arrive with HIGH ids (land in the last batch) —
+    # cross-batch duplicates the state must absorb
+    twins = d0.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    corpus = d0.unionByName(twins)
+    tmp = tempfile.mkdtemp(prefix="stream_dedup_")
+    qname = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    try:
+        stamped: list[str] = []
+        n = d0.count()
+        cuts = [(0, n // 2), (n // 2, 1_000_000), (1_000_000, 1 << 60)]
+        for i, (lo, hi) in enumerate(cuts):
+            corpus.filter(
+                (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+            ).coalesce(1).write.mode("append").parquet(tmp)
+            for f in glob.glob(f"{tmp}/part-*.parquet"):
+                if f not in stamped:
+                    os.utime(f, (1_700_000_000 + i, 1_700_000_000 + i))
+                    stamped.append(f)
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(tmp)
+        )
+        q = (
+            streaming_exact_dedup(stream, portable=True)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName(qname)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.table(qname).select("content_hash", "doc_id")
+
+
 def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Paragraph-level boilerplate removal over a seeded composite corpus:
     every doc gains a corpus-wide footer paragraph and a per-group shared
@@ -1471,6 +1530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_resume": q_minhash_resume,
         "paragraph_dedup": q_paragraph_dedup,
         "normalize_text": q_normalize_text,
+        "streaming_dedup": q_streaming_dedup,
         "url_domain_stats": q_url_domain_stats,
         "native_roundtrip": q_native_roundtrip,
         "avro_roundtrip": q_avro_roundtrip,
@@ -1594,6 +1654,24 @@ WITH seeded AS (
 )
 SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS INTEGER) AS hamming
 FROM pairs WHERE bit_count(xor(fa, fb)) <= {k}
+"""
+
+
+def _streaming_dedup_oracle_sql() -> str:
+    """Batch replay of q_streaming_dedup: the emitted first-seen canon
+    must equal group-by-portable-hash → min(doc_id) over the same seeded
+    corpus (arrival order is ascending id ranges, so first-seen = min)."""
+    from cernan_spark.functions.porthash import portable_hash_sql
+
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 50
+)
+SELECT {portable_hash_sql("text")} AS content_hash,
+       min(doc_id) AS doc_id
+FROM corpus GROUP BY 1
 """
 
 
@@ -2409,6 +2487,7 @@ def oracle_sql() -> dict[str, str]:
         # the resumed two-shard run must equal the ONE-PASS replay
         "minhash_resume": _minhash_oracle_sql(),
         "paragraph_dedup": _paragraph_dedup_oracle_sql(),
+        "streaming_dedup": _streaming_dedup_oracle_sql(),
         "normalize_text": r"""
             SELECT doc_id,
                    trim(regexp_replace(regexp_replace(

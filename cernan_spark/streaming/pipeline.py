@@ -122,6 +122,71 @@ def _gauge_fold(
     )
 
 
+# ---------------------------------------------------------------------------
+# stateful exact dedup: first-seen-wins across micro-batches
+# ---------------------------------------------------------------------------
+
+DEDUP_OUTPUT_SCHEMA = "content_hash long, doc_id long"
+DEDUP_STATE_SCHEMA = "first_doc long, n_seen long"
+
+
+def _dedup_first_seen(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-content-hash first-seen fold: the first document carrying this
+    hash (min doc_id within its arrival batch) is emitted ONCE; every
+    later arrival only bumps the state's duplicate count. The streaming
+    twin of batch exact dedup (groupBy hash → min(doc_id))."""
+    first_doc, n_seen = state.get if state.exists else (None, 0)
+    emit_first = first_doc is None
+    for pdf in pdfs:
+        for d in sorted(pdf["doc_id"]):
+            if first_doc is None:
+                first_doc = int(d)
+            n_seen += 1
+    state.update((first_doc, n_seen))
+    if emit_first and first_doc is not None:
+        yield pd.DataFrame({"content_hash": [key[0]], "doc_id": [first_doc]})
+    else:
+        yield pd.DataFrame({"content_hash": [], "doc_id": []}).astype(
+            {"content_hash": "int64", "doc_id": "int64"}
+        )
+
+
+def streaming_exact_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    portable: bool = False,
+) -> DataFrame:
+    """Incremental exact dedup over a document stream: content-hash keyed
+    `applyInPandasWithState` emits each distinct text's first carrier
+    exactly once across ALL micro-batches — the streaming-ingest shape of
+    corpus dedup (a doc arriving in batch 9 that duplicates batch 2's
+    content is silently absorbed into state, never emitted). The per-group
+    Python fold sees only the few rows per hash per batch; hashing stays
+    JVM-side. ``portable=True`` swaps xxhash64 for the cross-engine
+    poly-hash so a DuckDB oracle can replay the emitted canon."""
+    if portable:
+        from cernan_spark.functions.porthash import portable_hash
+
+        h = portable_hash(F.col(text_col))
+    else:
+        h = F.xxhash64(F.col(text_col))
+    hashed = docs.select(
+        h.alias("content_hash"), F.col(id_col).alias("doc_id")
+    )
+    return hashed.groupBy("content_hash").applyInPandasWithState(
+        _dedup_first_seen,
+        DEDUP_OUTPUT_SCHEMA,
+        DEDUP_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def streaming_gauge(parsed: DataFrame) -> DataFrame:
     """Persisted-gauge running value per series, updated every micro-batch
     (update output mode). The per-group pandas fold is tiny (gauges per

@@ -246,3 +246,63 @@ def test_batch_streaming_gauge_equivalence(spark, tmp_path):
     }
     assert len(stream_final) == 10
     assert stream_final == batch_final
+
+
+def test_streaming_exact_dedup_first_seen(spark, tmp_path):
+    """Streaming dedup gate: across THREE pinned-order micro-batches with
+    duplicates inside a batch AND across batches, the stateful fold emits
+    exactly the batch dedup canon (content hash → min doc_id of its first
+    arrival batch), each distinct text exactly once."""
+    import glob
+    import os
+    import uuid
+
+    from cernan_spark.streaming.pipeline import streaming_exact_dedup
+
+    texts = [f"document body {i % 8}" for i in range(60)]  # 8 distinct
+    rows = [(i, texts[i]) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    d = str(tmp_path / "dedup_stream")
+    stamped: set[str] = set()
+    for part in range(3):
+        df.filter(
+            (F.col("doc_id") >= part * 20) & (F.col("doc_id") < (part + 1) * 20)
+        ).coalesce(1).write.mode("append").parquet(d)
+        for f in glob.glob(f"{d}/part-*.parquet"):
+            if f not in stamped:
+                os.utime(f, (1_700_000_000 + part, 1_700_000_000 + part))
+                stamped.add(f)
+
+    qname = f"dedup_{uuid.uuid4().hex[:8]}"
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    q = (
+        streaming_exact_dedup(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(qname)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = {
+        (r["content_hash"], r["doc_id"])
+        for r in spark.sql(f"SELECT * FROM {qname}").collect()
+    }
+    # batch canon: every distinct text's minimum doc_id — which here is
+    # also each hash's first-batch arrival since ids increase with batches
+    batch = {
+        (r["content_hash"], r["doc_id"])
+        for r in df.select(
+            F.xxhash64("text").alias("content_hash"), "doc_id"
+        )
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .collect()
+    }
+    assert streamed == batch
+    assert len(streamed) == 8  # each distinct text emitted exactly once
