@@ -1,10 +1,15 @@
 """spark-submit entry point: the full parse→enrich→route→aggregate job.
 
-    spark-submit --py-files cernan_spark.zip jobs/run_pipeline_job.py \
+    spark-submit --driver-memory 8g --py-files cernan_spark.zip \
+        jobs/run_pipeline_job.py \
         --input /path/to/transcripts_parquet \
         --output /path/to/sinks_out \
         --lineage /path/to/lineage \
         --bin-width 60
+
+(--driver-memory matters: under spark-submit the driver JVM pre-exists,
+so the session builder's spark.driver.memory is ignored; the job warns
+if the heap came up small.)
 
 Resumable: re-running with the same --lineage path skips partitions that
 already committed (plans/checkpoint.py). Per-partition lineage + throughput
@@ -38,6 +43,19 @@ def main(argv: list[str] | None = None) -> int:
     from cernan_spark.plans.sinks import write_sinks
 
     spark = get_spark(app_name="cernan_spark_pipeline", cpus=args.cpus)
+
+    # under spark-submit the driver JVM already exists, so the session
+    # builder's spark.driver.memory is silently ignored — a 1 g default
+    # heap OOMs this pipeline in local mode. Fail fast with the fix
+    # instead of dying mid-job with java.lang.OutOfMemoryError.
+    max_heap = int(spark._jvm.Runtime.getRuntime().maxMemory())
+    if max_heap < 2 * 1024**3:
+        print(
+            f"WARNING: driver heap is {max_heap / 1024**3:.1f} GiB — the "
+            "session builder cannot raise it under spark-submit. Pass "
+            "--driver-memory 8g (or more) on the spark-submit command line.",
+            file=sys.stderr,
+        )
 
     # topology validation at job start, like the reference's config check
     # (cernan.rs:406-420: a dangling forward aborts before any work)
