@@ -902,6 +902,29 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(qname).select("content_hash", "doc_id")
 
 
+def q_span_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact long-span overlap detection: every doc gains a 16-token
+    verbatim block shared by its (doc_id % 200) group — licence-block /
+    boilerplate reuse inside otherwise-distinct documents. Each
+    intra-group pair must surface with exactly its shared complete-span
+    count; the oracle replays the token-hash span combine, the bucket
+    cap and the pair rollup."""
+    from cernan_spark.operators.dedup import span_overlap_pairs
+
+    _utc(spark)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    grp = (F.col("doc_id") % 200).cast("string")
+    span = F.concat_ws(
+        " ", *[F.concat(F.lit(f"sp{j}x"), grp) for j in range(16)]
+    )
+    seeded = d.select(
+        "doc_id", F.concat("text", F.lit(" "), span).alias("text")
+    )
+    return span_overlap_pairs(seeded, span_tokens=16, portable=True).select(
+        "id_a", "id_b", "n_shared_spans"
+    )
+
+
 def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Paragraph-level boilerplate removal over a seeded composite corpus:
     every doc gains a corpus-wide footer paragraph and a per-group shared
@@ -1531,6 +1554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup": q_paragraph_dedup,
         "normalize_text": q_normalize_text,
         "streaming_dedup": q_streaming_dedup,
+        "span_overlap": q_span_overlap,
         "url_domain_stats": q_url_domain_stats,
         "native_roundtrip": q_native_roundtrip,
         "avro_roundtrip": q_avro_roundtrip,
@@ -1654,6 +1678,50 @@ WITH seeded AS (
 )
 SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS INTEGER) AS hamming
 FROM pairs WHERE bit_count(xor(fa, fb)) <= {k}
+"""
+
+
+def _span_overlap_oracle_sql(
+    span_tokens: int = 16, max_bucket: int = 50
+) -> str:
+    """DuckDB twin of q_span_overlap: same seeded group block, same
+    token poly-hash and polynomial span combine (shared with the minhash
+    oracle), same bucket cap and pair rollup."""
+    from cernan_spark.functions.porthash import portable_hash_sql
+
+    n = span_tokens
+    span = " || ' ' || ".join(f"'sp{j}x' || gs" for j in range(n))
+    combine = (
+        "(" * (n - 1)
+        + "th[i]"
+        + "".join(f" * 1000003 + th[i+{k}]) % 2147483647" for k in range(1, n))
+    )
+    return f"""
+WITH g AS (
+  SELECT doc_id, CAST(doc_id % 200 AS VARCHAR) AS gs, text FROM documents
+), seeded AS (
+  SELECT doc_id AS id, text || ' ' || {span} AS text FROM g
+), tokh AS (
+  SELECT id,
+         list_transform(string_split_regex(text, '\\s+'),
+                        t -> {portable_hash_sql("t")}) AS th
+  FROM seeded
+), sh AS (
+  SELECT id,
+         list_distinct(list_transform(
+           range(1, greatest(len(th) - {n - 1}, 0) + 1),
+           i -> {combine})) AS hs
+  FROM tokh
+), ex AS (
+  SELECT id, unnest(hs) AS shash FROM sh
+), bs AS (
+  SELECT shash, count(*) AS bn FROM ex GROUP BY shash
+)
+SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_shared_spans
+FROM ex a
+JOIN ex b ON a.shash = b.shash AND a.id < b.id
+JOIN bs ON bs.shash = a.shash AND bs.bn > 1 AND bs.bn <= {max_bucket}
+GROUP BY 1, 2
 """
 
 
@@ -2488,6 +2556,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_resume": _minhash_oracle_sql(),
         "paragraph_dedup": _paragraph_dedup_oracle_sql(),
         "streaming_dedup": _streaming_dedup_oracle_sql(),
+        "span_overlap": _span_overlap_oracle_sql(),
         "normalize_text": r"""
             SELECT doc_id,
                    trim(regexp_replace(regexp_replace(

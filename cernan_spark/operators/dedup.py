@@ -593,6 +593,64 @@ def simhash_hamming_pairs(
     )
 
 
+def span_overlap_pairs(
+    docs: DataFrame,
+    span_tokens: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket: int = 50,
+    portable: bool = False,
+) -> DataFrame:
+    """Exact long-span overlap pairs: documents sharing at least one
+    identical ``span_tokens``-token run (the substring-level dedup signal
+    from published LLM data work — boilerplate quotes and licence blocks
+    recur verbatim inside otherwise-distinct documents that Jaccard-level
+    near-dup never flags).
+
+    Output: (id_a, id_b, n_shared_spans) for id_a < id_b.
+
+    Scale shape: spans never materialize as strings — the token-hash
+    polynomial combine (:func:`with_shingle_hashes`) makes each span an
+    int64; ONE groupBy on the span hash builds bounded buckets (cap +
+    :func:`bucket_drop_stats`-able, like the LSH operators) and the pair
+    count is a second tiny aggregate over exploded bucket pairs.
+    ``portable=True`` lets the DuckDB oracle replay every hash."""
+    hashed = with_shingle_hashes(
+        docs.select(F.col(id_col).alias("id"), text_col),
+        text_col,
+        span_tokens,
+        portable=portable,
+    )
+    ex = hashed.select("id", F.explode("_h").alias("sh"))
+    buckets = (
+        ex.groupBy("sh")
+        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.filter(
+                F.flatten(
+                    F.transform(
+                        F.col("ids"),
+                        lambda a: F.transform(
+                            F.col("ids"),
+                            lambda b: F.when(
+                                a < b,
+                                F.struct(a.alias("id_a"), b.alias("id_b")),
+                            ),
+                        ),
+                    )
+                ),
+                lambda p: p.isNotNull(),
+            )
+        ).alias("p")
+    ).select("p.id_a", "p.id_b")
+    return pairs.groupBy("id_a", "id_b").agg(
+        F.count("*").alias("n_shared_spans")
+    )
+
+
 def paragraph_dedup(
     docs: DataFrame,
     text_col: str = "text",

@@ -292,3 +292,32 @@ def test_paragraph_dedup_semantics(spark):
     port = {r["doc_id"]: r["clean_text"]
             for r in paragraph_dedup(df, portable=True).collect()}
     assert port == {k: v["clean_text"] for k, v in out.items()}
+
+
+def test_span_overlap_pairs(spark):
+    """Docs sharing a verbatim k-token block pair up with the complete-span
+    count; shorter shared runs and distinct docs never match."""
+    from cernan_spark.operators.dedup import span_overlap_pairs
+
+    block = " ".join(f"lic{j}" for j in range(8))
+    rows = [
+        (1, "alpha text here " + block),
+        (2, "totally different body " + block),
+        (3, "shares only a short run lic0 lic1 lic2 plus own words"),
+        (4, "nothing in common at all right"),
+        # 9 shared tokens → two complete 8-token spans with doc 1 and 2
+        (5, "prefix " + block + " lic0tail" ),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["n_shared_spans"]
+        for r in span_overlap_pairs(df, span_tokens=8).collect()
+    }
+    assert got[(1, 2)] == 1 and got[(1, 5)] == 1 and got[(2, 5)] == 1
+    assert not any(3 in k or 4 in k for k in got)
+    # portable mode agrees
+    port = {
+        (r["id_a"], r["id_b"]): r["n_shared_spans"]
+        for r in span_overlap_pairs(df, span_tokens=8, portable=True).collect()
+    }
+    assert port == got
