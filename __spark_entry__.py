@@ -1782,13 +1782,15 @@ WITH seeded AS (
 SELECT id AS doc_id,
        count(*) AS n_paras,
        CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dup_paras,
-       array_to_string(
+       coalesce(array_to_string(
          list_transform(
            list_filter(
              list_sort(list(struct_pack(p := p_idx, t := para, k := keep))),
              x -> x.k),
            x -> x.t),
-         {sep}) AS clean_text
+         {sep}), '') AS clean_text
+       -- coalesce: DuckDB array_to_string([]) is NULL, Spark array_join([])
+       -- is '' — a doc whose every paragraph is a duplicate hits this
 FROM flagged GROUP BY id
 """
 

@@ -277,6 +277,8 @@ def test_paragraph_dedup_semantics(spark):
         (2, "beta body\n\nshared footer"),
         (3, "shared footer\n\ngamma body"),
         (4, "delta only"),
+        # every paragraph a duplicate → clean_text must be '' (not null)
+        (5, "alpha body\n\nshared footer"),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = {r["doc_id"]: r for r in paragraph_dedup(df).collect()}
@@ -287,6 +289,7 @@ def test_paragraph_dedup_semantics(spark):
     assert out[2]["n_dup_paras"] == 1 and out[2]["clean_text"] == "beta body"
     assert out[3]["n_dup_paras"] == 1 and out[3]["clean_text"] == "gamma body"
     assert out[4] ["n_dup_paras"] == 0 and out[4]["clean_text"] == "delta only"
+    assert out[5]["n_dup_paras"] == 2 and out[5]["clean_text"] == ""
     assert {r["n_paras"] for r in out.values()} == {3, 2, 2, 1}
     # the portable oracle mode agrees with the xxhash64 scale path
     port = {r["doc_id"]: r["clean_text"]
