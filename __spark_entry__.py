@@ -360,6 +360,58 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite corpus build, round-4 edition: paragraph-level
+    boilerplate removal (seeded shared footer + group paragraphs) →
+    text normalization → exact dedup on the NORMALIZED clean text →
+    language ID → per-language rollup with dropped-paragraph accounting.
+    Five independently-oracled operators chained into one plan, replayed
+    end-to-end by a single DuckDB query."""
+    from cernan_spark.operators.dedup import paragraph_dedup
+    from cernan_spark.operators.textstats import (
+        lang_id,
+        normalize_text,
+        token_stats,
+    )
+
+    _utc(spark)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    seeded = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\n\nall rights reserved subscribe to our newsletter"),
+            F.lit("\n\ngroup paragraph number "),
+            (F.col("doc_id") % 7).cast("string"),
+        ).alias("text"),
+    )
+    cleaned = paragraph_dedup(seeded, portable=True)
+    normed = normalize_text(
+        cleaned.select("doc_id", "n_dup_paras",
+                       F.col("clean_text").alias("text"))
+    )
+    w = W.partitionBy("norm_text").orderBy("doc_id")
+    uniq = (
+        normed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    enriched = token_stats(
+        lang_id(
+            uniq.select(
+                "doc_id", F.col("norm_text").alias("text"), "n_dup_paras"
+            )
+        )
+    )
+    return enriched.groupBy("lang_pred").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("n_tokens").cast("long")).alias("total_tokens"),
+        F.sum(F.col("n_dup_paras").cast("long")).alias(
+            "total_dropped_paras"
+        ),
+    )
+
+
 def q_console_sections(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Console sink per-kind sections with min/max/50/90/99/999 summaries
     (console.rs:100-195). Values pre-rounded to 4 decimals on both engines
@@ -1555,6 +1607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_text": q_normalize_text,
         "streaming_dedup": q_streaming_dedup,
         "span_overlap": q_span_overlap,
+        "corpus_pipeline_v2": q_corpus_pipeline_v2,
         "url_domain_stats": q_url_domain_stats,
         "native_roundtrip": q_native_roundtrip,
         "avro_roundtrip": q_avro_roundtrip,
@@ -1722,6 +1775,98 @@ FROM ex a
 JOIN ex b ON a.shash = b.shash AND a.id < b.id
 JOIN bs ON bs.shash = a.shash AND bs.bn > 1 AND bs.bn <= {max_bucket}
 GROUP BY 1, 2
+"""
+
+
+def _corpus_pipeline_v2_oracle_sql() -> str:
+    """End-to-end DuckDB replay of q_corpus_pipeline_v2: the paragraph
+    ownership CTEs (shared with the paragraph_dedup oracle), the
+    normalization chain, string-equality dedup with min-doc_id winner,
+    the generated language-ID CASE, and the final per-language rollup."""
+    from cernan_spark.functions.porthash import portable_hash_sql
+    from cernan_spark.operators.textstats import LANG_STOPWORDS
+
+    sep = "chr(10) || chr(10)"
+    scores = ",\n    ".join(
+        f"len(list_filter(toks, x -> list_contains({words!r}, x))) * 1.0"
+        f" / greatest(len(toks), 1) AS s_{lang}"
+        for lang, words in LANG_STOPWORDS.items()
+    )
+    langs = list(LANG_STOPWORDS)
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    case = " ".join(f"WHEN s_{lang} = best THEN '{lang}'" for lang in langs)
+    return f"""
+WITH seeded AS (
+  SELECT doc_id,
+         text || {sep} || 'all rights reserved subscribe to our newsletter'
+              || {sep} || 'group paragraph number '
+              || CAST(doc_id % 7 AS VARCHAR) AS text
+  FROM documents
+), paras AS (
+  SELECT doc_id AS id, u.p_idx, u.para
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(string_split(text, {sep}),
+                                 (s, i) -> struct_pack(p_idx := i - 1,
+                                                       para := s))) AS u
+    FROM seeded
+  )
+), hashed AS (
+  SELECT id, p_idx, para, {portable_hash_sql("para")} AS ph FROM paras
+), owners AS (
+  SELECT ph, count(*) AS n_copies,
+         min(struct_pack(d := id, p := p_idx)) AS owner
+  FROM hashed GROUP BY ph
+), flagged AS (
+  SELECT h.id, h.p_idx, h.para,
+         (o.n_copies = 1 OR (o.owner.d = h.id AND o.owner.p = h.p_idx))
+           AS keep
+  FROM hashed h JOIN owners o USING (ph)
+), docs2 AS (
+  SELECT id AS doc_id,
+         CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
+           AS n_dup_paras,
+         coalesce(array_to_string(
+           list_transform(
+             list_filter(
+               list_sort(list(struct_pack(p := p_idx, t := para,
+                                          k := keep))),
+               x -> x.k),
+             x -> x.t),
+           {sep}), '') AS clean_text
+  FROM flagged GROUP BY id
+), normed AS (
+  SELECT doc_id, n_dup_paras,
+         trim(regexp_replace(regexp_replace(lower(clean_text),
+           '[\\x00-\\x1f\\x7f]', ' ', 'g'), '\\s+', ' ', 'g')) AS norm_text
+  FROM docs2
+), uniq AS (
+  SELECT doc_id, n_dup_paras, norm_text FROM (
+    SELECT *, row_number() OVER (PARTITION BY norm_text ORDER BY doc_id)
+      AS rn
+    FROM normed
+  ) WHERE rn = 1
+), t AS (
+  SELECT doc_id, n_dup_paras,
+         list_transform(string_split_regex(norm_text, '\\s+'),
+                        x -> lower(x)) AS toks,
+         len(string_split_regex(norm_text, '\\s+')) AS n_tokens
+  FROM uniq
+), s AS (
+  SELECT doc_id, n_dup_paras, n_tokens,
+    {scores}
+  FROM t
+), b AS (
+  SELECT *, {best} AS best FROM s
+), lang AS (
+  SELECT doc_id, n_dup_paras, CAST(n_tokens AS BIGINT) AS n_tokens,
+         CASE WHEN best <= 0 THEN 'und' {case} ELSE 'und' END AS lang_pred
+  FROM b
+)
+SELECT lang_pred, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum(n_dup_paras) AS BIGINT) AS total_dropped_paras
+FROM lang GROUP BY lang_pred
 """
 
 
@@ -2559,6 +2704,7 @@ def oracle_sql() -> dict[str, str]:
         "paragraph_dedup": _paragraph_dedup_oracle_sql(),
         "streaming_dedup": _streaming_dedup_oracle_sql(),
         "span_overlap": _span_overlap_oracle_sql(),
+        "corpus_pipeline_v2": _corpus_pipeline_v2_oracle_sql(),
         "normalize_text": r"""
             SELECT doc_id,
                    trim(regexp_replace(regexp_replace(
