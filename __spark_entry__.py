@@ -1040,6 +1040,29 @@ def q_url_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_rollup(seeded).select("host", "n_docs", "n_mentions")
 
 
+def q_multi_signal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-signal dedup resolution — the real corpus-build shape:
+    candidate pairs from TWO independent generators (MinHash banding and
+    SimHash hamming-radius chunks) over the twin-seeded corpus union into
+    one edge set, and connected components collapse every transitive
+    cluster to its min doc_id. The oracle replays both generators
+    bit-for-bit (portable hashes) and resolves components with a
+    recursive CTE."""
+    from cernan_spark.operators.dedup import (
+        dedup_groups,
+        minhash_lsh_candidates,
+        seed_text_near_dups,
+        simhash_hamming_pairs,
+    )
+
+    _utc(spark)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    seeded = seed_text_near_dups(d, n_seed=30)
+    mh = minhash_lsh_candidates(seeded, portable=True).select("id_a", "id_b")
+    sh = simhash_hamming_pairs(seeded, portable=True).select("id_a", "id_b")
+    return dedup_groups(mh.unionByName(sh))
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-scoring operator (stopword/digit ratios + verdict)."""
     from cernan_spark.operators.textstats import quality_scores
@@ -1608,6 +1631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup": q_streaming_dedup,
         "span_overlap": q_span_overlap,
         "corpus_pipeline_v2": q_corpus_pipeline_v2,
+        "multi_signal_dedup": q_multi_signal_dedup,
         "url_domain_stats": q_url_domain_stats,
         "native_roundtrip": q_native_roundtrip,
         "avro_roundtrip": q_avro_roundtrip,
@@ -1775,6 +1799,111 @@ FROM ex a
 JOIN ex b ON a.shash = b.shash AND a.id < b.id
 JOIN bs ON bs.shash = a.shash AND bs.bn > 1 AND bs.bn <= {max_bucket}
 GROUP BY 1, 2
+"""
+
+
+def _multi_signal_dedup_oracle_sql(
+    n_seed: int = 30,
+    id_offset: int = 1_000_000,
+    suffix: str = " zq",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    mh_cap: int = 50,
+    k: int = 3,
+    n_chunks: int = 4,
+    sh_cap: int = 100,
+) -> str:
+    """DuckDB twin of q_multi_signal_dedup: the minhash AND simhash pair
+    generators replayed over the same seeded corpus (the CTE bodies mirror
+    _minhash_oracle_sql / _simhash_oracle_sql), edges unioned both ways,
+    components resolved by the recursive reachability walk."""
+    from cernan_spark.functions.porthash import portable_hash_sql
+    from cernan_spark.operators.dedup import _perm_coeffs, simhash_chunk_layout
+
+    rpb = num_hashes // bands
+    perms = ", ".join(
+        f"list_min(list_transform(hs, h -> (h * {a} + {b}) % 2147483647))"
+        for a, b in _perm_coeffs(num_hashes)
+    )
+    mbanded = "\n  UNION ALL ".join(
+        f"SELECT id, {b} AS band, "
+        + " || '_' || ".join(
+            f"CAST(sig[{b * rpb + r + 1}] AS VARCHAR)" for r in range(rpb)
+        )
+        + " AS bkey FROM msigs"
+        for b in range(bands)
+    )
+    bits = 31
+    fp_terms = " + ".join(
+        f"CASE WHEN 2 * len(list_filter(dhs, h -> ((h >> {b}) & 1) = 1)) "
+        f"> len(dhs) THEN CAST({1 << b} AS BIGINT) ELSE 0 END"
+        for b in range(bits)
+    )
+    chunked = "\n  UNION ALL ".join(
+        f"SELECT id, fp, {i} AS chunk, (fp >> {off}) & {(1 << w) - 1} AS cval FROM sfp"
+        for i, (off, w) in enumerate(simhash_chunk_layout(bits, n_chunks))
+    )
+    return f"""
+WITH RECURSIVE seeded AS (
+  SELECT doc_id AS id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {id_offset} AS id, text || '{suffix}' AS text
+  FROM documents WHERE doc_id < {n_seed}
+), mtokh AS (
+  SELECT id,
+         list_transform(string_split_regex(text, '\\s+'),
+                        t -> {portable_hash_sql("t")}) AS th
+  FROM seeded
+), msh AS (
+  SELECT id,
+         list_distinct(list_transform(
+           range(1, greatest(len(th) - {shingle_n - 1}, 0) + 1),
+           i -> {"(" * (shingle_n - 1)}th[i]{"".join(f" * 1000003 + th[i+{j}]) % 2147483647" for j in range(1, shingle_n))})) AS hs
+  FROM mtokh
+), msigs AS (
+  SELECT id, [{perms}] AS sig FROM msh WHERE len(hs) > 0
+), mbanded AS (
+  {mbanded}
+), mbsz AS (
+  SELECT band, bkey, count(*) AS n FROM mbanded GROUP BY 1, 2
+), mpairs AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM mbanded a
+  JOIN mbanded b ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id
+  JOIN mbsz s ON s.band = a.band AND s.bkey = a.bkey
+            AND s.n > 1 AND s.n <= {mh_cap}
+), stokh AS (
+  SELECT id,
+         list_transform(list_distinct(string_split_regex(text, '\\s+')),
+                        t -> {portable_hash_sql("t")}) AS dhs
+  FROM seeded
+), sfp AS (
+  SELECT id, ({fp_terms}) AS fp FROM stokh
+), sch AS (
+  {chunked}
+), sbsz AS (
+  SELECT chunk, cval, count(*) AS n FROM sch GROUP BY 1, 2
+), spairs AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM sch a
+  JOIN sch b ON a.chunk = b.chunk AND a.cval = b.cval AND a.id < b.id
+  JOIN sbsz s ON s.chunk = a.chunk AND s.cval = a.cval
+            AND s.n > 1 AND s.n <= {sh_cap}
+  WHERE bit_count(xor(a.fp, b.fp)) <= {k}
+), p AS (
+  SELECT id_a, id_b FROM mpairs UNION SELECT id_a, id_b FROM spairs
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM p
+  UNION SELECT id_b, id_a FROM p
+), nodes AS (
+  SELECT DISTINCT src AS id FROM edges
+), walk(id, label) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.src, w.label FROM edges e JOIN walk w ON w.id = e.dst
+)
+SELECT id, min(label) AS canonical_id FROM walk GROUP BY id
 """
 
 
@@ -2705,6 +2834,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_dedup": _streaming_dedup_oracle_sql(),
         "span_overlap": _span_overlap_oracle_sql(),
         "corpus_pipeline_v2": _corpus_pipeline_v2_oracle_sql(),
+        "multi_signal_dedup": _multi_signal_dedup_oracle_sql(),
         "normalize_text": r"""
             SELECT doc_id,
                    trim(regexp_replace(regexp_replace(
