@@ -227,3 +227,130 @@ def test_avro_nested_schema_roundtrip_property(data):
     assert out["err"] is None and out["decoded"], out["err"]
     assert out["records"] == [_jsonable(r) for r in recs]
     assert out["n_records"] == len(recs)
+
+
+def test_paragraph_dedup_matches_python_model(spark):
+    """Random paragraph compositions from a small vocabulary (duplicates
+    abundant): the Spark operator must match a pure-Python model of the
+    first-owner rule — copy counts, kept positions, rebuilt clean text."""
+    import random
+
+    from cernan_spark.operators.dedup import paragraph_dedup
+
+    rng = random.Random(77)
+    vocab = [f"para body {i} words here" for i in range(12)]
+    docs = []
+    for d in range(150):
+        n = rng.randint(1, 5)
+        docs.append((d, [rng.choice(vocab) for _ in range(n)]))
+
+    # python model
+    owner: dict[str, tuple[int, int]] = {}
+    copies: dict[str, int] = {}
+    for d, paras in docs:
+        for p, para in enumerate(paras):
+            copies[para] = copies.get(para, 0) + 1
+            if para not in owner or (d, p) < owner[para]:
+                owner[para] = (d, p)
+    want = {}
+    for d, paras in docs:
+        kept = [
+            para
+            for p, para in enumerate(paras)
+            if copies[para] == 1 or owner[para] == (d, p)
+        ]
+        n_dup = len(paras) - len(kept)
+        want[d] = (len(paras), n_dup, "\n\n".join(kept))
+
+    df = spark.createDataFrame(
+        [(d, "\n\n".join(paras)) for d, paras in docs],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_paras"], r["n_dup_paras"], r["clean_text"])
+        for r in paragraph_dedup(df).collect()
+    }
+    assert got == want
+
+
+def test_span_overlap_matches_python_model(spark):
+    """Random token streams over a tiny vocabulary: pair-wise shared
+    complete-span counts from the Spark operator equal the brute-force
+    Python model (distinct k-gram sets, oversize buckets dropped)."""
+    import random
+    from itertools import combinations
+
+    from cernan_spark.operators.dedup import span_overlap_pairs
+
+    rng = random.Random(88)
+    k, cap = 3, 10
+    docs = [
+        (d, [rng.choice("abcdefg") for _ in range(rng.randint(3, 14))])
+        for d in range(60)
+    ]
+
+    spans = {
+        d: {tuple(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+        for d, toks in docs
+    }
+    # bucket cap: spans carried by more than `cap` docs drop entirely
+    carriers: dict[tuple, int] = {}
+    for s in spans.values():
+        for g in s:
+            carriers[g] = carriers.get(g, 0) + 1
+    want = {}
+    for a, b in combinations(range(60), 2):
+        n = len(
+            {g for g in spans[a] & spans[b] if 1 < carriers[g] <= cap}
+        )
+        if n:
+            want[(a, b)] = n
+
+    df = spark.createDataFrame(
+        [(d, " ".join(toks)) for d, toks in docs], "doc_id long, text string"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["n_shared_spans"]
+        for r in span_overlap_pairs(df, span_tokens=k, max_bucket=cap).collect()
+    }
+    assert got == want
+
+
+def test_sessionize_chunked_matches_python_model(spark):
+    """Random multi-user event streams: the chunked segmented scan must
+    assign every event the session index an independent Python fold
+    assigns (order by event_id, >gap starts a session)."""
+    import datetime as dt
+    import random
+
+    from cernan_spark.operators.skew import sessionize_chunked
+
+    rng = random.Random(99)
+    base = dt.datetime(2024, 6, 1)
+    rows = []
+    t = 0
+    for i in range(800):
+        t += rng.choice([30, 60, 120, 2000, 4000])
+        rows.append((i, rng.randint(0, 6), base + dt.timedelta(seconds=t)))
+
+    by_user: dict[int, list[tuple[int, dt.datetime]]] = {}
+    for eid, uid, ts in rows:
+        by_user.setdefault(uid, []).append((eid, ts))
+    want = {}
+    for uid, evs in by_user.items():
+        evs.sort()
+        idx, last = 0, None
+        for eid, ts in evs:
+            if last is None or (ts - last).total_seconds() > 1800:
+                idx += 1
+            want[eid] = idx
+            last = ts
+
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp"
+    )
+    got = {
+        r["event_id"]: r["session_idx"]
+        for r in sessionize_chunked(df, chunks=13).collect()
+    }
+    assert got == want
