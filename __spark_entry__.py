@@ -870,6 +870,35 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_simhash_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SimHash radius search: the prior run persisted the
+    corpus fingerprints; this run fingerprints ONLY the seeded
+    one-token-edit twins and bands new-vs-all from the stored table. Its
+    emitted pairs must equal the ONE-PASS seeded-corpus run's
+    twin-involving pairs — exact by construction at any scale, because
+    the resumed banding sees the same UNION bucket sizes the one-pass cap
+    sees (unlike run 1's smaller-corpus caps: SimHash chunk buckets are
+    naturally degenerate, so full-union equality only holds where no
+    bucket crosses the cap between runs — proven in pytest on the small
+    corpus, and surfaced by bucket_drop_stats at scale)."""
+    from cernan_spark.operators.dedup import (
+        simhash_fingerprints,
+        simhash_resume_pairs,
+    )
+
+    _utc(spark)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    twins = d.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat("text", F.lit(" zq")).alias("text"),
+    )
+    fps1 = simhash_fingerprints(d, portable=True)
+    run2 = simhash_resume_pairs(twins, fps1, portable=True)
+    return run2.select("id_a", "id_b", "hamming")
+
+
 def q_minhash_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental dedup across scheduled runs: run 1 indexes the first
     half of the corpus (pairs + persisted signatures), run 2 hashes ONLY
@@ -1626,6 +1655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup": q_minhash_dedup,
         "dedup_drop_stats": q_dedup_drop_stats,
         "minhash_resume": q_minhash_resume,
+        "simhash_resume": q_simhash_resume,
         "paragraph_dedup": q_paragraph_dedup,
         "normalize_text": q_normalize_text,
         "streaming_dedup": q_streaming_dedup,
@@ -2828,8 +2858,15 @@ def oracle_sql() -> dict[str, str]:
         "simhash_dedup": _simhash_oracle_sql(),
         "minhash_dedup": _minhash_oracle_sql(),
         "dedup_drop_stats": _dedup_drop_stats_oracle_sql(),
-        # the resumed two-shard run must equal the ONE-PASS replay
+        # the resumed two-shard runs must equal the ONE-PASS replays
         "minhash_resume": _minhash_oracle_sql(),
+        # resumed-run pairs ≡ one-pass pairs that touch a new (twin) doc:
+        # the resumed banding sees the union bucket sizes, so the cap
+        # agrees with one-pass by construction
+        "simhash_resume": (
+            "SELECT * FROM (" + _simhash_oracle_sql() + ") "
+            "WHERE id_a >= 1000000 OR id_b >= 1000000"
+        ),
         "paragraph_dedup": _paragraph_dedup_oracle_sql(),
         "streaming_dedup": _streaming_dedup_oracle_sql(),
         "span_overlap": _span_overlap_oracle_sql(),

@@ -248,18 +248,23 @@ def minhash_lsh_candidates(
 
 
 def _bucket_pairs(
-    banded: DataFrame, max_bucket: int, new_only: bool = False
+    banded: DataFrame,
+    max_bucket: int,
+    new_only: bool = False,
+    keys: tuple[str, str] = ("band", "band_hash"),
+    payload: str = "sig",
 ) -> DataFrame:
-    """Candidate pairs (id_a < id_b, with their signatures) from a banded
-    frame: collect bucket members, drop oversize buckets, explode in-bucket
-    pairs, dedupe across bands. ``new_only=True`` expects an ``is_new``
-    flag column and keeps only pairs touching ≥1 new member (the resumed
-    run must not re-emit pairs the prior run already found)."""
-    mfields = [F.col("id"), F.col("sig")] + (
+    """Candidate pairs (id_a < id_b, with their ``payload`` values) from a
+    banded frame keyed on ``keys``: collect bucket members, drop oversize
+    buckets, explode in-bucket pairs, dedupe across bands.
+    ``new_only=True`` expects an ``is_new`` flag column and keeps only
+    pairs touching ≥1 new member (the resumed run must not re-emit pairs
+    the prior run already found)."""
+    mfields = [F.col("id"), F.col(payload)] + (
         [F.col("is_new")] if new_only else []
     )
     buckets = (
-        banded.groupBy("band", "band_hash")
+        banded.groupBy(*keys)
         .agg(F.collect_list(F.struct(*mfields)).alias("members"))
         .filter((F.size("members") > 1) & (F.size("members") <= max_bucket))
     )
@@ -277,8 +282,8 @@ def _bucket_pairs(
             F.struct(
                 a["id"].alias("id_a"),
                 b["id"].alias("id_b"),
-                a["sig"].alias("sig_a"),
-                b["sig"].alias("sig_b"),
+                a[payload].alias(f"{payload}_a"),
+                b[payload].alias(f"{payload}_b"),
             ),
         )
 
@@ -299,7 +304,7 @@ def _bucket_pairs(
                 )
             ).alias("p")
         )
-        .select("p.id_a", "p.id_b", "p.sig_a", "p.sig_b")
+        .select("p.id_a", "p.id_b", f"p.{payload}_a", f"p.{payload}_b")
         .dropDuplicates(["id_a", "id_b"])
     )
 
@@ -498,6 +503,38 @@ def simhash_chunk_layout(bits: int, n_chunks: int) -> list[tuple[int, int]]:
     return [(sum(widths[:i]), widths[i]) for i in range(n_chunks)]
 
 
+def simhash_fingerprints(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    portable: bool = False,
+) -> DataFrame:
+    """(id, fp) — the persistable SimHash index state (fingerprinting is
+    the expensive text pass; chunk-banding stored fingerprints is cheap),
+    the SimHash analog of :func:`minhash_signatures`."""
+    return docs.select(
+        F.col(id_col).alias("id"),
+        simhash(F.col(text_col), portable=portable).alias("fp"),
+    )
+
+
+def band_fingerprints(
+    fp: DataFrame, n_chunks: int = 4, portable: bool = False
+) -> DataFrame:
+    """(id, fp[, …]) → chunk-exploded (…, chunk, cval): banding over
+    ALREADY-COMPUTED fingerprints; extra columns (e.g. a resume is_new
+    flag) pass through."""
+    bits = 31 if portable else 64
+    layout = simhash_chunk_layout(bits, n_chunks)
+    chunk_vals = F.array(
+        *[
+            F.shiftrightunsigned("fp", off).bitwiseAND(F.lit((1 << w) - 1))
+            for off, w in layout
+        ]
+    )
+    return fp.select("*", F.posexplode(chunk_vals).alias("chunk", "cval"))
+
+
 def simhash_banded(
     docs: DataFrame,
     text_col: str = "text",
@@ -508,20 +545,10 @@ def simhash_banded(
     """The chunk-banding stage of SimHash dedup as its own frame —
     (id, fp, chunk, cval) — shared by the pair operator and the
     bucket-drop accounting (:func:`bucket_drop_stats`)."""
-    bits = 31 if portable else 64
-    layout = simhash_chunk_layout(bits, n_chunks)
-    fp = docs.select(
-        F.col(id_col).alias("id"),
-        simhash(F.col(text_col), portable=portable).alias("fp"),
-    )
-    chunk_vals = F.array(
-        *[
-            F.shiftrightunsigned("fp", off).bitwiseAND(F.lit((1 << w) - 1))
-            for off, w in layout
-        ]
-    )
-    return fp.select(
-        "id", "fp", F.posexplode(chunk_vals).alias("chunk", "cval")
+    return band_fingerprints(
+        simhash_fingerprints(docs, text_col, id_col, portable),
+        n_chunks,
+        portable,
     )
 
 
@@ -706,6 +733,39 @@ def paragraph_dedup(
             F.transform(kept, lambda x: x["t"]), sep
         ).alias("clean_text"),
     ).withColumnRenamed("id", id_col)
+
+
+def simhash_resume_pairs(
+    new_docs: DataFrame,
+    prior_fps: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    n_chunks: int = 4,
+    max_bucket: int = 100,
+    portable: bool = False,
+) -> DataFrame:
+    """Incremental SimHash radius search for scheduled ingest: given the
+    persisted fingerprint table (:func:`simhash_fingerprints` output) and
+    a new shard, fingerprint ONLY the new docs, chunk-band stored
+    fingerprints (cheap — no text pass), and emit hamming-≤k pairs
+    touching ≥1 new doc. Prior-run pairs plus this run's pairs equal the
+    one-pass result over the union corpus — same contract and same
+    per-run bucket-cap caveat as :func:`minhash_resume_candidates`."""
+    assert k < n_chunks, "pigeonhole guarantee needs k < n_chunks"
+    new_fp = simhash_fingerprints(new_docs, text_col, id_col, portable)
+    combined = new_fp.withColumn("is_new", F.lit(True)).unionByName(
+        prior_fps.select("id", "fp").withColumn("is_new", F.lit(False))
+    )
+    banded = band_fingerprints(combined, n_chunks, portable)
+    pairs = _bucket_pairs(
+        banded, max_bucket, new_only=True, keys=("chunk", "cval"),
+        payload="fp",
+    )
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return pairs.filter(hamming <= k).select(
+        "id_a", "id_b", hamming.cast("int").alias("hamming")
+    )
 
 
 def dedup_groups(

@@ -324,3 +324,33 @@ def test_span_overlap_pairs(spark):
         for r in span_overlap_pairs(df, span_tokens=8, portable=True).collect()
     }
     assert port == got
+
+
+def test_simhash_resume_equals_one_pass(spark):
+    """(shard-1 pairs) ∪ (shard-2 resumed from stored fingerprints) must
+    equal the one-pass SimHash radius search over the union corpus,
+    including cross-shard twins; no pair is re-emitted."""
+    from cernan_spark.operators.dedup import (
+        seed_text_near_dups,
+        simhash_fingerprints,
+        simhash_hamming_pairs,
+        simhash_resume_pairs,
+    )
+
+    docs = seed_text_near_dups(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet"),
+        n_seed=20,
+    )
+    shard1 = docs.filter(F.col("doc_id") < 1_000_000)
+    shard2 = docs.filter(F.col("doc_id") >= 1_000_000)
+
+    def pairset(df):
+        return {(r["id_a"], r["id_b"], r["hamming"]) for r in df.collect()}
+
+    one_pass = pairset(simhash_hamming_pairs(docs))
+    run1 = pairset(simhash_hamming_pairs(shard1))
+    fps1 = simhash_fingerprints(shard1)
+    run2 = pairset(simhash_resume_pairs(shard2, fps1))
+    assert run1 | run2 == one_pass
+    assert run1 & run2 == set()
+    assert any(b - a == 1_000_000 for a, b, _ in run2)
