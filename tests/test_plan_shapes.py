@@ -1,0 +1,123 @@
+"""Physical-plan shape guards: the 100 TB properties the operators were
+designed around (broadcast small sides, single wide shuffle, pushdown into
+the scan) must survive refactors. Each test asserts structural facts about
+the EXECUTED plan, not timings — plan regressions are visible at any SF.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _final_plan(df) -> str:
+    """Plan AFTER execution — under AQE the join strategy is only fixed
+    once the adaptive plan finalizes."""
+    df.write.format("noop").mode("overwrite").save()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _count(plan: str, pattern: str) -> int:
+    return len(re.findall(pattern, plan))
+
+
+def test_token_budget_plan_one_wide_shuffle_and_broadcast(spark):
+    """Chunked sampler: the corpus shuffles ONCE (to the per-chunk window);
+    the offsets table comes back as a broadcast, never a shuffle join."""
+    from cernan_spark.operators.textstats import sample_to_token_budget
+
+    docs = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 3).cast("string").alias("lang_pred"),
+        F.lit(10).alias("n_tokens"),
+    )
+    plan = _plan(sample_to_token_budget(docs, 500))
+    assert _count(plan, r"BroadcastExchange") == 1
+    assert _count(plan, r"BroadcastHashJoin") == 1
+    assert _count(plan, r"SortMergeJoin") == 0
+    # ≤3 hash exchanges: ONE carries the wide data (to the per-chunk
+    # window); the other two move only the langs × chunks totals frame
+    # (aggregate + its prefix-sum window)
+    assert _count(plan, r"Exchange hashpartitioning") <= 3
+
+
+def test_route_plan_broadcasts_rules(spark):
+    """Fan-out routing joins the (tiny) rules table as a broadcast — a
+    shuffled join here would reshuffle the full corpus per sink."""
+    from cernan_spark.operators.route import route
+    from cernan_spark.sources.dimensions import default_routes
+
+    import __spark_entry__ as em
+
+    p = em._parsed(spark, SF).withColumn(
+        "match_kind_value", F.lit("telemetry")
+    )
+    plan = _final_plan(route(p, default_routes(spark)))
+    # the mask match is a non-equi predicate → broadcast nested-loop over
+    # the 5-row rules table; any shuffled join here is the regression
+    assert _count(plan, r"BroadcastNestedLoopJoin|BroadcastHashJoin") >= 1
+    assert _count(plan, r"SortMergeJoin|ShuffledHashJoin") == 0
+
+
+def test_parse_scan_prunes_columns(spark):
+    """The statsd parse must reach the parquet scan with a pruned schema —
+    reading every column for a 3-column projection is the classic
+    pushdown regression."""
+    import __spark_entry__ as em
+
+    p = em._parsed(spark, SF).select("name", "kind", "value")
+    plan = _plan(p)
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    read_schema = scan.split("ReadSchema:")[-1]
+    # the parse consumes event fields; the unused wide columns stay out
+    assert "user_id" not in read_schema
+
+
+def test_benchmark_decontam_broadcasts_eval_side(spark):
+    """Decontamination probes the (tiny) benchmark shingle set as a
+    broadcast: the corpus must never shuffle on the shingle."""
+    from cernan_spark.operators.textstats import benchmark_ngram_overlap
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    plan = _plan(benchmark_ngram_overlap(docs, bench, n=8))
+    assert _count(plan, r"BroadcastHashJoin") >= 1
+    assert _count(plan, r"SortMergeJoin") == 0
+
+
+def test_paragraph_dedup_no_window_over_hash(spark):
+    """Paragraph ownership is a map-side-combined aggregate, NOT a window
+    over the paragraph hash — a window would serialize a corpus-wide
+    boilerplate paragraph into one task."""
+    from cernan_spark.operators.dedup import paragraph_dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    seeded = docs.select(
+        "doc_id", F.concat("text", F.lit("\n\nfooter")).alias("text")
+    )
+    plan = _plan(paragraph_dedup(seeded))
+    assert _count(plan, r"\bWindow \[") == 0
+    assert _count(plan, r"partial_count") >= 1  # map-side combine present
+
+
+def test_sessionize_windows_are_chunk_scoped(spark):
+    """Every ordered window in the chunked sessionize partitions by
+    (user, bucket) or runs over the tiny per-bucket frame — no window
+    partitioned by the bare user column (the hot-key shape)."""
+    from cernan_spark.operators.skew import sessionize_chunked
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    plan = _plan(sessionize_chunked(ev, "user_id", "event_id", "ts"))
+    windows = [l for l in plan.splitlines() if "windowspecdefinition" in l]
+    assert windows, "expected window operators in the plan"
+    for w in windows:
+        spec = w.split("windowspecdefinition", 1)[1]
+        if "user_id" in spec:
+            assert "_bkt" in spec, f"bare per-user window found: {w.strip()[:120]}"
