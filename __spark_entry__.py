@@ -1030,6 +1030,27 @@ def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap over a skew-seeded host assignment (one
+    hot host carries a third of the corpus): ≤20 docs survive per host,
+    chosen by the portable pseudo-random order, ranked through the
+    salted two-phase Top-K so the hot host never serializes. The oracle
+    selects the identical subset."""
+    from cernan_spark.operators.textstats import cap_docs_per_domain
+
+    _utc(spark)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    hosted = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, F.lit("big.com"))
+        .otherwise(F.concat(F.lit("site"), (F.col("doc_id") % 11).cast("string")))
+        .alias("host"),
+    )
+    return cap_docs_per_domain(hosted, max_per_host=20).select(
+        "host", "doc_id", "rank"
+    )
+
+
 def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical text normalization (lower, strip control chars, collapse
     whitespace, trim) over a corpus seeded with mixed case, tabs and
@@ -1658,6 +1679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_resume": q_simhash_resume,
         "paragraph_dedup": q_paragraph_dedup,
         "normalize_text": q_normalize_text,
+        "domain_cap": q_domain_cap,
         "streaming_dedup": q_streaming_dedup,
         "span_overlap": q_span_overlap,
         "corpus_pipeline_v2": q_corpus_pipeline_v2,
@@ -2872,6 +2894,26 @@ def oracle_sql() -> dict[str, str]:
         "span_overlap": _span_overlap_oracle_sql(),
         "corpus_pipeline_v2": _corpus_pipeline_v2_oracle_sql(),
         "multi_signal_dedup": _multi_signal_dedup_oracle_sql(),
+        "domain_cap": r"""
+            WITH h AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 3 = 0 THEN 'big.com'
+                          ELSE 'site' || CAST(doc_id % 11 AS VARCHAR)
+                     END AS host
+              FROM documents
+            )
+            SELECT host, doc_id, rank FROM (
+              SELECT host, doc_id,
+                     CAST(row_number() OVER (
+                       PARTITION BY host
+                       ORDER BY ((1103515245 * ((doc_id % 2147483647
+                                   + 2147483647) % 2147483647) + 12345)
+                                 % 2147483647 + 2147483647) % 2147483647,
+                                doc_id
+                     ) AS INTEGER) AS rank
+              FROM h
+            ) WHERE rank <= 20
+        """,
         "normalize_text": r"""
             SELECT doc_id,
                    trim(regexp_replace(regexp_replace(

@@ -367,6 +367,37 @@ def domain_rollup(
     )
 
 
+def cap_docs_per_domain(
+    docs: DataFrame,
+    max_per_host: int,
+    host_col: str = "host",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-domain document cap — the standard crawl-diversity step (no
+    single host may dominate the corpus). Keeps a deterministic
+    pseudo-random subset of ≤ ``max_per_host`` docs per host: selection
+    order is the same portable universal hash the token-budget sampler
+    uses (reproducible across reruns AND in the SQL oracle), and the
+    ranking runs through :func:`cernan_spark.operators.skew.salted_topk`,
+    so a hot host (half the crawl on one domain is normal) never
+    serializes into one task. Adds ``rank`` (1-based keep order)."""
+    from cernan_spark.operators.skew import salted_topk
+
+    m31 = F.lit(_MERSENNE31)
+    order = F.pmod(
+        F.lit(1103515245) * F.pmod(F.col(id_col).cast("long"), m31)
+        + F.lit(12345),
+        m31,
+    )
+    return salted_topk(
+        docs,
+        [host_col],
+        [order.asc(), F.col(id_col)],
+        k=max_per_host,
+        salt_src=id_col,
+    )
+
+
 def sample_to_token_budget(
     docs: DataFrame,
     budget: int,

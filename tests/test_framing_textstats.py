@@ -303,3 +303,26 @@ def test_normalize_and_url_stats(spark):
     roll = {r["host"]: (r["n_docs"], r["n_mentions"])
             for r in domain_rollup(df).collect()}
     assert roll["a.example.com"] == (1, 2) and roll["b.org"] == (1, 1)
+
+
+def test_cap_docs_per_domain(spark):
+    """Per-domain cap: a hot host is trimmed to the cap with a
+    deterministic pseudo-random survivor set; small hosts keep all docs;
+    reruns select the identical subset."""
+    from cernan_spark.operators.textstats import cap_docs_per_domain
+
+    rows = [(i, "big.com" if i % 2 == 0 else f"s{i % 3}.org") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, host string")
+    kept = cap_docs_per_domain(df, max_per_host=10).collect()
+    by_host: dict[str, list] = {}
+    for r in kept:
+        by_host.setdefault(r["host"], []).append(r)
+    assert len(by_host["big.com"]) == 10          # 100 docs → capped
+    for h, rs in by_host.items():
+        assert sorted(r["rank"] for r in rs) == list(range(1, len(rs) + 1))
+    small = [h for h in by_host if h != "big.com"]
+    assert all(len(by_host[h]) == 10 for h in small)  # 33-34 docs → capped too
+    again = {r["doc_id"] for r in cap_docs_per_domain(df, max_per_host=10).collect()}
+    assert again == {r["doc_id"] for r in kept}
+    # generous cap keeps everything
+    assert cap_docs_per_domain(df, max_per_host=1000).count() == 200
