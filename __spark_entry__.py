@@ -1397,6 +1397,39 @@ def q_internal_telemetry(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_telemetry_with_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One telemetry stream for a run that does BOTH jobs: the metrics
+    pipeline's 21 cernan.* series UNIONED with the corpus-side
+    cernan.dedup.* bucket-drop series (same (name, value, kind) shape) —
+    the wiring VERDICT r3 asked for: dedup drop accounting lands in the
+    same sink as every other self-metric."""
+    from cernan_spark.operators.dedup import (
+        bucket_drop_stats,
+        minhash_banded,
+        simhash_banded,
+    )
+
+    tel = q_internal_telemetry(spark, sf_dir)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    boiler = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, F.lit(_BOILER))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    mh = bucket_drop_stats(
+        minhash_banded(boiler, portable=True),
+        ["band", "band_hash"], max_bucket=50, operator="minhash",
+    )
+    sh = bucket_drop_stats(
+        simhash_banded(boiler, portable=True),
+        ["chunk", "cval"], max_bucket=100, operator="simhash",
+    )
+    return tel.unionByName(mh).unionByName(sh).select(
+        "name", F.col("value").cast("double").alias("value"), "kind"
+    )
+
+
 def _synthetic_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Routed-log-shaped rows with a tag named ``path`` (contends with the
     synthesized base key) and a field named ``payload`` (contends with the
@@ -1688,6 +1721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "native_roundtrip": q_native_roundtrip,
         "avro_roundtrip": q_avro_roundtrip,
         "internal_telemetry": q_internal_telemetry,
+        "telemetry_with_dedup": q_telemetry_with_dedup,
         "es_bulk_docs": q_es_bulk_docs,
         "kafka_records": q_kafka_records,
         "prometheus_exposition": q_prometheus_exposition,
@@ -2524,7 +2558,7 @@ SELECT qid, vid AS vec_id, round(cos, 6) AS cos, rank FROM (
 
 def oracle_sql() -> dict[str, str]:
     P = _ORACLE_PRELUDE
-    return {
+    d = {
         "transcripts_stable_order": P
         + "SELECT conv_id, turn_idx, role, text, tool, ts FROM transcripts",
         "parse_statsd": P
@@ -3235,3 +3269,10 @@ def oracle_sql() -> dict[str, str]:
         # real stdlib struct reads asserted via golden hash in pytest; no
         # image/audio stack exists in DuckDB to oracle against).
     }
+    # pipeline self-telemetry + corpus-side dedup drop series in one
+    # stream — the two component oracles compose by construction
+    d["telemetry_with_dedup"] = (
+        "SELECT * FROM (" + d["internal_telemetry"] + ") "
+        "UNION ALL SELECT * FROM (" + d["dedup_drop_stats"] + ")"
+    )
+    return d
