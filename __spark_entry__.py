@@ -1538,6 +1538,36 @@ def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: per-language token quotas for the mixing query — one source for the
+#: Spark budget CASE and the oracle CASE
+_MIX_BUDGETS = {"en": 3000, "de": 800, "es": 500}
+_MIX_DEFAULT = 300
+
+
+def q_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token MIXING: each language gets its own quota
+    (en 3000 / de 800 / es 500, everything else 300) — the real
+    corpus-mix shape — selected through the same chunked two-phase scan
+    and portable pseudo-shuffle; the oracle replays the per-language
+    budget CASE and picks the identical prefixes."""
+    from cernan_spark.operators.textstats import (
+        lang_id,
+        sample_to_token_budget,
+        token_stats,
+    )
+
+    _utc(spark)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = token_stats(lang_id(d).select("doc_id", "text", "lang_pred"))
+    out = sample_to_token_budget(
+        t, budget=_MIX_BUDGETS, default_budget=_MIX_DEFAULT
+    )
+    return out.select(
+        "doc_id", "lang_pred",
+        F.col("n_tokens").cast("long").alias("n_tokens"), "cum_tokens",
+    )
+
+
 def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing over a deterministically seeded corpus: every doc gets
     an email, a plus-prefixed phone, a dotted-quad IP, a card number
@@ -1729,6 +1759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prometheus_resume": q_prometheus_resume,
         "pii_redaction": q_pii_redaction,
         "token_budget_sample": q_token_budget_sample,
+        "token_budget_mix": q_token_budget_mix,
     }
 
 
@@ -2446,10 +2477,28 @@ SELECT id_a, id_b, round(cos, 6) AS cos FROM pairs WHERE cos >= {threshold}
 """
 
 
-def _token_budget_oracle_sql(budget: int = 2000) -> str:
-    """DuckDB twin of q_token_budget_sample: same lang-ID CASE, same
-    portable pseudo-shuffle order, same cumulative-prefix selection."""
+def _token_budget_oracle_sql(
+    budget: int = 2000,
+    budgets: dict[str, int] | None = None,
+    default_budget: int = 0,
+) -> str:
+    """DuckDB twin of q_token_budget_sample / q_token_budget_mix: same
+    lang-ID CASE, same portable pseudo-shuffle order, same
+    cumulative-prefix selection; ``budgets`` generates the per-language
+    quota CASE the mixing query uses."""
     from cernan_spark.operators.textstats import LANG_STOPWORDS
+
+    if budgets is not None:
+        bexpr = (
+            "CASE "
+            + " ".join(
+                f"WHEN lang_pred = '{lang}' THEN {b}"
+                for lang, b in sorted(budgets.items())
+            )
+            + f" ELSE {default_budget} END"
+        )
+    else:
+        bexpr = str(budget)
 
     scores = ",\n    ".join(
         f"len(list_filter(toks, x -> list_contains({words!r}, x))) * 1.0"
@@ -2485,7 +2534,7 @@ WITH t AS (
   FROM lang
 )
 SELECT doc_id, lang_pred, n_tokens, cum_tokens
-FROM cum WHERE cum_tokens <= {budget}
+FROM cum WHERE cum_tokens <= {bexpr}
 """
 
 
@@ -3206,6 +3255,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ann_cosine_lsh": _ann_lsh_oracle_sql(),
         "token_budget_sample": _token_budget_oracle_sql(),
+        "token_budget_mix": _token_budget_oracle_sql(
+            budgets=_MIX_BUDGETS, default_budget=_MIX_DEFAULT
+        ),
         # one-pass cumulative over ALL bins, restricted to run-2 bins —
         # what a correct resume must be indistinguishable from
         "prometheus_resume": P

@@ -400,11 +400,12 @@ def cap_docs_per_domain(
 
 def sample_to_token_budget(
     docs: DataFrame,
-    budget: int,
+    budget: int | dict[str, int],
     lang_col: str = "lang_pred",
     tokens_col: str = "n_tokens",
     id_col: str = "doc_id",
     chunks: int = 64,
+    default_budget: int = 0,
 ) -> DataFrame:
     """Per-language token-budget subsampling: keep a deterministic
     pseudo-random prefix of each language's docs whose cumulative token
@@ -428,9 +429,22 @@ def sample_to_token_budget(
     ordered scan per (language, chunk) — parallel across chunks — and adds
     the offset. Long addition is associative, so the result is
     bit-identical to the single-window form (``chunks=1``).
+
+    ``budget`` may be a single int (one quota for every language) or a
+    per-language dict — the real corpus-mixing shape where the mix
+    designer sets each language's token share; languages absent from the
+    dict get ``default_budget``.
     """
     from pyspark.sql import Window as W
 
+    if isinstance(budget, dict):
+        bexpr = F.lit(default_budget).cast("long")
+        for lang, b in sorted(budget.items()):
+            bexpr = F.when(F.col(lang_col) == lang, F.lit(b)).otherwise(
+                bexpr
+            )
+    else:
+        bexpr = F.lit(budget).cast("long")
     m31 = F.lit(_MERSENNE31)
     order = F.pmod(
         F.lit(1103515245) * F.pmod(F.col(id_col).cast("long"), m31)
@@ -451,9 +465,10 @@ def sample_to_token_budget(
     offsets = totals.withColumn(
         "_off", F.coalesce(F.sum("_bt").over(wb), F.lit(0).cast("long"))
     )
-    # a chunk whose starting offset is already past the budget cannot
-    # contribute a row with cum_tokens <= budget (tokens are non-negative)
-    live = offsets.filter(F.col("_off") <= budget).select(
+    # a chunk whose starting offset is already past its language's budget
+    # cannot contribute a row with cum_tokens <= budget (tokens are
+    # non-negative)
+    live = offsets.filter(F.col("_off") <= bexpr).select(
         lang_col, "_bkt", "_off"
     )
     w = (
@@ -465,6 +480,6 @@ def sample_to_token_budget(
     return (
         staged.join(F.broadcast(live), [lang_col, "_bkt"])
         .withColumn("cum_tokens", cum)
-        .filter(F.col("cum_tokens") <= budget)
+        .filter(F.col("cum_tokens") <= bexpr)
         .drop("_ord", "_bkt", "_off")
     )

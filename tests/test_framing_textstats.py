@@ -326,3 +326,30 @@ def test_cap_docs_per_domain(spark):
     assert again == {r["doc_id"] for r in kept}
     # generous cap keeps everything
     assert cap_docs_per_domain(df, max_per_host=1000).count() == 200
+
+
+def test_token_budget_per_language_map(spark):
+    """A per-language budget dict gives each language its own quota; the
+    chunked scan still matches the single-window form, and unlisted
+    languages fall to the default."""
+    from cernan_spark.operators.textstats import sample_to_token_budget
+
+    rows = [(i, ["en", "de", "fr"][i % 3], 10) for i in range(90)]
+    df = spark.createDataFrame(rows, "doc_id long, lang_pred string, n_tokens int")
+    budgets = {"en": 100, "de": 40}
+    kept = sample_to_token_budget(
+        df, budgets, default_budget=20, chunks=8
+    ).collect()
+    by = {}
+    for r in kept:
+        by.setdefault(r["lang_pred"], []).append(r["cum_tokens"])
+    assert max(by["en"]) == 100 and len(by["en"]) == 10
+    assert max(by["de"]) == 40 and len(by["de"]) == 4
+    assert max(by["fr"]) == 20 and len(by["fr"]) == 2  # default budget
+    plain = {
+        (r["doc_id"], r["cum_tokens"])
+        for r in sample_to_token_budget(
+            df, budgets, default_budget=20, chunks=1
+        ).collect()
+    }
+    assert {(r["doc_id"], r["cum_tokens"]) for r in kept} == plain
