@@ -871,19 +871,19 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental SimHash radius search: the prior run persisted the
-    corpus fingerprints; this run fingerprints ONLY the seeded
-    one-token-edit twins and bands new-vs-all from the stored table. Its
-    emitted pairs must equal the ONE-PASS seeded-corpus run's
-    twin-involving pairs — exact by construction at any scale, because
-    the resumed banding sees the same UNION bucket sizes the one-pass cap
-    sees (unlike run 1's smaller-corpus caps: SimHash chunk buckets are
-    naturally degenerate, so full-union equality only holds where no
-    bucket crosses the cap between runs — proven in pytest on the small
-    corpus, and surfaced by bucket_drop_stats at scale)."""
+    """Incremental SimHash radius search, cap-deterministic (round 5):
+    run 1 pairs the base corpus and persists its fingerprints; the
+    resumed run fingerprints ONLY the seeded one-token-edit twins,
+    chunk-bands new-vs-all from the stored table, and emits adds PLUS
+    retractions for pairs whose bucket crossed max_bucket between runs
+    (at sf0.1, 509/550 docs share one degenerate 8-bit chunk value —
+    exactly this case). (run1 ∖ retractions) ∪ adds must equal the
+    ONE-PASS seeded-corpus run in FULL — shard-arrival-order independence
+    by construction, at every SF (was: twin-involving pairs only)."""
     from cernan_spark.operators.dedup import (
         simhash_fingerprints,
-        simhash_resume_pairs,
+        simhash_hamming_pairs,
+        simhash_resume_delta,
     )
 
     _utc(spark)
@@ -894,22 +894,29 @@ def q_simhash_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 1_000_000).alias("doc_id"),
         F.concat("text", F.lit(" zq")).alias("text"),
     )
+    run1 = simhash_hamming_pairs(d, portable=True)
     fps1 = simhash_fingerprints(d, portable=True)
-    run2 = simhash_resume_pairs(twins, fps1, portable=True)
-    return run2.select("id_a", "id_b", "hamming")
+    delta = simhash_resume_delta(twins, fps1, portable=True)
+    retr = delta.filter(F.col("op") == "retract").select("id_a", "id_b")
+    adds = delta.filter(F.col("op") == "add").drop("op")
+    return run1.join(retr, ["id_a", "id_b"], "left_anti").unionByName(
+        adds
+    ).select("id_a", "id_b", "hamming")
 
 
 def q_minhash_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental dedup across scheduled runs: run 1 indexes the first
-    half of the corpus (pairs + persisted signatures), run 2 hashes ONLY
-    the second half and bands new-vs-all from the stored signatures. The
-    union of both runs' pairs is compared against the ORACLE FOR THE
-    ONE-PASS FULL-CORPUS RUN — a hash match proves shard-1-then-resume is
-    equivalent to never having split the corpus (the dedup analog of
-    prometheus_resume)."""
+    """Incremental dedup across scheduled runs, cap-deterministic
+    (round 5): run 1 indexes the first half of the corpus (pairs +
+    persisted signatures), run 2 hashes ONLY the second half, bands
+    new-vs-all from the stored signatures, and emits adds PLUS
+    retractions for pairs whose bucket crossed max_bucket between runs.
+    (run1 ∖ retractions) ∪ adds is compared against the ORACLE FOR THE
+    ONE-PASS FULL-CORPUS RUN — equality holds BY CONSTRUCTION at every
+    SF, not data-dependently (closes the r4 ADVICE finding that run 1's
+    shard-local caps made this gate SF-sensitive)."""
     from cernan_spark.operators.dedup import (
         minhash_lsh_candidates,
-        minhash_resume_candidates,
+        minhash_resume_delta,
         minhash_signatures,
     )
 
@@ -918,10 +925,12 @@ def q_minhash_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     shard2 = d.filter(F.col("doc_id") % 2 != 0)
     run1 = minhash_lsh_candidates(shard1, portable=True)
     sigs1 = minhash_signatures(shard1, portable=True)
-    run2 = minhash_resume_candidates(shard2, sigs1, portable=True)
-    return run1.unionByName(run2).select(
-        "id_a", "id_b", "n_match", "est_jaccard"
-    )
+    delta = minhash_resume_delta(shard2, sigs1, portable=True)
+    retr = delta.filter(F.col("op") == "retract").select("id_a", "id_b")
+    adds = delta.filter(F.col("op") == "add").drop("op")
+    return run1.join(retr, ["id_a", "id_b"], "left_anti").unionByName(
+        adds
+    ).select("id_a", "id_b", "n_match", "est_jaccard")
 
 
 def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1692,14 +1701,40 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Dict ORDER is load-bearing: the driver grades exactly the first 50
+    # entries. Round-5 rotation (VERDICT r4 Next #1): the 11 queries that
+    # had never received a driver row, the 6 r4-new ops, and
+    # internal_telemetry (oracle corpus changes this round) occupy the
+    # graded window; long-stable basics holding r3+r4 green rows and the
+    # r3-green wire-format queries rotate to positions 51+ (still covered
+    # by scripts/check_oracle.py over ALL entries).
     return {
+        # -- never driver-graded before round 5 --------------------------
+        "streaming_dedup": q_streaming_dedup,
+        "span_overlap": q_span_overlap,
+        "corpus_pipeline_v2": q_corpus_pipeline_v2,
+        "multi_signal_dedup": q_multi_signal_dedup,
+        "url_domain_stats": q_url_domain_stats,
+        "telemetry_with_dedup": q_telemetry_with_dedup,
+        "benchmark_decontam": q_benchmark_decontam,
+        "prometheus_resume": q_prometheus_resume,
+        "pii_redaction": q_pii_redaction,
+        "token_budget_sample": q_token_budget_sample,
+        "token_budget_mix": q_token_budget_mix,
+        # -- changed this round ------------------------------------------
+        "internal_telemetry": q_internal_telemetry,
+        "minhash_resume": q_minhash_resume,
+        "simhash_resume": q_simhash_resume,
+        # -- r4-new (single green row so far) -----------------------------
+        "dedup_drop_stats": q_dedup_drop_stats,
+        "paragraph_dedup": q_paragraph_dedup,
+        "normalize_text": q_normalize_text,
+        "domain_cap": q_domain_cap,
+        # -- stable keepers ------------------------------------------------
         "transcripts_stable_order": q_transcripts_stable_order,
         "parse_statsd": q_parse_statsd,
-        "parse_graphite": q_parse_graphite,
         "bucket_sum": q_bucket_sum,
-        "bucket_set_last": q_bucket_set_last,
         "bucket_quantiles": q_bucket_quantiles,
-        "bucket_histogram": q_bucket_histogram,
         "gauge_carry_forward": q_gauge_carry_forward,
         "delay_filter": q_delay_filter,
         "route_fanout": q_route_fanout,
@@ -1711,21 +1746,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_pipeline": q_corpus_pipeline,
         "flush_boundary": q_flush_boundary,
         "streaming_bucket_sums": q_streaming_bucket_sums,
-        "zero_pad": q_zero_pad,
-        "tick_count": q_tick_count,
-        "json_log_fields": q_json_log_fields,
-        "wavefront_lines": q_wavefront_lines,
-        "console_lines": q_console_lines,
-        "influx_lines": q_influx_lines,
         "sessionize": q_sessionize,
         "topk_docs_per_lang": q_topk_docs_per_lang,
         "token_jaccard_pairs": q_token_jaccard_pairs,
         "dedup_groups": q_dedup_groups,
         "simhash_dedup": q_simhash_dedup,
         "dedup_exact": q_dedup_exact,
-        "token_count": q_token_count,
         "quality_score": q_quality_score,
-        "lang_profile": q_lang_profile,
         "text_quality": q_text_quality,
         "bpeish_tokens": q_bpeish_tokens,
         "lang_id": q_lang_id,
@@ -1735,31 +1762,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_lsh": q_ann_cosine_lsh,
         "ann_cosine_ivf": q_ann_cosine_ivf,
         "embedding_near_dups": q_embedding_near_dups,
-        "multimodal_features": q_multimodal_features,
         "minhash_dedup": q_minhash_dedup,
-        "dedup_drop_stats": q_dedup_drop_stats,
-        "minhash_resume": q_minhash_resume,
-        "simhash_resume": q_simhash_resume,
-        "paragraph_dedup": q_paragraph_dedup,
-        "normalize_text": q_normalize_text,
-        "domain_cap": q_domain_cap,
-        "streaming_dedup": q_streaming_dedup,
-        "span_overlap": q_span_overlap,
-        "corpus_pipeline_v2": q_corpus_pipeline_v2,
-        "multi_signal_dedup": q_multi_signal_dedup,
-        "url_domain_stats": q_url_domain_stats,
+        # ---- position 51+ : not graded by the driver this round ----------
+        "parse_graphite": q_parse_graphite,
+        "bucket_set_last": q_bucket_set_last,
+        "bucket_histogram": q_bucket_histogram,
+        "zero_pad": q_zero_pad,
+        "tick_count": q_tick_count,
+        "json_log_fields": q_json_log_fields,
+        "wavefront_lines": q_wavefront_lines,
+        "console_lines": q_console_lines,
+        "influx_lines": q_influx_lines,
+        "token_count": q_token_count,
+        "lang_profile": q_lang_profile,
+        "multimodal_features": q_multimodal_features,
         "native_roundtrip": q_native_roundtrip,
         "avro_roundtrip": q_avro_roundtrip,
-        "internal_telemetry": q_internal_telemetry,
-        "telemetry_with_dedup": q_telemetry_with_dedup,
         "es_bulk_docs": q_es_bulk_docs,
         "kafka_records": q_kafka_records,
         "prometheus_exposition": q_prometheus_exposition,
-        "benchmark_decontam": q_benchmark_decontam,
-        "prometheus_resume": q_prometheus_resume,
-        "pii_redaction": q_pii_redaction,
-        "token_budget_sample": q_token_budget_sample,
-        "token_budget_mix": q_token_budget_mix,
     }
 
 
@@ -2963,15 +2984,10 @@ def oracle_sql() -> dict[str, str]:
         "simhash_dedup": _simhash_oracle_sql(),
         "minhash_dedup": _minhash_oracle_sql(),
         "dedup_drop_stats": _dedup_drop_stats_oracle_sql(),
-        # the resumed two-shard runs must equal the ONE-PASS replays
+        # the resumed runs apply their retraction delta, so BOTH equal the
+        # ONE-PASS replays in full — cap-deterministic at every SF
         "minhash_resume": _minhash_oracle_sql(),
-        # resumed-run pairs ≡ one-pass pairs that touch a new (twin) doc:
-        # the resumed banding sees the union bucket sizes, so the cap
-        # agrees with one-pass by construction
-        "simhash_resume": (
-            "SELECT * FROM (" + _simhash_oracle_sql() + ") "
-            "WHERE id_a >= 1000000 OR id_b >= 1000000"
-        ),
+        "simhash_resume": _simhash_oracle_sql(),
         "paragraph_dedup": _paragraph_dedup_oracle_sql(),
         "streaming_dedup": _streaming_dedup_oracle_sql(),
         "span_overlap": _span_overlap_oracle_sql(),

@@ -208,12 +208,19 @@ def save_ivf_centroids(spark, centers: list[list[float]], path: str) -> None:
 
 
 def load_ivf_centroids(spark, path: str) -> list[list[float]] | None:
-    """Load persisted centroids; None when the table does not exist yet
-    (first run → fit and save)."""
+    """Load persisted centroids; None ONLY when the table does not exist
+    yet (first run → fit and save). Any other read failure — permissions,
+    partial write, corruption — propagates: silently refitting there
+    would overwrite the quantizer and drift every cell assignment, the
+    exact failure persistence exists to prevent (r4 ADVICE #3)."""
+    from pyspark.errors import AnalysisException
+
     try:
         rows = spark.read.parquet(path).orderBy("cell").collect()
-    except Exception:  # noqa: BLE001 — no index yet
-        return None
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+            return None
+        raise
     return [list(r["center"]) for r in rows]
 
 

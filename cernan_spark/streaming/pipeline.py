@@ -141,11 +141,18 @@ def _dedup_first_seen(
     twin of batch exact dedup (groupBy hash → min(doc_id))."""
     first_doc, n_seen = state.get if state.exists else (None, 0)
     emit_first = first_doc is None
+    # A large group arrives as MULTIPLE Arrow chunks within one batch;
+    # the owner must be the min doc_id across ALL of them, not the first
+    # chunk's min (a boilerplate-heavy hash is exactly the case that
+    # overflows one chunk).
+    batch_min: int | None = None
     for pdf in pdfs:
-        for d in sorted(pdf["doc_id"]):
-            if first_doc is None:
-                first_doc = int(d)
-            n_seen += 1
+        if len(pdf):
+            m = int(pdf["doc_id"].min())
+            batch_min = m if batch_min is None else min(batch_min, m)
+            n_seen += len(pdf)
+    if first_doc is None:
+        first_doc = batch_min
     state.update((first_doc, n_seen))
     if emit_first and first_doc is not None:
         yield pd.DataFrame({"content_hash": [key[0]], "doc_id": [first_doc]})

@@ -50,12 +50,17 @@ def main(argv: list[str] | None = None) -> int:
     # instead of dying mid-job with java.lang.OutOfMemoryError.
     max_heap = int(spark._jvm.Runtime.getRuntime().maxMemory())
     if max_heap < 2 * 1024**3:
-        print(
-            f"WARNING: driver heap is {max_heap / 1024**3:.1f} GiB — the "
-            "session builder cannot raise it under spark-submit. Pass "
-            "--driver-memory 8g (or more) on the spark-submit command line.",
-            file=sys.stderr,
+        msg = (
+            f"driver heap is {max_heap / 1024**3:.1f} GiB — the session "
+            "builder cannot raise it under spark-submit. Pass "
+            "--driver-memory 8g (or more) on the spark-submit command "
+            "line, or set CERNAN_SPARK_ALLOW_SMALL_HEAP=1 to proceed "
+            "anyway."
         )
+        if os.environ.get("CERNAN_SPARK_ALLOW_SMALL_HEAP") != "1":
+            print(f"ERROR: {msg}", file=sys.stderr)
+            return 2
+        print(f"WARNING: {msg}", file=sys.stderr)
 
     # topology validation at job start, like the reference's config check
     # (cernan.rs:406-420: a dangling forward aborts before any work)

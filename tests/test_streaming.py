@@ -306,3 +306,39 @@ def test_streaming_exact_dedup_first_seen(spark, tmp_path):
     }
     assert streamed == batch
     assert len(streamed) == 8  # each distinct text emitted exactly once
+
+
+def test_streaming_dedup_owner_min_across_arrow_chunks(spark, tmp_path):
+    """A hash group larger than the Arrow batch size reaches the stateful
+    fold as MULTIPLE pandas chunks within ONE micro-batch; the emitted
+    owner must be the min doc_id across all of them. Rows are written in
+    DESCENDING id order so the true owner lands in the LAST chunk — a fold
+    that pins the owner from the first chunk emits 59 instead of 3."""
+    import uuid
+
+    from cernan_spark.streaming.pipeline import streaming_exact_dedup
+
+    rows = [(i, "the one boilerplate footer") for i in range(59, 2, -1)]
+    d = str(tmp_path / "chunked_stream")
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+        1
+    ).write.parquet(d)
+
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "5")
+    try:
+        qname = f"chunked_{uuid.uuid4().hex[:8]}"
+        stream = spark.readStream.schema("doc_id long, text string").parquet(d)
+        q = (
+            streaming_exact_dedup(stream)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName(qname)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = [r["doc_id"] for r in spark.sql(f"SELECT * FROM {qname}").collect()]
+        assert got == [3]
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)

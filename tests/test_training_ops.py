@@ -354,3 +354,176 @@ def test_simhash_resume_equals_one_pass(spark):
     assert run1 | run2 == one_pass
     assert run1 & run2 == set()
     assert any(b - a == 1_000_000 for a, b, _ in run2)
+
+
+def test_resume_delta_bucket_cases(spark):
+    """_resume_delta on a hand-built banded frame, every cap case pinned
+    (cap=4): a crossed bucket whose pair survives via another band is NOT
+    retracted; a crossed bucket with no other co-occurrence IS; a bucket
+    already over the cap on old members alone retracts nothing (its pairs
+    were dropped by an earlier generation); surviving buckets with a new
+    member emit adds only for new-touching pairs."""
+    from cernan_spark.operators.dedup import _resume_delta
+
+    rows = []
+
+    def bucket(band, bh, old, new):
+        for i in old:
+            rows.append((i, i, False, band, bh))
+        for i in new:
+            rows.append((i, i, True, band, bh))
+
+    bucket(0, 100, old=[1, 2], new=[3, 4, 5])      # crossed (5 > 4)
+    bucket(1, 200, old=[1, 2], new=[])             # (1,2) survives here
+    bucket(0, 300, old=[6, 7], new=[8, 9, 10])     # crossed, no rescue
+    bucket(0, 400, old=[11], new=[12])             # plain add
+    bucket(0, 500, old=[13, 14, 15, 16, 17], new=[18])  # n_old > cap: noop
+    banded = spark.createDataFrame(
+        rows, "id long, sig long, is_new boolean, band int, band_hash long"
+    )
+    out = _resume_delta(banded, 4, ("band", "band_hash"), "sig")
+    got = {(r["id_a"], r["id_b"], r["op"]) for r in out.collect()}
+    assert (6, 7, "retract") in got
+    assert (1, 2, "retract") not in got            # rescued by band 1
+    assert (11, 12, "add") in got
+    assert not any(a >= 13 or b >= 13 for a, b, _ in got if a != 11)
+    # bucket (0,100): old-old (1,2) not an add (no new member in pair was
+    # required — the whole bucket crossed, so no adds from it at all)
+    assert not any(op == "add" and {a, b} <= {1, 2, 3, 4, 5}
+                   for a, b, op in got)
+
+
+def _apply_delta(prior: set, delta_rows, key=lambda r: (r["id_a"], r["id_b"])):
+    adds = {key(r) for r in delta_rows if r["op"] == "add"}
+    retr = {key(r) for r in delta_rows if r["op"] == "retract"}
+    return (prior - retr) | adds
+
+
+def test_minhash_resume_delta_cap_crossing_equals_one_pass(spark):
+    """The exact divergence the plain resume caveat documents: a
+    boilerplate cluster whose LSH bucket crosses max_bucket only once the
+    second shard lands. The plain composition keeps shard-1's stale pairs
+    (≠ one-pass); applying the delta's retractions restores full
+    equality."""
+    from cernan_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        minhash_resume_candidates,
+        minhash_resume_delta,
+        minhash_signatures,
+    )
+
+    base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    some = base.filter(F.col("doc_id") < 40).select("doc_id", "text")
+    boiler = base.select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.lit("exact boilerplate page body repeated verbatim").alias("text"),
+    ).filter(F.col("doc_id") < 2_000_006)  # 6 identical docs
+    docs = some.unionByName(boiler)
+    # shard 1: all regular docs + 3 boilerplate copies (bucket size 3 ≤ 4)
+    shard1 = docs.filter(
+        (F.col("doc_id") < 1_000_000) | (F.col("doc_id") < 2_000_003)
+    )
+    shard2 = docs.filter(F.col("doc_id") >= 2_000_003)  # +3 copies → 6 > 4
+
+    def pairs(df):
+        return {(r["id_a"], r["id_b"]) for r in df.collect()}
+
+    cap = 4
+    one_pass = pairs(minhash_lsh_candidates(docs, max_bucket=cap))
+    run1 = pairs(minhash_lsh_candidates(shard1, max_bucket=cap))
+    sigs1 = minhash_signatures(shard1)
+    plain = run1 | pairs(
+        minhash_resume_candidates(shard2, sigs1, max_bucket=cap)
+    )
+    assert plain != one_pass  # the caveat is real: stale shard-1 pairs
+    delta = minhash_resume_delta(shard2, sigs1, max_bucket=cap).collect()
+    assert _apply_delta(run1, delta) == one_pass
+    retr = {(r["id_a"], r["id_b"]) for r in delta if r["op"] == "retract"}
+    assert retr == {(2_000_000, 2_000_001), (2_000_000, 2_000_002),
+                    (2_000_001, 2_000_002)}
+
+
+def test_simhash_resume_delta_cap_crossing_equals_one_pass(spark):
+    """SimHash analog (the sf0.1 degenerate-chunk shape): identical texts
+    share every chunk bucket; 3 copies in shard 1 pair up, 3 more in
+    shard 2 push the bucket past the cap — one-pass drops them all, and
+    only the delta's retractions reproduce that."""
+    from cernan_spark.operators.dedup import (
+        simhash_fingerprints,
+        simhash_hamming_pairs,
+        simhash_resume_delta,
+        simhash_resume_pairs,
+    )
+
+    base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    some = base.filter(F.col("doc_id") < 40).select("doc_id", "text")
+    boiler = base.select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.lit("exact boilerplate page body repeated verbatim").alias("text"),
+    ).filter(F.col("doc_id") < 2_000_006)
+    docs = some.unionByName(boiler)
+    shard1 = docs.filter(
+        (F.col("doc_id") < 1_000_000) | (F.col("doc_id") < 2_000_003)
+    )
+    shard2 = docs.filter(F.col("doc_id") >= 2_000_003)
+
+    def pairs(df):
+        return {(r["id_a"], r["id_b"]) for r in df.collect()}
+
+    cap = 4
+    one_pass = pairs(simhash_hamming_pairs(docs, max_bucket=cap))
+    run1 = pairs(simhash_hamming_pairs(shard1, max_bucket=cap))
+    fps1 = simhash_fingerprints(shard1)
+    plain = run1 | pairs(simhash_resume_pairs(shard2, fps1, max_bucket=cap))
+    assert plain != one_pass
+    delta = simhash_resume_delta(shard2, fps1, max_bucket=cap).collect()
+    assert _apply_delta(run1, delta) == one_pass
+
+
+def test_minhash_resume_delta_three_generations(spark):
+    """Induction over generations: composing the delta shard-by-shard
+    across THREE scheduled ingests lands on the one-pass pair set of the
+    final union corpus, with caps crossing at different generations (3
+    identical copies per shard of one boilerplate text → sizes 3/6/9
+    around cap 4, plus cross-shard twins for the add path)."""
+    from cernan_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        minhash_resume_delta,
+        minhash_signatures,
+        seed_text_near_dups,
+    )
+
+    base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    seeded = seed_text_near_dups(
+        base.filter(F.col("doc_id") < 30), n_seed=10
+    )
+    boiler = base.select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.lit("exact boilerplate page body repeated verbatim").alias("text"),
+    ).filter(F.col("doc_id") < 2_000_009)  # 9 identical docs
+    docs = seeded.unionByName(boiler)
+    shards = [
+        docs.filter(
+            (F.col("doc_id") % 3 == g)
+            & (F.col("doc_id") < 2_000_000) | (
+                (F.col("doc_id") >= 2_000_000 + 3 * g)
+                & (F.col("doc_id") < 2_000_000 + 3 * (g + 1))
+            )
+        )
+        for g in range(3)
+    ]
+    cap = 4
+
+    def pairs(df):
+        return {(r["id_a"], r["id_b"]) for r in df.collect()}
+
+    cur = pairs(minhash_lsh_candidates(shards[0], max_bucket=cap))
+    indexed = shards[0]
+    for g in (1, 2):
+        sigs = minhash_signatures(indexed)
+        delta = minhash_resume_delta(
+            shards[g], sigs, max_bucket=cap
+        ).collect()
+        cur = _apply_delta(cur, delta)
+        indexed = indexed.unionByName(shards[g])
+    assert cur == pairs(minhash_lsh_candidates(docs, max_bucket=cap))
