@@ -1363,7 +1363,15 @@ def _mixed_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     et = F.col("event_type")
     text = (
         F.when(et == "click", F.concat(
-            F.lit("clicks:"), F.format_string("%.2f", F.col("value")), F.lit("|c")))
+            F.lit("clicks:"), F.format_string("%.2f", F.col("value")),
+            # every 7th click reports `clicks` as an (unsigned) gauge →
+            # SET: the SAME name under TWO kinds, so the prometheus
+            # kind-change rejection (prometheus.rs:279-310) is exercised
+            # by the oracle corpus, not just pytest (VERDICT r4 ask #3 —
+            # the ADVICE reportable double-count bug class was
+            # gate-invisible without a conflicted series)
+            F.when(F.col("event_id") % 7 == 0, F.lit("|g"))
+            .otherwise(F.lit("|c"))))
         .when(et == "view", F.concat_ws(
             " ", F.lit("gr.views"), F.format_string("%.2f", F.col("value")),
             F.unix_timestamp("ts").cast("string")))
@@ -3164,9 +3172,27 @@ def oracle_sql() -> dict[str, str]:
         # purchase=JSON log, signup=plain log, error=bad), bin_width=60
         "internal_telemetry": """
             WITH ev AS (
-              SELECT event_type,
+              SELECT event_type, event_id,
                      CAST(floor(epoch(ts)) AS BIGINT) AS epoch
               FROM events
+            ), tele AS (
+              -- the telemetry line classes with their parsed kinds:
+              -- clicks is a CONFLICTED series (SUM, except every 7th
+              -- event reports it as an unsigned gauge -> SET)
+              SELECT CASE WHEN event_type = 'click' THEN 'clicks'
+                          ELSE 'gr.views' END AS name,
+                     CASE WHEN event_type = 'click' AND event_id % 7 <> 0
+                          THEN 'SUM' ELSE 'SET' END AS kind,
+                     epoch // 60 AS bin
+              FROM ev WHERE event_type IN ('click', 'view')
+            ), pbin AS (
+              SELECT DISTINCT name, kind, bin FROM tele
+            ), fk AS (
+              -- prometheus first-seen-kind-wins per name, bin order
+              SELECT name, kind,
+                     first_value(kind) OVER (PARTITION BY name
+                       ORDER BY bin, kind) AS first_kind
+              FROM pbin
             ), c AS (
               SELECT
                 count(*) FILTER (event_type = 'click') AS n_click,
@@ -3174,10 +3200,15 @@ def oracle_sql() -> dict[str, str]:
                 count(*) FILTER (event_type = 'purchase') AS n_purchase,
                 count(*) FILTER (event_type = 'signup') AS n_signup,
                 count(*) FILTER (event_type = 'error') AS n_error,
-                count(DISTINCT CASE WHEN event_type = 'click'
-                                    THEN epoch // 60 END) AS sum_groups,
-                count(DISTINCT CASE WHEN event_type = 'view'
-                                    THEN epoch // 60 END) AS set_groups
+                (SELECT count(*) FILTER (kind = 'SUM') FROM pbin)
+                  AS sum_groups,
+                (SELECT count(*) FILTER (kind = 'SET') FROM pbin)
+                  AS set_groups,
+                (SELECT count(DISTINCT CASE WHEN kind = first_kind
+                         THEN name || '|' || kind END) FROM fk)
+                  AS prom_reportable,
+                (SELECT count(*) FILTER (kind <> first_kind) FROM fk)
+                  AS prom_kind_rejected
               FROM ev
             )
             SELECT name, CAST(value AS DOUBLE) AS value, 'SUM' AS kind FROM (
@@ -3215,9 +3246,9 @@ def oracle_sql() -> dict[str, str]:
                 'cernan.sinks.wavefront.aggregation.summarize.total_percentiles',
                 0 FROM c
               UNION ALL SELECT 'cernan.sinks.prometheus.aggregation.reportable',
-                               2 FROM c
+                               prom_reportable FROM c
               UNION ALL SELECT 'cernan.sinks.prometheus.aggregation.kind_rejected',
-                               0 FROM c
+                               prom_kind_rejected FROM c
             )
         """,
         "es_bulk_docs": """
