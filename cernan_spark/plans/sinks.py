@@ -9,6 +9,9 @@ back to parquet paths; see _write)."""
 
 from __future__ import annotations
 
+import os
+import uuid
+
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
@@ -56,6 +59,7 @@ def write_sinks(
     bin_width: int = 60,
     lineage_path: str | None = None,
     summary_capacity_s: int = 3600,
+    run_id: str | None = None,
 ) -> dict[str, str]:
     """Materialize every configured sink from a run_pipeline output dict.
 
@@ -126,6 +130,16 @@ def write_sinks(
         ),
         "kafka": kafka_format(routed_logs.filter(F.col("sink") == "kafka")),
     }
+    # fault injection for the kill/resume e2e proof (tests/test_job_resume):
+    # after N sinks have committed, die the way a SIGKILL'd driver dies —
+    # os._exit skips JVM shutdown, atexit, and any in-flight cleanup, so
+    # the lineage/sink state left behind is exactly a crashed run's.
+    fail_after = int(os.environ.get("CERNAN_SPARK_FAIL_AFTER_SINKS", "0") or 0)
+    n_committed = 0
+    # ONE run_id per job invocation (not per sink write): lineage rows
+    # group into "this run committed these (sink, part) pairs", which is
+    # what run_metrics rolls up and what the resume proof inspects
+    run_id = run_id or uuid.uuid4().hex[:12]
     for sink, df in targets.items():
         path = f"{base_path}/{sink}"
         if lineage_path is not None:
@@ -135,8 +149,12 @@ def write_sinks(
                 path,
                 lineage_path,
                 key_col=df.columns[0],
+                run_id=run_id,
             )
         else:
             _write(df, path)
         paths[sink] = path
+        n_committed += 1
+        if fail_after and n_committed >= fail_after:
+            os._exit(137)
     return paths
