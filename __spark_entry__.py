@@ -2223,13 +2223,19 @@ def _pii_oracle_sql() -> str:
     the ordered replacement chain."""
     from cernan_spark.operators.textstats import PII_PATTERNS
 
-    counts = ",\n       ".join(
-        f"len(regexp_extract_all(text, '{rx}')) AS n_{cat}"
-        for cat, rx, _tok in PII_PATTERNS
-    )
+    # counts are DISJOINT, mirroring the operator: each category counts
+    # on the text with all earlier categories already replaced
+    count_exprs = []
     red = "text"
-    for _cat, rx, tok in PII_PATTERNS:
+    cc_src = None
+    for cat, rx, tok in PII_PATTERNS:
+        count_exprs.append(
+            f"len(regexp_extract_all({red}, '{rx}')) AS n_{cat}"
+        )
+        if cat == "ccard":
+            cc_src = red
         red = f"regexp_replace({red}, '{rx}', '{tok}', 'g')"
+    counts = ",\n       ".join(count_exprs)
     cc_rx = next(rx for cat, rx, _ in PII_PATTERNS if cat == "ccard")
     dd = "reverse(regexp_replace(c, '[- ]', '', 'g'))"
     dig = f"(ascii(substr({dd}, CAST(i AS INTEGER), 1)) - 48)"
@@ -2239,7 +2245,7 @@ def _pii_oracle_sql() -> str:
         f"ELSE {dig} END"
     )
     luhn = (
-        f"len(list_filter(regexp_extract_all(text, '{cc_rx}'), "
+        f"len(list_filter(regexp_extract_all({cc_src}, '{cc_rx}'), "
         f"c -> length({dd}) >= 13 AND "
         f"list_reduce(list_prepend(0, list_transform(range(1, length({dd}) + 1), "
         f"i -> {term})), (a, x) -> a + x) % 10 = 0)) AS n_ccard_luhn"

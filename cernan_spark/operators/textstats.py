@@ -282,33 +282,27 @@ def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     """PII scrubbing for pretraining corpora: emails, plus-prefixed phone
     numbers, dotted-quad IPs, card-shaped digit runs, SSN-shaped ids and
     API-key-shaped tokens are replaced with typed placeholder tokens;
-    per-category match counts (on the ORIGINAL text) are kept for corpus
-    accounting, plus ``n_ccard_luhn`` — how many card-shaped runs actually
-    pass the Luhn checksum (shape matches without a valid check digit are
-    usually order ids, not cards). Pure column expressions — whole-stage
-    codegen, no Python in the scan; at 100 TB this is a narrow map over
-    the text column."""
-    orig = F.col(text_col)
+    per-category match counts are kept for corpus accounting, plus
+    ``n_ccard_luhn`` — how many card-shaped runs actually pass the Luhn
+    checksum (shape matches without a valid check digit are usually order
+    ids, not cards). Counts are DISJOINT: each category counts on the
+    text with all EARLIER categories already replaced, mirroring the
+    replacement chain — a '+'-prefixed 15-digit run is one phone, not a
+    phone and a card (r4 ADVICE #5: counting every pattern on the
+    original text overstated corpus totals). Pure column expressions —
+    whole-stage codegen, no Python in the scan; at 100 TB this is a
+    narrow map over the text column."""
     out = df
-    for cat, rx, _tok in PII_PATTERNS:
-        out = out.withColumn(
-            f"n_{cat}",
-            F.size(F.regexp_extract_all(orig, F.lit(rx), F.lit(0))),
-        )
-    cc_rx = next(rx for cat, rx, _ in PII_PATTERNS if cat == "ccard")
-    out = out.withColumn(
-        "n_ccard_luhn",
-        F.size(
-            F.filter(
-                F.regexp_extract_all(orig, F.lit(cc_rx), F.lit(0)),
-                luhn_valid,
+    cur = F.col(text_col)
+    for cat, rx, tok in PII_PATTERNS:
+        matches = F.regexp_extract_all(cur, F.lit(rx), F.lit(0))
+        out = out.withColumn(f"n_{cat}", F.size(matches))
+        if cat == "ccard":
+            out = out.withColumn(
+                "n_ccard_luhn", F.size(F.filter(matches, luhn_valid))
             )
-        ),
-    )
-    red = orig
-    for _cat, rx, tok in PII_PATTERNS:
-        red = F.regexp_replace(red, rx, tok)
-    return out.withColumn("redacted", red)
+        cur = F.regexp_replace(cur, rx, tok)
+    return out.withColumn("redacted", cur)
 
 
 def normalize_text(df: DataFrame, text_col: str = "text") -> DataFrame:

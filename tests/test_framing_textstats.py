@@ -281,6 +281,30 @@ def test_pii_extended_categories_adversarial(spark):
     assert out[5]["n_ccard_luhn"] == 1
 
 
+def test_pii_counts_are_disjoint_across_categories(spark):
+    """A match consumed by an earlier category never re-counts under a
+    later one (r4 ADVICE #5): counts run on the progressively-redacted
+    text, so they mirror which placeholder actually wins in `redacted`."""
+    from cernan_spark.operators.textstats import redact_pii
+
+    rows = [
+        # '+' + 15 digits: phone wins; the ccard-shaped sub-run must not
+        # also count (this was the double-counted case)
+        (0, "fraud line +411111111111111 reported"),
+        # email whose local part is card-shaped: email wins, ccard 0
+        (1, "from 4111111111111111@scam.example please"),
+        # a real card NEXT TO a phone still counts once each
+        (2, "call +1234567890 re card 4111 1111 1111 1111"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    assert out[0]["n_phone"] == 1 and out[0]["n_ccard"] == 0
+    assert out[0]["redacted"] == "fraud line <PHONE> reported"
+    assert out[1]["n_email"] == 1 and out[1]["n_ccard"] == 0
+    assert out[2]["n_phone"] == 1 and out[2]["n_ccard"] == 1
+    assert out[2]["redacted"] == "call <PHONE> re card <CCARD>"
+
+
 def test_normalize_and_url_stats(spark):
     from cernan_spark.operators.textstats import (
         domain_rollup,
