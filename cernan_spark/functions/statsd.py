@@ -35,20 +35,32 @@ KIND_HISTOGRAM = "HISTOGRAM"
 
 
 def statsd_parse_columns(line: Column) -> list[Column]:
-    """Columns (name, value, kind, persist, is_valid) parsed from one line.
+    """Columns (name, value, kind, persist, is_valid) parsed from one line,
+    mirroring the reference's find(':')/find('|')/find('@') scan.
 
-    Pure string-position ops (substring_index / try_cast), mirroring the
-    reference's find(':')/find('|')/find('@') scan — and several times
-    cheaper per row than running a grammar regex once per output column.
+    Slicing runs through anchored LITERAL regexes (compiled once per
+    operator by codegen) instead of nested substring_index chains: every
+    output column re-evaluates its inputs — conditional branches are
+    skipped by codegen subexpression elimination — so with nested chains
+    the fused parse→partial-aggregate method exceeded janino's 64 KB
+    limit and the whole hot stage silently ran interpreted (measured 6.7×
+    slower at 2M lines). Numeric validity stays on ``try_cast`` (NOT a
+    number-shaped regex) so values like ``' 1.5 '``, ``'NaN'``, ``'inf'``
+    keep the exact cast semantics the golden/model tests and the DuckDB
+    oracles pin.
     """
-    name = F.substring_index(line, ":", 1)
-    rest = F.substring(line, F.length(name) + 2, F.lit(1 << 30))
-    val_str = F.substring_index(rest, "|", 1)
-    tyrate = F.substring(rest, F.length(val_str) + 2, F.lit(1 << 30))
+    # chars between start and the FIRST ':' (empty when no colon or the
+    # line starts with ':') — find(':') in statsd.rs:553-573
+    name = F.regexp_extract(line, r"^([^:]+):", 1)
+    # chars between the first ':' and the FIRST '|'; '' when either
+    # separator is missing (→ invalid below, same as the position scan)
+    val_str = F.regexp_extract(line, r"^[^:]+:([^|]*)\|", 1)
+    # everything after the first '|'
+    tyrate = F.regexp_extract(line, r"^[^:]+:[^|]*\|(.*)$", 1)
     # 'c|@0.2' and 'c@0.2' both → ty 'c' (pipe stripped only in the rate
     # form — a bare trailing pipe like 'c|' is invalid, statsd.rs:120-148)
     ty_part = F.substring_index(tyrate, "@", 1)
-    has_rate = F.length(tyrate) > F.length(ty_part)
+    has_rate = tyrate.contains("@")
     ty = F.when(
         has_rate & ty_part.endswith("|"),
         F.substring(ty_part, 1, F.length(ty_part) - 1),
@@ -58,9 +70,7 @@ def statsd_parse_columns(line: Column) -> list[Column]:
     raw_val = val_str.try_cast("double")
     rate = rate_str.try_cast("double")
     valid = (
-        line.contains(":")
-        & (F.length(name) > 0)
-        & rest.contains("|")
+        (F.length(name) > 0)
         & (F.length(val_str) > 0)
         & raw_val.isNotNull()
         & ty.isin("c", "g", "ms", "h")
