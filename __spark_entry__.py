@@ -1698,6 +1698,118 @@ def q_prometheus_exposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prometheus_format(cum).select("exposition")
 
 
+def q_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (point-in-time) config enrichment: every turn is routed under
+    the sink-config version in force at its timestamp — cernan's SIGHUP
+    config-reload semantics replayed over history (the filter/route
+    topology is rebuilt per reload and each arriving line routes under the
+    version active at arrival). Four config versions per tool are derived
+    deterministically across the tool's epoch span; the as-of join runs
+    the broadcast sorted-array plan
+    (operators/temporal.asof_join_broadcast): the fact side is never
+    shuffled or multiplied. Oracle: DuckDB native ASOF JOIN over the
+    identically derived config."""
+    from cernan_spark.operators.temporal import asof_join_broadcast
+
+    _utc(spark)
+    t = transcripts_from_events(spark, sf_dir).withColumn(
+        "epoch", F.unix_timestamp("ts")
+    )
+    turns = t.select("conv_id", "turn_idx", "tool", "epoch")
+    span = turns.groupBy("tool").agg(
+        F.min("epoch").alias("lo"), F.max("epoch").alias("hi")
+    )
+    cfg = span.select(
+        "tool", "lo", "hi", F.explode(F.sequence(F.lit(0), F.lit(3))).alias("k")
+    ).select(
+        "tool",
+        (
+            F.col("lo")
+            + F.floor((F.col("hi") - F.col("lo")) * F.col("k") / F.lit(4))
+        )
+        .cast("long")
+        .alias("valid_from"),
+        F.concat(F.lit("sink_v"), F.col("k")).alias("sink"),
+    )
+    enriched = asof_join_broadcast(
+        turns, cfg, ["tool"], "epoch", "valid_from", ["sink"]
+    )
+    return enriched.groupBy("tool", "sink").agg(
+        F.count("*").alias("n_turns"),
+        F.min("epoch").alias("min_epoch"),
+        F.max("epoch").alias("max_epoch"),
+    )
+
+
+def q_counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prometheus ``increase()`` + reset detection over sampled cumulative
+    counters (the scrape-side mirror of the perpetual SUM accumulators —
+    a restart drops the raw series and the post-reset value IS the
+    increase). The cumulative series is built in exact integer cents and
+    wrapped mod 10^6, so every wrap is a genuine reset and both engines
+    replay bit-identically — no float accumulation order anywhere."""
+    from cernan_spark.operators.temporal import counter_increase
+
+    p = _parsed(spark, sf_dir).filter(
+        (F.col("kind") == "SUM") & (F.col("value") >= 0)
+    )
+    w = (
+        W.partitionBy("name")
+        .orderBy("order_key")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    ser = p.select(
+        "name",
+        "order_key",
+        (F.sum(cents).over(w) % F.lit(1000000)).alias("wrapped"),
+    )
+    inc = counter_increase(ser, ["name"], "order_key", "wrapped")
+    return inc.groupBy("name").agg(
+        F.count("*").alias("n_samples"),
+        F.sum(F.col("is_reset").cast("long")).alias("n_resets"),
+        F.sum("increase").alias("total_increase"),
+    )
+
+
+def q_fuzzy_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy (edit-distance) decontamination: corpus docs within 3
+    Levenshtein edits of an eval probe — the near-miss leakage exact
+    shingle overlap (benchmark_decontam) cannot see. Probes are
+    deterministic 1-char perturbations of every 83rd document, so the
+    mechanism provably fires at every SF (each probe finds at least its
+    source doc at distance ≤1). Blocked broadcast join
+    (textstats.fuzzy_probe_matches): corpus scanned once, never shuffled;
+    only prefix+length-bucket candidates reach the levenshtein kernel."""
+    from cernan_spark.operators.textstats import fuzzy_probe_matches
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    probes = d.filter(F.col("doc_id") % 83 == 0).select(
+        F.col("doc_id").alias("probe_id"),
+        F.concat(
+            F.substring("text", 1, 9), F.lit("#"), F.substring("text", 11, 110)
+        ).alias("probe_text"),
+    )
+    return fuzzy_probe_matches(d, probes, max_dist=3)
+
+
+#: per-language keep rates for the stratified-sample entry (shared by the
+#: Spark query and the generated oracle CASE)
+STRATIFIED_RATES = {"en": 0.2, "es": 0.5, "zh": 1.0}
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language down-sampling at exact rates (keep 20 %
+    of en, 50 % of es, all zh, drop the rest) via the portable universal
+    hash — reproducible across engines and stable under corpus growth
+    (a doc's keep/drop never changes as other docs arrive)."""
+    from cernan_spark.operators.textstats import stratified_sample
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    s = stratified_sample(d, STRATIFIED_RATES, lang_col="lang")
+    return s.select("doc_id", "lang", "n_chars")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full parse→enrich→route→aggregate at sf0.001."""
     from cernan_spark.plans.pipeline import run_pipeline
@@ -1711,8 +1823,9 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver grades exactly the first 50
     # entries. Round-5 rotation (VERDICT r4 Next #1): the 11 queries that
-    # had never received a driver row, the 6 r4-new ops, and
-    # internal_telemetry (oracle corpus changes this round) occupy the
+    # had never received a driver row, the 4 r5-new ops (asof_enrich,
+    # counter_rate, fuzzy_decontam, stratified_sample), the 6 r4-new ops,
+    # and internal_telemetry (oracle corpus changes this round) occupy the
     # graded window; long-stable basics holding r3+r4 green rows and the
     # r3-green wire-format queries rotate to positions 51+ (still covered
     # by scripts/check_oracle.py over ALL entries).
@@ -1733,6 +1846,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "internal_telemetry": q_internal_telemetry,
         "minhash_resume": q_minhash_resume,
         "simhash_resume": q_simhash_resume,
+        # -- r5-new operators --------------------------------------------
+        "asof_enrich": q_asof_enrich,
+        "counter_rate": q_counter_rate,
+        "fuzzy_decontam": q_fuzzy_decontam,
+        "stratified_sample": q_stratified_sample,
         # -- r4-new (single green row so far) -----------------------------
         "dedup_drop_stats": q_dedup_drop_stats,
         "paragraph_dedup": q_paragraph_dedup,
@@ -1760,11 +1878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_groups": q_dedup_groups,
         "simhash_dedup": q_simhash_dedup,
         "dedup_exact": q_dedup_exact,
-        "quality_score": q_quality_score,
-        "text_quality": q_text_quality,
-        "bpeish_tokens": q_bpeish_tokens,
         "lang_id": q_lang_id,
-        "repetition_stats": q_repetition_stats,
         "doc_fingerprint": q_doc_fingerprint,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_cosine_lsh": q_ann_cosine_lsh,
@@ -1772,6 +1886,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": q_embedding_near_dups,
         "minhash_dedup": q_minhash_dedup,
         # ---- position 51+ : not graded by the driver this round ----------
+        "quality_score": q_quality_score,
+        "text_quality": q_text_quality,
+        "bpeish_tokens": q_bpeish_tokens,
+        "repetition_stats": q_repetition_stats,
         "parse_graphite": q_parse_graphite,
         "bucket_set_last": q_bucket_set_last,
         "bucket_histogram": q_bucket_histogram,
@@ -2640,6 +2758,23 @@ SELECT qid, vid AS vec_id, round(cos, 6) AS cos, rank FROM (
 """
 
 
+def _stratified_oracle_sql(rates: dict[str, float] = STRATIFIED_RATES) -> str:
+    """Oracle for the stratified sampler, GENERATED from the same rates
+    dict the Spark query uses (the token_budget_mix pattern): the keep
+    thresholds are computed once in Python, so the CASE arms and the
+    ``F.lit(int(r * 2^31-1))`` columns cannot drift apart."""
+    m31 = (1 << 31) - 1
+    arms = " ".join(
+        f"WHEN '{lang}' THEN {int(r * m31)}" for lang, r in sorted(rates.items())
+    )
+    return f"""
+        SELECT doc_id, lang, n_chars FROM documents
+        WHERE ((1103515245 * ((doc_id % 2147483647 + 2147483647) % 2147483647)
+                + 12345) % 2147483647 + 2147483647) % 2147483647
+              < CASE lang {arms} ELSE 0 END
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     P = _ORACLE_PRELUDE
     d = {
@@ -3027,6 +3162,85 @@ def oracle_sql() -> dict[str, str]:
               FROM h
             ) WHERE rank <= 20
         """,
+        "asof_enrich": P
+        + """
+            , turns AS (
+              SELECT conv_id, turn_idx, tool,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS epoch
+              FROM transcripts
+            ), span AS (
+              SELECT tool, min(epoch) AS lo, max(epoch) AS hi
+              FROM turns GROUP BY 1
+            ), cfg AS (
+              SELECT tool,
+                     lo + CAST(floor((hi - lo) * k / 4.0) AS BIGINT)
+                       AS valid_from,
+                     'sink_v' || CAST(k AS VARCHAR) AS sink
+              FROM span, (SELECT unnest(range(0, 4)) AS k)
+            ), cfg_d AS (
+              -- duplicate version timestamps resolve to the max sink,
+              -- mirroring the sorted-struct tie-break on the Spark side
+              SELECT tool, valid_from, max(sink) AS sink
+              FROM cfg GROUP BY 1, 2
+            )
+            SELECT t.tool, c.sink, count(*) AS n_turns,
+                   min(t.epoch) AS min_epoch, max(t.epoch) AS max_epoch
+            FROM turns t ASOF JOIN cfg_d c
+              ON t.tool = c.tool AND t.epoch >= c.valid_from
+            GROUP BY 1, 2
+        """,
+        "counter_rate": P
+        + """
+            , ser AS (
+              SELECT name, order_key,
+                     sum(CAST(round(value * 100, 0) AS BIGINT)) OVER (
+                       PARTITION BY name ORDER BY order_key
+                       ROWS UNBOUNDED PRECEDING
+                     ) % 1000000 AS wrapped
+              FROM parsed WHERE kind = 'SUM' AND value >= 0
+            ), d AS (
+              SELECT name, wrapped,
+                     lag(wrapped) OVER (
+                       PARTITION BY name ORDER BY order_key
+                     ) AS prev
+              FROM ser
+            )
+            SELECT name, count(*) AS n_samples,
+                   CAST(sum(CASE WHEN prev IS NOT NULL AND wrapped < prev
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_resets,
+                   CAST(sum(CASE WHEN prev IS NULL THEN wrapped
+                                 WHEN wrapped < prev THEN wrapped
+                                 ELSE wrapped - prev END) AS BIGINT)
+                     AS total_increase
+            FROM d GROUP BY 1
+        """,
+        "fuzzy_decontam": r"""
+            WITH pr0 AS (
+              SELECT doc_id AS probe_id,
+                     substr(text, 1, 9) || '#' || substr(text, 11, 110)
+                       AS probe_text
+              FROM documents WHERE doc_id % 83 = 0
+            ), pr AS (
+              SELECT probe_id,
+                     substr(regexp_replace(probe_text, '[^ -~]', '', 'g'),
+                            1, 120) AS p
+              FROM pr0
+            ), cand AS (
+              SELECT doc_id,
+                     substr(regexp_replace(text, '[^ -~]', '', 'g'),
+                            1, 120) AS c
+              FROM documents
+            )
+            SELECT DISTINCT probe_id, doc_id,
+                   CAST(levenshtein(c, p) AS INTEGER) AS dist
+            FROM cand JOIN pr
+              ON substr(c, 1, 6) = substr(p, 1, 6)
+             AND CAST(floor(length(c) / 8.0) AS BIGINT)
+                 BETWEEN CAST(floor(length(p) / 8.0) AS BIGINT) - 1
+                     AND CAST(floor(length(p) / 8.0) AS BIGINT) + 1
+            WHERE levenshtein(c, p) <= 3
+        """,
+        "stratified_sample": _stratified_oracle_sql(),
         "normalize_text": r"""
             SELECT doc_id,
                    trim(regexp_replace(regexp_replace(

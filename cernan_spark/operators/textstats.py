@@ -477,3 +477,101 @@ def sample_to_token_budget(
         .filter(F.col("cum_tokens") <= bexpr)
         .drop("_ord", "_bkt", "_off")
     )
+
+
+def fuzzy_probe_matches(
+    docs: DataFrame,
+    probes: DataFrame,
+    max_dist: int = 3,
+    cmp_len: int = 120,
+    block_prefix: int = 6,
+    len_bucket: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    probe_id_col: str = "probe_id",
+    probe_text_col: str = "probe_text",
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Fuzzy (edit-distance) decontamination: find corpus documents within
+    ``max_dist`` Levenshtein edits of any probe — the near-miss leakage
+    that exact shingle overlap (``benchmark_ngram_overlap``) cannot see,
+    e.g. an eval prompt pasted with a typo or re-wrapped whitespace.
+
+    Blocked-join shape (standard entity-resolution practice): both sides
+    compare a normalized prefix (printable-ASCII only — DuckDB's
+    ``levenshtein`` is byte-based while Spark's is character-based, so the
+    comparison alphabet is pinned to 1-byte chars; first ``cmp_len``
+    chars). Candidates must agree on the first ``block_prefix`` characters
+    and sit in the same-or-adjacent ``len_bucket`` length bucket; the
+    probe side fans out to its 3 eligible buckets and is broadcast, so the
+    corpus side is scanned once, never shuffled, and only candidate pairs
+    reach the O(cmp_len^2) ``levenshtein`` kernel. Recall is bounded by
+    the blocking (an edit inside the block prefix escapes), exactly like
+    LSH banding — the trade is documented, deliberate, and replayed
+    identically by the SQL oracle.
+
+    Output: one row per (probe_id, doc_id) hit with the edit distance.
+    """
+    def norm(c: Column) -> Column:
+        return F.substring(F.regexp_replace(c, "[^ -~]", ""), 1, cmp_len)
+
+    cand = docs.select(
+        F.col(id_col), norm(F.col(text_col)).alias("__cand")
+    ).withColumn("__pfx", F.substring("__cand", 1, block_prefix)).withColumn(
+        "__bkt", F.floor(F.length("__cand") / F.lit(len_bucket))
+    )
+    pr = probes.select(
+        F.col(probe_id_col), norm(F.col(probe_text_col)).alias("__probe")
+    ).withColumn("__pfx", F.substring("__probe", 1, block_prefix))
+    pr = pr.withColumn(
+        "__bkt",
+        F.explode(
+            F.array(
+                F.floor(F.length("__probe") / F.lit(len_bucket)) - 1,
+                F.floor(F.length("__probe") / F.lit(len_bucket)),
+                F.floor(F.length("__probe") / F.lit(len_bucket)) + 1,
+            )
+        ),
+    )
+    hits = (
+        cand.join(F.broadcast(pr), ["__pfx", "__bkt"])
+        .withColumn("dist", F.levenshtein("__cand", "__probe"))
+        .filter(F.col("dist") <= max_dist)
+    )
+    if exclude_self:
+        hits = hits.filter(F.col(id_col) != F.col(probe_id_col))
+    return hits.select(probe_id_col, id_col, "dist").distinct()
+
+
+def stratified_sample(
+    docs: DataFrame,
+    rates: dict[str, float],
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum (language) subsampling at exact rates:
+    keep a document iff its portable universal hash falls under the
+    stratum's threshold — the standard down-sampling step when rebalancing
+    a pretraining mix (e.g. keep 20 % of English, all of Swahili).
+
+    Pure narrow column expression: no shuffle, no RNG state, reproducible
+    across reruns and engines (the DuckDB oracle replays the same hash),
+    and stable under corpus growth — a doc's keep/drop never changes when
+    other docs arrive, which is what makes incremental re-ingest append
+    only new rows. The same (a*x+b) mod 2^31-1 key orders the
+    token-budget sampler, so strata sampled here stay consistent with
+    budget prefixes there.
+    """
+    m31 = F.lit(_MERSENNE31)
+    key = F.pmod(
+        F.lit(1103515245) * F.pmod(F.col(id_col).cast("long"), m31)
+        + F.lit(12345),
+        m31,
+    )
+    thr = F.lit(int(default_rate * _MERSENNE31)).cast("long")
+    for lang, r in sorted(rates.items()):
+        thr = F.when(
+            F.col(lang_col) == lang, F.lit(int(r * _MERSENNE31)).cast("long")
+        ).otherwise(thr)
+    return docs.withColumn("_key", key).filter(F.col("_key") < thr).drop("_key")

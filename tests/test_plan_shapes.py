@@ -121,3 +121,28 @@ def test_sessionize_windows_are_chunk_scoped(spark):
         spec = w.split("windowspecdefinition", 1)[1]
         if "user_id" in spec:
             assert "_bkt" in spec, f"bare per-user window found: {w.strip()[:120]}"
+
+
+def test_asof_broadcast_fact_side_never_shuffles(spark):
+    """As-of enrichment: the versions array broadcasts; the fact side is
+    joined with BroadcastHashJoin and NEVER appears under a hash exchange
+    — the whole point of the sorted-array pick over a range join."""
+    from cernan_spark.operators.temporal import asof_join_broadcast
+
+    fact = spark.range(5000).select(
+        (F.col("id") % 7).cast("string").alias("key"),
+        (F.col("id") % 997).alias("ts"),
+        F.col("id").alias("row_id"),
+    )
+    dim = spark.range(21).select(
+        (F.col("id") % 7).cast("string").alias("key"),
+        (F.col("id") * 100).alias("valid_from"),
+        F.concat(F.lit("s"), F.col("id")).alias("sink"),
+    )
+    out = asof_join_broadcast(fact, dim, ["key"], "ts", "valid_from", ["sink"])
+    plan = _final_plan(out)
+    assert _count(plan, r"BroadcastHashJoin") == 1
+    assert _count(plan, r"SortMergeJoin") == 0
+    # the only hash exchange allowed is the tiny dim-side groupBy
+    # (collect_list per key); the fact side reaches the join scan-local
+    assert _count(plan, r"Exchange hashpartitioning") <= 1

@@ -527,3 +527,71 @@ def test_minhash_resume_delta_three_generations(spark):
         cur = _apply_delta(cur, delta)
         indexed = indexed.unionByName(shards[g])
     assert cur == pairs(minhash_lsh_candidates(docs, max_bucket=cap))
+
+
+def test_fuzzy_probe_matches_hits_and_blocks(spark):
+    from cernan_spark.operators.textstats import fuzzy_probe_matches
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "the quick brown fox jumps over the lazy dog again and agaim"),
+            (3, "completely unrelated text that shares no prefix with others"),
+        ],
+        "doc_id long, text string",
+    )
+    probes = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog again and again")],
+        "probe_id long, probe_text string",
+    )
+    got = {
+        (r.probe_id, r.doc_id): r.dist
+        for r in fuzzy_probe_matches(docs, probes, max_dist=3).collect()
+    }
+    assert got == {(1, 1): 0, (1, 2): 1}
+    # exclude_self drops the identity pair, keeps the near-miss
+    got2 = {
+        (r.probe_id, r.doc_id)
+        for r in fuzzy_probe_matches(
+            docs, probes, max_dist=3, exclude_self=True
+        ).collect()
+    }
+    assert got2 == {(1, 2)}
+
+
+def test_fuzzy_probe_non_ascii_normalized(spark):
+    from cernan_spark.operators.textstats import fuzzy_probe_matches
+
+    # é is stripped on both sides (DuckDB levenshtein is byte-based; the
+    # comparison alphabet is pinned to printable ASCII)
+    docs = spark.createDataFrame(
+        [(1, "café latte with extra milk and sugar on the side ok")],
+        "doc_id long, text string",
+    )
+    probes = spark.createDataFrame(
+        [(9, "caf latte with extra milk and sugar on the side ok")],
+        "probe_id long, probe_text string",
+    )
+    rows = fuzzy_probe_matches(docs, probes, max_dist=3).collect()
+    assert [(r.probe_id, r.doc_id, r.dist) for r in rows] == [(9, 1, 0)]
+
+
+def test_stratified_sample_rates_and_nesting(spark):
+    from cernan_spark.operators.textstats import stratified_sample
+
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "fr") for i in range(4000)],
+        "doc_id long, lang string",
+    )
+    lo = stratified_sample(docs, {"en": 0.2}, lang_col="lang")
+    hi = stratified_sample(docs, {"en": 0.6}, lang_col="lang")
+    n_lo, n_hi = lo.count(), hi.count()
+    # rate accuracy: uniform hash → binomial; 2000 draws at p±0.05 margin
+    assert abs(n_lo / 2000 - 0.2) < 0.05
+    assert abs(n_hi / 2000 - 0.6) < 0.05
+    assert lo.filter("lang = 'fr'").count() == 0  # default rate drops
+    # nesting: raising a rate only ADDS docs (hash threshold is monotone),
+    # the property that makes sampled corpora refinable without churn
+    lo_ids = {r.doc_id for r in lo.collect()}
+    hi_ids = {r.doc_id for r in hi.collect()}
+    assert lo_ids <= hi_ids
