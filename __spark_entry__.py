@@ -1810,6 +1810,88 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select("doc_id", "lang", "n_chars")
 
 
+def q_turn_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-turn dedup over transcripts: drop turns repeating the
+    previous turn's (role, text) within a conversation, re-densify
+    turn_idx. Duplicates are seeded deterministically (every user turn is
+    doubled with an interleaving order key), so the operator provably
+    fires at every SF. Both windows share the conv_id partitioning —
+    one exchange end-to-end."""
+    from cernan_spark.operators.conversation import dedup_consecutive_turns
+
+    _utc(spark)
+    t = transcripts_from_events(spark, sf_dir)
+    dup = t.filter(F.col("role") == "user")
+    base = t.select(
+        "conv_id",
+        (F.col("turn_idx") * 2).alias("turn_idx"),
+        "role",
+        "text",
+        "tool",
+        "ts",
+    ).unionByName(
+        dup.select(
+            "conv_id",
+            (F.col("turn_idx") * 2 + 1).alias("turn_idx"),
+            "role",
+            "text",
+            "tool",
+            "ts",
+        )
+    )
+    return dedup_consecutive_turns(base)
+
+
+def q_role_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Role-bigram profile of the agent-trace corpus: per (role,
+    next_role) adjacency (terminal turns → 'END'), turn count and
+    distinct-conversation count. One lead window + one map-side-combined
+    aggregate over the tiny role×role key space."""
+    from cernan_spark.operators.conversation import role_transitions
+
+    _utc(spark)
+    return role_transitions(transcripts_from_events(spark, sf_dir))
+
+
+def q_tail_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window truncation: keep each conversation's largest
+    whole-turn SUFFIX within a 37-token budget (recent turns win).
+    Token counts are made non-uniform deterministically (turn_idx%5
+    pad tokens) so the running cut exercises real variation."""
+    from cernan_spark.operators.conversation import trim_to_tail_budget
+
+    _utc(spark)
+    t = transcripts_from_events(spark, sf_dir).withColumn(
+        "text", F.expr("concat(text, repeat(' pad', turn_idx % 5))")
+    )
+    return trim_to_tail_budget(t, budget=37)
+
+
+def q_context_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concatenate-and-chop packing of the documents corpus into 512-token
+    training windows: per doc, its global token offset (two-phase chunked
+    prefix sum — bit-identical to the oracle's single global window, but
+    never serializes the corpus into one task), its first window and how
+    many windows it spans."""
+    from cernan_spark.operators.conversation import pack_concat_chop
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return pack_concat_chop(d, bin_tokens=512, chunk_width=64)
+
+
+def q_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted corpus subsampling via priority sampling
+    (Duffield–Lund–Thorup): deterministic uniform u from the portable LCG
+    stream, keep the k=200 largest priorities q = n_chars/u. Integer mod
+    arithmetic + two IEEE divisions only, so the DuckDB oracle selects
+    the identical sample; distributed as per-bucket top-k windows, then
+    one tiny global sort."""
+    from cernan_spark.operators.conversation import priority_sample
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return priority_sample(d, k=200, weight_col="n_chars")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full parse→enrich→route→aggregate at sf0.001."""
     from cernan_spark.plans.pipeline import run_pipeline
@@ -1907,6 +1989,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_bulk_docs": q_es_bulk_docs,
         "kafka_records": q_kafka_records,
         "prometheus_exposition": q_prometheus_exposition,
+        # -- r5-new conversation/corpus-assembly ops (positions 72+;
+        # rotate into the graded window next round) ----------------------
+        "turn_dedup": q_turn_dedup,
+        "role_transitions": q_role_transitions,
+        "tail_trim": q_tail_trim,
+        "context_pack": q_context_pack,
+        "priority_sample": q_priority_sample,
     }
 
 
@@ -3587,6 +3676,91 @@ def oracle_sql() -> dict[str, str]:
         # multimodal_features: intentionally rows-only (PNG/WAV decodes are
         # real stdlib struct reads asserted via golden hash in pytest; no
         # image/audio stack exists in DuckDB to oracle against).
+        "turn_dedup": P
+        + """
+        , base AS (
+          SELECT conv_id, turn_idx * 2 AS turn_idx, role, text, tool, ts
+          FROM transcripts
+          UNION ALL
+          SELECT conv_id, turn_idx * 2 + 1, role, text, tool, ts
+          FROM transcripts WHERE role = 'user'
+        ), lagd AS (
+          SELECT conv_id, turn_idx, role, text, tool, ts,
+                 lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prole,
+                 lag(text) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS ptext
+          FROM base
+        ), kept AS (
+          SELECT * FROM lagd
+          WHERE prole IS NULL OR NOT (role = prole AND text = ptext)
+        )
+        SELECT conv_id, new_idx AS turn_idx, orig_turn_idx, role, text, tool, ts
+        FROM (
+          SELECT conv_id,
+                 CAST(row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx)
+                      - 1 AS INTEGER) AS new_idx,
+                 CAST(turn_idx AS INTEGER) AS orig_turn_idx,
+                 role, text, tool, ts
+          FROM kept) z
+        """,
+        "role_transitions": P
+        + """
+        , adj AS (
+          SELECT conv_id, role,
+                 coalesce(lead(role) OVER (PARTITION BY conv_id
+                                           ORDER BY turn_idx), 'END') AS next_role
+          FROM transcripts
+        )
+        SELECT role, next_role,
+               CAST(count(*) AS BIGINT) AS n_adj,
+               CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
+        FROM adj GROUP BY 1, 2
+        """,
+        "tail_trim": P
+        + """
+        , padded AS (
+          SELECT conv_id, turn_idx, role,
+                 text || repeat(' pad', turn_idx % 5) AS text, tool, ts
+          FROM transcripts
+        ), rc AS (
+          SELECT conv_id, turn_idx, role, text, tool, ts,
+                 sum(CAST(len(string_split(text, ' ')) AS BIGINT))
+                   OVER (PARTITION BY conv_id ORDER BY turn_idx DESC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS rev_cum_tokens
+          FROM padded
+        )
+        SELECT conv_id, turn_idx, role, text, tool, ts, rev_cum_tokens
+        FROM rc WHERE rev_cum_tokens <= 37
+        """,
+        "context_pack": """
+            WITH t AS (
+              SELECT doc_id,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+              FROM documents
+            ), c AS (
+              SELECT doc_id, n_tokens,
+                     coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS start_offset
+              FROM t
+            )
+            SELECT doc_id, n_tokens, start_offset,
+                   start_offset // 512 AS first_bin,
+                   CAST(((start_offset + n_tokens - 1) // 512)
+                        - (start_offset // 512) + 1 AS INTEGER) AS n_bins
+            FROM c
+        """,
+        "priority_sample": """
+            WITH s AS (
+              SELECT doc_id, n_chars,
+                     CAST(n_chars AS DOUBLE) /
+                     (((1103515245 * (doc_id % 2147483647) + 54321)
+                       % 2147483647 + 1) / 2147483648.0) AS q
+              FROM documents
+            )
+            SELECT doc_id, n_chars, round(q, 6) AS priority
+            FROM s ORDER BY q DESC, doc_id LIMIT 200
+        """,
     }
     # pipeline self-telemetry + corpus-side dedup drop series in one
     # stream — the two component oracles compose by construction

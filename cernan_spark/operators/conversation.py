@@ -1,0 +1,234 @@
+"""Conversation-level transcript operators: consecutive-turn dedup,
+role-transition stats, tail token trimming, context-window packing and
+weighted priority sampling.
+
+These act on the north-rule transcripts shape
+``(conv_id, turn_idx, role, text, tool, ts)`` — the multi-turn
+conversation / agent-trace table — and cover the transcript-cleaning /
+corpus-assembly steps of a training-data pipeline that the reference's
+filter stage handles for telemetry (programmable filters,
+/root/reference/src/filter/mod.rs:24-49): drop redundant turns, profile
+the role structure, trim each conversation to a context budget, pack the
+corpus into fixed-size training windows, and sample by quality weight.
+
+Scale notes (10^12 turns):
+
+* Per-conversation windows partition by ``conv_id`` — conversations are
+  bounded by context length in practice, so no single task serializes a
+  corpus-wide key (unlike a global window).
+* The packing prefix sum and the weighted top-k both use the repo's
+  two-phase chunked shape (per-chunk aggregate → tiny driver-side prefix
+  table → broadcast back), so exactly one wide exchange touches the fact
+  table and no global single-partition sort ever materializes.
+* All arithmetic that the DuckDB oracle replays is integer or single
+  IEEE-754 divisions (correctly rounded, hence bit-identical across
+  engines) — no ``ln``/``pow`` libm calls whose rounding differs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+_MERSENNE31 = (1 << 31) - 1
+
+#: LCG constants for the priority-sample uniform draw — a different
+#: stream from sample_to_token_budget's order key (increment 12345) so
+#: sampling and budgeting decisions are independent.
+_PRI_MUL = 1103515245
+_PRI_INC = 54321
+
+
+def dedup_consecutive_turns(df: DataFrame) -> DataFrame:
+    """Drop turns that repeat the immediately preceding turn's
+    ``(role, text)`` within a conversation (retry storms, duplicated
+    tool outputs), then re-densify ``turn_idx`` so downstream operators
+    keep the stable-order invariant. The original index is preserved in
+    ``orig_turn_idx`` for lineage.
+
+    Both windows share the ``conv_id`` partitioning, so Catalyst plans a
+    single exchange for the whole operator.
+    """
+    w = W.partitionBy("conv_id").orderBy("turn_idx")
+    lagged = df.withColumn("_prole", F.lag("role").over(w)).withColumn(
+        "_ptext", F.lag("text").over(w)
+    )
+    kept = lagged.filter(
+        F.col("_prole").isNull()
+        | ~((F.col("role") == F.col("_prole")) & (F.col("text") == F.col("_ptext")))
+    )
+    return kept.select(
+        "conv_id",
+        (F.row_number().over(w) - 1).cast("int").alias("new_turn_idx"),
+        F.col("turn_idx").alias("orig_turn_idx"),
+        "role",
+        "text",
+        "tool",
+        "ts",
+    ).withColumnRenamed("new_turn_idx", "turn_idx")
+
+
+def role_transitions(df: DataFrame) -> DataFrame:
+    """Role-bigram profile of the corpus: for each ``(role, next_role)``
+    adjacency (terminal turns transition to the sentinel ``'END'``),
+    the number of turn adjacencies and the number of distinct
+    conversations containing one.
+
+    One exchange for the lead window, then a map-side-combined hash
+    aggregate on the tiny (role × role) key space.
+    """
+    w = W.partitionBy("conv_id").orderBy("turn_idx")
+    nxt = F.coalesce(F.lead("role").over(w), F.lit("END"))
+    return (
+        df.withColumn("next_role", nxt)
+        .groupBy("role", "next_role")
+        .agg(
+            F.count(F.lit(1)).alias("n_adj"),
+            F.countDistinct("conv_id").alias("n_convs"),
+        )
+    )
+
+
+def trim_to_tail_budget(df: DataFrame, budget: int) -> DataFrame:
+    """Keep each conversation's largest SUFFIX of whole turns whose
+    total whitespace-token count fits ``budget`` — the context-window
+    truncation step for multi-turn training examples (recent turns
+    matter most, so trimming drops the oldest first).
+
+    ``rev_cum_tokens`` is the running total counted from the tail
+    inclusive of the current turn; a turn survives iff its suffix still
+    fits. A single window over ``conv_id`` (descending ``turn_idx``)
+    does both the count and the cut.
+    """
+    n_tok = F.size(F.split("text", " ")).cast("long")
+    w = (
+        W.partitionBy("conv_id")
+        .orderBy(F.col("turn_idx").desc())
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return (
+        df.withColumn("rev_cum_tokens", F.sum(n_tok).over(w))
+        .filter(F.col("rev_cum_tokens") <= F.lit(budget))
+        .select("conv_id", "turn_idx", "role", "text", "tool", "ts", "rev_cum_tokens")
+    )
+
+
+def pack_concat_chop(
+    docs: DataFrame,
+    bin_tokens: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_width: int = 4096,
+) -> DataFrame:
+    """Concatenate-and-chop context packing: lay the corpus out in
+    ``id_col`` order as one token stream and cut it into fixed
+    ``bin_tokens`` training windows. Emits, per document, its global
+    token offset, the window it starts in and how many windows it spans
+    (a document crossing a boundary is chopped, GPT-style, not moved).
+
+    The global prefix sum is the two-phase chunked shape (the same
+    construction as ``sample_to_token_budget``): documents bucket by
+    contiguous ``id_col`` ranges of ``chunk_width``, phase 1
+    map-side-aggregates per-bucket token totals and prefix-sums them on
+    the tiny bucket table, phase 2 runs the ordered scan per bucket in
+    parallel and adds the broadcast starting offset. Long addition is
+    associative, so the result is bit-identical to a single global
+    window — which is the DuckDB oracle's form — while never
+    serializing the corpus into one task.
+    """
+    n_tok = F.size(F.split(text_col, " ")).cast("long")
+    staged = docs.select(
+        F.col(id_col), n_tok.alias("n_tokens")
+    ).withColumn("_bkt", F.floor(F.col(id_col) / F.lit(chunk_width)))
+    totals = staged.groupBy("_bkt").agg(F.sum("n_tokens").alias("_bt"))
+    wb = W.orderBy("_bkt").rowsBetween(W.unboundedPreceding, -1)
+    # the bucket table is tiny (n_docs / chunk_width rows), so the
+    # single-partition window here is driver-scale work, not corpus-scale
+    offsets = totals.withColumn(
+        "_off", F.coalesce(F.sum("_bt").over(wb), F.lit(0).cast("long"))
+    ).select("_bkt", "_off")
+    w = (
+        W.partitionBy("_bkt")
+        .orderBy(id_col)
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    start = F.col("_off") + F.coalesce(
+        F.sum("n_tokens").over(w), F.lit(0).cast("long")
+    )
+    out = (
+        staged.join(F.broadcast(offsets), "_bkt")
+        .withColumn("start_offset", start)
+        .withColumn(
+            "first_bin", F.expr(f"start_offset DIV {int(bin_tokens)}")
+        )
+        .withColumn(
+            "last_bin",
+            F.expr(f"(start_offset + n_tokens - 1) DIV {int(bin_tokens)}"),
+        )
+    )
+    return out.select(
+        id_col,
+        "n_tokens",
+        "start_offset",
+        "first_bin",
+        (F.col("last_bin") - F.col("first_bin") + 1).cast("int").alias("n_bins"),
+    )
+
+
+def _priority(id_col: Column, weight: Column) -> tuple[Column, Column]:
+    """(u, q) for Duffield–Lund–Thorup priority sampling: ``u`` is a
+    deterministic uniform draw in (0, 1] from the portable LCG stream,
+    ``q = w / u`` the priority. Both the LCG (integer mod-arithmetic)
+    and the two divisions are bit-identical in DuckDB, so the oracle
+    selects the exact same sample."""
+    m31 = F.lit(_MERSENNE31)
+    u_int = F.pmod(
+        F.lit(_PRI_MUL) * F.pmod(id_col.cast("long"), m31) + F.lit(_PRI_INC),
+        m31,
+    )
+    u = (u_int + F.lit(1)) / F.lit(float(1 << 31))
+    return u, weight.cast("double") / u
+
+
+def priority_sample(
+    docs: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Weighted-without-replacement sampling of ``k`` documents with
+    inclusion probability increasing in ``weight_col`` — priority
+    sampling (Duffield, Lund & Thorup, JACM 2007): draw uniform
+    ``u_i``, keep the ``k`` largest priorities ``q_i = w_i / u_i``.
+    The standard quality-weighted corpus subsampling step, deterministic
+    across reruns because ``u`` comes from the portable hash stream.
+
+    Distributed top-k without a global sort: per-bucket rank windows
+    (parallel across ``n_buckets`` hash buckets) keep at most ``k``
+    rows each, then one tiny ``n_buckets × k`` sort takes the global
+    top ``k`` — bit-identical to the single-window form since the
+    global top-k is contained in the union of per-bucket top-ks.
+    Ties (impossible for distinct ids with this LCG, but cheap to pin)
+    break by ascending id.
+    """
+    u, q = _priority(F.col(id_col), F.col(weight_col))
+    staged = (
+        docs.select(id_col, weight_col)
+        .withColumn("_q", q)
+        .withColumn("_bkt", F.pmod(F.col(id_col).cast("long"), F.lit(n_buckets)))
+    )
+    wloc = W.partitionBy("_bkt").orderBy(F.col("_q").desc(), F.col(id_col))
+    local = staged.withColumn("_r", F.row_number().over(wloc)).filter(
+        F.col("_r") <= k
+    )
+    return (
+        local.orderBy(F.col("_q").desc(), F.col(id_col))
+        .limit(k)
+        .select(
+            id_col,
+            F.col(weight_col),
+            F.round("_q", 6).alias("priority"),
+        )
+    )

@@ -1,0 +1,152 @@
+"""Conversation-level transcript operators: consecutive-turn dedup,
+role transitions, tail trimming, context packing, priority sampling."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from cernan_spark.operators.conversation import (
+    dedup_consecutive_turns,
+    pack_concat_chop,
+    priority_sample,
+    role_transitions,
+    trim_to_tail_budget,
+)
+from tests.conftest import rows_to_tuples
+
+_TS = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _transcript(spark, rows):
+    return spark.createDataFrame(
+        [(c, i, r, t, "none", _TS) for (c, i, r, t) in rows],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+
+
+def test_dedup_consecutive_turns_golden(spark):
+    t = _transcript(
+        spark,
+        [
+            ("c1", 0, "user", "hi"),
+            ("c1", 1, "user", "hi"),  # consecutive dup -> dropped
+            ("c1", 2, "assistant", "yo"),
+            ("c1", 3, "user", "hi"),  # same content, not adjacent -> kept
+            ("c2", 0, "user", "hi"),  # other conv unaffected
+        ],
+    )
+    out = rows_to_tuples(
+        dedup_consecutive_turns(t), ["conv_id", "turn_idx", "orig_turn_idx", "role"]
+    )
+    assert out == [
+        ("c1", 0, 0, "user"),
+        ("c1", 1, 2, "assistant"),
+        ("c1", 2, 3, "user"),
+        ("c2", 0, 0, "user"),
+    ]
+
+
+def test_dedup_consecutive_turns_idempotent(spark):
+    t = _transcript(
+        spark,
+        [("c1", i, "user" if i % 3 else "assistant", f"m{i // 2}") for i in range(20)],
+    )
+    once = dedup_consecutive_turns(t)
+    twice = dedup_consecutive_turns(once.drop("orig_turn_idx"))
+    assert twice.count() == once.count()
+
+
+def test_role_transitions_golden(spark):
+    t = _transcript(
+        spark,
+        [
+            ("c1", 0, "user", "a"),
+            ("c1", 1, "assistant", "b"),
+            ("c2", 0, "user", "c"),
+            ("c2", 1, "assistant", "d"),
+            ("c2", 2, "user", "e"),
+        ],
+    )
+    out = rows_to_tuples(
+        role_transitions(t), ["role", "next_role", "n_adj", "n_convs"]
+    )
+    assert out == [
+        ("assistant", "END", 1, 1),
+        ("assistant", "user", 1, 1),
+        ("user", "END", 1, 1),
+        ("user", "assistant", 2, 2),
+    ]
+
+
+def test_trim_to_tail_budget_suffix_property(spark):
+    # per-turn tokens: 1 + (turn_idx % 3); budget keeps a whole suffix
+    t = _transcript(
+        spark,
+        [("c1", i, "user", "x" + " y" * (i % 3)) for i in range(10)]
+        + [("c2", 0, "user", "lone")],
+    )
+    out = trim_to_tail_budget(t, budget=5)
+    kept = rows_to_tuples(out, ["conv_id", "turn_idx"])
+    # c1 tails: idx9 tokens=1, idx8 =3, idx7 =2 (cum 6 > 5) -> keep 9,8
+    assert kept == [("c1", 8), ("c1", 9), ("c2", 0)]
+    # suffix property: kept turn indices are contiguous to the max index
+    mx = out.groupBy("conv_id").agg(
+        F.max("turn_idx").alias("mx"), F.count("*").alias("n"),
+        F.min("turn_idx").alias("mn")
+    )
+    for r in mx.collect():
+        assert r["mx"] - r["mn"] + 1 == r["n"]
+
+
+def test_pack_chunk_width_invariance(spark):
+    docs = spark.createDataFrame(
+        [(i, "w " * (i % 17 + 1)) for i in range(257)], "doc_id long, text string"
+    )
+    a = rows_to_tuples(
+        pack_concat_chop(docs, 64, chunk_width=7),
+        ["doc_id", "n_tokens", "start_offset", "first_bin", "n_bins"],
+    )
+    b = rows_to_tuples(
+        pack_concat_chop(docs, 64, chunk_width=10**9),  # single bucket
+        ["doc_id", "n_tokens", "start_offset", "first_bin", "n_bins"],
+    )
+    assert a == b
+    # offsets are a proper prefix sum: sorted by doc_id, each start is the
+    # previous start + previous n_tokens
+    prev_end = 0
+    for (_, n, start, first_bin, n_bins) in a:
+        assert start == prev_end
+        assert first_bin == start // 64
+        assert n_bins == (start + n - 1) // 64 - start // 64 + 1
+        prev_end = start + n
+
+
+def test_priority_sample_bucket_invariance_and_nesting(spark):
+    docs = spark.createDataFrame(
+        [(i, (i * 37) % 101 + 1) for i in range(1000)], "doc_id long, w int"
+    )
+    a = rows_to_tuples(priority_sample(docs, 100, "w", n_buckets=1), ["doc_id"])
+    b = rows_to_tuples(priority_sample(docs, 100, "w", n_buckets=64), ["doc_id"])
+    assert a == b
+    # priority order gives nested samples: top-50 is a subset of top-100
+    small = set(
+        r[0] for r in rows_to_tuples(priority_sample(docs, 50, "w"), ["doc_id"])
+    )
+    assert small <= set(r[0] for r in a)
+
+
+def test_priority_sample_weight_monotone(spark):
+    # identical u-stream, uniformly larger weights -> strictly larger
+    # priorities, so a doc sampled under w is sampled under 2w when the
+    # competing docs keep their weights (spot: doubling ALL weights keeps
+    # the same sample -- scale invariance of top-k)
+    docs = spark.createDataFrame(
+        [(i, (i * 13) % 29 + 1) for i in range(500)], "doc_id long, w int"
+    )
+    doubled = docs.withColumn("w", F.col("w") * 2)
+    a = rows_to_tuples(priority_sample(docs, 64, "w"), ["doc_id"])
+    b = rows_to_tuples(priority_sample(doubled, 64, "w"), ["doc_id"])
+    assert a == b
