@@ -1892,6 +1892,105 @@ def q_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return priority_sample(d, k=200, weight_col="n_chars")
 
 
+def _apache_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Apache combined-log corpus seeded from events (the
+    same construction exists as SQL in the oracle), with every 13th line
+    replaced by garbage to exercise bad-line accounting."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    verb = (
+        F.when(F.col("event_type").isin("click", "view"), "GET")
+        .when(F.col("event_type") == "purchase", "POST")
+        .when(F.col("event_type") == "signup", "PUT")
+        .otherwise("DELETE")
+    )
+    status = (
+        F.when(F.col("event_id") % 7 == 0, 500)
+        .when((F.col("event_id") % 7).isin(1, 2), 404)
+        .otherwise(200)
+    )
+    nbytes = F.floor(F.col("value") * 10).cast("long")
+    line = F.concat(
+        F.lit("10.0."),
+        (F.col("user_id") % 256).cast("string"),
+        F.lit("."),
+        (F.col("event_id") % 256).cast("string"),
+        F.lit(" - u"),
+        (F.col("user_id") % 100).cast("string"),
+        F.lit(' [01/Jan/2024:00:00:00 +0000] "'),
+        verb,
+        F.lit(" /api/"),
+        F.col("event_type"),
+        F.lit(' HTTP/1.1" '),
+        status.cast("string"),
+        F.lit(" "),
+        nbytes.cast("string"),
+    )
+    bad = F.concat(F.lit("garbage "), F.col("event_id").cast("string"))
+    return ev.select(
+        F.when(F.col("event_id") % 13 == 0, bad).otherwise(line).alias("text")
+    )
+
+
+def q_grok_apache(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grok parse of an Apache combined-log corpus: the %{NAME:field}
+    template compiles to ONE anchored Java∩RE2 regex, fields extract as
+    JVM-side regexp_extract columns (no UDF), unmatched lines are
+    accounted under the '_BAD_' verb instead of silently dropped —
+    cernan's bad-line counters (statsd.rs parse failure accounting).
+    The oracle runs the IDENTICAL compiled regex through DuckDB."""
+    from cernan_spark.functions.groklib import COMMON_APACHE_LOG, grok_extract
+
+    g = grok_extract(_apache_lines(spark, sf_dir), COMMON_APACHE_LOG)
+    m = F.col("grok_matched")
+    return (
+        g.select(
+            F.when(m, F.col("verb")).otherwise("_BAD_").alias("verb"),
+            F.when(m, F.col("status").cast("int")).otherwise(-1).alias("status"),
+            F.when(m, F.col("bytes").cast("long")).otherwise(0).alias("b"),
+        )
+        .groupBy("verb", "status")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("b").alias("sum_bytes"))
+    )
+
+
+def q_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series rolling z-score outliers over the parsed telemetry:
+    each sample judged against the mean/std of its previous 4 samples in
+    the same (conv_id, name) series — series count grows with the data,
+    so the window parallelism scales (never 'partition by the 5 metric
+    names'). Exact integer-cents sums + correctly-rounded IEEE ops only,
+    so the oracle reproduces z bit-for-bit."""
+    from cernan_spark.operators.anomaly import rolling_zscore
+
+    p = _parsed(spark, sf_dir).withColumn(
+        "cents", F.round(F.col("value") * 100, 0).cast("long")
+    )
+    return rolling_zscore(
+        p.select("conv_id", "name", "order_key", "cents"),
+        key_cols=["conv_id", "name"],
+        order_col="order_key",
+        cents_col="cents",
+        window=4,
+        threshold=2.5,
+    )
+
+
+def q_countmin_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch cardinality guard over conversation ids: d=4
+    portable-hash rows × 256 buckets of long counters (a fixed-size
+    state regardless of corpus size), estimate = min over rows — joined
+    against exact counts to expose the one-sided overestimate bound.
+    The oracle replays the identical sketch construction."""
+    from cernan_spark.functions.porthash import portable_hash
+    from cernan_spark.operators.anomaly import countmin_estimates
+
+    _utc(spark)
+    t = transcripts_from_events(spark, sf_dir).select(
+        portable_hash(F.col("conv_id")).alias("kh")
+    )
+    return countmin_estimates(t, "kh", width=256)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full parse→enrich→route→aggregate at sf0.001."""
     from cernan_spark.plans.pipeline import run_pipeline
@@ -1996,6 +2095,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tail_trim": q_tail_trim,
         "context_pack": q_context_pack,
         "priority_sample": q_priority_sample,
+        "grok_apache": q_grok_apache,
+        "rolling_anomaly": q_rolling_anomaly,
+        "countmin_hitters": q_countmin_hitters,
     }
 
 
@@ -2862,6 +2964,62 @@ def _stratified_oracle_sql(rates: dict[str, float] = STRATIFIED_RATES) -> str:
                 + 12345) % 2147483647 + 2147483647) % 2147483647
               < CASE lang {arms} ELSE 0 END
     """
+
+
+def _grok_apache_oracle_sql() -> str:
+    """DuckDB twin of q_grok_apache: the seeding SQL rebuilds the same
+    Apache/garbage corpus, then the IDENTICAL compiled grok regex (the
+    Java∩RE2-safe subset) extracts by the same group indexes."""
+    from cernan_spark.functions.groklib import COMMON_APACHE_LOG, grok_compile
+
+    rx, fields = grok_compile(COMMON_APACHE_LOG)
+    gi = {name: i for i, name in enumerate(fields, start=1)}
+    q = "'" + rx.replace("'", "''") + "'"
+    return f"""
+        WITH src AS (
+          SELECT CASE WHEN event_id % 13 = 0
+                      THEN 'garbage ' || CAST(event_id AS VARCHAR)
+                      ELSE '10.0.' || CAST(user_id % 256 AS VARCHAR) || '.' ||
+                           CAST(event_id % 256 AS VARCHAR) || ' - u' ||
+                           CAST(user_id % 100 AS VARCHAR) ||
+                           ' [01/Jan/2024:00:00:00 +0000] "' ||
+                           CASE WHEN event_type IN ('click', 'view') THEN 'GET'
+                                WHEN event_type = 'purchase' THEN 'POST'
+                                WHEN event_type = 'signup' THEN 'PUT'
+                                ELSE 'DELETE' END ||
+                           ' /api/' || event_type || ' HTTP/1.1" ' ||
+                           CAST(CASE WHEN event_id % 7 = 0 THEN 500
+                                     WHEN event_id % 7 IN (1, 2) THEN 404
+                                     ELSE 200 END AS VARCHAR) || ' ' ||
+                           CAST(CAST(floor(value * 10) AS BIGINT) AS VARCHAR)
+                 END AS text
+          FROM events
+        ), g AS (
+          SELECT text, regexp_matches(text, {q}) AS m FROM src
+        )
+        SELECT CASE WHEN m THEN regexp_extract(text, {q}, {gi['verb']})
+                    ELSE '_BAD_' END AS verb,
+               CASE WHEN m THEN CAST(regexp_extract(text, {q}, {gi['status']}) AS INTEGER)
+                    ELSE -1 END AS status,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN m
+                    THEN CAST(regexp_extract(text, {q}, {gi['bytes']}) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS sum_bytes
+        FROM g GROUP BY 1, 2
+    """
+
+
+def _countmin_oracle_sql_entry() -> str:
+    """DuckDB twin of q_countmin_hitters: the sketch replayed over the
+    portable conv_id hash."""
+    from cernan_spark.functions.porthash import portable_hash_sql
+    from cernan_spark.operators.anomaly import countmin_oracle_sql
+
+    return countmin_oracle_sql(
+        source_cte=TRANSCRIPTS_FROM_EVENTS_SQL,
+        key_hash_expr=portable_hash_sql("conv_id"),
+        width=256,
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3761,6 +3919,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_chars, round(q, 6) AS priority
             FROM s ORDER BY q DESC, doc_id LIMIT 200
         """,
+        "grok_apache": _grok_apache_oracle_sql(),
+        "rolling_anomaly": P
+        + """
+        , ser AS (
+          SELECT conv_id, name, order_key,
+                 CAST(round(value * 100, 0) AS BIGINT) AS cents
+          FROM parsed
+        ), stats AS (
+          SELECT conv_id, name, order_key, cents,
+                 count(cents) OVER w AS n,
+                 CAST(sum(cents) OVER w AS DOUBLE) AS s,
+                 CAST(sum(cents * cents) OVER w AS DOUBLE) AS s2
+          FROM ser
+          WINDOW w AS (PARTITION BY conv_id, name ORDER BY order_key
+                       ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING)
+        ), zz AS (
+          SELECT conv_id, name, order_key, cents,
+                 CASE WHEN n = 4 AND
+                      sqrt(greatest(s2 / CAST(n AS DOUBLE)
+                           - (s / CAST(n AS DOUBLE)) * (s / CAST(n AS DOUBLE)),
+                           0)) > 0
+                      THEN (CAST(cents AS DOUBLE) - s / CAST(n AS DOUBLE))
+                           / sqrt(greatest(s2 / CAST(n AS DOUBLE)
+                                  - (s / CAST(n AS DOUBLE))
+                                    * (s / CAST(n AS DOUBLE)), 0))
+                 END AS z
+          FROM stats
+        )
+        SELECT conv_id, name, order_key, cents,
+               round(z, 4) AS z, (abs(z) > 2.5) AS is_anomaly
+        FROM zz
+        """,
+        "countmin_hitters": _countmin_oracle_sql_entry(),
     }
     # pipeline self-telemetry + corpus-side dedup drop series in one
     # stream — the two component oracles compose by construction

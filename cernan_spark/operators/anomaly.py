@@ -1,0 +1,167 @@
+"""Telemetry anomaly detection and heavy-hitter sketching.
+
+Two operators a log/telemetry pipeline runs right after aggregation:
+
+* :func:`rolling_zscore` — per-series rolling-window z-score outlier
+  flagging (the classic ops-alerting primitive; the reference leaves this
+  to downstream sinks like wavefront, we fold it into the engine).
+* :func:`countmin_estimates` — a count-min sketch (Cormode & Muthukrishnan
+  2005) over a key column with portable-hash rows, plus exact counts for
+  the overestimate-bound comparison.
+
+Cross-engine determinism: every float op used here is IEEE-754
+correctly-rounded (+, −, ×, ÷, sqrt) over EXACT integer sums (values are
+pre-scaled to integer cents; window sums of longs are exact), so the
+DuckDB oracle reproduces z-scores bit-for-bit — no libm (ln/pow/stddev
+builtins) whose rounding differs between engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+_MERSENNE31 = (1 << 31) - 1
+
+#: (a, b) universal-hash coefficients for the sketch's hash rows — fixed
+#: literals shared with the oracle generator
+COUNTMIN_COEFFS: tuple[tuple[int, int], ...] = (
+    (1103515245, 12345),
+    (69069, 362437),
+    (214013, 2531011),
+    (134775813, 1),
+)
+
+
+def rolling_zscore(
+    series: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    cents_col: str,
+    window: int = 4,
+    threshold: float = 2.5,
+) -> DataFrame:
+    """Flag per-series outliers: z-score of each sample against the
+    mean/std of the previous ``window`` samples (trailing frame,
+    current row EXCLUDED — the detector must not learn from the point
+    it is judging). Rows without a full trailing window emit NULL z.
+
+    Variance uses the exact-sum form E[x²] − E[x]² over integer cents
+    (window sums of longs are exact; the divisions, multiply, subtract
+    and sqrt are all correctly-rounded IEEE ops), clamped at 0 against
+    1-ulp negative rounding on near-constant windows.
+
+    One exchange: the trailing frame, the count and the cut share the
+    series partitioning.
+    """
+    w = (
+        W.partitionBy(*key_cols)
+        .orderBy(order_col)
+        .rowsBetween(-window, -1)
+    )
+    c = F.col(cents_col).cast("double")
+    n = F.count(cents_col).over(w)
+    s = F.sum(cents_col).over(w).cast("double")
+    s2 = F.sum(F.col(cents_col) * F.col(cents_col)).over(w).cast("double")
+    nn = n.cast("double")
+    mean = s / nn
+    var = F.greatest(s2 / nn - mean * mean, F.lit(0.0))
+    std = F.sqrt(var)
+    z = F.when((n == window) & (std > 0), (c - mean) / std)
+    return series.select(
+        *key_cols,
+        F.col(order_col),
+        F.col(cents_col),
+        F.round(z, 4).alias("z"),
+        (F.abs(z) > threshold).alias("is_anomaly"),
+    )
+
+
+def countmin_estimates(
+    df: DataFrame,
+    key_hash_col: str,
+    width: int = 256,
+) -> DataFrame:
+    """Count-min sketch over a pre-hashed key column: ``d`` hash rows
+    (the fixed :data:`COUNTMIN_COEFFS` streams) × ``width`` buckets of
+    long counters, estimate = min over rows of the key's bucket counter.
+
+    Returns one row per distinct key hash with ``est`` (sketch) and
+    ``exact`` (true count) — ``est >= exact`` always (the one-sided
+    count-min error bound), equality except under bucket collisions.
+
+    Scale shape: the counter table is ``d × width`` rows REGARDLESS of
+    corpus size (one map-side-combined aggregate builds it); the
+    estimate join broadcasts it. This is the telemetry cardinality
+    guard for 100 TB streams — the exact side here exists only for the
+    bound check and would be dropped in production.
+    """
+    m31 = F.lit(_MERSENNE31)
+    h = F.pmod(F.col(key_hash_col).cast("long"), m31)
+    bucket_cols = [
+        F.pmod(F.pmod(F.lit(a) * h + F.lit(b), m31), F.lit(width)).alias(
+            f"_b{j}"
+        )
+        for j, (a, b) in enumerate(COUNTMIN_COEFFS)
+    ]
+    staged = df.select(F.col(key_hash_col).alias("_kh"), *bucket_cols)
+    # counters: one tiny aggregate per hash row, unioned — each is
+    # map-side combined over ≤ width groups
+    counters = None
+    for j in range(len(COUNTMIN_COEFFS)):
+        cj = (
+            staged.groupBy(F.col(f"_b{j}").alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .withColumn("row_j", F.lit(j))
+        )
+        counters = cj if counters is None else counters.unionByName(cj)
+    keys = staged.groupBy("_kh", *[f"_b{j}" for j in range(len(COUNTMIN_COEFFS))]).agg(
+        F.count(F.lit(1)).alias("exact")
+    )
+    est = keys
+    for j in range(len(COUNTMIN_COEFFS)):
+        cj = counters.filter(F.col("row_j") == j).select(
+            F.col("bucket").alias(f"_b{j}"), F.col("cnt").alias(f"_c{j}")
+        )
+        est = est.join(F.broadcast(cj), f"_b{j}")
+    return est.select(
+        F.col("_kh").alias("key_hash"),
+        F.least(*[F.col(f"_c{j}") for j in range(len(COUNTMIN_COEFFS))]).alias(
+            "est"
+        ),
+        "exact",
+    )
+
+
+def countmin_oracle_sql(source_cte: str, key_hash_expr: str, width: int = 256) -> str:
+    """DuckDB twin of :func:`countmin_estimates`: replays the same hash
+    streams, counter build and min-over-rows estimate. ``source_cte``
+    is a CTE body yielding the rows; ``key_hash_expr`` the integer key
+    hash column within it."""
+    d = len(COUNTMIN_COEFFS)
+    bucket_exprs = ", ".join(
+        f"(({a} * (({key_hash_expr}) % 2147483647) + {b}) % 2147483647) % {width} AS b{j}"
+        for j, (a, b) in enumerate(COUNTMIN_COEFFS)
+    )
+    counter_ctes = ", ".join(
+        f"c{j} AS (SELECT b{j} AS bucket, count(*) AS cnt FROM staged GROUP BY 1)"
+        for j in range(d)
+    )
+    joins = " ".join(f"JOIN c{j} ON c{j}.bucket = k.b{j}" for j in range(d))
+    least = ", ".join(f"c{j}.cnt" for j in range(d))
+    bcols = ", ".join(f"b{j}" for j in range(d))
+    return f"""
+        WITH src AS ({source_cte}),
+        staged AS (
+          SELECT ({key_hash_expr}) % 2147483647 AS kh, {bucket_exprs}
+          FROM src
+        ),
+        {counter_ctes},
+        k AS (
+          SELECT kh, {bcols}, count(*) AS exact
+          FROM staged GROUP BY ALL
+        )
+        SELECT k.kh AS key_hash, least({least}) AS est, k.exact
+        FROM k {joins}
+    """

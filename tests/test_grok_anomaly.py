@@ -1,0 +1,102 @@
+"""Grok template compiler, rolling z-score, count-min sketch."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cernan_spark.functions.groklib import (
+    COMMON_APACHE_LOG,
+    grok_compile,
+    grok_extract,
+)
+from cernan_spark.operators.anomaly import countmin_estimates, rolling_zscore
+from tests.conftest import rows_to_tuples
+
+
+def test_grok_compile_fields_and_anchoring():
+    rx, fields = grok_compile(COMMON_APACHE_LOG)
+    assert fields == [
+        "client", "ident", "auth", "http_ts", "verb", "path",
+        "httpversion", "status", "bytes",
+    ]
+    assert rx.startswith("^") and rx.endswith("$")
+    # unnamed refs become non-capturing; named refs capture in order
+    rx2, f2 = grok_compile("%{INT:a}-%{INT}-%{INT:b}")
+    assert f2 == ["a", "b"]
+    assert "(?:" in rx2
+
+
+def test_grok_compile_unknown_pattern():
+    with pytest.raises(KeyError):
+        grok_compile("%{NOSUCH:x}")
+
+
+def test_grok_extract_apache_line(spark):
+    good = (
+        '10.0.1.2 - alice [01/Jan/2024:00:00:00 +0000] '
+        '"GET /api/click HTTP/1.1" 200 123'
+    )
+    df = spark.createDataFrame([(good,), ("garbage",)], "text string")
+    out = {
+        r["text"]: r
+        for r in grok_extract(df, COMMON_APACHE_LOG).collect()
+    }
+    g = out[good]
+    assert g["grok_matched"] is True
+    assert (g["client"], g["verb"], g["path"], g["status"], g["bytes"]) == (
+        "10.0.1.2", "GET", "/api/click", "200", "123"
+    )
+    b = out["garbage"]
+    assert b["grok_matched"] is False and b["verb"] == ""
+
+
+def test_rolling_zscore_golden(spark):
+    cents = [0, 100, 0, 100, 500, 50]
+    df = spark.createDataFrame(
+        [("s", i, c) for i, c in enumerate(cents)],
+        "name string, order_key int, cents long",
+    )
+    out = {
+        r["order_key"]: r
+        for r in rolling_zscore(df, ["name"], "order_key", "cents").collect()
+    }
+    # rows 0-3: no full trailing window -> NULL z
+    for i in range(4):
+        assert out[i]["z"] is None and out[i]["is_anomaly"] is None
+    # row 4: prior [0,100,0,100] -> mean 50, std 50, z=(500-50)/50=9
+    assert out[4]["z"] == 9.0 and out[4]["is_anomaly"] is True
+    # row 5: prior [100,0,100,500] -> mean 175, var=36875, z ~ -0.6509
+    assert out[5]["is_anomaly"] is False
+    assert abs(out[5]["z"] + 0.6509) < 1e-4
+
+
+def test_rolling_zscore_constant_window_null(spark):
+    df = spark.createDataFrame(
+        [("s", i, 100) for i in range(6)],
+        "name string, order_key int, cents long",
+    )
+    out = rolling_zscore(df, ["name"], "order_key", "cents").collect()
+    assert all(r["z"] is None for r in out)  # std 0 -> no z, never NaN
+
+
+def test_countmin_overestimate_bound(spark):
+    # 400 keys x 256 buckets -> collisions guaranteed; est >= exact always
+    df = spark.range(5000).select(
+        (F.pmod(F.col("id") * 2654435761, 400)).alias("kh")
+    )
+    rows = countmin_estimates(df, "kh", width=256).collect()
+    assert len(rows) == 400
+    assert all(r["est"] >= r["exact"] for r in rows)
+    # with d=4 independent rows, most keys should still be exact
+    exact_frac = sum(r["est"] == r["exact"] for r in rows) / len(rows)
+    assert exact_frac > 0.5
+
+
+def test_countmin_no_collision_exact(spark):
+    # 10 keys in 256 buckets: no collisions -> sketch is exact
+    df = spark.range(1000).select(F.pmod(F.col("id"), 10).alias("kh"))
+    rows = rows_to_tuples(
+        countmin_estimates(df, "kh", width=256), ["key_hash", "est", "exact"]
+    )
+    assert rows == [(k, 100, 100) for k in range(10)]
