@@ -1991,6 +1991,83 @@ def q_countmin_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return countmin_estimates(t, "kh", width=256)
 
 
+def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SESSION windows (variable width — the log-pipeline
+    generalization of cernan's fixed bins): the corpus flows through
+    readStream micro-batches in event-time order; per-conv_id sessions
+    merge while the inter-event gap stays under 12 h (matched to the
+    corpus inter-arrival scale so merges actually occur), watermarked
+    1 day, append mode — each session emitted exactly once after it can
+    no longer extend. Value-checked against the batch islands oracle
+    (lag ≥ gap starts a session) with the same final-watermark cut; all
+    timestamp arithmetic is microsecond-exact INTERVAL math, so the
+    emitted set matches by construction."""
+    _utc(spark)
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from cernan_spark.streaming.pipeline import (
+        stream_transcripts,
+        streaming_parse,
+        streaming_session_aggregate,
+    )
+
+    gap_s, delay_s = 43200, 86400
+    tmp = tempfile.mkdtemp(prefix="stream_sess_")
+    qname = f"stream_sess_{uuid.uuid4().hex[:8]}"
+    try:
+        # time-ordered file consumption + strictly increasing mtimes: the
+        # same tail-order pinning as q_streaming_bucket_sums
+        t = transcripts_from_events(spark, sf_dir)
+        t.repartitionByRange(8, "ts").sortWithinPartitions("ts").write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        parts = sorted(glob.glob(f"{tmp}/part-*.parquet"))
+        base = int(os.stat(parts[0]).st_mtime)
+        for i, f in enumerate(parts):
+            os.utime(f, (base + i, base + i))
+        # sentinel at corpus max event time drives the final watermark
+        # commit (availableNow's one-batch emission lag); its own session
+        # ends past the watermark and never emits
+        max_ts_row = t.agg(F.max("ts").alias("mx")).collect()[0]
+        spark.createDataFrame(
+            [("wm", 0, "system", "wm_sentinel:0|c", "none",
+              max_ts_row["mx"], 1 << 60)],
+            "conv_id string, turn_idx int, role string, text string, "
+            "tool string, ts timestamp, order_key long",
+        ).coalesce(1).write.mode("append").parquet(tmp)
+        sent = [
+            p for p in glob.glob(f"{tmp}/part-*.parquet") if p not in parts
+        ][0]
+        os.utime(sent, (base + 100, base + 100))
+        parsed = streaming_parse(
+            stream_transcripts(spark, tmp, max_files_per_trigger=2)
+        )
+        agg = streaming_session_aggregate(
+            parsed, gap=gap_s, watermark=f"{delay_s} seconds"
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.table(qname).select(
+        "conv_id",
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        "n_events",
+        _r4(F.col("sum_value")).alias("sum_value"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full parse→enrich→route→aggregate at sf0.001."""
     from cernan_spark.plans.pipeline import run_pipeline
@@ -2098,6 +2175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grok_apache": q_grok_apache,
         "rolling_anomaly": q_rolling_anomaly,
         "countmin_hitters": q_countmin_hitters,
+        "streaming_sessions": q_streaming_sessions,
     }
 
 
@@ -3952,6 +4030,35 @@ def oracle_sql() -> dict[str, str]:
         FROM zz
         """,
         "countmin_hitters": _countmin_oracle_sql_entry(),
+        "streaming_sessions": P
+        + """
+        , ev AS (
+          SELECT conv_id, ts, kind, value,
+                 CASE WHEN lag(ts) OVER (PARTITION BY conv_id ORDER BY ts)
+                        IS NULL
+                      OR ts - lag(ts) OVER (PARTITION BY conv_id ORDER BY ts)
+                        >= INTERVAL 43200 SECOND
+                      THEN 1 ELSE 0 END AS is_new
+          FROM parsed
+        ), sess AS (
+          SELECT conv_id, ts, kind, value,
+                 sum(is_new) OVER (PARTITION BY conv_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          FROM ev
+        ), agg AS (
+          SELECT conv_id, sid,
+                 min(ts) AS session_start,
+                 max(ts) + INTERVAL 43200 SECOND AS session_end,
+                 CAST(count(*) AS BIGINT) AS n_events,
+                 round(sum(CASE WHEN kind = 'SUM' THEN value END), 4)
+                   AS sum_value
+          FROM sess GROUP BY 1, 2
+        )
+        SELECT conv_id, session_start, session_end, n_events, sum_value
+        FROM agg
+        WHERE session_end <=
+              (SELECT max(ts) FROM parsed) - INTERVAL 86400 SECOND
+        """,
     }
     # pipeline self-telemetry + corpus-side dedup drop series in one
     # stream — the two component oracles compose by construction

@@ -88,6 +88,37 @@ def streaming_bucket_aggregate(
     )
 
 
+def streaming_session_aggregate(
+    parsed: DataFrame,
+    gap: int = 600,
+    watermark: str = "15 minutes",
+    key_col: str = "conv_id",
+) -> DataFrame:
+    """Session-window aggregation on the stream: events in the same
+    ``key_col`` merge while their gap stays under ``gap`` seconds
+    (`F.session_window` — window = [first_ts, last_ts + gap), merged on
+    overlap, all microsecond-exact timestamp arithmetic). Append mode +
+    watermark emits each session exactly once, after it can no longer
+    extend — the FlushBoundaryFilter contract applied to variable-width
+    windows (reference flush_boundary_filter.rs:56-91; cernan only has
+    fixed bins, sessions are the log-pipeline generalization).
+
+    The batch twin is ``sessionize`` (lag ≥ gap starts an island); the
+    oracle replays it with INTERVAL arithmetic and the final-watermark
+    emission cut.
+    """
+    return (
+        parsed.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", f"{gap} seconds"), key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(F.col("kind") == "SUM", F.col("value"))).alias(
+                "sum_value"
+            ),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # stateful gauge: the persist flag across micro-batches
 # ---------------------------------------------------------------------------

@@ -342,3 +342,38 @@ def test_streaming_dedup_owner_min_across_arrow_chunks(spark, tmp_path):
         assert got == [3]
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+
+
+def test_streaming_session_windows_append(spark, stream_dir):
+    """Session windows merge events with gaps < gap and emit once the
+    watermark passes the session end: the first burst (00:00:05-00:01:25,
+    gaps < 60s) is ONE session [00:00:05, 00:02:25); the 01:00:00 row is
+    a separate session, still open -> absent in append output."""
+    from cernan_spark.streaming.pipeline import streaming_session_aggregate
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    parsed = streaming_parse(stream_transcripts(spark, stream_dir))
+    agg = streaming_session_aggregate(parsed, gap=60, watermark="5 minutes")
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sess_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql(
+            "SELECT conv_id, session_window.start AS ss, "
+            "session_window.end AS se, n_events, sum_value FROM sess_out"
+        ).collect()
+    finally:
+        q.stop()
+    assert len(rows) == 1
+    r = rows[0]
+    assert str(r["ss"]) == "2024-01-01 00:00:05"
+    # end = last event (00:01:25) + 60s gap
+    assert str(r["se"]) == "2024-01-01 00:02:25"
+    # 5 events merged; sum over SUM kinds: counters 1+2+4 plus the
+    # signed gauge +2 (SUM by the signed-gauge law); g1:5|g is SET
+    assert r["n_events"] == 5
+    assert r["sum_value"] == 9.0
