@@ -2068,6 +2068,32 @@ def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hopping_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 600s windows hopping by 200s over the parsed telemetry:
+    every event contributes to 3 overlapping windows (the smoothing
+    cernan's fixed bins can't express). The oracle rebuilds the window
+    assignment arithmetically — one window per offset lattice per event."""
+    from cernan_spark.operators.aggregate import hopping_sums
+
+    p = _parsed(spark, sf_dir)
+    h = hopping_sums(p, duration=600, slide=200)
+    return h.select(
+        "name", "kind", "ws", _r4(F.col("sum_value")).alias("sum_value"),
+        "n_points",
+    )
+
+
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids with order-free integer-microunit
+    accumulation — bit-identical at any partitioning (naive float avg()
+    is nondeterministic under parallel sums, engine-to-engine AND
+    run-to-run)."""
+    from cernan_spark.operators.similarity import label_centroids
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return label_centroids(e)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full parse→enrich→route→aggregate at sf0.001."""
     from cernan_spark.plans.pipeline import run_pipeline
@@ -2176,6 +2202,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_anomaly": q_rolling_anomaly,
         "countmin_hitters": q_countmin_hitters,
         "streaming_sessions": q_streaming_sessions,
+        "hopping_sums": q_hopping_sums,
+        "label_centroids": q_label_centroids,
     }
 
 
@@ -4058,6 +4086,33 @@ def oracle_sql() -> dict[str, str]:
         FROM agg
         WHERE session_end <=
               (SELECT max(ts) FROM parsed) - INTERVAL 86400 SECOND
+        """,
+        "hopping_sums": P
+        + """
+        , hop AS (
+          SELECT name, kind, value, epoch,
+                 CAST(floor((epoch - 200 * o) / 600) * 600 + 200 * o
+                      AS BIGINT) AS ws
+          FROM parsed, (SELECT unnest(range(0, 3)) AS o) offs
+        )
+        SELECT name, kind, ws,
+               round(sum(CASE WHEN kind = 'SUM' THEN value END), 4)
+                 AS sum_value,
+               CAST(count(*) AS BIGINT) AS n_points
+        FROM hop GROUP BY 1, 2, 3
+        """,
+        "label_centroids": """
+            WITH ex AS (
+              SELECT label, CAST(i - 1 AS INTEGER) AS i,
+                     CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000, 0)
+                          AS BIGINT) AS qv
+              FROM embeddings, range(1, 65) t(i)
+            )
+            SELECT label, i,
+                   round((CAST(sum(qv) AS DOUBLE) / count(*)) / 1000000.0, 6)
+                     AS mean,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM ex GROUP BY 1, 2
         """,
     }
     # pipeline self-telemetry + corpus-side dedup drop series in one

@@ -811,3 +811,42 @@ def cumulative_histogram(hist_rows: DataFrame) -> DataFrame:
             """
         ),
     )
+
+
+def hopping_sums(
+    parsed: DataFrame,
+    duration: int = 600,
+    slide: int = 200,
+) -> DataFrame:
+    """Hopping (sliding) windows: each event lands in ``duration/slide``
+    overlapping windows — the telemetry smoothing cernan's fixed bins
+    cannot express (a Prometheus-style `rate()` over a sliding range).
+    `F.window(ts, duration, slide)` explodes each row into its covering
+    windows BEFORE the hash aggregate, so map-side combine still applies;
+    the inherent cost is slide-factor× shuffle volume, nothing more. The
+    identical expression runs under readStream (streaming_bucket_aggregate
+    is the slide == duration special case).
+
+    Oracle form: for each offset lattice o ∈ [0, duration/slide) exactly
+    one window with start ≡ o·slide (mod duration) covers an event, so
+    the union over o replays Spark's window assignment arithmetically.
+    """
+    is_sum = F.col("kind") == "SUM"
+    return (
+        parsed.groupBy(
+            F.window("ts", f"{duration} seconds", f"{slide} seconds"),
+            "name",
+            "kind",
+        )
+        .agg(
+            F.sum(F.when(is_sum, F.col("value"))).alias("sum_value"),
+            F.count(F.lit(1)).alias("n_points"),
+        )
+        .select(
+            "name",
+            "kind",
+            F.unix_timestamp(F.col("window.start")).alias("ws"),
+            "sum_value",
+            "n_points",
+        )
+    )

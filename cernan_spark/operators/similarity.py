@@ -432,3 +432,39 @@ def embedding_near_dup_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
     return pairs.filter(F.col("cos") >= threshold)
+
+
+def label_centroids(emb: DataFrame, dim: int = 64) -> DataFrame:
+    """Per-label centroid of the embedding column — the class-mean /
+    drift-monitor primitive (and the statistic an IVF coarse quantizer
+    re-fit starts from).
+
+    Float summation order is nondeterministic under parallel aggregation,
+    so naive avg() differs run-to-run AND engine-to-engine. Instead each
+    component quantizes to integer micro-units (round(x·10⁶) — the
+    float·10⁶ product is exact in double, ≤44 mantissa bits), integer
+    sums are order-free and exact, and the mean divides back out with two
+    correctly-rounded IEEE divisions — bit-identical everywhere, at any
+    partitioning.
+
+    Scale shape: posexplode × dim rows feed ONE map-side-combined hash
+    aggregate with labels × dim groups; shuffle volume after combine is
+    partitions × groups, independent of corpus size.
+    """
+    q = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * 1e6, 0).cast("long"),
+    )
+    ex = emb.select("label", F.posexplode(q).alias("i", "qv"))
+    return (
+        ex.groupBy("label", "i")
+        .agg(F.sum("qv").alias("s"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "label",
+            "i",
+            F.round(
+                (F.col("s").cast("double") / F.col("n")) / F.lit(1e6), 6
+            ).alias("mean"),
+            "n",
+        )
+    )

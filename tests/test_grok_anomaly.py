@@ -100,3 +100,35 @@ def test_countmin_no_collision_exact(spark):
         countmin_estimates(df, "kh", width=256), ["key_hash", "est", "exact"]
     )
     assert rows == [(k, 100, 100) for k in range(10)]
+
+
+def test_hopping_sums_coverage_and_golden(spark):
+    from cernan_spark.operators.aggregate import hopping_sums
+
+    df = spark.createDataFrame(
+        [("m", "SUM", 5.0, "2024-01-01 00:05:30")],
+        "name string, kind string, value double, ts_s string",
+    ).withColumn("ts", F.col("ts_s").cast("timestamp"))
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    rows = hopping_sums(df, duration=600, slide=200).collect()
+    # one event at t=+330s, 600/200 = 3 covering windows, starts at the
+    # multiples of 200 in (t-600, t]: -200, 0, +200
+    starts = sorted(r["ws"] for r in rows)
+    t0 = 1704067200  # 2024-01-01 00:00:00 UTC
+    assert starts == [t0 - 200, t0, t0 + 200]
+    assert all(r["sum_value"] == 5.0 and r["n_points"] == 1 for r in rows)
+
+
+def test_label_centroids_partitioning_invariant(spark):
+    from cernan_spark.operators.similarity import label_centroids
+    from tests.conftest import rows_to_tuples
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = rows_to_tuples(
+        label_centroids(e.repartition(1)), ["label", "i", "mean", "n"]
+    )
+    b = rows_to_tuples(
+        label_centroids(e.repartition(13)), ["label", "i", "mean", "n"]
+    )
+    assert a == b  # integer accumulation: order-free, bit-identical
+    assert len(a) == len({(l, i) for (l, i, _, _) in a})
