@@ -2106,15 +2106,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver grades exactly the first 50
-    # entries. Round-5 rotation (VERDICT r4 Next #1): the 11 queries that
-    # had never received a driver row, the 4 r5-new ops (asof_enrich,
-    # counter_rate, fuzzy_decontam, stratified_sample), the 6 r4-new ops,
-    # and internal_telemetry (oracle corpus changes this round) occupy the
-    # graded window; long-stable basics holding r3+r4 green rows and the
-    # r3-green wire-format queries rotate to positions 51+ (still covered
-    # by scripts/check_oracle.py over ALL entries).
+    # entries. Round-5 rotation (VERDICT r4 Next #1, done deliberately):
+    # the graded window = every query WITHOUT a driver row yet (the 11
+    # carried from the r4 ask + the 15 r5-new ops), the 3 changed this
+    # round, the 4 r4-new single-row ops, the 5 wire-format queries whose
+    # only rows are r3-era, and 12 family-representative stable keepers.
+    # Everything at position 51+ holds r3 AND r4 driver-green rows, so a
+    # fully green r5 gives every entry a row in the r3∪r4∪r5 union.
+    # All entries remain covered by scripts/check_oracle.py regardless.
     return {
-        # -- never driver-graded before round 5 --------------------------
+        # -- 26 never-driver-graded queries (11 carried from the r4 ask +
+        # 15 r5-new ops) --------------------------------------------------
         "streaming_dedup": q_streaming_dedup,
         "span_overlap": q_span_overlap,
         "corpus_pipeline_v2": q_corpus_pipeline_v2,
@@ -2126,21 +2128,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redaction": q_pii_redaction,
         "token_budget_sample": q_token_budget_sample,
         "token_budget_mix": q_token_budget_mix,
-        # -- changed this round ------------------------------------------
-        "internal_telemetry": q_internal_telemetry,
-        "minhash_resume": q_minhash_resume,
-        "simhash_resume": q_simhash_resume,
-        # -- r5-new operators --------------------------------------------
         "asof_enrich": q_asof_enrich,
         "counter_rate": q_counter_rate,
         "fuzzy_decontam": q_fuzzy_decontam,
         "stratified_sample": q_stratified_sample,
-        # -- r4-new (single green row so far) -----------------------------
+        "turn_dedup": q_turn_dedup,
+        "role_transitions": q_role_transitions,
+        "tail_trim": q_tail_trim,
+        "context_pack": q_context_pack,
+        "priority_sample": q_priority_sample,
+        "grok_apache": q_grok_apache,
+        "rolling_anomaly": q_rolling_anomaly,
+        "countmin_hitters": q_countmin_hitters,
+        "streaming_sessions": q_streaming_sessions,
+        "hopping_sums": q_hopping_sums,
+        "label_centroids": q_label_centroids,
+        # -- changed this round -------------------------------------------
+        "internal_telemetry": q_internal_telemetry,
+        "minhash_resume": q_minhash_resume,
+        "simhash_resume": q_simhash_resume,
+        # -- r4-new, single green row so far ------------------------------
         "dedup_drop_stats": q_dedup_drop_stats,
         "paragraph_dedup": q_paragraph_dedup,
         "normalize_text": q_normalize_text,
         "domain_cap": q_domain_cap,
-        # -- stable keepers ------------------------------------------------
+        # -- wire-format queries holding only r3-era rows ------------------
+        "native_roundtrip": q_native_roundtrip,
+        "avro_roundtrip": q_avro_roundtrip,
+        "es_bulk_docs": q_es_bulk_docs,
+        "kafka_records": q_kafka_records,
+        "prometheus_exposition": q_prometheus_exposition,
+        # -- family-representative stable keepers (r3+r4 green) -----------
         "transcripts_stable_order": q_transcripts_stable_order,
         "parse_statsd": q_parse_statsd,
         "bucket_sum": q_bucket_sum,
@@ -2148,28 +2166,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gauge_carry_forward": q_gauge_carry_forward,
         "delay_filter": q_delay_filter,
         "route_fanout": q_route_fanout,
-        "enrich_tags": q_enrich_tags,
         "prometheus_cumulative": q_prometheus_cumulative,
+        "streaming_bucket_sums": q_streaming_bucket_sums,
+        "sessionize": q_sessionize,
+        "dedup_exact": q_dedup_exact,
+        "minhash_dedup": q_minhash_dedup,
+        # ---- position 51+ : not graded this round; every query below
+        # holds r3+r4 driver-green rows (see CORRECTNESS_r0{3,4}.json) ----
+        "enrich_tags": q_enrich_tags,
         "prometheus_cumulative_hist": q_prometheus_cumulative_hist,
         "prometheus_windowed": q_prometheus_windowed,
         "console_sections": q_console_sections,
         "corpus_pipeline": q_corpus_pipeline,
         "flush_boundary": q_flush_boundary,
-        "streaming_bucket_sums": q_streaming_bucket_sums,
-        "sessionize": q_sessionize,
         "topk_docs_per_lang": q_topk_docs_per_lang,
         "token_jaccard_pairs": q_token_jaccard_pairs,
         "dedup_groups": q_dedup_groups,
         "simhash_dedup": q_simhash_dedup,
-        "dedup_exact": q_dedup_exact,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_cosine_lsh": q_ann_cosine_lsh,
         "ann_cosine_ivf": q_ann_cosine_ivf,
         "embedding_near_dups": q_embedding_near_dups,
-        "minhash_dedup": q_minhash_dedup,
-        # ---- position 51+ : not graded by the driver this round ----------
         "quality_score": q_quality_score,
         "text_quality": q_text_quality,
         "bpeish_tokens": q_bpeish_tokens,
@@ -2186,24 +2205,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "lang_profile": q_lang_profile,
         "multimodal_features": q_multimodal_features,
-        "native_roundtrip": q_native_roundtrip,
-        "avro_roundtrip": q_avro_roundtrip,
-        "es_bulk_docs": q_es_bulk_docs,
-        "kafka_records": q_kafka_records,
-        "prometheus_exposition": q_prometheus_exposition,
-        # -- r5-new conversation/corpus-assembly ops (positions 72+;
-        # rotate into the graded window next round) ----------------------
-        "turn_dedup": q_turn_dedup,
-        "role_transitions": q_role_transitions,
-        "tail_trim": q_tail_trim,
-        "context_pack": q_context_pack,
-        "priority_sample": q_priority_sample,
-        "grok_apache": q_grok_apache,
-        "rolling_anomaly": q_rolling_anomaly,
-        "countmin_hitters": q_countmin_hitters,
-        "streaming_sessions": q_streaming_sessions,
-        "hopping_sums": q_hopping_sums,
-        "label_centroids": q_label_centroids,
     }
 
 
