@@ -91,3 +91,45 @@ def test_fingerprint_sensitivity(spark, tmp_path):
     # _SUCCESS / hidden files are excluded from the fingerprint
     open(os.path.join(pdir, "_marker"), "w").close()
     assert partition_fingerprints(in_dir)["2024-02-01"] == fp2
+
+
+def test_incremental_job_end_to_end(spark, tmp_path):
+    """Drive jobs/run_incremental_job.py main() through a first run and a
+    late-data second run over a real transcripts landing zone."""
+    from jobs.run_incremental_job import main
+    from cernan_spark.sources.transcripts import transcripts_from_events
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    in_dir = str(tmp_path / "landing")
+    out_dir = str(tmp_path / "agg")
+    lin = str(tmp_path / "lin")
+    t = transcripts_from_events(spark, "/root/testdata/sf0.001")
+    dates = [
+        r["d"]
+        for r in t.select(F.date_format("ts", "yyyy-MM-dd").alias("d"))
+        .distinct().orderBy("d").limit(3).collect()
+    ]
+    for d in dates:
+        t.filter(F.date_format("ts", "yyyy-MM-dd") == d).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{in_dir}/date={d}")
+
+    rc = main(["--input", in_dir, "--output", out_dir, "--lineage", lin])
+    assert rc == 0
+    first = spark.read.parquet(out_dir)
+    assert first.select("date").distinct().count() == 3
+    assert first.count() > 0
+
+    # second run with nothing changed: lineage row count stays at 3
+    assert main(["--input", in_dir, "--output", out_dir, "--lineage", lin]) == 0
+    assert spark.read.parquet(lin).count() == 3
+
+    # late data lands in date[1]: exactly one new lineage row
+    time.sleep(0.02)
+    t.filter(F.date_format("ts", "yyyy-MM-dd") == dates[0]).limit(5).coalesce(
+        1
+    ).write.mode("append").parquet(f"{in_dir}/date={dates[1]}")
+    assert main(["--input", in_dir, "--output", out_dir, "--lineage", lin]) == 0
+    lineage = spark.read.parquet(lin)
+    assert lineage.count() == 4
+    assert lineage.filter(F.col("date") == dates[1]).count() == 2
