@@ -144,6 +144,10 @@ def main() -> None:
             "route_fanout",
             "dedup_exact",
             "ann_cosine_topk",
+            # round-5 families: grok parse, corpus packing, weighted sample
+            "grok_apache",
+            "context_pack",
+            "priority_sample",
         ):
             queries[name] = time_write(entry.queries()[name](spark, sf_dir))
 

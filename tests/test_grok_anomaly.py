@@ -132,3 +132,27 @@ def test_label_centroids_partitioning_invariant(spark):
     )
     assert a == b  # integer accumulation: order-free, bit-identical
     assert len(a) == len({(l, i) for (l, i, _, _) in a})
+
+
+def test_grok_arrow_twin_matches_jvm_path(spark):
+    """The Arrow-batched grok twin (one str.extract pass per batch) is
+    row-identical to the JVM regexp_extract-per-field path."""
+    import __spark_entry__ as em
+    from cernan_spark.functions.grok import grok_extract_arrow
+
+    lines = em._apache_lines(spark, "/root/testdata/sf0.001")
+    jvm = grok_extract(lines, COMMON_APACHE_LOG)
+    arrow = grok_extract_arrow(lines, COMMON_APACHE_LOG)
+    assert jvm.columns == arrow.columns
+    assert jvm.exceptAll(arrow).count() == 0
+    assert arrow.exceptAll(jvm).count() == 0
+
+
+def test_grok_arrow_rejects_fieldless_template():
+    import pandas as pd
+    import pytest as _pytest
+
+    from cernan_spark.functions.grok import grok_template_batch
+
+    with _pytest.raises(ValueError):
+        grok_template_batch(pd.Series(["x"]), "%{INT}-%{INT}")
