@@ -377,3 +377,40 @@ def test_streaming_session_windows_append(spark, stream_dir):
     # signed gauge +2 (SUM by the signed-gauge law); g1:5|g is SET
     assert r["n_events"] == 5
     assert r["sum_value"] == 9.0
+
+
+def test_streaming_late_drop_accounting(spark, stream_dir):
+    """cernan counts delay-filter rejects (delay_filter.rs telemetry);
+    the streaming analog is the state operator's
+    numRowsDroppedByWatermark metric - assert the late row is ACCOUNTED,
+    not just silently absent from the output."""
+    import pyspark.sql.functions as F_
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    parsed = streaming_parse(stream_transcripts(spark, stream_dir))
+    agg = streaming_bucket_aggregate(parsed, bin_width=60, watermark="5 minutes")
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_acct")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        late = spark.createDataFrame(
+            [("c9", 0, "user", "cnt:100|c", "none", "2024-01-01 00:00:10", 99)],
+            "conv_id string, turn_idx int, role string, text string, "
+            "tool string, ts_s string, order_key long",
+        ).withColumn("ts", F_.col("ts_s").cast("timestamp")).drop("ts_s").select(
+            "conv_id", "turn_idx", "role", "text", "tool", "ts", "order_key"
+        )
+        late.coalesce(1).write.mode("append").parquet(stream_dir)
+        q.processAllAvailable()
+        dropped = sum(
+            op["numRowsDroppedByWatermark"]
+            for p in q.recentProgress
+            for op in p["stateOperators"]
+        )
+    finally:
+        q.stop()
+    assert dropped == 1
