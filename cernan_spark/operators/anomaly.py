@@ -106,31 +106,38 @@ def countmin_estimates(
         for j, (a, b) in enumerate(COUNTMIN_COEFFS)
     ]
     staged = df.select(F.col(key_hash_col).alias("_kh"), *bucket_cols)
-    # counters: one tiny aggregate per hash row, unioned — each is
-    # map-side combined over ≤ width groups
-    counters = None
-    for j in range(len(COUNTMIN_COEFFS)):
-        cj = (
-            staged.groupBy(F.col(f"_b{j}").alias("bucket"))
-            .agg(F.count(F.lit(1)).alias("cnt"))
-            .withColumn("row_j", F.lit(j))
+    # counters for ALL d hash rows in ONE corpus pass: posexplode the
+    # bucket array (pos IS the hash-row index), then one map-side-combined
+    # aggregate over ≤ d×width groups — a per-row union of d aggregates
+    # would scan the corpus d times
+    counters = (
+        staged.select(
+            F.posexplode(
+                F.array(*[F.col(f"_b{j}") for j in range(len(COUNTMIN_COEFFS))])
+            ).alias("row_j", "bucket")
         )
-        counters = cj if counters is None else counters.unionByName(cj)
-    keys = staged.groupBy("_kh", *[f"_b{j}" for j in range(len(COUNTMIN_COEFFS))]).agg(
-        F.count(F.lit(1)).alias("exact")
+        .groupBy("row_j", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    est = keys
-    for j in range(len(COUNTMIN_COEFFS)):
-        cj = counters.filter(F.col("row_j") == j).select(
-            F.col("bucket").alias(f"_b{j}"), F.col("cnt").alias(f"_c{j}")
-        )
-        est = est.join(F.broadcast(cj), f"_b{j}")
-    return est.select(
-        F.col("_kh").alias("key_hash"),
-        F.least(*[F.col(f"_c{j}") for j in range(len(COUNTMIN_COEFFS))]).alias(
-            "est"
-        ),
+    keys = staged.groupBy(
+        "_kh", *[f"_b{j}" for j in range(len(COUNTMIN_COEFFS))]
+    ).agg(F.count(F.lit(1)).alias("exact"))
+    # melt each key's d buckets and join the d×width counter table ONCE
+    # (per-row filter+join branches would defeat exchange reuse — the
+    # row_j predicate pushes below each branch's aggregate, forcing d
+    # separate corpus scans), then min over hash rows = the estimate
+    melted = keys.select(
+        "_kh",
         "exact",
+        F.posexplode(
+            F.array(*[F.col(f"_b{j}") for j in range(len(COUNTMIN_COEFFS))])
+        ).alias("row_j", "bucket"),
+    )
+    return (
+        melted.join(F.broadcast(counters), ["row_j", "bucket"])
+        .groupBy(F.col("_kh").alias("key_hash"), "exact")
+        .agg(F.min("cnt").alias("est"))
+        .select("key_hash", "est", "exact")
     )
 
 
