@@ -414,3 +414,42 @@ def test_streaming_late_drop_accounting(spark, stream_dir):
     finally:
         q.stop()
     assert dropped == 1
+
+
+def test_streaming_hopping_windows(spark, stream_dir):
+    """The hopping-window expression runs unchanged under readStream:
+    sliding 60s-by-20s windows, watermarked, append mode. The first
+    fixture row (00:00:05, cnt:1) must appear in all 3 covering windows
+    once the watermark passes them."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    parsed = streaming_parse(stream_transcripts(spark, stream_dir))
+    agg = (
+        parsed.withWatermark("ts", "5 minutes")
+        .groupBy(F.window("ts", "60 seconds", "20 seconds"), "name")
+        .agg(F.sum("value").alias("sum_value"))
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("hop_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql(
+            "SELECT name, window.start AS ws, sum_value FROM hop_out "
+            "WHERE name = 'cnt'"
+        ).collect()
+    finally:
+        q.stop()
+    got = {str(r["ws"]): r["sum_value"] for r in rows}
+    # covering starts for t are the multiples of 20 in (t-60, t]:
+    # 00:00:05 (cnt:1) -> 23:59:20/23:59:40/00:00:00;
+    # 00:00:30 (cnt:2) -> 23:59:40/00:00:00/00:00:20;
+    # 00:01:10 (cnt:4) -> 00:00:20/00:00:40/00:01:00
+    assert got["2023-12-31 23:59:20"] == 1.0
+    assert got["2023-12-31 23:59:40"] == 3.0
+    assert got["2024-01-01 00:00:00"] == 3.0
+    assert got["2024-01-01 00:00:20"] == 6.0
+    assert got["2024-01-01 00:00:40"] == 4.0
+    assert got["2024-01-01 00:01:00"] == 4.0
