@@ -84,3 +84,49 @@ def test_tail_trim_single_exchange(spark):
     plan = _plan(trim_to_tail_budget(t, 10))
     assert _count(plan, r"Exchange hashpartitioning") == 1
     assert _count(plan, r"Join") == 0
+
+
+def test_hopping_and_centroids_single_exchange(spark):
+    """hopping_sums and label_centroids: ONE corpus exchange each, with a
+    map-side partial aggregate in front of it."""
+    from cernan_spark.operators.aggregate import hopping_sums
+    from cernan_spark.operators.similarity import label_centroids
+
+    tele = spark.range(1000).select(
+        F.lit("m").alias("name"), F.lit("SUM").alias("kind"),
+        F.col("id").cast("double").alias("value"),
+        (F.lit("2024-01-01 00:00:00").cast("timestamp")
+         + F.make_interval(secs=F.col("id"))).alias("ts"),
+    )
+    p = _plan(hopping_sums(tele))
+    assert _count(p, r"Exchange hashpartitioning") == 1
+    assert _count(p, r"partial") >= 1
+
+    emb = spark.range(100).select(
+        (F.col("id") % 5).cast("int").alias("label"),
+        F.array(*[F.rand(seed=1) for _ in range(8)]).cast(
+            "array<float>"
+        ).alias("embedding"),
+    )
+    p = _plan(label_centroids(emb, dim=8))
+    assert _count(p, r"Exchange hashpartitioning") == 1
+    assert _count(p, r"partial") >= 1
+
+
+def test_countmin_two_scans_one_broadcast(spark):
+    """countmin_estimates: the corpus is read exactly twice (counters +
+    keys) and the d x width counter table joins back as ONE broadcast —
+    per-hash-row join branches would re-scan the corpus d times."""
+    from cernan_spark.operators.anomaly import countmin_estimates
+
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="cm_plan_")
+    spark.range(5000).select(F.pmod(F.col("id"), 97).alias("kh")).write.mode(
+        "overwrite"
+    ).parquet(d)
+    df = spark.read.parquet(d)
+    p = _plan(countmin_estimates(df, "kh"))
+    assert _count(p, r"FileScan") == 2
+    assert _count(p, r"BroadcastExchange") == 1
+    assert _count(p, r"SortMergeJoin") == 0
