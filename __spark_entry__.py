@@ -2094,6 +2094,30 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_centroids(e)
 
 
+def q_tool_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Agent-trace tool-usage profile: per tool, call and conversation
+    counts plus the turn-gap structure between consecutive calls of the
+    same tool within a conversation (lag over (conv_id, tool) — series
+    count scales with data). Gap sums stay integer so the oracle matches
+    exactly; mean = sum_gap/n_gaps is the reader's division."""
+    from pyspark.sql import Window as W
+
+    _utc(spark)
+    t = transcripts_from_events(spark, sf_dir)
+    w = W.partitionBy("conv_id", "tool").orderBy("turn_idx")
+    gap = (F.col("turn_idx") - F.lag("turn_idx").over(w)).cast("long")
+    return (
+        t.withColumn("gap", gap)
+        .groupBy("tool")
+        .agg(
+            F.count(F.lit(1)).alias("n_calls"),
+            F.countDistinct("conv_id").alias("n_convs"),
+            F.count("gap").alias("n_gaps"),
+            F.sum("gap").alias("sum_gap"),
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full parse→enrich→route→aggregate at sf0.001."""
     from cernan_spark.plans.pipeline import run_pipeline
@@ -2205,6 +2229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "lang_profile": q_lang_profile,
         "multimodal_features": q_multimodal_features,
+        "tool_stats": q_tool_stats,
     }
 
 
@@ -4059,6 +4084,22 @@ def oracle_sql() -> dict[str, str]:
         FROM zz
         """,
         "countmin_hitters": _countmin_oracle_sql_entry(),
+        "tool_stats": P
+        + """
+        , g AS (
+          SELECT conv_id, tool,
+                 CAST(turn_idx - lag(turn_idx)
+                   OVER (PARTITION BY conv_id, tool ORDER BY turn_idx)
+                   AS BIGINT) AS gap
+          FROM transcripts
+        )
+        SELECT tool,
+               CAST(count(*) AS BIGINT) AS n_calls,
+               CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+               CAST(count(gap) AS BIGINT) AS n_gaps,
+               CAST(sum(gap) AS BIGINT) AS sum_gap
+        FROM g GROUP BY 1
+        """,
         "streaming_sessions": P
         + """
         , ev AS (
