@@ -2118,6 +2118,246 @@ def q_tool_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/val/test split: a pure function of
+    the document key (portable hash mod 1000), so assignments are stable
+    across runs, shards, engines and cluster sizes — no shuffle, no state
+    (operators/corpus.py)."""
+    from cernan_spark.operators.corpus import train_val_split
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return train_val_split(d).select("doc_id", "split_bucket", "split")
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (window=32, hop=24) — the
+    pretraining/RAG segmentation shape. Narrow explode, zero shuffles."""
+    from cernan_spark.operators.corpus import doc_token_chunks
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return doc_token_chunks(d).select(
+        "doc_id", "chunk_idx", "n_chunk_tokens", "chunk_text"
+    )
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 retrieval against a literal query. Term frequencies are
+    array filters (the corpus never explodes or shuffles); corpus stats
+    reduce to ONE broadcast scalar row; the score folds per-term
+    contributions in literal order so the float sum is cross-engine
+    deterministic."""
+    from cernan_spark.operators.corpus import BM25_QUERY, bm25_scores
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    s = bm25_scores(d, BM25_QUERY)
+    return s.filter(F.col("n_query_hits") > 0).select(
+        "doc_id", F.round("bm25", 6).alias("bm25"), "n_query_hits"
+    )
+
+
+def q_unigram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency quality signal: total corpus frequency of each
+    doc's tokens vs the top-30 vocabulary + OOV count. All-integer
+    outputs — oracle equality is exact by construction."""
+    from cernan_spark.operators.corpus import unigram_familiarity
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return unigram_familiarity(d)
+
+
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable HyperLogLog (p=8) distinct token-bigram estimate per
+    language: register state is a mergeable MAX — the property that makes
+    the sketch shard-parallel at 100 TB — and the 31-bit portable hash
+    lets DuckDB replay registers, harmonic sum and the linear-counting
+    correction bit-for-bit."""
+    from cernan_spark.operators.corpus import hll_distinct
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    bigrams = F.transform(
+        idx,
+        lambda i: F.concat(
+            F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)
+        ),
+    )
+    ex = d.select("lang", F.explode(bigrams).alias("bg"))
+    return hll_distinct(ex, ["lang"], F.col("bg"), name="bigrams")
+
+
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 scalar quantization of the embedding column (the 4×
+    compression step before a 100 TB ANN index materializes): per-vector
+    scale, L1 mass of the codes (exact int), zero-code count, and the
+    reconstruction MSE folded left-to-right so it is bit-identical
+    cross-engine. Pure narrow transforms."""
+    from cernan_spark.operators.similarity import quantize_int8
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = quantize_int8(e)
+    return q.select(
+        "vec_id",
+        F.round("scale", 9).alias("scale"),
+        "q_l1",
+        F.size(F.filter("q", lambda x: x == 0)).alias("n_zero_codes"),
+        F.round("mse", 9).alias("mse"),
+    )
+
+
+def q_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC/MERGE compaction (the Iceberg MERGE INTO stand-in — the jar is
+    absent from this image): last writer per user_id wins, a trailing
+    'error' event tombstones the key out. ONE map-side-combined max_by
+    aggregate — no window sort of the full log, tombstones cost a boolean
+    filter."""
+    from cernan_spark.operators.temporal import cdc_upsert_snapshot
+
+    _utc(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    changes = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )
+    snap = cdc_upsert_snapshot(
+        changes, key_cols=["user_id"], order_cols=["ts", "event_id"]
+    )
+    return snap.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("value").alias("last_value"),
+        F.unix_timestamp("ts").alias("last_epoch"),
+        "n_changes",
+    )
+
+
+def _doc_shingles(n: int = 8):
+    """Distinct n-gram shingle array of the text column (column expr)."""
+    toks = F.split(F.col("text"), " ")
+    cnt = F.size(toks)
+    idx = F.when(cnt >= n, F.sequence(F.lit(1), cnt - (n - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    )
+
+
+def q_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination: every 97th doc is the 'benchmark';
+    its distinct 8-gram shingles build a 4096-bit portable Bloom filter
+    (ONE bit_or aggregate — OR-state shards perfectly), which broadcast
+    cross-joins onto the training side as a SINGLE ROW. Probe verdicts
+    are narrow higher-order expressions (no explode, no shuffle) and the
+    oracle replays filter words AND verdicts bit-for-bit — false
+    positives included (no false negatives by construction; the exact
+    join twin is benchmark_decontam)."""
+    from cernan_spark.operators.sketch import bloom_build, bloom_probe_shingles
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    items = bench.select(F.explode(_doc_shingles(8)).alias("item")).distinct()
+    bloom = bloom_build(items)
+    probe = d.filter(F.col("doc_id") % 97 != 0).select(
+        "doc_id", _doc_shingles(8).alias("shingles")
+    )
+    return bloom_probe_shingles(probe, bloom).select(
+        "doc_id", "n_shingles", "n_bloom_hits", "flagged"
+    )
+
+
+def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(user, event_type) EWMA smoothing (α=1/2) of the event value
+    series: one add + one exact halving per step over a pinned fold
+    order, so the smoothed value is bit-identical cross-engine. ONE hash
+    aggregate; state per series is the bounded series itself."""
+    from cernan_spark.operators.temporal import ewma_fold
+
+    _utc(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ewma_fold(
+        ev.select(
+            "user_id", "event_type", F.unix_timestamp("ts").alias("epoch"),
+            "event_id", "value",
+        ),
+        key_cols=["user_id", "event_type"],
+        order_cols=["epoch", "event_id"],
+        value_col="value",
+    )
+
+
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure range join (no equi key) via bucketization: the 5 busiest
+    error hours become [hour−30min, hour+90min) audit windows; every
+    non-error event falling inside any window is counted and summed
+    (integer cents). Intervals explode to covered hourly buckets, points
+    map to exactly ONE bucket — hash equi-join on the bucket + exact
+    range post-filter, no dedup needed by construction (Spark's native
+    plan for this θ-join is a broadcast nested loop)."""
+    from cernan_spark.operators.temporal import interval_bucket_join
+
+    _utc(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "epoch", F.unix_timestamp("ts")
+    )
+    top_hours = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy(F.floor(F.col("epoch") / 3600).alias("hour"))
+        .agg(F.count(F.lit(1)).alias("n_err"))
+        .orderBy(F.col("n_err").desc(), F.col("hour"))
+        .limit(5)
+    )
+    intervals = top_hours.select(
+        (F.col("hour") * 3600 - 1800).alias("win_start"),
+        (F.col("hour") * 3600 + 5400).alias("win_end"),
+    )
+    points = ev.filter(F.col("event_type") != "error").select(
+        "epoch", F.round(F.col("value") * 100, 0).cast("long").alias("cents")
+    )
+    return interval_bucket_join(points, intervals, bucket_seconds=3600)
+
+
+def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocations of adjacent token pairs (the phrase-mining /
+    tokenizer-training signal): integer count aggregates only; the five
+    ln calls compose in one fixed per-row expression, so no float
+    aggregation is order-sensitive."""
+    from cernan_spark.operators.corpus import pmi_bigrams
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return pmi_bigrams(d, min_count=3)
+
+
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality score: each doc's log-probability under the
+    corpus's own unigram LM. The per-doc Σ ln(cnt) folds over the
+    ascending count multiset (equal doubles commute exactly), pinning
+    every rounding cross-engine."""
+    from cernan_spark.operators.corpus import unigram_logprob
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return unigram_logprob(d)
+
+
+def q_winsorized_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language winsorized doc-length stats: exact p05/p95 (linear
+    interpolation — Spark percentile ≡ DuckDB quantile_cont), tail
+    counts, and a winsorized mean assembled from exact integer parts so
+    no shuffle-order float sum exists."""
+    from cernan_spark.operators.corpus import winsorized_length_stats
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return winsorized_length_stats(d)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full parse→enrich→route→aggregate at sf0.001."""
     from cernan_spark.plans.pipeline import run_pipeline
@@ -2132,12 +2372,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver grades exactly the first 50
     # entries. Round-5 rotation (VERDICT r4 Next #1, done deliberately):
     # the graded window = every query WITHOUT a driver row yet (the 11
-    # carried from the r4 ask + the 15 r5-new ops), the 3 changed this
-    # round, the 4 r4-new single-row ops, the 5 wire-format queries whose
-    # only rows are r3-era, and 12 family-representative stable keepers.
-    # Everything at position 51+ holds r3 AND r4 driver-green rows, so a
-    # fully green r5 gives every entry a row in the r3∪r4∪r5 union.
-    # All entries remain covered by scripts/check_oracle.py regardless.
+    # carried from the r4 ask + the 15 r5-new ops + the 14 added this
+    # session), the queries whose code changed after their last row
+    # (internal_telemetry corpus, minhash/simhash resume, dedup banding,
+    # avrowire), the wire-format queries whose only rows are r3-era, and
+    # 2 family-representative stable keepers. Everything at position 51+
+    # holds a prior driver-green row with unchanged code, so a fully
+    # green r5 gives every entry a row in the r3∪r4∪r5 union. All
+    # entries remain covered by scripts/check_oracle.py regardless.
     return {
         # -- 26 never-driver-graded queries (11 carried from the r4 ask +
         # 15 r5-new ops) --------------------------------------------------
@@ -2171,32 +2413,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "internal_telemetry": q_internal_telemetry,
         "minhash_resume": q_minhash_resume,
         "simhash_resume": q_simhash_resume,
-        # -- r4-new, single green row so far ------------------------------
+        # -- r4-new single-row ops whose shared internals (_bucket_pairs)
+        # changed this round ----------------------------------------------
         "dedup_drop_stats": q_dedup_drop_stats,
+        # -- wire-format queries holding only r3-era rows (avrowire.py
+        # changed after avro_roundtrip's last row) -------------------------
+        "native_roundtrip": q_native_roundtrip,
+        "avro_roundtrip": q_avro_roundtrip,
+        "kafka_records": q_kafka_records,
+        "prometheus_exposition": q_prometheus_exposition,
+        # -- new this round (never driver-graded) --------------------------
+        "train_val_split": q_train_val_split,
+        "doc_chunks": q_doc_chunks,
+        "bm25_search": q_bm25_search,
+        "unigram_familiarity": q_unigram_familiarity,
+        "hll_distinct": q_hll_distinct,
+        "embedding_quantize": q_embedding_quantize,
+        "cdc_upsert": q_cdc_upsert,
+        "tool_stats": q_tool_stats,
+        "bloom_decontam": q_bloom_decontam,
+        "ewma_smooth": q_ewma_smooth,
+        "interval_join": q_interval_join,
+        "pmi_bigrams": q_pmi_bigrams,
+        "unigram_logprob": q_unigram_logprob,
+        "winsorized_lengths": q_winsorized_lengths,
+        # -- family-representative stable keepers (r3+r4 green) -----------
+        "transcripts_stable_order": q_transcripts_stable_order,
+        "sessionize": q_sessionize,
+        # ---- position 51+ : not graded this round; every query below
+        # holds r3+r4 driver-green rows (see CORRECTNESS_r0{3,4}.json) ----
+        "bucket_sum": q_bucket_sum,
+        "route_fanout": q_route_fanout,
         "paragraph_dedup": q_paragraph_dedup,
         "normalize_text": q_normalize_text,
         "domain_cap": q_domain_cap,
-        # -- wire-format queries holding only r3-era rows ------------------
-        "native_roundtrip": q_native_roundtrip,
-        "avro_roundtrip": q_avro_roundtrip,
         "es_bulk_docs": q_es_bulk_docs,
-        "kafka_records": q_kafka_records,
-        "prometheus_exposition": q_prometheus_exposition,
-        # -- family-representative stable keepers (r3+r4 green) -----------
-        "transcripts_stable_order": q_transcripts_stable_order,
-        "parse_statsd": q_parse_statsd,
-        "bucket_sum": q_bucket_sum,
         "bucket_quantiles": q_bucket_quantiles,
         "gauge_carry_forward": q_gauge_carry_forward,
         "delay_filter": q_delay_filter,
-        "route_fanout": q_route_fanout,
         "prometheus_cumulative": q_prometheus_cumulative,
         "streaming_bucket_sums": q_streaming_bucket_sums,
-        "sessionize": q_sessionize,
         "dedup_exact": q_dedup_exact,
         "minhash_dedup": q_minhash_dedup,
-        # ---- position 51+ : not graded this round; every query below
-        # holds r3+r4 driver-green rows (see CORRECTNESS_r0{3,4}.json) ----
         "enrich_tags": q_enrich_tags,
         "prometheus_cumulative_hist": q_prometheus_cumulative_hist,
         "prometheus_windowed": q_prometheus_windowed,
@@ -2229,7 +2487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "lang_profile": q_lang_profile,
         "multimodal_features": q_multimodal_features,
-        "tool_stats": q_tool_stats,
+        "parse_statsd": q_parse_statsd,
     }
 
 
@@ -4163,4 +4421,175 @@ def oracle_sql() -> dict[str, str]:
         "SELECT * FROM (" + d["internal_telemetry"] + ") "
         "UNION ALL SELECT * FROM (" + d["dedup_drop_stats"] + ")"
     )
+
+    # ---- corpus-assembly operators (operators/corpus.py) ----
+    from cernan_spark.operators.corpus import (
+        BM25_QUERY,
+        bm25_oracle_sql,
+        hll_oracle_sql,
+        train_val_split_sql,
+    )
+
+    bucket_sql, split_sql = train_val_split_sql("doc_id")
+    d["train_val_split"] = (
+        f"SELECT doc_id, {bucket_sql} AS split_bucket, {split_sql} AS split "
+        "FROM documents"
+    )
+    d["doc_chunks"] = """
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        SELECT doc_id, CAST(s / 24 AS INTEGER) AS chunk_idx,
+               CAST(least(32, len(toks) - s) AS INTEGER) AS n_chunk_tokens,
+               array_to_string(list_slice(toks, CAST(s + 1 AS INTEGER),
+                                          CAST(s + 32 AS INTEGER)), ' ')
+                 AS chunk_text
+        FROM t, unnest(range(0, len(toks), 24)) AS u(s)
+    """
+    d["bm25_search"] = bm25_oracle_sql(BM25_QUERY)
+    d["unigram_familiarity"] = """
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+        ), vocab AS (
+            SELECT tok, count(*) AS cnt FROM toks
+            GROUP BY 1 ORDER BY cnt DESC, tok LIMIT 30
+        )
+        SELECT t.doc_id, count(*) AS n_tokens,
+               CAST(sum(coalesce(v.cnt, 0)) AS BIGINT) AS familiarity,
+               CAST(sum(CASE WHEN v.cnt IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_oov
+        FROM toks t LEFT JOIN vocab v USING (tok) GROUP BY 1
+    """
+    d["hll_distinct"] = hll_oracle_sql(
+        "lang",
+        "bg",
+        "(SELECT lang, unnest(list_transform("
+        "range(1, len(string_split(text, ' '))), "
+        "i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]"
+        ")) AS bg FROM documents) sub",
+        name="bigrams",
+        group_out="lang",
+    )
+    d["embedding_quantize"] = """
+        WITH v AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ), s AS (
+            SELECT vec_id, v,
+                   greatest(list_max(list_transform(v, x -> abs(x))), 1e-12)
+                     / 127.0 AS scale
+            FROM v
+        ), q AS (
+            SELECT vec_id, v, scale,
+                   list_transform(
+                     v, x -> CAST(sign(x) * floor(abs(x) / scale + 0.5) AS BIGINT)
+                   ) AS q
+            FROM s
+        )
+        SELECT vec_id, round(scale, 9) AS scale,
+               CAST(list_reduce(
+                 list_prepend(CAST(0 AS BIGINT), list_transform(q, x -> abs(x))),
+                 (a, x) -> a + x) AS BIGINT) AS q_l1,
+               CAST(len(list_filter(q, x -> x = 0)) AS INTEGER) AS n_zero_codes,
+               round(list_reduce(
+                 list_prepend(0.0, list_transform(range(1, len(v) + 1),
+                   i -> (v[i] - q[i] * scale) * (v[i] - q[i] * scale))),
+                 (a, e) -> a + e) / len(v), 9) AS mse
+        FROM q
+    """
+    d["cdc_upsert"] = """
+        WITH c AS (
+            SELECT user_id, event_id, ts, value,
+                   CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+            FROM events
+        ), r AS (
+            SELECT user_id, event_id, ts, value, op,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC) AS rn,
+                   count(*) OVER (PARTITION BY user_id) AS n_changes
+            FROM c
+        )
+        SELECT user_id, event_id AS last_event_id, value AS last_value,
+               CAST(floor(epoch(ts)) AS BIGINT) AS last_epoch,
+               CAST(n_changes AS BIGINT) AS n_changes
+        FROM r WHERE rn = 1 AND op <> 'D'
+    """
+
+    # ---- sketch / temporal / quality operators (this session) ----
+    from cernan_spark.operators.corpus import (
+        pmi_oracle_sql,
+        unigram_logprob_oracle_sql,
+        winsorized_oracle_sql,
+    )
+    from cernan_spark.operators.sketch import (
+        bloom_contains_h_sql,
+        bloom_words_cte_sql,
+        staged_hash_list_sql,
+    )
+
+    _SHINGLES8 = (
+        "list_distinct(list_transform("
+        "range(1, greatest(len(string_split(text, ' ')) - 7, 0) + 1), "
+        "i -> array_to_string(list_slice(string_split(text, ' '), i, i + 7), ' ')))"
+    )
+    d["bloom_decontam"] = (
+        "WITH __items AS (SELECT DISTINCT unnest("
+        + _SHINGLES8
+        + ") AS item FROM documents WHERE doc_id % 97 = 0),\n"
+        + bloom_words_cte_sql("__items", "item")
+        + f""",
+        __probe AS (
+            SELECT doc_id, {_SHINGLES8} AS shingles
+            FROM documents WHERE doc_id % 97 <> 0
+        ),
+        __staged AS (
+            SELECT doc_id, len(shingles) AS n_shingles,
+                   {staged_hash_list_sql('shingles')} AS hs
+            FROM __probe
+        )
+        SELECT s.doc_id, CAST(s.n_shingles AS INTEGER) AS n_shingles,
+               CAST(len(list_filter(s.hs,
+                 h -> {bloom_contains_h_sql('b.words', 'h')})) AS INTEGER)
+                 AS n_bloom_hits,
+               len(list_filter(s.hs,
+                 h -> {bloom_contains_h_sql('b.words', 'h')})) > 0 AS flagged
+        FROM __staged s CROSS JOIN __bloom b
+    """
+    )
+    d["ewma_smooth"] = """
+        WITH s AS (
+            SELECT user_id, event_type,
+                   count(*) AS n_samples,
+                   list(value ORDER BY CAST(floor(epoch(ts)) AS BIGINT),
+                        event_id) AS vals
+            FROM events GROUP BY 1, 2
+        )
+        SELECT user_id, event_type, n_samples,
+               round(list_reduce(vals, (y, x) -> (y + x) * 0.5), 9) AS ewma
+        FROM s
+    """
+    d["interval_join"] = """
+        WITH ev AS (
+            SELECT CAST(floor(epoch(ts)) AS BIGINT) AS epoch, event_type,
+                   CAST(round(value * 100, 0) AS BIGINT) AS cents
+            FROM events
+        ), hours AS (
+            SELECT CAST(floor(epoch / 3600) AS BIGINT) AS hour,
+                   count(*) AS n_err
+            FROM ev WHERE event_type = 'error'
+            GROUP BY 1 ORDER BY n_err DESC, hour LIMIT 5
+        ), iv AS (
+            SELECT hour * 3600 - 1800 AS win_start,
+                   hour * 3600 + 5400 AS win_end
+            FROM hours
+        )
+        SELECT i.win_start, i.win_end,
+               count(*) AS n_points, sum(p.cents) AS sum_cents
+        FROM iv i JOIN ev p
+          ON p.epoch >= i.win_start AND p.epoch < i.win_end
+        WHERE p.event_type <> 'error'
+        GROUP BY 1, 2
+    """
+    d["pmi_bigrams"] = pmi_oracle_sql("documents", min_count=3)
+    d["unigram_logprob"] = unigram_logprob_oracle_sql("documents")
+    d["winsorized_lengths"] = winsorized_oracle_sql("documents", "lang")
     return d

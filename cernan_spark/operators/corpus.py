@@ -1,0 +1,715 @@
+"""Corpus-assembly operators for training-data pipelines: deterministic
+train/val/test splits, overlapping token-window chunking, BM25 retrieval,
+unigram-familiarity scoring, and a portable HyperLogLog distinct sketch.
+
+Reference parity note: cernan has no corpus layer (it is a telemetry
+daemon); these are the training-data-pipeline extensions the engine needs
+at 100 TB. They follow the same portability discipline as the dedup/ANN
+family (operators/dedup.py): the scale path would use xxhash64, while the
+oracle-gate path uses the 31-bit polynomial hash from functions/porthash.py
+that DuckDB replays bit-for-bit, so every operator here is value-checked,
+not rows-only.
+
+Scale design (100 TB posture), per operator:
+- ``train_val_split``: pure narrow map — a hash of the stable doc key, no
+  shuffle, no state. The split is a function of the key alone, so it is
+  reproducible across runs, shards and engines (resumable ingest keeps
+  assignments stable).
+- ``doc_token_chunks``: split + sequence + explode — narrow per-row fan-out
+  inside one stage; chunk count is O(len/stride) so output scales with
+  input bytes, never with corpus size.
+- ``bm25_scores``: term frequencies are computed with ``F.filter`` over the
+  token array (NO explode, NO per-term shuffle); the only wide op is one
+  corpus-level scalar aggregate (N, avgdl, df per literal term) that
+  reduces to a single row, broadcast back into a narrow scoring map.
+- ``unigram_familiarity``: two hash aggregates with map-side combine
+  (vocab build caps at top-K rows; per-doc rollup emits one row per doc
+  per partition pre-shuffle) + one broadcast join of the tiny vocab.
+- ``hll_distinct``: explode → per-(group, register) MAX — map-side combine
+  collapses each partition to ≤ groups×m rows before the exchange — then a
+  second tiny aggregate folds the m registers. Register state is mergeable
+  (MAX), which is exactly what makes HLL shard-parallel at 100 TB.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from cernan_spark.functions.porthash import MERSENNE31, portable_hash
+
+# ---------------------------------------------------------------------------
+# deterministic train/val/test split
+# ---------------------------------------------------------------------------
+
+SPLIT_SALT = ":split42"
+
+
+def train_val_split(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> DataFrame:
+    """Assign each row to train/val/test by hashing its stable key.
+
+    The assignment is a pure function of the key (portable 31-bit hash of
+    ``key || SPLIT_SALT``, mod 1000), so it is stable across runs, shards,
+    engines and cluster sizes — the property a resumable 100 TB ingest
+    needs so that a re-run never migrates a document between splits.
+    """
+    h = portable_hash(F.concat(F.col(key_col).cast("string"), F.lit(SPLIT_SALT)))
+    bucket = (h % 1000).cast("int")
+    split = (
+        F.when(bucket < train_pct * 10, F.lit("train"))
+        .when(bucket < (train_pct + val_pct) * 10, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return df.withColumn("split_bucket", bucket).withColumn("split", split)
+
+
+def train_val_split_sql(
+    key_expr: str, train_pct: int = 80, val_pct: int = 10
+) -> tuple[str, str]:
+    """DuckDB twins of the bucket and split expressions."""
+    from cernan_spark.functions.porthash import portable_hash_sql
+
+    h = portable_hash_sql(f"CAST({key_expr} AS VARCHAR) || '{SPLIT_SALT}'")
+    bucket = f"CAST(({h}) % 1000 AS INTEGER)"
+    split = (
+        f"CASE WHEN {bucket} < {train_pct * 10} THEN 'train' "
+        f"WHEN {bucket} < {(train_pct + val_pct) * 10} THEN 'val' "
+        "ELSE 'test' END"
+    )
+    return bucket, split
+
+
+# ---------------------------------------------------------------------------
+# overlapping token-window chunking
+# ---------------------------------------------------------------------------
+
+
+def doc_token_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    chunk_tokens: int = 32,
+    stride: int = 24,
+) -> DataFrame:
+    """Split documents into overlapping token windows (the standard
+    pretraining / RAG chunking shape: window=chunk_tokens, hop=stride).
+
+    Chunk starts are 0, stride, 2·stride, … while start < n_tokens; the
+    final chunk may be short. Narrow explode, no shuffle.
+    """
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride))
+    out = (
+        df.withColumn("__toks", toks)
+        .withColumn("__start", F.explode(starts))
+        .withColumn("chunk_idx", (F.col("__start") / stride).cast("int"))
+        .withColumn(
+            "chunk_text",
+            F.array_join(
+                F.slice(F.col("__toks"), F.col("__start") + 1, chunk_tokens), " "
+            ),
+        )
+        .withColumn(
+            "n_chunk_tokens",
+            F.least(F.lit(chunk_tokens), F.size(F.col("__toks")) - F.col("__start")),
+        )
+        .drop("__toks", "__start")
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval against a literal query
+# ---------------------------------------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Okapi BM25 score of every document against ``query_terms``.
+
+    Plan shape: term frequencies come from ``F.filter`` over the token
+    array (a narrow map — the corpus is NEVER exploded or shuffled);
+    corpus statistics (N, avgdl, per-term df) reduce to ONE scalar row,
+    cross-joined back (broadcast of a single row). The per-doc score sums
+    the per-term contributions in the literal order of ``query_terms``,
+    so the floating-point fold order is deterministic and cross-engine
+    reproducible.
+    """
+    toks = F.split(F.col(text_col), " ")
+    t = df.withColumn("__dl", F.size(toks))
+    for i, term in enumerate(query_terms):
+        t = t.withColumn(
+            f"__tf{i}", F.size(F.filter(toks, lambda x: x == F.lit(term)))
+        )
+    stats = t.agg(
+        F.count("*").alias("__n"),
+        F.sum("__dl").alias("__sumdl"),
+        *[
+            F.sum((F.col(f"__tf{i}") > 0).cast("long")).alias(f"__df{i}")
+            for i in range(len(query_terms))
+        ],
+    )
+    scored = t.crossJoin(F.broadcast(stats))
+    n = F.col("__n").cast("double")
+    avgdl = F.col("__sumdl").cast("double") / n
+    score: Column = F.lit(0.0)
+    for i in range(len(query_terms)):
+        tf = F.col(f"__tf{i}").cast("double")
+        dfi = F.col(f"__df{i}").cast("double")
+        idf = F.log((n - dfi + 0.5) / (dfi + 0.5) + 1.0)
+        denom = tf + k1 * (1.0 - b + b * F.col("__dl").cast("double") / avgdl)
+        score = score + idf * (tf * (k1 + 1.0)) / denom
+    out = scored.withColumn("bm25", score).withColumn(
+        "n_query_hits",
+        sum(
+            (F.col(f"__tf{i}") > 0).cast("int") for i in range(len(query_terms))
+        ),
+    )
+    drop = (
+        ["__dl", "__n", "__sumdl"]
+        + [f"__tf{i}" for i in range(len(query_terms))]
+        + [f"__df{i}" for i in range(len(query_terms))]
+    )
+    return out.drop(*drop)
+
+
+def bm25_oracle_sql(
+    query_terms: list[str],
+    table: str = "documents",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> str:
+    """DuckDB twin of :func:`bm25_scores` + the entry query's projection
+    (docs with ≥1 hit, score rounded, rank by (rounded score desc, doc_id)).
+    Same literal fold order for the score sum."""
+    tf_cols = ", ".join(
+        f"len(list_filter(string_split(text, ' '), x -> x = '{t}')) AS tf{i}"
+        for i, t in enumerate(query_terms)
+    )
+    df_cols = ", ".join(
+        f"sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(query_terms))
+    )
+    parts = []
+    for i in range(len(query_terms)):
+        idf = f"ln((s.n - s.df{i} + 0.5) / (s.df{i} + 0.5) + 1.0)"
+        denom = f"(t.tf{i} + {k1} * (1.0 - {b} + {b} * t.dl / (s.sumdl / s.n)))"
+        parts.append(f"{idf} * (t.tf{i} * ({k1} + 1.0)) / {denom}")
+    score = "0.0 + " + " + ".join(parts)
+    hits = " + ".join(
+        f"(CASE WHEN t.tf{i} > 0 THEN 1 ELSE 0 END)" for i in range(len(query_terms))
+    )
+    return f"""
+        WITH t AS (
+            SELECT doc_id, len(string_split(text, ' ')) AS dl, {tf_cols}
+            FROM {table}
+        ), s AS (
+            SELECT CAST(count(*) AS DOUBLE) AS n,
+                   CAST(sum(dl) AS DOUBLE) AS sumdl, {df_cols}
+            FROM t
+        )
+        SELECT t.doc_id, round({score}, 6) AS bm25, CAST({hits} AS INTEGER) AS n_query_hits
+        FROM t, s
+        WHERE {hits} > 0
+    """
+
+
+# ---------------------------------------------------------------------------
+# unigram familiarity (corpus-frequency quality signal)
+# ---------------------------------------------------------------------------
+
+
+def unigram_familiarity(
+    df: DataFrame,
+    text_col: str = "text",
+    vocab_k: int = 30,
+) -> DataFrame:
+    """Score documents by how familiar their tokens are to the corpus:
+    total corpus frequency of in-vocab tokens (exact bigint), OOV count vs
+    the top-``vocab_k`` vocabulary, and token total. All-integer outputs,
+    so the oracle equality is exact by construction.
+
+    Plan: ONE corpus-wide token count (hash agg with map-side combine),
+    capped to top-K rows on (count desc, token asc) — deterministic
+    tie-break — then a broadcast join against the re-exploded corpus and a
+    per-doc rollup. The vocab is dimension-sized by construction (K rows),
+    so the corpus-side join never shuffles.
+    """
+    toks_df = df.select("doc_id", F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+    vocab = (
+        toks_df.groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("tok"))
+        .limit(vocab_k)
+    )
+    joined = toks_df.join(F.broadcast(vocab), "tok", "left")
+    return joined.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(F.coalesce(F.col("cnt"), F.lit(0))).alias("familiarity"),
+        F.sum(F.col("cnt").isNull().cast("long")).alias("n_oov"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# portable HyperLogLog distinct sketch
+# ---------------------------------------------------------------------------
+
+HLL_P = 8  # 2^8 = 256 registers
+HLL_M = 1 << HLL_P
+#: bits of hash left after the register index is consumed (32-bit mixed hash)
+HLL_REST_BITS = 32 - HLL_P
+
+_FMIX_C1 = 0x85EBCA6B
+_FMIX_C2 = 0xC2B2AE35
+_M32 = 0xFFFFFFFF
+
+
+def _hll_alpha(m: int) -> float:
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def _mulmod32(h: Column, c: int) -> Column:
+    """(h · c) mod 2^32 without int64 overflow (h < 2^32, c < 2^32):
+    split h into 16-bit halves — both partial products stay < 2^48."""
+    lo = (h.bitwiseAND(F.lit(0xFFFF)) * F.lit(c))
+    hi = (F.shiftright(h, 16) * F.lit(c)).bitwiseAND(F.lit(0xFFFF))
+    return (lo + hi * F.lit(65536)).bitwiseAND(F.lit(_M32))
+
+
+def fmix32(h: Column) -> Column:
+    """Murmur3's 32-bit finalizer over the portable polynomial hash.
+
+    The raw 31-bit polynomial hash has almost no avalanche (sequential
+    keys land in clustered registers, which saturates an HLL at ~1.5·m —
+    measured), so sketch-grade uses mix it first. Pure integer xor/shift/
+    masked-multiply — both engines compute it bit-identically (the
+    multiplies use :func:`_mulmod32` to stay inside signed int64).
+    """
+    h = h.bitwiseXOR(F.shiftright(h, 16))
+    h = _mulmod32(h, _FMIX_C1)
+    h = h.bitwiseXOR(F.shiftright(h, 13))
+    h = _mulmod32(h, _FMIX_C2)
+    return h.bitwiseXOR(F.shiftright(h, 16))
+
+
+def fmix32_sql(expr: str) -> str:
+    """DuckDB twin of :func:`fmix32` (xor / >> / & / split multiply)."""
+
+    def mul(e: str, c: int) -> str:
+        return (
+            f"((({e}) & 65535) * {c} + "
+            f"(((({e}) >> 16) * {c}) & 65535) * 65536) & {_M32}"
+        )
+
+    s1 = f"xor({expr}, ({expr}) >> 16)"
+    s2 = mul(s1, _FMIX_C1)
+    s3 = f"xor(({s2}), ({s2}) >> 13)"
+    s4 = mul(s3, _FMIX_C2)
+    return f"xor(({s4}), ({s4}) >> 16)"
+
+
+def hll_register_cols(hash_col: Column) -> tuple[Column, Column]:
+    """(register index, rho) for a 32-bit mixed hash value.
+
+    register = h mod m; rho = 1 + leading zeros of the remaining
+    ``HLL_REST_BITS`` bits = (REST_BITS + 1) - bit_length(rest), with
+    bit_length(0) defined as 0 (an all-zero rest gives the max rho).
+    bit_length is computed as length(bin(rest)) — both engines print
+    binary without leading zeros, and both print '0' for zero (special-
+    cased).
+    """
+    reg = (hash_col % HLL_M).cast("int")
+    rest = F.shiftright(hash_col, HLL_P)
+    nbits = F.when(rest == 0, F.lit(0)).otherwise(F.length(F.bin(rest)))
+    rho = (F.lit(HLL_REST_BITS + 1) - nbits).cast("int")
+    return reg, rho
+
+
+def hll_distinct(
+    df: DataFrame,
+    group_cols: list[str],
+    item_col: Column,
+    name: str = "items",
+) -> DataFrame:
+    """HyperLogLog distinct-count estimate of ``item_col`` per group,
+    using the portable 31-bit hash so DuckDB replays the sketch exactly.
+
+    Two aggregates: per-(group, register) MAX(rho) — mergeable state, the
+    reason HLL shards cleanly — then the register fold. The standard
+    small-range (linear counting) correction applies when E ≤ 2.5·m and
+    empty registers exist. Outputs round the estimate to 4 decimals; the
+    harmonic sum is a dyadic rational (sum of 256 powers of two ≥ 2^-25),
+    exact in binary regardless of summation order.
+    """
+    h = fmix32(portable_hash(item_col))
+    reg, rho = hll_register_cols(h)
+    regs = (
+        df.select(*group_cols, reg.alias("reg"), rho.alias("rho"))
+        .groupBy(*group_cols, "reg")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+    m = float(HLL_M)
+    alpha = _hll_alpha(HLL_M)
+    folded = regs.groupBy(*group_cols).agg(
+        F.count("*").alias("n_present"),
+        F.sum(F.pow(F.lit(2.0), -F.col("max_rho"))).alias("present_sum"),
+    )
+    harmonic = F.col("present_sum") + (F.lit(m) - F.col("n_present"))
+    raw_e = F.lit(alpha * m * m) / harmonic
+    n_zero = (F.lit(HLL_M) - F.col("n_present")).cast("int")
+    corrected = F.when(
+        (raw_e <= 2.5 * m) & (n_zero > 0),
+        F.lit(m) * F.log(F.lit(m) / n_zero.cast("double")),
+    ).otherwise(raw_e)
+    return folded.select(
+        *group_cols,
+        n_zero.alias("n_zero_registers"),
+        F.round(harmonic, 6).alias("harmonic_sum"),
+        F.round(corrected, 4).alias(f"hll_{name}"),
+    )
+
+
+def hll_oracle_sql(
+    group_expr: str,
+    item_expr: str,
+    from_clause: str,
+    name: str = "items",
+    group_out: str = "grp",
+) -> str:
+    """DuckDB twin of :func:`hll_distinct` (group by one expression)."""
+    from cernan_spark.functions.porthash import portable_hash_sql
+
+    h = fmix32_sql(portable_hash_sql(item_expr))
+    m = float(HLL_M)
+    alpha = _hll_alpha(HLL_M)
+    return f"""
+        WITH hashed AS (
+            SELECT {group_expr} AS grp, ({h}) AS h FROM {from_clause}
+        ), regs AS (
+            SELECT grp, CAST(h % {HLL_M} AS INTEGER) AS reg,
+                   max(CASE WHEN (h >> {HLL_P}) = 0
+                            THEN {HLL_REST_BITS + 1}
+                            ELSE {HLL_REST_BITS + 1}
+                                 - length(bin(h >> {HLL_P}))
+                       END) AS max_rho
+            FROM hashed GROUP BY 1, 2
+        ), folded AS (
+            SELECT grp, count(*) AS n_present,
+                   sum(power(2.0, -max_rho)) AS present_sum
+            FROM regs GROUP BY 1
+        )
+        SELECT grp AS {group_out},
+               CAST({HLL_M} - n_present AS INTEGER) AS n_zero_registers,
+               round(present_sum + ({m} - n_present), 6) AS harmonic_sum,
+               round(CASE WHEN ({alpha * m * m}) / (present_sum + ({m} - n_present))
+                               <= {2.5 * m}
+                          AND n_present < {HLL_M}
+                     THEN {m} * ln({m} / CAST({HLL_M} - n_present AS DOUBLE))
+                     ELSE ({alpha * m * m}) / (present_sum + ({m} - n_present))
+                     END, 4) AS hll_{name}
+        FROM folded
+    """
+
+
+#: the literal retrieval query for the BM25 entry/bench path — terms chosen
+#: to span high- and low-df vocabulary in the synthetic corpus
+BM25_QUERY = ["spark", "join", "window", "vector", "stream"]
+
+
+# ---------------------------------------------------------------------------
+# PMI bigram collocations
+# ---------------------------------------------------------------------------
+
+
+def pmi_bigrams(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 3,
+) -> DataFrame:
+    """Pointwise mutual information of adjacent token pairs — the
+    collocation signal a tokenizer-training / phrase-mining pass runs
+    over the corpus: pmi = ln(p(x,y) / (p(x)·p(y))) with p(x,y) over
+    total bigram count and p(x) over total token count.
+
+    All aggregation is INTEGER (counts); the only floats are five ``ln``
+    calls composed in a fixed per-row expression —
+    ``ln c_xy + 2·ln N_tok − ln N_big − ln c_x − ln c_y`` — so there is
+    no order-sensitive float aggregation anywhere (the direct ratio
+    would overflow int64 at corpus scale: c·N² ≈ 10¹⁸ at sf0.1 already).
+
+    Plan: one explode→agg for bigram counts (shuffle keyed by the pair),
+    one for token counts (keyed by token), the scalar totals reduce to
+    one broadcast row, and the two count joins are dimension-sized
+    (vocab) — broadcast here, sort-merge with salting on the hot-token
+    side at 100 TB. ``min_count`` bounds the output like every LSH cap
+    in operators/dedup.py: disclosed, not silent.
+    """
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    pairs = df.select(
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    F.element_at(toks, i).alias("x"),
+                    F.element_at(toks, i + 1).alias("y"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.x", "p.y")
+    big = pairs.groupBy("x", "y").agg(F.count(F.lit(1)).alias("c_xy"))
+    uni = (
+        df.select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c_tok"))
+    )
+    totals = uni.agg(
+        F.sum("c_tok").alias("n_tok"),
+    ).crossJoin(big.agg(F.sum("c_xy").alias("n_big")))
+    scored = (
+        big.filter(F.col("c_xy") >= min_count)
+        .join(F.broadcast(uni.withColumnRenamed("tok", "x")), "x")
+        .withColumnRenamed("c_tok", "c_x")
+        .join(F.broadcast(uni.withColumnRenamed("tok", "y")), "y")
+        .withColumnRenamed("c_tok", "c_y")
+        .crossJoin(F.broadcast(totals))
+    )
+    pmi = (
+        F.log(F.col("c_xy").cast("double"))
+        + F.lit(2.0) * F.log(F.col("n_tok").cast("double"))
+        - F.log(F.col("n_big").cast("double"))
+        - F.log(F.col("c_x").cast("double"))
+        - F.log(F.col("c_y").cast("double"))
+    )
+    return scored.select(
+        "x", "y", "c_xy", "c_x", "c_y", F.round(pmi, 6).alias("pmi")
+    )
+
+
+def pmi_oracle_sql(table: str = "documents", min_count: int = 3) -> str:
+    """DuckDB twin of :func:`pmi_bigrams` (same fixed ln composition)."""
+    return f"""
+        WITH toks AS (
+            SELECT unnest(string_split(text, ' ')) AS tok FROM {table}
+        ), pairs AS (
+            SELECT string_split(text, ' ')[i] AS x,
+                   string_split(text, ' ')[i + 1] AS y
+            FROM {table},
+                 unnest(range(1, len(string_split(text, ' ')))) AS u(i)
+        ), big AS (
+            SELECT x, y, count(*) AS c_xy FROM pairs GROUP BY 1, 2
+        ), uni AS (
+            SELECT tok, count(*) AS c_tok FROM toks GROUP BY 1
+        ), tot AS (
+            SELECT (SELECT sum(c_tok) FROM uni) AS n_tok,
+                   (SELECT sum(c_xy) FROM big) AS n_big
+        )
+        SELECT b.x, b.y, b.c_xy, ux.c_tok AS c_x, uy.c_tok AS c_y,
+               round(ln(CAST(b.c_xy AS DOUBLE))
+                     + 2.0 * ln(CAST(t.n_tok AS DOUBLE))
+                     - ln(CAST(t.n_big AS DOUBLE))
+                     - ln(CAST(ux.c_tok AS DOUBLE))
+                     - ln(CAST(uy.c_tok AS DOUBLE)), 6) AS pmi
+        FROM big b
+        JOIN uni ux ON ux.tok = b.x
+        JOIN uni uy ON uy.tok = b.y
+        CROSS JOIN tot t
+        WHERE b.c_xy >= {min_count}
+    """
+
+
+# ---------------------------------------------------------------------------
+# unigram language-model log-probability (perplexity-style quality score)
+# ---------------------------------------------------------------------------
+
+
+def unigram_logprob(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Score each doc under the corpus's own unigram LM — the CCNet-style
+    quality filter: logprob = Σₜ ln(cnt(t)/N) = Σₜ ln cnt(t) − n·ln N,
+    avg_logprob = logprob / n (rarer/weirder text scores lower).
+
+    Float discipline: the per-doc Σ ln cnt folds over the doc's count
+    multiset SORTED ascending (equal doubles commute exactly), so the
+    fold order — hence every rounding — is pinned cross-engine; n·ln N
+    is one per-row expression. No order-sensitive float shuffle agg.
+
+    Plan: one token-count aggregate (vocab-sized, broadcast back), one
+    per-doc aggregate that collects the count multiset. At 100 TB the
+    count join keys on the token (salt hot stopwords); the per-doc
+    collect is bounded by doc length.
+    """
+    toks_df = df.select(
+        "doc_id", F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    )
+    uni = toks_df.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    totals = uni.agg(F.sum("cnt").alias("n_total"))
+    joined = toks_df.join(F.broadcast(uni), "tok")
+    per_doc = joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sort_array(F.collect_list("cnt")).alias("__cnts"),
+    )
+    sum_ln = F.aggregate(
+        F.col("__cnts"),
+        F.lit(0.0),
+        lambda acc, c: acc + F.log(c.cast("double")),
+    )
+    out = per_doc.crossJoin(F.broadcast(totals))
+    logprob = sum_ln - F.col("n_tokens").cast("double") * F.log(
+        F.col("n_total").cast("double")
+    )
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.round(logprob, 6).alias("logprob"),
+        F.round(logprob / F.col("n_tokens").cast("double"), 6).alias(
+            "avg_logprob"
+        ),
+    )
+
+
+def unigram_logprob_oracle_sql(table: str = "documents") -> str:
+    """DuckDB twin of :func:`unigram_logprob` (same sorted fold)."""
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM {table}
+        ), uni AS (
+            SELECT tok, count(*) AS cnt FROM toks GROUP BY 1
+        ), tot AS (SELECT sum(cnt) AS n_total FROM uni),
+        per_doc AS (
+            SELECT t.doc_id, count(*) AS n_tokens,
+                   list(u.cnt ORDER BY u.cnt) AS cnts
+            FROM toks t JOIN uni u USING (tok) GROUP BY 1
+        ), folded AS (
+            SELECT doc_id, n_tokens,
+                   list_reduce(
+                     list_prepend(0.0,
+                       list_transform(cnts, c -> ln(CAST(c AS DOUBLE)))),
+                     (a, x) -> a + x)
+                   - CAST(n_tokens AS DOUBLE)
+                     * ln(CAST((SELECT n_total FROM tot) AS DOUBLE)) AS lp
+            FROM per_doc
+        )
+        SELECT doc_id, n_tokens, round(lp, 6) AS logprob,
+               round(lp / CAST(n_tokens AS DOUBLE), 6) AS avg_logprob
+        FROM folded
+    """
+
+
+# ---------------------------------------------------------------------------
+# winsorized length statistics
+# ---------------------------------------------------------------------------
+
+
+def winsorized_length_stats(
+    df: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+    lo: float = 0.05,
+    hi: float = 0.95,
+) -> DataFrame:
+    """Per-group winsorized document-length statistics: exact p05/p95
+    token-count percentiles (linear interpolation), tail counts, and the
+    winsorized mean (tails clamped to the percentile bounds).
+
+    Float discipline: the winsorized mean is assembled from EXACT parts
+    — an integer sum of in-range lengths plus n_below·p05 + n_above·p95
+    composed in one per-row expression — never a float sum across rows
+    whose shuffle order could vary. Both engines use the same
+    ``h = (n−1)·q; v[⌊h⌋] + (h−⌊h⌋)·(v[⌊h⌋+1] − v[⌊h⌋])`` interpolation
+    (Spark ``percentile`` ↔ DuckDB ``quantile_cont``).
+
+    Plan: pass 1 computes the per-group percentiles (group-count-sized
+    result, broadcast back); pass 2 is one conditional-sum aggregate.
+    At 100 TB pass 1 becomes ``approx_percentile``/t-digest — the exact
+    form here is what the oracle can replay.
+    """
+    lens = df.select(
+        F.col(group_col), F.size(F.split(F.col(text_col), " ")).alias("n_tokens")
+    )
+    pcts = lens.groupBy(group_col).agg(
+        F.percentile("n_tokens", F.lit(lo)).alias("p_lo"),
+        F.percentile("n_tokens", F.lit(hi)).alias("p_hi"),
+    )
+    j = lens.join(F.broadcast(pcts), group_col)
+    x = F.col("n_tokens").cast("double")
+    agg = j.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(x < F.col("p_lo"), 1).otherwise(0)).alias("n_below"),
+        F.sum(F.when(x > F.col("p_hi"), 1).otherwise(0)).alias("n_above"),
+        F.sum(
+            F.when(
+                (x >= F.col("p_lo")) & (x <= F.col("p_hi")), F.col("n_tokens")
+            ).otherwise(F.lit(0))
+        ).alias("__mid_sum"),
+        F.first("p_lo").alias("p_lo"),
+        F.first("p_hi").alias("p_hi"),
+    )
+    wmean = (
+        F.col("__mid_sum").cast("double")
+        + F.col("n_below").cast("double") * F.col("p_lo")
+        + F.col("n_above").cast("double") * F.col("p_hi")
+    ) / F.col("n_docs").cast("double")
+    return agg.select(
+        group_col,
+        "n_docs",
+        F.round("p_lo", 6).alias("p_lo"),
+        F.round("p_hi", 6).alias("p_hi"),
+        "n_below",
+        "n_above",
+        F.round(wmean, 6).alias("winsorized_mean"),
+    )
+
+
+def winsorized_oracle_sql(
+    table: str = "documents",
+    group_col: str = "lang",
+    lo: float = 0.05,
+    hi: float = 0.95,
+) -> str:
+    """DuckDB twin of :func:`winsorized_length_stats`."""
+    return f"""
+        WITH lens AS (
+            SELECT {group_col} AS grp,
+                   len(string_split(text, ' ')) AS n_tokens
+            FROM {table}
+        ), pcts AS (
+            SELECT grp, quantile_cont(n_tokens, {lo}) AS p_lo,
+                        quantile_cont(n_tokens, {hi}) AS p_hi
+            FROM lens GROUP BY 1
+        ), agg AS (
+            SELECT l.grp, count(*) AS n_docs,
+                   sum(CASE WHEN l.n_tokens < p.p_lo THEN 1 ELSE 0 END) AS n_below,
+                   sum(CASE WHEN l.n_tokens > p.p_hi THEN 1 ELSE 0 END) AS n_above,
+                   sum(CASE WHEN l.n_tokens >= p.p_lo AND l.n_tokens <= p.p_hi
+                            THEN l.n_tokens ELSE 0 END) AS mid_sum,
+                   any_value(p.p_lo) AS p_lo, any_value(p.p_hi) AS p_hi
+            FROM lens l JOIN pcts p USING (grp) GROUP BY 1
+        )
+        SELECT grp AS {group_col}, n_docs,
+               round(p_lo, 6) AS p_lo, round(p_hi, 6) AS p_hi,
+               CAST(n_below AS BIGINT) AS n_below,
+               CAST(n_above AS BIGINT) AS n_above,
+               round((CAST(mid_sum AS DOUBLE)
+                      + CAST(n_below AS DOUBLE) * p_lo
+                      + CAST(n_above AS DOUBLE) * p_hi)
+                     / CAST(n_docs AS DOUBLE), 6) AS winsorized_mean
+        FROM agg
+    """

@@ -468,3 +468,46 @@ def label_centroids(emb: DataFrame, dim: int = 64) -> DataFrame:
             "n",
         )
     )
+
+
+def quantize_int8(
+    emb: DataFrame, vec_col: str = "embedding", levels: int = 127
+) -> DataFrame:
+    """Symmetric int8 scalar quantization of an embedding column — the
+    standard 4× compression step before a 100 TB ANN index is materialized
+    (each float32 component → one signed byte + one per-vector scale).
+
+    q_i = sign(x_i) · floor(|x_i|/scale + 0.5) with scale = max|x| / levels
+    — explicit round-half-away-from-zero, because engine round() tie rules
+    differ (Java HALF_UP vs C round-half-even) while floor(+0.5) is IEEE-
+    deterministic everywhere. Reconstruction error folds left-to-right
+    (F.aggregate ≡ DuckDB list_reduce), so the MSE is bit-identical
+    cross-engine. Pure narrow transforms — no shuffle, no Python.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = F.greatest(amax, F.lit(1e-12)) / F.lit(float(levels))
+    q = F.transform(
+        v,
+        lambda x: (
+            F.signum(x) * F.floor(F.abs(x) / scale + F.lit(0.5))
+        ).cast("long"),
+    )
+    # (x - q·scale)·(x - q·scale) via multiply, NOT pow(x, 2): pow is a
+    # libm call whose rounding is not pinned across engines; a product is.
+    sq_err = F.aggregate(
+        F.zip_with(
+            v,
+            q,
+            lambda x, qi: (x - qi.cast("double") * scale)
+            * (x - qi.cast("double") * scale),
+        ),
+        F.lit(0.0),
+        lambda acc, e: acc + e,
+    )
+    return (
+        emb.withColumn("scale", scale)
+        .withColumn("q", q)
+        .withColumn("q_l1", F.aggregate(q, F.lit(0).cast("long"), lambda a, x: a + F.abs(x)))
+        .withColumn("mse", sq_err / F.size(v))
+    )

@@ -178,3 +178,135 @@ def counter_increase(
         .withColumn("is_reset", reset)
         .withColumn("increase", inc)
     )
+
+
+def cdc_upsert_snapshot(
+    changes: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """Compact a change log into its current snapshot: last writer wins
+    per key, a trailing delete tombstones the key out. This is the MERGE
+    INTO / CDC-compaction semantic an Iceberg sink would run (the jar is
+    absent from this image — see plans/sinks.py — so the compaction is
+    expressed engine-side; reference analog: cernan's last-write-wins SET
+    buckets, /root/reference/src/buckets.rs set path).
+
+    ONE hash aggregate: max_by(struct(op, payload), order) per key — the
+    winner is picked with an order-total max (order_cols must be a total
+    order, e.g. (ts, event_id)), so the plan is a single map-side-combined
+    exchange; no window, no sort of the full log. Keys whose last change
+    is a delete are filtered AFTER the aggregate (tombstones cost one
+    boolean filter, never a join).
+    """
+    payload = [c for c in changes.columns if c not in key_cols]
+    ordk = F.struct(*[F.col(c) for c in order_cols])
+    snap = changes.groupBy(*key_cols).agg(
+        F.max_by(F.struct(*payload), ordk).alias("__last"),
+        F.count(F.lit(1)).alias("n_changes"),
+    )
+    out = snap.select(
+        *key_cols,
+        *[F.col(f"__last.{c}").alias(c) for c in payload],
+        "n_changes",
+    )
+    return out.filter(F.col(op_col) != delete_op).drop(op_col)
+
+
+def ewma_fold(
+    series: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    value_col: str = "value",
+) -> DataFrame:
+    """Exponentially-weighted moving average per series, α = 1/2:
+    ``y₀ = x₀;  yₜ = (yₜ₋₁ + xₜ) · 0.5`` — the classic telemetry
+    smoother (cernan leaves smoothing to downstream sinks like
+    wavefront; here it is an engine operator). α is fixed at 1/2 so the
+    update is ONE IEEE add + ONE exact halving — both correctly rounded,
+    so with the fold order pinned by ``order_cols`` the result is
+    bit-identical cross-engine (a general α·x + (1−α)·y update has two
+    roundings whose composition differs by summation strategy).
+
+    Plan: ONE hash aggregate collects each series into a sorted array
+    (``sort_array(collect_list(struct(order, value)))``), then a narrow
+    ``F.aggregate`` fold. State per series is the series itself — the
+    right shape when series are bounded (a window of samples per key);
+    an unbounded series would run the streaming gauge fold
+    (streaming/pipeline.py) instead, whose state is O(1).
+    """
+    ordered = F.sort_array(
+        F.collect_list(
+            F.struct(*[F.col(c) for c in order_cols], F.col(value_col).alias("__v"))
+        )
+    )
+    vals = F.transform(ordered, lambda t: t["__v"].cast("double"))
+    folded = F.aggregate(
+        vals,
+        F.struct(
+            F.lit(0.0).alias("y"), F.lit(False).alias("started")
+        ),
+        lambda acc, x: F.struct(
+            F.when(acc["started"], (acc["y"] + x) * F.lit(0.5))
+            .otherwise(x)
+            .alias("y"),
+            F.lit(True).alias("started"),
+        ),
+    )
+    return series.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("n_samples"),
+        folded["y"].alias("__y"),
+    ).select(
+        *key_cols,
+        "n_samples",
+        F.round("__y", 9).alias("ewma"),
+    )
+
+
+def interval_bucket_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    epoch_col: str = "epoch",
+    start_col: str = "win_start",
+    end_col: str = "win_end",
+    bucket_seconds: int = 3600,
+    agg_cents_col: str = "cents",
+) -> DataFrame:
+    """Range (interval) join without an equi key: count points falling
+    inside each ``[start, end)`` interval, via bucketization.
+
+    Spark's only native plan for a pure θ-join is a broadcast
+    nested-loop — O(|points|·|intervals|) work even when both sides are
+    indexed by time. The scale plan instead manufactures an equi key:
+    intervals explode to the coarse time buckets they cover
+    (``sequence(start ÷ b, (end−1) ÷ b)``), points map to their single
+    bucket, and the join is a plain hash equi-join on the bucket with
+    the exact range predicate applied as a post-filter. Because a point
+    lives in EXACTLY ONE bucket, a (point, interval) pair can match
+    through only one bucket — no dedup pass is needed (the classic
+    pitfall of interval bucketing, avoided by construction). Work is
+    O(points + Σ interval_spans/b + matches).
+
+    Intervals may overlap; each keeps its own row. Sums are integer
+    cents, so aggregate equality is exact under any shuffle order.
+    """
+    b = F.lit(bucket_seconds)
+    iv = intervals.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col) / b),
+                F.floor((F.col(end_col) - 1) / b),
+            )
+        ),
+    )
+    pt = points.withColumn("__bucket", F.floor(F.col(epoch_col) / b))
+    hits = pt.join(iv, "__bucket").filter(
+        (F.col(epoch_col) >= F.col(start_col)) & (F.col(epoch_col) < F.col(end_col))
+    )
+    return hits.groupBy(start_col, end_col).agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum(agg_cents_col).alias("sum_cents"),
+    )

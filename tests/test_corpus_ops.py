@@ -1,0 +1,286 @@
+"""Corpus-assembly operators (operators/corpus.py): train/val/test split,
+token chunking, BM25, unigram familiarity, portable HLL; plus the int8
+embedding quantizer (operators/similarity.py) and CDC upsert compaction
+(operators/temporal.py). Python-model equivalence throughout — the same
+test strategy as the reference's quickcheck suites (SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import math
+from datetime import datetime, timezone
+
+import pytest
+from pyspark.sql import functions as F
+
+from cernan_spark.operators.corpus import (
+    HLL_M,
+    HLL_REST_BITS,
+    bm25_scores,
+    doc_token_chunks,
+    hll_distinct,
+    train_val_split,
+    unigram_familiarity,
+)
+
+DOCS = [
+    (0, "a b c d e f g h"),
+    (1, "a a a b the quick fox"),
+    (2, "x"),
+    (3, "spark join window vector stream spark spark"),
+    (4, "join the window stream of spark data now"),
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def _py_hash(s: str) -> int:
+    h = 0
+    for c in s:
+        h = (h * 31 + ord(c)) % ((1 << 31) - 1)
+    return h
+
+
+# ---------------------------------------------------------------------------
+# train/val split
+# ---------------------------------------------------------------------------
+
+
+def test_split_matches_python_model_and_is_stable(spark):
+    rows = train_val_split(_docs(spark)).select("doc_id", "split_bucket", "split").collect()
+    for r in rows:
+        b = _py_hash(f"{r['doc_id']}:split42") % 1000
+        assert r["split_bucket"] == b
+        want = "train" if b < 800 else ("val" if b < 900 else "test")
+        assert r["split"] == want
+    # repartitioning must not move any document between splits
+    again = {
+        r["doc_id"]: r["split"]
+        for r in train_val_split(_docs(spark).repartition(7)).collect()
+    }
+    assert again == {r["doc_id"]: r["split"] for r in rows}
+
+
+def test_split_fractions_roughly_hold(spark):
+    big = spark.range(0, 5000).withColumnRenamed("id", "doc_id")
+    counts = {
+        r["split"]: r["n"]
+        for r in train_val_split(big)
+        .groupBy("split")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert abs(counts["train"] / 5000 - 0.8) < 0.03
+    assert abs(counts["val"] / 5000 - 0.1) < 0.02
+    assert abs(counts["test"] / 5000 - 0.1) < 0.02
+
+
+# ---------------------------------------------------------------------------
+# chunking
+# ---------------------------------------------------------------------------
+
+
+def test_chunks_match_python_model(spark):
+    out = doc_token_chunks(_docs(spark), chunk_tokens=4, stride=3).collect()
+    got = {(r["doc_id"], r["chunk_idx"]): (r["chunk_text"], r["n_chunk_tokens"]) for r in out}
+    want = {}
+    for doc_id, text in DOCS:
+        toks = text.split(" ")
+        s = 0
+        while s < len(toks):
+            want[(doc_id, s // 3)] = (" ".join(toks[s : s + 4]), min(4, len(toks) - s))
+            s += 3
+    assert got == want
+
+
+def test_chunks_cover_every_token(spark):
+    out = doc_token_chunks(_docs(spark), chunk_tokens=4, stride=3)
+    per_doc = {
+        r["doc_id"]: r["n"]
+        for r in out.select("doc_id", F.explode(F.split("chunk_text", " ")).alias("t"))
+        .groupBy("doc_id")
+        .agg(F.count_distinct("t").alias("n"))
+        .collect()
+    }
+    for doc_id, text in DOCS:
+        assert per_doc[doc_id] == len(set(text.split(" ")))
+
+
+# ---------------------------------------------------------------------------
+# BM25
+# ---------------------------------------------------------------------------
+
+
+def test_bm25_matches_python_model(spark):
+    terms = ["spark", "join", "zzz"]
+    out = {
+        r["doc_id"]: (r["bm25"], r["n_query_hits"])
+        for r in bm25_scores(_docs(spark), terms).collect()
+    }
+    toks = {d: t.split(" ") for d, t in DOCS}
+    n = len(DOCS)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    dfs = {t: sum(1 for d in toks.values() if t in d) for t in terms}
+    for doc_id, t in toks.items():
+        score = 0.0
+        hits = 0
+        for term in terms:
+            tf = t.count(term)
+            hits += 1 if tf else 0
+            idf = math.log((n - dfs[term] + 0.5) / (dfs[term] + 0.5) + 1.0)
+            score += idf * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * len(t) / avgdl))
+        assert out[doc_id][1] == hits
+        assert abs(out[doc_id][0] - score) < 1e-9
+
+
+def test_bm25_ranks_term_dense_doc_first(spark):
+    scored = bm25_scores(_docs(spark), ["spark"]).orderBy(F.desc("bm25")).collect()
+    assert scored[0]["doc_id"] == 3  # three 'spark' tokens in a short doc
+
+
+# ---------------------------------------------------------------------------
+# unigram familiarity
+# ---------------------------------------------------------------------------
+
+
+def test_familiarity_matches_python_model(spark):
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["familiarity"], r["n_oov"])
+        for r in unigram_familiarity(_docs(spark), vocab_k=3).collect()
+    }
+    from collections import Counter
+
+    counts = Counter(t for _, text in DOCS for t in text.split(" "))
+    vocab = dict(sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:3])
+    for doc_id, text in DOCS:
+        toks = text.split(" ")
+        fam = sum(vocab.get(t, 0) for t in toks)
+        oov = sum(1 for t in toks if t not in vocab)
+        assert out[doc_id] == (len(toks), fam, oov)
+
+
+# ---------------------------------------------------------------------------
+# HLL
+# ---------------------------------------------------------------------------
+
+
+def _py_fmix32(h: int) -> int:
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & 0xFFFFFFFF
+    return h ^ (h >> 16)
+
+
+def _py_hll(items):
+    regs = {}
+    for it in items:
+        h = _py_fmix32(_py_hash(it))
+        reg = h % HLL_M
+        rest = h >> 8
+        rho = (HLL_REST_BITS + 1) - rest.bit_length()
+        regs[reg] = max(regs.get(reg, 0), rho)
+    m = float(HLL_M)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    harmonic = sum(2.0 ** -v for v in regs.values()) + (m - len(regs))
+    e = alpha * m * m / harmonic
+    v = HLL_M - len(regs)
+    if e <= 2.5 * m and v > 0:
+        e = m * math.log(m / v)
+    return e, v
+
+
+@pytest.mark.parametrize("n_items", [10, 300, 2000])
+def test_hll_matches_python_model_and_is_accurate(spark, n_items):
+    items = [f"item-{i}" for i in range(n_items)]
+    df = spark.createDataFrame([(x,) for x in items], "it string").withColumn(
+        "g", F.lit("g")
+    )
+    row = hll_distinct(df, ["g"], F.col("it"), name="items").collect()[0]
+    e, v = _py_hll(items)
+    assert row["n_zero_registers"] == v
+    assert abs(row["hll_items"] - round(e, 4)) < 1e-6
+    # sketch accuracy: within ~3 standard errors (1.04/sqrt(256) ≈ 6.5%)
+    assert abs(row["hll_items"] - n_items) / n_items < 0.2
+
+
+def test_hll_is_partitioning_invariant(spark):
+    items = [(f"item-{i % 700}",) for i in range(5000)]
+    df = spark.createDataFrame(items, "it string").withColumn("g", F.lit("g"))
+    a = hll_distinct(df, ["g"], F.col("it")).collect()[0]
+    b = hll_distinct(df.repartition(13), ["g"], F.col("it")).collect()[0]
+    assert a["hll_items"] == b["hll_items"]
+    assert a["harmonic_sum"] == b["harmonic_sum"]
+
+
+# ---------------------------------------------------------------------------
+# int8 quantizer
+# ---------------------------------------------------------------------------
+
+
+def test_quantize_int8_matches_python_model(spark):
+    from cernan_spark.operators.similarity import quantize_int8
+
+    vecs = [(0, [0.5, -1.0, 0.25, 0.0]), (1, [2.0, 1.0, -2.0, 0.125])]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in quantize_int8(df).collect()}
+    for vid, v in vecs:
+        amax = max(abs(x) for x in v)
+        scale = max(amax, 1e-12) / 127.0
+        q = [math.copysign(math.floor(abs(x) / scale + 0.5), x) if x else 0.0 for x in v]
+        mse = sum((x - qi * scale) ** 2 for x, qi in zip(v, q)) / len(v)
+        r = out[vid]
+        assert r["q"] == [int(x) for x in q]
+        assert abs(r["scale"] - scale) < 1e-15
+        assert abs(r["mse"] - mse) < 1e-12
+        # codes are always representable in a signed byte
+        assert all(abs(c) <= 127 for c in r["q"])
+
+
+def test_quantize_reconstruction_error_is_small(spark):
+    e = spark.createDataFrame(
+        [(i, [((i * 31 + j * 7) % 200 - 100) / 50.0 for j in range(16)]) for i in range(64)],
+        "vec_id long, embedding array<float>",
+    )
+    from cernan_spark.operators.similarity import quantize_int8
+
+    rows = quantize_int8(e).select("vec_id", "mse", "scale").collect()
+    for r in rows:
+        # quantization noise bound: step^2/4 per component on average
+        assert r["mse"] <= (r["scale"] ** 2) / 4 + 1e-12
+
+
+# ---------------------------------------------------------------------------
+# CDC upsert compaction
+# ---------------------------------------------------------------------------
+
+
+def _ts(i):
+    return datetime(2024, 1, 1, 0, 0, i, tzinfo=timezone.utc)
+
+
+def test_cdc_last_writer_wins_and_tombstones(spark):
+    from cernan_spark.operators.temporal import cdc_upsert_snapshot
+
+    changes = spark.createDataFrame(
+        [
+            (1, 10, _ts(1), 1.0, "U"),
+            (1, 11, _ts(2), 2.0, "U"),   # key 1 ends at value 2.0
+            (2, 20, _ts(1), 5.0, "U"),
+            (2, 21, _ts(3), 0.0, "D"),   # key 2 tombstoned
+            (3, 30, _ts(5), 7.0, "D"),
+            (3, 31, _ts(6), 8.0, "U"),   # delete then re-insert → alive
+            (4, 40, _ts(4), 4.0, "U"),
+            (4, 41, _ts(4), 9.0, "U"),   # ts tie → higher event_id wins
+        ],
+        "user_id long, event_id long, ts timestamp, value double, op string",
+    )
+    snap = {
+        r["user_id"]: (r["event_id"], r["value"], r["n_changes"])
+        for r in cdc_upsert_snapshot(
+            changes, key_cols=["user_id"], order_cols=["ts", "event_id"]
+        ).collect()
+    }
+    assert snap == {1: (11, 2.0, 2), 3: (31, 8.0, 2), 4: (41, 9.0, 2)}
+    assert 2 not in snap

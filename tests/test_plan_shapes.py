@@ -146,3 +146,68 @@ def test_asof_broadcast_fact_side_never_shuffles(spark):
     # the only hash exchange allowed is the tiny dim-side groupBy
     # (collect_list per key); the fact side reaches the join scan-local
     assert _count(plan, r"Exchange hashpartitioning") <= 1
+
+
+def test_bloom_probe_is_narrow_over_the_corpus(spark):
+    """Bloom probe: the filter arrives as a BroadcastNestedLoopJoin of a
+    1-row side; the probe corpus itself never hash-shuffles (the build
+    side's two tiny aggregates are the only exchanges)."""
+    from cernan_spark.operators.sketch import bloom_build, bloom_probe_shingles
+
+    items = spark.range(100).select(
+        F.concat(F.lit("it-"), F.col("id")).alias("item")
+    )
+    docs = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.array(F.concat(F.lit("it-"), F.col("id") % 150)).alias("shingles"),
+    )
+    out = bloom_probe_shingles(docs, bloom_build(items))
+    plan = _final_plan(out)
+    assert _count(plan, r"BroadcastNestedLoopJoin") == 1
+    assert _count(plan, r"SortMergeJoin|ShuffledHashJoin") == 0
+    # exchanges belong to the build side only: word groupBy + final
+    # 1-row densify (AQE may coalesce; never more than these two)
+    assert _count(plan, r"Exchange hashpartitioning") <= 1
+    assert _count(plan, r"Exchange SinglePartition") <= 1
+
+
+def test_interval_join_is_hash_equi_join_not_nested_loop(spark):
+    """The bucketized range join must plan as an equi-join on the bucket
+    (hash or broadcast), NOT the O(n·m) BroadcastNestedLoopJoin Spark
+    produces for a raw θ-join."""
+    from cernan_spark.operators.temporal import interval_bucket_join
+
+    points = spark.range(10000).select(
+        (F.col("id") * 13 % 100000).alias("epoch"), F.lit(1).alias("cents")
+    )
+    intervals = spark.range(5).select(
+        (F.col("id") * 9000).alias("win_start"),
+        (F.col("id") * 9000 + 7000).alias("win_end"),
+    )
+    out = interval_bucket_join(points, intervals, bucket_seconds=3600)
+    plan = _final_plan(out)
+    assert _count(plan, r"BroadcastNestedLoopJoin") == 0
+    assert _count(plan, r"CartesianProduct") == 0
+    assert (
+        _count(plan, r"BroadcastHashJoin")
+        + _count(plan, r"SortMergeJoin")
+        + _count(plan, r"ShuffledHashJoin")
+        == 1
+    )
+
+
+def test_ewma_is_one_hash_aggregate(spark):
+    """EWMA: one partial+final hash aggregate pair over the series key —
+    no window, no sort of the full frame (ordering happens inside the
+    collected per-series array)."""
+    from cernan_spark.operators.temporal import ewma_fold
+
+    series = spark.range(10000).select(
+        (F.col("id") % 50).alias("k"),
+        F.col("id").alias("i"),
+        (F.col("id") % 17).cast("double").alias("value"),
+    )
+    plan = _plan(ewma_fold(series, ["k"], ["i"]))
+    assert _count(plan, r"Exchange hashpartitioning") == 1
+    assert _count(plan, r"Window\b") == 0
+    assert _count(plan, r"(?m)^\s*\*?\(?\d*\)?\s*Sort\b") == 0

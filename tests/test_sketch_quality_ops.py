@@ -1,0 +1,303 @@
+"""Session-2 operator batch: portable Bloom filter (operators/sketch.py),
+EWMA smoothing + bucketized interval join (operators/temporal.py), PMI
+collocations / unigram-LM log-prob / winsorized length stats
+(operators/corpus.py). Python-model equivalence throughout — the same
+test strategy as the reference's quickcheck suites (SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from cernan_spark.functions.porthash import MERSENNE31
+from cernan_spark.operators.sketch import (
+    BLOOM_BITS,
+    BLOOM_COEFFS,
+    N_WORDS,
+    bloom_build,
+    bloom_probe_shingles,
+)
+
+
+def _py_hash(s: str) -> int:
+    h = 0
+    for c in s:
+        h = (h * 31 + ord(c)) % MERSENNE31
+    return h
+
+
+def _py_fmix32(h: int) -> int:
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & 0xFFFFFFFF
+    return h ^ (h >> 16)
+
+
+def _py_positions(item: str) -> list[int]:
+    h = _py_fmix32(_py_hash(item))
+    return [((a * h + b) % MERSENNE31) % BLOOM_BITS for a, b in BLOOM_COEFFS]
+
+
+def _py_bloom(items) -> list[int]:
+    words = [0] * N_WORDS
+    for it in items:
+        for p in _py_positions(it):
+            words[p >> 5] |= 1 << (p & 31)
+    return words
+
+
+def _py_contains(words, item: str) -> bool:
+    return all(
+        (words[p >> 5] >> (p & 31)) & 1 for p in _py_positions(item)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_words_match_python_model(spark):
+    items = [f"shingle number {i} of the set" for i in range(50)]
+    df = spark.createDataFrame([(x,) for x in items], "item string")
+    words = bloom_build(df).collect()[0]["words"]
+    assert words == _py_bloom(items)
+    assert len(words) == N_WORDS
+    # 32-bit half-words: the top 32 bits are never used
+    assert all(0 <= w < (1 << 32) for w in words)
+
+
+def test_bloom_no_false_negatives_and_probe_matches_model(spark):
+    members = [f"member {i}" for i in range(80)]
+    others = [f"absent {i}" for i in range(200)]
+    bloom = bloom_build(
+        spark.createDataFrame([(x,) for x in members], "item string")
+    )
+    probe = spark.createDataFrame(
+        [(0, members), (1, others), (2, members[:3] + others[:3]), (3, [])],
+        "doc_id long, shingles array<string>",
+    )
+    out = {
+        r["doc_id"]: (r["n_shingles"], r["n_bloom_hits"], r["flagged"])
+        for r in bloom_probe_shingles(probe, bloom).collect()
+    }
+    words = _py_bloom(members)
+    # every member hits (no false negatives)
+    assert out[0] == (80, 80, True)
+    # python model agrees on the false-positive count of the absent set
+    fp = sum(1 for x in others if _py_contains(words, x))
+    assert out[1] == (200, fp, fp > 0)
+    mixed_hits = sum(
+        1 for x in members[:3] + others[:3] if _py_contains(words, x)
+    )
+    assert out[2][1] == mixed_hits and out[2][1] >= 3
+    assert out[3] == (0, 0, False)
+    # geometry sanity: 80 items × 4 bits in 4096 → false positives rare
+    assert fp / 200 < 0.05
+
+
+def test_bloom_build_is_partitioning_invariant(spark):
+    items = [(f"it-{i % 97}",) for i in range(1000)]
+    df = spark.createDataFrame(items, "item string")
+    a = bloom_build(df).collect()[0]["words"]
+    b = bloom_build(df.repartition(17)).collect()[0]["words"]
+    assert a == b
+
+
+# ---------------------------------------------------------------------------
+# EWMA
+# ---------------------------------------------------------------------------
+
+
+def test_ewma_matches_python_fold(spark):
+    from cernan_spark.operators.temporal import ewma_fold
+
+    series = [
+        ("a", i, v)
+        for i, v in enumerate([10.0, 0.0, 5.0, 5.0, 1.25])
+    ] + [("b", 0, 42.0)]
+    df = spark.createDataFrame(series, "k string, i long, value double")
+    out = {
+        r["k"]: (r["n_samples"], r["ewma"])
+        for r in ewma_fold(df, ["k"], ["i"]).collect()
+    }
+
+    def fold(vals):
+        y = vals[0]
+        for x in vals[1:]:
+            y = (y + x) * 0.5
+        return round(y, 9)
+
+    assert out["a"] == (5, fold([10.0, 0.0, 5.0, 5.0, 1.25]))
+    assert out["b"] == (1, 42.0)
+
+
+def test_ewma_order_comes_from_order_cols_not_arrival(spark):
+    from cernan_spark.operators.temporal import ewma_fold
+
+    rows = [("a", 2, 8.0), ("a", 0, 1.0), ("a", 1, 3.0)]
+    df = spark.createDataFrame(rows, "k string, i long, value double").repartition(3)
+    out = ewma_fold(df, ["k"], ["i"]).collect()[0]
+    assert out["ewma"] == round((((1.0 + 3.0) * 0.5) + 8.0) * 0.5, 9)
+
+
+# ---------------------------------------------------------------------------
+# interval bucket join
+# ---------------------------------------------------------------------------
+
+
+def test_interval_join_matches_naive_theta_join(spark):
+    from cernan_spark.operators.temporal import interval_bucket_join
+
+    points = spark.createDataFrame(
+        [(t, t % 7) for t in range(0, 20000, 37)], "epoch long, cents long"
+    )
+    # 3589 and 3626 are data points (multiples of 37) around a bucket edge
+    ivs = [
+        (100, 5000),       # spans multiple 3600 buckets
+        (4000, 4200),      # inside one bucket
+        (3589, 3626),      # straddles a bucket edge; both ends are points
+        (4000, 9000),      # overlaps the first interval
+        (19000, 30000),    # runs past the data
+    ]
+    intervals = spark.createDataFrame(ivs, "win_start long, win_end long")
+    got = {
+        (r["win_start"], r["win_end"]): (r["n_points"], r["sum_cents"])
+        for r in interval_bucket_join(
+            points, intervals, bucket_seconds=3600
+        ).collect()
+    }
+    pts = [(t, t % 7) for t in range(0, 20000, 37)]
+    for s, e in ivs:
+        inside = [(t, c) for t, c in pts if s <= t < e]
+        if inside:
+            assert got[(s, e)] == (len(inside), sum(c for _, c in inside))
+        else:
+            assert (s, e) not in got
+    # boundary semantics: start (3589, a point) inclusive; end (3626, a
+    # point) exclusive — so exactly one match
+    assert got[(3589, 3626)][0] == 1
+
+
+def test_interval_join_never_duplicates_a_match(spark):
+    from cernan_spark.operators.temporal import interval_bucket_join
+
+    points = spark.createDataFrame([(5000, 1)], "epoch long, cents long")
+    # one interval spanning many buckets: the single matching point must
+    # count exactly once even though the interval exploded to 10 buckets
+    intervals = spark.createDataFrame([(0, 36000)], "win_start long, win_end long")
+    row = interval_bucket_join(points, intervals, bucket_seconds=3600).collect()[0]
+    assert (row["n_points"], row["sum_cents"]) == (1, 1)
+
+
+# ---------------------------------------------------------------------------
+# PMI
+# ---------------------------------------------------------------------------
+
+
+def test_pmi_matches_python_model(spark):
+    from collections import Counter
+
+    from cernan_spark.operators.corpus import pmi_bigrams
+
+    docs = [
+        (0, "new york new york city"),
+        (1, "new york is a city"),
+        (2, "a city in new york"),
+        (3, "york new style"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        (r["x"], r["y"]): (r["c_xy"], r["c_x"], r["c_y"], r["pmi"])
+        for r in pmi_bigrams(df, min_count=2).collect()
+    }
+    toks = [t.split(" ") for _, t in docs]
+    uni = Counter(t for ts in toks for t in ts)
+    big = Counter((ts[i], ts[i + 1]) for ts in toks for i in range(len(ts) - 1))
+    n_tok = sum(uni.values())
+    n_big = sum(big.values())
+    want = {}
+    for (x, y), cxy in big.items():
+        if cxy >= 2:
+            pmi = (
+                math.log(cxy)
+                + 2.0 * math.log(n_tok)
+                - math.log(n_big)
+                - math.log(uni[x])
+                - math.log(uni[y])
+            )
+            want[(x, y)] = (cxy, uni[x], uni[y], round(pmi, 6))
+    assert out == want
+    # the collocation co-occurs far above chance: positive PMI even
+    # though both tokens are the corpus's most frequent
+    assert out[("new", "york")][3] > 0
+
+
+# ---------------------------------------------------------------------------
+# unigram log-prob
+# ---------------------------------------------------------------------------
+
+
+def test_unigram_logprob_matches_python_model(spark):
+    from collections import Counter
+
+    from cernan_spark.operators.corpus import unigram_logprob
+
+    docs = [(0, "a a b c"), (1, "a b"), (2, "rare words here"), (3, "a")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["logprob"], r["avg_logprob"])
+        for r in unigram_logprob(df).collect()
+    }
+    cnt = Counter(t for _, text in docs for t in text.split(" "))
+    n = sum(cnt.values())
+    for doc_id, text in docs:
+        toks = text.split(" ")
+        # the operator folds ln over the ASCENDING count multiset
+        lp = sum(math.log(c) for c in sorted(cnt[t] for t in toks)) - len(
+            toks
+        ) * math.log(n)
+        got = out[doc_id]
+        assert got[0] == len(toks)
+        assert abs(got[1] - lp) < 1e-6
+        assert abs(got[2] - lp / len(toks)) < 1e-6
+    # common-token docs score higher than the rare-token doc
+    assert out[3][2] > out[2][2]
+
+
+# ---------------------------------------------------------------------------
+# winsorized lengths
+# ---------------------------------------------------------------------------
+
+
+def test_winsorized_stats_match_python_model(spark):
+    from cernan_spark.operators.corpus import winsorized_length_stats
+
+    lengths = [1, 2, 3, 4, 5, 6, 7, 8, 9, 100]
+    docs = [(i, "en", " ".join(["w"] * n)) for i, n in enumerate(lengths)]
+    df = spark.createDataFrame(docs, "doc_id long, lang string, text string")
+    r = winsorized_length_stats(df, "lang").collect()[0]
+
+    def q(sorted_vals, p):
+        h = (len(sorted_vals) - 1) * p
+        lo = math.floor(h)
+        v = sorted_vals[lo]
+        if lo + 1 < len(sorted_vals):
+            v += (h - lo) * (sorted_vals[lo + 1] - sorted_vals[lo])
+        return v
+
+    p05, p95 = q(lengths, 0.05), q(lengths, 0.95)
+    below = [x for x in lengths if x < p05]
+    above = [x for x in lengths if x > p95]
+    mid = [x for x in lengths if p05 <= x <= p95]
+    wmean = (sum(mid) + len(below) * p05 + len(above) * p95) / len(lengths)
+    assert r["n_docs"] == 10
+    assert abs(r["p_lo"] - round(p05, 6)) < 1e-9
+    assert abs(r["p_hi"] - round(p95, 6)) < 1e-9
+    assert (r["n_below"], r["n_above"]) == (len(below), len(above))
+    assert abs(r["winsorized_mean"] - wmean) < 1e-6
+    # the outlier no longer dominates: winsorized mean far below raw mean
+    assert r["winsorized_mean"] < sum(lengths) / len(lengths)
