@@ -2358,6 +2358,50 @@ def q_winsorized_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winsorized_length_stats(d)
 
 
+_CORR_METRICS = ["clicks", "views", "errors"]
+_CORR_PAIRS = [("clicks", "views"), ("clicks", "errors"), ("views", "errors")]
+
+
+def q_metric_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation between telemetry series over aligned
+    (conv, hour) cells — the incident-analysis primitive. ONE corpus
+    scan + ONE single-row aggregate carries the exact int64 sufficient
+    statistics for ALL pairs; the corr formula then uses only
+    correctly-rounded IEEE ops (never the engine corr() builtin, whose
+    accumulation order is engine-defined)."""
+    from cernan_spark.operators.anomaly import metric_pair_correlation
+
+    p = _parsed(spark, sf_dir)
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    cells = p.groupBy(
+        "conv_id", F.floor(F.col("epoch") / 3600).alias("hr")
+    ).agg(
+        *[
+            F.sum(F.when(F.col("name") == m, cents).otherwise(F.lit(0))).alias(m)
+            for m in _CORR_METRICS
+        ]
+    )
+    return metric_pair_correlation(cells, _CORR_METRICS, _CORR_PAIRS)
+
+
+def q_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss ±1 projection of the embedding column to
+    k=16 dims: the sign matrix is literal (data-independent — ships in
+    the plan, no broadcast/state), the projection is a pure narrow map,
+    and the norm-preservation diagnostics replay bit-for-bit."""
+    from cernan_spark.operators.similarity import jl_project
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = jl_project(e, k=16, dim=64)
+    return out.select(
+        "vec_id",
+        F.round("orig_sq", 9).alias("orig_sq"),
+        F.round("proj_sq", 9).alias("proj_sq"),
+        F.round(F.element_at("proj", 1), 9).alias("proj_first"),
+        F.round(F.element_at("proj", 16), 9).alias("proj_last"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full parse→enrich→route→aggregate at sf0.001."""
     from cernan_spark.plans.pipeline import run_pipeline
@@ -2418,9 +2462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_drop_stats": q_dedup_drop_stats,
         # -- wire-format queries holding only r3-era rows (avrowire.py
         # changed after avro_roundtrip's last row) -------------------------
-        "native_roundtrip": q_native_roundtrip,
         "avro_roundtrip": q_avro_roundtrip,
-        "kafka_records": q_kafka_records,
         "prometheus_exposition": q_prometheus_exposition,
         # -- new this round (never driver-graded) --------------------------
         "train_val_split": q_train_val_split,
@@ -2437,6 +2479,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_bigrams": q_pmi_bigrams,
         "unigram_logprob": q_unigram_logprob,
         "winsorized_lengths": q_winsorized_lengths,
+        "metric_corr": q_metric_corr,
+        "jl_project": q_jl_project,
         # -- family-representative stable keepers (r3+r4 green) -----------
         "transcripts_stable_order": q_transcripts_stable_order,
         "sessionize": q_sessionize,
@@ -2444,6 +2488,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # holds r3+r4 driver-green rows (see CORRECTNESS_r0{3,4}.json) ----
         "bucket_sum": q_bucket_sum,
         "route_fanout": q_route_fanout,
+        "native_roundtrip": q_native_roundtrip,
+        "kafka_records": q_kafka_records,
         "paragraph_dedup": q_paragraph_dedup,
         "normalize_text": q_normalize_text,
         "domain_cap": q_domain_cap,
@@ -4592,4 +4638,56 @@ def oracle_sql() -> dict[str, str]:
     d["pmi_bigrams"] = pmi_oracle_sql("documents", min_count=3)
     d["unigram_logprob"] = unigram_logprob_oracle_sql("documents")
     d["winsorized_lengths"] = winsorized_oracle_sql("documents", "lang")
+
+    _corr_pair_sql = []
+    for x, y in _CORR_PAIRS:
+        ix = _CORR_METRICS.index(x)
+        iy = _CORR_METRICS.index(y)
+        key = f"s_{x}_{y}" if ix <= iy else f"s_{y}_{x}"
+        # same op order as the Spark expression: n·Σxy − Σx·Σy over
+        # exact int64 sums cast to double, sqrt per side, then divide
+        num = f"(CAST(n AS DOUBLE) * CAST({key} AS DOUBLE) - CAST(s_{x} AS DOUBLE) * CAST(s_{y} AS DOUBLE))"
+        den = (
+            f"(sqrt(CAST(n AS DOUBLE) * CAST(s_{x}_{x} AS DOUBLE) - CAST(s_{x} AS DOUBLE) * CAST(s_{x} AS DOUBLE))"
+            f" * sqrt(CAST(n AS DOUBLE) * CAST(s_{y}_{y} AS DOUBLE) - CAST(s_{y} AS DOUBLE) * CAST(s_{y} AS DOUBLE)))"
+        )
+        _corr_pair_sql.append(
+            f"SELECT '{x}' AS metric_x, '{y}' AS metric_y, n AS n_cells, "
+            f"CASE WHEN {den} > 0 THEN round({num} / {den}, 6) END AS corr "
+            "FROM stats"
+        )
+    _cell_sums = ", ".join(
+        f"sum(CASE WHEN name = '{m}' THEN cents ELSE 0 END) AS {m}"
+        for m in _CORR_METRICS
+    )
+    _stat_sums = ", ".join(
+        [f"sum({m}) AS s_{m}" for m in _CORR_METRICS]
+        + [
+            f"sum({a} * {b}) AS s_{a}_{b}"
+            for i, a in enumerate(_CORR_METRICS)
+            for b in _CORR_METRICS[i:]
+        ]
+    )
+    d["metric_corr"] = (
+        _ORACLE_PRELUDE
+        + f""",
+        withcents AS (
+            SELECT conv_id, CAST(floor(epoch / 3600) AS BIGINT) AS hr,
+                   name, CAST(round(value * 100, 0) AS BIGINT) AS cents
+            FROM parsed
+        ),
+        cells AS (
+            SELECT conv_id, hr, {_cell_sums}
+            FROM withcents GROUP BY 1, 2
+        ),
+        stats AS (
+            SELECT count(*) AS n, {_stat_sums} FROM cells
+        )
+        """
+        + " UNION ALL ".join(_corr_pair_sql)
+    )
+
+    from cernan_spark.operators.similarity import jl_oracle_sql
+
+    d["jl_project"] = jl_oracle_sql(k=16, dim=64, table="embeddings")
     return d

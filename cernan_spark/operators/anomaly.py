@@ -172,3 +172,57 @@ def countmin_oracle_sql(source_cte: str, key_hash_expr: str, width: int = 256) -
         SELECT k.kh AS key_hash, least({least}) AS est, k.exact
         FROM k {joins}
     """
+
+
+def metric_pair_correlation(
+    cells: DataFrame,
+    metric_cols: list[str],
+    pairs: list[tuple[str, str]],
+) -> DataFrame:
+    """Pearson correlation between telemetry series over aligned cells
+    (the incident-analysis primitive: "do errors move with clicks?").
+
+    ``cells`` has one row per aligned cell (e.g. (conv, hour)) with one
+    INTEGER column per metric (cents; absent metric = 0 — "no events
+    that hour" is data, not a gap). ALL pairs share ONE corpus scan and
+    ONE global aggregate: the sufficient statistics (n, Σx, Σxy, Σx²)
+    are exact int64 sums, and each pair's
+    ``corr = (n·Σxy − Σx·Σy) / (√(n·Σx² − Σx²) · √(n·Σy² − Σy²))``
+    uses only correctly-rounded IEEE ops on those exact integers — the
+    same discipline as :func:`rolling_zscore`, so the oracle reproduces
+    it bit-for-bit. (Never ``corr()`` builtins: their accumulation
+    order is engine-defined.)
+
+    Output: one row per pair. The aggregate result is ONE row regardless
+    of corpus size; the explode to pairs is driver-free and constant.
+    """
+    sums = [F.sum(c).alias(f"s_{c}") for c in metric_cols]
+    sqs = [
+        F.sum(F.col(a) * F.col(b)).alias(f"s_{a}_{b}")
+        for i, a in enumerate(metric_cols)
+        for b in metric_cols[i:]
+    ]
+    stats = cells.agg(F.count(F.lit(1)).alias("n"), *sums, *sqs)
+
+    def _corr_row(x: str, y: str):
+        n = F.col("n").cast("double")
+        sx = F.col(f"s_{x}").cast("double")
+        sy = F.col(f"s_{y}").cast("double")
+        # the Σxy column was emitted under whichever of (x,y) comes first
+        # in metric_cols order
+        ix, iy = metric_cols.index(x), metric_cols.index(y)
+        key = f"s_{x}_{y}" if ix <= iy else f"s_{y}_{x}"
+        sxy = F.col(key).cast("double")
+        sxx = F.col(f"s_{x}_{x}").cast("double")
+        syy = F.col(f"s_{y}_{y}").cast("double")
+        num = n * sxy - sx * sy
+        den = F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+        return F.struct(
+            F.lit(x).alias("metric_x"),
+            F.lit(y).alias("metric_y"),
+            F.col("n").alias("n_cells"),
+            F.when(den > 0, F.round(num / den, 6)).alias("corr"),
+        )
+
+    rows = F.explode(F.array(*[_corr_row(x, y) for x, y in pairs])).alias("r")
+    return stats.select(rows).select("r.*")

@@ -17,6 +17,7 @@ detection (LSH buckets → verified cosine ≥ threshold).
 
 from __future__ import annotations
 
+import math
 import random
 
 from pyspark.sql import Column, DataFrame, Window as W
@@ -511,3 +512,102 @@ def quantize_int8(
         .withColumn("q_l1", F.aggregate(q, F.lit(0).cast("long"), lambda a, x: a + F.abs(x)))
         .withColumn("mse", sq_err / F.size(v))
     )
+
+
+def _jl_sign(j: int, i: int) -> int:
+    """Deterministic ±1 sign for output dim j, input dim i: low bit of
+    the murmur3-finalized portable hash of 'jl:j:i'. Pure data — the
+    matrix is identical on every engine, executor and run."""
+    h = 0
+    for c in f"jl:{j}:{i}":
+        h = (h * 31 + ord(c)) % ((1 << 31) - 1)
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & 0xFFFFFFFF
+    h ^= h >> 16
+    return 1 if h & 1 else -1
+
+
+def jl_sign_matrix(k: int, dim: int) -> list[list[int]]:
+    """The k×dim ±1 Achlioptas/JL projection matrix as plain Python
+    literals (data-independent, so it ships inside the plan — no
+    broadcast, no state, no randomness at run time)."""
+    return [[_jl_sign(j, i) for i in range(dim)] for j in range(k)]
+
+
+def jl_project(
+    emb: DataFrame, k: int = 16, dim: int = 64, vec_col: str = "embedding"
+) -> DataFrame:
+    """Johnson–Lindenstrauss random projection to k dims with a ±1 sign
+    matrix: proj_j = (Σᵢ vᵢ·s_{j,i}) / √k. The 100 TB shape for cheap
+    distance-preserving sketches of an embedding column: a pure NARROW
+    map (the sign matrix is literal, the fold order is the element
+    order, every op is one IEEE multiply/add — bit-identical
+    cross-engine).
+
+    Emits the projected array plus the norm-preservation diagnostics
+    (orig_sq, proj_sq — JL says proj_sq/orig_sq concentrates near 1).
+    """
+    signs = jl_sign_matrix(k, dim)
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    inv_sqrt_k = 1.0 / math.sqrt(k)
+
+    def comp(j: int):
+        srow = F.array(*[F.lit(float(s)) for s in signs[j]])
+        return (
+            F.aggregate(
+                F.zip_with(v, srow, lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            * F.lit(inv_sqrt_k)
+        )
+
+    proj = F.array(*[comp(j) for j in range(k)])
+    sq = lambda arr: F.aggregate(  # noqa: E731
+        F.transform(arr, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+    )
+    return emb.select(
+        "vec_id",
+        proj.alias("proj"),
+        sq(v).alias("orig_sq"),
+        sq(proj).alias("proj_sq"),
+    )
+
+
+def jl_oracle_sql(k: int = 16, dim: int = 64, table: str = "embeddings") -> str:
+    """DuckDB twin of :func:`jl_project` + the entry projection (scalar
+    diagnostics only — array columns don't hash portably in the gate).
+    Same literal matrix, same fold order, same op order."""
+    signs = jl_sign_matrix(k, dim)
+    inv_sqrt_k = repr(1.0 / math.sqrt(k))
+
+    def comp(j: int) -> str:
+        srow = "[" + ", ".join(f"{float(s)!r}" for s in signs[j]) + "]"
+        return (
+            "(list_reduce(list_prepend(0.0, "
+            f"list_transform(range(1, {dim} + 1), "
+            f"i -> v[i] * ({srow})[i])), (a, x) -> a + x) * {inv_sqrt_k})"
+        )
+
+    comps = ", ".join(comp(j) for j in range(k))
+    return f"""
+        WITH v AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM {table}
+        ), p AS (
+            SELECT vec_id, v, [{comps}] AS proj FROM v
+        )
+        SELECT vec_id,
+               round(list_reduce(list_prepend(0.0,
+                 list_transform(v, x -> x * x)), (a, x) -> a + x), 9)
+                 AS orig_sq,
+               round(list_reduce(list_prepend(0.0,
+                 list_transform(proj, x -> x * x)), (a, x) -> a + x), 9)
+                 AS proj_sq,
+               round(proj[1], 9) AS proj_first,
+               round(proj[{k}], 9) AS proj_last
+        FROM p
+    """

@@ -301,3 +301,111 @@ def test_winsorized_stats_match_python_model(spark):
     assert abs(r["winsorized_mean"] - wmean) < 1e-6
     # the outlier no longer dominates: winsorized mean far below raw mean
     assert r["winsorized_mean"] < sum(lengths) / len(lengths)
+
+
+# ---------------------------------------------------------------------------
+# metric pair correlation
+# ---------------------------------------------------------------------------
+
+
+def test_metric_correlation_matches_python_model(spark):
+    from cernan_spark.operators.anomaly import metric_pair_correlation
+
+    cells = [
+        # (a, b, c): a and b strongly correlated, c anti-correlated with a
+        (1, 2, 9),
+        (2, 4, 8),
+        (3, 6, 7),
+        (4, 8, 1),
+        (5, 11, 0),
+    ]
+    df = spark.createDataFrame(cells, "a long, b long, c long")
+    out = {
+        (r["metric_x"], r["metric_y"]): (r["n_cells"], r["corr"])
+        for r in metric_pair_correlation(
+            df, ["a", "b", "c"], [("a", "b"), ("a", "c"), ("b", "c")]
+        ).collect()
+    }
+
+    def corr(xs, ys):
+        n = len(xs)
+        sx, sy = sum(xs), sum(ys)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+        sxx = sum(x * x for x in xs)
+        syy = sum(y * y for y in ys)
+        num = n * sxy - sx * sy
+        den = math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy)
+        return round(num / den, 6)
+
+    a = [r[0] for r in cells]
+    b = [r[1] for r in cells]
+    c = [r[2] for r in cells]
+    assert out[("a", "b")] == (5, corr(a, b))
+    assert out[("a", "c")] == (5, corr(a, c))
+    assert out[("b", "c")] == (5, corr(b, c))
+    assert out[("a", "b")][1] > 0.99
+    assert out[("a", "c")][1] < -0.8
+
+
+def test_metric_correlation_constant_series_is_null(spark):
+    from cernan_spark.operators.anomaly import metric_pair_correlation
+
+    df = spark.createDataFrame(
+        [(1, 5), (2, 5), (3, 5)], "a long, b long"
+    )
+    row = metric_pair_correlation(df, ["a", "b"], [("a", "b")]).collect()[0]
+    assert row["corr"] is None  # zero variance → undefined, never ±inf
+
+
+# ---------------------------------------------------------------------------
+# JL projection
+# ---------------------------------------------------------------------------
+
+
+def test_jl_matches_python_model_and_signs_are_deterministic(spark):
+    from cernan_spark.operators.similarity import jl_project, jl_sign_matrix
+
+    k, dim = 8, 16
+    signs = jl_sign_matrix(k, dim)
+    assert jl_sign_matrix(k, dim) == signs  # pure function of (j, i)
+    assert all(s in (1, -1) for row in signs for s in row)
+    vecs = [
+        (0, [((i * 7 + 3) % 11 - 5) / 4.0 for i in range(dim)]),
+        (1, [1.0] * dim),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in jl_project(df, k=k, dim=dim).collect()}
+    for vid, v in vecs:
+        vf = [float(np32(x)) for x in v]
+        proj = [
+            sum(a * s for a, s in zip(vf, signs[j])) / math.sqrt(k)
+            for j in range(k)
+        ]
+        got = out[vid]
+        assert all(abs(g - w) < 1e-9 for g, w in zip(got["proj"], proj))
+        assert abs(got["orig_sq"] - sum(x * x for x in vf)) < 1e-9
+        assert abs(got["proj_sq"] - sum(x * x for x in proj)) < 1e-9
+
+
+def np32(x: float) -> float:
+    """Round-trip through float32 the way the parquet/createDataFrame
+    float column does."""
+    import struct
+
+    return struct.unpack("f", struct.pack("f", x))[0]
+
+
+def test_jl_norms_concentrate(spark):
+    from cernan_spark.operators.similarity import jl_project
+
+    dim = 64
+    vecs = [
+        (i, [((i * 31 + j * 7) % 200 - 100) / 50.0 for j in range(dim)])
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    rows = jl_project(df, k=16, dim=dim).collect()
+    ratios = [r["proj_sq"] / r["orig_sq"] for r in rows if r["orig_sq"] > 0]
+    mean_ratio = sum(ratios) / len(ratios)
+    # JL: E[proj_sq] = orig_sq; with k=16 the mean over 200 vectors is tight
+    assert abs(mean_ratio - 1.0) < 0.25
