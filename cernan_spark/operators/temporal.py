@@ -293,7 +293,10 @@ def interval_bucket_join(
     cents, so aggregate equality is exact under any shuffle order.
     """
     b = F.lit(bucket_seconds)
-    iv = intervals.withColumn(
+    # empty/inverted intervals are dropped BEFORE the sequence: Spark's
+    # sequence(a, b) silently steps DOWNWARD when a > b, which would
+    # explode an empty [s, e) (e ≤ s) into spurious buckets
+    iv = intervals.filter(F.col(end_col) > F.col(start_col)).withColumn(
         "__bucket",
         F.explode(
             F.sequence(

