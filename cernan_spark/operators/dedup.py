@@ -998,3 +998,80 @@ def dedup_groups(
         if changed == 0:
             break
     return labels.select(F.col("id"), F.col("label").alias("canonical_id"))
+
+
+def editdist_blocked_pairs(
+    docs: DataFrame,
+    max_dist: int = 4,
+    prefix_len: int = 16,
+    max_block: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact edit-distance near-dup pairs with prefix blocking — the
+    *verification* stage of a fuzzy-dedup pipeline (candidates from
+    cheap blocking, confirmed by true Levenshtein distance).
+
+    Blocking: two docs are candidates iff they share their first
+    ``prefix_len`` characters AND their lengths differ by ≤ ``max_dist``
+    (a true edit-distance lower bound, so the length predicate loses no
+    recall; the prefix predicate is the deliberate approximation that
+    makes the join an equi-join). Oversize prefix blocks (> ``max_block``
+    members — empty/boilerplate prefixes) are dropped, same cap telemetry
+    contract as the MinHash/SimHash bucket caps.
+
+    Verification: ``F.levenshtein(a, b, threshold)`` — JVM-side with
+    early-exit banding, O(max_dist·min(n,m)) not O(n·m), returns -1
+    above the threshold so non-matches cost the bounded scan only.
+
+    Scale: ONE shuffle (hash on the prefix block key) + the in-bucket
+    pair explode; candidate count is bounded by max_block²/2 per block.
+    Caveat vs the DuckDB oracle: Spark measures distance in *characters*,
+    DuckDB's ``levenshtein`` in *bytes* — identical on ASCII corpora
+    (asserted for the test corpus), divergent on multi-byte text.
+    """
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("txt"),
+        F.substring(text_col, 1, prefix_len).alias("blk"),
+        F.length(text_col).alias("len"),
+    )
+    blocks = (
+        base.groupBy("blk")
+        .agg(F.collect_list(F.struct("id", "txt", "len")).alias("members"))
+        .filter((F.size("members") > 1) & (F.size("members") <= max_block))
+    )
+    m = F.col("m")
+    pairs = (
+        blocks.select(
+            F.explode(
+                F.filter(
+                    F.flatten(
+                        F.transform(
+                            "members",
+                            lambda a: F.transform(
+                                "members", lambda b: F.struct(a.alias("a"), b.alias("b"))
+                            ),
+                        )
+                    ),
+                    lambda p: (p["a"]["id"] < p["b"]["id"])
+                    & (
+                        F.abs(p["a"]["len"] - p["b"]["len"])
+                        <= F.lit(max_dist)
+                    ),
+                )
+            ).alias("m")
+        )
+        .select(
+            m["a"]["id"].alias("id_a"),
+            m["b"]["id"].alias("id_b"),
+            m["a"]["txt"].alias("txt_a"),
+            m["b"]["txt"].alias("txt_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    dist = F.levenshtein("txt_a", "txt_b", max_dist)
+    return (
+        pairs.select("id_a", "id_b", dist.alias("edit_dist"))
+        .filter((F.col("edit_dist") >= 0) & (F.col("edit_dist") <= max_dist))
+    )

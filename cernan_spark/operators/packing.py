@@ -1,0 +1,154 @@
+"""Greedy capacity packing: assign ordered records to bounded batches.
+
+Two large-pipeline shapes share one fold:
+
+* **Sink batch assembly** — encoded records are shipped in batches with a
+  max-bytes AND max-records cap (the shape of every bulk transport: ES
+  ``_bulk`` chunking, Kinesis ``put_record_batch``'s 500-record/4 MiB
+  limit, Kafka producer batches). The reference buffers per sink and
+  flushes everything each interval (sink/mod.rs:115-141 flush loop);
+  at 100 TB the flush itself must be split into capped batches, which is
+  this operator.
+* **Small-file compaction planning** — bin-pack data files into
+  target-sized rewrite tasks (the Iceberg ``rewrite_data_files`` binpack
+  strategy). Same greedy fold, sizes are file bytes, groups are table
+  partitions.
+
+Semantics (deterministic): within each group, records are taken in a
+caller-supplied total order; a record joins the current batch unless
+adding it would push the batch over ``max_bytes`` or the batch already
+holds ``max_records``; then a new batch starts. A single record larger
+than ``max_bytes`` gets a batch of its own (never dropped — matches the
+Iceberg binpack and Kinesis "one oversized record is still one request"
+behavior). Batch ids are 0-based per group.
+
+Scale notes: ONE shuffle (hash on the group columns); the fold is
+inherently sequential per group but vectorized per *batch* (numpy
+``searchsorted`` finds each boundary, so a 10M-record group with 4 MiB
+batches costs ~#batches Python iterations, not #records). Groups are
+(sink, partition)-grained in a real deployment, which bounds per-task
+memory; a group must fit in one executor's pandas frame — the same
+contract as every ``applyInPandas`` cogroup. The greedy fold is not
+expressible as a closed-form window (batch boundaries depend on a
+running sum WITH reset), hence the pandas path; the DuckDB oracle
+replays it with a recursive CTE.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+
+
+def greedy_pack(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    size_col: str,
+    max_bytes: int,
+    max_records: int | None = None,
+) -> DataFrame:
+    """Add a ``batch_id`` column assigning each row to its greedy batch.
+
+    ``order_cols`` must be a total order within each group (ties between
+    *identical* rows are harmless — equal sizes give identical batch
+    boundaries — but ties between distinct rows make the assignment
+    nondeterministic; include a unique key).
+    """
+    if max_bytes <= 0:
+        raise ValueError("max_bytes must be positive")
+    mr = int(max_records) if max_records else 1 << 62
+    if mr <= 0:
+        raise ValueError("max_records must be positive when given")
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField("batch_id", LongType(), False)]
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_cols, kind="mergesort").reset_index(
+            drop=True
+        )
+        sizes = pdf[size_col].to_numpy(dtype="int64")
+        if (sizes < 0).any():
+            raise ValueError("negative record size")
+        cs = np.cumsum(sizes)
+        n = len(pdf)
+        out = np.empty(n, dtype="int64")
+        start, base, bid = 0, 0, 0
+        while start < n:
+            # furthest j with batch total (cs[j] - base) <= max_bytes;
+            # an oversized single record still advances (j >= start)
+            j = int(np.searchsorted(cs, base + max_bytes, side="right")) - 1
+            j = max(j, start)
+            j = min(j, start + mr - 1)
+            out[start : j + 1] = bid
+            bid += 1
+            base = int(cs[j])
+            start = j + 1
+        pdf["batch_id"] = out
+        return pdf
+
+    return df.groupBy(*group_cols).applyInPandas(pack, schema=out_schema)
+
+
+def pack_summary(
+    packed: DataFrame, group_cols: list[str], size_col: str
+) -> DataFrame:
+    """Per-batch manifest: (group..., batch_id, n_records, batch_bytes).
+
+    This is the flush plan a shipper executes (one request per row) or
+    the task list a compaction job schedules."""
+    return (
+        packed.groupBy(*group_cols, "batch_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_records"),
+            F.sum(F.col(size_col).cast("long")).alias("batch_bytes"),
+        )
+        .orderBy(*group_cols, "batch_id")
+    )
+
+
+def greedy_pack_model(
+    rows: list[tuple], max_bytes: int, max_records: int | None = None
+) -> list[int]:
+    """Pure-python reference fold over (size,) rows IN ORDER — the model
+    the Spark operator and the DuckDB recursive CTE must both match."""
+    mr = max_records if max_records else 1 << 62
+    out, acc, cnt, bid = [], 0, 0, 0
+    for (sz,) in rows:
+        if cnt > 0 and (acc + sz > max_bytes or cnt >= mr):
+            bid += 1
+            acc, cnt = 0, 0
+        out.append(bid)
+        acc += sz
+        cnt += 1
+    return out
+
+
+def pack_walk_sql(
+    ordered_cte: str,
+    max_bytes: int,
+    max_records: int | None = None,
+) -> str:
+    """DuckDB recursive-CTE fragment replaying the greedy fold.
+
+    ``ordered_cte`` must be the name of a CTE with columns
+    (grp VARCHAR, rn BIGINT row_number per grp ordered by the operator's
+    order, sz BIGINT). Produces CTE ``walk(grp, rn, batch, acc, cnt)``.
+    Emit it inside a WITH RECURSIVE block."""
+    mr = int(max_records) if max_records else 1 << 62
+    new = f"(w.acc + o.sz > {int(max_bytes)} OR w.cnt >= {mr})"
+    return f"""walk(grp, rn, batch, acc, cnt) AS (
+      SELECT grp, rn, CAST(0 AS BIGINT), sz, CAST(1 AS BIGINT)
+      FROM {ordered_cte} WHERE rn = 1
+      UNION ALL
+      SELECT o.grp, o.rn,
+             CASE WHEN {new} THEN w.batch + 1 ELSE w.batch END,
+             CASE WHEN {new} THEN o.sz ELSE w.acc + o.sz END,
+             CASE WHEN {new} THEN CAST(1 AS BIGINT) ELSE w.cnt + 1 END
+      FROM {ordered_cte} o JOIN walk w
+        ON o.grp = w.grp AND o.rn = w.rn + 1
+    )"""
