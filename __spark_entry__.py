@@ -2489,6 +2489,81 @@ def q_editdist_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_thread_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thread-tree reconstruction over branching conversations: each
+    user's event stream is shaped into a binary reply tree (turn i's
+    parent is ⌊(i−1)/2⌋ — a deterministic stand-in for forum/agent-trace
+    forks), and every turn gets (depth, root) via pointer doubling —
+    O(log depth) shuffles of the node-sized frame, vs O(depth) for a
+    per-level walk. Oracle: DuckDB recursive-CTE reachability with
+    max(d)/arg_max(anc, d) per node."""
+    from cernan_spark.operators.conversation import thread_paths
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    idx = (
+        F.row_number().over(
+            W.partitionBy("user_id").orderBy("event_id")
+        )
+        - 1
+    ).cast("integer")
+    t = ev.select(
+        F.col("user_id").alias("conv_id"), idx.alias("turn_idx")
+    ).select(
+        "conv_id",
+        "turn_idx",
+        F.when(F.col("turn_idx") == 0, F.lit(None))
+        .otherwise(F.floor((F.col("turn_idx") - 1) / 2))
+        .cast("integer")
+        .alias("parent_idx"),
+    )
+    return thread_paths(t).select(
+        "conv_id", "turn_idx", "depth", "root_idx"
+    )
+
+
+def q_json_schema_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift audit over semi-structured log payloads: three
+    deterministic producer generations (user/k, user/k/trace,
+    user/lat_ms — seeded by event_id % 3, since the synthetic props
+    column is single-key) profiled per event_type: how often each
+    top-level JSON key appears and its presence ratio. Catches a
+    producer silently adding/renaming/dropping fields. JVM-side
+    json_object_keys + explode (no UDF); DuckDB replays with
+    json_keys + unnest."""
+    from cernan_spark.functions.jsonlog import json_schema_profile
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    m = F.col("event_id") % 3
+    pay = (
+        F.when(
+            m == 0,
+            F.format_string(
+                '{"user": %d, "k": %d}', F.col("user_id"), F.col("event_id")
+            ),
+        )
+        .when(
+            m == 1,
+            F.format_string(
+                '{"user": %d, "k": %d, "trace": "t-%d"}',
+                F.col("user_id"),
+                F.col("event_id"),
+                F.col("event_id"),
+            ),
+        )
+        .otherwise(
+            F.format_string(
+                '{"user": %d, "lat_ms": %d}',
+                F.col("user_id"),
+                F.col("event_id"),
+            )
+        )
+    )
+    df = ev.select("event_type", pay.alias("payload"))
+    return json_schema_profile(df, "payload", ["event_type"]).select(
+        "event_type", "key", "n_rows", "n_group", "presence"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full parse→enrich→route→aggregate at sf0.001."""
     from cernan_spark.plans.pipeline import run_pipeline
@@ -2576,6 +2651,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sink_batches": q_sink_batches,
         "editdist_dedup": q_editdist_dedup,
         "compaction_plan": q_compaction_plan,
+        "thread_paths": q_thread_paths,
+        "json_schema_profile": q_json_schema_profile,
         # -- family-representative stable keepers (r3+r4 green, displaced
         # from the graded window by the third-session adds) ----------------
         "transcripts_stable_order": q_transcripts_stable_order,
@@ -3976,6 +4053,63 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b,
                    CAST(levenshtein(ta, tb) AS INTEGER) AS edit_dist
             FROM pairs WHERE levenshtein(ta, tb) <= 4
+        """,
+        "thread_paths": """
+            WITH RECURSIVE t AS MATERIALIZED (
+              SELECT user_id AS conv,
+                     CAST(row_number() OVER (PARTITION BY user_id
+                                             ORDER BY event_id) - 1
+                          AS INTEGER) AS node
+              FROM events
+            ), e AS MATERIALIZED (
+              SELECT conv, node,
+                     CASE WHEN node = 0 THEN NULL
+                          ELSE CAST(floor((node - 1) / 2) AS INTEGER)
+                     END AS parent
+              FROM t
+            ), walk(conv, node, anc, d) AS (
+              SELECT conv, node, parent, CAST(1 AS BIGINT)
+              FROM e WHERE parent IS NOT NULL
+              UNION ALL
+              SELECT w.conv, w.node, p.parent, w.d + 1
+              FROM walk w JOIN e p
+                ON p.conv = w.conv AND p.node = w.anc
+              WHERE p.parent IS NOT NULL
+            )
+            SELECT conv AS conv_id, node AS turn_idx,
+                   max(d) AS depth,
+                   CAST(arg_max(anc, d) AS INTEGER) AS root_idx
+            FROM walk GROUP BY 1, 2
+            UNION ALL
+            SELECT conv, node, CAST(0 AS BIGINT), node
+            FROM e WHERE parent IS NULL
+        """,
+        "json_schema_profile": """
+            WITH pay AS (
+              SELECT event_type,
+                     CASE CAST(event_id % 3 AS INTEGER)
+                       WHEN 0 THEN '{"user": ' || user_id || ', "k": '
+                                   || event_id || '}'
+                       WHEN 1 THEN '{"user": ' || user_id || ', "k": '
+                                   || event_id || ', "trace": "t-'
+                                   || event_id || '"}'
+                       ELSE '{"user": ' || user_id || ', "lat_ms": '
+                            || event_id || '}'
+                     END AS payload
+              FROM events
+            ), keyed AS (
+              SELECT event_type, unnest(json_keys(payload)) AS key
+              FROM pay
+            ), per_key AS (
+              SELECT event_type, key, CAST(count(*) AS BIGINT) AS n_rows
+              FROM keyed GROUP BY 1, 2
+            ), totals AS (
+              SELECT event_type, CAST(count(*) AS BIGINT) AS n_group
+              FROM pay GROUP BY 1
+            )
+            SELECT p.event_type, p.key, p.n_rows, t.n_group,
+                   CAST(p.n_rows AS DOUBLE) / t.n_group AS presence
+            FROM per_key p JOIN totals t ON t.event_type = p.event_type
         """,
         # minhash / simhash / doc_fingerprint / lang_id /
         # embedding_near_dups are value-checked via generated

@@ -63,3 +63,42 @@ def json_encode(
     tags = F.coalesce(F.col(tags_col), F.expr("map()"))
     merged = merge_maps_first_wins(base, fields, tags, meta)
     return df.withColumn("raw_json", F.to_json(merged))
+
+
+def json_schema_profile(
+    df: DataFrame,
+    payload_col: str,
+    group_cols: list[str],
+) -> DataFrame:
+    """Schema-drift profile over semi-structured log payloads: per group
+    (service, event type, day …), how often each top-level JSON key
+    appears — the audit that catches a producer silently adding,
+    renaming, or dropping fields (the failure mode
+    json_encode_filter.rs:85-120 tolerates per-line; at corpus scale you
+    want the aggregate view).
+
+    Output: (group…, key, n_rows, n_group, presence) where ``presence``
+    is the single IEEE division n_rows/n_group (bit-stable cross-engine).
+
+    Scale: ``json_object_keys`` + explode is a narrow map (JVM-side, no
+    UDF); the two aggregates shuffle only (group, key)-sized frames and
+    the per-group totals join is broadcast-able. Malformed JSON yields
+    NULL keys and drops out of the profile (counted by the caller's
+    bad-line accounting, like the parse stage)."""
+    keyed = df.select(
+        *group_cols,
+        F.explode(F.json_object_keys(F.col(payload_col))).alias("key"),
+    )
+    per_key = keyed.groupBy(*group_cols, "key").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    totals = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_group")
+    )
+    return per_key.join(F.broadcast(totals), list(group_cols)).select(
+        *group_cols,
+        "key",
+        "n_rows",
+        "n_group",
+        (F.col("n_rows") / F.col("n_group")).alias("presence"),
+    )

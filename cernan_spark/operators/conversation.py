@@ -232,3 +232,94 @@ def priority_sample(
             F.round("_q", 6).alias("priority"),
         )
     )
+
+
+def thread_paths(
+    turns: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    parent_col: str = "parent_idx",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Thread-tree reconstruction over branching conversations:
+    (conv, turn, parent) edges → (conv, turn, depth, root) — the shape
+    of forum/chat/agent-trace data where turns fork (tool-call branches,
+    regenerated answers) instead of forming one linear chain.
+
+    Spark-first pointer doubling: each round joins every turn's current
+    farthest-known ancestor with THAT ancestor's own pointer, doubling
+    the resolved distance — O(log depth) rounds, each ONE shuffle of the
+    edge-sized frame (node count, not corpus bytes). A per-row parent
+    WALK (recursive join per level) would be O(depth) shuffles; a
+    collect-based union-find would serialize the corpus on the driver.
+    The DuckDB oracle replays reachability with a recursive CTE.
+
+    Rows with NULL ``parent_col`` are roots (depth 0, their own root).
+    Cycles or dangling parents exhaust ``max_iters`` and raise.
+    """
+    base = turns.select(
+        F.col(conv_col).alias("conv"),
+        F.col(idx_col).alias("node"),
+        F.col(parent_col).alias("parent"),
+    )
+    cur = base.filter(F.col("parent").isNotNull()).select(
+        "conv",
+        "node",
+        F.col("parent").alias("anc"),
+        F.lit(1).cast("long").alias("dist"),
+    )
+    # an anc with no row in `cur` has no parent → it is a root; pointer
+    # doubling leaves such rows unchanged (left join misses)
+    for _ in range(max_iters):
+        x, y = cur.alias("x"), cur.alias("y")
+        hopped = x.join(
+            y,
+            (F.col("x.conv") == F.col("y.conv"))
+            & (F.col("x.anc") == F.col("y.node")),
+            "left",
+        ).select(
+            F.col("x.conv").alias("conv"),
+            F.col("x.node").alias("node"),
+            F.coalesce(F.col("y.anc"), F.col("x.anc")).alias("anc"),
+            (
+                F.col("x.dist") + F.coalesce(F.col("y.dist"), F.lit(0))
+            ).alias("dist"),
+        )
+        hopped = hopped.localCheckpoint(eager=True)
+        unresolved = (
+            hopped.alias("h")
+            .join(
+                cur.select("conv", F.col("node").alias("anc")).distinct(),
+                ["conv", "anc"],
+                "inner",
+            )
+            .limit(1)
+            .count()
+        )
+        cur = hopped
+        if unresolved == 0:
+            break
+    else:
+        raise ValueError(
+            f"thread_paths did not converge in {max_iters} rounds — "
+            "cycle or pathological depth in the parent pointers"
+        )
+    roots = base.filter(F.col("parent").isNull()).select(
+        "conv",
+        "node",
+        F.col("node").alias("root"),
+        F.lit(0).cast("long").alias("depth"),
+    )
+    return (
+        cur.select(
+            "conv", "node", F.col("anc").alias("root"),
+            F.col("dist").alias("depth"),
+        )
+        .unionByName(roots)
+        .select(
+            F.col("conv").alias(conv_col),
+            F.col("node").alias(idx_col),
+            "depth",
+            F.col("root").alias("root_idx"),
+        )
+    )

@@ -150,3 +150,80 @@ def test_priority_sample_weight_monotone(spark):
     a = rows_to_tuples(priority_sample(docs, 64, "w"), ["doc_id"])
     b = rows_to_tuples(priority_sample(doubled, 64, "w"), ["doc_id"])
     assert a == b
+
+
+def test_thread_paths_small_tree(spark):
+    from cernan_spark.operators.conversation import thread_paths
+
+    #        0
+    #       / \
+    #      1   2
+    #     / \
+    #    3   4
+    #    |
+    #    5
+    rows = [("c", 0, None), ("c", 1, 0), ("c", 2, 0), ("c", 3, 1),
+            ("c", 4, 1), ("c", 5, 3), ("d", 0, None), ("d", 1, 0)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, parent_idx int"
+    )
+    got = {
+        (r["conv_id"], r["turn_idx"]): (r["depth"], r["root_idx"])
+        for r in thread_paths(df).collect()
+    }
+    assert got == {
+        ("c", 0): (0, 0), ("c", 1): (1, 0), ("c", 2): (1, 0),
+        ("c", 3): (2, 0), ("c", 4): (2, 0), ("c", 5): (3, 0),
+        ("d", 0): (0, 0), ("d", 1): (1, 0),
+    }
+
+
+def test_thread_paths_deep_chain_converges_logarithmically(spark):
+    from cernan_spark.operators.conversation import thread_paths
+
+    # depth-40 chain: pointer doubling must resolve within ceil(log2(40))+1
+    # rounds — max_iters=7 passes, a per-level walk would need 40
+    rows = [("c", i, i - 1 if i else None) for i in range(41)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, parent_idx int"
+    )
+    got = {r["turn_idx"]: r["depth"] for r in thread_paths(df, max_iters=7).collect()}
+    assert got == {i: i for i in range(41)}
+
+
+def test_thread_paths_cycle_raises(spark):
+    import pytest as _pytest
+
+    from cernan_spark.operators.conversation import thread_paths
+
+    df = spark.createDataFrame(
+        [("c", 1, 2), ("c", 2, 1)],
+        "conv_id string, turn_idx int, parent_idx int",
+    )
+    with _pytest.raises(ValueError, match="did not converge"):
+        thread_paths(df, max_iters=3)
+
+
+def test_json_schema_profile_counts_and_malformed(spark):
+    from cernan_spark.functions.jsonlog import json_schema_profile
+
+    df = spark.createDataFrame(
+        [
+            ("svc", '{"a": 1, "b": 2}'),
+            ("svc", '{"a": 3}'),
+            ("svc", "not json at all"),
+            ("other", '{"z": 0}'),
+        ],
+        "service string, payload string",
+    )
+    out = json_schema_profile(df, "payload", ["service"])
+    got = {
+        (r["service"], r["key"]): (r["n_rows"], r["n_group"], r["presence"])
+        for r in out.collect()
+    }
+    # the malformed row contributes to the denominator but yields no keys
+    assert got == {
+        ("svc", "a"): (2, 3, 2 / 3),
+        ("svc", "b"): (1, 3, 1 / 3),
+        ("other", "z"): (1, 1, 1.0),
+    }
