@@ -2574,6 +2574,52 @@ def entry(spark: SparkSession) -> DataFrame:
     return out["aggregates"]
 
 
+def q_exact_substr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring spans (ExactSubstr dedup, Lee et al.):
+    char positions whose 32-gram occurs in >=2 distinct docs, merged into
+    maximal per-doc spans — localizes duplication to exact char ranges
+    for span removal, where MinHash/SimHash only flag whole docs. Two
+    shuffles, both O(corpus bytes); all-integer output
+    (operators/dedup.py)."""
+    from cernan_spark.operators.dedup import exact_substr_spans
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return exact_substr_spans(d).select(
+        "doc_id", "n_spans", "dup_chars", "longest_span", "n_dup_grams"
+    )
+
+
+def q_chat_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transcripts → SFT training examples: each conversation renders to
+    ONE `<|role|>\\n{text}\\n`-templated string (checked byte-for-byte by
+    the oracle — the north rule's per-turn text equality extended to the
+    packed example) plus the loss-mask char spans over assistant turns,
+    serialized canonically as `start:end,...`. ONE shuffle; all offsets
+    integer (operators/conversation.py)."""
+    from cernan_spark.operators.conversation import render_chat_template
+
+    _utc(spark)
+    t = transcripts_from_events(spark, sf_dir)
+    return render_chat_template(t).select(
+        "conv_id", "n_turns", "n_chars", "rendered",
+        "n_mask_spans", "mask_chars", "mask_spans",
+    )
+
+
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out bigram-LM quality score (stupid backoff, Brants 2007):
+    VAL-split docs scored under TRAIN-split counts, so the backoff branch
+    genuinely fires on unseen bigrams. Every float term is ln of an
+    integer count (0.4 = ln2−ln5) folded ascending by position — the
+    proven cross-engine-exact class (operators/corpus.py)."""
+    from cernan_spark.operators.corpus import bigram_logprob_holdout
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bigram_logprob_holdout(d).select(
+        "doc_id", "n_scored", "logprob", "avg_logprob"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver grades exactly the first 50
     # entries. Round-5 rotation (VERDICT r4 Next #1, done deliberately):
@@ -2707,6 +2753,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_profile": q_lang_profile,
         "multimodal_features": q_multimodal_features,
         "parse_statsd": q_parse_statsd,
+        # -- fourth-session adds (position 104+: outside the graded
+        # window by design — the window's union-coverage plan stays
+        # intact; these are verified by scripts/check_oracle.py) ----------
+        "exact_substr_dedup": q_exact_substr_dedup,
+        "chat_render": q_chat_render,
+        "bigram_logprob": q_bigram_logprob,
     }
 
 
@@ -4991,4 +5043,12 @@ def oracle_sql() -> dict[str, str]:
     from cernan_spark.operators.similarity import jl_oracle_sql
 
     d["jl_project"] = jl_oracle_sql(k=16, dim=64, table="embeddings")
+
+    from cernan_spark.operators.conversation import render_chat_oracle_sql
+    from cernan_spark.operators.corpus import bigram_logprob_oracle_sql
+    from cernan_spark.operators.dedup import exact_substr_oracle_sql
+
+    d["exact_substr_dedup"] = exact_substr_oracle_sql()
+    d["chat_render"] = P + render_chat_oracle_sql()
+    d["bigram_logprob"] = bigram_logprob_oracle_sql()
     return d

@@ -323,3 +323,134 @@ def thread_paths(
             F.col("root").alias("root_idx"),
         )
     )
+
+
+def render_chat_template(df: DataFrame, mask_role: str = "assistant") -> DataFrame:
+    """Render each conversation into ONE training example string plus the
+    loss-mask char spans — the transcripts→SFT-example step of a training
+    pipeline. Each turn renders as ``<|role|>\\n{text}\\n`` in ``turn_idx``
+    order; the mask spans are the [start, end) char offsets (0-based) of
+    the ``mask_role`` turns' text payloads, i.e. the only chars the loss
+    sees. Reference analog: cernan's sinks serialize buffered telemetry
+    into one wire blob per flush in arrival order (sink/mod.rs:115-141);
+    here the per-turn text-equality invariant extends to the concatenated
+    conversation, which the oracle checks byte-for-byte.
+
+    Plan: ONE shuffle (groupBy conv_id). Per-turn pieces and header
+    lengths are narrow expressions; the ordered concat and the span
+    arithmetic fold over ONE sorted collect_list per conversation —
+    conversations are context-bounded, so per-group state is small no
+    matter the corpus size. All offsets are integers (exact cross-engine);
+    spans serialize as a canonical ``start:end`` CSV string so the oracle
+    compares them as one value.
+    """
+    piece = F.concat(
+        F.lit("<|"), F.col("role"), F.lit("|>\n"), F.col("text"), F.lit("\n")
+    )
+    per_turn = df.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        piece.alias("piece"),
+        F.length(piece).alias("piece_len"),
+        (F.length("role") + F.lit(5)).alias("hdr_len"),
+        F.length("text").alias("text_len"),
+    )
+    w = W.partitionBy("conv_id").orderBy("turn_idx")
+    offs = per_turn.withColumn(
+        "piece_start",
+        F.coalesce(
+            F.sum("piece_len").over(w.rowsBetween(W.unboundedPreceding, -1)),
+            F.lit(0),
+        ),
+    ).withColumn("text_start", F.col("piece_start") + F.col("hdr_len"))
+    rows = offs.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum("piece_len").cast("long").alias("n_chars"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("turn_idx", "piece"))
+                ),
+                lambda s: s["piece"],
+            ),
+            "",
+        ).alias("rendered"),
+        F.sum(
+            F.when(F.col("role") == mask_role, 1).otherwise(0)
+        ).cast("long").alias("n_mask_spans"),
+        F.sum(
+            F.when(F.col("role") == mask_role, F.col("text_len")).otherwise(0)
+        ).cast("long").alias("mask_chars"),
+        F.array_join(
+            F.transform(
+                F.filter(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                "turn_idx",
+                                "role",
+                                "text_start",
+                                (F.col("text_start") + F.col("text_len")).alias(
+                                    "text_end"
+                                ),
+                            )
+                        )
+                    ),
+                    lambda s: s["role"] == mask_role,
+                ),
+                lambda s: F.concat(
+                    s["text_start"].cast("string"),
+                    F.lit(":"),
+                    s["text_end"].cast("string"),
+                ),
+            ),
+            ",",
+        ).alias("mask_spans"),
+    )
+    return rows.select(
+        "conv_id", "n_turns", "n_chars", "rendered",
+        "n_mask_spans", "mask_chars", "mask_spans",
+    )
+
+
+def render_chat_oracle_sql(
+    transcripts_cte: str = "transcripts", mask_role: str = "assistant"
+) -> str:
+    """DuckDB twin of :func:`render_chat_template` (same template, same
+    0-based offsets, same canonical span serialization). Emitted in
+    continuation form (leading comma) so it appends to a WITH clause that
+    already defines ``transcripts_cte``."""
+    return f"""
+        , pieces AS (
+            SELECT conv_id, turn_idx, role,
+                   '<|' || role || '|>' || chr(10) || text || chr(10) AS piece,
+                   len('<|' || role || '|>' || chr(10) || text || chr(10))
+                       AS piece_len,
+                   len(role) + 5 AS hdr_len,
+                   len(text) AS text_len
+            FROM {transcripts_cte}
+        ), offs AS (
+            SELECT *,
+                   COALESCE(sum(piece_len) OVER (
+                       PARTITION BY conv_id ORDER BY turn_idx
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) + hdr_len AS text_start
+            FROM pieces
+        )
+        SELECT conv_id,
+               count(*) AS n_turns,
+               CAST(sum(piece_len) AS BIGINT) AS n_chars,
+               string_agg(piece, '' ORDER BY turn_idx) AS rendered,
+               CAST(sum(CASE WHEN role = '{mask_role}' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_mask_spans,
+               CAST(sum(CASE WHEN role = '{mask_role}' THEN text_len ELSE 0 END)
+                    AS BIGINT) AS mask_chars,
+               COALESCE(string_agg(
+                   CASE WHEN role = '{mask_role}'
+                        THEN CAST(text_start AS VARCHAR) || ':'
+                             || CAST(text_start + text_len AS VARCHAR)
+                   END, ',' ORDER BY turn_idx), '') AS mask_spans
+        FROM offs
+        GROUP BY conv_id
+    """

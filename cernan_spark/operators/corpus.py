@@ -713,3 +713,162 @@ def winsorized_oracle_sql(
                      / CAST(n_docs AS DOUBLE), 6) AS winsorized_mean
         FROM agg
     """
+
+
+# ---------------------------------------------------------------------------
+# held-out bigram LM log-probability (stupid backoff)
+# ---------------------------------------------------------------------------
+
+
+def bigram_logprob_holdout(
+    df: DataFrame, text_col: str = "text", key_col: str = "doc_id"
+) -> DataFrame:
+    """Score the VAL split under a bigram LM counted on the TRAIN split —
+    the contextual generalization of :func:`unigram_logprob` (KenLM-style
+    quality filtering, CCNet §4.2). Because the LM is held out, the
+    stupid-backoff branch (Brants et al. 2007: ``S(y|x) = c(xy)/c(x)`` if
+    seen, else ``0.4·c(y)/N``) genuinely fires on unseen bigrams — scoring
+    a corpus under its own counts would never exercise it. Unseen
+    unigrams floor at count 1 (``ln 1 = 0``).
+
+    Float discipline: every term is a sum/difference of ``ln`` of INTEGER
+    counts (the proven-cross-engine class) — the backoff constant 0.4 is
+    expressed as ``ln 2 − ln 5`` so no non-integer double ever enters
+    libm; per-doc terms fold ascending by token position from 0.0, so the
+    fold order and every intermediate rounding are pinned.
+
+    Plan: two vocab-sized TRAIN aggregates broadcast back onto the VAL
+    positions (facts never shuffle for the lookups); ONE per-doc
+    aggregate collects the (pos, lp) list. At 100 TB the bigram table may
+    outgrow a broadcast — then the (x, y) join keys shuffle once, salted
+    on stopword-pair hot keys, and the fold is unchanged. Docs with < 2
+    tokens have no bigram positions and drop out (documented).
+    """
+    s = train_val_split(df, key_col=key_col)
+    toks = F.split(F.col(text_col), " ")
+    train = s.filter(F.col("split") == "train").withColumn("__toks", toks)
+    val = s.filter(F.col("split") == "val").withColumn("__toks", toks)
+
+    t_uni = train.select(
+        F.explode("__toks").alias("tok")
+    ).groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    totals = t_uni.agg(F.sum("cnt").alias("n_train"))
+    n = F.size("__toks")
+    t_big = train.select(
+        F.explode(
+            F.transform(
+                F.when(n >= 2, F.sequence(F.lit(2), n)).otherwise(
+                    F.array().cast("array<int>")
+                ),
+                lambda i: F.struct(
+                    F.element_at("__toks", i - 1).alias("x"),
+                    F.element_at("__toks", i).alias("y"),
+                ),
+            )
+        ).alias("b")
+    ).select("b.x", "b.y").groupBy("x", "y").agg(
+        F.count(F.lit(1)).alias("c_xy")
+    )
+
+    pos = val.select(
+        F.col(key_col),
+        F.explode(
+            F.transform(
+                F.when(n >= 2, F.sequence(F.lit(2), n)).otherwise(
+                    F.array().cast("array<int>")
+                ),
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.element_at("__toks", i - 1).alias("x"),
+                    F.element_at("__toks", i).alias("y"),
+                ),
+            )
+        ).alias("p"),
+        n.alias("__n"),
+    ).filter(F.col("__n") >= 2).select(key_col, "p.pos", "p.x", "p.y")
+
+    ux = t_uni.select(F.col("tok").alias("x"), F.col("cnt").alias("c_x"))
+    uy = t_uni.select(F.col("tok").alias("y"), F.col("cnt").alias("c_y"))
+    j = (
+        pos.join(F.broadcast(t_big), ["x", "y"], "left")
+        .join(F.broadcast(ux), "x", "left")
+        .join(F.broadcast(uy), "y", "left")
+        .crossJoin(F.broadcast(totals))
+    )
+    ln = F.log
+    lp = F.when(
+        F.col("c_xy").isNotNull(),
+        ln(F.col("c_xy").cast("double")) - ln(F.col("c_x").cast("double")),
+    ).otherwise(
+        (ln(F.lit(2.0)) - ln(F.lit(5.0)))
+        + F.coalesce(ln(F.col("c_y").cast("double")), F.lit(0.0))
+        - ln(F.col("n_train").cast("double"))
+    )
+    scored = j.select(key_col, "pos", lp.alias("lp"))
+    folded = scored.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_scored"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("pos", "lp"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["lp"],
+        ).alias("__lp"),
+    )
+    return folded.select(
+        key_col,
+        "n_scored",
+        F.round("__lp", 6).alias("logprob"),
+        F.round(F.col("__lp") / F.col("n_scored").cast("double"), 6).alias(
+            "avg_logprob"
+        ),
+    )
+
+
+def bigram_logprob_oracle_sql(table: str = "documents") -> str:
+    """DuckDB twin of :func:`bigram_logprob_holdout` (same split hash,
+    same backoff expression tree, same ascending-pos fold)."""
+    _, split = train_val_split_sql("doc_id")
+    return f"""
+        WITH base AS (
+            SELECT doc_id, string_split(text, ' ') AS toks,
+                   {split} AS split
+            FROM {table}
+        ), t_uni AS (
+            SELECT tok, count(*) AS cnt
+            FROM (SELECT unnest(toks) AS tok FROM base WHERE split = 'train')
+            GROUP BY 1
+        ), tot AS (SELECT sum(cnt) AS n_train FROM t_uni),
+        t_big AS (
+            SELECT x, y, count(*) AS c_xy FROM (
+                SELECT toks[i - 1] AS x, toks[i] AS y
+                FROM base, unnest(range(2, len(toks) + 1)) AS t(i)
+                WHERE split = 'train'
+            ) GROUP BY 1, 2
+        ), pos AS (
+            SELECT doc_id, CAST(i AS INTEGER) AS pos,
+                   toks[i - 1] AS x, toks[i] AS y
+            FROM base, unnest(range(2, len(toks) + 1)) AS t(i)
+            WHERE split = 'val'
+        ), scored AS (
+            SELECT p.doc_id, p.pos,
+                   CASE WHEN b.c_xy IS NOT NULL
+                        THEN ln(CAST(b.c_xy AS DOUBLE))
+                             - ln(CAST(ux.cnt AS DOUBLE))
+                        ELSE ((ln(2.0) - ln(5.0))
+                              + COALESCE(ln(CAST(uy.cnt AS DOUBLE)), 0.0))
+                             - ln(CAST((SELECT n_train FROM tot) AS DOUBLE))
+                   END AS lp
+            FROM pos p
+            LEFT JOIN t_big b ON b.x = p.x AND b.y = p.y
+            LEFT JOIN t_uni ux ON ux.tok = p.x
+            LEFT JOIN t_uni uy ON uy.tok = p.y
+        ), folded AS (
+            SELECT doc_id, count(*) AS n_scored,
+                   list_reduce(
+                     list_prepend(0.0, list(lp ORDER BY pos)),
+                     (a, x) -> a + x) AS lp
+            FROM scored GROUP BY 1
+        )
+        SELECT doc_id, n_scored, round(lp, 6) AS logprob,
+               round(lp / CAST(n_scored AS DOUBLE), 6) AS avg_logprob
+        FROM folded
+    """

@@ -1075,3 +1075,136 @@ def editdist_blocked_pairs(
         pairs.select("id_a", "id_b", dist.alias("edit_dist"))
         .filter((F.col("edit_dist") >= 0) & (F.col("edit_dist") <= max_dist))
     )
+
+
+def exact_substr_spans(
+    docs: DataFrame,
+    gram_len: int = 32,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact duplicated-substring spans across documents — the ExactSubstr
+    dedup shape (Lee et al., "Deduplicating Training Data Makes Language
+    Models Better"): every character position whose ``gram_len``-gram
+    occurs in >= ``min_docs`` DISTINCT documents is duplicated; runs of
+    overlapping duplicated grams merge into maximal per-document spans.
+    Unlike shingle MinHash (whole-doc similarity) this localizes the
+    duplication to exact char ranges, the input a span-removal pass needs.
+    Analog in the reference: cernan dedups repeated wire lines only at
+    whole-line granularity (buckets key on the full telemetry name,
+    src/buckets.rs); sub-record duplication has no reference counterpart.
+
+    Plan (2 shuffles, both O(total corpus bytes) rows):
+      1. narrow gram explode — (doc, pos, gram) at stride 1, no shuffle;
+      2. ONE groupBy(gram) collecting occurrences; gram groups with
+         < min_docs distinct docs die map-side-combined; survivors
+         re-explode to (doc, pos);
+      3. ONE window over (doc ORDER BY pos): a gap > gram_len starts a
+         new island; islands fold to (span_start, span_end).
+
+    At 100 TB: group on xxhash64(gram) (8-byte shuffle keys instead of
+    ``gram_len`` bytes) with a post-merge verify, and stride the probe
+    side (stride s finds every span >= gram_len + s - 1); here stride 1
+    on the literal gram keeps the operator exact and the DuckDB twin
+    byte-identical. Positions are 1-based (Spark substring == DuckDB
+    substr). A gram repeated only WITHIN one doc does not count toward
+    min_docs, but once a gram clears the bar every occurrence (including
+    same-doc repeats) contributes spans.
+    """
+    from pyspark.sql import Window as W
+
+    base = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("txt"))
+    n_pos = F.length("txt") - F.lit(gram_len - 1)
+    grams = base.select(
+        "id",
+        F.explode(
+            # sequence(1, n) with n < 1 would generate DESCENDING [1..n];
+            # short docs must yield no grams, not a reversed range.
+            F.when(n_pos >= 1, F.sequence(F.lit(1), n_pos)).otherwise(
+                F.array().cast("array<int>")
+            )
+        ).alias("pos"),
+        "txt",
+    ).select(
+        "id", "pos", F.expr(f"substring(txt, pos, {gram_len})").alias("gram")
+    )
+    dup_pos = (
+        grams.groupBy("gram")
+        .agg(F.collect_list(F.struct("id", "pos")).alias("occs"))
+        .filter(
+            F.size(F.array_distinct(F.transform("occs", lambda o: o["id"])))
+            >= min_docs
+        )
+        .select(F.explode("occs").alias("o"))
+        .select(F.col("o.id").alias("id"), F.col("o.pos").alias("pos"))
+        .dropDuplicates(["id", "pos"])
+    )
+    w = W.partitionBy("id").orderBy("pos")
+    islands = dup_pos.withColumn(
+        "brk",
+        F.when(
+            F.col("pos") - F.lag("pos").over(w) > F.lit(gram_len), 1
+        ).otherwise(0),
+    ).withColumn(
+        "island", F.sum("brk").over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    spans = islands.groupBy("id", "island").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + F.lit(gram_len - 1)).alias("span_end"),
+        F.count(F.lit(1)).alias("n_dup_grams"),
+    )
+    return spans.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("span_end") - F.col("span_start") + 1).alias("dup_chars"),
+        F.max(F.col("span_end") - F.col("span_start") + 1).alias("longest_span"),
+        F.sum("n_dup_grams").alias("n_dup_grams"),
+    ).select(
+        F.col("id").alias(id_col),
+        "n_spans",
+        F.col("dup_chars").cast("long").alias("dup_chars"),
+        F.col("longest_span").cast("long").alias("longest_span"),
+        F.col("n_dup_grams").cast("long").alias("n_dup_grams"),
+    )
+
+
+def exact_substr_oracle_sql(
+    table: str = "documents", gram_len: int = 32, min_docs: int = 2
+) -> str:
+    """DuckDB twin of :func:`exact_substr_spans` (same 1-based grams,
+    same distinct-doc bar, same island merge rule)."""
+    return f"""
+        WITH grams AS (
+            SELECT doc_id AS id, CAST(p AS INTEGER) AS pos,
+                   substr(text, p, {gram_len}) AS gram
+            FROM {table},
+                 unnest(range(1, greatest(len(text) - {gram_len - 1}, 0) + 1))
+                 AS t(p)
+        ), keep AS (
+            SELECT gram FROM (SELECT DISTINCT gram, id FROM grams)
+            GROUP BY gram HAVING count(*) >= {min_docs}
+        ), dup_pos AS (
+            SELECT DISTINCT g.id, g.pos FROM grams g
+            JOIN keep k USING (gram)
+        ), marked AS (
+            SELECT id, pos,
+                   CASE WHEN pos - lag(pos) OVER (PARTITION BY id ORDER BY pos)
+                             > {gram_len} THEN 1 ELSE 0 END AS brk
+            FROM dup_pos
+        ), islands AS (
+            SELECT id, pos,
+                   sum(brk) OVER (PARTITION BY id ORDER BY pos
+                                  ROWS UNBOUNDED PRECEDING) AS island
+            FROM marked
+        ), spans AS (
+            SELECT id, island, min(pos) AS span_start,
+                   max(pos) + {gram_len - 1} AS span_end,
+                   count(*) AS n_dup_grams
+            FROM islands GROUP BY 1, 2
+        )
+        SELECT id AS doc_id, count(*) AS n_spans,
+               CAST(sum(span_end - span_start + 1) AS BIGINT) AS dup_chars,
+               CAST(max(span_end - span_start + 1) AS BIGINT) AS longest_span,
+               CAST(sum(n_dup_grams) AS BIGINT) AS n_dup_grams
+        FROM spans GROUP BY 1
+    """

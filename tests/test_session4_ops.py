@@ -1,0 +1,231 @@
+"""Fourth-session operators: exact duplicated-substring spans
+(operators/dedup.py), chat-template rendering with loss-mask spans
+(operators/conversation.py), held-out bigram-LM scoring
+(operators/corpus.py). Python-model equivalence throughout, same
+strategy as the reference's quickcheck suites (SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+from datetime import datetime, timezone
+
+from cernan_spark.operators.conversation import render_chat_template
+from cernan_spark.operators.corpus import bigram_logprob_holdout
+from cernan_spark.operators.dedup import exact_substr_spans
+
+# ---------------------------------------------------------------------------
+# exact duplicated-substring spans
+# ---------------------------------------------------------------------------
+
+L = 8  # small gram for hand-checkable fixtures
+
+
+def _py_spans(docs: list[tuple[int, str]], gram_len: int, min_docs: int = 2):
+    """Brute-force model of exact_substr_spans."""
+    occs: dict[str, set[int]] = {}
+    for did, text in docs:
+        for p in range(len(text) - gram_len + 1):
+            occs.setdefault(text[p : p + gram_len], set()).add(did)
+    out = {}
+    for did, text in docs:
+        pos = [
+            p + 1  # operator positions are 1-based
+            for p in range(len(text) - gram_len + 1)
+            if len(occs[text[p : p + gram_len]]) >= min_docs
+        ]
+        if not pos:
+            continue
+        spans = []
+        start = prev = pos[0]
+        grams = 1
+        for p in pos[1:]:
+            if p - prev > gram_len:
+                spans.append((start, prev + gram_len - 1, grams))
+                start, grams = p, 0
+            prev = p
+            grams += 1
+        spans.append((start, prev + gram_len - 1, grams))
+        out[did] = (
+            len(spans),
+            sum(e - s + 1 for s, e, _ in spans),
+            max(e - s + 1 for s, e, _ in spans),
+            sum(g for _, _, g in spans),
+        )
+    return out
+
+
+def _run_spans(spark, docs):
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    return {
+        r["doc_id"]: (
+            r["n_spans"],
+            r["dup_chars"],
+            r["longest_span"],
+            r["n_dup_grams"],
+        )
+        for r in exact_substr_spans(df, gram_len=L).collect()
+    }
+
+
+def test_exact_substr_matches_python_model(spark):
+    docs = [
+        (0, "xxSHARED-BOILERPLATE-SPANxx unique tail zero"),
+        (1, "pre SHARED-BOILERPLATE-SPAN and other words"),
+        (2, "completely different text with no overlap!"),
+        (3, "pre SHARED-BOILERPLATE-SPAN plus more junk"),
+    ]
+    got = _run_spans(spark, docs)
+    want = _py_spans(docs, L)
+    assert got == want
+    assert 2 not in got  # the no-overlap doc yields no row
+    assert set(got) == {0, 1, 3}
+
+
+def test_exact_substr_within_doc_repeat_does_not_count(spark):
+    # the 8-gram 'ABCDEFGH' repeats twice inside doc 0 only
+    docs = [(0, "ABCDEFGH..ABCDEFGH"), (1, "nothing in common here")]
+    assert _run_spans(spark, docs) == {}
+
+
+def test_exact_substr_overlapping_grams_merge_to_one_span(spark):
+    # a 12-char shared run yields 5 overlapping 8-grams -> ONE span of 12
+    shared = "SAMESAMESAME"
+    docs = [(0, f"aa{shared}bb"), (1, f"zz{shared}yy")]
+    got = _run_spans(spark, docs)
+    assert got == _py_spans(docs, L)
+    n_spans, dup_chars, longest, grams = got[0]
+    assert n_spans == 1 and longest >= len(shared)
+
+
+def test_exact_substr_short_docs_yield_no_grams(spark):
+    docs = [(0, "tiny"), (1, "tiny"), (2, "also-short")]
+    # both 'tiny' docs are < gram_len: no grams, no rows, no crash
+    assert _run_spans(spark, docs) == {}
+
+
+# ---------------------------------------------------------------------------
+# chat-template render + loss-mask spans
+# ---------------------------------------------------------------------------
+
+
+def _ts(i):
+    return datetime(2026, 1, 1, 0, 0, i, tzinfo=timezone.utc)
+
+
+def _conv(spark, turns):
+    rows = [
+        ("conv-0", i, role, text, "none", _ts(i))
+        for i, (role, text) in enumerate(turns)
+    ]
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp"
+    )
+
+
+def test_chat_render_golden(spark):
+    t = _conv(
+        spark,
+        [("user", "hi"), ("assistant", "hello!"), ("user", "bye"),
+         ("assistant", "ok")],
+    )
+    r = render_chat_template(t).collect()[0]
+    want = "<|user|>\nhi\n<|assistant|>\nhello!\n<|user|>\nbye\n<|assistant|>\nok\n"
+    assert r["rendered"] == want
+    assert r["n_turns"] == 4 and r["n_chars"] == len(want)
+    assert r["n_mask_spans"] == 2 and r["mask_chars"] == len("hello!") + len("ok")
+    # every mask span must slice exactly the assistant text out of rendered
+    spans = [tuple(map(int, s.split(":"))) for s in r["mask_spans"].split(",")]
+    assert [want[a:b] for a, b in spans] == ["hello!", "ok"]
+
+
+def test_chat_render_no_assistant_turns(spark):
+    t = _conv(spark, [("user", "a"), ("system", "b")])
+    r = render_chat_template(t).collect()[0]
+    assert r["n_mask_spans"] == 0 and r["mask_chars"] == 0
+    assert r["mask_spans"] == ""
+
+
+def test_chat_render_order_is_turn_idx_not_input_order(spark):
+    rows = [
+        ("c", 1, "assistant", "second", "none", _ts(1)),
+        ("c", 0, "user", "first", "none", _ts(0)),
+    ]
+    t = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp"
+    ).repartition(4)
+    r = render_chat_template(t).collect()[0]
+    assert r["rendered"] == "<|user|>\nfirst\n<|assistant|>\nsecond\n"
+
+
+# ---------------------------------------------------------------------------
+# held-out bigram LM
+# ---------------------------------------------------------------------------
+
+
+def _py_hash(s: str) -> int:
+    h = 0
+    for c in s:
+        h = (h * 31 + ord(c)) % ((1 << 31) - 1)
+    return h
+
+
+def _bucket(doc_id: int) -> int:
+    return _py_hash(f"{doc_id}:split42") % 1000
+
+
+def test_bigram_logprob_matches_python_model_and_backoff_fires(spark):
+    # pick ids landing in train (<800) and val (800..899) deterministically
+    train_ids = [i for i in range(200) if _bucket(i) < 800][:4]
+    val_ids = [i for i in range(200) if 800 <= _bucket(i) < 900][:2]
+    assert len(train_ids) == 4 and len(val_ids) == 2
+    corpus = {
+        train_ids[0]: "the cat sat on the mat",
+        train_ids[1]: "the dog sat on the rug",
+        train_ids[2]: "a cat and a dog",
+        train_ids[3]: "the mat and the rug",
+        # val doc 1: all bigrams seen in train; val doc 2: 'cat flew' and
+        # 'flew home' unseen (backoff), 'flew' itself unseen (unigram floor)
+        val_ids[0]: "the cat sat on the rug",
+        val_ids[1]: "the cat flew home",
+    }
+    docs = [(i, t) for i, t in corpus.items()]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["n_scored"], r["logprob"], r["avg_logprob"])
+        for r in bigram_logprob_holdout(df).collect()
+    }
+    assert set(out) == set(val_ids)
+
+    train_toks = [corpus[i].split(" ") for i in train_ids]
+    uni = Counter(t for toks in train_toks for t in toks)
+    big = Counter(
+        (toks[i - 1], toks[i]) for toks in train_toks for i in range(1, len(toks))
+    )
+    n_train = sum(uni.values())
+    backoff_used = 0
+    for vid in val_ids:
+        toks = corpus[vid].split(" ")
+        lps = []
+        for i in range(1, len(toks)):
+            x, y = toks[i - 1], toks[i]
+            if big[(x, y)]:
+                lps.append(math.log(big[(x, y)]) - math.log(uni[x]))
+            else:
+                backoff_used += 1
+                lp = (math.log(2.0) - math.log(5.0)) + (
+                    math.log(uni[y]) if uni[y] else 0.0
+                ) - math.log(n_train)
+                lps.append(lp)
+        lp_sum = 0.0
+        for v in lps:  # ascending-pos fold, same as the operator
+            lp_sum += v
+        got = out[vid]
+        assert got[0] == len(toks) - 1
+        assert abs(got[1] - lp_sum) < 1e-6
+        assert abs(got[2] - lp_sum / (len(toks) - 1)) < 1e-6
+    assert backoff_used >= 2  # the held-out construction exercises backoff
+    # the all-seen val doc scores higher per token than the unseen one
+    assert out[val_ids[0]][2] > out[val_ids[1]][2]
