@@ -2620,6 +2620,61 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution drift: Jensen–Shannon divergence (nats) between
+    the TRAIN and VAL splits' token distributions — the snapshot-over-
+    snapshot drift monitor of a scheduled ingest. Total folds in a pinned
+    two-level order (tokens ascending within portable-hash buckets, then
+    buckets ascending) so no vocab-sized list serializes yet the sum is
+    bit-reproducible (operators/corpus.py)."""
+    from cernan_spark.operators.corpus import js_divergence_drift
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return js_divergence_drift(d).select(
+        "vocab_union", "n_train_tokens", "n_val_tokens", "jsd_nats"
+    )
+
+
+def q_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus diversity profile: per (lang, n≤3) total vs DISTINCT n-gram
+    counts and distinct-n ratio (Li et al. 2016) — the corpus-grain
+    repetitiveness rollup complementing per-doc repetition_stats. ONE
+    map-side-combined aggregate per gram then a (lang×n)-row rollup
+    (operators/corpus.py)."""
+    from cernan_spark.operators.corpus import distinct_ngram_profile
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return distinct_ngram_profile(d).select(
+        "lang", "n", "total_ngrams", "distinct_ngrams", "distinct_ratio"
+    )
+
+
+def q_cluster_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-quality representative per near-dup cluster: the dedup_groups
+    CC labels (token Jaccard ≥ 0.5 on consecutive docs < 200) joined to
+    doc quality, rep = argmax(n_chars, tie → min doc_id) via ONE
+    max-of-struct aggregate (no window — a mega-cluster still reduces
+    map-side), members labeled keep/drop (operators/dedup.py)."""
+    from cernan_spark.operators.dedup import cluster_representatives, dedup_groups
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 200
+    )
+    toks = F.array_distinct(F.split("text", " "))
+    t = d.select("doc_id", toks.alias("t"))
+    a = t.select(F.col("doc_id").alias("id_a"), F.col("t").alias("ta"))
+    b = t.select(F.col("doc_id").alias("id_b"), F.col("t").alias("tb"))
+    jac = F.size(F.array_intersect("ta", "tb")) / F.size(
+        F.array_union("ta", "tb")
+    )
+    pairs = a.join(b, F.col("id_b") == F.col("id_a") + 1).filter(jac >= 0.5)
+    labels = dedup_groups(pairs.select("id_a", "id_b"))
+    return cluster_representatives(labels, d).select(
+        "doc_id", "canonical_id", "rep_id", "n_members", "is_rep",
+        "rep_quality",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver grades exactly the first 50
     # entries. Round-5 rotation (VERDICT r4 Next #1, done deliberately):
@@ -2759,6 +2814,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_substr_dedup": q_exact_substr_dedup,
         "chat_render": q_chat_render,
         "bigram_logprob": q_bigram_logprob,
+        "js_divergence": q_js_divergence,
+        "distinct_ngrams": q_distinct_ngrams,
+        "cluster_reps": q_cluster_reps,
     }
 
 
@@ -5051,4 +5109,53 @@ def oracle_sql() -> dict[str, str]:
     d["exact_substr_dedup"] = exact_substr_oracle_sql()
     d["chat_render"] = P + render_chat_oracle_sql()
     d["bigram_logprob"] = bigram_logprob_oracle_sql()
+
+    from cernan_spark.operators.corpus import (
+        distinct_ngram_oracle_sql,
+        js_divergence_oracle_sql,
+    )
+
+    d["js_divergence"] = js_divergence_oracle_sql()
+    d["distinct_ngrams"] = distinct_ngram_oracle_sql()
+    # cluster_reps: the dedup_groups reachability CTE + arg-max-by-quality
+    # rep selection (ties -> min id), same keep/drop labeling as
+    # cluster_representatives (operators/dedup.py).
+    d["cluster_reps"] = """
+        WITH RECURSIVE t AS (
+          SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+          FROM documents WHERE doc_id < 200
+        ), p AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
+          WHERE len(list_intersect(a.toks, b.toks)) * 1.0 /
+                len(list_distinct(list_concat(a.toks, b.toks))) >= 0.5
+        ), edges AS (
+          SELECT id_a AS src, id_b AS dst FROM p
+          UNION SELECT id_b, id_a FROM p
+        ), nodes AS (
+          SELECT DISTINCT src AS id FROM edges
+        ), walk(id, label) AS (
+          SELECT id, id FROM nodes
+          UNION
+          SELECT e.src, w.label FROM edges e JOIN walk w ON w.id = e.dst
+        ), labels AS (
+          SELECT id, min(label) AS canonical_id FROM walk GROUP BY id
+        ), m AS (
+          SELECT l.id, l.canonical_id, d.n_chars
+          FROM labels l JOIN documents d ON d.doc_id = l.id
+        ), reps AS (
+          SELECT canonical_id, id AS rep_id, n_chars AS rep_quality,
+                 count(*) OVER (PARTITION BY canonical_id) AS n_members,
+                 row_number() OVER (PARTITION BY canonical_id
+                                    ORDER BY n_chars DESC, id ASC) AS rn
+          FROM m
+        )
+        SELECT m.id AS doc_id, m.canonical_id, r.rep_id,
+               CAST(r.n_members AS BIGINT) AS n_members,
+               CAST(CASE WHEN m.id = r.rep_id THEN 1 ELSE 0 END AS INTEGER)
+                 AS is_rep,
+               CAST(r.rep_quality AS BIGINT) AS rep_quality
+        FROM m JOIN (SELECT * FROM reps WHERE rn = 1) r
+          ON r.canonical_id = m.canonical_id
+    """
     return d

@@ -872,3 +872,261 @@ def bigram_logprob_oracle_sql(table: str = "documents") -> str:
                round(lp / CAST(n_scored AS DOUBLE), 6) AS avg_logprob
         FROM folded
     """
+
+
+# ---------------------------------------------------------------------------
+# token-distribution drift: Jensen–Shannon divergence between splits
+# ---------------------------------------------------------------------------
+
+
+def js_divergence_drift(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Jensen–Shannon divergence between the TRAIN and VAL token
+    distributions — the distribution-drift monitor a scheduled corpus
+    ingest runs between snapshots (Lin 1991; the symmetric, bounded
+    cousin of KL). A shard whose JSD against the accepted corpus spikes
+    signals a scraper regression or contamination burst before any
+    downstream model sees it. Reference analog: cernan's self-telemetry
+    counts what flowed (src/metric/telemetry snapshot counters); it has
+    no distributional monitor — this is the training-pipeline extension.
+
+    Per union-vocabulary token with train count ``a`` (total NA) and val
+    count ``b`` (total NB), the contribution in nats is
+
+        0.5·(a/NA)·ln(2·a·NB / (a·NB + b·NA))   [a > 0]
+      + 0.5·(b/NB)·ln(2·b·NA / (a·NB + b·NA))   [b > 0]
+
+    Float discipline: a, b, NA, NB are exact integers cast to double;
+    every product/sum/quotient inside ``ln`` is written in one fixed
+    left-associative shape so both engines round identically (documented
+    pattern: IEEE ops on integer-valued doubles are deterministic; at
+    true 100 TB scale the int64 products would overflow but the double
+    products — 53-bit mantissa — only lose ulps, identically in both
+    engines). The total folds in a PINNED order: tokens fold ascending
+    within ``pmod(portable_hash(tok), n_buckets)`` buckets, bucket
+    partials fold ascending by bucket id — so no vocabulary-sized list
+    ever lands in one task, yet the sum is bit-reproducible.
+
+    Plan: ONE token-grain shuffle (groupBy tok over both splits at once),
+    ONE bucket-grain aggregate (n_buckets rows), one 1-row reduce.
+    """
+    s = train_val_split(df, key_col=key_col).filter(
+        F.col("split").isin("train", "val")
+    )
+    toks = s.select(
+        "split", F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    )
+    counts = toks.groupBy("tok").agg(
+        F.sum(F.when(F.col("split") == "train", 1).otherwise(0)).alias("a"),
+        F.sum(F.when(F.col("split") == "val", 1).otherwise(0)).alias("b"),
+    )
+    totals = counts.agg(
+        F.sum("a").cast("double").alias("na"),
+        F.sum("b").cast("double").alias("nb"),
+        F.sum("a").cast("long").alias("n_train_tokens"),
+        F.sum("b").cast("long").alias("n_val_tokens"),
+    )
+    c = counts.crossJoin(F.broadcast(totals))
+    ad, bd = F.col("a").cast("double"), F.col("b").cast("double")
+    # den spelled as (a*NB + b*NA), the exact shape the oracle uses
+    den = ad * F.col("nb") + bd * F.col("na")
+    term = F.when(
+        F.col("a") > 0,
+        F.lit(0.5)
+        * (ad / F.col("na"))
+        * F.log(F.lit(2.0) * ad * F.col("nb") / den),
+    ).otherwise(F.lit(0.0)) + F.when(
+        F.col("b") > 0,
+        F.lit(0.5)
+        * (bd / F.col("nb"))
+        * F.log(F.lit(2.0) * bd * F.col("na") / den),
+    ).otherwise(F.lit(0.0))
+    per_tok = c.select(
+        F.pmod(portable_hash(F.col("tok")), F.lit(n_buckets))
+        .cast("int")
+        .alias("bucket"),
+        "tok",
+        term.alias("term"),
+        "n_train_tokens",
+        "n_val_tokens",
+    )
+    per_bucket = per_tok.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("vocab"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("tok", "term"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["term"],
+        ).alias("part"),
+        F.first("n_train_tokens").alias("n_train_tokens"),
+        F.first("n_val_tokens").alias("n_val_tokens"),
+    )
+    return per_bucket.groupBy().agg(
+        F.sum("vocab").cast("long").alias("vocab_union"),
+        F.first("n_train_tokens").alias("n_train_tokens"),
+        F.first("n_val_tokens").alias("n_val_tokens"),
+        F.round(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("bucket", "part"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["part"],
+            ),
+            6,
+        ).alias("jsd_nats"),
+    )
+
+
+def js_divergence_oracle_sql(
+    table: str = "documents", n_buckets: int = 64
+) -> str:
+    """DuckDB twin of :func:`js_divergence_drift` — same split hash, same
+    expression shapes inside ``ln``, same two-level pinned fold."""
+    from cernan_spark.functions.porthash import portable_hash_sql
+
+    _, split = train_val_split_sql("doc_id")
+    bucket = f"CAST(({portable_hash_sql('tok')}) % {n_buckets} AS INTEGER)"
+    return f"""
+        WITH toks AS (
+            SELECT {split} AS split, unnest(string_split(text, ' ')) AS tok
+            FROM {table}
+        ), counts AS (
+            SELECT tok,
+                   sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS a,
+                   sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS b
+            FROM toks WHERE split IN ('train', 'val') GROUP BY 1
+        ), tot AS (
+            SELECT CAST(sum(a) AS DOUBLE) AS na, CAST(sum(b) AS DOUBLE) AS nb,
+                   CAST(sum(a) AS BIGINT) AS n_train_tokens,
+                   CAST(sum(b) AS BIGINT) AS n_val_tokens
+            FROM counts
+        ), terms AS (
+            SELECT {bucket} AS bucket, tok,
+                   (CASE WHEN a > 0 THEN
+                        0.5 * (CAST(a AS DOUBLE) / na)
+                        * ln(2.0 * CAST(a AS DOUBLE) * nb
+                             / (CAST(a AS DOUBLE) * nb + CAST(b AS DOUBLE) * na))
+                    ELSE 0.0 END)
+                 + (CASE WHEN b > 0 THEN
+                        0.5 * (CAST(b AS DOUBLE) / nb)
+                        * ln(2.0 * CAST(b AS DOUBLE) * na
+                             / (CAST(a AS DOUBLE) * nb + CAST(b AS DOUBLE) * na))
+                    ELSE 0.0 END) AS term
+            FROM counts, tot
+        ), per_bucket AS (
+            SELECT bucket, count(*) AS vocab,
+                   list_reduce(
+                     list_prepend(0.0, list(term ORDER BY tok)),
+                     (acc, x) -> acc + x) AS part
+            FROM terms GROUP BY 1
+        )
+        SELECT CAST(sum(vocab) AS BIGINT) AS vocab_union,
+               (SELECT n_train_tokens FROM tot) AS n_train_tokens,
+               (SELECT n_val_tokens FROM tot) AS n_val_tokens,
+               round(list_reduce(
+                 list_prepend(0.0, list(part ORDER BY bucket)),
+                 (acc, x) -> acc + x), 6) AS jsd_nats
+        FROM per_bucket
+    """
+
+
+# ---------------------------------------------------------------------------
+# distinct-n diversity profile
+# ---------------------------------------------------------------------------
+
+
+def distinct_ngram_profile(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "lang",
+    max_n: int = 3,
+) -> DataFrame:
+    """Corpus diversity profile: per (group, n) the total and DISTINCT
+    n-gram counts and their ratio — distinct-n (Li et al. 2016), the
+    standard corpus-level repetitiveness monitor (a generator or scraper
+    feeding near-identical text drives distinct-2/3 toward 0). Complements
+    :func:`repetition_stats` which is per-document; this is the
+    corpus-grain rollup a daily ingest report wants.
+
+    Plan: explode each order's n-grams (narrow), ONE hash aggregate on
+    (group, n, gram) — map-side combine kills the duplicate mass before
+    the shuffle — then a tiny (group × n)-row rollup. The gram string
+    never exceeds n tokens; at 100 TB swap the gram string for
+    xxhash64(gram) shuffle keys (distinct counts unchanged modulo hash
+    collisions, ~2^-64 per pair).
+    """
+    toks = F.split(F.col(text_col), " ")
+    frames = []
+    for n in range(1, max_n + 1):
+        npos = F.size(toks) - F.lit(n - 1)
+        grams = df.select(
+            F.col(group_col).alias("grp"),
+            F.lit(n).alias("n"),
+            F.explode(
+                F.when(npos >= 1, F.sequence(F.lit(1), npos)).otherwise(
+                    F.array().cast("array<int>")
+                )
+            ).alias("i"),
+            toks.alias("__toks"),
+        ).select(
+            "grp",
+            "n",
+            F.array_join(F.slice("__toks", F.col("i"), n), " ").alias("gram"),
+        )
+        frames.append(grams)
+    allg = frames[0]
+    for f_ in frames[1:]:
+        allg = allg.unionByName(f_)
+    per_gram = allg.groupBy("grp", "n", "gram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return (
+        per_gram.groupBy("grp", "n")
+        .agg(
+            F.sum("cnt").cast("long").alias("total_ngrams"),
+            F.count(F.lit(1)).alias("distinct_ngrams"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "n",
+            "total_ngrams",
+            "distinct_ngrams",
+            F.round(
+                F.col("distinct_ngrams").cast("double")
+                / F.col("total_ngrams").cast("double"),
+                6,
+            ).alias("distinct_ratio"),
+        )
+    )
+
+
+def distinct_ngram_oracle_sql(
+    table: str = "documents", group_col: str = "lang", max_n: int = 3
+) -> str:
+    """DuckDB twin of :func:`distinct_ngram_profile` (same 1-based slice,
+    same space join, same ratio rounding)."""
+    arms = []
+    for n in range(1, max_n + 1):
+        arms.append(f"""
+            SELECT {group_col} AS grp, {n} AS n,
+                   array_to_string(toks[i:i+{n - 1}], ' ') AS gram
+            FROM (SELECT {group_col}, string_split(text, ' ') AS toks
+                  FROM {table}),
+                 unnest(range(1, greatest(len(toks) - {n - 1}, 0) + 1))
+                 AS t(i)
+        """)
+    union = " UNION ALL ".join(arms)
+    return f"""
+        WITH allg AS ({union}),
+        per_gram AS (
+            SELECT grp, n, gram, count(*) AS cnt FROM allg GROUP BY 1, 2, 3
+        )
+        SELECT grp AS {group_col}, n,
+               CAST(sum(cnt) AS BIGINT) AS total_ngrams,
+               CAST(count(*) AS BIGINT) AS distinct_ngrams,
+               round(CAST(count(*) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE), 6)
+                 AS distinct_ratio
+        FROM per_gram GROUP BY 1, 2
+    """

@@ -1208,3 +1208,53 @@ def exact_substr_oracle_sql(
                CAST(sum(n_dup_grams) AS BIGINT) AS n_dup_grams
         FROM spans GROUP BY 1
     """
+
+
+def cluster_representatives(
+    labels: DataFrame,
+    docs: DataFrame,
+    quality_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pick ONE representative per near-duplicate cluster by quality, not
+    by id: argmax(``quality_col``), ties broken toward the smaller id —
+    the keep-the-best-copy step a corpus build runs after cluster
+    resolution (min-id canon keeps whichever shard arrived first; a real
+    pipeline keeps the longest / highest-quality member and drops the
+    rest). Input ``labels`` is :func:`dedup_groups` output
+    (id, canonical_id); ``docs`` supplies the quality column.
+
+    Plan: one broadcast-or-shuffle join labels⋈docs on id (labels is
+    candidate-pair sized, tiny next to the corpus), ONE map-side-combined
+    aggregate per cluster taking max(struct(quality, -id)) — no window,
+    so a pathological mega-cluster still reduces map-side — then a
+    broadcast join of the cluster-sized rep table back onto members.
+    Reference analog: cernan keeps ONE bucket value per (name, window)
+    by kind-specific merge law (src/buckets.rs:100-175); merging dup
+    clusters to their best member is the corpus-grain analog.
+    """
+    q = docs.select(
+        F.col(id_col).alias("id"), F.col(quality_col).alias("__q")
+    )
+    m = labels.join(q, "id")
+    reps = m.groupBy("canonical_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.max(F.struct(F.col("__q").alias("q"), (-F.col("id")).alias("neg")))
+        .alias("best"),
+    ).select(
+        "canonical_id",
+        "n_members",
+        (-F.col("best.neg")).alias("rep_id"),
+        F.col("best.q").alias("rep_quality"),
+    )
+    return m.join(F.broadcast(reps), "canonical_id").select(
+        F.col("id").alias(id_col),
+        "canonical_id",
+        "rep_id",
+        F.col("n_members").cast("long").alias("n_members"),
+        F.when(F.col("id") == F.col("rep_id"), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("is_rep"),
+        F.col("rep_quality").cast("long").alias("rep_quality"),
+    )

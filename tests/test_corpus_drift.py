@@ -1,0 +1,185 @@
+"""Fifth-session operators: Jensen–Shannon token-distribution drift and
+distinct-n diversity (operators/corpus.py), quality-argmax cluster
+representative selection (operators/dedup.py). Python-model equivalence,
+same strategy as the reference's quickcheck suites (SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+from cernan_spark.operators.corpus import (
+    distinct_ngram_profile,
+    js_divergence_drift,
+)
+from cernan_spark.operators.dedup import cluster_representatives, dedup_groups
+
+# ---------------------------------------------------------------------------
+# JS divergence
+# ---------------------------------------------------------------------------
+
+
+def _py_hash(s: str) -> int:
+    h = 0
+    for c in s:
+        h = (h * 31 + ord(c)) % ((1 << 31) - 1)
+    return h
+
+
+def _bucket(doc_id: int) -> int:
+    return _py_hash(f"{doc_id}:split42") % 1000
+
+
+def _py_jsd(corpus: dict[int, str]):
+    """Brute-force model: JSD in nats between train/val token counts,
+    folded in the same two-level pinned order as the operator."""
+    tr = Counter(
+        t for i, x in corpus.items() if _bucket(i) < 800 for t in x.split(" ")
+    )
+    va = Counter(
+        t
+        for i, x in corpus.items()
+        if 800 <= _bucket(i) < 900
+        for t in x.split(" ")
+    )
+    na, nb = sum(tr.values()), sum(va.values())
+    vocab = sorted(set(tr) | set(va))
+    buckets: dict[int, list[tuple[str, float]]] = {}
+    for tok in vocab:
+        a, b = tr[tok], va[tok]
+        den = float(a) * float(nb) + float(b) * float(na)
+        t = 0.0
+        if a > 0:
+            t += 0.5 * (a / na) * math.log(2.0 * a * nb / den)
+        if b > 0:
+            t += 0.5 * (b / nb) * math.log(2.0 * b * na / den)
+        buckets.setdefault(_py_hash(tok) % 64, []).append((tok, t))
+    parts = []
+    for bk in sorted(buckets):
+        p = 0.0
+        for _, t in sorted(buckets[bk]):
+            p += t
+        parts.append(p)
+    total = 0.0
+    for p in parts:
+        total += p
+    return len(vocab), na, nb, round(total, 6)
+
+
+def test_jsd_matches_python_model(spark):
+    corpus = {
+        i: " ".join(
+            ["alpha", "beta", "gamma", "delta"][j % 4]
+            for j in range(i % 7 + 2)
+        )
+        + (" valonly" if 800 <= _bucket(i) < 900 else " trainish")
+        for i in range(120)
+    }
+    df = spark.createDataFrame(
+        list(corpus.items()), "doc_id long, text string"
+    )
+    r = js_divergence_drift(df).collect()[0]
+    vocab, na, nb, jsd = _py_jsd(corpus)
+    assert (
+        r["vocab_union"],
+        r["n_train_tokens"],
+        r["n_val_tokens"],
+    ) == (vocab, na, nb)
+    assert abs(r["jsd_nats"] - jsd) < 1e-9
+
+
+def test_jsd_identical_distributions_is_zero(spark):
+    # same text in every doc -> train and val distributions identical
+    docs = [(i, "same words every time") for i in range(300)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    r = js_divergence_drift(df).collect()[0]
+    assert r["jsd_nats"] == 0.0
+
+
+def test_jsd_disjoint_vocab_is_ln2(spark):
+    # fully disjoint vocabularies -> JSD = ln 2 (its maximum)
+    docs = [
+        (i, "onlytrain" if _bucket(i) < 800 else "onlyval")
+        for i in range(400)
+        if _bucket(i) < 900
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    r = js_divergence_drift(df).collect()[0]
+    assert abs(r["jsd_nats"] - round(math.log(2.0), 6)) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# distinct-n diversity
+# ---------------------------------------------------------------------------
+
+
+def test_distinct_ngrams_matches_python_model(spark):
+    docs = [
+        (0, "a b a b a", "en"),
+        (1, "a b c d e", "en"),
+        (2, "x x x x", "fr"),
+        (3, "y", "fr"),  # too short for n=2,3
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string, lang string")
+    got = {
+        (r["lang"], r["n"]): (
+            r["total_ngrams"],
+            r["distinct_ngrams"],
+            r["distinct_ratio"],
+        )
+        for r in distinct_ngram_profile(df).collect()
+    }
+    want = {}
+    for lang in ("en", "fr"):
+        texts = [t for _, t, lg in docs if lg == lang]
+        for n in (1, 2, 3):
+            grams = [
+                " ".join(toks[i : i + n])
+                for t in texts
+                for toks in [t.split(" ")]
+                for i in range(len(toks) - n + 1)
+            ]
+            if grams:
+                want[(lang, n)] = (
+                    len(grams),
+                    len(set(grams)),
+                    round(len(set(grams)) / len(grams), 6),
+                )
+    assert got == want
+    # fr has no trigram from doc 3, but doc 2 yields 'x x x' twice -> 1 distinct
+    assert got[("fr", 3)] == (2, 1, 0.5)
+
+
+# ---------------------------------------------------------------------------
+# cluster representative selection
+# ---------------------------------------------------------------------------
+
+
+def test_cluster_reps_argmax_quality_tie_min_id(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    docs = spark.createDataFrame(
+        [(1, 40), (2, 90), (3, 90), (10, 5), (11, 5), (99, 777)],
+        "doc_id long, n_chars long",
+    )
+    labels = dedup_groups(pairs)
+    out = {
+        r["doc_id"]: (
+            r["canonical_id"],
+            r["rep_id"],
+            r["n_members"],
+            r["is_rep"],
+            r["rep_quality"],
+        )
+        for r in cluster_representatives(labels, docs).collect()
+    }
+    # cluster {1,2,3}: max quality 90 tied between 2 and 3 -> min id 2 wins
+    assert out[1] == (1, 2, 3, 0, 90)
+    assert out[2] == (1, 2, 3, 1, 90)
+    assert out[3] == (1, 2, 3, 0, 90)
+    # cluster {10,11}: tie at 5 -> 10
+    assert out[10] == (10, 10, 2, 1, 5)
+    assert out[11] == (10, 10, 2, 0, 5)
+    # unclustered doc 99 never appears
+    assert 99 not in out
