@@ -2675,6 +2675,20 @@ def q_cluster_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_exact_substr_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The removal half of ExactSubstr dedup: every duplicated span
+    (32-grams in ≥2 distinct docs, merged maximal) is excised from every
+    carrier and the document rebuilt byte-identically — checked against
+    the oracle's lag-based segment replay. Untouched docs pass through
+    byte-identical (operators/dedup.py)."""
+    from cernan_spark.operators.dedup import exact_substr_remove
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return exact_substr_remove(d).select(
+        "doc_id", "clean_text", "n_spans", "n_chars_removed", "n_chars_clean"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver grades exactly the first 50
     # entries. Round-5 rotation (VERDICT r4 Next #1, done deliberately):
@@ -2817,6 +2831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "js_divergence": q_js_divergence,
         "distinct_ngrams": q_distinct_ngrams,
         "cluster_reps": q_cluster_reps,
+        "exact_substr_remove": q_exact_substr_remove,
     }
 
 
@@ -5117,6 +5132,10 @@ def oracle_sql() -> dict[str, str]:
 
     d["js_divergence"] = js_divergence_oracle_sql()
     d["distinct_ngrams"] = distinct_ngram_oracle_sql()
+
+    from cernan_spark.operators.dedup import exact_substr_remove_oracle_sql
+
+    d["exact_substr_remove"] = exact_substr_remove_oracle_sql()
     # cluster_reps: the dedup_groups reachability CTE + arg-max-by-quality
     # rep selection (ties -> min id), same keep/drop labeling as
     # cluster_representatives (operators/dedup.py).

@@ -1258,3 +1258,177 @@ def cluster_representatives(
         .alias("is_rep"),
         F.col("rep_quality").cast("long").alias("rep_quality"),
     )
+
+
+def exact_substr_remove(
+    docs: DataFrame,
+    gram_len: int = 32,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Excise the duplicated spans found by :func:`exact_substr_spans`
+    and rebuild each document — the removal half of ExactSubstr dedup
+    (Lee et al.): every maximal span whose ``gram_len``-grams occur in
+    >= ``min_docs`` distinct documents is cut from EVERY carrier
+    (aggressive mode: no canonical copy is spared — the variant that
+    de-weights boilerplate rather than preserving one instance), and the
+    surviving segments re-concatenate in order. Docs with no duplicated
+    span pass through byte-identical.
+
+    Plan: the span frame is produced exactly as in
+    :func:`exact_substr_spans` (2 shuffles); the rebuild adds ONE join
+    of the span frame back to the docs (span rows ≪ corpus rows) and a
+    per-doc window over the handful of spans a doc carries — bounded by
+    doc length, never corpus-sized. Rebuild arithmetic is all integer
+    offsets + substring, so the oracle replays it byte-for-byte.
+    """
+    from pyspark.sql import Window as W
+
+    base = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("txt"))
+    # --- identical span derivation to exact_substr_spans ---------------
+    n_pos = F.length("txt") - F.lit(gram_len - 1)
+    grams = base.select(
+        "id",
+        F.explode(
+            F.when(n_pos >= 1, F.sequence(F.lit(1), n_pos)).otherwise(
+                F.array().cast("array<int>")
+            )
+        ).alias("pos"),
+        "txt",
+    ).select(
+        "id", "pos", F.expr(f"substring(txt, pos, {gram_len})").alias("gram")
+    )
+    dup_pos = (
+        grams.groupBy("gram")
+        .agg(F.collect_list(F.struct("id", "pos")).alias("occs"))
+        .filter(
+            F.size(F.array_distinct(F.transform("occs", lambda o: o["id"])))
+            >= min_docs
+        )
+        .select(F.explode("occs").alias("o"))
+        .select(F.col("o.id").alias("id"), F.col("o.pos").alias("pos"))
+        .dropDuplicates(["id", "pos"])
+    )
+    w = W.partitionBy("id").orderBy("pos")
+    spans = (
+        dup_pos.withColumn(
+            "brk",
+            F.when(
+                F.col("pos") - F.lag("pos").over(w) > F.lit(gram_len), 1
+            ).otherwise(0),
+        )
+        .withColumn(
+            "island", F.sum("brk").over(w.rowsBetween(W.unboundedPreceding, 0))
+        )
+        .groupBy("id", "island")
+        .agg(
+            F.min("pos").alias("s"),
+            (F.max("pos") + F.lit(gram_len - 1)).alias("e"),
+        )
+    )
+    # --- rebuild: keep the inter-span segments in order -----------------
+    ws = W.partitionBy("id").orderBy("s")
+    pieces = (
+        spans.join(base, "id")
+        .withColumn("prev_e", F.coalesce(F.lag("e").over(ws), F.lit(0)))
+        .withColumn(
+            "piece",
+            F.expr("substring(txt, prev_e + 1, s - prev_e - 1)"),
+        )
+    )
+    rebuilt = pieces.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("s", "piece"))),
+                lambda x: x["piece"],
+            ),
+            "",
+        ).alias("head"),
+        F.max("e").alias("max_e"),
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).cast("long").alias("n_chars_removed"),
+        F.first("txt").alias("txt"),
+    ).select(
+        "id",
+        F.concat(
+            F.col("head"), F.expr("substring(txt, max_e + 1)")
+        ).alias("clean_text"),
+        "n_spans",
+        "n_chars_removed",
+    )
+    untouched = base.join(rebuilt.select("id"), "id", "left_anti").select(
+        "id",
+        F.col("txt").alias("clean_text"),
+        F.lit(0).cast("long").alias("n_spans"),
+        F.lit(0).cast("long").alias("n_chars_removed"),
+    )
+    out = rebuilt.select(
+        "id", "clean_text", F.col("n_spans").cast("long").alias("n_spans"),
+        "n_chars_removed",
+    ).unionByName(untouched)
+    return out.select(
+        F.col("id").alias(id_col),
+        "clean_text",
+        "n_spans",
+        "n_chars_removed",
+        F.length("clean_text").cast("long").alias("n_chars_clean"),
+    )
+
+
+def exact_substr_remove_oracle_sql(
+    table: str = "documents", gram_len: int = 32, min_docs: int = 2
+) -> str:
+    """DuckDB twin of :func:`exact_substr_remove` (same spans, same
+    lag-based segment rebuild, byte-identical clean_text)."""
+    return f"""
+        WITH grams AS (
+            SELECT doc_id AS id, CAST(p AS INTEGER) AS pos,
+                   substr(text, p, {gram_len}) AS gram
+            FROM {table},
+                 unnest(range(1, greatest(len(text) - {gram_len - 1}, 0) + 1))
+                 AS t(p)
+        ), keep AS (
+            SELECT gram FROM (SELECT DISTINCT gram, id FROM grams)
+            GROUP BY gram HAVING count(*) >= {min_docs}
+        ), dup_pos AS (
+            SELECT DISTINCT g.id, g.pos FROM grams g
+            JOIN keep k USING (gram)
+        ), marked AS (
+            SELECT id, pos,
+                   CASE WHEN pos - lag(pos) OVER (PARTITION BY id ORDER BY pos)
+                             > {gram_len} THEN 1 ELSE 0 END AS brk
+            FROM dup_pos
+        ), islands AS (
+            SELECT id, pos,
+                   sum(brk) OVER (PARTITION BY id ORDER BY pos
+                                  ROWS UNBOUNDED PRECEDING) AS island
+            FROM marked
+        ), spans AS (
+            SELECT id, island, min(pos) AS s,
+                   max(pos) + {gram_len - 1} AS e
+            FROM islands GROUP BY 1, 2
+        ), pieces AS (
+            SELECT sp.id, sp.s, sp.e, d.text,
+                   COALESCE(lag(sp.e) OVER (PARTITION BY sp.id ORDER BY sp.s),
+                            0) AS prev_e
+            FROM spans sp JOIN {table} d ON d.doc_id = sp.id
+        ), rebuilt AS (
+            SELECT id,
+                   string_agg(substr(text, prev_e + 1, s - prev_e - 1),
+                              '' ORDER BY s)
+                     || substr(any_value(text), max(e) + 1) AS clean_text,
+                   count(*) AS n_spans,
+                   sum(e - s + 1) AS n_chars_removed
+            FROM pieces GROUP BY 1
+        )
+        SELECT id AS doc_id, clean_text,
+               CAST(n_spans AS BIGINT) AS n_spans,
+               CAST(n_chars_removed AS BIGINT) AS n_chars_removed,
+               CAST(len(clean_text) AS BIGINT) AS n_chars_clean
+        FROM rebuilt
+        UNION ALL
+        SELECT d.doc_id, d.text, 0, 0, CAST(len(d.text) AS BIGINT)
+        FROM {table} d
+        WHERE d.doc_id NOT IN (SELECT id FROM rebuilt)
+    """

@@ -229,3 +229,98 @@ def test_bigram_logprob_matches_python_model_and_backoff_fires(spark):
     assert backoff_used >= 2  # the held-out construction exercises backoff
     # the all-seen val doc scores higher per token than the unseen one
     assert out[val_ids[0]][2] > out[val_ids[1]][2]
+
+
+# ---------------------------------------------------------------------------
+# exact duplicated-substring REMOVAL (rebuild)
+# ---------------------------------------------------------------------------
+
+from cernan_spark.operators.dedup import exact_substr_remove
+
+
+def _py_remove(docs, gram_len, min_docs=2):
+    """Brute-force model: excise every duplicated merged span, rebuild."""
+    occs: dict[str, set[int]] = {}
+    for did, text in docs:
+        for p in range(len(text) - gram_len + 1):
+            occs.setdefault(text[p : p + gram_len], set()).add(did)
+    out = {}
+    for did, text in docs:
+        pos = [
+            p + 1
+            for p in range(len(text) - gram_len + 1)
+            if len(occs[text[p : p + gram_len]]) >= min_docs
+        ]
+        if not pos:
+            out[did] = (text, 0, 0, len(text))
+            continue
+        spans = []
+        start = prev = pos[0]
+        for p in pos[1:]:
+            if p - prev > gram_len:
+                spans.append((start, prev + gram_len - 1))
+                start = p
+            prev = p
+        spans.append((start, prev + gram_len - 1))
+        clean, prev_e = "", 0
+        for s, e in spans:
+            clean += text[prev_e : s - 1]  # 1-based spans
+            prev_e = e
+        clean += text[prev_e:]
+        removed = sum(e - s + 1 for s, e in spans)
+        out[did] = (clean, len(spans), removed, len(clean))
+    return out
+
+
+def _run_remove(spark, docs):
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    return {
+        r["doc_id"]: (
+            r["clean_text"],
+            r["n_spans"],
+            r["n_chars_removed"],
+            r["n_chars_clean"],
+        )
+        for r in exact_substr_remove(df, gram_len=L).collect()
+    }
+
+
+def test_exact_substr_remove_matches_python_model(spark):
+    docs = [
+        (0, "xxSHARED-BOILERPLATE-SPANxx unique tail zero"),
+        (1, "pre SHARED-BOILERPLATE-SPAN and other words"),
+        (2, "completely different text with no overlap!"),
+        (3, "pre SHARED-BOILERPLATE-SPAN plus more junk"),
+        (4, "ab"),  # shorter than the gram — passes through untouched
+    ]
+    got = _run_remove(spark, docs)
+    want = _py_remove(docs, L)
+    assert got == want
+    # the untouched docs are byte-identical
+    assert got[2][0] == docs[2][1] and got[2][1:] == (0, 0, len(docs[2][1]))
+    assert got[4][0] == "ab"
+    # removal really removed the shared run from a carrier
+    assert "SHARED-B" not in got[1][0] and got[1][2] > 0
+
+
+def test_exact_substr_remove_whole_doc_duplicated(spark):
+    # doc 0 and 1 identical: every position is duplicated -> ONE span
+    # covering the whole doc, clean text empty
+    t = "ENTIRELY-DUPLICATED-DOCUMENT!"
+    docs = [(0, t), (1, t), (2, "some other unrelated words here")]
+    got = _run_remove(spark, docs)
+    assert got == _py_remove(docs, L)
+    assert got[0] == ("", 1, len(t), 0) and got[1] == ("", 1, len(t), 0)
+
+
+def test_exact_substr_remove_conserves_chars(spark):
+    docs = [
+        (0, "aaaa COMMON-CHUNK-ONE zzzz COMMON-CHUNK-TWO qq"),
+        (1, "bbbb COMMON-CHUNK-ONE yyyy COMMON-CHUNK-TWO rr"),
+    ]
+    got = _run_remove(spark, docs)
+    assert got == _py_remove(docs, L)
+    for did, text in docs:
+        clean, n_spans, removed, n_clean = got[did]
+        assert n_clean + removed == len(text)
+        assert n_spans >= 1
