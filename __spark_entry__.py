@@ -2675,6 +2675,21 @@ def q_cluster_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_drift_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 drifting tokens between the train/val splits: the tokens
+    contributing most to the Jensen-Shannon divergence, with counts and
+    drift direction - the page an operator reads when the JSD alarm
+    fires. Per-token JS terms are >= 0 (log-sum inequality) so the
+    (term DESC, tok ASC) cut is a deterministic set; top-k runs as
+    TakeOrdered, never a global sort (operators/corpus.py)."""
+    from cernan_spark.operators.corpus import jsd_top_drifters
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return jsd_top_drifters(d, k=20).select(
+        "tok", "train_count", "val_count", "jsd_term", "over_in"
+    )
+
+
 def q_exact_substr_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The removal half of ExactSubstr dedup: every duplicated span
     (32-grams in ≥2 distinct docs, merged maximal) is excised from every
@@ -2832,6 +2847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_ngrams": q_distinct_ngrams,
         "cluster_reps": q_cluster_reps,
         "exact_substr_remove": q_exact_substr_remove,
+        "drift_tokens": q_drift_tokens,
     }
 
 
@@ -5136,6 +5152,10 @@ def oracle_sql() -> dict[str, str]:
     from cernan_spark.operators.dedup import exact_substr_remove_oracle_sql
 
     d["exact_substr_remove"] = exact_substr_remove_oracle_sql()
+
+    from cernan_spark.operators.corpus import jsd_top_drifters_oracle_sql
+
+    d["drift_tokens"] = jsd_top_drifters_oracle_sql(k=20)
     # cluster_reps: the dedup_groups reachability CTE + arg-max-by-quality
     # rep selection (ties -> min id), same keep/drop labeling as
     # cluster_representatives (operators/dedup.py).

@@ -1130,3 +1130,115 @@ def distinct_ngram_oracle_sql(
                  AS distinct_ratio
         FROM per_gram GROUP BY 1, 2
     """
+
+
+def jsd_top_drifters(
+    df: DataFrame,
+    k: int = 20,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """The actionable view of :func:`js_divergence_drift`: the k tokens
+    contributing MOST to the train/val Jensen–Shannon divergence, with
+    counts and drift direction — what an ingest operator actually reads
+    when the JSD alarm fires ("which tokens moved?"). Per-token JS
+    contributions are non-negative (log-sum inequality), so top-k by
+    (term DESC, tok ASC) is a deterministic set; the term doubles are
+    bit-identical cross-engine (same expression shapes as the total).
+
+    Plan: the same ONE token-grain aggregate as the total; top-k is
+    Spark's TakeOrdered (per-partition heads merged on the driver) — no
+    global sort of the vocabulary ever shuffles.
+    """
+    s = train_val_split(df, key_col=key_col).filter(
+        F.col("split").isin("train", "val")
+    )
+    toks = s.select(
+        "split", F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    )
+    counts = toks.groupBy("tok").agg(
+        F.sum(F.when(F.col("split") == "train", 1).otherwise(0)).alias("a"),
+        F.sum(F.when(F.col("split") == "val", 1).otherwise(0)).alias("b"),
+    )
+    totals = counts.agg(
+        F.sum("a").cast("double").alias("na"),
+        F.sum("b").cast("double").alias("nb"),
+    )
+    c = counts.crossJoin(F.broadcast(totals))
+    ad, bd = F.col("a").cast("double"), F.col("b").cast("double")
+    den = ad * F.col("nb") + bd * F.col("na")
+    term = F.when(
+        F.col("a") > 0,
+        F.lit(0.5)
+        * (ad / F.col("na"))
+        * F.log(F.lit(2.0) * ad * F.col("nb") / den),
+    ).otherwise(F.lit(0.0)) + F.when(
+        F.col("b") > 0,
+        F.lit(0.5)
+        * (bd / F.col("nb"))
+        * F.log(F.lit(2.0) * bd * F.col("na") / den),
+    ).otherwise(F.lit(0.0))
+    # direction: which split over-represents the token (rate comparison
+    # a/NA vs b/NB spelled cross-multiplied in integers: a*NB vs b*NA)
+    direction = F.when(
+        ad * F.col("nb") > bd * F.col("na"), F.lit("train")
+    ).otherwise(F.lit("val"))
+    return (
+        c.select(
+            "tok",
+            F.col("a").cast("long").alias("train_count"),
+            F.col("b").cast("long").alias("val_count"),
+            term.alias("__term"),
+            direction.alias("over_in"),
+        )
+        .orderBy(F.col("__term").desc(), F.col("tok").asc())
+        .limit(k)
+        .select(
+            "tok",
+            "train_count",
+            "val_count",
+            F.round("__term", 6).alias("jsd_term"),
+            "over_in",
+        )
+    )
+
+
+def jsd_top_drifters_oracle_sql(table: str = "documents", k: int = 20) -> str:
+    """DuckDB twin of :func:`jsd_top_drifters` (same term shapes, same
+    deterministic (term DESC, tok ASC) cut)."""
+    _, split = train_val_split_sql("doc_id")
+    return f"""
+        WITH toks AS (
+            SELECT {split} AS split, unnest(string_split(text, ' ')) AS tok
+            FROM {table}
+        ), counts AS (
+            SELECT tok,
+                   sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS a,
+                   sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS b
+            FROM toks WHERE split IN ('train', 'val') GROUP BY 1
+        ), tot AS (
+            SELECT CAST(sum(a) AS DOUBLE) AS na, CAST(sum(b) AS DOUBLE) AS nb
+            FROM counts
+        ), terms AS (
+            SELECT tok, a, b,
+                   (CASE WHEN a > 0 THEN
+                        0.5 * (CAST(a AS DOUBLE) / na)
+                        * ln(2.0 * CAST(a AS DOUBLE) * nb
+                             / (CAST(a AS DOUBLE) * nb + CAST(b AS DOUBLE) * na))
+                    ELSE 0.0 END)
+                 + (CASE WHEN b > 0 THEN
+                        0.5 * (CAST(b AS DOUBLE) / nb)
+                        * ln(2.0 * CAST(b AS DOUBLE) * na
+                             / (CAST(a AS DOUBLE) * nb + CAST(b AS DOUBLE) * na))
+                    ELSE 0.0 END) AS term,
+                   CASE WHEN CAST(a AS DOUBLE) * nb > CAST(b AS DOUBLE) * na
+                        THEN 'train' ELSE 'val' END AS over_in
+            FROM counts, tot
+        )
+        SELECT tok, CAST(a AS BIGINT) AS train_count,
+               CAST(b AS BIGINT) AS val_count,
+               round(term, 6) AS jsd_term, over_in
+        FROM terms
+        ORDER BY term DESC, tok ASC
+        LIMIT {k}
+    """

@@ -183,3 +183,49 @@ def test_cluster_reps_argmax_quality_tie_min_id(spark):
     assert out[11] == (10, 10, 2, 0, 5)
     # unclustered doc 99 never appears
     assert 99 not in out
+
+
+def test_jsd_top_drifters_ranking_and_direction(spark):
+    from cernan_spark.operators.corpus import jsd_top_drifters
+
+    # 'valburst' appears ONLY in val docs, 'common' everywhere
+    corpus = {
+        i: ("common common valburst" if 800 <= _bucket(i) < 900
+            else "common common steady")
+        for i in range(300)
+        if _bucket(i) < 900
+    }
+    df = spark.createDataFrame(
+        list(corpus.items()), "doc_id long, text string"
+    )
+    rows = jsd_top_drifters(df, k=3).collect()
+    # model: per-token JS terms
+    tr = Counter(
+        t for i, x in corpus.items() if _bucket(i) < 800 for t in x.split(" ")
+    )
+    va = Counter(
+        t
+        for i, x in corpus.items()
+        if 800 <= _bucket(i) < 900
+        for t in x.split(" ")
+    )
+    na, nb = sum(tr.values()), sum(va.values())
+    terms = {}
+    for tok in set(tr) | set(va):
+        a, b = tr[tok], va[tok]
+        den = float(a) * nb + float(b) * na
+        t = 0.0
+        if a > 0:
+            t += 0.5 * (a / na) * math.log(2.0 * a * nb / den)
+        if b > 0:
+            t += 0.5 * (b / nb) * math.log(2.0 * b * na / den)
+        terms[tok] = t
+    want = sorted(terms, key=lambda k_: (-terms[k_], k_))[:3]
+    assert [r["tok"] for r in rows] == want
+    by_tok = {r["tok"]: r for r in rows}
+    assert by_tok["valburst"]["over_in"] == "val"
+    assert by_tok["valburst"]["train_count"] == 0
+    assert by_tok["steady"]["over_in"] == "train"
+    for r in rows:
+        assert abs(r["jsd_term"] - round(terms[r["tok"]], 6)) < 1e-9
+        assert r["jsd_term"] >= 0.0  # log-sum inequality, per token
