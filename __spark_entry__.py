@@ -2675,6 +2675,23 @@ def q_cluster_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pack_sft(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT example packing: rendered conversations (chat_render) packed
+    greedily into 4096-char bins within 16 portable-hash shards, every
+    loss-mask span RE-BASED to its bin-global offset - the
+    examples->batches step before the trainer. Integer arithmetic
+    throughout; the oracle replays the packed layout exactly via the
+    recursive greedy fold (operators/conversation.py)."""
+    from cernan_spark.operators.conversation import pack_sft_examples
+
+    _utc(spark)
+    t = transcripts_from_events(spark, sf_dir)
+    return pack_sft_examples(t).select(
+        "conv_id", "shard", "bin_id", "offset_in_bin", "n_chars",
+        "n_mask_spans", "mask_spans",
+    )
+
+
 def q_drift_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 drifting tokens between the train/val splits: the tokens
     contributing most to the Jensen-Shannon divergence, with counts and
@@ -2848,6 +2865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_reps": q_cluster_reps,
         "exact_substr_remove": q_exact_substr_remove,
         "drift_tokens": q_drift_tokens,
+        "pack_sft": q_pack_sft,
     }
 
 
@@ -5156,6 +5174,10 @@ def oracle_sql() -> dict[str, str]:
     from cernan_spark.operators.corpus import jsd_top_drifters_oracle_sql
 
     d["drift_tokens"] = jsd_top_drifters_oracle_sql(k=20)
+
+    from cernan_spark.operators.conversation import pack_sft_oracle_sql
+
+    d["pack_sft"] = PR + pack_sft_oracle_sql()
     # cluster_reps: the dedup_groups reachability CTE + arg-max-by-quality
     # rep selection (ties -> min id), same keep/drop labeling as
     # cluster_representatives (operators/dedup.py).

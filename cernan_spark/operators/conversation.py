@@ -454,3 +454,144 @@ def render_chat_oracle_sql(
         FROM offs
         GROUP BY conv_id
     """
+
+
+def pack_sft_examples(
+    df: DataFrame,
+    bin_chars: int = 4096,
+    n_shards: int = 16,
+    mask_role: str = "assistant",
+) -> DataFrame:
+    """Pack rendered SFT examples (:func:`render_chat_template`) into
+    fixed-capacity training bins and RE-BASE every loss-mask span to its
+    bin-global offset — the examples→batches step between rendering and
+    the trainer. Examples pack greedily (first-fit in conv_id order,
+    same fold as ``packing.greedy_pack``) within ``n_shards``
+    portable-hash shards; each example lands at the char offset equal to
+    the summed lengths of its bin predecessors, and its ``start:end``
+    mask spans shift by exactly that offset — so the trainer can slice
+    assistant tokens straight out of the packed buffer.
+
+    Plan: render is ONE shuffle; packing is the per-shard Arrow fold
+    (shards bound the sequential extent — at 100 TB shards map to
+    partitions and the fold never sees more than one shard); offsets are
+    ONE window over (shard, bin) whose partitions are bin-bounded; span
+    re-basing is a narrow transform over the span CSV. All arithmetic is
+    integer, so the oracle replays the packed layout exactly.
+    """
+    from cernan_spark.functions.porthash import portable_hash
+    from cernan_spark.operators.packing import greedy_pack
+
+    r = render_chat_template(df, mask_role=mask_role)
+    sized = r.select(
+        "conv_id",
+        "n_chars",
+        "n_mask_spans",
+        "mask_spans",
+        F.pmod(portable_hash(F.col("conv_id")), F.lit(n_shards))
+        .cast("int")
+        .alias("shard"),
+    )
+    packed = greedy_pack(
+        sized, ["shard"], ["conv_id"], "n_chars", max_bytes=bin_chars
+    )
+    w = W.partitionBy("shard", "batch_id").orderBy("conv_id")
+    withoff = packed.withColumn(
+        "offset_in_bin",
+        F.coalesce(
+            F.sum("n_chars").over(w.rowsBetween(W.unboundedPreceding, -1)),
+            F.lit(0),
+        ).cast("long"),
+    )
+    shift = F.when(F.col("mask_spans") == "", F.lit("")).otherwise(
+        F.array_join(
+            F.transform(
+                F.split("mask_spans", ","),
+                lambda s: F.concat(
+                    (
+                        F.split(s, ":")[0].cast("long")
+                        + F.col("offset_in_bin")
+                    ).cast("string"),
+                    F.lit(":"),
+                    (
+                        F.split(s, ":")[1].cast("long")
+                        + F.col("offset_in_bin")
+                    ).cast("string"),
+                ),
+            ),
+            ",",
+        )
+    )
+    return withoff.select(
+        "conv_id",
+        "shard",
+        F.col("batch_id").cast("long").alias("bin_id"),
+        "offset_in_bin",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("n_mask_spans").cast("long").alias("n_mask_spans"),
+        shift.alias("mask_spans"),
+    )
+
+
+def pack_sft_oracle_sql(
+    bin_chars: int = 4096,
+    n_shards: int = 16,
+    mask_role: str = "assistant",
+    transcripts_cte: str = "transcripts",
+) -> str:
+    """DuckDB twin of :func:`pack_sft_examples`: the render continuation
+    (:func:`render_chat_oracle_sql`'s CTE chain), the recursive greedy
+    pack fold, the same window offsets and span re-basing. Emitted in
+    continuation form — append to a WITH RECURSIVE block that already
+    defines ``transcripts_cte``."""
+    from cernan_spark.functions.porthash import portable_hash_sql
+    from cernan_spark.operators.packing import pack_walk_sql
+
+    shard = (
+        f"CAST(({portable_hash_sql('conv_id')}) % {n_shards} AS INTEGER)"
+    )
+    # render_chat_oracle_sql emits a continuation (', pieces AS (...)
+    # ... SELECT ...'); as the body of the `rendered` CTE it becomes a
+    # nested WITH block.
+    render = render_chat_oracle_sql(
+        transcripts_cte=transcripts_cte, mask_role=mask_role
+    ).strip()
+    assert render.startswith(","), "render continuation shape changed"
+    render_body = "WITH " + render[1:].lstrip()
+    return f"""
+        , rendered AS MATERIALIZED ({render_body}
+        ), sized AS (
+            SELECT conv_id, n_chars, n_mask_spans, mask_spans,
+                   {shard} AS shard
+            FROM rendered
+        ), ordered AS MATERIALIZED (
+            SELECT CAST(shard AS VARCHAR) AS grp, n_chars AS sz, conv_id,
+                   n_mask_spans, mask_spans, shard,
+                   row_number() OVER (PARTITION BY shard ORDER BY conv_id)
+                     AS rn
+            FROM sized
+        ), {pack_walk_sql('ordered', max_bytes=bin_chars)}
+        , placed AS (
+            SELECT o.conv_id, o.shard, w.batch AS bin_id, o.sz AS n_chars,
+                   o.n_mask_spans, o.mask_spans,
+                   COALESCE(sum(o.sz) OVER (
+                       PARTITION BY o.shard, w.batch ORDER BY o.conv_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS offset_in_bin
+            FROM ordered o JOIN walk w ON w.grp = o.grp AND w.rn = o.rn
+        )
+        SELECT conv_id, shard, CAST(bin_id AS BIGINT) AS bin_id,
+               CAST(offset_in_bin AS BIGINT) AS offset_in_bin,
+               CAST(n_chars AS BIGINT) AS n_chars,
+               CAST(n_mask_spans AS BIGINT) AS n_mask_spans,
+               CASE WHEN mask_spans = '' THEN '' ELSE
+                 array_to_string(list_transform(
+                   string_split(mask_spans, ','),
+                   s -> CAST(CAST(split_part(s, ':', 1) AS BIGINT)
+                             + offset_in_bin AS VARCHAR)
+                        || ':' ||
+                        CAST(CAST(split_part(s, ':', 2) AS BIGINT)
+                             + offset_in_bin AS VARCHAR)), ',')
+               END AS mask_spans
+        FROM placed
+    """

@@ -324,3 +324,73 @@ def test_exact_substr_remove_conserves_chars(spark):
         clean, n_spans, removed, n_clean = got[did]
         assert n_clean + removed == len(text)
         assert n_spans >= 1
+
+
+# ---------------------------------------------------------------------------
+# SFT example packing (render -> bins + re-based mask spans)
+# ---------------------------------------------------------------------------
+
+from cernan_spark.operators.conversation import (
+    pack_sft_examples,
+    render_chat_template,
+)
+
+
+def test_pack_sft_spans_slice_assistant_text_from_packed_buffer(spark):
+    rows = []
+    for c in range(12):
+        rows += [
+            (f"conv-{c:03d}", 0, "user", f"question {c} ?", "none", _ts(0)),
+            (f"conv-{c:03d}", 1, "assistant", f"answer {c}!" * (c % 3 + 1),
+             "none", _ts(1)),
+        ]
+    t = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp"
+    )
+    rendered = {
+        r["conv_id"]: r["rendered"] for r in render_chat_template(t).collect()
+    }
+    out = pack_sft_examples(t, bin_chars=120, n_shards=4).collect()
+    assert {r["conv_id"] for r in out} == set(rendered)
+    # rebuild each bin's buffer by concatenating members at their offsets
+    bins: dict[tuple, list] = {}
+    for r in out:
+        bins.setdefault((r["shard"], r["bin_id"]), []).append(r)
+    for members in bins.values():
+        members.sort(key=lambda r: r["offset_in_bin"])
+        buf, pos = "", 0
+        for r in members:
+            assert r["offset_in_bin"] == pos  # contiguous, no gaps
+            buf += rendered[r["conv_id"]]
+            pos += r["n_chars"]
+        assert len(buf) <= 120 or len(members) == 1  # cap or oversize-single
+        # every shifted span slices an assistant payload out of the buffer
+        for r in members:
+            if not r["mask_spans"]:
+                continue
+            for sp in r["mask_spans"].split(","):
+                a, b = map(int, sp.split(":"))
+                assert buf[a:b].startswith("answer")
+
+
+def test_pack_sft_greedy_boundaries_match_model(spark):
+    from cernan_spark.operators.packing import greedy_pack_model
+
+    rows = []
+    for c in range(9):
+        rows.append((f"c{c}", 0, "assistant", "x" * (10 * c + 1), "none",
+                     _ts(0)))
+    t = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp"
+    )
+    out = {
+        r["conv_id"]: r
+        for r in pack_sft_examples(t, bin_chars=100, n_shards=1).collect()
+    }
+    # model replay: same order (conv_id asc within the single shard)
+    order = sorted(out)
+    sizes = [(out[c]["n_chars"],) for c in order]
+    want_bins = greedy_pack_model(sizes, max_bytes=100)
+    assert [out[c]["bin_id"] for c in order] == want_bins
