@@ -1534,6 +1534,39 @@ def q_benchmark_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     return benchmark_ngram_overlap(training, bench, n=8)
 
 
+def q_decontam_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surgical decontamination: the benchmark_decontam corpus (every
+    97th doc = benchmark, 40 seeded twins), but instead of flagging
+    whole docs, every leaked 8-token shingle localizes to a maximal
+    token span and the doc rebuilds WITHOUT the contaminated tokens -
+    clean_text byte-checked. Benchmark shingles broadcast; only matched
+    (doc, pos) rows ever shuffle (operators/textstats.py)."""
+    from cernan_spark.operators.textstats import decontam_token_spans
+
+    _utc(spark)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    snippet = F.array_join(F.slice(F.split("text", " "), 1, 10), " ")
+    twins = (
+        d.filter(F.col("doc_id") < 40)
+        .join(
+            bench.select(
+                F.col("doc_id").alias("_bid"), snippet.alias("_snip")
+            ),
+            F.col("_bid") == 97 * (F.col("doc_id") % 5),
+        )
+        .select(
+            (F.col("doc_id") + 3_000_000).alias("doc_id"),
+            F.concat_ws(" ", "text", "_snip").alias("text"),
+        )
+    )
+    training = d.filter(F.col("doc_id") % 97 != 0).unionByName(twins)
+    return decontam_token_spans(training, bench, n=8).select(
+        "doc_id", "n_spans", "n_tokens_removed", "n_tokens_clean",
+        "clean_text",
+    )
+
+
 def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language token-budget corpus mixing: language-ID the docs, then
     keep each language's deterministic pseudo-shuffled prefix within a
@@ -2866,6 +2899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_substr_remove": q_exact_substr_remove,
         "drift_tokens": q_drift_tokens,
         "pack_sft": q_pack_sft,
+        "decontam_spans": q_decontam_spans,
     }
 
 
@@ -5218,5 +5252,81 @@ def oracle_sql() -> dict[str, str]:
                CAST(r.rep_quality AS BIGINT) AS rep_quality
         FROM m JOIN (SELECT * FROM reps WHERE rn = 1) r
           ON r.canonical_id = m.canonical_id
+    """
+
+    d["decontam_spans"] = """
+        WITH docs AS (SELECT doc_id, text FROM documents),
+        bench AS (
+          SELECT doc_id AS bench_id, text FROM docs WHERE doc_id % 97 = 0
+        ),
+        twins AS (
+          SELECT d.doc_id + 3000000 AS doc_id,
+                 d.text || ' ' || array_to_string(
+                   list_slice(string_split(b.text, ' '), 1, 10), ' ') AS text
+          FROM docs d JOIN bench b ON b.bench_id = 97 * (d.doc_id % 5)
+          WHERE d.doc_id < 40
+        ),
+        training AS (
+          SELECT doc_id, text FROM docs WHERE doc_id % 97 <> 0
+          UNION ALL SELECT doc_id, text FROM twins
+        ),
+        ttok AS (
+          SELECT doc_id AS id, string_split(text, ' ') AS toks FROM training
+        ),
+        tpos AS (
+          SELECT id, CAST(i AS INTEGER) AS pos,
+                 array_to_string(list_slice(toks, i, i + 7), ' ') AS shingle
+          FROM ttok, unnest(range(1, greatest(len(toks) - 7, 0) + 1)) AS u(i)
+        ),
+        bsh AS (
+          SELECT DISTINCT array_to_string(list_slice(toks, i, i + 7), ' ')
+                   AS shingle
+          FROM (SELECT string_split(text, ' ') AS toks FROM bench),
+               unnest(range(1, greatest(len(toks) - 7, 0) + 1)) AS u(i)
+        ),
+        hits AS (
+          SELECT t.id, t.pos FROM tpos t JOIN bsh b USING (shingle)
+        ),
+        marked AS (
+          SELECT id, pos,
+                 CASE WHEN pos - lag(pos) OVER (PARTITION BY id ORDER BY pos)
+                           > 8 THEN 1 ELSE 0 END AS brk
+          FROM hits
+        ),
+        islands AS (
+          SELECT id, pos,
+                 sum(brk) OVER (PARTITION BY id ORDER BY pos
+                                ROWS UNBOUNDED PRECEDING) AS island
+          FROM marked
+        ),
+        spans AS (
+          SELECT id, island, min(pos) AS s, max(pos) + 7 AS e
+          FROM islands GROUP BY 1, 2
+        ),
+        per_doc AS (
+          SELECT id, count(*) AS n_spans, sum(e - s + 1) AS n_tokens_removed
+          FROM spans GROUP BY 1
+        ),
+        toktab AS (
+          SELECT id, CAST(i AS INTEGER) AS idx, toks[i] AS tk
+          FROM ttok, unnest(range(1, len(toks) + 1)) AS u(i)
+          WHERE id IN (SELECT id FROM per_doc)
+        ),
+        kept AS (
+          SELECT k.id, k.idx, k.tk FROM toktab k
+          WHERE NOT EXISTS (SELECT 1 FROM spans s
+                            WHERE s.id = k.id AND k.idx BETWEEN s.s AND s.e)
+        ),
+        clean AS (
+          SELECT id, string_agg(tk, ' ' ORDER BY idx) AS clean_text,
+                 count(*) AS n_tokens_clean
+          FROM kept GROUP BY 1
+        )
+        SELECT p.id AS doc_id, CAST(p.n_spans AS BIGINT) AS n_spans,
+               CAST(p.n_tokens_removed AS BIGINT) AS n_tokens_removed,
+               CAST(COALESCE(c.n_tokens_clean, 0) AS BIGINT)
+                 AS n_tokens_clean,
+               COALESCE(c.clean_text, '') AS clean_text
+        FROM per_doc p LEFT JOIN clean c ON c.id = p.id
     """
     return d

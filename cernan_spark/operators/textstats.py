@@ -575,3 +575,112 @@ def stratified_sample(
             F.col(lang_col) == lang, F.lit(int(r * _MERSENNE31)).cast("long")
         ).otherwise(thr)
     return docs.withColumn("_key", key).filter(F.col("_key") < thr).drop("_key")
+
+
+def decontam_token_spans(
+    training: DataFrame,
+    bench: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Localize benchmark contamination to exact token spans and cut the
+    span, not the document: every token position whose ``n``-token
+    shingle occurs in the benchmark set is contaminated; overlapping
+    positions merge into maximal spans (gap > ``n`` starts a new one,
+    the :func:`~cernan_spark.operators.dedup.exact_substr_spans` island
+    rule in token space); the doc is rebuilt WITHOUT the contaminated
+    tokens. Emits only contaminated docs — the surgical follow-up to
+    :func:`benchmark_ngram_overlap`, which flags whole docs (dropping a
+    long doc over a 10-token leak throws away good data).
+
+    Plan: the benchmark shingle set broadcasts (benchmarks are tiny next
+    to a 100 TB corpus); the corpus side explodes shingles narrowly and
+    only MATCHED (doc, pos) rows — contamination-sized, not corpus-sized
+    — shuffle into the per-doc island window; the rebuild joins the
+    span list back and filters tokens with one nested higher-order
+    expression, all JVM-side.
+    """
+    from pyspark.sql import Window as W
+
+    toks = F.split(F.col(text_col), " ")
+    npos = F.size(toks) - F.lit(n - 1)
+    tpos = training.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.when(npos >= 1, F.sequence(F.lit(1), npos)).otherwise(
+                F.array().cast("array<int>")
+            )
+        ).alias("pos"),
+        toks.alias("__toks"),
+    ).select(
+        "id",
+        "pos",
+        F.array_join(F.slice("__toks", F.col("pos"), n), " ").alias("shingle"),
+    )
+    bsh = (
+        bench.select(
+            F.explode(
+                F.when(
+                    F.size(F.split(F.col(text_col), " ")) >= n,
+                    F.transform(
+                        F.sequence(
+                            F.lit(1),
+                            F.size(F.split(F.col(text_col), " ")) - F.lit(n - 1),
+                        ),
+                        lambda i: F.array_join(
+                            F.slice(F.split(F.col(text_col), " "), i, n), " "
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("shingle")
+        )
+        .distinct()
+    )
+    hits = tpos.join(F.broadcast(bsh), "shingle").select("id", "pos")
+    w = W.partitionBy("id").orderBy("pos")
+    spans = (
+        hits.withColumn(
+            "brk",
+            F.when(F.col("pos") - F.lag("pos").over(w) > F.lit(n), 1).otherwise(
+                0
+            ),
+        )
+        .withColumn(
+            "island", F.sum("brk").over(w.rowsBetween(W.unboundedPreceding, 0))
+        )
+        .groupBy("id", "island")
+        .agg(F.min("pos").alias("s"), (F.max("pos") + F.lit(n - 1)).alias("e"))
+    )
+    per_doc = spans.groupBy("id").agg(
+        F.collect_list(F.struct("s", "e")).alias("spans"),
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).cast("long").alias(
+            "n_tokens_removed"
+        ),
+    )
+    joined = per_doc.join(
+        training.select(F.col(id_col).alias("id"), toks.alias("__toks")), "id"
+    )
+    idx_toks = F.transform(
+        F.sequence(F.lit(1), F.size("__toks")),
+        lambda i: F.struct(
+            i.alias("idx"), F.element_at("__toks", i).alias("tk")
+        ),
+    )
+    kept = F.filter(
+        idx_toks,
+        lambda x: ~F.exists(
+            F.col("spans"),
+            lambda sp: (x["idx"] >= sp["s"]) & (x["idx"] <= sp["e"]),
+        ),
+    )
+    return joined.select(
+        F.col("id").alias(id_col),
+        F.col("n_spans").cast("long").alias("n_spans"),
+        "n_tokens_removed",
+        F.size(kept).cast("long").alias("n_tokens_clean"),
+        F.array_join(F.transform(kept, lambda x: x["tk"]), " ").alias(
+            "clean_text"
+        ),
+    )

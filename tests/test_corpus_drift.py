@@ -229,3 +229,51 @@ def test_jsd_top_drifters_ranking_and_direction(spark):
     for r in rows:
         assert abs(r["jsd_term"] - round(terms[r["tok"]], 6)) < 1e-9
         assert r["jsd_term"] >= 0.0  # log-sum inequality, per token
+
+
+# ---------------------------------------------------------------------------
+# decontamination span localization + rebuild
+# ---------------------------------------------------------------------------
+
+
+def test_decontam_spans_cuts_exactly_the_leak(spark):
+    from cernan_spark.operators.textstats import decontam_token_spans
+
+    bench_text = "b1 b2 b3 b4 b5 b6 b7 b8 b9 b10"
+    clean_part = " ".join(f"w{j}" for j in range(12))
+    docs = [
+        # doc 0: clean prefix + the full 10-token benchmark leak
+        (0, f"{clean_part} {bench_text}"),
+        # doc 1: no contamination
+        (1, "totally unrelated words only here nothing shared at all ok"),
+        # doc 2: leak in the MIDDLE
+        (2, f"pre1 pre2 {bench_text} post1 post2"),
+    ]
+    training = spark.createDataFrame(docs, "doc_id long, text string")
+    bench = spark.createDataFrame([(99, bench_text)], "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in decontam_token_spans(training, bench, n=8).collect()
+    }
+    # only contaminated docs emitted
+    assert set(out) == {0, 2}
+    # doc 0: positions 13..22 contaminated (3 shingle hits merge to one span)
+    r0 = out[0]
+    assert r0["n_spans"] == 1 and r0["n_tokens_removed"] == 10
+    assert r0["clean_text"] == clean_part
+    assert r0["n_tokens_clean"] == 12
+    # doc 2: middle span cut, prefix and suffix survive in order
+    r2 = out[2]
+    assert r2["clean_text"] == "pre1 pre2 post1 post2"
+    assert r2["n_spans"] == 1 and r2["n_tokens_removed"] == 10
+
+
+def test_decontam_spans_whole_doc_leak_empties_text(spark):
+    from cernan_spark.operators.textstats import decontam_token_spans
+
+    t = "s1 s2 s3 s4 s5 s6 s7 s8"
+    training = spark.createDataFrame([(0, t)], "doc_id long, text string")
+    bench = spark.createDataFrame([(9, t)], "doc_id long, text string")
+    r = decontam_token_spans(training, bench, n=8).collect()[0]
+    assert r["clean_text"] == "" and r["n_tokens_clean"] == 0
+    assert r["n_tokens_removed"] == 8 and r["n_spans"] == 1
