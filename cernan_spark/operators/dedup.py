@@ -1137,8 +1137,11 @@ def exact_substr_spans(
             >= min_docs
         )
         .select(F.explode("occs").alias("o"))
+        # no (id, pos) dedup needed: each position carries exactly ONE
+        # gram, so it lands in exactly one gram group — a dropDuplicates
+        # here would add a position-grain shuffle for nothing (caught by
+        # the plan-shape guard: 3 exchanges instead of 2)
         .select(F.col("o.id").alias("id"), F.col("o.pos").alias("pos"))
-        .dropDuplicates(["id", "pos"])
     )
     w = W.partitionBy("id").orderBy("pos")
     islands = dup_pos.withColumn(
@@ -1307,8 +1310,11 @@ def exact_substr_remove(
             >= min_docs
         )
         .select(F.explode("occs").alias("o"))
+        # no (id, pos) dedup needed: each position carries exactly ONE
+        # gram, so it lands in exactly one gram group — a dropDuplicates
+        # here would add a position-grain shuffle for nothing (caught by
+        # the plan-shape guard: 3 exchanges instead of 2)
         .select(F.col("o.id").alias("id"), F.col("o.pos").alias("pos"))
-        .dropDuplicates(["id", "pos"])
     )
     w = W.partitionBy("id").orderBy("pos")
     spans = (
