@@ -2622,6 +2622,27 @@ def q_exact_substr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_exact_substr_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scheduled-ingest ExactSubstr: shard 1 (even doc_ids) persists its
+    (id, pos, gram) index; the resumed run reads ONLY shard 2's text and
+    unions the stored index - resumed == one-pass BY CONSTRUCTION
+    (disjoint shards make union gram counts exact), including old docs
+    whose grams only crossed the min_docs bar when shard 2 arrived.
+    Oracle = the one-pass full-corpus SQL (operators/dedup.py)."""
+    from cernan_spark.operators.dedup import (
+        exact_substr_gram_index,
+        exact_substr_resume_spans,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    shard1 = d.filter(F.col("doc_id") % 2 == 0)
+    shard2 = d.filter(F.col("doc_id") % 2 != 0)
+    idx1 = exact_substr_gram_index(shard1)  # the persisted state
+    return exact_substr_resume_spans(shard2, idx1).select(
+        "doc_id", "n_spans", "dup_chars", "longest_span", "n_dup_grams"
+    )
+
+
 def q_chat_render(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transcripts → SFT training examples: each conversation renders to
     ONE `<|role|>\\n{text}\\n`-templated string (checked byte-for-byte by
@@ -2900,6 +2921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_tokens": q_drift_tokens,
         "pack_sft": q_pack_sft,
         "decontam_spans": q_decontam_spans,
+        "exact_substr_resume": q_exact_substr_resume,
     }
 
 
@@ -5190,6 +5212,9 @@ def oracle_sql() -> dict[str, str]:
     from cernan_spark.operators.dedup import exact_substr_oracle_sql
 
     d["exact_substr_dedup"] = exact_substr_oracle_sql()
+    # resumed == one-pass by construction; the gate asserts it against
+    # the SAME one-pass full-corpus SQL
+    d["exact_substr_resume"] = exact_substr_oracle_sql()
     d["chat_render"] = P + render_chat_oracle_sql()
     d["bigram_logprob"] = bigram_logprob_oracle_sql()
 

@@ -394,3 +394,43 @@ def test_pack_sft_greedy_boundaries_match_model(spark):
     sizes = [(out[c]["n_chars"],) for c in order]
     want_bins = greedy_pack_model(sizes, max_bytes=100)
     assert [out[c]["bin_id"] for c in order] == want_bins
+
+
+# ---------------------------------------------------------------------------
+# ExactSubstr resume (persisted gram index)
+# ---------------------------------------------------------------------------
+
+from cernan_spark.operators.dedup import (
+    exact_substr_gram_index,
+    exact_substr_resume_spans,
+    exact_substr_spans,
+)
+
+
+def test_exact_substr_resume_equals_one_pass(spark):
+    docs = [
+        (0, "xxSHARED-BOILERPLATE-SPANxx unique tail zero"),
+        (1, "pre SHARED-BOILERPLATE-SPAN and other words"),
+        (2, "completely different text with no overlap!"),
+        (3, "pre SHARED-BOILERPLATE-SPAN plus more junk"),
+        # 4 & 5: cross-shard-only twins — the shared run is duplicated
+        # ONLY once shard 2 arrives, so the resumed run must emit a span
+        # for the shard-1 doc 4 although run 1 saw nothing there
+        (4, "CROSS-SHARD-ONLY-RUN!! alpha beta"),
+        (5, "CROSS-SHARD-ONLY-RUN!! gamma delta"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    shard1 = df.filter("doc_id % 2 = 0")
+    shard2 = df.filter("doc_id % 2 = 1")
+    one_pass = {
+        tuple(r) for r in exact_substr_spans(df, gram_len=L).collect()
+    }
+    resumed = {
+        tuple(r)
+        for r in exact_substr_resume_spans(
+            shard2, exact_substr_gram_index(shard1, gram_len=L), gram_len=L
+        ).collect()
+    }
+    assert resumed == one_pass
+    # the cross-shard twin really is re-graded: doc 4 (shard 1) has a span
+    assert any(r[0] == 4 for r in resumed)
