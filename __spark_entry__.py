@@ -224,6 +224,29 @@ def q_route_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return routed_counts(routed)
 
 
+def q_route_drops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unmatched-drop accounting under a DEGRADED topology (only the
+    influxdb rules active, the catch-all sinks disabled): every parsed
+    event whose name matches no route is dropped-but-counted, per name -
+    cernan's UTIL_SEND_HOPPER_ERROR_FULL accounting
+    (/root/reference/src/util.rs:28-68) as a queryable table instead of
+    a log line. Anti-join against the broadcast rules; the oracle
+    replays the same NOT EXISTS over the same masks
+    (operators/route.py)."""
+    from cernan_spark.operators.route import unrouted
+    from cernan_spark.sources.dimensions import default_routes
+
+    p = _parsed(spark, sf_dir).withColumn(
+        "match_kind_value", F.lit("telemetry")
+    )
+    degraded = default_routes(spark).filter(F.col("sink") == "influxdb")
+    return (
+        unrouted(p, degraded)
+        .groupBy("name")
+        .agg(F.count(F.lit(1)).alias("n_dropped"))
+    )
+
+
 def q_enrich_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Broadcast default-tag overlay (TagIter, metric/mod.rs:43-85):
     role→origin and tool→tool_class dictionaries."""
@@ -2922,6 +2945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sft": q_pack_sft,
         "decontam_spans": q_decontam_spans,
         "exact_substr_resume": q_exact_substr_resume,
+        "route_drops": q_route_drops,
     }
 
 
@@ -5353,5 +5377,21 @@ def oracle_sql() -> dict[str, str]:
                  AS n_tokens_clean,
                COALESCE(c.clean_text, '') AS clean_text
         FROM per_doc p LEFT JOIN clean c ON c.id = p.id
+    """
+
+    d["route_drops"] = P + """
+        , routes(rule_id, match_kind, name_mask, sink) AS (
+            VALUES ('r_influx_purchase', 'telemetry', '^purchase.*',
+                    'influxdb'),
+                   ('r_influx_errors', 'telemetry', '^errors$', 'influxdb')
+        )
+        SELECT name, CAST(count(*) AS BIGINT) AS n_dropped
+        FROM parsed p
+        WHERE NOT EXISTS (
+            SELECT 1 FROM routes r
+            WHERE r.match_kind = 'telemetry'
+              AND regexp_matches(p.name, r.name_mask)
+        )
+        GROUP BY 1
     """
     return d
