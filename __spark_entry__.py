@@ -690,6 +690,32 @@ def q_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_knn_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised kNN label propagation: vectors with vec_id % 7 == 0
+    keep their label as SEEDS; every other vector takes the majority
+    label of its 3 nearest seeds by cosine (ties -> most votes, min
+    label), scored against its own ground-truth label column. Seeds
+    broadcast; one (unlabeled-id)-grain shuffle bounded by |seeds| rows
+    per id (operators/similarity.py)."""
+    from cernan_spark.operators.similarity import knn_label_propagate
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    seeds = e.filter(F.col("vec_id") % 7 == 0)
+    others = e.filter(F.col("vec_id") % 7 != 0)
+    pred = knn_label_propagate(seeds, others, k=3)
+    truth = others.select("vec_id", F.col("label").alias("true_label"))
+    return pred.join(truth, "vec_id").select(
+        "vec_id",
+        F.col("pred_label").cast("int").alias("pred_label"),
+        F.col("true_label").cast("int").alias("true_label"),
+        "n_votes",
+        F.when(F.col("pred_label") == F.col("true_label"), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("correct"),
+    )
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 per probe (vec_id < 5) — the ANN baseline.
     Dot products fold left-to-right in doubles on both engines."""
@@ -2946,6 +2972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam_spans": q_decontam_spans,
         "exact_substr_resume": q_exact_substr_resume,
         "route_drops": q_route_drops,
+        "knn_labels": q_knn_labels,
     }
 
 
@@ -5393,5 +5420,48 @@ def oracle_sql() -> dict[str, str]:
               AND regexp_matches(p.name, r.name_mask)
         )
         GROUP BY 1
+    """
+    d["knn_labels"] = """
+        WITH flat AS (
+          SELECT vec_id, label, i, CAST(embedding[i] AS DOUBLE) AS x
+          FROM embeddings, range(1, 65) t(i)
+        ), norms AS (
+          SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM flat GROUP BY 1
+        ), dots AS (
+          SELECT q.vec_id AS qid, s.vec_id AS sid,
+                 any_value(s.label) AS slabel, sum(q.x * s.x) AS dot
+          FROM flat q JOIN flat s ON q.i = s.i
+          WHERE q.vec_id % 7 <> 0 AND s.vec_id % 7 = 0
+          GROUP BY 1, 2
+        ), scored AS (
+          SELECT d.qid, d.sid, d.slabel,
+                 d.dot / (nq.nrm * ns.nrm) AS cos
+          FROM dots d
+          JOIN norms nq ON nq.vec_id = d.qid
+          JOIN norms ns ON ns.vec_id = d.sid
+        ), top AS (
+          SELECT qid, slabel FROM (
+            SELECT qid, slabel,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY cos DESC, sid) AS rank
+            FROM scored
+          ) WHERE rank <= 3
+        ), votes AS (
+          SELECT qid, slabel, count(*) AS n_votes FROM top GROUP BY 1, 2
+        ), best AS (
+          SELECT qid, slabel AS pred_label, n_votes FROM (
+            SELECT qid, slabel, n_votes,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY n_votes DESC, slabel) AS rn
+            FROM votes
+          ) WHERE rn = 1
+        )
+        SELECT b.qid AS vec_id,
+               CAST(b.pred_label AS INTEGER) AS pred_label,
+               CAST(e.label AS INTEGER) AS true_label,
+               CAST(b.n_votes AS BIGINT) AS n_votes,
+               CAST(CASE WHEN b.pred_label = e.label THEN 1 ELSE 0 END
+                    AS INTEGER) AS correct
+        FROM best b JOIN embeddings e ON e.vec_id = b.qid
     """
     return d

@@ -611,3 +611,74 @@ def jl_oracle_sql(k: int = 16, dim: int = 64, table: str = "embeddings") -> str:
                round(proj[{k}], 9) AS proj_last
         FROM p
     """
+
+
+def knn_label_propagate(
+    seeds: DataFrame,
+    others: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Semi-supervised label propagation: each unlabeled vector takes the
+    majority label of its k nearest SEED vectors by cosine (ties → most
+    votes, then smallest label) — the weak-supervision labeling pass a
+    training pipeline runs to extend a small hand-labeled set over the
+    corpus. Reference analog: none (cernan routes by static masks); this
+    extends the broadcast-dimension-join idiom (operators/route.py) to a
+    learned dimension table.
+
+    Plan: the labeled seed set broadcasts (it is the small side by
+    construction — labels are expensive); the corpus streams through ONE
+    narrow scoring pass and shuffles once at (unlabeled-id) grain for
+    the top-k window, bounded by |seeds| rows per id. At 100 TB,
+    pre-bucket candidates with the LSH/IVF quantizers in this module so
+    the per-id candidate set is a bucket, not the full seed set. Dot
+    products fold left-to-right in doubles (the ann_cosine_topk
+    discipline both engines replay).
+    """
+    sv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    s = F.broadcast(
+        seeds.select(
+            F.col(id_col).alias("sid"),
+            sv.alias("svec"),
+            F.col(label_col).alias("slabel"),
+        )
+    )
+    q = others.select(
+        F.col(id_col).alias("qid"), sv.alias("qvec")
+    )
+    dot = F.aggregate(
+        F.zip_with("qvec", "svec", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nrm = lambda c: F.sqrt(
+        F.aggregate(
+            F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+        )
+    )
+    scored = q.crossJoin(s).select(
+        "qid",
+        "sid",
+        "slabel",
+        (dot / (nrm(F.col("qvec")) * nrm(F.col("svec")))).alias("cos"),
+    )
+    w = W.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("sid"))
+    top = scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+    votes = top.groupBy("qid", "slabel").agg(
+        F.count(F.lit(1)).alias("n_votes")
+    )
+    best = votes.groupBy("qid").agg(
+        F.min(
+            F.struct((-F.col("n_votes")).alias("neg"), F.col("slabel"))
+        ).alias("b")
+    )
+    return best.select(
+        F.col("qid").alias(id_col),
+        F.col("b.slabel").alias("pred_label"),
+        (-F.col("b.neg")).cast("long").alias("n_votes"),
+    )

@@ -277,3 +277,40 @@ def test_decontam_spans_whole_doc_leak_empties_text(spark):
     r = decontam_token_spans(training, bench, n=8).collect()[0]
     assert r["clean_text"] == "" and r["n_tokens_clean"] == 0
     assert r["n_tokens_removed"] == 8 and r["n_spans"] == 1
+
+
+# ---------------------------------------------------------------------------
+# kNN label propagation
+# ---------------------------------------------------------------------------
+
+
+def test_knn_label_propagate_majority_and_tiebreaks(spark):
+    from cernan_spark.operators.similarity import knn_label_propagate
+
+    # axis-aligned 4-dim vectors: cosine ordering is hand-checkable
+    seeds = [
+        (10, [1.0, 0.0, 0.0, 0.0], 1),
+        (11, [0.9, 0.1, 0.0, 0.0], 1),
+        (12, [0.0, 1.0, 0.0, 0.0], 2),
+        (13, [0.0, 0.0, 1.0, 0.0], 3),
+    ]
+    others = [
+        # nearest 3 seeds: 10, 11 (label 1 x2), 12 -> majority 1
+        (0, [1.0, 0.2, 0.0, 0.0], 9),
+        # equidistant from labels 1,2,3 one vote each -> tie -> min label 1
+        (1, [0.0, 0.0, 0.0, 1.0], 9),
+    ]
+    sdf = spark.createDataFrame(
+        seeds, "vec_id long, embedding array<float>, label int"
+    )
+    odf = spark.createDataFrame(
+        others, "vec_id long, embedding array<float>, label int"
+    )
+    out = {
+        r["vec_id"]: (r["pred_label"], r["n_votes"])
+        for r in knn_label_propagate(sdf, odf, k=3).collect()
+    }
+    assert out[0] == (1, 2)
+    # probe 1 is orthogonal to every seed: all cos = 0, top-3 by sid =
+    # seeds 10, 11, 12 -> label 1 has 2 votes
+    assert out[1] == (1, 2)
