@@ -690,6 +690,39 @@ def q_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_containment_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric fragment-dup detection by shingle containment (Broder):
+    every 5th doc < 150 seeds a 12-token fragment twin (id + 4M) fully
+    embedded in its base - containment 1.0 where symmetric Jaccard is
+    tiny. Shingle inverted-index self-join; integer cross-multiplied
+    threshold 4/5 (operators/dedup.py)."""
+    from cernan_spark.operators.dedup import containment_pairs
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 150
+    ).select("doc_id", "text")
+    frag = d.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 4_000_000).alias("doc_id"),
+        F.array_join(F.slice(F.split("text", " "), 1, 12), " ").alias("text"),
+    )
+    return containment_pairs(d.unionByName(frag)).select(
+        "id_a", "id_b", "n_shared", "size_a", "size_b", "containment",
+        "jaccard",
+    )
+
+
+def q_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum deciles WITHOUT a global sort: value-based tiles from a
+    histogram aggregate + integer cumulative edges (cum*10 >= k*N), the
+    corpus never shuffles - equal lengths always share a tile, so the
+    assignment is reproducible across engines, unlike NTILE
+    (operators/corpus.py)."""
+    from cernan_spark.operators.corpus import length_deciles
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return length_deciles(d).select("doc_id", "n_chars", "tile")
+
+
 def q_knn_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-supervised kNN label propagation: vectors with vec_id % 7 == 0
     keep their label as SEEDS; every other vector takes the majority
@@ -2973,6 +3006,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_substr_resume": q_exact_substr_resume,
         "route_drops": q_route_drops,
         "knn_labels": q_knn_labels,
+        "length_deciles": q_length_deciles,
+        "containment_dups": q_containment_dups,
     }
 
 
@@ -5463,5 +5498,46 @@ def oracle_sql() -> dict[str, str]:
                CAST(CASE WHEN b.pred_label = e.label THEN 1 ELSE 0 END
                     AS INTEGER) AS correct
         FROM best b JOIN embeddings e ON e.vec_id = b.qid
+    """
+    from cernan_spark.operators.corpus import length_deciles_oracle_sql
+
+    d["length_deciles"] = length_deciles_oracle_sql()
+    d["containment_dups"] = """
+        WITH base AS (
+          SELECT doc_id, text FROM documents WHERE doc_id < 150
+        ), corpus AS (
+          SELECT doc_id, text FROM base
+          UNION ALL
+          SELECT doc_id + 4000000,
+                 array_to_string(list_slice(string_split(text, ' '), 1, 12),
+                                 ' ')
+          FROM base WHERE doc_id % 5 = 0
+        ), sh AS (
+          SELECT doc_id AS id, unnest(list_distinct(
+            CASE WHEN len(toks) >= 8 THEN
+              list_transform(range(1, len(toks) - 6),
+                i -> array_to_string(list_slice(toks, i, i + 7), ' '))
+            ELSE CAST([] AS VARCHAR[]) END)) AS shingle
+          FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus)
+        ), sizes AS (
+          SELECT id, count(*) AS sz FROM sh GROUP BY 1
+        ), shared AS (
+          SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_shared
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+          GROUP BY 1, 2
+        )
+        SELECT s.id_a, s.id_b,
+               CAST(s.n_shared AS BIGINT) AS n_shared,
+               CAST(sa.sz AS BIGINT) AS size_a,
+               CAST(sb.sz AS BIGINT) AS size_b,
+               round(s.n_shared / CAST(least(sa.sz, sb.sz) AS DOUBLE), 6)
+                 AS containment,
+               round(s.n_shared
+                     / CAST(sa.sz + sb.sz - s.n_shared AS DOUBLE), 6)
+                 AS jaccard
+        FROM shared s
+        JOIN sizes sa ON sa.id = s.id_a
+        JOIN sizes sb ON sb.id = s.id_b
+        WHERE s.n_shared * 5 >= least(sa.sz, sb.sz) * 4
     """
     return d

@@ -1242,3 +1242,101 @@ def jsd_top_drifters_oracle_sql(table: str = "documents", k: int = 20) -> str:
         ORDER BY term DESC, tok ASC
         LIMIT {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# curriculum deciles without a global sort
+# ---------------------------------------------------------------------------
+
+
+def length_deciles(
+    df: DataFrame,
+    value_col: str = "n_chars",
+    key_col: str = "doc_id",
+    n_tiles: int = 10,
+) -> DataFrame:
+    """Assign each document a difficulty decile by ``value_col`` WITHOUT
+    a global sort — the curriculum-ordering step of a training pipeline
+    (shortest-first schedules, length-balanced mixing). Semantics are
+    value-based tiles: ``tile k`` = docs with value ≤ the smallest value
+    whose cumulative count reaches ``k/n_tiles`` of the corpus (equal
+    values always share a tile — unlike NTILE, which splits them
+    arbitrarily and is therefore not reproducible across engines).
+
+    Plan: ONE map-side-combined histogram aggregate (distinct values,
+    tiny next to the corpus), boundary derivation on the histogram frame
+    (a histogram-sized window, never the corpus), boundaries broadcast
+    back as ONE array literal-sized join — the corpus itself never
+    shuffles. Integer arithmetic only (`cum * n_tiles >= k * N` instead
+    of a float quantile), so the oracle replays tile edges exactly.
+    """
+    from pyspark.sql import Window as W
+
+    hist = df.groupBy(F.col(value_col).alias("v")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    wv = W.orderBy("v").rowsBetween(W.unboundedPreceding, 0)
+    cum = hist.withColumn("cum", F.sum("cnt").over(wv)).crossJoin(
+        F.broadcast(df.agg(F.count(F.lit(1)).alias("n")))
+    )
+    # boundary_k = min v with cum * n_tiles >= k * N  (k = 1..n_tiles)
+    bounds = (
+        cum.select(
+            F.explode(
+                F.filter(
+                    F.transform(
+                        F.sequence(F.lit(1), F.lit(n_tiles)),
+                        lambda k: F.when(
+                            F.col("cum") * n_tiles >= k * F.col("n"), k
+                        ),
+                    ),
+                    lambda x: x.isNotNull(),
+                )
+            ).alias("k"),
+            F.col("v"),
+        )
+        .groupBy("k")
+        .agg(F.min("v").alias("boundary"))
+    )
+    barr = bounds.agg(
+        F.array_sort(F.collect_list(F.struct("k", "boundary"))).alias("bs")
+    )
+    tile = F.element_at(
+        F.filter(
+            F.col("bs"), lambda b: F.col(value_col) <= b["boundary"]
+        ),
+        1,
+    )["k"]
+    return df.crossJoin(F.broadcast(barr)).select(
+        key_col,
+        F.col(value_col).cast("long").alias(value_col),
+        tile.cast("int").alias("tile"),
+    )
+
+
+def length_deciles_oracle_sql(
+    table: str = "documents",
+    value_col: str = "n_chars",
+    n_tiles: int = 10,
+) -> str:
+    """DuckDB twin of :func:`length_deciles` (same integer tile edges)."""
+    return f"""
+        WITH hist AS (
+            SELECT {value_col} AS v, count(*) AS cnt
+            FROM {table} GROUP BY 1
+        ), cum AS (
+            SELECT v, sum(cnt) OVER (ORDER BY v
+                                     ROWS UNBOUNDED PRECEDING) AS cum,
+                   (SELECT count(*) FROM {table}) AS n
+            FROM hist
+        ), bounds AS (
+            SELECT k, min(v) AS boundary
+            FROM cum, unnest(range(1, {n_tiles} + 1)) AS t(k)
+            WHERE cum * {n_tiles} >= k * n
+            GROUP BY 1
+        )
+        SELECT d.doc_id, CAST(d.{value_col} AS BIGINT) AS {value_col},
+               CAST(min(b.k) AS INTEGER) AS tile
+        FROM {table} d JOIN bounds b ON d.{value_col} <= b.boundary
+        GROUP BY 1, 2
+    """

@@ -1501,3 +1501,77 @@ def exact_substr_remove_oracle_sql(
         FROM {table} d
         WHERE d.doc_id NOT IN (SELECT id FROM rebuilt)
     """
+
+
+def containment_pairs(
+    docs: DataFrame,
+    n: int = 8,
+    num: int = 4,
+    den: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Asymmetric near-dup detection by shingle CONTAINMENT (Broder 1997:
+    ``C(A,B) = |S(A)∩S(B)| / min(|S(A)|,|S(B)|)``): a short document
+    embedded verbatim inside a long one scores ~1.0 here while its
+    symmetric Jaccard is tiny — the fragment-dup case MinHash resemblance
+    is blind to by design. Pairs pass when ``containment ≥ num/den``,
+    tested in INTEGER cross-multiplied form (``den·shared ≥
+    num·min(sa,sb)``) so the threshold has no float edge.
+
+    Plan: distinct (doc, shingle) explode (narrow) → ONE self-equi-join
+    on the shingle inverted index (bounded per shingle bucket — the
+    boilerplate cap of :func:`minhash_lsh_candidates` applies unchanged
+    at scale) → ONE pair-grain aggregate; per-doc shingle sizes come
+    back as a broadcast. Reference analog: none — cernan compares whole
+    lines only; this is the training-corpus extension.
+    """
+    toks = F.split(F.col(text_col), " ")
+    sh = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array_distinct(
+                F.when(
+                    F.size(toks) >= n,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+                        lambda i: F.array_join(F.slice(toks, i, n), " "),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            )
+        ).alias("shingle"),
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("id").alias("id_a"), "shingle")
+    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    shared = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sa"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sb"))
+    out = (
+        shared.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .filter(
+            F.col("n_shared") * den
+            >= F.least("sa", "sb") * num
+        )
+    )
+    return out.select(
+        "id_a",
+        "id_b",
+        F.col("n_shared").cast("long").alias("n_shared"),
+        F.col("sa").cast("long").alias("size_a"),
+        F.col("sb").cast("long").alias("size_b"),
+        F.round(
+            F.col("n_shared") / F.least("sa", "sb").cast("double"), 6
+        ).alias("containment"),
+        F.round(
+            F.col("n_shared")
+            / (F.col("sa") + F.col("sb") - F.col("n_shared")).cast("double"),
+            6,
+        ).alias("jaccard"),
+    )

@@ -314,3 +314,51 @@ def test_knn_label_propagate_majority_and_tiebreaks(spark):
     # probe 1 is orthogonal to every seed: all cos = 0, top-3 by sid =
     # seeds 10, 11, 12 -> label 1 has 2 votes
     assert out[1] == (1, 2)
+
+
+# ---------------------------------------------------------------------------
+# curriculum deciles + containment
+# ---------------------------------------------------------------------------
+
+
+def test_length_deciles_value_based_tiles(spark):
+    from cernan_spark.operators.corpus import length_deciles
+
+    # 10 docs, lengths 1..10 -> tile k = value k exactly
+    docs = [(i, i + 1) for i in range(10)]
+    df = spark.createDataFrame(docs, "doc_id long, n_chars long")
+    out = {r["doc_id"]: r["tile"] for r in length_deciles(df).collect()}
+    assert out == {i: i + 1 for i in range(10)}
+
+
+def test_length_deciles_equal_values_share_tile(spark):
+    from cernan_spark.operators.corpus import length_deciles
+
+    # all equal -> every doc lands in tile 10 (cum*10 >= k*N for all k
+    # only at the single value, which is the boundary of every tile;
+    # min matching k = 1? No: boundary_k = that value for ALL k, and a
+    # doc <= boundary_1 takes tile 1) -- equal values share ONE tile.
+    docs = [(i, 7) for i in range(20)]
+    df = spark.createDataFrame(docs, "doc_id long, n_chars long")
+    tiles = {r["tile"] for r in length_deciles(df).collect()}
+    assert tiles == {1}
+
+
+def test_containment_finds_embedded_fragment_jaccard_misses(spark):
+    from cernan_spark.operators.dedup import containment_pairs
+
+    long_toks = [f"w{j}" for j in range(40)]
+    frag = " ".join(long_toks[5:17])  # 12 tokens embedded verbatim
+    docs = [
+        (0, " ".join(long_toks)),
+        (1, frag),
+        (2, " ".join(f"z{j}" for j in range(40))),  # unrelated
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = containment_pairs(df).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["id_a"], r["id_b"]) == (0, 1)
+    assert r["containment"] == 1.0  # every fragment shingle is in the base
+    assert r["jaccard"] < 0.2  # symmetric resemblance would miss it
+    assert r["n_shared"] == 12 - 8 + 1 and r["size_b"] == 5
