@@ -690,6 +690,34 @@ def q_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary truncation + per-doc OOV rate: top-100 tokens by
+    TRAIN-split frequency (ties -> smaller token: a deterministic cut,
+    run as TakeOrdered, never a global sort) form the vocab; every doc
+    reports its OOV rate under it - the tokenizer-prep signal
+    (operators/corpus.py)."""
+    from cernan_spark.operators.corpus import vocab_oov_rate
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return vocab_oov_rate(d, top_v=100).select(
+        "doc_id", "split", "n_tokens", "n_oov", "oov_rate"
+    )
+
+
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc character-level Shannon entropy (nats) - the cheap
+    gibberish/encoding-junk quality signal. H = ln N - (1/N) sum c*ln c
+    over the char histogram: every ln argument an exact integer, the
+    fold pinned ascending by char, zero shuffles
+    (operators/textstats.py)."""
+    from cernan_spark.operators.textstats import char_entropy
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return char_entropy(d).select(
+        "doc_id", "n_chars_text", "distinct_chars", "char_entropy"
+    )
+
+
 def q_containment_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric fragment-dup detection by shingle containment (Broder):
     every 5th doc < 150 seeds a 12-token fragment twin (id + 4M) fully
@@ -3008,6 +3036,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_labels": q_knn_labels,
         "length_deciles": q_length_deciles,
         "containment_dups": q_containment_dups,
+        "char_entropy": q_char_entropy,
+        "vocab_oov": q_vocab_oov,
     }
 
 
@@ -5540,4 +5570,10 @@ def oracle_sql() -> dict[str, str]:
         JOIN sizes sb ON sb.id = s.id_b
         WHERE s.n_shared * 5 >= least(sa.sz, sb.sz) * 4
     """
+    from cernan_spark.operators.textstats import char_entropy_oracle_sql
+
+    d["char_entropy"] = char_entropy_oracle_sql()
+    from cernan_spark.operators.corpus import vocab_oov_oracle_sql
+
+    d["vocab_oov"] = vocab_oov_oracle_sql(top_v=100)
     return d

@@ -1340,3 +1340,89 @@ def length_deciles_oracle_sql(
         FROM {table} d JOIN bounds b ON d.{value_col} <= b.boundary
         GROUP BY 1, 2
     """
+
+
+def vocab_oov_rate(
+    df: DataFrame,
+    top_v: int = 100,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Vocabulary truncation + out-of-vocabulary rate: the top-``top_v``
+    tokens by TRAIN-split frequency (ties → lexicographically smaller
+    token, so the cut is a deterministic set) form the vocabulary; every
+    document reports its token count and OOV rate under it — the
+    tokenizer-prep signal that decides vocab size and flags docs a
+    truncated vocab would shred (code, foreign-script, gibberish).
+
+    Plan: ONE token-grain TRAIN aggregate; the top-V cut runs as
+    TakeOrdered (per-partition heads merged on the driver — never a
+    global sort); the vocab broadcasts; per-doc OOV is one narrow
+    explode + map-side-combined aggregate.
+    """
+    s = train_val_split(df, key_col=key_col)
+    counts = (
+        s.filter(F.col("split") == "train")
+        .select(F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    vocab = (
+        counts.orderBy(F.col("cnt").desc(), F.col("tok").asc())
+        .limit(top_v)
+        .select("tok", F.lit(1).alias("__in_vocab"))
+    )
+    toks = s.select(
+        key_col,
+        "split",
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    )
+    j = toks.join(F.broadcast(vocab), "tok", "left")
+    return (
+        j.groupBy(key_col, "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(
+                F.when(F.col("__in_vocab").isNull(), 1).otherwise(0)
+            ).alias("n_oov"),
+        )
+        .select(
+            key_col,
+            "split",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("n_oov").cast("long").alias("n_oov"),
+            F.round(
+                F.col("n_oov") / F.col("n_tokens").cast("double"), 6
+            ).alias("oov_rate"),
+        )
+    )
+
+
+def vocab_oov_oracle_sql(table: str = "documents", top_v: int = 100) -> str:
+    """DuckDB twin of :func:`vocab_oov_rate` (same split, same
+    deterministic (cnt DESC, tok ASC) vocabulary cut)."""
+    _, split = train_val_split_sql("doc_id")
+    return f"""
+        WITH base AS (
+            SELECT doc_id, {split} AS split,
+                   string_split(text, ' ') AS toks
+            FROM {table}
+        ), counts AS (
+            SELECT tok, count(*) AS cnt
+            FROM (SELECT unnest(toks) AS tok FROM base
+                  WHERE split = 'train')
+            GROUP BY 1
+        ), vocab AS (
+            SELECT tok FROM counts ORDER BY cnt DESC, tok ASC LIMIT {top_v}
+        ), flat AS (
+            SELECT doc_id, split, unnest(toks) AS tok FROM base
+        )
+        SELECT f.doc_id, f.split,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_oov,
+               round(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)
+                     / CAST(count(*) AS DOUBLE), 6) AS oov_rate
+        FROM flat f LEFT JOIN vocab v ON v.tok = f.tok
+        GROUP BY 1, 2
+    """

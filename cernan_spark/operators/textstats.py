@@ -684,3 +684,65 @@ def decontam_token_spans(
             "clean_text"
         ),
     )
+
+
+def char_entropy(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document character-level Shannon entropy in nats — the cheap
+    gibberish/encoding-junk detector (binary blobs and key-mash text sit
+    near ln(alphabet); natural language sits well below; single-char
+    spam near 0). Computed as ``H = ln N − (1/N) Σ c·ln c`` over the
+    doc's char histogram, so every ``ln`` argument is an exact integer
+    and the ascending-by-char fold is pinned — the proven cross-engine
+    float class. Entirely within-row (distinct chars × one
+    occurrence-count via length-difference each), no shuffle at all.
+    """
+    t = F.col(text_col)
+    chars = F.array_sort(F.array_distinct(F.split(t, "")))
+    counts = F.transform(
+        chars,
+        lambda c: F.length(t) - F.length(F.replace(t, c, F.lit(""))),
+    )
+    n = F.length(t).cast("double")
+    sum_clnc = F.aggregate(
+        counts,
+        F.lit(0.0),
+        lambda acc, c: acc + c.cast("double") * F.log(c.cast("double")),
+    )
+    h = F.when(F.length(t) > 0, F.log(n) - sum_clnc / n).otherwise(F.lit(0.0))
+    return df.select(
+        id_col,
+        F.length(t).cast("long").alias("n_chars_text"),
+        F.size(chars).cast("int").alias("distinct_chars"),
+        F.round(h, 6).alias("char_entropy"),
+    )
+
+
+def char_entropy_oracle_sql(table: str = "documents") -> str:
+    """DuckDB twin of :func:`char_entropy` (same histogram-by-replace
+    counts, same ascending fold, same ln-of-integer terms)."""
+    return f"""
+        WITH per AS (
+            SELECT doc_id, len(text) AS n,
+                   list_sort(list_distinct(string_split(text, ''))) AS cs,
+                   text
+            FROM {table}
+        ), folded AS (
+            SELECT doc_id, n, len(cs) AS distinct_chars,
+                   list_reduce(
+                     list_prepend(0.0, list_transform(cs,
+                       c -> CAST(n - len(replace(text, c, '')) AS DOUBLE)
+                            * ln(CAST(n - len(replace(text, c, ''))
+                                      AS DOUBLE)))),
+                     (a, x) -> a + x) AS sum_clnc
+            FROM per
+        )
+        SELECT doc_id, CAST(n AS BIGINT) AS n_chars_text,
+               CAST(distinct_chars AS INTEGER) AS distinct_chars,
+               round(CASE WHEN n > 0
+                          THEN ln(CAST(n AS DOUBLE))
+                               - sum_clnc / CAST(n AS DOUBLE)
+                          ELSE 0.0 END, 6) AS char_entropy
+        FROM folded
+    """

@@ -362,3 +362,60 @@ def test_containment_finds_embedded_fragment_jaccard_misses(spark):
     assert r["containment"] == 1.0  # every fragment shingle is in the base
     assert r["jaccard"] < 0.2  # symmetric resemblance would miss it
     assert r["n_shared"] == 12 - 8 + 1 and r["size_b"] == 5
+
+
+# ---------------------------------------------------------------------------
+# char entropy + vocab OOV
+# ---------------------------------------------------------------------------
+
+
+def test_char_entropy_known_values(spark):
+    from cernan_spark.operators.textstats import char_entropy
+
+    docs = [
+        (0, "aaaa"),          # single symbol -> H = 0
+        (1, "abab"),          # uniform 2 symbols -> H = ln 2
+        (2, "abcd"),          # uniform 4 symbols -> H = ln 4
+        (3, ""),              # empty -> defined as 0
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in char_entropy(df).collect()}
+    assert out[0]["char_entropy"] == 0.0
+    assert abs(out[1]["char_entropy"] - round(math.log(2), 6)) < 1e-9
+    assert abs(out[2]["char_entropy"] - round(math.log(4), 6)) < 1e-9
+    # split('', '') yields [''] in BOTH engines (Spark and DuckDB agree),
+    # so the empty doc reports one "distinct char" and entropy 0
+    assert out[3]["char_entropy"] == 0.0 and out[3]["distinct_chars"] == 1
+    # gibberish (all-distinct) strictly above repetitive natural-ish text
+    assert out[2]["char_entropy"] > out[1]["char_entropy"]
+
+
+def test_vocab_oov_rate_matches_python_model(spark):
+    from cernan_spark.operators.corpus import vocab_oov_rate
+
+    corpus = {
+        i: ("common common rare" + str(i % 4) if _bucket(i) < 800
+            else "common oovword" + str(i))
+        for i in range(80)
+        if _bucket(i) < 900
+    }
+    df = spark.createDataFrame(
+        list(corpus.items()), "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: (r["split"], r["n_tokens"], r["n_oov"], r["oov_rate"])
+        for r in vocab_oov_rate(df, top_v=3).collect()
+    }
+    tr = Counter(
+        t for i, x in corpus.items() if _bucket(i) < 800 for t in x.split(" ")
+    )
+    vocab = set(
+        sorted(tr, key=lambda k_: (-tr[k_], k_))[:3]
+    )
+    for i, text in corpus.items():
+        toks = text.split(" ")
+        oov = sum(1 for t in toks if t not in vocab)
+        split = "train" if _bucket(i) < 800 else "val"
+        assert out[i] == (split, len(toks), oov, round(oov / len(toks), 6))
+    # every val doc carries its unique oovword
+    assert all(out[i][2] >= 1 for i in corpus if 800 <= _bucket(i) < 900)
