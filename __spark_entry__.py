@@ -690,6 +690,20 @@ def q_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_self_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-doc repetition spans: 16-gram repeated >= 2 times WITHIN a
+    doc, merged to maximal spans - localizes the degenerate-loop text
+    repetition ratios only score. The (id, gram) aggregate key contains
+    the doc id, so nothing crosses doc boundaries
+    (operators/dedup.py)."""
+    from cernan_spark.operators.dedup import self_repetition_spans
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return self_repetition_spans(d, gram_len=16).select(
+        "doc_id", "n_spans", "rep_chars", "longest_span"
+    )
+
+
 def q_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary truncation + per-doc OOV rate: top-100 tokens by
     TRAIN-split frequency (ties -> smaller token: a deterministic cut,
@@ -3038,6 +3052,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_dups": q_containment_dups,
         "char_entropy": q_char_entropy,
         "vocab_oov": q_vocab_oov,
+        "self_repetition": q_self_repetition,
     }
 
 
@@ -5576,4 +5591,7 @@ def oracle_sql() -> dict[str, str]:
     from cernan_spark.operators.corpus import vocab_oov_oracle_sql
 
     d["vocab_oov"] = vocab_oov_oracle_sql(top_v=100)
+    from cernan_spark.operators.dedup import self_repetition_oracle_sql
+
+    d["self_repetition"] = self_repetition_oracle_sql(gram_len=16)
     return d

@@ -1575,3 +1575,103 @@ def containment_pairs(
             6,
         ).alias("jaccard"),
     )
+
+
+def self_repetition_spans(
+    docs: DataFrame,
+    gram_len: int = 16,
+    min_repeats: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Intra-document repetition spans: char positions whose
+    ``gram_len``-gram occurs >= ``min_repeats`` times WITHIN THE SAME
+    document, merged into maximal spans — localizing the degenerate-loop
+    text (a generator stuck repeating itself, copy-pasted boilerplate
+    inside one page) that :func:`~cernan_spark.operators.textstats`
+    repetition ratios only SCORE. The within-doc complement of
+    :func:`exact_substr_spans` (which requires distinct-doc carriers and
+    explicitly ignores same-doc repeats for its bar).
+
+    Plan: the (id, gram) aggregate groups on a key that CONTAINS the doc
+    id, so unlike the cross-doc operator no information ever crosses
+    document boundaries — at 100 TB this stage needs no corpus-wide
+    shuffle at all if the input is already partitioned by id (the
+    aggregate reuses that partitioning); the island window is the same
+    doc-grain pass.
+    """
+    from pyspark.sql import Window as W
+
+    grams = exact_substr_gram_index(docs, gram_len, id_col, text_col)
+    rep_pos = (
+        grams.groupBy("id", "gram")
+        .agg(F.collect_list("pos").alias("ps"))
+        .filter(F.size("ps") >= min_repeats)
+        .select("id", F.explode("ps").alias("pos"))
+    )
+    w = W.partitionBy("id").orderBy("pos")
+    spans = (
+        rep_pos.withColumn(
+            "brk",
+            F.when(
+                F.col("pos") - F.lag("pos").over(w) > F.lit(gram_len), 1
+            ).otherwise(0),
+        )
+        .withColumn(
+            "island", F.sum("brk").over(w.rowsBetween(W.unboundedPreceding, 0))
+        )
+        .groupBy("id", "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(gram_len - 1)).alias("span_end"),
+        )
+    )
+    return spans.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("span_end") - F.col("span_start") + 1)
+        .cast("long")
+        .alias("rep_chars"),
+        F.max(F.col("span_end") - F.col("span_start") + 1)
+        .cast("long")
+        .alias("longest_span"),
+    ).select(
+        F.col("id").alias(id_col), "n_spans", "rep_chars", "longest_span"
+    )
+
+
+def self_repetition_oracle_sql(
+    table: str = "documents", gram_len: int = 16, min_repeats: int = 2
+) -> str:
+    """DuckDB twin of :func:`self_repetition_spans`."""
+    return f"""
+        WITH grams AS (
+            SELECT doc_id AS id, CAST(p AS INTEGER) AS pos,
+                   substr(text, p, {gram_len}) AS gram
+            FROM {table},
+                 unnest(range(1, greatest(len(text) - {gram_len - 1}, 0) + 1))
+                 AS t(p)
+        ), rep AS (
+            SELECT id, gram FROM grams
+            GROUP BY 1, 2 HAVING count(*) >= {min_repeats}
+        ), rep_pos AS (
+            SELECT g.id, g.pos FROM grams g JOIN rep r
+              ON r.id = g.id AND r.gram = g.gram
+        ), marked AS (
+            SELECT id, pos,
+                   CASE WHEN pos - lag(pos) OVER (PARTITION BY id ORDER BY pos)
+                             > {gram_len} THEN 1 ELSE 0 END AS brk
+            FROM rep_pos
+        ), islands AS (
+            SELECT id, pos,
+                   sum(brk) OVER (PARTITION BY id ORDER BY pos
+                                  ROWS UNBOUNDED PRECEDING) AS island
+            FROM marked
+        ), spans AS (
+            SELECT id, island, min(pos) AS s, max(pos) + {gram_len - 1} AS e
+            FROM islands GROUP BY 1, 2
+        )
+        SELECT id AS doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+               CAST(sum(e - s + 1) AS BIGINT) AS rep_chars,
+               CAST(max(e - s + 1) AS BIGINT) AS longest_span
+        FROM spans GROUP BY 1
+    """

@@ -434,3 +434,38 @@ def test_exact_substr_resume_equals_one_pass(spark):
     assert resumed == one_pass
     # the cross-shard twin really is re-graded: doc 4 (shard 1) has a span
     assert any(r[0] == 4 for r in resumed)
+
+
+# ---------------------------------------------------------------------------
+# intra-doc repetition spans
+# ---------------------------------------------------------------------------
+
+from cernan_spark.operators.dedup import self_repetition_spans
+
+
+def test_self_repetition_localizes_the_loop(spark):
+    loop = "LOOPING-" * 6  # 48 chars of period-8 repetition
+    docs = [
+        (0, f"clean prefix then {loop} and a clean tail"),
+        (1, "no repetition anywhere in this entire doc"),
+        # repeated 8-gram ACROSS docs only (1 occurrence each) must NOT
+        # count — this operator is strictly within-doc
+        (2, "shared SEGMENT-A here"),
+        (3, "also shared SEGMENT-A there"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["n_spans"], r["rep_chars"], r["longest_span"])
+        for r in self_repetition_spans(df, gram_len=8).collect()
+    }
+    assert set(out) == {0}
+    n_spans, rep_chars, longest = out[0]
+    assert n_spans == 1 and rep_chars >= len(loop) - 8 and longest >= 40
+
+
+def test_self_repetition_threshold(spark):
+    # exactly 2 occurrences clears min_repeats=2, single occurrence never
+    docs = [(0, "ABCDEFGH--------ABCDEFGH")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = self_repetition_spans(df, gram_len=8).collect()
+    assert len(out) == 1 and out[0]["n_spans"] == 2
