@@ -690,6 +690,18 @@ def q_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index over TRAIN-derived length deciles
+    (train vs val) - the standard numeric-feature drift monitor
+    (PSI < 0.1 stable), complementing the token-level JSD. Zero bins
+    are excluded-and-counted instead of epsilon-fudged; <= 10 terms
+    fold ascending by bin (operators/corpus.py)."""
+    from cernan_spark.operators.corpus import psi_length_drift
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return psi_length_drift(d).select("n_bins", "n_zero_bins", "psi")
+
+
 def q_self_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Intra-doc repetition spans: 16-gram repeated >= 2 times WITHIN a
     doc, merged to maximal spans - localizes the degenerate-loop text
@@ -3053,6 +3065,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_entropy": q_char_entropy,
         "vocab_oov": q_vocab_oov,
         "self_repetition": q_self_repetition,
+        "psi_drift": q_psi_drift,
     }
 
 
@@ -5594,4 +5607,7 @@ def oracle_sql() -> dict[str, str]:
     from cernan_spark.operators.dedup import self_repetition_oracle_sql
 
     d["self_repetition"] = self_repetition_oracle_sql(gram_len=16)
+    from cernan_spark.operators.corpus import psi_length_oracle_sql
+
+    d["psi_drift"] = psi_length_oracle_sql()
     return d

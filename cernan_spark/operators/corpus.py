@@ -1426,3 +1426,157 @@ def vocab_oov_oracle_sql(table: str = "documents", top_v: int = 100) -> str:
         FROM flat f LEFT JOIN vocab v ON v.tok = f.tok
         GROUP BY 1, 2
     """
+
+
+def psi_length_drift(
+    df: DataFrame,
+    value_col: str = "n_chars",
+    key_col: str = "doc_id",
+    n_tiles: int = 10,
+) -> DataFrame:
+    """Population Stability Index between the TRAIN and VAL splits over
+    TRAIN-derived length deciles — the standard production drift monitor
+    for a numeric feature (PSI < 0.1 stable, > 0.25 shifted), the
+    feature-distribution complement of the token-level
+    :func:`js_divergence_drift`. ``PSI = Σ (p_i − q_i)·ln(p_i/q_i)``
+    over bins; bins come from the TRAIN distribution (the
+    :func:`length_deciles` integer edges), VAL values above the top
+    boundary clamp into the last bin, and bins where either side is
+    empty are EXCLUDED from the sum and counted (``n_zero_bins``) — the
+    deterministic alternative to an arbitrary epsilon.
+
+    Float discipline: ``ln(p/q)`` is spelled ``ln((a·NB)/(b·NA))`` over
+    integer-valued doubles and ``p − q`` as the difference of two IEEE
+    divisions; ≤ ``n_tiles`` terms fold ascending by bin.
+    """
+    s = train_val_split(df, key_col=key_col).filter(
+        F.col("split").isin("train", "val")
+    )
+    train = s.filter(F.col("split") == "train")
+    # TRAIN-only decile boundaries (integer cumulative edges)
+    hist = train.groupBy(F.col(value_col).alias("v")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    from pyspark.sql import Window as W
+
+    wv = W.orderBy("v").rowsBetween(W.unboundedPreceding, 0)
+    cum = hist.withColumn("cum", F.sum("cnt").over(wv)).crossJoin(
+        F.broadcast(train.agg(F.count(F.lit(1)).alias("n")))
+    )
+    bounds = (
+        cum.select(
+            F.explode(
+                F.filter(
+                    F.transform(
+                        F.sequence(F.lit(1), F.lit(n_tiles)),
+                        lambda k: F.when(
+                            F.col("cum") * n_tiles >= k * F.col("n"), k
+                        ),
+                    ),
+                    lambda x: x.isNotNull(),
+                )
+            ).alias("k"),
+            "v",
+        )
+        .groupBy("k")
+        .agg(F.min("v").alias("boundary"))
+    )
+    barr = bounds.agg(
+        F.array_sort(F.collect_list(F.struct("k", "boundary"))).alias("bs")
+    )
+    # try_element_at: a VAL value above EVERY train boundary filters to an
+    # empty array, and ANSI element_at throws on it instead of yielding
+    # NULL (caught by the shift test) — try_ gives NULL, coalesce clamps
+    tile = F.coalesce(
+        F.try_element_at(
+            F.filter(F.col("bs"), lambda b: F.col(value_col) <= b["boundary"]),
+            F.lit(1),
+        )["k"],
+        F.lit(n_tiles),
+    )
+    binned = s.crossJoin(F.broadcast(barr)).select(
+        tile.alias("tile"), "split"
+    )
+    counts = binned.groupBy("tile").agg(
+        F.sum(F.when(F.col("split") == "train", 1).otherwise(0)).alias("a"),
+        F.sum(F.when(F.col("split") == "val", 1).otherwise(0)).alias("b"),
+    )
+    tot = counts.agg(
+        F.sum("a").cast("double").alias("na"),
+        F.sum("b").cast("double").alias("nb"),
+    )
+    c = counts.crossJoin(F.broadcast(tot))
+    ad, bd = F.col("a").cast("double"), F.col("b").cast("double")
+    term = F.when(
+        (F.col("a") > 0) & (F.col("b") > 0),
+        (ad / F.col("na") - bd / F.col("nb"))
+        * F.log((ad * F.col("nb")) / (bd * F.col("na"))),
+    ).otherwise(F.lit(0.0))
+    return c.groupBy().agg(
+        F.count(F.lit(1)).cast("int").alias("n_bins"),
+        F.sum(
+            F.when((F.col("a") == 0) | (F.col("b") == 0), 1).otherwise(0)
+        ).cast("int").alias("n_zero_bins"),
+        F.round(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct(F.col("tile"), term.alias("t")))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["t"],
+            ),
+            6,
+        ).alias("psi"),
+    )
+
+
+def psi_length_oracle_sql(
+    table: str = "documents", value_col: str = "n_chars", n_tiles: int = 10
+) -> str:
+    """DuckDB twin of :func:`psi_length_drift` (same integer tile edges,
+    same excluded-zero-bin contract, same ascending fold)."""
+    _, split = train_val_split_sql("doc_id")
+    return f"""
+        WITH base AS (
+            SELECT {value_col} AS v, {split} AS split FROM {table}
+        ), tr AS (SELECT v FROM base WHERE split = 'train'),
+        hist AS (SELECT v, count(*) AS cnt FROM tr GROUP BY 1),
+        cum AS (
+            SELECT v, sum(cnt) OVER (ORDER BY v
+                                     ROWS UNBOUNDED PRECEDING) AS cum,
+                   (SELECT count(*) FROM tr) AS n
+            FROM hist
+        ), bounds AS (
+            SELECT k, min(v) AS boundary
+            FROM cum, unnest(range(1, {n_tiles} + 1)) AS t(k)
+            WHERE cum * {n_tiles} >= k * n
+            GROUP BY 1
+        ), binned AS (
+            SELECT COALESCE((SELECT min(b.k) FROM bounds b
+                             WHERE base.v <= b.boundary), {n_tiles}) AS tile,
+                   split
+            FROM base WHERE split IN ('train', 'val')
+        ), counts AS (
+            SELECT tile,
+                   sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS a,
+                   sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS b
+            FROM binned GROUP BY 1
+        ), tot AS (
+            SELECT CAST(sum(a) AS DOUBLE) AS na,
+                   CAST(sum(b) AS DOUBLE) AS nb
+            FROM counts
+        ), terms AS (
+            SELECT tile,
+                   CASE WHEN a > 0 AND b > 0 THEN
+                        (CAST(a AS DOUBLE) / na - CAST(b AS DOUBLE) / nb)
+                        * ln((CAST(a AS DOUBLE) * nb)
+                             / (CAST(b AS DOUBLE) * na))
+                   ELSE 0.0 END AS t,
+                   CASE WHEN a = 0 OR b = 0 THEN 1 ELSE 0 END AS z
+            FROM counts, tot
+        )
+        SELECT CAST(count(*) AS INTEGER) AS n_bins,
+               CAST(sum(z) AS INTEGER) AS n_zero_bins,
+               round(list_reduce(
+                 list_prepend(0.0, list(t ORDER BY tile)),
+                 (a, x) -> a + x), 6) AS psi
+        FROM terms
+    """

@@ -419,3 +419,36 @@ def test_vocab_oov_rate_matches_python_model(spark):
         assert out[i] == (split, len(toks), oov, round(oov / len(toks), 6))
     # every val doc carries its unique oovword
     assert all(out[i][2] >= 1 for i in corpus if 800 <= _bucket(i) < 900)
+
+
+# ---------------------------------------------------------------------------
+# PSI drift
+# ---------------------------------------------------------------------------
+
+
+def test_psi_identical_distributions_near_zero(spark):
+    from cernan_spark.operators.corpus import psi_length_drift
+
+    # same length everywhere -> one bin, p = q = 1 -> PSI exactly 0
+    docs = [(i, 50) for i in range(400) if _bucket(i) < 900]
+    df = spark.createDataFrame(docs, "doc_id long, n_chars long")
+    r = psi_length_drift(df).collect()[0]
+    assert r["psi"] == 0.0 and r["n_zero_bins"] == 0
+
+
+def test_psi_detects_shift_and_counts_zero_bins(spark):
+    from cernan_spark.operators.corpus import psi_length_drift
+
+    # train lengths 1..100 cycling; val ALL at length 1000 (beyond every
+    # train boundary -> clamps into the last bin) -> strong shift
+    docs = [
+        (i, (i % 100) + 1 if _bucket(i) < 800 else 1000)
+        for i in range(600)
+        if _bucket(i) < 900
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, n_chars long")
+    r = psi_length_drift(df).collect()[0]
+    # every bin but the last has b=0 (excluded+counted); the last bin has
+    # a small p and q=1 -> a large positive PSI contribution
+    assert r["n_zero_bins"] == r["n_bins"] - 1
+    assert r["psi"] > 0.25  # the standard "significant shift" bar
