@@ -3066,6 +3066,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_oov": q_vocab_oov,
         "self_repetition": q_self_repetition,
         "psi_drift": q_psi_drift,
+        "grok_syslog": q_grok_syslog,
+        "alert_rules": q_alert_rules,
+        "series_gaps": q_series_gaps,
+        "rollup_tiers": q_rollup_tiers,
     }
 
 
@@ -3934,6 +3938,112 @@ def _stratified_oracle_sql(rates: dict[str, float] = STRATIFIED_RATES) -> str:
     """
 
 
+def _syslog_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic RFC3164-shaped syslog corpus seeded from events (the
+    same construction exists as SQL in the oracle): ``<pri>epoch host
+    prog: msg``, with every 11th line missing its ``<pri>`` header to
+    exercise bad-line accounting. ``cents`` rides along for the matched-
+    line value rollup."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pri = (F.col("user_id") % 8) * 8 + F.col("event_id") % 8
+    line = F.concat(
+        F.lit("<"), pri.cast("string"), F.lit(">"),
+        F.unix_timestamp("ts").cast("string"),
+        F.lit(" h"), (F.col("user_id") % 50).cast("string"),
+        F.lit(" "), F.col("event_type"),
+        F.lit(": evt "), F.col("event_id").cast("string"),
+        F.lit(" value "), F.format_string("%.2f", F.col("value")),
+    )
+    bad = F.concat(F.lit("no-pri evt "), F.col("event_id").cast("string"))
+    return ev.select(
+        F.when(F.col("event_id") % 11 == 0, bad).otherwise(line).alias("text"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+
+
+def q_grok_syslog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grok parse of a syslog corpus with the stock SYSLOG_LINE template
+    (functions/groklib.py): priority decodes to facility×8+severity per
+    RFC 3164 §4.1.1, program names extract JVM-side, headerless lines
+    land under (-1, -1, '_BAD_') instead of vanishing — the same
+    bad-line accounting as the statsd parser (statsd.rs failure
+    counters). The oracle reruns the IDENTICAL compiled regex through
+    DuckDB over the same seeded corpus."""
+    from cernan_spark.functions.groklib import SYSLOG_LINE, grok_extract
+
+    _utc(spark)
+    g = grok_extract(_syslog_lines(spark, sf_dir), SYSLOG_LINE, keep=True)
+    m = F.col("grok_matched")
+    pri = F.col("pri").cast("long")
+    return (
+        g.select(
+            F.when(m, F.floor(pri / 8)).otherwise(-1).alias("facility"),
+            F.when(m, pri % 8).otherwise(-1).alias("severity"),
+            F.when(m, F.col("prog")).otherwise("_BAD_").alias("prog"),
+            F.when(m, F.col("cents")).otherwise(0).alias("c"),
+        )
+        .groupBy("facility", "severity", "prog")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("c").alias("sum_cents"))
+    )
+
+
+def q_alert_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duration-gated alert rules over the parsed telemetry: a series
+    pages only when it breaches the threshold for ≥3 CONSECUTIVE samples
+    (the `for:` clause of a prometheus alerting rule — one spike never
+    pages, a plateau does). Gaps-and-islands with no self-join; one
+    exchange on the series key. Integer cents, exact oracle replay."""
+    from cernan_spark.operators.anomaly import sustained_alerts
+
+    p = _parsed(spark, sf_dir).withColumn(
+        "cents", F.round(F.col("value") * 100, 0).cast("long")
+    )
+    return sustained_alerts(
+        p.select("conv_id", "name", "order_key", "cents"),
+        key_cols=["conv_id", "name"],
+        order_col="order_key",
+        cents_col="cents",
+        threshold_cents=5000,
+        min_run=3,
+    )
+
+
+def q_series_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staleness detection over the parsed telemetry: per-series sample
+    gaps longer than 3 days, one row per gap — the paging dual of the
+    wavefront zero-pad fill (q_zero_pad hides a silent series; this
+    reports it). One lag over the series partitioning."""
+    from cernan_spark.operators.temporal import series_gaps
+
+    p = _parsed(spark, sf_dir)
+    return series_gaps(
+        p.select("conv_id", "name", "epoch"),
+        key_cols=["conv_id", "name"],
+        epoch_col="epoch",
+        max_gap_s=259200,
+    )
+
+
+def q_rollup_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution retention rollup: the parsed stream scanned ONCE
+    into 60 s bins, then 600 s and 3600 s tiers re-aggregated from the
+    previous tier's already-tiny table (merge laws — the RRD/recording-
+    rule stack over cernan's single-width Buckets binning). The oracle
+    rebuilds each tier from raw, equal by bin nesting."""
+    from cernan_spark.operators.aggregate import rollup_tiers
+
+    p = _parsed(spark, sf_dir).withColumn(
+        "cents", F.round(F.col("value") * 100, 0).cast("long")
+    )
+    return rollup_tiers(
+        p.select("name", "kind", "epoch", "cents"),
+        key_cols=["name", "kind"],
+        epoch_col="epoch",
+        cents_col="cents",
+        tiers=(60, 600, 3600),
+    )
+
+
 def _grok_apache_oracle_sql() -> str:
     """DuckDB twin of q_grok_apache: the seeding SQL rebuilds the same
     Apache/garbage corpus, then the IDENTICAL compiled grok regex (the
@@ -3974,6 +4084,48 @@ def _grok_apache_oracle_sql() -> str:
                     THEN CAST(regexp_extract(text, {q}, {gi['bytes']}) AS BIGINT)
                     ELSE 0 END) AS BIGINT) AS sum_bytes
         FROM g GROUP BY 1, 2
+    """
+
+
+def _grok_syslog_oracle_sql() -> str:
+    """DuckDB twin of q_grok_syslog: rebuild the seeded syslog/garbage
+    corpus in SQL, then run the IDENTICAL compiled grok regex by the same
+    group indexes."""
+    from cernan_spark.functions.groklib import SYSLOG_LINE, grok_compile
+
+    rx, fields = grok_compile(SYSLOG_LINE)
+    gi = {name: i for i, name in enumerate(fields, start=1)}
+    q = "'" + rx.replace("'", "''") + "'"
+    return f"""
+        WITH src AS (
+          SELECT CASE WHEN event_id % 11 = 0
+                      THEN 'no-pri evt ' || CAST(event_id AS VARCHAR)
+                      ELSE '<' ||
+                           CAST((user_id % 8) * 8 + event_id % 8 AS VARCHAR)
+                           || '>' ||
+                           CAST(CAST(floor(epoch(ts)) AS BIGINT) AS VARCHAR)
+                           || ' h' || CAST(user_id % 50 AS VARCHAR)
+                           || ' ' || event_type
+                           || ': evt ' || CAST(event_id AS VARCHAR)
+                           || ' value ' || printf('%.2f', value)
+                 END AS text,
+                 CAST(round(value * 100, 0) AS BIGINT) AS cents
+          FROM events
+        ), g AS (
+          SELECT text, cents, regexp_matches(text, {q}) AS m FROM src
+        )
+        SELECT CASE WHEN m
+                    THEN CAST(regexp_extract(text, {q}, {gi['pri']}) AS BIGINT) // 8
+                    ELSE -1 END AS facility,
+               CASE WHEN m
+                    THEN CAST(regexp_extract(text, {q}, {gi['pri']}) AS BIGINT) % 8
+                    ELSE -1 END AS severity,
+               CASE WHEN m THEN regexp_extract(text, {q}, {gi['prog']})
+                    ELSE '_BAD_' END AS prog,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN m THEN cents ELSE 0 END) AS BIGINT)
+                 AS sum_cents
+        FROM g GROUP BY 1, 2, 3
     """
 
 
@@ -5610,4 +5762,63 @@ def oracle_sql() -> dict[str, str]:
     from cernan_spark.operators.corpus import psi_length_oracle_sql
 
     d["psi_drift"] = psi_length_oracle_sql()
+    d["grok_syslog"] = _grok_syslog_oracle_sql()
+    d["alert_rules"] = P + """
+        , ser AS (
+          SELECT conv_id, name, order_key,
+                 CAST(round(value * 100, 0) AS BIGINT) AS cents
+          FROM parsed
+        ), num AS (
+          SELECT conv_id, name, order_key, cents,
+                 row_number() OVER (PARTITION BY conv_id, name
+                                    ORDER BY order_key) AS rn
+          FROM ser
+        ), hits AS (
+          SELECT conv_id, name, order_key, cents, rn,
+                 row_number() OVER (PARTITION BY conv_id, name
+                                    ORDER BY order_key) AS rnh
+          FROM num WHERE cents > 5000
+        )
+        SELECT conv_id, name,
+               min(order_key) AS start_order,
+               max(order_key) AS end_order,
+               CAST(count(*) AS BIGINT) AS n_samples,
+               CAST(max(cents) AS BIGINT) AS peak_cents
+        FROM hits GROUP BY conv_id, name, rn - rnh
+        HAVING count(*) >= 3
+    """
+    d["series_gaps"] = P + """
+        , g AS (
+          SELECT conv_id, name, epoch AS gap_end,
+                 lag(epoch) OVER (PARTITION BY conv_id, name
+                                  ORDER BY epoch) AS gap_start
+          FROM parsed
+        )
+        SELECT conv_id, name, gap_start, gap_end,
+               gap_end - gap_start AS gap_s
+        FROM g WHERE gap_end - gap_start > 259200
+    """
+    d["rollup_tiers"] = P + """
+        , ser AS (
+          SELECT name, kind, epoch,
+                 CAST(round(value * 100, 0) AS BIGINT) AS cents
+          FROM parsed
+        )
+        SELECT name, kind, CAST(60 AS BIGINT) AS tier_s,
+               (epoch // 60) * 60 AS ws,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(cents) AS BIGINT) AS sum_cents,
+               min(cents) AS min_cents, max(cents) AS max_cents
+        FROM ser GROUP BY 1, 2, 4
+        UNION ALL
+        SELECT name, kind, CAST(600 AS BIGINT), (epoch // 600) * 600,
+               CAST(count(*) AS BIGINT), CAST(sum(cents) AS BIGINT),
+               min(cents), max(cents)
+        FROM ser GROUP BY 1, 2, 4
+        UNION ALL
+        SELECT name, kind, CAST(3600 AS BIGINT), (epoch // 3600) * 3600,
+               CAST(count(*) AS BIGINT), CAST(sum(cents) AS BIGINT),
+               min(cents), max(cents)
+        FROM ser GROUP BY 1, 2, 4
+    """
     return d

@@ -850,3 +850,62 @@ def hopping_sums(
             "n_points",
         )
     )
+
+
+def rollup_tiers(
+    parsed: DataFrame,
+    key_cols: list[str],
+    epoch_col: str,
+    cents_col: str,
+    tiers: tuple[int, ...] = (60, 600, 3600),
+) -> DataFrame:
+    """Multi-resolution retention rollup (the RRD / prometheus
+    recording-rule tier stack, generalizing cernan's single-width
+    Buckets bins — /root/reference/src/buckets.rs int-division binning):
+    the raw stream is scanned ONCE into the finest tier; every coarser
+    tier re-aggregates the previous tier's (already tiny) table, never
+    the raw data. At 100 TB the raw scan dominates and happens exactly
+    once; tier N+1 costs O(rows of tier N).
+
+    ``tiers`` must nest (each width divides the next) so coarse bins are
+    exact unions of fine bins — min/max/count/sum then compose losslessly
+    (merge laws, same as the Buckets Sum/Summarize kinds). Integer-cents
+    sums keep every tier bit-exact for the oracle.
+    """
+    widths = list(tiers)
+    for a, b in zip(widths, widths[1:]):
+        if b % a != 0:
+            raise ValueError(f"tier widths must nest: {a} !| {b}")
+    fine = (
+        parsed.groupBy(
+            *key_cols,
+            (F.floor(F.col(epoch_col) / widths[0]) * widths[0]).alias("ws"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cents_col).alias("sum_cents"),
+            F.min(cents_col).alias("min_cents"),
+            F.max(cents_col).alias("max_cents"),
+        )
+    )
+    out = fine.withColumn("tier_s", F.lit(widths[0]).cast("long"))
+    prev = fine
+    for width in widths[1:]:
+        prev = (
+            prev.groupBy(
+                *key_cols,
+                (F.floor(F.col("ws") / width) * width).alias("ws"),
+            )
+            .agg(
+                F.sum("n").alias("n"),
+                F.sum("sum_cents").alias("sum_cents"),
+                F.min("min_cents").alias("min_cents"),
+                F.max("max_cents").alias("max_cents"),
+            )
+        )
+        out = out.unionByName(
+            prev.withColumn("tier_s", F.lit(width).cast("long"))
+        )
+    return out.select(
+        *key_cols, "tier_s", "ws", "n", "sum_cents", "min_cents", "max_cents"
+    )

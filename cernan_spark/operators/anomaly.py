@@ -226,3 +226,47 @@ def metric_pair_correlation(
 
     rows = F.explode(F.array(*[_corr_row(x, y) for x, y in pairs])).alias("r")
     return stats.select(rows).select("r.*")
+
+
+def sustained_alerts(
+    series: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    cents_col: str,
+    threshold_cents: int,
+    min_run: int = 3,
+) -> DataFrame:
+    """Sustained-threshold alert rules: a series alerts when its value
+    stays above ``threshold_cents`` for at least ``min_run`` CONSECUTIVE
+    samples — the "for: 5m" clause of a prometheus alerting rule, and the
+    duration-gated form of the point alerts cernan defers to its sinks
+    (wavefront/prometheus downstream of /root/reference/src/sink/mod.rs).
+    One spike never pages; a plateau does.
+
+    Gaps-and-islands with NO self-join: rows are numbered per series,
+    breached rows renumbered per series, and the difference is constant
+    exactly within a maximal consecutive breached run — groupBy that
+    island id. Both windows and the final aggregate share the series
+    partitioning, so the whole operator is ONE exchange; series count
+    grows with the data, so parallelism scales (never "partition by the
+    5 alert names"). Integer cents throughout — the oracle replays the
+    island arithmetic exactly.
+    """
+    w = W.partitionBy(*key_cols).orderBy(order_col)
+    numbered = series.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col(cents_col) > threshold_cents
+    )
+    island = (F.col("__rn") - F.row_number().over(w)).alias("__island")
+    runs = (
+        numbered.withColumn("__island", island)
+        .groupBy(*key_cols, "__island")
+        .agg(
+            F.min(order_col).alias("start_order"),
+            F.max(order_col).alias("end_order"),
+            F.count(F.lit(1)).alias("n_samples"),
+            F.max(cents_col).alias("peak_cents"),
+        )
+    )
+    return runs.filter(F.col("n_samples") >= min_run).select(
+        *key_cols, "start_order", "end_order", "n_samples", "peak_cents"
+    )

@@ -313,3 +313,34 @@ def interval_bucket_join(
         F.count(F.lit(1)).alias("n_points"),
         F.sum(agg_cents_col).alias("sum_cents"),
     )
+
+
+def series_gaps(
+    series: DataFrame,
+    key_cols: list[str],
+    epoch_col: str,
+    max_gap_s: int,
+) -> DataFrame:
+    """Staleness / heartbeat-gap detection: for every per-series pair of
+    consecutive samples more than ``max_gap_s`` apart, emit one gap row
+    ``(keys…, gap_start, gap_end, gap_s)``. This is the reporting dual of
+    the wavefront zero-padding fill (operators/aggregate.py zero_pad;
+    reference /root/reference/src/sink/wavefront.rs last-seen padding):
+    padding hides a silent series, gap detection PAGES on it.
+
+    One ``lag`` over the series partitioning — a single exchange, and
+    series count scales with the data. Pure integer epoch arithmetic, so
+    the oracle replays it exactly.
+    """
+    w = Window.partitionBy(*key_cols).orderBy("__e")
+    return (
+        series.select(*key_cols, F.col(epoch_col).cast("long").alias("__e"))
+        .withColumn("__prev", F.lag("__e").over(w))
+        .filter(F.col("__e") - F.col("__prev") > max_gap_s)
+        .select(
+            *key_cols,
+            F.col("__prev").alias("gap_start"),
+            F.col("__e").alias("gap_end"),
+            (F.col("__e") - F.col("__prev")).alias("gap_s"),
+        )
+    )

@@ -156,3 +156,84 @@ def test_grok_arrow_rejects_fieldless_template():
 
     with _pytest.raises(ValueError):
         grok_template_batch(pd.Series(["x"]), "%{INT}-%{INT}")
+
+
+def test_grok_syslog_line(spark):
+    from cernan_spark.functions.groklib import SYSLOG_LINE
+
+    good = "<13>1704067200 h7 click: evt 42 value 3.50"
+    df = spark.createDataFrame([(good,), ("no-pri evt 9",)], "text string")
+    g = grok_extract(df, SYSLOG_LINE).collect()
+    byline = {r["text"]: r for r in g}
+    ok = byline[good]
+    assert ok["grok_matched"] and ok["pri"] == "13" and ok["prog"] == "click"
+    assert ok["msg"] == "evt 42 value 3.50"
+    assert not byline["no-pri evt 9"]["grok_matched"]
+
+
+def test_sustained_alerts_islands(spark):
+    from cernan_spark.operators.anomaly import sustained_alerts
+
+    # series A: 2-run (below min_run), 3-run, isolated spike;
+    # series B: 4-run split by one dip → still one 4-island? no — the dip
+    # breaks it into 2+2, neither fires at min_run=3
+    rows = [
+        ("a", i, v)
+        for i, v in enumerate([9, 11, 12, 5, 11, 12, 13, 5, 11])
+    ] + [("b", i, v) for i, v in enumerate([11, 12, 5, 13, 14])]
+    df = spark.createDataFrame(rows, "k string, o int, cents long")
+    out = sustained_alerts(
+        df, ["k"], "o", "cents", threshold_cents=10, min_run=3
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["k"], r["start_order"], r["end_order"], r["n_samples"],
+            r["peak_cents"]) == ("a", 4, 6, 3, 13)
+
+
+def test_series_gaps_reports_only_long_gaps(spark):
+    from cernan_spark.operators.temporal import series_gaps
+
+    rows = [("s", e) for e in [0, 100, 5000, 5100, 20000]]
+    df = spark.createDataFrame(rows, "k string, epoch long")
+    out = sorted(
+        series_gaps(df, ["k"], "epoch", max_gap_s=1000).collect(),
+        key=lambda r: r["gap_start"],
+    )
+    assert [(r["gap_start"], r["gap_end"], r["gap_s"]) for r in out] == [
+        (100, 5000, 4900), (5100, 20000, 14900),
+    ]
+
+
+def test_rollup_tiers_merge_laws(spark):
+    from cernan_spark.operators.aggregate import rollup_tiers
+
+    rows = [("m", "SUM", e, c) for e, c in
+            [(0, 5), (59, 7), (60, 1), (610, 2), (3601, 9)]]
+    df = spark.createDataFrame(rows, "name string, kind string, epoch long, cents long")
+    out = rollup_tiers(df, ["name", "kind"], "epoch", "cents",
+                       tiers=(60, 600, 3600))
+    rowsets = {}
+    for r in out.collect():
+        rowsets.setdefault(r["tier_s"], []).append(
+            (r["ws"], r["n"], r["sum_cents"], r["min_cents"], r["max_cents"]))
+    assert sorted(rowsets[60]) == [(0, 2, 12, 5, 7), (60, 1, 1, 1, 1),
+                                   (600, 1, 2, 2, 2), (3600, 1, 9, 9, 9)]
+    assert sorted(rowsets[600]) == [(0, 3, 13, 1, 7), (600, 1, 2, 2, 2),
+                                    (3600, 1, 9, 9, 9)]
+    assert sorted(rowsets[3600]) == [(0, 4, 15, 1, 7), (3600, 1, 9, 9, 9)]
+    # coarse tiers must re-aggregate the fine tier, not rescan raw:
+    # every coarse (n, sum) equals the sum of its children
+    fine = {ws: (n, s) for ws, n, s, _, _ in rowsets[60]}
+    for ws, n, s, _, _ in rowsets[600]:
+        kids = [v for w, v in fine.items() if w // 600 * 600 == ws]
+        assert (sum(k[0] for k in kids), sum(k[1] for k in kids)) == (n, s)
+
+
+def test_rollup_tiers_rejects_non_nesting(spark):
+    from cernan_spark.operators.aggregate import rollup_tiers
+
+    df = spark.createDataFrame([("m", "SUM", 0, 1)],
+                               "name string, kind string, epoch long, cents long")
+    with pytest.raises(ValueError):
+        rollup_tiers(df, ["name", "kind"], "epoch", "cents", tiers=(60, 90))
