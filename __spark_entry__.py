@@ -3070,6 +3070,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "alert_rules": q_alert_rules,
         "series_gaps": q_series_gaps,
         "rollup_tiers": q_rollup_tiers,
+        "funnel_steps": q_funnel_steps,
+        "cohort_retention": q_cohort_retention,
+        "slo_burn": q_slo_burn,
+        "log_templates": q_log_templates,
     }
 
 
@@ -4042,6 +4046,66 @@ def q_rollup_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents_col="cents",
         tiers=(60, 600, 3600),
     )
+
+
+def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered funnel conversion over the event stream
+    (click → view-after-click → purchase-after-that): per user, the
+    earliest qualifying time of each step and the deepest stage reached.
+    Each step is a filtered min(ts) aggregate equi-joined to the previous
+    frontier — one row per user per side, frontier shrinks down the
+    funnel, no per-user event arrays. The warehouse query cernan's
+    firehose sink exists to hand off (firehose.rs), folded into the
+    engine."""
+    from cernan_spark.operators.behavior import funnel_steps
+
+    _utc(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return funnel_steps(ev, ["click", "view", "purchase"])
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort-retention matrix: users cohorted by the unix week of their
+    first event; each (cohort_week, week_offset) cell counts distinct
+    cohort users active that many weeks later. Two aggregates + one join
+    on the user key; integer week arithmetic only."""
+    from cernan_spark.operators.behavior import cohort_retention
+
+    _utc(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return cohort_retention(ev)
+
+
+def q_slo_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-window SLO burn-rate paging over the event stream: an hour
+    pages only when its own error ratio AND its enclosing 6 h window's
+    ratio both exceed 10 % — the SRE-workbook multi-window rule. The 6 h
+    tier re-aggregates the hourly tier (merge law; raw scanned once) and
+    the page flag is integer cross-multiplication, exact in any engine;
+    the float ratios are divisions of exact integers."""
+    from cernan_spark.operators.anomaly import slo_burn_windows
+
+    _utc(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    flagged = ev.select(
+        F.unix_timestamp("ts").alias("epoch"),
+        (F.col("event_type") == "error").alias("is_err"),
+    )
+    return slo_burn_windows(flagged, "epoch", "is_err")
+
+
+def q_log_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain-lite template mining over the mixed transcript stream: mask
+    hex ids and digit runs, group the survivors — the raw stream
+    separates into its line classes (statsd kinds, graphite, JSON logs,
+    signup lines, bad lines) WITHOUT a parser. This is the discovery
+    step that precedes writing the grok templates the parse stage runs.
+    One narrow map + one map-side-combined aggregate."""
+    from cernan_spark.operators.textstats import mine_templates
+
+    _utc(spark)
+    t = transcripts_from_events(spark, sf_dir)
+    return mine_templates(t, text_col="text", conv_col="conv_id")
 
 
 def _grok_apache_oracle_sql() -> str:
@@ -5821,4 +5885,64 @@ def oracle_sql() -> dict[str, str]:
                min(cents), max(cents)
         FROM ser GROUP BY 1, 2, 4
     """
+    d["funnel_steps"] = """
+        WITH s1 AS (
+          SELECT user_id, min(ts) AS t_1 FROM events
+          WHERE event_type = 'click' GROUP BY 1
+        ), s2 AS (
+          SELECT e.user_id, min(e.ts) AS t_2
+          FROM events e JOIN s1 ON e.user_id = s1.user_id
+          WHERE e.event_type = 'view' AND e.ts > s1.t_1 GROUP BY 1
+        ), s3 AS (
+          SELECT e.user_id, min(e.ts) AS t_3
+          FROM events e JOIN s2 ON e.user_id = s2.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > s2.t_2 GROUP BY 1
+        )
+        SELECT s1.user_id, s1.t_1, s2.t_2, s3.t_3,
+               CAST(CASE WHEN s3.t_3 IS NOT NULL THEN 3
+                         WHEN s2.t_2 IS NOT NULL THEN 2
+                         ELSE 1 END AS INTEGER) AS stage
+        FROM s1
+        LEFT JOIN s2 ON s1.user_id = s2.user_id
+        LEFT JOIN s3 ON s1.user_id = s3.user_id
+    """
+    d["cohort_retention"] = """
+        WITH wk AS (
+          SELECT user_id,
+                 CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS week
+          FROM events
+        ), first AS (
+          SELECT user_id, min(week) AS cohort_week FROM wk GROUP BY 1
+        ), active AS (
+          SELECT DISTINCT user_id, week FROM wk
+        )
+        SELECT f.cohort_week, a.week - f.cohort_week AS week_offset,
+               CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+        FROM active a JOIN first f ON a.user_id = f.user_id
+        GROUP BY 1, 2
+    """
+    d["slo_burn"] = """
+        WITH h AS (
+          SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS ws,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_err
+          FROM events GROUP BY 1
+        ), l AS (
+          SELECT (ws // 21600) * 21600 AS ws6,
+                 CAST(sum(n) AS BIGINT) AS long_n,
+                 CAST(sum(n_err) AS BIGINT) AS long_err
+          FROM h GROUP BY 1
+        )
+        SELECT h.ws, h.n, h.n_err,
+               round(CAST(h.n_err AS DOUBLE) / h.n, 6) AS short_ratio,
+               round(CAST(l.long_err AS DOUBLE) / l.long_n, 6) AS long_ratio,
+               (h.n_err * 10 > h.n AND l.long_err * 10 > l.long_n) AS page
+        FROM h JOIN l ON (h.ws // 21600) * 21600 = l.ws6
+    """
+    from cernan_spark.operators.textstats import mine_templates_sql
+
+    d["log_templates"] = P + ", tpl AS (" + mine_templates_sql(
+        "text", "conv_id", "transcripts"
+    ) + ") SELECT * FROM tpl"
     return d

@@ -270,3 +270,51 @@ def sustained_alerts(
     return runs.filter(F.col("n_samples") >= min_run).select(
         *key_cols, "start_order", "end_order", "n_samples", "peak_cents"
     )
+
+
+def slo_burn_windows(
+    events: DataFrame,
+    epoch_col: str,
+    err_col: str,
+    short_s: int = 3600,
+    long_s: int = 21600,
+    burn_x10: int = 10,
+) -> DataFrame:
+    """Multi-window SLO burn-rate alerting (the SRE-workbook two-window
+    rule): an hour pages only when BOTH its own error ratio and its
+    enclosing long window's ratio exceed the burn threshold — a noisy
+    hour inside a healthy 6 h never pages, a sustained burn does. The
+    long tier re-aggregates the short tier (rollup merge law), so raw is
+    scanned once.
+
+    ``burn_x10`` is the paging threshold in error-rate tenths-of-percent
+    ×10 disguise: the page predicate is evaluated by integer
+    cross-multiplication (``n_err * burn_x10 > n``) so the flag is exact
+    in any engine; the float ratios are display columns only.
+    """
+    ws = (F.floor(F.col(epoch_col) / short_s) * short_s).alias("ws")
+    short = events.groupBy(ws).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col(err_col).cast("long")).alias("n_err"),
+    )
+    ws6 = (F.floor(F.col("ws") / long_s) * long_s).alias("ws6")
+    longw = short.groupBy(ws6).agg(
+        F.sum("n").alias("long_n"), F.sum("n_err").alias("long_err")
+    )
+    joined = short.join(
+        longw,
+        (F.floor(F.col("ws") / long_s) * long_s) == F.col("ws6"),
+    )
+    return joined.select(
+        "ws", "n", "n_err",
+        F.round(F.col("n_err").cast("double") / F.col("n"), 6).alias(
+            "short_ratio"
+        ),
+        F.round(F.col("long_err").cast("double") / F.col("long_n"), 6).alias(
+            "long_ratio"
+        ),
+        (
+            (F.col("n_err") * burn_x10 > F.col("n"))
+            & (F.col("long_err") * burn_x10 > F.col("long_n"))
+        ).alias("page"),
+    )

@@ -1,0 +1,96 @@
+"""User-behavior analytics over event streams: funnels and cohorts.
+
+The reference ships raw telemetry to sinks and leaves behavioral rollups
+to downstream warehouses (/root/reference/src/sink/firehose.rs is exactly
+that handoff); a Spark-native engine can fold the two classic warehouse
+queries into the pipeline itself:
+
+* :func:`funnel_steps` — ordered-step conversion: which users performed
+  step 1, then step 2 AFTER it, then step 3 after that. Each step is a
+  filtered map-side-combined ``min(ts)`` aggregate joined to the previous
+  step's frontier on the user key — no window over a user's whole event
+  history, no collect, and each join input is one row per user (the
+  aggregate side shrinks monotonically down the funnel).
+* :func:`cohort_retention` — first-seen cohort × activity-week matrix.
+  Two aggregates (first-seen per user; distinct user-weeks) and one join
+  on the user key.
+
+All arithmetic is integer epoch/week math; timestamps pass through
+untouched — the oracle replays both exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+WEEK_S = 604800
+
+
+def funnel_steps(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Strictly-ordered funnel: for each user, the earliest time of
+    step k that happened AFTER their step k-1 time. Returns one row per
+    user who completed step 1, with ``t_1 … t_n`` (NULL once the funnel
+    stalls) and ``stage`` = number of steps reached.
+
+    Plan shape at 100 TB: each step scans the events ONCE with the step
+    predicate pushed into the scan, pre-aggregates min(ts) map-side, and
+    equi-joins the (one-row-per-user) frontier — the frontier only
+    shrinks, so later steps get cheaper, and no per-user event array is
+    ever materialized.
+    """
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    cur = (
+        events.filter(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("t_1"))
+    )
+    out = cur
+    for k, step in enumerate(steps[1:], start=2):
+        nxt = (
+            events.filter(F.col(type_col) == step)
+            .join(out.select(user_col, f"t_{k - 1}"), user_col)
+            .filter(F.col(ts_col) > F.col(f"t_{k - 1}"))
+            .groupBy(user_col)
+            .agg(F.min(ts_col).alias(f"t_{k}"))
+        )
+        out = out.join(nxt.select(user_col, f"t_{k}"), user_col, "left")
+    stage = F.lit(1).cast("int")
+    for k in range(2, len(steps) + 1):
+        stage = F.when(F.col(f"t_{k}").isNotNull(), F.lit(k).cast("int")).otherwise(stage)
+    return out.select(
+        user_col, *[f"t_{k}" for k in range(1, len(steps) + 1)],
+        stage.alias("stage"),
+    )
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Cohort-retention matrix: users are cohorted by the unix week of
+    their first event; each (cohort_week, week_offset) cell counts the
+    distinct cohort users active that many weeks later (offset 0 = the
+    cohort week itself). Integer week arithmetic only."""
+    wk = (F.unix_timestamp(ts_col) / WEEK_S).cast("long")
+    first = (
+        events.groupBy(user_col)
+        .agg(F.min(wk).alias("cohort_week"))
+    )
+    active = events.select(user_col, wk.alias("week")).distinct()
+    return (
+        active.join(first, user_col)
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.countDistinct(user_col).alias("n_users"))
+    )

@@ -746,3 +746,48 @@ def char_entropy_oracle_sql(table: str = "documents") -> str:
                           ELSE 0.0 END, 6) AS char_entropy
         FROM folded
     """
+
+
+#: masking chain for log-template mining — order matters (composite
+#: shapes before bare digit runs); Java∩RE2-safe, shared with the oracle
+TEMPLATE_MASKS: list[tuple[str, str]] = [
+    (r"0x[0-9a-fA-F]+", "<HEX>"),
+    (r"\d+", "<N>"),
+]
+
+
+def mine_templates(
+    df: DataFrame, text_col: str = "text", conv_col: str = "conv_id"
+) -> DataFrame:
+    """Drain-lite log-template mining: mask variable tokens (hex ids,
+    digit runs) and group the survivors — the log stream separates into
+    its line classes WITHOUT a parser, the discovery step that precedes
+    writing grok templates (functions/groklib.py) for each class. One
+    narrow map + one map-side-combined aggregate; ``example`` is the
+    lexicographic min raw line, so the result is deterministic."""
+    t = F.col(text_col)
+    for rx, tok in TEMPLATE_MASKS:
+        t = F.regexp_replace(t, rx, tok)
+    return (
+        df.select(t.alias("template"), F.col(text_col), F.col(conv_col))
+        .groupBy("template")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct(conv_col).alias("n_convs"),
+            F.min(text_col).alias("example"),
+        )
+    )
+
+
+def mine_templates_sql(text_expr: str, conv_expr: str, rel: str) -> str:
+    """DuckDB twin of :func:`mine_templates` over relation ``rel``."""
+    t = text_expr
+    for rx, tok in TEMPLATE_MASKS:
+        t = f"regexp_replace({t}, '{rx}', '{tok}', 'g')"
+    return f"""
+        SELECT {t} AS template,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(count(DISTINCT {conv_expr}) AS BIGINT) AS n_convs,
+               min({text_expr}) AS example
+        FROM {rel} GROUP BY 1
+    """

@@ -128,3 +128,76 @@ def test_counter_increase_recovers_total(spark):
     true_total = sum(incs)
     assert total <= true_total
     assert total >= true_total - 10 * resets
+
+
+def test_funnel_strict_ordering(spark):
+    from cernan_spark.operators.behavior import funnel_steps
+
+    # u1 completes in order; u2 has the view BEFORE the click (stalls at
+    # stage 1); u3 never clicks (absent from the funnel entirely)
+    rows = [
+        (1, "click", 10), (1, "view", 20), (1, "purchase", 30),
+        (2, "view", 5), (2, "click", 10), (2, "purchase", 50),
+        (3, "view", 1), (3, "purchase", 2),
+    ]
+    df = spark.createDataFrame(
+        [(u, t, e) for u, t, e in rows], "user_id long, event_type string, e long"
+    ).withColumn("ts", F.timestamp_seconds(F.col("e")))
+    out = {r["user_id"]: r for r in
+           funnel_steps(df, ["click", "view", "purchase"]).collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["stage"] == 3
+    # u2: no view after the click, so purchase can't count either
+    assert out[2]["stage"] == 1 and out[2]["t_2"] is None and out[2]["t_3"] is None
+
+
+def test_cohort_retention_offsets(spark):
+    from cernan_spark.operators.behavior import cohort_retention
+
+    wk = 604800
+    rows = [(1, 0), (1, wk), (1, 3 * wk), (2, wk), (2, wk + 5)]
+    df = spark.createDataFrame(rows, "user_id long, e long").withColumn(
+        "ts", F.timestamp_seconds(F.col("e"))
+    )
+    out = {(r["cohort_week"], r["week_offset"]): r["n_users"]
+           for r in cohort_retention(df).collect()}
+    assert out == {(0, 0): 1, (0, 1): 1, (0, 3): 1, (1, 0): 1}
+
+
+def test_slo_burn_two_window_rule(spark):
+    from cernan_spark.operators.anomaly import slo_burn_windows
+
+    # hour 0: 20% errors inside a burning 6h → pages; hour 1: 20% errors
+    # but the long window is healthy → silent
+    rows = (
+        [(i * 10, i < 2) for i in range(10)]            # h0: 2/10 err
+        + [(3600 + i, False) for i in range(10)]         # h1 of same 6h: clean
+        + [(21600 * 5 + i, i == 0) for i in range(20)]   # later 6h: 1/20
+    )
+    df = spark.createDataFrame(rows, "epoch long, is_err boolean")
+    out = {r["ws"]: r for r in
+           slo_burn_windows(df, "epoch", "is_err").collect()}
+    assert out[0]["page"] is False or out[0]["n_err"] == 2
+    # h0 short ratio 0.2 > 0.1, long ratio 2/20 = 0.1 NOT > 0.1 → no page
+    assert out[0]["page"] is False
+    # make the long window burn too
+    rows2 = [(i, i % 5 == 0) for i in range(100)]        # 20% err everywhere
+    df2 = spark.createDataFrame(rows2, "epoch long, is_err boolean")
+    r = slo_burn_windows(df2, "epoch", "is_err").collect()[0]
+    assert r["page"] is True and r["short_ratio"] == 0.2
+
+
+def test_mine_templates_classes(spark):
+    from cernan_spark.operators.textstats import mine_templates
+
+    rows = [
+        ("c1", "evt 123 took 45ms"),
+        ("c2", "evt 9 took 1ms"),
+        ("c1", "oom at 0xdeadbeef"),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, text string")
+    out = {r["template"]: r for r in mine_templates(df).collect()}
+    assert out["evt <N> took <N>ms"]["n"] == 2
+    assert out["evt <N> took <N>ms"]["n_convs"] == 2
+    assert out["evt <N> took <N>ms"]["example"] == "evt 123 took 45ms"
+    assert out["oom at <HEX>"]["n"] == 1
