@@ -3074,6 +3074,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": q_cohort_retention,
         "slo_burn": q_slo_burn,
         "log_templates": q_log_templates,
+        "rrf_fusion": q_rrf_fusion,
+        "hdr_heatmap": q_hdr_heatmap,
+        "grouping_rollup": q_grouping_rollup,
+        "dlq_routing": q_dlq_routing,
     }
 
 
@@ -4106,6 +4110,142 @@ def q_log_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
     t = transcripts_from_events(spark, sf_dir)
     return mine_templates(t, text_col="text", conv_col="conv_id")
+
+
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion: the BM25 lexical
+    ranking (q_bm25_search's retriever) fused with a cosine ranking
+    against probe vector 0 (vec_id aligns with the doc_id prefix that
+    carries embeddings). Each retriever caps its candidate list to 200
+    BEFORE ranking (TakeOrderedAndProject — no global sort materializes),
+    so the global rank windows run over bounded sets at any corpus size.
+    rrf = 1/(60+r_a) + 1/(60+r_b): divisions of exact integers in fixed
+    order — cross-engine exact."""
+    from cernan_spark.operators.corpus import BM25_QUERY, bm25_scores
+    from cernan_spark.operators.similarity import rrf_fuse
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    s = (
+        bm25_scores(d, BM25_QUERY)
+        .filter(F.col("n_query_hits") > 0)
+        .select("doc_id", F.round("bm25", 6).alias("s"))
+    )
+    cand_a = s.orderBy(F.col("s").desc(), "doc_id").limit(200)
+    ranked_a = cand_a.withColumn(
+        "rank",
+        F.row_number().over(W.orderBy(F.col("s").desc(), "doc_id")).cast("int"),
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform("v", lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+        )
+    )
+    e = e.withColumn("nrm", nrm)
+    probe = e.filter(F.col("vec_id") == 0).select(
+        F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    dot = F.aggregate(
+        F.zip_with("v", "qv", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    cosd = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(probe))
+        .select(
+            "vec_id",
+            F.round(dot / (F.col("qn") * F.col("nrm")), 6).alias("cos"),
+        )
+    )
+    cand_b = cosd.orderBy(F.col("cos").desc(), "vec_id").limit(200)
+    ranked_b = cand_b.select(F.col("vec_id").alias("doc_id"), "cos").withColumn(
+        "rank",
+        F.row_number()
+        .over(W.orderBy(F.col("cos").desc(), "doc_id"))
+        .cast("int"),
+    )
+    return rrf_fuse(ranked_a, ranked_b, id_col="doc_id", k_rrf=60, top_k=50)
+
+
+def q_hdr_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latency-heatmap grid over the parsed telemetry: per (name, hour)
+    × log2 value bucket. The bucket is the integer bit length of the
+    cents value — never a float log call — so bucket edges are exact in
+    every engine. The grid is the fixed-size artifact a heatmap UI reads
+    regardless of input volume."""
+    from cernan_spark.operators.aggregate import log2_heatmap
+
+    p = _parsed(spark, sf_dir).withColumn(
+        "cents", F.round(F.col("value") * 100, 0).cast("long")
+    )
+    return log2_heatmap(
+        p.select("name", "epoch", "cents"),
+        key_cols=["name"],
+        epoch_col="epoch",
+        cents_col="cents",
+        window_s=3600,
+    )
+
+
+def q_grouping_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-grain telemetry summary via Catalyst-native ROLLUP: the
+    (name, kind), (name) and () grains in ONE aggregate/shuffle instead
+    of one scan per grain; gid is the grouping bitmask separating
+    subtotal rows from genuine NULL keys. The oracle runs GROUP BY
+    ROLLUP."""
+    from cernan_spark.operators.aggregate import telemetry_rollup
+
+    p = _parsed(spark, sf_dir).withColumn(
+        "cents", F.round(F.col("value") * 100, 0).cast("long")
+    )
+    return telemetry_rollup(
+        p.select("name", "kind", "cents"),
+        key_cols=["name", "kind"],
+        cents_col="cents",
+    )
+
+
+def q_dlq_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter routing with a typed failure taxonomy: a seeded
+    statsd-shaped corpus (7 deterministic corruption classes) classifies
+    each bad line by WHICH grammar rule it broke — empty / no_pipe /
+    no_colon / empty_name / bad_value / bad_kind — so a DLQ replay can
+    target one defect class. The reference counts all parse failures in
+    one bucket (statsd.rs bad-line accounting); this is that counter
+    with reasons. Pure column expressions; the oracle replays the same
+    corpus and CASE chain."""
+    from cernan_spark.functions.classify import dlq_reason
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    line = (
+        F.when(
+            F.col("event_id") % 7 == 0,
+            F.concat(
+                F.lit("m"), (F.col("event_id") % 5).cast("string"),
+                F.lit(":"), F.format_string("%.2f", F.col("value")),
+                F.lit("|c"),
+            ),
+        )
+        .when(
+            F.col("event_id") % 7 == 1,
+            F.concat(F.lit("m:"), F.format_string("%.2f", F.col("value"))),
+        )
+        .when(F.col("event_id") % 7 == 2, F.lit("m:abc|c"))
+        .when(F.col("event_id") % 7 == 3, F.lit("m:1|q"))
+        .when(F.col("event_id") % 7 == 4, F.lit(":1|c"))
+        .when(F.col("event_id") % 7 == 5, F.lit("m 1|c"))
+        .otherwise(F.lit(""))
+    )
+    return (
+        ev.select("event_id", line.alias("line"))
+        .withColumn("reason", dlq_reason(F.col("line")))
+        .filter(F.col("reason") != "ok")
+    )
 
 
 def _grok_apache_oracle_sql() -> str:
@@ -5945,4 +6085,105 @@ def oracle_sql() -> dict[str, str]:
     d["log_templates"] = P + ", tpl AS (" + mine_templates_sql(
         "text", "conv_id", "transcripts"
     ) + ") SELECT * FROM tpl"
+    from cernan_spark.operators.corpus import BM25_QUERY, bm25_oracle_sql
+
+    d["rrf_fusion"] = f"""
+        WITH bm AS ({bm25_oracle_sql(BM25_QUERY)}),
+        ra AS (
+          SELECT doc_id,
+                 CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id)
+                      AS INTEGER) AS rank
+          FROM (SELECT * FROM bm ORDER BY bm25 DESC, doc_id LIMIT 200)
+        ),
+        flat AS (
+          SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+          FROM embeddings, range(1, 65) t(i)
+        ), norms AS (
+          SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM flat GROUP BY 1
+        ), dots AS (
+          SELECT b.vec_id, sum(a.x * b.x) AS dot
+          FROM flat a JOIN flat b ON a.i = b.i
+          WHERE a.vec_id = 0 AND b.vec_id <> 0
+          GROUP BY 1
+        ), cosd AS (
+          SELECT d.vec_id, round(d.dot / (na.nrm * nb.nrm), 6) AS cos
+          FROM dots d
+          JOIN norms na ON na.vec_id = 0
+          JOIN norms nb ON nb.vec_id = d.vec_id
+        ), rb AS (
+          SELECT vec_id AS doc_id,
+                 CAST(row_number() OVER (ORDER BY cos DESC, vec_id)
+                      AS INTEGER) AS rank
+          FROM (SELECT * FROM cosd ORDER BY cos DESC, vec_id LIMIT 200)
+        ), fused AS (
+          SELECT coalesce(ra.doc_id, rb.doc_id) AS doc_id,
+                 ra.rank AS rank_a, rb.rank AS rank_b,
+                 coalesce(1.0 / (60 + ra.rank), 0.0)
+                 + coalesce(1.0 / (60 + rb.rank), 0.0) AS rrf
+          FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id
+        )
+        SELECT doc_id, rank_a, rank_b, round(rrf, 6) AS rrf,
+               CAST(row_number() OVER (ORDER BY round(rrf, 6) DESC, doc_id)
+                    AS INTEGER) AS fused_rank
+        FROM fused
+        QUALIFY fused_rank <= 50
+    """
+    d["hdr_heatmap"] = P + """
+        , ser AS (
+          SELECT name, epoch,
+                 CAST(round(value * 100, 0) AS BIGINT) AS cents
+          FROM parsed
+        )
+        SELECT name, (epoch // 3600) * 3600 AS ws,
+               CAST(length(printf('%b', cents)) - 1 AS BIGINT) AS bucket,
+               CAST(count(*) AS BIGINT) AS n,
+               min(cents) AS min_cents, max(cents) AS max_cents
+        FROM ser WHERE cents >= 1 GROUP BY 1, 2, 3
+    """
+    d["grouping_rollup"] = P + """
+        , ser AS (
+          SELECT name, kind,
+                 CAST(round(value * 100, 0) AS BIGINT) AS cents
+          FROM parsed
+        )
+        SELECT name, kind,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(cents) AS BIGINT) AS sum_cents,
+               max(cents) AS max_cents,
+               CAST(grouping(name) * 2 + grouping(kind) AS BIGINT) AS gid
+        FROM ser GROUP BY ROLLUP(name, kind)
+    """
+    d["dlq_routing"] = r"""
+        WITH src AS (
+          SELECT event_id,
+                 CASE CAST(event_id % 7 AS INTEGER)
+                   WHEN 0 THEN 'm' || CAST(event_id % 5 AS VARCHAR) || ':'
+                               || printf('%.2f', value) || '|c'
+                   WHEN 1 THEN 'm:' || printf('%.2f', value)
+                   WHEN 2 THEN 'm:abc|c'
+                   WHEN 3 THEN 'm:1|q'
+                   WHEN 4 THEN ':1|c'
+                   WHEN 5 THEN 'm 1|c'
+                   ELSE '' END AS line
+          FROM events
+        ), p AS (
+          SELECT event_id, line, string_split(line, '|') AS parts FROM src
+        ), q AS (
+          SELECT event_id, line, parts[2] AS kind,
+                 string_split(parts[1], ':') AS nv
+          FROM p
+        ), r AS (
+          SELECT event_id, line, kind, nv[1] AS name, nv[2] AS value,
+                 CASE WHEN length(trim(line)) = 0 THEN 'empty'
+                      WHEN kind IS NULL THEN 'no_pipe'
+                      WHEN nv[2] IS NULL THEN 'no_colon'
+                      WHEN nv[1] = '' THEN 'empty_name'
+                      WHEN NOT regexp_matches(nv[2], '^[+-]?\d+(\.\d+)?$')
+                        THEN 'bad_value'
+                      WHEN kind NOT IN ('c', 'g', 'ms', 'h') THEN 'bad_kind'
+                      ELSE 'ok' END AS reason
+          FROM q
+        )
+        SELECT event_id, line, reason FROM r WHERE reason <> 'ok'
+    """
     return d

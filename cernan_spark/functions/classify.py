@@ -71,3 +71,35 @@ def line_class(line: Column) -> Column:
 
 def classify_lines(df: DataFrame, line_col: str = "line") -> DataFrame:
     return df.withColumn("line_class", line_class(F.col(line_col)))
+
+
+#: statsd kinds the DLQ validator accepts (statsd.rs:22-163 grammar)
+DLQ_KINDS = ("c", "g", "ms", "h")
+
+#: value grammar — shared verbatim with the oracle (Java∩RE2 subset)
+DLQ_VALUE_RX = r"^[+-]?\d+(\.\d+)?$"
+
+
+def dlq_reason(line: Column) -> Column:
+    """Typed dead-letter reason for a statsd-shaped line — the routing
+    key of a DLQ sink. The reference counts parse failures in one bucket
+    (statsd.rs bad-line accounting); a DLQ needs the failure TAXONOMY so
+    replays can target one defect class. Reasons are evaluated in
+    grammar order (outermost structure first): empty → no_pipe →
+    no_colon → empty_name → bad_value → bad_kind → ok. Pure column
+    expressions; OOB list access uses NULL-returning get (ANSI-safe)."""
+    parts = F.split(line, r"\|")
+    head = F.get(parts, 0)
+    kind = F.get(parts, 1)
+    nv = F.split(head, ":")
+    name = F.get(nv, 0)
+    value = F.get(nv, 1)
+    return (
+        F.when(F.length(F.trim(line)) == 0, "empty")
+        .when(kind.isNull(), "no_pipe")
+        .when(value.isNull(), "no_colon")
+        .when(name == "", "empty_name")
+        .when(~value.rlike(DLQ_VALUE_RX), "bad_value")
+        .when(~kind.isin(*DLQ_KINDS), "bad_kind")
+        .otherwise("ok")
+    )

@@ -909,3 +909,52 @@ def rollup_tiers(
     return out.select(
         *key_cols, "tier_s", "ws", "n", "sum_cents", "min_cents", "max_cents"
     )
+
+
+def log2_heatmap(
+    parsed: DataFrame,
+    key_cols: list[str],
+    epoch_col: str,
+    cents_col: str,
+    window_s: int = 3600,
+) -> DataFrame:
+    """HDR-style latency heatmap grid: (series, time window) × log2 value
+    bucket → count. The bucket is ``floor(log2(cents))`` computed EXACTLY
+    as the bit length of the integer (length of the binary rendering −
+    1) — never a float ``log`` call, so bucket edges can't smear across
+    engines or platforms. One map-side-combined aggregate; the grid is
+    the fixed-size artifact a heatmap UI reads regardless of input
+    volume."""
+    bucket = (F.length(F.bin(F.col(cents_col))) - 1).cast("long")
+    ws = (F.floor(F.col(epoch_col) / window_s) * window_s).alias("ws")
+    return (
+        parsed.filter(F.col(cents_col) >= 1)
+        .groupBy(*key_cols, ws, bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(cents_col).alias("min_cents"),
+            F.max(cents_col).alias("max_cents"),
+        )
+    )
+
+
+def telemetry_rollup(
+    parsed: DataFrame,
+    key_cols: list[str],
+    cents_col: str,
+) -> DataFrame:
+    """Multi-grain telemetry summary in ONE aggregate: Catalyst's native
+    ROLLUP computes (k1,k2), (k1) and () grains in a single shuffle
+    (partial aggregation covers every grain map-side) — the hand-rolled
+    alternative is one groupBy per grain = one scan per grain. ``gid`` is
+    the standard grouping bitmask distinguishing a subtotal row from a
+    data row whose key happens to be NULL."""
+    return (
+        parsed.rollup(*key_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cents_col).alias("sum_cents"),
+            F.max(cents_col).alias("max_cents"),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+    )

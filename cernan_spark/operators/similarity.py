@@ -682,3 +682,37 @@ def knn_label_propagate(
         F.col("b.slabel").alias("pred_label"),
         (-F.col("b.neg")).cast("long").alias("n_votes"),
     )
+
+
+def rrf_fuse(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    id_col: str = "doc_id",
+    k_rrf: int = 60,
+    top_k: int = 50,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of two retriever
+    rankings: ``rrf = Σ_lists 1/(k + rank)``, summed only over the lists
+    that contain the document (the standard missing-rank convention).
+    Inputs are ``(id_col, rank)`` frames whose ranks were assigned over
+    BOUNDED candidate sets (each retriever caps its list before ranking
+    — see the entry query), so the fusion join touches ≤ |A|+|B| rows no
+    matter the corpus size. 1/(k+rank) is a division of exact integers
+    and the two-term sum has a fixed order, so the fused score is
+    cross-engine exact."""
+    a = ranked_a.select(id_col, F.col("rank").alias("rank_a"))
+    b = ranked_b.select(id_col, F.col("rank").alias("rank_b"))
+    fused = a.join(b, id_col, "full_outer").withColumn(
+        "rrf",
+        F.coalesce(1.0 / (F.lit(k_rrf) + F.col("rank_a")), F.lit(0.0))
+        + F.coalesce(1.0 / (F.lit(k_rrf) + F.col("rank_b")), F.lit(0.0)),
+    )
+    w = W.orderBy(F.round("rrf", 6).desc(), F.col(id_col))
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w))
+        .filter(F.col("fused_rank") <= top_k)
+        .select(
+            id_col, "rank_a", "rank_b",
+            F.round("rrf", 6).alias("rrf"), "fused_rank",
+        )
+    )

@@ -465,3 +465,62 @@ def test_interval_join_drops_empty_and_inverted_intervals(spark):
         for r in interval_bucket_join(points, intervals, bucket_seconds=3600).collect()
     }
     assert got == {(7000, 7300): 3}
+
+
+def test_rrf_fuse_missing_rank_convention(spark):
+    from cernan_spark.operators.similarity import rrf_fuse
+
+    a = spark.createDataFrame([(1, 1), (2, 2)], "doc_id long, rank int")
+    b = spark.createDataFrame([(2, 1), (3, 2)], "doc_id long, rank int")
+    out = {r["doc_id"]: r for r in rrf_fuse(a, b, top_k=3).collect()}
+    # doc 2 appears in both lists → sums both terms and wins
+    assert out[2]["fused_rank"] == 1
+    assert abs(out[2]["rrf"] - round(1 / 62 + 1 / 61, 6)) < 1e-9
+    # docs 1 and 3 each carry a single term; doc 1 (rank 1) beats doc 3
+    assert out[1]["rank_b"] is None and out[3]["rank_a"] is None
+    assert out[1]["fused_rank"] == 2 and out[3]["fused_rank"] == 3
+
+
+def test_log2_heatmap_exact_buckets(spark):
+    from cernan_spark.operators.aggregate import log2_heatmap
+
+    rows = [("m", 0, 1), ("m", 10, 3), ("m", 20, 4), ("m", 3700, 1024),
+            ("m", 30, 0)]  # cents=0 dropped
+    df = spark.createDataFrame(rows, "name string, epoch long, cents long")
+    out = {(r["ws"], r["bucket"]): (r["n"], r["min_cents"], r["max_cents"])
+           for r in log2_heatmap(df, ["name"], "epoch", "cents").collect()}
+    assert out == {
+        (0, 0): (1, 1, 1),     # 1 → bit length 1 → bucket 0
+        (0, 1): (1, 3, 3),     # 3 → bucket 1
+        (0, 2): (1, 4, 4),     # 4 → bucket 2 (boundary exact)
+        (3600, 10): (1, 1024, 1024),
+    }
+
+
+def test_telemetry_rollup_grains(spark):
+    from cernan_spark.operators.aggregate import telemetry_rollup
+
+    rows = [("a", "SUM", 1), ("a", "SET", 2), ("b", "SUM", 4)]
+    df = spark.createDataFrame(rows, "name string, kind string, cents long")
+    out = telemetry_rollup(df, ["name", "kind"], "cents").collect()
+    by_gid = {}
+    for r in out:
+        by_gid.setdefault(r["gid"], []).append(r)
+    assert len(by_gid[0]) == 3                       # leaf grain
+    assert {(r["name"], r["sum_cents"]) for r in by_gid[1]} == {("a", 3), ("b", 4)}
+    total = by_gid[3][0]
+    assert total["n"] == 3 and total["sum_cents"] == 7 and total["name"] is None
+
+
+def test_dlq_reason_full_taxonomy(spark):
+    from cernan_spark.functions.classify import dlq_reason
+
+    cases = {
+        "m1:1.5|c": "ok", "m:+3|g": "ok", "m:12.3": "no_pipe",
+        "m:abc|c": "bad_value", "m:1|q": "bad_kind", ":1|c": "empty_name",
+        "m 1|c": "no_colon", "": "empty", "  ": "empty",
+    }
+    df = spark.createDataFrame([(k,) for k in cases], "line string")
+    got = {r["line"]: r["r"] for r in
+           df.select("line", dlq_reason(F.col("line")).alias("r")).collect()}
+    assert got == cases
