@@ -888,6 +888,12 @@ def rollup_tiers(
             F.max(cents_col).alias("max_cents"),
         )
     )
+    if len(widths) > 1:
+        # materialize the fine tier ONCE: the union's branches would
+        # otherwise each re-derive it from raw (no CSE across union
+        # branches in Catalyst), turning "scan raw once" into one full
+        # scan per tier — the exact cost this operator exists to avoid
+        fine = fine.localCheckpoint()
     out = fine.withColumn("tier_s", F.lit(widths[0]).cast("long"))
     prev = fine
     for width in widths[1:]:

@@ -297,6 +297,10 @@ def slo_burn_windows(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col(err_col).cast("long")).alias("n_err"),
     )
+    # materialize the (tiny) short tier once: both the long-tier re-agg
+    # and the final join reference it, and Catalyst would re-scan raw
+    # for each reference
+    short = short.localCheckpoint()
     ws6 = (F.floor(F.col("ws") / long_s) * long_s).alias("ws6")
     longw = short.groupBy(ws6).agg(
         F.sum("n").alias("long_n"), F.sum("n_err").alias("long_err")

@@ -47,21 +47,29 @@ def funnel_steps(
     """
     if not steps:
         raise ValueError("funnel needs at least one step")
-    cur = (
+    # each step's frontier (one row per user) is materialized before the
+    # next step references it: without this, step k's plan re-derives
+    # every earlier frontier — and re-scans every earlier step's events —
+    # once per reference, growing quadratically in the step count
+    frontiers = [
         events.filter(F.col(type_col) == steps[0])
         .groupBy(user_col)
         .agg(F.min(ts_col).alias("t_1"))
-    )
-    out = cur
+        .localCheckpoint()
+    ]
     for k, step in enumerate(steps[1:], start=2):
-        nxt = (
+        prev = frontiers[-1]
+        frontiers.append(
             events.filter(F.col(type_col) == step)
-            .join(out.select(user_col, f"t_{k - 1}"), user_col)
+            .join(prev.select(user_col, f"t_{k - 1}"), user_col)
             .filter(F.col(ts_col) > F.col(f"t_{k - 1}"))
             .groupBy(user_col)
             .agg(F.min(ts_col).alias(f"t_{k}"))
+            .localCheckpoint()
         )
-        out = out.join(nxt.select(user_col, f"t_{k}"), user_col, "left")
+    out = frontiers[0]
+    for k, f in enumerate(frontiers[1:], start=2):
+        out = out.join(f.select(user_col, f"t_{k}"), user_col, "left")
     stage = F.lit(1).cast("int")
     for k in range(2, len(steps) + 1):
         stage = F.when(F.col(f"t_{k}").isNotNull(), F.lit(k).cast("int")).otherwise(stage)

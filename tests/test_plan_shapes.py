@@ -211,3 +211,60 @@ def test_ewma_is_one_hash_aggregate(spark):
     assert _count(plan, r"Exchange hashpartitioning") == 1
     assert _count(plan, r"Window\b") == 0
     assert _count(plan, r"(?m)^\s*\*?\(?\d*\)?\s*Sort\b") == 0
+
+
+def test_rollup_tiers_fine_tier_materialized_once(spark):
+    """Coarser tiers re-aggregate the MATERIALIZED fine tier: the final
+    plan must contain zero raw scans (raw was scanned exactly once, in
+    the fine tier's checkpoint job) — without the materialization every
+    union branch re-derives fine from raw, one full scan per tier."""
+    from cernan_spark.operators.aggregate import rollup_tiers
+
+    df = spark.read.parquet(f"{SF}/events.parquet").select(
+        F.lit("m").alias("name"), F.lit("SUM").alias("kind"),
+        F.unix_timestamp("ts").alias("epoch"),
+        (F.col("event_id") % 100).alias("cents"),
+    )
+    out = rollup_tiers(df, ["name", "kind"], "epoch", "cents",
+                       tiers=(60, 600, 3600))
+    assert _count(_final_plan(out), r"Scan parquet") == 0
+
+
+def test_funnel_frontiers_materialized(spark):
+    """Funnel assembly reads only checkpointed per-step frontiers — the
+    final plan re-scans no events; each step's filtered scan ran exactly
+    once during its frontier checkpoint."""
+    from cernan_spark.operators.behavior import funnel_steps
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    out = funnel_steps(ev, ["click", "view", "purchase"])
+    assert _count(_final_plan(out), r"Scan parquet") == 0
+
+
+def test_slo_burn_short_tier_materialized(spark):
+    """Both the long-tier re-agg and the final join read the
+    materialized short tier — raw scanned once."""
+    from cernan_spark.operators.anomaly import slo_burn_windows
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").select(
+        F.unix_timestamp("ts").alias("epoch"),
+        (F.col("event_type") == "error").alias("is_err"),
+    )
+    out = slo_burn_windows(ev, "epoch", "is_err")
+    assert _count(_final_plan(out), r"Scan parquet") == 0
+
+
+def test_sustained_alerts_single_exchange(spark):
+    """Gaps-and-islands: both row_number windows and the island groupBy
+    share the series partitioning — exactly ONE exchange."""
+    from cernan_spark.operators.anomaly import sustained_alerts
+
+    series = spark.range(20000).select(
+        (F.col("id") % 100).cast("string").alias("k"),
+        F.col("id").alias("o"),
+        (F.col("id") % 23).alias("cents"),
+    )
+    plan = _final_plan(
+        sustained_alerts(series, ["k"], "o", "cents", 10, min_run=3)
+    )
+    assert _count(plan, r"Exchange hashpartitioning") == 1
