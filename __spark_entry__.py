@@ -3078,6 +3078,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hdr_heatmap": q_hdr_heatmap,
         "grouping_rollup": q_grouping_rollup,
         "dlq_routing": q_dlq_routing,
+        "time_travel": q_time_travel,
+        "streaming_late_drops": q_streaming_late_drops,
     }
 
 
@@ -4245,6 +4247,146 @@ def q_dlq_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.select("event_id", line.alias("line"))
         .withColumn("reason", dlq_reason(F.col("line")))
         .filter(F.col("reason") != "ok")
+    )
+
+
+def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot time travel over the CDC log without an Iceberg catalog:
+    rebuild the table AS OF day 10 and day 20 (last-writer-wins per key,
+    deletes tombstone) and diff — added / removed / changed keys, the
+    read an Iceberg ``VERSION AS OF`` would serve (jar absent from this
+    image; see plans/sinks.py). Each snapshot is ONE map-side-combined
+    max_by aggregate over its pruned log prefix; the diff is one
+    full-outer join on the key."""
+    from cernan_spark.operators.temporal import cdc_snapshot_diff
+
+    _utc(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    mn = ev.agg(F.min(F.unix_timestamp("ts"))).collect()[0][0]
+    t1, t2 = mn + 10 * 86400, mn + 20 * 86400
+    changes = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp("ts").alias("e"),
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )
+    d = cdc_snapshot_diff(
+        changes, ["user_id"], ["e", "event_id"], "e", t1, t2
+    )
+    return d.select(
+        "user_id", "status", "event_id_t1", "event_id_t2", "e_t1", "e_t2"
+    )
+
+
+def q_streaming_late_drops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-drop LEDGER: the cost of late data made observable —
+    cernan's DelayFilter drops too-old points and COUNTS them
+    (filter/delay_filter.rs + sink age_threshold accounting); this is
+    that accounting on the Structured Streaming path. A deterministic
+    subset of early rows (order_key % 97 == 0, first half of the span)
+    is held back and arrives AFTER the watermark has passed their
+    windows; the stream drops them. The ledger compares the batch truth
+    (all rows) against the MEASURED per-bin streamed counts: n_dropped =
+    n_expected − n_streamed. The oracle derives the same ledger
+    arithmetically from the watermark rule, so the gate proves the real
+    micro-batch run dropped exactly the predicted rows."""
+    _utc(spark)
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from cernan_spark.streaming.pipeline import (
+        stream_transcripts,
+        streaming_bucket_aggregate,
+        streaming_parse,
+    )
+
+    bin_width, delay_s = 300, 600
+    t = transcripts_from_events(spark, sf_dir)
+    bounds = t.agg(
+        F.min(F.unix_timestamp("ts")).alias("mn"),
+        F.max(F.unix_timestamp("ts")).alias("mx"),
+        F.max("ts").alias("mxts"),
+    ).collect()[0]
+    mid = (bounds["mn"] + bounds["mx"]) // 2
+    is_late = (F.col("order_key") % 97 == 0) & (
+        F.unix_timestamp("ts") < mid
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_late_")
+    qname = f"stream_late_{uuid.uuid4().hex[:8]}"
+    try:
+        # on-time rows consumed in event-time order (same pinning as
+        # q_streaming_bucket_sums) …
+        t.filter(~is_late).repartitionByRange(
+            8, "ts"
+        ).sortWithinPartitions("ts").write.mode("overwrite").parquet(tmp)
+        parts = sorted(glob.glob(f"{tmp}/part-*.parquet"))
+        base = int(os.stat(parts[0]).st_mtime)
+        for i, f in enumerate(parts):
+            os.utime(f, (base + i, base + i))
+        # … the held-back subset lands after ALL on-time files, when the
+        # watermark has already closed its windows
+        t.filter(is_late).coalesce(1).write.mode("append").parquet(tmp)
+        late_files = [
+            p for p in glob.glob(f"{tmp}/part-*.parquet") if p not in parts
+        ]
+        for p in late_files:
+            os.utime(p, (base + 50, base + 50))
+        # sentinel at corpus max event time drives the final watermark
+        # commit (same as q_streaming_bucket_sums)
+        spark.createDataFrame(
+            [("wm", 0, "system", "wm_sentinel:0|c", "none",
+              bounds["mxts"], 1 << 60)],
+            "conv_id string, turn_idx int, role string, text string, "
+            "tool string, ts timestamp, order_key long",
+        ).coalesce(1).write.mode("append").parquet(tmp)
+        sent = [
+            p for p in glob.glob(f"{tmp}/part-*.parquet")
+            if p not in parts and p not in late_files
+        ][0]
+        os.utime(sent, (base + 100, base + 100))
+        parsed = streaming_parse(
+            stream_transcripts(spark, tmp, max_files_per_trigger=2)
+        )
+        agg = streaming_bucket_aggregate(
+            parsed, bin_width=bin_width, watermark=f"{delay_s} seconds"
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    streamed = spark.table(qname).select(
+        "name",
+        "kind",
+        (F.unix_timestamp(F.col("window.start")) / bin_width)
+        .cast("long")
+        .alias("bin"),
+        F.col("n_points").alias("n_streamed"),
+    )
+    expected = (
+        _parsed(spark, sf_dir)
+        .groupBy(
+            "name", "kind", F.floor(F.col("epoch") / bin_width).alias("bin")
+        )
+        .agg(F.count(F.lit(1)).alias("n_expected"))
+        .filter((F.col("bin") + 1) * bin_width <= bounds["mx"] - delay_s)
+    )
+    return expected.join(streamed, ["name", "kind", "bin"], "left").select(
+        "name", "kind", "bin", "n_expected",
+        F.coalesce("n_streamed", F.lit(0)).alias("n_streamed"),
+        (F.col("n_expected") - F.coalesce("n_streamed", F.lit(0))).alias(
+            "n_dropped_late"
+        ),
     )
 
 
@@ -6185,5 +6327,62 @@ def oracle_sql() -> dict[str, str]:
           FROM q
         )
         SELECT event_id, line, reason FROM r WHERE reason <> 'ok'
+    """
+    d["time_travel"] = """
+        WITH bnd AS (
+          SELECT CAST(floor(epoch(min(ts))) AS BIGINT) AS mn FROM events
+        ), c AS (
+          SELECT user_id, event_id,
+                 CAST(floor(epoch(ts)) AS BIGINT) AS e,
+                 CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+          FROM events
+        ), s1 AS (
+          SELECT user_id, event_id AS event_id_t1, e AS e_t1 FROM (
+            SELECT *, row_number() OVER (PARTITION BY user_id
+                                         ORDER BY e DESC, event_id DESC) AS rn
+            FROM c WHERE e <= (SELECT mn FROM bnd) + 864000
+          ) WHERE rn = 1 AND op <> 'D'
+        ), s2 AS (
+          SELECT user_id, event_id AS event_id_t2, e AS e_t2 FROM (
+            SELECT *, row_number() OVER (PARTITION BY user_id
+                                         ORDER BY e DESC, event_id DESC) AS rn
+            FROM c WHERE e <= (SELECT mn FROM bnd) + 1728000
+          ) WHERE rn = 1 AND op <> 'D'
+        ), j AS (
+          SELECT coalesce(s1.user_id, s2.user_id) AS user_id,
+                 event_id_t1, event_id_t2, e_t1, e_t2
+          FROM s1 FULL OUTER JOIN s2 ON s1.user_id = s2.user_id
+        )
+        SELECT user_id,
+               CASE WHEN event_id_t1 IS NULL THEN 'added'
+                    WHEN event_id_t2 IS NULL THEN 'removed'
+                    ELSE 'changed' END AS status,
+               event_id_t1, event_id_t2, e_t1, e_t2
+        FROM j
+        WHERE event_id_t1 IS NULL OR event_id_t2 IS NULL
+           OR event_id_t1 <> event_id_t2 OR e_t1 <> e_t2
+    """
+    d["streaming_late_drops"] = P + """
+        , bnd AS (
+          SELECT CAST(floor(epoch(min(ts))) AS BIGINT) AS mn,
+                 CAST(floor(epoch(max(ts))) AS BIGINT) AS mx
+          FROM events
+        ), flagged AS (
+          SELECT name, kind, epoch // 300 AS bin,
+                 CASE WHEN order_key % 97 = 0
+                       AND epoch < (SELECT (mn + mx) // 2 FROM bnd)
+                      THEN 1 ELSE 0 END AS is_late
+          FROM parsed
+        ), exp AS (
+          SELECT name, kind, bin,
+                 CAST(count(*) AS BIGINT) AS n_expected,
+                 CAST(sum(is_late) AS BIGINT) AS n_late
+          FROM flagged GROUP BY 1, 2, 3
+        )
+        SELECT name, kind, bin, n_expected,
+               n_expected - n_late AS n_streamed,
+               n_late AS n_dropped_late
+        FROM exp
+        WHERE (bin + 1) * 300 <= (SELECT mx FROM bnd) - 600
     """
     return d

@@ -344,3 +344,53 @@ def series_gaps(
             (F.col("__e") - F.col("__prev")).alias("gap_s"),
         )
     )
+
+
+def cdc_snapshot_diff(
+    changes: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    epoch_col: str,
+    t1: int,
+    t2: int,
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """Time travel over a change log without an Iceberg catalog: rebuild
+    the table snapshot AS OF two epochs (:func:`cdc_upsert_snapshot` on
+    the log prefix — the snapshot-isolation read an Iceberg
+    ``VERSION AS OF`` would serve; the jar is absent from this image, see
+    plans/sinks.py) and diff them. One full-outer join on the key emits
+    ``added`` / ``removed`` / ``changed`` rows; unchanged keys are
+    filtered out. Each snapshot is one map-side-combined aggregate over
+    its (pruned) log prefix."""
+    def snap(t: int, tag: str) -> DataFrame:
+        s = cdc_upsert_snapshot(
+            changes.filter(F.col(epoch_col) <= t),
+            key_cols,
+            order_cols,
+            op_col=op_col,
+            delete_op=delete_op,
+        )
+        keep = [c for c in s.columns if c not in key_cols]
+        return s.select(
+            *key_cols, *[F.col(c).alias(f"{c}_{tag}") for c in keep]
+        )
+    a, b = snap(t1, "t1"), snap(t2, "t2")
+    payload = [c[: -len("_t1")] for c in a.columns if c.endswith("_t1")]
+    probe = payload[0]
+    joined = a.join(b, key_cols, "full_outer")
+    status = (
+        F.when(F.col(f"{probe}_t1").isNull(), "added")
+        .when(F.col(f"{probe}_t2").isNull(), "removed")
+        .otherwise("changed")
+    )
+    changed = [
+        F.col(f"{c}_t1").eqNullSafe(F.col(f"{c}_t2")) for c in payload
+    ]
+    same = changed[0]
+    for c in changed[1:]:
+        same = same & c
+    return joined.withColumn("status", status).filter(
+        F.col(f"{probe}_t1").isNull() | F.col(f"{probe}_t2").isNull() | ~same
+    )

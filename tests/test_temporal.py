@@ -201,3 +201,22 @@ def test_mine_templates_classes(spark):
     assert out["evt <N> took <N>ms"]["n_convs"] == 2
     assert out["evt <N> took <N>ms"]["example"] == "evt 123 took 45ms"
     assert out["oom at <HEX>"]["n"] == 1
+
+
+def test_cdc_snapshot_diff_statuses(spark):
+    from cernan_spark.operators.temporal import cdc_snapshot_diff
+
+    # key 1: updated between t1 and t2 → changed
+    # key 2: deleted after t1 → removed
+    # key 3: first written after t1 → added
+    # key 4: untouched after t1 → absent from the diff
+    rows = [
+        (1, 10, 5, "U"), (1, 11, 15, "U"),
+        (2, 20, 5, "U"), (2, 21, 15, "D"),
+        (3, 30, 15, "U"),
+        (4, 40, 5, "U"),
+    ]
+    df = spark.createDataFrame(rows, "k long, event_id long, e long, op string")
+    out = {r["k"]: r["status"] for r in cdc_snapshot_diff(
+        df, ["k"], ["e", "event_id"], "e", t1=10, t2=20).collect()}
+    assert out == {1: "changed", 2: "removed", 3: "added"}
