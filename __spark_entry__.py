@@ -3080,6 +3080,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dlq_routing": q_dlq_routing,
         "time_travel": q_time_travel,
         "streaming_late_drops": q_streaming_late_drops,
+        "histogram_quantile": q_histogram_quantile,
+        "zorder_layout": q_zorder_layout,
+        "tool_chains": q_tool_chains,
     }
 
 
@@ -4387,6 +4390,87 @@ def q_streaming_late_drops(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_expected") - F.coalesce("n_streamed", F.lit(0))).alias(
             "n_dropped_late"
         ),
+    )
+
+
+def q_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL histogram_quantile over the parsed telemetry: per-series
+    hourly p50/p99 ESTIMATED from the fixed [1,10,100,1000] cumulative
+    buckets by linear interpolation inside the owning bucket — the panel
+    math every Prometheus dashboard runs downstream of cernan's ``le``
+    exposition (sink/prometheus.rs). ONE aggregate: five conditional
+    sums per group, quantiles as fixed CASE expressions over the exact
+    integer counts."""
+    from cernan_spark.operators.aggregate import histogram_quantile
+
+    p = _parsed(spark, sf_dir).withColumn(
+        "hour", (F.floor(F.col("epoch") / 3600) * 3600).cast("long")
+    )
+    return histogram_quantile(
+        p.select("name", "hour", "value"),
+        key_cols=["name", "hour"],
+        value_col="value",
+        probs=(0.5, 0.99),
+    )
+
+
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering key + locality diagnostic: events keyed by the
+    Morton interleave of (user_id, hour-of-span) — the sort key an
+    Iceberg zorder rewrite would cluster files by (jar absent; the key
+    is engine-side math either way). The rollup proves locality: each
+    coarse z-cell touches few distinct users AND a narrow hour band, so
+    file min/max stats would prune on either predicate. Pure integer
+    bit math, exact in any engine."""
+    from cernan_spark.operators.packing import zorder_key
+
+    _utc(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    mn = ev.agg(F.min(F.unix_timestamp("ts"))).collect()[0][0]
+    hours = ((F.unix_timestamp("ts") - F.lit(mn)) / 3600).cast("long")
+    z = zorder_key(
+        F.col("user_id").bitwiseAND(F.lit(0xFFFF)),
+        hours.bitwiseAND(F.lit(0xFFFF)),
+    )
+    keyed = ev.select("event_id", "user_id", hours.alias("h"), z.alias("z"))
+    return (
+        keyed.groupBy(F.shiftright(F.col("z"), 16).alias("zcell"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+            (F.max("h") - F.min("h")).alias("hour_span"),
+            F.min("z").alias("z_min"),
+            F.max("z").alias("z_max"),
+        )
+    )
+
+
+def q_tool_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Agent-trace tool-chain mining: corpus-wide frequency of
+    consecutive tool TRIGRAMS within a conversation (lead over
+    (conv_id, turn_idx) — series count scales with data). The
+    behavioral n-gram view of agent traces: which tool pipelines do
+    agents actually run."""
+    from pyspark.sql import Window as W2
+
+    _utc(spark)
+    t = transcripts_from_events(spark, sf_dir)
+    w = W2.partitionBy("conv_id").orderBy("turn_idx")
+    chain = F.concat_ws(
+        ">", F.col("tool"), F.lead("tool", 1).over(w), F.lead("tool", 2).over(w)
+    )
+    return (
+        t.select(
+            "conv_id",
+            chain.alias("chain"),
+            F.lead("tool", 2).over(w).alias("nxt2"),
+        )
+        .filter(F.col("nxt2").isNotNull())
+        .groupBy("chain")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("conv_id").alias("n_convs"),
+        )
     )
 
 
@@ -6384,5 +6468,47 @@ def oracle_sql() -> dict[str, str]:
                n_late AS n_dropped_late
         FROM exp
         WHERE (bin + 1) * 300 <= (SELECT mx FROM bnd) - 600
+    """
+    from cernan_spark.operators.aggregate import histogram_quantile_sql
+    from cernan_spark.operators.packing import zorder_key_sql
+
+    d["histogram_quantile"] = P + ", hq AS (" + histogram_quantile_sql(
+        "(SELECT name, (epoch // 3600) * 3600 AS hour, value FROM parsed)",
+        ["name", "hour"],
+        "value",
+        probs=(0.5, 0.99),
+    ) + ") SELECT * FROM hq"
+    zsql = zorder_key_sql("(user_id & 65535)", "(h & 65535)")
+    d["zorder_layout"] = f"""
+        WITH bnd AS (
+          SELECT CAST(floor(epoch(min(ts))) AS BIGINT) AS mn FROM events
+        ), k AS (
+          SELECT event_id, user_id,
+                 (CAST(floor(epoch(ts)) AS BIGINT) - (SELECT mn FROM bnd))
+                   // 3600 AS h
+          FROM events
+        ), z AS (
+          SELECT event_id, user_id, h, {zsql} AS z FROM k
+        )
+        SELECT z >> 16 AS zcell,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+               max(h) - min(h) AS hour_span,
+               min(z) AS z_min, max(z) AS z_max
+        FROM z GROUP BY 1
+    """
+    d["tool_chains"] = P + """
+        , c AS (
+          SELECT conv_id,
+                 tool || '>' ||
+                 lead(tool, 1) OVER w || '>' ||
+                 lead(tool, 2) OVER w AS chain,
+                 lead(tool, 2) OVER w AS nxt2
+          FROM transcripts
+          WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+        )
+        SELECT chain, CAST(count(*) AS BIGINT) AS n,
+               CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
+        FROM c WHERE nxt2 IS NOT NULL GROUP BY 1
     """
     return d

@@ -964,3 +964,132 @@ def telemetry_rollup(
             F.grouping_id().cast("long").alias("gid"),
         )
     )
+
+
+#: (lower, upper) edges for the fixed histogram-quantile buckets — the
+#: telemetry.rs [1,10,100,1000] mask bounds with the implicit +inf top
+HQ_EDGES: list[tuple[float, float]] = [
+    (0.0, 1.0), (1.0, 10.0), (10.0, 100.0), (100.0, 1000.0),
+    (1000.0, float("inf")),
+]
+
+
+def histogram_quantile(
+    parsed: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    probs: tuple[float, ...] = (0.5, 0.99),
+) -> DataFrame:
+    """PromQL ``histogram_quantile``: the φ-quantile ESTIMATED from a
+    fixed-bound cumulative histogram by linear interpolation inside the
+    owning bucket (upper bound of the top bucket when φ lands there) —
+    what every Prometheus burn-rate/p99 panel computes downstream of
+    cernan's histogram sink (sink/prometheus.rs cumulative ``le``
+    exposition). Buckets are the reference's [1,10,100,1000] mask bounds.
+
+    ONE map-side-combined aggregate: per-bucket counts land as FIVE
+    conditional sums (never a posexplode or window), and each quantile is
+    a fixed CASE/interpolation expression over those exact integer counts
+    — rank = φ·total and the interpolation are correctly-rounded IEEE ops
+    shared verbatim with the SQL twin (:func:`histogram_quantile_sql`).
+    """
+    v = F.col(value_col)
+    aggs = []
+    for i, (lo, hi) in enumerate(HQ_EDGES):
+        if i == 0:
+            pred = v <= F.lit(hi)
+        elif hi == float("inf"):
+            pred = v > F.lit(lo)
+        else:
+            pred = (v > F.lit(lo)) & (v <= F.lit(hi))
+        aggs.append(F.sum(pred.cast("long")).alias(f"c{i}"))
+    g = parsed.groupBy(*key_cols).agg(*aggs)
+    total = sum(F.col(f"c{i}") for i in range(len(HQ_EDGES)))
+    g = g.withColumn("total", total.cast("long"))
+    out_cols = [*key_cols, "total"] + [f"c{i}" for i in range(len(HQ_EDGES))]
+    sel = [F.col(c) for c in out_cols]
+    for p in probs:
+        rank = F.lit(p) * F.col("total").cast("double")
+        # cumulative counts, lowest bucket first — the first true when()
+        # wins, which is exactly "lowest bucket whose cum ≥ rank"
+        running = []
+        acc = None
+        for i in range(len(HQ_EDGES)):
+            c = F.col(f"c{i}").cast("double")
+            acc = c if acc is None else acc + c
+            running.append(acc)
+        chain = None
+        for i, (lo, hi) in enumerate(HQ_EDGES):
+            prev = running[i - 1] if i else F.lit(0.0)
+            if hi == float("inf"):
+                val = F.lit(lo)
+            else:
+                val = F.lit(lo) + (F.lit(hi) - F.lit(lo)) * (
+                    rank - prev
+                ) / F.col(f"c{i}").cast("double")
+            cond = running[i] >= rank
+            chain = (
+                F.when(cond, val) if chain is None else chain.when(cond, val)
+            )
+        q = F.when(F.col("total") == 0, F.lit(None).cast("double")).otherwise(
+            chain
+        )
+        sel.append(F.round(q, 6).alias(f"p{int(p * 100)}"))
+    return g.select(*sel)
+
+
+def histogram_quantile_sql(
+    rel: str,
+    key_exprs: list[str],
+    value_expr: str,
+    probs: tuple[float, ...] = (0.5, 0.99),
+) -> str:
+    """DuckDB twin of :func:`histogram_quantile` over relation ``rel`` —
+    generated from the same HQ_EDGES so the bounds can't drift."""
+    cnts = []
+    for i, (lo, hi) in enumerate(HQ_EDGES):
+        if i == 0:
+            pred = f"{value_expr} <= {hi}"
+        elif hi == float("inf"):
+            pred = f"{value_expr} > {lo}"
+        else:
+            pred = f"{value_expr} > {lo} AND {value_expr} <= {hi}"
+        cnts.append(
+            f"CAST(sum(CASE WHEN {pred} THEN 1 ELSE 0 END) AS BIGINT) AS c{i}"
+        )
+    keys = ", ".join(key_exprs)
+    n = len(HQ_EDGES)
+    total = " + ".join(f"c{i}" for i in range(n))
+    qcols = []
+    for p in probs:
+        rank = f"{p} * CAST(total AS DOUBLE)"
+        arms = []
+        for i, (lo, hi) in enumerate(HQ_EDGES):
+            cum = " + ".join(f"CAST(c{k} AS DOUBLE)" for k in range(i + 1))
+            prev = (
+                " + ".join(f"CAST(c{k} AS DOUBLE)" for k in range(i))
+                if i
+                else "0.0"
+            )
+            if hi == float("inf"):
+                val = f"{lo}"
+            else:
+                val = (
+                    f"{lo} + ({hi} - {lo}) * (({rank}) - ({prev}))"
+                    f" / CAST(c{i} AS DOUBLE)"
+                )
+            arms.append(f"WHEN ({cum}) >= ({rank}) THEN {val}")
+        qcols.append(
+            f"round(CASE WHEN total = 0 THEN NULL {' '.join(arms)} END, 6)"
+            f" AS p{int(p * 100)}"
+        )
+    return f"""
+        WITH h AS (
+          SELECT {keys}, {', '.join(cnts)} FROM {rel} GROUP BY {keys}
+        ), t AS (
+          SELECT *, CAST({total} AS BIGINT) AS total FROM h
+        )
+        SELECT {keys}, total, {', '.join(f'c{i}' for i in range(n))},
+               {', '.join(qcols)}
+        FROM t
+    """

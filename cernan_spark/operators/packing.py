@@ -39,7 +39,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.types import LongType, StructField, StructType
 
 
@@ -152,3 +152,33 @@ def pack_walk_sql(
       FROM {ordered_cte} o JOIN walk w
         ON o.grp = w.grp AND o.rn = w.rn + 1
     )"""
+
+
+def zorder_key(x: Column, y: Column, bits: int = 16) -> Column:
+    """Morton/Z-order interleave of the low ``bits`` of two non-negative
+    ints — the multi-dimensional clustering key Iceberg's
+    ``rewrite_data_files(strategy => 'sort', sort_order => zorder(a, b))``
+    sorts by (jar absent from this image; the KEY is engine-side math
+    either way). Sorting by it co-locates rows close in BOTH dimensions
+    into the same file, so min/max file stats prune scans on either
+    predicate. Pure integer shifts/masks in a fixed fold order — exact in
+    any engine."""
+    z = None
+    for k in range(bits):
+        xb = F.shiftleft(F.shiftright(x, k).bitwiseAND(F.lit(1)), 2 * k)
+        yb = F.shiftleft(
+            F.shiftright(y, k).bitwiseAND(F.lit(1)), 2 * k + 1
+        )
+        term = xb + yb
+        z = term if z is None else z + term
+    return z
+
+
+def zorder_key_sql(x: str, y: str, bits: int = 16) -> str:
+    """DuckDB twin of :func:`zorder_key` — generated from the same bit
+    walk so the interleave order can't drift."""
+    terms = []
+    for k in range(bits):
+        terms.append(f"((({x} >> {k}) & 1) << {2 * k})")
+        terms.append(f"((({y} >> {k}) & 1) << {2 * k + 1})")
+    return " + ".join(terms)

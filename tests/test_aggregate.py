@@ -266,3 +266,57 @@ def test_prometheus_resume_equals_one_pass(spark):
     assert by_key[("g", "SET", 5)][0] == 9.0            # new SET wins
     assert by_key[("h", "HISTOGRAM", 6)][2] == ((1.0, 1), (10.0, 3), (float("inf"), 1))
     assert ("old", "SUM", 1) not in by_key              # stays in state only
+
+
+def test_histogram_quantile_interpolation(spark):
+    """Hand-checkable interpolation: 10 values spread so p50 lands mid
+    second bucket and p99 in the +inf bucket (returns its lower edge)."""
+    from cernan_spark.operators.aggregate import histogram_quantile
+
+    # buckets (0,1],(1,10],(10,100],(100,1000],(1000,inf)
+    vals = [0.5, 0.5, 5.0, 5.0, 5.0, 5.0, 50.0, 500.0, 900.0, 2000.0]
+    df = spark.createDataFrame([("m", v) for v in vals], "name string, value double")
+    r = histogram_quantile(df, ["name"], "value", probs=(0.5, 0.99)).collect()[0]
+    assert (r["c0"], r["c1"], r["c2"], r["c3"], r["c4"]) == (2, 4, 1, 2, 1)
+    # rank(p50)=5 → second bucket (cum 6 ≥ 5): 1 + 9*(5-2)/4 = 7.75
+    assert r["p50"] == 7.75
+    # rank(p99)=9.9 → +inf bucket (cum 10 ≥ 9.9): lower edge 1000
+    assert r["p99"] == 1000.0
+
+
+def test_histogram_quantile_empty_and_first_bucket(spark):
+    from cernan_spark.operators.aggregate import histogram_quantile
+
+    df = spark.createDataFrame([("m", 0.25), ("m", 0.75)], "name string, value double")
+    r = histogram_quantile(df, ["name"], "value", probs=(0.5,)).collect()[0]
+    # rank=1.0, first bucket: 0 + 1*(1-0)/2 = 0.5
+    assert r["p50"] == 0.5
+
+
+def test_zorder_key_interleaves_bits(spark):
+    from cernan_spark.operators.packing import zorder_key
+
+    df = spark.createDataFrame([(3, 0), (0, 3), (1, 1), (65535, 65535)],
+                               "x long, y long")
+    got = [r["z"] for r in df.select(
+        zorder_key(F.col("x"), F.col("y")).alias("z")).collect()]
+    # x bits land on even positions, y bits on odd
+    assert got == [0b0101, 0b1010, 0b0011, (1 << 32) - 1]
+
+
+def test_zorder_locality_beats_single_key(spark):
+    """Sorting by z clusters BOTH dimensions: within contiguous z ranges
+    the x-span is bounded, unlike a sort by y alone."""
+    from cernan_spark.operators.packing import zorder_key
+
+    df = spark.range(4096).select(
+        (F.col("id") % 64).alias("x"), (F.col("id") / 64).cast("long").alias("y")
+    ).select("x", "y", zorder_key(F.col("x"), F.col("y")).alias("z"))
+    cells = (
+        df.groupBy(F.shiftright("z", 6).alias("cell"))
+        .agg((F.max("x") - F.min("x")).alias("xs"), (F.max("y") - F.min("y")).alias("ys"))
+        .agg(F.max("xs").alias("mx"), F.max("ys").alias("my"))
+        .collect()[0]
+    )
+    # each 64-point z-cell spans ≤ 8 in BOTH dimensions (8×8 tile)
+    assert cells["mx"] <= 8 and cells["my"] <= 8
