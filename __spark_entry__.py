@@ -3083,6 +3083,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_quantile": q_histogram_quantile,
         "zorder_layout": q_zorder_layout,
         "tool_chains": q_tool_chains,
+        "burst_collapse": q_burst_collapse,
+        "tail_sampling": q_tail_sampling,
+        "scd2_dim": q_scd2_dim,
+        "preference_pairs": q_preference_pairs,
+        "seasonal_hours": q_seasonal_hours,
     }
 
 
@@ -4472,6 +4477,100 @@ def q_tool_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("conv_id").alias("n_convs"),
         )
     )
+
+
+def q_burst_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Syslog-style burst collapse over the event log: runs of identical
+    consecutive event types on one emitter within a 12 h gap collapse to
+    one row with the repeat count and time extent
+    (operators/loghygiene.burst_collapse — lag window, running-sum window
+    and per-burst aggregate all reuse ONE hash exchange on the emitter)."""
+    from cernan_spark.operators.loghygiene import burst_collapse
+
+    _utc(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    b = burst_collapse(ev, ["user_id"], "event_id", "ts", "event_type", gap_s=43200)
+    return b.select("user_id", "msg", "n_repeats", "first_e", "last_e", "first_order")
+
+
+def q_tail_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tail-based trace sampling: traces are (user, day) span groups; a
+    trace is kept only if ANY of its spans errored — the decision is a
+    window max over the trace key (operators/loghygiene.tail_sample), so
+    the span table shuffles ONCE and the per-trace rollup reuses the same
+    partitioning (no join, no driver-side keep-set)."""
+    from cernan_spark.operators.loghygiene import tail_sample
+
+    _utc(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    spans = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.floor(F.unix_timestamp("ts")).cast("bigint").alias("e"),
+    ).withColumn("day", (F.col("e") / 86400).cast("bigint"))
+    kept = tail_sample(spans, ["user_id", "day"], F.col("event_type") == "error")
+    return kept.groupBy("user_id", "day").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum((F.col("event_type") == "error").cast("bigint")).alias("n_errors"),
+        (F.max("e") - F.min("e")).alias("span_s"),
+    )
+
+
+def q_scd2_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension build from the event change log: per user, the
+    event_type acts as the tracked attribute; heartbeat re-assertions
+    collapse and validity intervals cut at the change points
+    (operators/temporal.scd2_intervals — one exchange, lead() instead of
+    the classic shuffle-twice next-version self-join). NULL valid_to (the
+    open current version) is surfaced as -1 for the hash gate."""
+    from cernan_spark.operators.temporal import scd2_intervals
+
+    _utc(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    v = scd2_intervals(ev, ["user_id"], "event_id", "ts", "event_type")
+    return v.select(
+        "user_id",
+        "attr",
+        "valid_from_e",
+        F.coalesce("valid_to_e", F.lit(-1)).alias("valid_to_e"),
+        "is_current",
+    )
+
+
+def q_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair construction (DPO shape) over rated responses:
+    purchase events are a user's scored candidates; per user the best and
+    worst scores pair up when the margin clears 0.5
+    (operators/conversation.preference_pairs — two ranks plus the pair
+    fold share ONE exchange on the group key; ties break on event_id so
+    the pair is rerun-deterministic)."""
+    from cernan_spark.operators.conversation import preference_pairs
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cands = ev.filter(F.col("event_type") == "purchase")
+    return preference_pairs(cands, ["user_id"], "event_id", "value", 0.5)
+
+
+def q_seasonal_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonal baseline per metric: slot mean, worst in-slot
+    deviation ratio and seasonality index (slot mean ÷ metric-wide mean)
+    from exact integer cents (operators/anomaly.seasonal_baseline), so
+    every double is one division of exact BIGINTs — bit-identical across
+    engines with no fold-order pinning. One wide aggregate; the second
+    exchange moves only the |metrics|×24-row profile."""
+    from cernan_spark.operators.anomaly import seasonal_baseline
+
+    _utc(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    prep = ev.select(
+        "event_type",
+        ((F.floor(F.unix_timestamp("ts")).cast("bigint") / 3600).cast("bigint") % 24).alias(
+            "hour"
+        ),
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    return seasonal_baseline(prep, ["event_type"], "hour", "cents")
 
 
 def _grok_apache_oracle_sql() -> str:
@@ -6510,5 +6609,105 @@ def oracle_sql() -> dict[str, str]:
         SELECT chain, CAST(count(*) AS BIGINT) AS n,
                CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
         FROM c WHERE nxt2 IS NOT NULL GROUP BY 1
+    """
+    d["burst_collapse"] = """
+        WITH f AS (
+          SELECT user_id, event_id, event_type AS msg,
+                 CAST(floor(epoch(ts)) AS BIGINT) AS e,
+                 CASE WHEN lag(event_type) OVER w IS NULL
+                        OR lag(event_type) OVER w <> event_type
+                        OR CAST(floor(epoch(ts)) AS BIGINT)
+                           - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w > 43200
+                      THEN 1 ELSE 0 END AS new_b
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+        ), b AS (
+          SELECT *, sum(new_b) OVER (
+                   PARTITION BY user_id ORDER BY event_id
+                   ROWS UNBOUNDED PRECEDING) AS burst
+          FROM f
+        )
+        SELECT user_id, msg, CAST(count(*) AS BIGINT) AS n_repeats,
+               min(e) AS first_e, max(e) AS last_e,
+               min(event_id) AS first_order
+        FROM b GROUP BY user_id, burst, msg
+    """
+    d["tail_sampling"] = """
+        WITH s AS (
+          SELECT user_id, event_id, event_type,
+                 CAST(floor(epoch(ts)) AS BIGINT) AS e,
+                 CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+          FROM events
+        ), k AS (
+          SELECT *, max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY user_id, day) AS keep
+          FROM s
+        )
+        SELECT user_id, day, CAST(count(*) AS BIGINT) AS n_spans,
+               CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_errors,
+               max(e) - min(e) AS span_s
+        FROM k WHERE keep = 1 GROUP BY user_id, day
+    """
+    d["scd2_dim"] = """
+        WITH m AS (
+          SELECT user_id, event_id, event_type AS attr,
+                 CAST(floor(epoch(ts)) AS BIGINT) AS valid_from_e,
+                 (lag(event_type) OVER w IS NULL
+                  OR lag(event_type) OVER w <> event_type) AS chg
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+        ), v AS (
+          SELECT user_id, attr, valid_from_e,
+                 lead(valid_from_e) OVER (
+                   PARTITION BY user_id ORDER BY event_id) AS valid_to_e
+          FROM m WHERE chg
+        )
+        SELECT user_id, attr, valid_from_e,
+               coalesce(valid_to_e, -1) AS valid_to_e,
+               CASE WHEN valid_to_e IS NULL THEN 1 ELSE 0 END AS is_current
+        FROM v
+    """
+    d["preference_pairs"] = """
+        WITH c AS (
+          SELECT user_id, event_id, value,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY value DESC, event_id ASC) AS rb,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY value ASC, event_id ASC) AS rw
+          FROM events WHERE event_type = 'purchase'
+        ), g AS (
+          SELECT user_id,
+                 max(CASE WHEN rb = 1 THEN event_id END) AS chosen,
+                 max(CASE WHEN rw = 1 THEN event_id END) AS rejected,
+                 max(CASE WHEN rb = 1 THEN value END) AS chosen_score,
+                 max(CASE WHEN rw = 1 THEN value END) AS rejected_score,
+                 CAST(count(*) AS BIGINT) AS n_cand
+          FROM c GROUP BY user_id
+        )
+        SELECT user_id, chosen, rejected, chosen_score, rejected_score,
+               chosen_score - rejected_score AS margin, n_cand
+        FROM g
+        WHERE n_cand >= 2 AND chosen_score - rejected_score >= 0.5
+    """
+    d["seasonal_hours"] = """
+        WITH p AS (
+          SELECT event_type,
+                 (CAST(floor(epoch(ts)) AS BIGINT) // 3600) % 24 AS hour,
+                 CAST(floor(value * 100) AS BIGINT) AS cents
+          FROM events
+        ), s AS (
+          SELECT event_type, hour, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(cents) AS BIGINT) AS sum_c,
+                 max(cents) AS max_c
+          FROM p GROUP BY event_type, hour
+        )
+        SELECT event_type, hour, n,
+               sum_c / (100.0 * n) AS slot_mean,
+               (max_c * n) / sum_c AS max_dev_ratio,
+               (sum_c * CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT))
+                 / (n * CAST(sum(sum_c) OVER (PARTITION BY event_type) AS BIGINT))
+                 AS season_idx
+        FROM s
     """
     return d

@@ -322,3 +322,126 @@ def slo_burn_windows(
             & (F.col("long_err") * burn_x10 > F.col("long_n"))
         ).alias("page"),
     )
+
+
+def seasonal_baseline(
+    df: DataFrame,
+    key_cols: list[str],
+    slot_col: str,
+    value_cents_col: str,
+) -> DataFrame:
+    """Seasonal (slot-of-cycle) baseline with a cross-engine-exact profile.
+
+    Group the series by ``key_cols`` × ``slot_col`` (e.g. metric ×
+    hour-of-day) and emit, per slot: the sample count, the slot mean, the
+    worst single-sample deviation ratio within the slot, and the
+    seasonality index (slot mean ÷ key-wide mean). The operational read:
+    an index ≫ 1 marks the hot hours a static alert threshold will
+    false-positive on — the same problem cernan's histogram-mask config
+    solves per-metric (reference `/root/reference/src/config.rs`
+    histogram bounds), lifted to time-of-day.
+
+    Float discipline: ``value_cents_col`` must be an exact-integer column
+    (the caller scales doubles to cents); every emitted double is then a
+    single division / integer product of exact BIGINTs, so Spark and a SQL
+    oracle agree bit-for-bit regardless of fold order.
+
+    Plan: one map-side-combined aggregate to the (key, slot) grain; the
+    key-wide totals come from a window over that already-tiny frame
+    (|keys|×|slots| rows — the second exchange moves kilobytes at any SF).
+    """
+    slot = df.groupBy(*key_cols, slot_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(value_cents_col).alias("sum_c"),
+        F.max(value_cents_col).alias("max_c"),
+    )
+    wk = W.partitionBy(*key_cols)
+    return slot.select(
+        *key_cols,
+        slot_col,
+        "n",
+        (F.col("sum_c") / (F.lit(100.0) * F.col("n"))).alias("slot_mean"),
+        ((F.col("max_c") * F.col("n")) / F.col("sum_c")).alias("max_dev_ratio"),
+        (
+            (F.col("sum_c") * F.sum("n").over(wk))
+            / (F.col("n") * F.sum("sum_c").over(wk))
+        ).alias("season_idx"),
+    )
+
+
+def robust_mad_profile(
+    df: DataFrame,
+    key_cols: list[str],
+    cents_col: str,
+    order_col: str,
+    k_num: int = 3,
+    k_den: int = 2,
+) -> DataFrame:
+    """Median/MAD outlier profile in exact integer arithmetic.
+
+    The mean/stddev z-score (:func:`rolling_zscore`) breaks on the very
+    outliers it hunts (one 100× spike drags the mean); the robust form —
+    median and median-absolute-deviation — does not. Cross-engine exact
+    medians are computed by RANK SELECTION over an exact-integer column
+    (``cents_col``): ``med2`` is the sum of the values at 1-based ranks
+    ``(n+1)//2`` and ``(n+2)//2`` (twice the interpolated median, kept
+    doubled so it stays integral), and ``mad2`` repeats the trick on
+    ``|2·c − med2|`` (doubled deviations). A point is an outlier when
+    ``2·|2·c − med2| > (k_num/k_den)·2·mad2``, evaluated as the integer
+    cross-product ``2·dev2·k_den > k_num·mad2`` — no doubles anywhere
+    until the final report columns (single divisions by 2).
+
+    Plan: two rank passes over the data (each ONE exchange on the key)
+    plus two key-grain joins of the medians frame (broadcast under AQE —
+    one row per key). This is the honest cost of exact medians at scale;
+    approximate percentile sketches are the cheaper cousin when exactness
+    isn't gate-checked.
+    """
+    kc = [F.col(c) for c in key_cols]
+
+    def _rank_pick(frame: DataFrame, val: str) -> DataFrame:
+        w = W.partitionBy(*kc).orderBy(F.col(val), F.col(order_col))
+        ranked = frame.select(
+            *key_cols,
+            F.col(val),
+            F.row_number().over(w).alias("_rn"),
+            F.count(F.lit(1)).over(W.partitionBy(*kc)).alias("_n"),
+        )
+        lo = (F.col("_n") + 1) / 2
+        hi = (F.col("_n") + 2) / 2
+        return ranked.groupBy(*key_cols).agg(
+            F.max("_n").alias("n"),
+            (
+                F.sum(F.when(F.col("_rn") == F.floor(lo), F.col(val)))
+                + F.sum(F.when(F.col("_rn") == F.floor(hi), F.col(val)))
+            ).alias(f"{val}2"),
+        )
+
+    base = df.select(*key_cols, F.col(cents_col).alias("c"), F.col(order_col))
+    med = _rank_pick(base, "c").withColumnRenamed("c2", "med2")
+    dev = base.join(med.select(*key_cols, "med2"), key_cols).select(
+        *key_cols,
+        F.abs(2 * F.col("c") - F.col("med2")).alias("d"),
+        F.col(order_col),
+    )
+    mad = _rank_pick(dev, "d").withColumnRenamed("d2", "mad2")
+    flagged = dev.join(mad.select(*key_cols, "mad2"), key_cols)
+    out = flagged.groupBy(*key_cols).agg(
+        F.sum(
+            (2 * F.col("d") * F.lit(k_den) > F.lit(k_num) * F.col("mad2")).cast(
+                "bigint"
+            )
+        ).alias("n_outliers")
+    )
+    return (
+        med.select(*key_cols, "n", "med2")
+        .join(mad.select(*key_cols, "mad2"), key_cols)
+        .join(out, key_cols)
+        .select(
+            *key_cols,
+            "n",
+            (F.col("med2") / 200.0).alias("median"),
+            (F.col("mad2") / 200.0).alias("mad"),
+            "n_outliers",
+        )
+    )

@@ -595,3 +595,109 @@ def pack_sft_oracle_sql(
                END AS mask_spans
         FROM placed
     """
+
+
+def preference_pairs(
+    df: DataFrame,
+    group_cols: list[str],
+    cand_col: str,
+    score_col: str,
+    min_margin: float,
+) -> DataFrame:
+    """Preference-pair construction (the DPO/RLHF training-data shape).
+
+    Within each group (a prompt / conversation), pick the highest- and
+    lowest-scored candidate as the (chosen, rejected) pair; groups with
+    fewer than two candidates, or a margin below ``min_margin``, emit
+    nothing. Ties break on ``cand_col`` ascending so the pair is
+    deterministic under reruns — the same stable-order discipline the
+    transcripts table mandates for turn_idx.
+
+    Output: ``group_cols..., chosen, rejected, chosen_score,
+    rejected_score, margin, n_cand``.
+
+    Plan: two ranks over the SAME partitioning (score desc / asc) plus the
+    final per-group aggregate all cluster on ``group_cols`` — ONE exchange.
+    `max(when(rn=1, struct))` folds each winner out of the ranked frame
+    without a self-join (the textbook two-join formulation shuffles the
+    candidate table three times).
+    """
+    wb = W.partitionBy(*group_cols).orderBy(
+        F.col("_score").desc(), F.col("_cand").asc()
+    )
+    ww = W.partitionBy(*group_cols).orderBy(
+        F.col("_score").asc(), F.col("_cand").asc()
+    )
+    ranked = df.select(
+        *group_cols, F.col(cand_col).alias("_cand"), F.col(score_col).alias("_score")
+    ).select(
+        "*",
+        F.row_number().over(wb).alias("_rb"),
+        F.row_number().over(ww).alias("_rw"),
+    )
+    best = F.max(F.when(F.col("_rb") == 1, F.struct("_cand", "_score")))
+    worst = F.max(F.when(F.col("_rw") == 1, F.struct("_cand", "_score")))
+    out = ranked.groupBy(*group_cols).agg(
+        best.alias("_b"), worst.alias("_w"), F.count(F.lit(1)).alias("n_cand")
+    )
+    margin = F.col("_b._score") - F.col("_w._score")
+    return (
+        out.filter((F.col("n_cand") >= 2) & (margin >= F.lit(min_margin)))
+        .select(
+            *group_cols,
+            F.col("_b._cand").alias("chosen"),
+            F.col("_w._cand").alias("rejected"),
+            F.col("_b._score").alias("chosen_score"),
+            F.col("_w._score").alias("rejected_score"),
+            margin.alias("margin"),
+            "n_cand",
+        )
+    )
+
+
+def trace_signatures(
+    df: DataFrame,
+    conv_col: str,
+    idx_col: str,
+    step_col: str,
+) -> DataFrame:
+    """Behavioral dedup of agent traces: collapse conversations whose
+    step sequence (e.g. ``role:tool`` per turn, in turn order) is
+    identical. Two traces that ran the same tool pipeline are the same
+    *behavior* even when their payload text differs — the signature view
+    is what dedup-for-training and trajectory-mining consume (exact-text
+    dedup keeps both; this keeps one exemplar and the multiplicity).
+
+    Output: one row per distinct signature with ``sig``, ``n_convs``,
+    ``total_turns`` and the lexicographically-first conversation id as
+    the exemplar (``rep_conv``).
+
+    Plan: ONE shuffle to the conversation grain (ordered fold via
+    ``array_sort(collect_list(struct))`` — conversations are
+    context-bounded, so per-group state stays small at any corpus size),
+    then a second aggregate over the conv-sized frame keyed by signature.
+    The signature string's length is bounded by the context bound, not
+    the corpus.
+    """
+    per_conv = df.groupBy(conv_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col(idx_col).alias("i"),
+                            F.col(step_col).alias("s"),
+                        )
+                    )
+                ),
+                lambda x: x["s"],
+            ),
+            ">",
+        ).alias("sig"),
+        F.count(F.lit(1)).alias("n_turns"),
+    )
+    return per_conv.groupBy("sig").agg(
+        F.count(F.lit(1)).alias("n_convs"),
+        F.sum("n_turns").alias("total_turns"),
+        F.min(conv_col).alias("rep_conv"),
+    )

@@ -1,0 +1,162 @@
+"""Log-hygiene operators: burst collapse and tail-based trace sampling.
+
+Two stream-hygiene primitives every high-volume log pipeline grows:
+
+* **Burst collapse** — the distributed form of syslogd's "last message
+  repeated N times": consecutive identical messages on one emitter within
+  a small time gap collapse to a single row carrying the repeat count and
+  the burst's time extent. cernan faces the same firehose (a crashing
+  service re-emitting one line at full speed) and answers it with sink-side
+  aggregation windows (reference `/root/reference/src/buckets.rs` bins by
+  time); :func:`burst_collapse` is the record-preserving variant — the
+  collapsed row still carries first/last timestamps so nothing is lost but
+  the duplicates.
+
+* **Tail-based trace sampling** — keep or drop a whole trace *after* it
+  completed, based on a predicate over any of its spans (an error anywhere,
+  a latency blowout at the root). Head sampling (cernan's statsd ``@rate``
+  flag, reference `/root/reference/src/protocols/statsd.rs` sample-rate
+  parse) decides per-record; tail sampling must see the full trace first,
+  which in batch Spark is a grouped decision broadcast back to every span.
+
+Scale notes (the 100 TB plan):
+
+* ``burst_collapse`` costs exactly ONE exchange: the lag window, the
+  running-sum window, and the per-burst aggregate all cluster on a superset
+  of the emitter key, so Spark's ``EnsureRequirements`` reuses the first
+  hash partitioning for all three (guarded in tests/test_plan_shapes.py).
+* ``tail_sample`` is a window-max over the trace key — ONE exchange of the
+  span table and no join. The tempting alternative (aggregate trace
+  verdicts, semi-join back) either broadcasts a keep-set that grows with
+  the data (dies at scale) or shuffles the span table twice.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def burst_collapse(
+    df: DataFrame,
+    part_cols: list[str],
+    order_col: str,
+    ts_col: str,
+    msg_col: str,
+    gap_s: int,
+) -> DataFrame:
+    """Collapse runs of identical consecutive messages into one row.
+
+    A new burst starts at the first row of each emitter, whenever the
+    message text changes, or whenever the gap to the previous row exceeds
+    ``gap_s`` seconds. Emits one row per burst::
+
+        part_cols..., msg, n_repeats, first_e, last_e, first_order
+
+    with epochs as BIGINT seconds (``first_e == last_e`` for singletons).
+
+    Plan: lag window → running-sum window → hash aggregate, all keyed on
+    supersets of ``part_cols`` — one exchange, two sorts, one aggregate.
+    """
+    w = Window.partitionBy(*part_cols).orderBy(order_col)
+    epoch = F.floor(F.unix_timestamp(F.col(ts_col))).cast("bigint")
+    flagged = df.select(
+        *part_cols,
+        F.col(order_col),
+        F.col(msg_col).alias("msg"),
+        epoch.alias("_e"),
+    ).withColumn(
+        "_new",
+        (
+            F.lag("msg").over(w).isNull()
+            | (F.lag("msg").over(w) != F.col("msg"))
+            | ((F.col("_e") - F.lag("_e").over(w)) > F.lit(gap_s))
+        ).cast("int"),
+    )
+    running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bursts = flagged.withColumn("_burst", F.sum("_new").over(running))
+    return bursts.groupBy(*part_cols, "_burst", "msg").agg(
+        F.count(F.lit(1)).alias("n_repeats"),
+        F.min("_e").alias("first_e"),
+        F.max("_e").alias("last_e"),
+        F.min(order_col).alias("first_order"),
+    )
+
+
+def tail_sample(
+    df: DataFrame, trace_cols: list[str], keep_pred: Column
+) -> DataFrame:
+    """Keep every span of traces where ANY span satisfies ``keep_pred``.
+
+    The trace-level verdict is a window ``max`` over the trace key — the
+    span table shuffles once and filters in place; no second pass, no
+    keep-set materialized on the driver, no join. Drop-side accounting
+    (how many traces/spans were sampled away) is a cheap aggregate over
+    the same partitioning if the caller wants it.
+    """
+    w = Window.partitionBy(*trace_cols)
+    return (
+        df.withColumn("_keep", F.max(keep_pred.cast("int")).over(w))
+        .filter(F.col("_keep") == 1)
+        .drop("_keep")
+    )
+
+
+def token_bucket_admit(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    epoch_col: str,
+    burst: int,
+    refill_s: int,
+) -> DataFrame:
+    """Token-bucket admission control — the batch replay of cernan's valve
+    (reference `/root/reference/src/source/mod.rs` backpressure valve and
+    the hopper queue's bounded intake): each key starts with ``burst``
+    tokens, regains ``floor(gap/refill_s)`` whole tokens between
+    consecutive records (capped at ``burst``), and a record is admitted
+    iff a token is available (admission spends it; drops are free).
+
+    All arithmetic is exact integers, so the DuckDB recursive-CTE oracle
+    reproduces the decision bit-for-bit.
+
+    The recurrence ``t_i = min(burst, t_{i-1} + gap_tokens) - admit`` is
+    inherently sequential per key, so keys must bound the sequential
+    extent — callers pass a composite key like (user, day) whose group
+    size is data-independent (a daily quota), exactly how the gauge
+    carry-forward bounds its segmented scan (operators/aggregate.py).
+    Runs as ONE ``applyInPandas`` over the key partitioning: the Python
+    loop touches only one bounded group at a time and the min-plus
+    recurrence is associative, so a chunked two-phase scan is available
+    if a deployment ever needs unbounded keys.
+
+    Output: ``key_cols..., order_col, admitted`` (int 0/1).
+    """
+    import pandas as pd
+
+    ordc, ec = order_col, epoch_col
+
+    def _admit(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(ordc)
+        tok = burst
+        prev = None
+        out = []
+        for e in pdf[ec]:
+            e = int(e)
+            if prev is not None:
+                tok = min(burst, tok + (e - prev) // refill_s)
+            admit = 1 if tok >= 1 else 0
+            tok -= admit
+            prev = e
+            out.append(admit)
+        res = pdf[key_cols + [ordc]].copy()
+        res["admitted"] = out
+        return res
+
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.select(*key_cols, ordc).schema.fields
+    ) + ", admitted int"
+    return df.select(*key_cols, ordc, ec).groupBy(*key_cols).applyInPandas(
+        _admit, schema
+    )

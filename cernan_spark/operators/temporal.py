@@ -394,3 +394,52 @@ def cdc_snapshot_diff(
     return joined.withColumn("status", status).filter(
         F.col(f"{probe}_t1").isNull() | F.col(f"{probe}_t2").isNull() | ~same
     )
+
+
+def scd2_intervals(
+    changes: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    ts_col: str,
+    attr_col: str,
+) -> DataFrame:
+    """Slowly-changing-dimension type 2 from an append-only change log.
+
+    Collapse consecutive rows whose ``attr_col`` did not change (a
+    heartbeat re-asserting the same value is not a new version), then cut
+    validity intervals at the remaining change points::
+
+        key_cols..., attr, valid_from_e, valid_to_e, is_current
+
+    ``valid_to_e`` is the next version's ``valid_from_e`` (half-open
+    interval, the as-of-join convention of :func:`asof_join_broadcast`);
+    the open current version carries ``valid_to_e = NULL`` and
+    ``is_current = 1``. This is the batch rebuild of cernan's config-reload
+    versioning (every record routed under the config in force when it
+    arrived — reference `/root/reference/src/lib.rs` SIGHUP reload path):
+    the SCD2 table is the dimension an as-of join consumes.
+
+    Plan: both windows and the change filter cluster on ``key_cols`` —
+    ONE exchange end to end, no self-join (the lead() replaces the
+    classic "join next version" formulation, which shuffles twice).
+    """
+    w = Window.partitionBy(*key_cols).orderBy(order_col)
+    epoch = F.floor(F.unix_timestamp(F.col(ts_col))).cast("bigint")
+    marked = changes.select(
+        *key_cols,
+        F.col(order_col),
+        F.col(attr_col).alias("attr"),
+        epoch.alias("valid_from_e"),
+    ).withColumn(
+        "_chg",
+        F.lag("attr").over(w).isNull() | (F.lag("attr").over(w) != F.col("attr")),
+    )
+    versions = marked.filter(F.col("_chg")).drop("_chg")
+    nxt = F.lead("valid_from_e").over(w)
+    return versions.select(
+        *key_cols,
+        "attr",
+        "valid_from_e",
+        nxt.alias("valid_to_e"),
+        nxt.isNull().cast("int").alias("is_current"),
+    )
