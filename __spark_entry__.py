@@ -3088,6 +3088,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_dim": q_scd2_dim,
         "preference_pairs": q_preference_pairs,
         "seasonal_hours": q_seasonal_hours,
+        "token_bucket": q_token_bucket,
+        "rendezvous_shards": q_rendezvous_shards,
+        "trace_sigs": q_trace_sigs,
+        "mad_outliers": q_mad_outliers,
     }
 
 
@@ -4571,6 +4575,77 @@ def q_seasonal_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
     )
     return seasonal_baseline(prep, ["event_type"], "hour", "cents")
+
+
+def q_token_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-bucket admission replay (cernan's valve in batch): each
+    (user, day) quota starts with 2 tokens and regains one whole token
+    per hour of silence; per user, how many events were admitted vs
+    rate-limited (operators/loghygiene.token_bucket_admit — the
+    sequential recurrence is bounded by the daily key, ≤ ~11 events per
+    group at ANY scale factor, and runs as one applyInPandas over the
+    key partitioning; the DuckDB oracle replays it with a bounded
+    recursive CTE)."""
+    from cernan_spark.operators.loghygiene import token_bucket_admit
+
+    _utc(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    spans = ev.select(
+        "user_id",
+        "event_id",
+        F.floor(F.unix_timestamp("ts")).cast("bigint").alias("e"),
+    ).withColumn("day", (F.col("e") / 86400).cast("bigint"))
+    adm = token_bucket_admit(
+        spans, ["user_id", "day"], "event_id", "e", burst=2, refill_s=3600
+    )
+    return adm.groupBy("user_id").agg(
+        F.sum(F.col("admitted").cast("bigint")).alias("n_admitted"),
+        F.sum((1 - F.col("admitted")).cast("bigint")).alias("n_dropped"),
+    )
+
+
+def q_rendezvous_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (highest-random-weight) sharding resize report: assign
+    every document to 8 shards and to 9, then count movers per
+    before-shard (operators/sharding.resize_movement). The minimal-
+    disruption property — only ~1/9 of keys move on 8→9, all onto the
+    new shard — is what keeps cernan-style stateful sink queues resumable
+    across fleet resizes. Pure projection over staged portable-hash
+    weights; nothing shuffles but the 8-row report."""
+    from cernan_spark.operators.sharding import resize_movement
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return resize_movement(d, "doc_id", 8, 9)
+
+
+def q_trace_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral prefix dedup of agent traces: conversations collapse by
+    the role sequence of their first 4 turns
+    (operators/conversation.trace_signatures) — the trajectory-mining
+    view: how many distinct opening behaviors exist, with multiplicity
+    and a deterministic exemplar per signature."""
+    _utc(spark)
+    from cernan_spark.operators.conversation import trace_signatures
+
+    t = transcripts_from_events(spark, sf_dir).filter(F.col("turn_idx") < 4)
+    return trace_signatures(t, "conv_id", "turn_idx", "role")
+
+
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median/MAD) outlier profile per metric, exact across
+    engines: medians by integer rank-selection over cents, outlier rule
+    2·dev2 · 2 > 3·mad2 evaluated wholly in BIGINTs
+    (operators/anomaly.robust_mad_profile — two rank passes, each one
+    exchange, plus key-grain broadcast joins)."""
+    from cernan_spark.operators.anomaly import robust_mad_profile
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    prep = ev.select(
+        "event_type",
+        "event_id",
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    return robust_mad_profile(prep, ["event_type"], "cents", "event_id")
 
 
 def _grok_apache_oracle_sql() -> str:
@@ -6709,5 +6784,96 @@ def oracle_sql() -> dict[str, str]:
                  / (n * CAST(sum(sum_c) OVER (PARTITION BY event_type) AS BIGINT))
                  AS season_idx
         FROM s
+    """
+    d["token_bucket"] = """
+        WITH RECURSIVE base AS MATERIALIZED (
+          SELECT user_id,
+                 CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+                 event_id,
+                 CAST(floor(epoch(ts)) AS BIGINT) AS e
+          FROM events
+        ), g AS MATERIALIZED (
+          SELECT user_id, day, event_id, e,
+                 row_number() OVER w AS rn,
+                 (e - lag(e) OVER w) // 3600 AS gap_tok
+          FROM base
+          WINDOW w AS (PARTITION BY user_id, day ORDER BY event_id)
+        ), rec AS (
+          SELECT user_id, day, rn, 1 AS admitted, 1 AS tok
+          FROM g WHERE rn = 1
+          UNION ALL
+          SELECT g.user_id, g.day, g.rn,
+                 CASE WHEN least(2, rec.tok + g.gap_tok) >= 1
+                      THEN 1 ELSE 0 END,
+                 least(2, rec.tok + g.gap_tok)
+                   - CASE WHEN least(2, rec.tok + g.gap_tok) >= 1
+                          THEN 1 ELSE 0 END
+          FROM rec JOIN g ON g.user_id = rec.user_id
+                         AND g.day = rec.day AND g.rn = rec.rn + 1
+        )
+        SELECT user_id, CAST(sum(admitted) AS BIGINT) AS n_admitted,
+               CAST(count(*) - sum(admitted) AS BIGINT) AS n_dropped
+        FROM rec GROUP BY user_id
+    """
+    from cernan_spark.operators.sharding import resize_movement_sql
+
+    d["rendezvous_shards"] = resize_movement_sql("doc_id", 8, 9, "documents")
+    d["trace_sigs"] = P + """
+        , pre AS (
+          SELECT conv_id, turn_idx, role FROM transcripts WHERE turn_idx < 4
+        ), per AS (
+          SELECT conv_id,
+                 string_agg(role, '>' ORDER BY turn_idx) AS sig,
+                 CAST(count(*) AS BIGINT) AS n_turns
+          FROM pre GROUP BY conv_id
+        )
+        SELECT sig, CAST(count(*) AS BIGINT) AS n_convs,
+               CAST(sum(n_turns) AS BIGINT) AS total_turns,
+               min(conv_id) AS rep_conv
+        FROM per GROUP BY sig
+    """
+    d["mad_outliers"] = """
+        WITH base AS (
+          SELECT event_type, event_id,
+                 CAST(floor(value * 100) AS BIGINT) AS c
+          FROM events
+        ), r1 AS (
+          SELECT event_type, c,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY c, event_id) AS rn,
+                 count(*) OVER (PARTITION BY event_type) AS n
+          FROM base
+        ), med AS (
+          SELECT event_type, max(n) AS n,
+                 CAST(sum(CASE WHEN rn = (n + 1) // 2 THEN c END)
+                    + sum(CASE WHEN rn = (n + 2) // 2 THEN c END)
+                    AS BIGINT) AS med2
+          FROM r1 GROUP BY event_type
+        ), dev AS (
+          SELECT b.event_type, b.event_id, abs(2 * b.c - m.med2) AS d
+          FROM base b JOIN med m USING (event_type)
+        ), r2 AS (
+          SELECT event_type, d,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY d, event_id) AS rn,
+                 count(*) OVER (PARTITION BY event_type) AS n
+          FROM dev
+        ), mad AS (
+          SELECT event_type,
+                 CAST(sum(CASE WHEN rn = (n + 1) // 2 THEN d END)
+                    + sum(CASE WHEN rn = (n + 2) // 2 THEN d END)
+                    AS BIGINT) AS mad2
+          FROM r2 GROUP BY event_type
+        ), outl AS (
+          SELECT v.event_type,
+                 CAST(sum(CASE WHEN 2 * v.d * 2 > 3 * ma.mad2
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+          FROM dev v JOIN mad ma USING (event_type)
+          GROUP BY v.event_type
+        )
+        SELECT m.event_type, m.n, m.med2 / 200.0 AS median,
+               ma.mad2 / 200.0 AS mad, o.n_outliers
+        FROM med m JOIN mad ma USING (event_type)
+                   JOIN outl o USING (event_type)
     """
     return d
