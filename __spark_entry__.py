@@ -3092,6 +3092,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rendezvous_shards": q_rendezvous_shards,
         "trace_sigs": q_trace_sigs,
         "mad_outliers": q_mad_outliers,
+        "decayed_hitters": q_decayed_hitters,
+        "discounted_return": q_discounted_return,
+        "gdpr_purge": q_gdpr_purge,
+        "k_anon": q_k_anon,
     }
 
 
@@ -4646,6 +4650,86 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
     )
     return robust_mad_profile(prep, ["event_type"], "cents", "event_id")
+
+
+def q_decayed_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freshness-weighted heavy hitters: per user, the exponentially
+    decayed event count (half-life one day, ages clamped at 30 d against
+    the corpus max timestamp). Exact across engines because every term is
+    a power of two summed as BIGINT (operators/temporal.decayed_counts);
+    the corpus max is a 1-row aggregate broadcast into the scan."""
+    from cernan_spark.operators.temporal import decayed_counts
+
+    _utc(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    e = F.floor(F.unix_timestamp("ts")).cast("bigint")
+    mx = ev.agg(F.max(e).alias("_mx"))
+    aged = ev.select("user_id", e.alias("_e")).crossJoin(F.broadcast(mx)).select(
+        "user_id",
+        ((F.col("_mx") - F.col("_e")) / 86400).cast("bigint").alias("age_d"),
+    )
+    return decayed_counts(aged, ["user_id"], "age_d", max_age=30)
+
+
+def q_discounted_return(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation discounted return (γ = 1/2, horizon 20 turns):
+    purchase-event values are the per-turn rewards; the trajectory score
+    ranks conversations for an RL-style training mix
+    (operators/conversation.discounted_return — BIGINT power-of-two
+    scaling, one float division at the end, ONE exchange shared by the
+    turn-index window and the conversation aggregate)."""
+    from cernan_spark.operators.conversation import discounted_return
+    from pyspark.sql import Window as W2
+
+    _utc(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = W2.partitionBy("user_id").orderBy("event_id")
+    turns = ev.select(
+        "user_id",
+        (F.row_number().over(w) - 1).alias("t"),
+        F.when(
+            F.col("event_type") == "purchase",
+            F.floor(F.col("value") * 100).cast("bigint"),
+        )
+        .otherwise(F.lit(0))
+        .alias("reward_cents"),
+    )
+    return discounted_return(turns, "user_id", "t", "reward_cents", horizon=20)
+
+
+def q_gdpr_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten audit: deletion requests are the users with a
+    low-value signup; per event_type, how many rows a purge would remove
+    vs retain (operators/loghygiene.purge_accounting — account before the
+    destructive rewrite, one equi-join + one aggregate)."""
+    from cernan_spark.operators.loghygiene import purge_accounting
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    del_keys = (
+        ev.filter((F.col("event_type") == "signup") & (F.col("value") < 5))
+        .select("user_id")
+        .distinct()
+    )
+    return purge_accounting(ev, del_keys, ["user_id"], ["event_type"])
+
+
+def q_k_anon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity release gate over the (event_type, hour-of-day)
+    quasi-identifier: groups with fewer than 20 distinct users are
+    suppressed (operators/loghygiene.k_anonymity_suppress — one hash
+    aggregate; exact distinct at gate SF, HLL as the scale path)."""
+    from cernan_spark.operators.loghygiene import k_anonymity_suppress
+
+    _utc(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    qi = ev.select(
+        "event_type",
+        ((F.floor(F.unix_timestamp("ts")).cast("bigint") / 3600).cast("bigint") % 24).alias(
+            "hour"
+        ),
+        "user_id",
+    )
+    return k_anonymity_suppress(qi, ["event_type", "hour"], "user_id", k=20)
 
 
 def _grok_apache_oracle_sql() -> str:
@@ -6875,5 +6959,61 @@ def oracle_sql() -> dict[str, str]:
                ma.mad2 / 200.0 AS mad, o.n_outliers
         FROM med m JOIN mad ma USING (event_type)
                    JOIN outl o USING (event_type)
+    """
+    d["decayed_hitters"] = """
+        WITH mx AS (
+          SELECT max(CAST(floor(epoch(ts)) AS BIGINT)) AS m FROM events
+        ), aged AS (
+          SELECT user_id,
+                 least(((SELECT m FROM mx)
+                        - CAST(floor(epoch(ts)) AS BIGINT)) // 86400,
+                       30) AS age_d
+          FROM events
+        )
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(pow(2.0, 30 - age_d) AS BIGINT)) AS BIGINT)
+                 / 1073741824.0 AS decayed
+        FROM aged GROUP BY user_id
+    """
+    d["discounted_return"] = """
+        WITH turns AS (
+          SELECT user_id,
+                 row_number() OVER (PARTITION BY user_id ORDER BY event_id)
+                   - 1 AS t,
+                 CASE WHEN event_type = 'purchase'
+                      THEN CAST(floor(value * 100) AS BIGINT)
+                      ELSE 0 END AS reward_cents
+          FROM events
+        )
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_rewards,
+               CAST(sum(reward_cents * CAST(pow(2.0, 20 - t) AS BIGINT))
+                    AS BIGINT) / (100.0 * 1048576.0) AS ret
+        FROM turns WHERE t < 20 GROUP BY user_id
+    """
+    d["gdpr_purge"] = """
+        WITH del_keys AS (
+          SELECT DISTINCT user_id FROM events
+          WHERE event_type = 'signup' AND value < 5
+        ), marked AS (
+          SELECT e.event_type,
+                 CASE WHEN d.user_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+          FROM events e LEFT JOIN del_keys d USING (user_id)
+        )
+        SELECT event_type, CAST(sum(hit) AS BIGINT) AS n_purged,
+               CAST(sum(1 - hit) AS BIGINT) AS n_retained
+        FROM marked GROUP BY event_type
+    """
+    d["k_anon"] = """
+        WITH qi AS (
+          SELECT event_type,
+                 (CAST(floor(epoch(ts)) AS BIGINT) // 3600) % 24 AS hour,
+                 user_id
+          FROM events
+        )
+        SELECT event_type, hour, CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_ids,
+               CASE WHEN count(DISTINCT user_id) >= 20 THEN 1 ELSE 0 END
+                 AS published
+        FROM qi GROUP BY event_type, hour
     """
     return d

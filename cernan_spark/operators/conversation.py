@@ -701,3 +701,38 @@ def trace_signatures(
         F.sum("n_turns").alias("total_turns"),
         F.min(conv_col).alias("rep_conv"),
     )
+
+
+def discounted_return(
+    df: DataFrame,
+    conv_col: str,
+    idx_col: str,
+    reward_cents_col: str,
+    horizon: int,
+) -> DataFrame:
+    """Per-conversation discounted return ``G = Σ γ^t · r_t`` with
+    γ = 1/2 — the trajectory-scoring step of an RL-from-traces pipeline
+    (rank conversations by front-loaded reward before sampling them into
+    a training mix).
+
+    Exact across engines by the power-of-two trick: rewards are exact
+    integer cents, turns beyond ``horizon`` are ignored, and each term is
+    scaled by ``2^horizon`` so the per-conversation sum
+    ``Σ cents · 2^(horizon−t)`` is a BIGINT; the single division
+    ``/ (100 · 2^horizon)`` at the end is the only float op, so fold
+    order cannot change the bits. ONE exchange (the conv aggregate).
+
+    Output: ``conv_col, n_rewards, ret``.
+    """
+    t = F.col(idx_col)
+    scaled = F.col(reward_cents_col) * F.pow(
+        F.lit(2.0), (F.lit(horizon) - t)
+    ).cast("bigint")
+    return (
+        df.filter(t < F.lit(horizon))
+        .groupBy(conv_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_rewards"),
+            (F.sum(scaled) / F.lit(float(100 * 2**horizon))).alias("ret"),
+        )
+    )

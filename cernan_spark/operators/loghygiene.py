@@ -160,3 +160,55 @@ def token_bucket_admit(
     return df.select(*key_cols, ordc, ec).groupBy(*key_cols).applyInPandas(
         _admit, schema
     )
+
+
+def purge_accounting(
+    df: DataFrame,
+    delete_keys: DataFrame,
+    key_cols: list[str],
+    group_cols: list[str],
+) -> DataFrame:
+    """Right-to-be-forgotten delete propagation with audit accounting.
+
+    Given a table of deletion-request keys, report per ``group_cols`` how
+    many rows a purge removes vs retains — the audit artifact a compliance
+    run must emit BEFORE the destructive rewrite (the same
+    account-then-act discipline as the route stage's unmatched-drop
+    ledger, operators/route.py). One LEFT join against the key table
+    (AQE broadcasts it while it is small; at fleet scale it shuffles on
+    the key like any equi-join) and one aggregate.
+    """
+    marked = df.join(
+        delete_keys.select(*key_cols, F.lit(1).alias("_del")).distinct(),
+        key_cols,
+        "left",
+    )
+    hit = F.col("_del").isNotNull().cast("bigint")
+    return marked.groupBy(*group_cols).agg(
+        F.sum(hit).alias("n_purged"),
+        F.sum(1 - hit).alias("n_retained"),
+    )
+
+
+def k_anonymity_suppress(
+    df: DataFrame,
+    qi_cols: list[str],
+    id_col: str,
+    k: int,
+) -> DataFrame:
+    """k-anonymity suppression report over a quasi-identifier tuple.
+
+    A (release-ready) group must contain at least ``k`` distinct
+    individuals; smaller groups are suppressed. Emits per QI group the
+    row count, distinct-individual count and the publish/suppress
+    verdict — the privacy gate a transcript-derived dataset passes
+    through before export. ONE exchange (hash aggregate on the QI key);
+    the exact distinct count is the honest form at gate SF, with the
+    HLL sketch (operators/sketch.py) as the scale path when the QI
+    cardinality explodes.
+    """
+    return df.groupBy(*qi_cols).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct(id_col).alias("n_ids"),
+        (F.countDistinct(id_col) >= F.lit(k)).cast("int").alias("published"),
+    )

@@ -443,3 +443,35 @@ def scd2_intervals(
         nxt.alias("valid_to_e"),
         nxt.isNull().cast("int").alias("is_current"),
     )
+
+
+def decayed_counts(
+    df: DataFrame,
+    key_cols: list[str],
+    age_col: str,
+    max_age: int,
+) -> DataFrame:
+    """Exponentially-decayed heavy hitters with EXACT cross-engine sums.
+
+    Per key, the decayed count ``Σ 2^(−age)`` (half-life = one age unit,
+    ages clamped to ``max_age``) — the freshness-weighted ranking a
+    telemetry sink uses to age out cold series (cernan expires idle
+    series at flush, reference `/root/reference/src/buckets.rs` reset
+    path; the decayed count is the soft version of that hard expiry).
+
+    Exactness trick: every term is scaled by ``2^max_age`` so the sum is
+    a plain BIGINT — ``Σ 2^(max_age−age)`` — and the single final
+    division by ``2^max_age`` is the only floating-point op. Any fold
+    order gives the same bits in any engine (the r3-established float
+    discipline). BIGINT headroom: the scaled sum caps at
+    ``n_rows·2^max_age``, so ``max_age ≤ 30`` keeps 2^33 rows safe —
+    at larger corpora shrink ``max_age`` or pre-aggregate per age.
+
+    One map-side-combined hash aggregate; nothing else.
+    """
+    age = F.least(F.col(age_col), F.lit(max_age))
+    scaled = F.pow(F.lit(2.0), (F.lit(max_age) - age)).cast("bigint")
+    return df.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(scaled) / F.lit(float(2**max_age))).alias("decayed"),
+    )
