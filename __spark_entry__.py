@@ -3096,6 +3096,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "discounted_return": q_discounted_return,
         "gdpr_purge": q_gdpr_purge,
         "k_anon": q_k_anon,
+        "cusum_pages": q_cusum_pages,
+        "reward_qnorm": q_reward_qnorm,
+        "forecast_error": q_forecast_error,
+        "skew_salts": q_skew_salts,
     }
 
 
@@ -4730,6 +4734,81 @@ def q_k_anon(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
     )
     return k_anonymity_suppress(qi, ["event_type", "hour"], "user_id", k=20)
+
+
+def _hourly_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared (event_type, day, hour) → summed-cents rollup: the bounded
+    per-group series the sequential detectors (CUSUM, seasonal-naive)
+    consume. One map-side-combined aggregate over the corpus."""
+    _utc(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    e = F.floor(F.unix_timestamp("ts")).cast("bigint")
+    return ev.groupBy(
+        "event_type",
+        (e / 86400).cast("bigint").alias("day"),
+        ((e / 3600).cast("bigint") % 24).alias("hour"),
+    ).agg(F.sum(F.floor(F.col("value") * 100).cast("bigint")).alias("x"))
+
+
+def q_cusum_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point alarms per (metric, day): hourly cents sums
+    drift-tracked against the metric's corpus-mean target k (integer,
+    k = Σx//n + 1, h = 2k); S accumulates excess, alarms reset it
+    (operators/anomaly.cusum_alarms — the slow-leak detector beside
+    rolling_zscore's spike detector; the sequential scan touches only
+    ≤24 pre-aggregated points per group at ANY scale, and the DuckDB
+    oracle replays it with a bounded recursive CTE)."""
+    from cernan_spark.operators.anomaly import cusum_alarms
+
+    hourly = _hourly_cents(spark, sf_dir)
+    tgt = hourly.groupBy("event_type").agg(
+        F.expr("CAST(sum(x) DIV count(1) + 1 AS BIGINT)").alias("k")
+    )
+    g = hourly.join(F.broadcast(tgt), "event_type")
+    return cusum_alarms(
+        g, ["event_type", "day"], "hour", "x", "k", h_mult=2
+    )
+
+
+def q_reward_qnorm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-normalized (calibrated) reward per user and metric:
+    values map to their min-rank quantile within the metric, then
+    average per user — cross-prompt comparable scores without a global
+    sort (operators/corpus.rank_normalize: histogram aggregate bounded
+    by the value domain + cumsum on the histogram + equi-join back;
+    Σ rank_before stays BIGINT so the mean is one exact division)."""
+    from cernan_spark.operators.corpus import rank_normalize
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    base = ev.select(
+        "event_type",
+        "user_id",
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    return rank_normalize(base, ["event_type"], "cents", ["user_id"])
+
+
+def q_forecast_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast skill per metric: predict each hour with
+    the previous observed same-hour value and report MAE/worst error in
+    integer cents (operators/anomaly.seasonal_naive_error) — the baseline
+    any forecaster must beat and the 'how surprising was today' monitor."""
+    from cernan_spark.operators.anomaly import seasonal_naive_error
+
+    hourly = _hourly_cents(spark, sf_dir)
+    return seasonal_naive_error(hourly, ["event_type"], "day", "hour", "x")
+
+
+def q_skew_salts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-skew diagnostic over the metric key: per-key row count, corpus
+    share in ppm (integer DIV), and the salt factor a salted join needs to
+    hold (key, salt) slices under 500 rows
+    (operators/skew.skew_report — the measurement step feeding
+    with_salt/salted_topk)."""
+    from cernan_spark.operators.skew import skew_report
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return skew_report(ev, ["event_type"], target_rows_per_task=500)
 
 
 def _grok_apache_oracle_sql() -> str:
@@ -7015,5 +7094,95 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN count(DISTINCT user_id) >= 20 THEN 1 ELSE 0 END
                  AS published
         FROM qi GROUP BY event_type, hour
+    """
+    d["cusum_pages"] = """
+        WITH RECURSIVE hourly AS MATERIALIZED (
+          SELECT event_type,
+                 CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+                 (CAST(floor(epoch(ts)) AS BIGINT) // 3600) % 24 AS hour,
+                 CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS x
+          FROM events GROUP BY 1, 2, 3
+        ), tgt AS MATERIALIZED (
+          SELECT event_type,
+                 CAST(sum(x) // count(*) + 1 AS BIGINT) AS k
+          FROM hourly GROUP BY 1
+        ), g AS MATERIALIZED (
+          SELECT h.event_type, h.day, h.hour, h.x, t.k,
+                 row_number() OVER (PARTITION BY h.event_type, h.day
+                                    ORDER BY h.hour) AS rn
+          FROM hourly h JOIN tgt t USING (event_type)
+        ), rec AS (
+          SELECT event_type, day, rn, k,
+                 CASE WHEN greatest(0, x - k) > 2 * k THEN 0
+                      ELSE greatest(0, x - k) END AS s,
+                 CASE WHEN greatest(0, x - k) > 2 * k THEN 1 ELSE 0 END
+                   AS alarm,
+                 greatest(0, x - k) AS ms
+          FROM g WHERE rn = 1
+          UNION ALL
+          SELECT g.event_type, g.day, g.rn, g.k,
+                 CASE WHEN greatest(0, rec.s + g.x - g.k) > 2 * g.k THEN 0
+                      ELSE greatest(0, rec.s + g.x - g.k) END,
+                 CASE WHEN greatest(0, rec.s + g.x - g.k) > 2 * g.k
+                      THEN 1 ELSE 0 END,
+                 greatest(rec.ms, greatest(0, rec.s + g.x - g.k))
+          FROM rec JOIN g ON g.event_type = rec.event_type
+                         AND g.day = rec.day AND g.rn = rec.rn + 1
+        )
+        SELECT event_type, day, CAST(count(*) AS BIGINT) AS n_points,
+               CAST(sum(alarm) AS BIGINT) AS n_alarms,
+               CAST(max(ms) AS BIGINT) AS max_s
+        FROM rec GROUP BY event_type, day
+    """
+    d["reward_qnorm"] = """
+        WITH base AS (
+          SELECT event_type, user_id,
+                 CAST(floor(value * 100) AS BIGINT) AS v
+          FROM events
+        ), hist AS (
+          SELECT event_type, v, count(*) AS cnt FROM base GROUP BY 1, 2
+        ), cum AS (
+          SELECT event_type, v,
+                 CAST(coalesce(sum(cnt) OVER (
+                   PARTITION BY event_type ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS rank_before,
+                 CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT)
+                   AS n_part
+          FROM hist
+        )
+        SELECT b.event_type, b.user_id, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(c.rank_before) AS BIGINT)
+                 / ((max(c.n_part) - 1) * count(*)) AS mean_q
+        FROM base b JOIN cum c ON b.event_type = c.event_type AND b.v = c.v
+        GROUP BY 1, 2
+    """
+    d["forecast_error"] = """
+        WITH hourly AS MATERIALIZED (
+          SELECT event_type,
+                 CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+                 (CAST(floor(epoch(ts)) AS BIGINT) // 3600) % 24 AS hour,
+                 CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS x
+          FROM events GROUP BY 1, 2, 3
+        ), lagged AS (
+          SELECT event_type, x,
+                 lag(x) OVER (PARTITION BY event_type, hour ORDER BY day)
+                   AS prev
+          FROM hourly
+        )
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(sum(abs(x - prev)) AS BIGINT) / count(*) AS mae,
+               CAST(max(abs(x - prev)) AS BIGINT) AS max_err
+        FROM lagged WHERE prev IS NOT NULL GROUP BY event_type
+    """
+    d["skew_salts"] = """
+        WITH per_key AS (
+          SELECT event_type, CAST(count(*) AS BIGINT) AS n
+          FROM events GROUP BY 1
+        ), tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM per_key)
+        SELECT event_type, n,
+               (n * 1000000) // (SELECT t FROM tot) AS ppm,
+               (n + 499) // 500 AS salt_factor
+        FROM per_key
     """
     return d

@@ -445,3 +445,93 @@ def robust_mad_profile(
             "n_outliers",
         )
     )
+
+
+def cusum_alarms(
+    hourly: DataFrame,
+    key_cols: list[str],
+    rank_col: str,
+    value_col: str,
+    target_col: str,
+    h_mult: int = 4,
+) -> DataFrame:
+    """CUSUM change-point alarms over a bounded per-group series.
+
+    The one-sided CUSUM recurrence ``S_i = max(0, S_{i-1} + (x_i − k))``
+    accumulates persistent upward drift and alarms when ``S > h`` (then
+    resets) — the classic "rate crept above target" detector a paging
+    pipeline runs beside the instantaneous z-score
+    (:func:`rolling_zscore` catches spikes; CUSUM catches slow leaks).
+
+    Like :func:`~cernan_spark.operators.loghygiene.token_bucket_admit`,
+    the recurrence is sequential, so the input must be PRE-AGGREGATED to
+    a bounded grain — e.g. 24 hourly sums per (metric, day) — which keeps
+    the per-group Python loop O(1) at any corpus size; the heavy lifting
+    (corpus → hourly sums) is a map-side-combined Spark aggregate before
+    this operator. ``target_col`` carries the per-key drift target ``k``
+    (integer, derived from corpus totals so both engines agree);
+    ``h = h_mult · k``. All-integer state, so the DuckDB recursive-CTE
+    oracle replays the alarm sequence bit-for-bit.
+
+    Output: ``key_cols..., n_points, n_alarms, max_s``.
+    """
+    import pandas as pd
+
+    rc, vc, tc = rank_col, value_col, target_col
+
+    def _scan(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(rc)
+        k = int(pdf[tc].iloc[0])
+        h = h_mult * k
+        s = 0
+        alarms = 0
+        max_s = 0
+        for x in pdf[vc]:
+            s = max(0, s + int(x) - k)
+            if s > max_s:
+                max_s = s
+            if s > h:
+                alarms += 1
+                s = 0
+        out = pdf[key_cols].iloc[:1].copy()
+        out["n_points"] = len(pdf)
+        out["n_alarms"] = alarms
+        out["max_s"] = max_s
+        return out
+
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in hourly.select(*key_cols).schema.fields
+    ) + ", n_points long, n_alarms long, max_s long"
+    return hourly.select(*key_cols, rc, vc, tc).groupBy(*key_cols).applyInPandas(
+        _scan, schema
+    )
+
+
+def seasonal_naive_error(
+    hourly: DataFrame,
+    key_cols: list[str],
+    day_col: str,
+    slot_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Seasonal-naive forecast skill report: predict each (key, day, slot)
+    value with the previous observed same-slot value (lag over
+    ``(key, slot)`` ordered by day) and report per key the pair count,
+    the mean absolute error and the worst error — the baseline any
+    fancier forecaster must beat, and the drift monitor's "how surprising
+    was today" column. Integer absolute errors summed as BIGINT; the MAE
+    is one final division. ONE exchange (the lag window); the per-key
+    rollup reuses nothing wide.
+    """
+    w = W.partitionBy(*key_cols, slot_col).orderBy(day_col)
+    err = (
+        hourly.withColumn("_prev", F.lag(value_col).over(w))
+        .filter(F.col("_prev").isNotNull())
+        .withColumn("_err", F.abs(F.col(value_col) - F.col("_prev")))
+    )
+    return err.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        (F.sum("_err") / F.count(F.lit(1))).alias("mae"),
+        F.max("_err").alias("max_err"),
+    )

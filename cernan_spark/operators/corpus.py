@@ -1580,3 +1580,55 @@ def psi_length_oracle_sql(
                  (a, x) -> a + x), 6) AS psi
         FROM terms
     """
+
+
+def rank_normalize(
+    df: DataFrame,
+    part_cols: list[str],
+    value_col: str,
+    group_cols: list[str],
+) -> DataFrame:
+    """Quantile (rank) normalization without a global sort — the reward-
+    calibration step before cross-prompt scores are comparable: each value
+    maps to ``q = rank_before / (N − 1)`` within its partition, where
+    ``rank_before`` is the MIN-rank count of strictly-smaller values (ties
+    share a quantile — deterministic across engines, unlike NTILE/
+    row_number ties), then reports per ``group_cols`` the mean calibrated
+    score. The mean stays exact: ``Σ rank_before`` is a BIGINT and the
+    single division ``/ ((N−1) · n)`` happens once per output row.
+
+    Plan (the :func:`length_deciles` construction, generalized): ONE
+    histogram aggregate to (partition, value) — bounded by the VALUE
+    DOMAIN, not the corpus — a histogram-sized cumsum window, and an
+    equi-join back on (partition, value) that AQE broadcasts while the
+    histogram is small. The corpus is never sorted in one task; the
+    window that would have been ``rank() OVER (PARTITION BY part ORDER BY
+    value)`` serializes a whole partition through one reducer at 100 TB.
+    """
+    from pyspark.sql import Window as W
+
+    v = F.col(value_col).alias("_v")
+    hist = df.select(*part_cols, v).groupBy(*part_cols, "_v").agg(
+        F.count(F.lit(1)).alias("_cnt")
+    )
+    wp = W.partitionBy(*part_cols).orderBy("_v")
+    cum = hist.select(
+        *part_cols,
+        "_v",
+        F.coalesce(
+            F.sum("_cnt").over(wp.rowsBetween(W.unboundedPreceding, -1)),
+            F.lit(0).cast("long"),
+        ).alias("_rank_before"),
+        F.sum("_cnt").over(wp.rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+        .alias("_n_part"),
+    )
+    joined = df.select(*part_cols, *group_cols, v).join(
+        cum, [*part_cols, "_v"]
+    )
+    return joined.groupBy(*part_cols, *group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.sum("_rank_before")
+            / ((F.max("_n_part") - F.lit(1)) * F.count(F.lit(1)))
+        ).alias("mean_q"),
+    )

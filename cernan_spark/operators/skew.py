@@ -170,3 +170,29 @@ def sessionize_chunked(
             "long"
         ),
     ).drop("_bkt", "_new_rest", "_cum_rest", "_first_new", "_before")
+
+
+def skew_report(
+    df: DataFrame, key_cols: list[str], target_rows_per_task: int
+) -> DataFrame:
+    """Join-skew diagnostic: per key, its row count, its share of the
+    table in parts-per-million, and the salt factor a salted join would
+    need to hold every (key, salt) slice under ``target_rows_per_task``
+    (``ceil`` in integer arithmetic). This is the measurement step the
+    salted operators above consume — at 100 TB you run it on a sample or
+    yesterday's partition and feed ``salt_factor`` to :func:`with_salt`.
+
+    One map-side-combined aggregate; the corpus total rides along as a
+    1-row broadcast join.
+    """
+    per_key = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n"))
+    total = per_key.agg(F.sum("n").alias("_tot"))
+    t = int(target_rows_per_task)
+    # integer DIV on both sides — a float divide + cast would round in
+    # DuckDB but truncate in Spark
+    return per_key.crossJoin(F.broadcast(total)).select(
+        *key_cols,
+        "n",
+        F.expr("(n * 1000000) DIV _tot").alias("ppm"),
+        F.expr(f"(n + {t - 1}) DIV {t}").alias("salt_factor"),
+    )
