@@ -3100,6 +3100,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reward_qnorm": q_reward_qnorm,
         "forecast_error": q_forecast_error,
         "skew_salts": q_skew_salts,
+        "matryoshka_recall": q_matryoshka_recall,
+        "burstiness": q_burstiness,
+        "tool_cooccur": q_tool_cooccur,
     }
 
 
@@ -4809,6 +4812,50 @@ def q_skew_salts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return skew_report(ev, ["event_type"], target_rows_per_task=500)
+
+
+def q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-truncation audit: recall@10 of the 16-dim prefix space
+    against the full 64-dim space, per probe
+    (operators/similarity.truncation_recall — two exact brute-force
+    rankings with broadcast probes, overlap counted as integers). The
+    go/no-go measurement before deploying a cheaper prefix index."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    from cernan_spark.operators.similarity import truncation_recall
+
+    return truncation_recall(emb, n_probes=50, k=10, trunc_dim=16)
+
+
+def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival burstiness per metric: CV² of per-user gap streams
+    (≈1 Poisson, ≫1 bursty, ≪1 heartbeat) in exact integer sums — the
+    statistic that sizes valve/queue depth at a given mean rate
+    (operators/anomaly.burstiness_profile)."""
+    _utc(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    base = ev.select(
+        "event_type",
+        "user_id",
+        "event_id",
+        F.floor(F.unix_timestamp("ts")).cast("bigint").alias("e"),
+    )
+    from cernan_spark.operators.anomaly import burstiness_profile
+
+    return burstiness_profile(
+        base, ["event_type"], ["event_type", "user_id"], "event_id", "e"
+    )
+
+
+def q_tool_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tool co-occurrence lift over agent traces: conversation-distinct
+    pair counts with lift vs independence — the association-graph
+    companion to tool_chains' sequential trigrams
+    (operators/behavior.tool_cooccurrence)."""
+    _utc(spark)
+    t = transcripts_from_events(spark, sf_dir)
+    from cernan_spark.operators.behavior import tool_cooccurrence
+
+    return tool_cooccurrence(t, "conv_id", "tool")
 
 
 def _grok_apache_oracle_sql() -> str:
@@ -7184,5 +7231,84 @@ def oracle_sql() -> dict[str, str]:
                (n * 1000000) // (SELECT t FROM tot) AS ppm,
                (n + 499) // 500 AS salt_factor
         FROM per_key
+    """
+    d["matryoshka_recall"] = """
+        WITH flat AS (
+          SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+          FROM embeddings, range(1, 65) t(i)
+        ), nf AS (
+          SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM flat GROUP BY 1
+        ), nt AS (
+          SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM flat
+          WHERE i <= 16 GROUP BY 1
+        ), df_ AS (
+          SELECT a.vec_id AS qid, b.vec_id, sum(a.x * b.x) AS dot
+          FROM flat a JOIN flat b ON a.i = b.i
+          WHERE a.vec_id < 50 AND b.vec_id <> a.vec_id
+          GROUP BY 1, 2
+        ), dt AS (
+          SELECT a.vec_id AS qid, b.vec_id, sum(a.x * b.x) AS dot
+          FROM flat a JOIN flat b ON a.i = b.i
+          WHERE a.vec_id < 50 AND b.vec_id <> a.vec_id AND a.i <= 16
+          GROUP BY 1, 2
+        ), topf AS (
+          SELECT qid, vec_id FROM (
+            SELECT d.qid, d.vec_id,
+                   row_number() OVER (PARTITION BY d.qid
+                     ORDER BY d.dot / (a.nrm * b.nrm) DESC, d.vec_id) AS rk
+            FROM df_ d JOIN nf a ON a.vec_id = d.qid
+                       JOIN nf b ON b.vec_id = d.vec_id
+          ) WHERE rk <= 10
+        ), topt AS (
+          SELECT qid, vec_id FROM (
+            SELECT d.qid, d.vec_id,
+                   row_number() OVER (PARTITION BY d.qid
+                     ORDER BY d.dot / (a.nrm * b.nrm) DESC, d.vec_id) AS rk
+            FROM dt d JOIN nt a ON a.vec_id = d.qid
+                      JOIN nt b ON b.vec_id = d.vec_id
+          ) WHERE rk <= 10
+        )
+        SELECT f.qid, CAST(sum(CASE WHEN t.vec_id IS NOT NULL
+                                    THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+               CAST(sum(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) / 10.0 AS recall
+        FROM topf f LEFT JOIN topt t
+          ON f.qid = t.qid AND f.vec_id = t.vec_id
+        GROUP BY f.qid
+    """
+    d["burstiness"] = """
+        WITH g AS (
+          SELECT event_type,
+                 CAST(floor(epoch(ts)) AS BIGINT)
+                   - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+                       PARTITION BY event_type, user_id ORDER BY event_id)
+                   AS gp
+          FROM events
+        )
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+               CAST(sum(gp) AS BIGINT) / count(*) AS mean_gap_s,
+               (CAST(count(*) AS DOUBLE) * CAST(sum(gp * gp) AS DOUBLE))
+                 / (CAST(sum(gp) AS DOUBLE) * CAST(sum(gp) AS DOUBLE)) AS cv2
+        FROM g WHERE gp IS NOT NULL GROUP BY event_type
+    """
+    d["tool_cooccur"] = P + """
+        , ct AS (
+          SELECT DISTINCT conv_id, tool FROM transcripts
+        ), pr AS (
+          SELECT a.tool AS tool_a, b.tool AS tool_b,
+                 CAST(count(*) AS BIGINT) AS n_ab
+          FROM ct a JOIN ct b
+            ON a.conv_id = b.conv_id AND a.tool < b.tool
+          GROUP BY 1, 2
+        ), tt AS (
+          SELECT tool, CAST(count(*) AS BIGINT) AS n_t FROM ct GROUP BY 1
+        ), nc AS (
+          SELECT CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs FROM ct
+        )
+        SELECT p.tool_a, p.tool_b, p.n_ab,
+               (p.n_ab * (SELECT n_convs FROM nc))
+                 / (ta.n_t * tb.n_t) AS lift
+        FROM pr p JOIN tt ta ON ta.tool = p.tool_a
+                  JOIN tt tb ON tb.tool = p.tool_b
     """
     return d

@@ -535,3 +535,44 @@ def seasonal_naive_error(
         (F.sum("_err") / F.count(F.lit(1))).alias("mae"),
         F.max("_err").alias("max_err"),
     )
+
+
+def burstiness_profile(
+    df: DataFrame,
+    key_cols: list[str],
+    seq_cols: list[str],
+    order_col: str,
+    epoch_col: str,
+) -> DataFrame:
+    """Inter-arrival burstiness per key, exact across engines.
+
+    Over each sequence (``seq_cols``, e.g. one user's event stream),
+    take consecutive integer-second gaps; per ``key_cols`` report the gap
+    count, mean gap, and the squared coefficient of variation
+    ``CV² = n·Σg² / (Σg)²`` — CV² ≈ 1 is Poisson traffic, ≫ 1 is bursty
+    (retry storms, thundering herds), ≪ 1 is heartbeat-regular. The
+    dispersion statistic is the shape cernan's valve/backpressure sizing
+    cares about: a bursty source needs deeper hopper queues at the same
+    mean rate. Gaps are BIGINTs, ``Σg`` and ``Σg²`` are exact integer
+    sums; the CV² numerator/denominator would overflow int64 at scale
+    (Σg·Σg crosses 2⁶³ near 10⁵ sequences), so the exact sums — each
+    well under 2⁵³, hence exactly representable — are cast to double
+    BEFORE the two products, which are then single correctly-rounded
+    IEEE ops in both engines. Fold order still cannot change a bit. One exchange (the lag window); the per-key
+    rollup is map-side combined.
+    """
+    w = W.partitionBy(*seq_cols).orderBy(order_col)
+    gaps = df.select(*key_cols, *seq_cols, F.col(order_col), F.col(epoch_col)) \
+        .withColumn("_g", F.col(epoch_col) - F.lag(epoch_col).over(w)) \
+        .filter(F.col("_g").isNotNull())
+    return gaps.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        (F.sum("_g") / F.count(F.lit(1))).alias("mean_gap_s"),
+        (
+            (
+                F.count(F.lit(1)).cast("double")
+                * F.sum(F.col("_g") * F.col("_g")).cast("double")
+            )
+            / (F.sum("_g").cast("double") * F.sum("_g").cast("double"))
+        ).alias("cv2"),
+    )

@@ -102,3 +102,59 @@ def cohort_retention(
         )
         .agg(F.countDistinct(user_col).alias("n_users"))
     )
+
+
+def tool_cooccurrence(
+    df: DataFrame,
+    conv_col: str,
+    tool_col: str,
+) -> DataFrame:
+    """Tool co-occurrence lift over agent traces: for each unordered tool
+    pair, in how many conversations both appear, and the lift against
+    independence ``n_ab·N / (n_a·n_b)`` (> 1: the tools travel together;
+    < 1: they repel) — the association-graph view of tool_chains'
+    sequential n-grams. All counts are conversation-distinct; the lift is
+    one division of exact BIGINT products.
+
+    Plan: distinct (conv, tool) pairs — one exchange — then a self-join
+    on the conversation key (per-conv fan-out is bounded by the tool
+    vocabulary, not the corpus); per-tool totals and the conversation
+    count come back as two broadcast-sized frames.
+    """
+    ct = df.select(conv_col, tool_col).distinct()
+    a, b = ct.alias("a"), ct.alias("b")
+    pairs = a.join(
+        b,
+        (F.col(f"a.{conv_col}") == F.col(f"b.{conv_col}"))
+        & (F.col(f"a.{tool_col}") < F.col(f"b.{tool_col}")),
+    ).select(
+        F.col(f"a.{tool_col}").alias("tool_a"),
+        F.col(f"b.{tool_col}").alias("tool_b"),
+    )
+    n_ab = pairs.groupBy("tool_a", "tool_b").agg(
+        F.count(F.lit(1)).alias("n_ab")
+    )
+    totals = ct.groupBy(tool_col).agg(F.count(F.lit(1)).alias("n_t"))
+    n_convs = ct.select(conv_col).distinct().agg(
+        F.count(F.lit(1)).alias("n_convs")
+    )
+    return (
+        n_ab.join(
+            F.broadcast(totals.select(F.col(tool_col).alias("tool_a"),
+                                      F.col("n_t").alias("n_a"))),
+            "tool_a",
+        )
+        .join(
+            F.broadcast(totals.select(F.col(tool_col).alias("tool_b"),
+                                      F.col("n_t").alias("n_b"))),
+            "tool_b",
+        )
+        .crossJoin(F.broadcast(n_convs))
+        .select(
+            "tool_a",
+            "tool_b",
+            "n_ab",
+            ((F.col("n_ab") * F.col("n_convs")) / (F.col("n_a") * F.col("n_b")))
+            .alias("lift"),
+        )
+    )

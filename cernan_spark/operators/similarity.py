@@ -716,3 +716,44 @@ def rrf_fuse(
             F.round("rrf", 6).alias("rrf"), "fused_rank",
         )
     )
+
+
+def truncation_recall(
+    vectors: DataFrame,
+    n_probes: int,
+    k: int,
+    trunc_dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Matryoshka-style truncation audit: recall@k of a PREFIX-truncated
+    embedding space against the full space. For each probe, rank all
+    vectors by cosine in full dimension and again using only the first
+    ``trunc_dim`` components; report how many of the full-space top-k the
+    truncated space retains — the measurement that decides whether a
+    cheaper prefix index (IVF/LSH over fewer dims) is safe to deploy.
+
+    Output: ``qid, n_common, recall`` (``recall = n_common/k``, one exact
+    division of integers). Both rankings are the brute-force exact top-k
+    (:func:`cosine_topk_bruteforce` — probes broadcast, candidates never
+    shuffled); the truncated space re-normalizes over the prefix, as a
+    prefix index would.
+    """
+    probes = vectors.filter(F.col(id_col) < n_probes)
+    full = cosine_topk_bruteforce(vectors, probes, k, id_col, vec_col)
+    tvec = vectors.select(
+        id_col, F.slice(vec_col, 1, trunc_dim).alias(vec_col)
+    )
+    tprobes = tvec.filter(F.col(id_col) < n_probes)
+    trunc = cosine_topk_bruteforce(tvec, tprobes, k, id_col, vec_col)
+    hits = trunc.select("qid", "vec_id", F.lit(1).alias("_hit"))
+    return (
+        full.join(hits, ["qid", "vec_id"], "left")
+        .groupBy("qid")
+        .agg(F.sum(F.coalesce("_hit", F.lit(0))).alias("n_common"))
+        .select(
+            "qid",
+            "n_common",
+            (F.col("n_common") / F.lit(float(k))).alias("recall"),
+        )
+    )

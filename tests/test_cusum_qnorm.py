@@ -54,3 +54,23 @@ def test_skew_report_salt_ceiling(spark):
     got = {r.k: r for r in skew_report(df, ["k"], 100).collect()}
     assert (got["hot"].n, got["hot"].salt_factor, got["hot"].ppm) == (900, 9, 900000)
     assert (got["cold"].n, got["cold"].salt_factor) == (100, 1)
+
+
+def test_rank_normalize_plan_broadcasts_histogram(spark):
+    """The histogram side must come back as a broadcast, not a shuffled
+    join, and only two hash exchanges may touch the frame (histogram agg
+    + final group agg)."""
+    import re
+
+    df = spark.range(2000).select(
+        (F.col("id") % 3).cast("string").alias("p"),
+        (F.col("id") % 7).alias("g"),
+        (F.col("id") % 50).alias("v"),
+    )
+    out = rank_normalize(df, ["p"], "v", ["g"])
+    out.write.format("noop").mode("overwrite").save()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert len(re.findall(r"BroadcastHashJoin", plan)) == 1
+    assert len(re.findall(r"SortMergeJoin", plan)) == 0
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 2

@@ -54,3 +54,50 @@ def test_k_anonymity_verdicts(spark):
         1,
         0,
     )
+
+
+def test_truncation_recall_full_dim_is_perfect(spark):
+    """Truncating to the FULL dimension must give recall 1.0 for every
+    probe (the two rankings coincide)."""
+    from cernan_spark.operators.similarity import truncation_recall
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = truncation_recall(emb, n_probes=5, k=5, trunc_dim=64).collect()
+    assert len(out) == 5
+    assert all(r.recall == 1.0 and r.n_common == 5 for r in out)
+
+
+def test_burstiness_poisson_vs_heartbeat(spark):
+    from cernan_spark.operators.anomaly import burstiness_profile
+
+    rows = [("beat", "u", i, 100 * i) for i in range(10)]          # constant gaps
+    rows += [("burst", "u", i, e) for i, e in enumerate([0, 1, 2, 3, 1000])]
+    df = spark.createDataFrame(rows, "k string, u string, seq long, e long")
+    got = {
+        r.k: r
+        for r in burstiness_profile(
+            df, ["k"], ["k", "u"], "seq", "e"
+        ).collect()
+    }
+    # constant gaps: n·Σg²/(Σg)² = 9·(9·100²) / 900² = 1.0
+    assert got["beat"].cv2 == 1.0
+    assert got["burst"].cv2 > 2.0
+    assert got["beat"].mean_gap_s == 100.0
+
+
+def test_tool_cooccurrence_lift(spark):
+    from cernan_spark.operators.behavior import tool_cooccurrence
+
+    rows = [
+        ("c1", 0, "a"), ("c1", 1, "b"),
+        ("c2", 0, "a"), ("c2", 1, "b"),
+        ("c3", 0, "a"), ("c3", 1, "c"),
+        ("c4", 0, "c"),
+    ]
+    df = spark.createDataFrame(rows, "conv string, i int, tool string")
+    got = {(r.tool_a, r.tool_b): r for r in
+           tool_cooccurrence(df, "conv", "tool").collect()}
+    ab = got[("a", "b")]
+    assert ab.n_ab == 2
+    assert ab.lift == (2 * 4) / (3 * 2)   # n_ab·N / (n_a·n_b)
+    assert got[("a", "c")].n_ab == 1
