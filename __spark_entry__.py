@@ -3103,6 +3103,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "matryoshka_recall": q_matryoshka_recall,
         "burstiness": q_burstiness,
         "tool_cooccur": q_tool_cooccur,
+        "hourly_pivot": q_hourly_pivot,
+        "peak_2h_load": q_peak_2h_load,
+        "chi2_cells": q_chi2_cells,
     }
 
 
@@ -4856,6 +4859,91 @@ def q_tool_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cernan_spark.operators.behavior import tool_cooccurrence
 
     return tool_cooccurrence(t, "conv_id", "tool")
+
+
+def q_hourly_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide operational matrix via the pivot API: hour-of-day rows ×
+    one summed-cents column per metric (the dashboard/export shape).
+    Pivot with an EXPLICIT value list compiles to one hash aggregate
+    with CASE arms — no second pass to discover columns, which is the
+    scale trap of the unlisted form. The DuckDB twin is the same CASE
+    aggregation, so the gate checks every cell."""
+    _utc(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    e = F.floor(F.unix_timestamp("ts")).cast("bigint")
+    base = ev.select(
+        ((e / 3600).cast("bigint") % 24).alias("hour"),
+        "event_type",
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    return (
+        base.groupBy("hour")
+        .pivot("event_type", kinds)
+        .agg(F.sum("cents"))
+        .select(
+            "hour", *[F.coalesce(F.col(k), F.lit(0)).alias(f"c_{k}") for k in kinds]
+        )
+    )
+
+
+def q_peak_2h_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capacity planning: per metric, the worst trailing-2-hour cents
+    load over the whole corpus, computed with a TIME-range window frame
+    (operators/temporal.peak_range_load — rangeBetween, the frame kind
+    row-count windows can't express on irregular streams)."""
+    from cernan_spark.operators.temporal import peak_range_load
+
+    _utc(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    base = ev.select(
+        "event_type",
+        F.floor(F.unix_timestamp("ts")).cast("bigint").alias("e"),
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    return peak_range_load(base, ["event_type"], "e", "cents", range_s=7200)
+
+
+def q_chi2_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence cells for metric × hour-of-day: per cell
+    the observed count, expected count and chi² contribution, each a
+    SINGLE division of exact BIGINT cross-products (O·N − R·C stays
+    integral; only the final normalizations divide) — emitted per cell
+    rather than summed so no fold-order float drift can exist. The
+    operational read: which (metric, hour) cells drive the
+    time-dependence of load."""
+    _utc(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    e = F.floor(F.unix_timestamp("ts")).cast("bigint")
+    cells = ev.groupBy(
+        "event_type", ((e / 3600).cast("bigint") % 24).alias("hour")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    from pyspark.sql import Window as W2
+
+    wr = W2.partitionBy("event_type")
+    wc = W2.partitionBy("hour")
+    wn = W2.partitionBy()
+    enriched = cells.select(
+        "event_type",
+        "hour",
+        "o",
+        F.sum("o").over(wr).alias("r"),
+        F.sum("o").over(wc).alias("c"),
+        F.sum("o").over(wn).alias("n"),
+    )
+    # exact counts cast to double BEFORE the cross-products: o·n and r·c
+    # would overflow int64 at fleet scale, and every factor here is well
+    # under 2^53 so the doubles are exact and each product/difference is
+    # one correctly-rounded IEEE op mirrored verbatim in the oracle
+    od, rd, cd, nd = (F.col(x).cast("double") for x in ("o", "r", "c", "n"))
+    num = od * nd - rd * cd
+    return enriched.select(
+        "event_type",
+        "hour",
+        "o",
+        ((rd * cd) / nd).alias("expected"),
+        ((num * num) / (nd * rd * cd)).alias("contrib"),
+    )
 
 
 def _grok_apache_oracle_sql() -> str:
@@ -7310,5 +7398,58 @@ def oracle_sql() -> dict[str, str]:
                  / (ta.n_t * tb.n_t) AS lift
         FROM pr p JOIN tt ta ON ta.tool = p.tool_a
                   JOIN tt tb ON tb.tool = p.tool_b
+    """
+    d["hourly_pivot"] = """
+        WITH p AS (
+          SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 3600) % 24 AS hour,
+                 event_type,
+                 CAST(floor(value * 100) AS BIGINT) AS cents
+          FROM events
+        )
+        SELECT hour,
+               coalesce(CAST(sum(CASE WHEN event_type = 'click' THEN cents END) AS BIGINT), 0) AS c_click,
+               coalesce(CAST(sum(CASE WHEN event_type = 'error' THEN cents END) AS BIGINT), 0) AS c_error,
+               coalesce(CAST(sum(CASE WHEN event_type = 'purchase' THEN cents END) AS BIGINT), 0) AS c_purchase,
+               coalesce(CAST(sum(CASE WHEN event_type = 'signup' THEN cents END) AS BIGINT), 0) AS c_signup,
+               coalesce(CAST(sum(CASE WHEN event_type = 'view' THEN cents END) AS BIGINT), 0) AS c_view
+        FROM p GROUP BY hour
+    """
+    d["peak_2h_load"] = """
+        WITH p AS (
+          SELECT event_type,
+                 CAST(floor(epoch(ts)) AS BIGINT) AS e,
+                 CAST(floor(value * 100) AS BIGINT) AS cents
+          FROM events
+        ), win AS (
+          SELECT event_type,
+                 CAST(sum(cents) OVER (
+                   PARTITION BY event_type ORDER BY e
+                   RANGE BETWEEN 7199 PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS w
+          FROM p
+        )
+        SELECT event_type, max(w) AS peak_load,
+               CAST(count(*) AS BIGINT) AS n_rows
+        FROM win GROUP BY event_type
+    """
+    d["chi2_cells"] = """
+        WITH cells AS (
+          SELECT event_type,
+                 (CAST(floor(epoch(ts)) AS BIGINT) // 3600) % 24 AS hour,
+                 CAST(count(*) AS BIGINT) AS o
+          FROM events GROUP BY 1, 2
+        ), enr AS (
+          SELECT event_type, hour, o,
+                 CAST(sum(o) OVER (PARTITION BY event_type) AS DOUBLE) AS rd,
+                 CAST(sum(o) OVER (PARTITION BY hour) AS DOUBLE) AS cd,
+                 CAST(sum(o) OVER () AS DOUBLE) AS nd,
+                 CAST(o AS DOUBLE) AS od
+          FROM cells
+        )
+        SELECT event_type, hour, o,
+               (rd * cd) / nd AS expected,
+               ((od * nd - rd * cd) * (od * nd - rd * cd))
+                 / (nd * rd * cd) AS contrib
+        FROM enr
     """
     return d

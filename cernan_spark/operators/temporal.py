@@ -475,3 +475,33 @@ def decayed_counts(
         F.count(F.lit(1)).alias("n"),
         (F.sum(scaled) / F.lit(float(2**max_age))).alias("decayed"),
     )
+
+
+def peak_range_load(
+    df: DataFrame,
+    key_cols: list[str],
+    epoch_col: str,
+    value_col: str,
+    range_s: int,
+) -> DataFrame:
+    """Peak sliding-window load per key: the maximum, over all row
+    positions, of the value total inside the trailing ``range_s``-second
+    TIME window (``rangeBetween``, not ``rowsBetween`` — the window is
+    defined by timestamps, so sparse and dense regions are compared
+    fairly). This is the capacity-planning number ("worst 2 h of load"),
+    and the RANGE frame is the Spark feature the rest of the repo's
+    row-frame windows don't exercise.
+
+    Integer sums only. ONE exchange: the range window and the per-key max
+    share the key clustering.
+    """
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.col(epoch_col))
+        .rangeBetween(-(range_s - 1), 0)
+    )
+    load = df.withColumn("_win", F.sum(value_col).over(w))
+    return load.groupBy(*key_cols).agg(
+        F.max("_win").alias("peak_load"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
