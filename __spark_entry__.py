@@ -3106,6 +3106,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hourly_pivot": q_hourly_pivot,
         "peak_2h_load": q_peak_2h_load,
         "chi2_cells": q_chi2_cells,
+        "infogain_dims": q_infogain_dims,
+        "label_noise": q_label_noise,
     }
 
 
@@ -4944,6 +4946,80 @@ def q_chi2_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((rd * cd) / nd).alias("expected"),
         ((num * num) / (nd * rd * cd)).alias("contrib"),
     )
+
+
+def q_infogain_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension information gain of the sign split over the
+    embedding space — the feature-selection ranking that decides which
+    prefix dims a truncated (Matryoshka) or quantized index keeps.
+    Entropies are FIXED-ORDER sums of (exact-count ÷ exact-count)·ln
+    terms, one per literal label, so the doubles replay bit-identically
+    in the oracle (operators/similarity.py)."""
+    from cernan_spark.operators.similarity import sign_split_infogain
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return sign_split_infogain(e, labels=list(range(10)))
+
+
+def q_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise audit by leave-one-out kNN over the first 40 vec_ids:
+    a point whose 5 nearest OTHER points vote a different majority label
+    is flagged suspect — the relabel/review queue a training-data QA
+    pass produces before fitting anything (operators/similarity.py)."""
+    from cernan_spark.operators.similarity import label_noise_knn
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return label_noise_knn(e, n_probes=40, k=5)
+
+
+def _infogain_oracle_sql() -> str:
+    """DuckDB twin of q_infogain_dims, GENERATED from the same
+    ``entropy_sql`` helper the operator's docstring pins — the fixed
+    term order (label 0…9) and the 0.0−Σ normalization are shared by
+    construction, so the doubles replay bit-identically."""
+    from cernan_spark.operators.similarity import entropy_sql
+
+    labels = list(range(10))
+    h_pos = entropy_sql([f"p{l}" for l in labels], "n_pos")
+    h_neg = entropy_sql([f"m{l}" for l in labels], "n_neg")
+    h_all = entropy_sql(
+        [f"(p{l} + m{l})" for l in labels], "(n_pos + n_neg)"
+    )
+    count_arms = ",\n".join(
+        f"            CAST(sum(CASE WHEN pos AND label = {l} THEN 1 ELSE 0 "
+        f"END) AS BIGINT) AS p{l},\n"
+        f"            CAST(sum(CASE WHEN NOT pos AND label = {l} THEN 1 "
+        f"ELSE 0 END) AS BIGINT) AS m{l}"
+        for l in labels
+    )
+    return f"""
+        WITH flat AS (
+          SELECT label, CAST(i - 1 AS INTEGER) AS dim,
+                 (embedding[i] > 0) AS pos
+          FROM embeddings, range(1, 65) t(i)
+        ), g AS (
+          SELECT dim,
+            CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+            CAST(sum(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_neg,
+{count_arms}
+          FROM flat GROUP BY 1
+        ), ent AS (
+          SELECT dim, n_pos, n_neg,
+                 {h_all} AS h_all,
+                 {h_pos} AS h_pos,
+                 {h_neg} AS h_neg
+          FROM g
+        )
+        SELECT dim, n_pos, n_neg, h_pos, h_neg,
+               h_all
+                 - (CAST(n_pos AS DOUBLE)
+                    / CAST(n_pos + n_neg AS DOUBLE)) * h_pos
+                 - (CAST(n_neg AS DOUBLE)
+                    / CAST(n_pos + n_neg AS DOUBLE)) * h_neg
+                 AS info_gain
+        FROM ent
+    """
 
 
 def _grok_apache_oracle_sql() -> str:
@@ -7451,5 +7527,51 @@ def oracle_sql() -> dict[str, str]:
                ((od * nd - rd * cd) * (od * nd - rd * cd))
                  / (nd * rd * cd) AS contrib
         FROM enr
+    """
+    d["infogain_dims"] = _infogain_oracle_sql()
+    d["label_noise"] = """
+        WITH flat AS (
+          SELECT vec_id, label, i, CAST(embedding[i] AS DOUBLE) AS x
+          FROM embeddings, range(1, 65) t(i)
+        ), norms AS (
+          SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM flat GROUP BY 1
+        ), dots AS (
+          SELECT q.vec_id AS qid, any_value(q.label) AS qlabel,
+                 s.vec_id AS sid, any_value(s.label) AS slabel,
+                 sum(q.x * s.x) AS dot
+          FROM flat q JOIN flat s ON q.i = s.i
+          WHERE q.vec_id < 40 AND s.vec_id <> q.vec_id
+          GROUP BY 1, 3
+        ), scored AS (
+          SELECT d.qid, d.qlabel, d.sid, d.slabel,
+                 d.dot / (nq.nrm * ns.nrm) AS cos
+          FROM dots d
+          JOIN norms nq ON nq.vec_id = d.qid
+          JOIN norms ns ON ns.vec_id = d.sid
+        ), top AS (
+          SELECT qid, qlabel, slabel FROM (
+            SELECT qid, qlabel, slabel,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY cos DESC, sid) AS rank
+            FROM scored
+          ) WHERE rank <= 5
+        ), votes AS (
+          SELECT qid, qlabel, slabel, count(*) AS n_votes
+          FROM top GROUP BY 1, 2, 3
+        ), best AS (
+          SELECT qid, qlabel, slabel AS pred_label, n_votes FROM (
+            SELECT qid, qlabel, slabel, n_votes,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY n_votes DESC, slabel) AS rn
+            FROM votes
+          ) WHERE rn = 1
+        )
+        SELECT qid AS vec_id,
+               CAST(qlabel AS INTEGER) AS label,
+               CAST(pred_label AS INTEGER) AS pred_label,
+               CAST(n_votes AS BIGINT) AS n_votes,
+               CAST(CASE WHEN pred_label <> qlabel THEN 1 ELSE 0 END
+                    AS INTEGER) AS suspect
+        FROM best
     """
     return d

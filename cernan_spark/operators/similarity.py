@@ -757,3 +757,159 @@ def truncation_recall(
             (F.col("n_common") / F.lit(float(k))).alias("recall"),
         )
     )
+
+
+def _entropy_expr(cols: list[Column], n: Column) -> Column:
+    """Fixed-order Shannon entropy −Σ (c/n)·ln(c/n) over explicit count
+    columns. The term list is folded LEFT-TO-RIGHT in source order — the
+    same associativity the SQL twin's literal ``t0 + t1 + …`` carries —
+    so the float sum is bit-identical across engines (each term is one
+    exact-integer division and one ln). Written ``0.0 − Σ`` rather than
+    ``−Σ`` so an all-zero split yields +0.0, never −0.0 — unary negation
+    of 0.0 is signed differently across engines and would break a value
+    hash."""
+    nd = n.cast("double")
+    terms = None
+    for c in cols:
+        cd = c.cast("double")
+        t = F.when(c == 0, F.lit(0.0)).otherwise((cd / nd) * F.log(cd / nd))
+        terms = t if terms is None else terms + t
+    return F.lit(0.0) - terms
+
+
+def entropy_sql(count_exprs: list[str], n_expr: str) -> str:
+    """DuckDB twin of :func:`_entropy_expr` (same term order)."""
+    terms = " + ".join(
+        f"(CASE WHEN {c} = 0 THEN 0.0 ELSE "
+        f"(CAST({c} AS DOUBLE) / CAST({n_expr} AS DOUBLE)) * "
+        f"ln(CAST({c} AS DOUBLE) / CAST({n_expr} AS DOUBLE)) END)"
+        for c in count_exprs
+    )
+    return f"(0.0 - ({terms}))"
+
+
+def sign_split_infogain(
+    emb: DataFrame,
+    labels: list[int],
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-dimension information gain of the sign split — which embedding
+    coordinates carry label signal. For each dimension d, split the
+    corpus by ``x_d > 0`` and report ``IG(d) = H(label) −
+    (n⁺/N)·H(label|+) − (n⁻/N)·H(label|−)`` — the feature-selection
+    ranking that decides which prefix dims a truncated (Matryoshka) or
+    quantized index should keep. The label set must be a known literal
+    list so entropies are FIXED-ORDER expressions over exact per-label
+    counts (no data-dependent float fold).
+
+    Plan: posexplode to (dim, sign) grain — a 64× narrow expansion, no
+    corpus shuffle until ONE hash aggregate on (dim, sign) with all label
+    counts as CASE-sum arms — then a 128-row reshape. Output: one row per
+    dimension.
+    """
+    ex = emb.select(
+        F.col(label_col).alias("_lab"),
+        F.posexplode(F.col(vec_col)).alias("dim", "_x"),
+    )
+    per = ex.groupBy("dim", (F.col("_x") > 0).alias("_pos")).agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[
+            F.sum((F.col("_lab") == F.lit(l)).cast("long")).alias(f"_c{l}")
+            for l in labels
+        ],
+    )
+    pos = lambda c: F.sum(F.when(F.col("_pos"), F.col(c)).otherwise(F.lit(0)))
+    neg = lambda c: F.sum(F.when(~F.col("_pos"), F.col(c)).otherwise(F.lit(0)))
+    g = per.groupBy("dim").agg(
+        pos("_n").alias("n_pos"),
+        neg("_n").alias("n_neg"),
+        *[pos(f"_c{l}").alias(f"p{l}") for l in labels],
+        *[neg(f"_c{l}").alias(f"m{l}") for l in labels],
+    )
+    n_tot = F.col("n_pos") + F.col("n_neg")
+    h_all = _entropy_expr(
+        [F.col(f"p{l}") + F.col(f"m{l}") for l in labels], n_tot
+    )
+    h_pos = _entropy_expr([F.col(f"p{l}") for l in labels], F.col("n_pos"))
+    h_neg = _entropy_expr([F.col(f"m{l}") for l in labels], F.col("n_neg"))
+    ig = (
+        h_all
+        - (F.col("n_pos").cast("double") / n_tot.cast("double")) * h_pos
+        - (F.col("n_neg").cast("double") / n_tot.cast("double")) * h_neg
+    )
+    return g.select(
+        "dim",
+        "n_pos",
+        "n_neg",
+        h_pos.alias("h_pos"),
+        h_neg.alias("h_neg"),
+        ig.alias("info_gain"),
+    )
+
+
+def label_noise_knn(
+    emb: DataFrame,
+    n_probes: int,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Label-noise audit by leave-one-out kNN: a point whose k nearest
+    OTHER points vote a different majority label is a relabel/review
+    candidate — the training-data QA pass run before fitting anything.
+    Probes are the first ``n_probes`` ids (the audit is sampled; at scale
+    the LSH/IVF quantizers bound the candidate set instead of the cross
+    join). Majority ties break (most votes, smallest label), the exact
+    :func:`knn_label_propagate` convention.
+
+    Output: ``vec_id, label, pred_label, n_votes, suspect``.
+    """
+    sv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    cand = F.broadcast(
+        emb.select(
+            F.col(id_col).alias("sid"),
+            sv.alias("svec"),
+            F.col(label_col).alias("slabel"),
+        )
+    )
+    probes = emb.filter(F.col(id_col) < n_probes).select(
+        F.col(id_col).alias("qid"), sv.alias("qvec"), F.col(label_col).alias("qlabel")
+    )
+    dot = F.aggregate(
+        F.zip_with("qvec", "svec", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nrm = lambda c: F.sqrt(
+        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    )
+    scored = (
+        probes.crossJoin(cand)
+        .filter(F.col("sid") != F.col("qid"))
+        .select(
+            "qid",
+            "qlabel",
+            "sid",
+            "slabel",
+            (dot / (nrm(F.col("qvec")) * nrm(F.col("svec")))).alias("cos"),
+        )
+    )
+    w = W.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("sid"))
+    top = scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+    votes = top.groupBy("qid", "qlabel", "slabel").agg(
+        F.count(F.lit(1)).alias("n_votes")
+    )
+    best = votes.groupBy("qid", "qlabel").agg(
+        F.min(F.struct((-F.col("n_votes")).alias("neg"), F.col("slabel"))).alias("b")
+    )
+    return best.select(
+        F.col("qid").alias(id_col),
+        F.col("qlabel").alias(label_col),
+        F.col("b.slabel").alias("pred_label"),
+        (-F.col("b.neg")).cast("long").alias("n_votes"),
+        (F.col("b.slabel") != F.col("qlabel")).cast("int").alias("suspect"),
+    )

@@ -469,3 +469,38 @@ def test_self_repetition_threshold(spark):
     df = spark.createDataFrame(docs, "doc_id long, text string")
     out = self_repetition_spans(df, gram_len=8).collect()
     assert len(out) == 1 and out[0]["n_spans"] == 2
+
+
+def test_sign_split_infogain_perfect_vs_useless_dim(spark):
+    """A dimension whose sign exactly matches the label carries full
+    entropy as gain; a constant-sign dimension carries exactly zero."""
+    from cernan_spark.operators.similarity import sign_split_infogain
+
+    # dim0 sign == label, dim1 always positive (useless)
+    rows = [(i, [1.0 if i % 2 else -1.0, 1.0], i % 2) for i in range(8)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    got = {r.dim: r for r in sign_split_infogain(df, labels=[0, 1]).collect()}
+    import math
+
+    assert abs(got[0].info_gain - math.log(2.0)) < 1e-12
+    assert got[0].h_pos == 0.0 and got[0].h_neg == 0.0
+    assert got[1].info_gain == 0.0
+    assert (got[1].n_pos, got[1].n_neg) == (8, 0)
+
+
+def test_label_noise_knn_flags_the_flipped_point(spark):
+    """Three tight clusters; one point sits inside cluster A but carries
+    cluster B's label — it (and only it) must be suspect."""
+    from cernan_spark.operators.similarity import label_noise_knn
+
+    rows = []
+    for i in range(6):
+        rows.append((i, [10.0 + 0.01 * i, 0.1 * i, 1.0], 0))  # cluster A
+    for i in range(6, 12):
+        rows.append((i, [0.1 * i, 10.0 + 0.01 * i, 1.0], 1))  # cluster B
+    rows.append((12, [10.0, 0.05, 1.0], 1))  # geometrically A, labeled B
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    got = {r.vec_id: r for r in label_noise_knn(df, n_probes=13, k=5).collect()}
+    assert len(got) == 13
+    assert got[12].suspect == 1 and got[12].pred_label == 0
+    assert all(r.suspect == 0 for v, r in got.items() if v != 12)
