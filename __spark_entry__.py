@@ -3108,6 +3108,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chi2_cells": q_chi2_cells,
         "infogain_dims": q_infogain_dims,
         "label_noise": q_label_noise,
+        "stacktrace_stitch": q_stacktrace_stitch,
+        "disorder_profile": q_disorder_profile,
+        "cluster_purity": q_cluster_purity,
+        "kappa_agreement": q_kappa_agreement,
     }
 
 
@@ -4972,6 +4976,104 @@ def q_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_noise_knn(e, n_probes=40, k=5)
 
 
+def _trace_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic multiline-log corpus seeded from events (the same
+    construction exists as SQL in the oracle): each event emits a head
+    line plus continuation frames (3 for errors, ``event_id % 2``
+    otherwise, '    at …' indent); every 13th event LOSES its head so
+    its frames misattach to the previous event on that host — the
+    rotation-mid-trace failure the stitcher must survive."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n_cont = F.when(F.col("event_type") == "error", F.lit(3)).otherwise(
+        F.col("event_id") % 2
+    )
+    ex = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.explode(F.sequence(F.lit(0), n_cont)).alias("j"),
+    ).filter(~((F.col("event_id") % 13 == 0) & (F.col("j") == 0)))
+    head = F.concat(
+        F.col("event_type"),
+        F.lit(" evt-"),
+        F.col("event_id").cast("string"),
+        F.lit(": begin"),
+    )
+    cont = F.concat(
+        F.lit("    at f"),
+        F.col("j").cast("string"),
+        F.lit(" (evt_"),
+        (F.col("event_id") % 97).cast("string"),
+        F.lit(")"),
+    )
+    return ex.select(
+        F.concat(F.lit("h"), (F.col("user_id") % 20).cast("string")).alias("host"),
+        (F.col("event_id") * 5 + F.col("j")).alias("line_no"),
+        F.when(F.col("j") == 0, head).otherwise(cont).alias("text"),
+    )
+
+
+def q_stacktrace_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiline stack-trace reassembly over a per-host line stream:
+    head lines open events, indented frames attach to the open event,
+    headless frames at a stream's start land under _ORPHAN_ instead of
+    vanishing (operators/loghygiene.py). The running-count segmentation
+    and the per-segment aggregate share the host clustering — ONE
+    exchange."""
+    from cernan_spark.operators.loghygiene import stitch_multiline
+
+    return stitch_multiline(
+        _trace_lines(spark, sf_dir), ["host"], "line_no"
+    )
+
+
+def q_disorder_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-sizing disorder profile: events re-ordered by a
+    deterministic network delay (every event_id % 7 == 3 row arrives 25
+    positions late), then per event_type the running-max lateness
+    profile plus the fraction a 60 s watermark would admit
+    (operators/temporal.py). Lateness is exact integer microseconds —
+    a timestamp DIFFERENCE, so session-TZ-proof."""
+    from cernan_spark.operators.temporal import disorder_profile
+
+    _utc(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    arr = F.col("event_id") + F.when(F.col("event_id") % 7 == 3, 25).otherwise(0)
+    d = ev.select("event_type", "ts", "event_id", arr.alias("arrival"))
+    return disorder_profile(
+        d, ["event_type"], ["arrival", "event_id"], "ts", coverage_s=60
+    )
+
+
+def q_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-bit quantizer QA: the first 3 embedding coordinates' signs
+    form 8 clusters; per cluster report size, majority label, purity,
+    and the fixed-order conditional label entropy
+    (operators/similarity.py) — does the cheap ANN partition respect
+    labels?"""
+    from cernan_spark.operators.similarity import cluster_purity
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cluster_purity(e, labels=list(range(10)), n_sign_dims=3)
+
+
+def q_kappa_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the gold label and a deterministic second
+    annotator (label bumped by one for every vec_id % 7 == 0) — the
+    inter-rater agreement gate over a labeling batch
+    (operators/similarity.py). Every float is an exact-integer division
+    folded in literal label order."""
+    from cernan_spark.operators.similarity import kappa_agreement
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    b = (
+        F.col("label")
+        + F.when(F.col("vec_id") % 7 == 0, F.lit(1)).otherwise(F.lit(0))
+    ) % 10
+    d = e.select(F.col("label").alias("a"), b.alias("b"))
+    return kappa_agreement(d, "a", "b", labels=list(range(10)))
+
+
 def _infogain_oracle_sql() -> str:
     """DuckDB twin of q_infogain_dims, GENERATED from the same
     ``entropy_sql`` helper the operator's docstring pins — the fixed
@@ -5019,6 +5121,88 @@ def _infogain_oracle_sql() -> str:
                     / CAST(n_pos + n_neg AS DOUBLE)) * h_neg
                  AS info_gain
         FROM ent
+    """
+
+
+def _cluster_purity_oracle_sql() -> str:
+    """DuckDB twin of q_cluster_purity — label-count arms and the
+    conditional entropy are GENERATED from the same literal label list
+    and ``entropy_sql`` helper the Spark operator pins, so term order
+    matches by construction."""
+    from cernan_spark.operators.similarity import entropy_sql
+
+    labels = list(range(10))
+    arms = ",\n".join(
+        f"            CAST(sum(CASE WHEN label = {l} THEN 1 ELSE 0 END) "
+        f"AS BIGINT) AS c{l}"
+        for l in labels
+    )
+    ent = entropy_sql([f"c{l}" for l in labels], "n")
+    return f"""
+        WITH c AS (
+          SELECT CAST(embedding[1] > 0 AS INTEGER) * 4
+               + CAST(embedding[2] > 0 AS INTEGER) * 2
+               + CAST(embedding[3] > 0 AS INTEGER) AS cluster, label
+          FROM embeddings
+        ), g AS (
+          SELECT cluster, CAST(count(*) AS BIGINT) AS n,
+{arms}
+          FROM c GROUP BY 1
+        ), lng AS (
+          SELECT cluster, label AS l, count(*) AS cnt FROM c GROUP BY 1, 2
+        ), m AS (
+          SELECT cluster, l AS majority_label,
+                 CAST(cnt AS BIGINT) AS n_majority
+          FROM (SELECT cluster, l, cnt,
+                       row_number() OVER (PARTITION BY cluster
+                                          ORDER BY cnt DESC, l) AS rn
+                FROM lng) WHERE rn = 1
+        )
+        SELECT g.cluster, g.n,
+               CAST(m.majority_label AS INTEGER) AS majority_label,
+               m.n_majority,
+               CAST(m.n_majority AS DOUBLE) / CAST(g.n AS DOUBLE) AS purity,
+               {ent} AS label_entropy
+        FROM g JOIN m ON m.cluster = g.cluster
+    """
+
+
+def _kappa_oracle_sql() -> str:
+    """DuckDB twin of q_kappa_agreement — marginal arms and the p_e fold
+    are GENERATED in the same literal label order as the Spark
+    operator's left-to-right sum, so the doubles replay bit-identically."""
+    labels = list(range(10))
+    arms = ",\n".join(
+        f"            CAST(sum(CASE WHEN a = {l} THEN 1 ELSE 0 END) AS "
+        f"BIGINT) AS a{l},\n"
+        f"            CAST(sum(CASE WHEN b = {l} THEN 1 ELSE 0 END) AS "
+        f"BIGINT) AS b{l}"
+        for l in labels
+    )
+    pe = " + ".join(
+        f"(CAST(a{l} * b{l} AS DOUBLE) "
+        f"/ (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))"
+        for l in labels
+    )
+    return f"""
+        WITH ab AS (
+          SELECT label AS a,
+                 (label + CASE WHEN vec_id % 7 = 0 THEN 1 ELSE 0 END) % 10
+                   AS b
+          FROM embeddings
+        ), g AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_agree,
+{arms}
+          FROM ab
+        )
+        SELECT n, n_agree,
+               CAST(n_agree AS DOUBLE) / CAST(n AS DOUBLE) AS p_o,
+               ({pe}) AS p_e,
+               ((CAST(n_agree AS DOUBLE) / CAST(n AS DOUBLE)) - ({pe}))
+                 / (1.0 - ({pe})) AS kappa
+        FROM g
     """
 
 
@@ -7574,4 +7758,63 @@ def oracle_sql() -> dict[str, str]:
                     AS INTEGER) AS suspect
         FROM best
     """
+    d["stacktrace_stitch"] = """
+        WITH raw AS (
+          SELECT 'h' || CAST(user_id % 20 AS VARCHAR) AS host,
+                 event_id * 5 + j AS line_no,
+                 CASE WHEN j = 0 THEN event_type || ' evt-'
+                        || CAST(event_id AS VARCHAR) || ': begin'
+                      ELSE '    at f' || CAST(j AS VARCHAR) || ' (evt_'
+                        || CAST(event_id % 97 AS VARCHAR) || ')' END AS text
+          FROM events, range(0, 4) t(j)
+          WHERE j <= CASE WHEN event_type = 'error' THEN 3
+                          ELSE event_id % 2 END
+            AND NOT (event_id % 13 = 0 AND j = 0)
+        ), seg AS (
+          SELECT host, line_no, text,
+                 NOT (text LIKE '    %') AS is_head,
+                 CAST(sum(CASE WHEN NOT (text LIKE '    %') THEN 1 ELSE 0
+                          END) OVER (PARTITION BY host ORDER BY line_no)
+                      AS BIGINT) AS sid
+          FROM raw
+        )
+        SELECT host, sid,
+               coalesce(max(CASE WHEN is_head THEN text END), '_ORPHAN_')
+                 AS head,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(sum(CASE WHEN is_head THEN 0 ELSE 1 END) AS BIGINT)
+                 AS n_frames,
+               CAST(min(line_no) AS BIGINT) AS first_line,
+               string_agg(text, chr(10) ORDER BY line_no) AS stitched
+        FROM seg GROUP BY 1, 2
+    """
+    d["disorder_profile"] = """
+        WITH arr AS (
+          SELECT event_type, ts, event_id,
+                 event_id + CASE WHEN event_id % 7 = 3 THEN 25 ELSE 0 END
+                   AS arrival
+          FROM events
+        ), lat AS (
+          SELECT event_type,
+                 greatest(0, coalesce(
+                   epoch_us(max(ts) OVER (
+                     PARTITION BY event_type ORDER BY arrival, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+                   - epoch_us(ts), 0)) AS late_us
+          FROM arr
+        )
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_late,
+               CAST(max(late_us) AS BIGINT) AS max_lateness_us,
+               CAST(sum(late_us) AS BIGINT) AS sum_lateness_us,
+               CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE) AS pct_late,
+               CAST(sum(CASE WHEN late_us <= 60000000 THEN 1 ELSE 0 END)
+                    AS DOUBLE) / CAST(count(*) AS DOUBLE) AS coverage
+        FROM lat GROUP BY 1
+    """
+    d["cluster_purity"] = _cluster_purity_oracle_sql()
+    d["kappa_agreement"] = _kappa_oracle_sql()
     return d

@@ -212,3 +212,64 @@ def k_anonymity_suppress(
         F.countDistinct(id_col).alias("n_ids"),
         (F.countDistinct(id_col) >= F.lit(k)).cast("int").alias("published"),
     )
+
+
+def stitch_multiline(
+    lines: DataFrame,
+    stream_cols: list[str],
+    order_col: str,
+    text_col: str = "text",
+    cont_prefix: str = "    ",
+) -> DataFrame:
+    """Stitch multiline log events (stack traces) back together: within
+    one emitter stream, a line that does NOT start with ``cont_prefix``
+    opens a new event and every following continuation line attaches to
+    it — the stateful reassembly cernan's file tailer needs before a
+    Java/Python traceback can be parsed as ONE event (the tailer itself
+    is strictly line-grained, `/root/reference/src/source/file/
+    file_server.rs` emits per-line; stitching is the consumer's job).
+
+    The segment id is a running count of head lines per stream — the
+    same flag-segmentation the burst collapse uses — and the stitched
+    body is rebuilt in line order with ``array_sort`` over collected
+    (order, text) structs, so the output is deterministic regardless of
+    collect order. Continuations that precede any head in their stream
+    (a tail rotated mid-trace) land in segment 0 under ``_ORPHAN_``
+    instead of vanishing — the parser's bad-line accounting applied to
+    reassembly.
+
+    Scale: the running-sum window and the per-segment aggregate both
+    cluster on the stream key — ONE exchange, same plan-shape family as
+    :func:`burst_collapse`. No Python in the hot path.
+    """
+    is_head = ~F.col(text_col).startswith(cont_prefix)
+    w = (
+        Window.partitionBy(*stream_cols)
+        .orderBy(F.col(order_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    seg = lines.withColumn("sid", F.sum(is_head.cast("long")).over(w))
+    parts = F.array_sort(
+        F.collect_list(F.struct(F.col(order_col).alias("o"), F.col(text_col).alias("t")))
+    )
+    return (
+        seg.groupBy(*stream_cols, "sid")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum((~is_head).cast("long")).alias("n_frames"),
+            F.min(order_col).alias("first_line"),
+            F.max(F.when(is_head, F.col(text_col))).alias("_head"),
+            parts.alias("_parts"),
+        )
+        .select(
+            *stream_cols,
+            "sid",
+            F.coalesce(F.col("_head"), F.lit("_ORPHAN_")).alias("head"),
+            "n_lines",
+            "n_frames",
+            "first_line",
+            F.array_join(F.transform("_parts", lambda s: s["t"]), "\n").alias(
+                "stitched"
+            ),
+        )
+    )

@@ -913,3 +913,95 @@ def label_noise_knn(
         (-F.col("b.neg")).cast("long").alias("n_votes"),
         (F.col("b.slabel") != F.col("qlabel")).cast("int").alias("suspect"),
     )
+
+
+def cluster_purity(
+    emb: DataFrame,
+    labels: list[int],
+    n_sign_dims: int = 3,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-cluster label purity and entropy for the sign-bit quantizer
+    (the first ``n_sign_dims`` coordinates' signs form the cluster id —
+    the cheapest deterministic coarse quantizer, the same family the
+    SimHash band bucketing uses). Reports, per cluster: size, majority
+    label, purity = n_majority / n, and the conditional label entropy
+    via the fixed-order fold of :func:`_entropy_expr` — the quantizer-QA
+    view that says whether a cheap ANN partition respects labels.
+
+    One hash aggregate on the (tiny) cluster id; label counts are
+    CASE-sum arms so the literal label list keeps every float a
+    fixed-order ln/division of exact integers. Majority ties break to
+    the smallest label (struct-min, no second shuffle).
+    """
+    cid = None
+    for d in range(n_sign_dims):
+        bit = (F.element_at(F.col(vec_col), d + 1) > 0).cast("int")
+        cid = bit if cid is None else cid * 2 + bit
+    g = emb.groupBy(cid.alias("cluster")).agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum((F.col(label_col) == F.lit(l)).cast("long")).alias(f"c{l}")
+            for l in labels
+        ],
+    )
+    best = F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    (-F.col(f"c{l}")).alias("neg"), F.lit(l).alias("lab")
+                )
+                for l in labels
+            ]
+        )
+    )
+    ent = _entropy_expr([F.col(f"c{l}") for l in labels], F.col("n"))
+    return g.select(
+        "cluster",
+        "n",
+        best["lab"].alias("majority_label"),
+        (-best["neg"]).cast("long").alias("n_majority"),
+        ((-best["neg"]).cast("double") / F.col("n").cast("double")).alias(
+            "purity"
+        ),
+        ent.alias("label_entropy"),
+    )
+
+
+def kappa_agreement(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    labels: list[int],
+) -> DataFrame:
+    """Cohen's kappa between two annotators over a literal label set —
+    the inter-rater agreement gate a labeling pipeline runs before
+    trusting a batch of annotations (chance-corrected: kappa = (p_o −
+    p_e) / (1 − p_e)). ONE aggregate produces n, the agreement count,
+    and per-label marginals as CASE-sum arms; p_e folds the label terms
+    in literal order, each term an exact-integer product divided by n²,
+    so the doubles replay bit-identically in the SQL twin.
+
+    Output: one row — ``n, n_agree, p_o, p_e, kappa``.
+    """
+    a, b = F.col(col_a), F.col(col_b)
+    g = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((a == b).cast("long")).alias("n_agree"),
+        *[F.sum((a == F.lit(l)).cast("long")).alias(f"a{l}") for l in labels],
+        *[F.sum((b == F.lit(l)).cast("long")).alias(f"b{l}") for l in labels],
+    )
+    nd = F.col("n").cast("double")
+    pe = None
+    for l in labels:
+        t = (F.col(f"a{l}") * F.col(f"b{l}")).cast("double") / (nd * nd)
+        pe = t if pe is None else pe + t
+    po = F.col("n_agree").cast("double") / nd
+    return g.select(
+        "n",
+        "n_agree",
+        po.alias("p_o"),
+        pe.alias("p_e"),
+        ((po - pe) / (F.lit(1.0) - pe)).alias("kappa"),
+    )

@@ -505,3 +505,52 @@ def peak_range_load(
         F.max("_win").alias("peak_load"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+def disorder_profile(
+    df: DataFrame,
+    key_cols: list[str],
+    arrival_cols: list[str],
+    ts_col: str,
+    coverage_s: int = 60,
+) -> DataFrame:
+    """Out-of-order arrival profile per stream — the measurement that
+    sizes a Structured Streaming watermark. For each row, lateness is
+    how far its event time sits behind the maximum event time already
+    arrived in its stream (running max over arrival order, PRIOR rows
+    only — a row is never late against itself). Reports, per key: row
+    and late counts, the worst lateness, and the fraction of rows a
+    ``coverage_s``-second watermark would have admitted — pick the
+    delay where coverage clears the pipeline's loss budget
+    (streaming/pipeline.py applies exactly such a delay;
+    q_streaming_late_drops shows what the chosen delay drops).
+
+    All lateness values are exact integer microseconds; the two emitted
+    ratios are single divisions of exact counts. The running-max window
+    and the final aggregate cluster on the stream key — ONE exchange.
+    """
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(*[F.col(c) for c in arrival_cols])
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    late_us = F.greatest(F.lit(0), F.coalesce(F.max(us).over(w) - us, F.lit(0)))
+    prof = df.withColumn("_late_us", late_us)
+    n = F.count(F.lit(1))
+    return prof.groupBy(*key_cols).agg(
+        n.alias("n_rows"),
+        F.sum((F.col("_late_us") > 0).cast("long")).alias("n_late"),
+        F.max("_late_us").alias("max_lateness_us"),
+        F.sum("_late_us").alias("sum_lateness_us"),
+        (
+            F.sum((F.col("_late_us") > 0).cast("long")).cast("double")
+            / n.cast("double")
+        ).alias("pct_late"),
+        (
+            F.sum((F.col("_late_us") <= coverage_s * 1_000_000).cast("long")).cast(
+                "double"
+            )
+            / n.cast("double")
+        ).alias("coverage"),
+    )

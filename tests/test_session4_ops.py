@@ -504,3 +504,81 @@ def test_label_noise_knn_flags_the_flipped_point(spark):
     assert len(got) == 13
     assert got[12].suspect == 1 and got[12].pred_label == 0
     assert all(r.suspect == 0 for v, r in got.items() if v != 12)
+
+
+def test_stitch_multiline_reassembles_and_orphans(spark):
+    from cernan_spark.operators.loghygiene import stitch_multiline
+
+    rows = [
+        # hostA: orphan frames BEFORE any head (rotated mid-trace)
+        ("A", 1, "    at lost_frame_1"),
+        ("A", 2, "    at lost_frame_2"),
+        ("A", 3, "ERROR boom"),
+        ("A", 4, "    at f1"),
+        ("A", 5, "    at f2"),
+        ("A", 6, "INFO ok"),
+        # hostB: single-line events only
+        ("B", 1, "INFO one"),
+        ("B", 2, "INFO two"),
+    ]
+    df = spark.createDataFrame(rows, "host string, line_no long, text string")
+    got = {
+        (r.host, r.sid): r
+        for r in stitch_multiline(df, ["host"], "line_no").collect()
+    }
+    assert got[("A", 0)].head == "_ORPHAN_" and got[("A", 0)].n_frames == 2
+    boom = got[("A", 1)]
+    assert boom.head == "ERROR boom" and boom.n_frames == 2
+    assert boom.stitched == "ERROR boom\n    at f1\n    at f2"
+    assert got[("A", 2)].n_lines == 1
+    assert got[("B", 1)].n_frames == 0 and got[("B", 2)].n_frames == 0
+
+
+def test_disorder_profile_counts_late_rows(spark):
+    from cernan_spark.operators.temporal import disorder_profile
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    # arrival order: t0, t0+100s, then a straggler stamped t0+10s (90s
+    # late vs running max) and one stamped t0+70s (30s late)
+    rows = [
+        ("s", 1, t0),
+        ("s", 2, t0 + dt.timedelta(seconds=100)),
+        ("s", 3, t0 + dt.timedelta(seconds=10)),
+        ("s", 4, t0 + dt.timedelta(seconds=70)),
+    ]
+    df = spark.createDataFrame(rows, "k string, arrival long, ts timestamp")
+    r = disorder_profile(df, ["k"], ["arrival"], "ts", coverage_s=60).collect()[0]
+    assert (r.n_rows, r.n_late) == (4, 2)
+    assert r.max_lateness_us == 90_000_000
+    assert r.sum_lateness_us == 120_000_000
+    assert r.coverage == 0.75  # the 90s straggler breaches a 60s watermark
+
+
+def test_cluster_purity_pure_and_mixed(spark):
+    from cernan_spark.operators.similarity import cluster_purity
+    import math
+
+    rows = [(i, [1.0, 1.0, 1.0], 7) for i in range(4)]          # pure cluster 7
+    rows += [(10 + i, [-1.0, -1.0, -1.0], i % 2) for i in range(4)]  # 50/50
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    got = {r.cluster: r for r in cluster_purity(df, labels=list(range(10))).collect()}
+    assert got[7].purity == 1.0 and got[7].label_entropy == 0.0
+    assert got[7].majority_label == 7
+    mixed = got[0]
+    assert mixed.purity == 0.5 and mixed.majority_label == 0  # tie -> smallest
+    assert abs(mixed.label_entropy - math.log(2.0)) < 1e-12
+
+
+def test_kappa_agreement_perfect_and_chance(spark):
+    from cernan_spark.operators.similarity import kappa_agreement
+
+    # perfect agreement
+    df = spark.createDataFrame([(i % 4, i % 4) for i in range(20)], "a int, b int")
+    r = kappa_agreement(df, "a", "b", labels=list(range(4))).collect()[0]
+    assert r.kappa == 1.0 and r.p_o == 1.0
+    # independent annotators (balanced 2x2): kappa == 0
+    rows = [(a, b) for a in (0, 1) for b in (0, 1)]
+    df2 = spark.createDataFrame(rows, "a int, b int")
+    r2 = kappa_agreement(df2, "a", "b", labels=[0, 1]).collect()[0]
+    assert r2.p_o == 0.5 and r2.p_e == 0.5 and r2.kappa == 0.0
