@@ -3112,6 +3112,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "disorder_profile": q_disorder_profile,
         "cluster_purity": q_cluster_purity,
         "kappa_agreement": q_kappa_agreement,
+        "pricing_rollup": q_pricing_rollup,
+        "region_revenue": q_region_revenue,
+        "integrity_audit": q_integrity_audit,
+        "top_customers": q_top_customers,
     }
 
 
@@ -5072,6 +5076,54 @@ def q_kappa_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) % 10
     d = e.select(F.col("label").alias("a"), b.alias("b"))
     return kappa_agreement(d, "a", "b", labels=list(range(10)))
+
+
+def q_pricing_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-shaped pricing summary over lineitem with the exact-
+    integer money discipline: cents / cent·pct / cent·pct² sums, one
+    hash aggregate, divisions only at emit
+    (operators/relational.py). The shipdate filter reaches the scan."""
+    from cernan_spark.operators.relational import pricing_rollup
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return pricing_rollup(li, "1998-09-01")
+
+
+def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-join revenue per (region, nation) for 1996 orders —
+    customer/nation/region broadcast, lineitem ⋈ orders is the only
+    big exchange, revenue exact cent·pct integers until the final
+    division (operators/relational.py)."""
+    from cernan_spark.operators.relational import region_revenue
+
+    rd = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")
+    return region_revenue(
+        rd("lineitem"), rd("orders"), rd("customer"), rd("nation"), rd("region"), 1996
+    )
+
+
+def q_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-contract audit over the warehouse tables: referential
+    integrity by ANTI join, domain constraints, and the cross-table
+    shipped-before-ordered invariant — (rule, n_violations) counts,
+    never row dumps (operators/relational.py)."""
+    from cernan_spark.operators.relational import integrity_audit
+
+    rd = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")
+    return integrity_audit(rd("lineitem"), rd("orders"), rd("customer"))
+
+
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 customers by discounted revenue per nation: aggregate to
+    customer grain FIRST, broadcast the dim join, window-rank the tiny
+    rollup — never a window over raw lineitem
+    (operators/relational.py)."""
+    from cernan_spark.operators.relational import top_customers_per_nation
+
+    rd = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")
+    return top_customers_per_nation(
+        rd("lineitem"), rd("orders"), rd("customer"), rd("nation"), k=3
+    )
 
 
 def _infogain_oracle_sql() -> str:
@@ -7817,4 +7869,107 @@ def oracle_sql() -> dict[str, str]:
     """
     d["cluster_purity"] = _cluster_purity_oracle_sql()
     d["kappa_agreement"] = _kappa_oracle_sql()
+    d["pricing_rollup"] = """
+        WITH li AS (
+          SELECT l_returnflag, l_linestatus,
+                 CAST(round(l_quantity) AS BIGINT) AS qty,
+                 CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+                 100 - CAST(round(l_discount * 100) AS BIGINT) AS disc_keep,
+                 100 + CAST(round(l_tax * 100) AS BIGINT) AS tax_mult
+          FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+        ), g AS (
+          SELECT l_returnflag, l_linestatus,
+                 CAST(count(*) AS BIGINT) AS n_rows,
+                 CAST(sum(qty) AS BIGINT) AS sum_qty,
+                 CAST(sum(price_c) AS BIGINT) AS base_c,
+                 CAST(sum(price_c * disc_keep) AS BIGINT) AS disc_c2,
+                 CAST(sum(price_c * disc_keep * tax_mult) AS BIGINT)
+                   AS charge_c3
+          FROM li GROUP BY 1, 2
+        )
+        SELECT l_returnflag, l_linestatus, n_rows, sum_qty,
+               CAST(base_c AS DOUBLE) / 100.0 AS sum_base,
+               CAST(disc_c2 AS DOUBLE) / 10000.0 AS sum_disc_price,
+               CAST(charge_c3 AS DOUBLE) / 1000000.0 AS sum_charge,
+               CAST(sum_qty AS DOUBLE) / CAST(n_rows AS DOUBLE) AS avg_qty,
+               CAST(base_c AS DOUBLE) / (CAST(n_rows AS DOUBLE) * 100.0)
+                 AS avg_price
+        FROM g
+    """
+    d["region_revenue"] = """
+        WITH o AS (
+          SELECT o_orderkey, o_custkey FROM orders
+          WHERE year(o_orderdate) = 1996
+        ), li AS (
+          SELECT l_orderkey,
+                 CAST(round(l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                   AS rev_c2
+          FROM lineitem
+        ), dim AS (
+          SELECT c_custkey, n_name, r_name
+          FROM customer
+          JOIN nation ON c_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+        )
+        SELECT r_name, n_name,
+               CAST(count(*) AS BIGINT) AS n_items,
+               CAST(CAST(sum(rev_c2) AS BIGINT) AS DOUBLE) / 10000.0
+                 AS revenue
+        FROM li
+        JOIN o ON l_orderkey = o_orderkey
+        JOIN dim ON o_custkey = c_custkey
+        GROUP BY 1, 2
+    """
+    d["integrity_audit"] = """
+        SELECT 'lineitem_orphan_orderkey' AS rule,
+               CAST(count(*) AS BIGINT) AS n
+        FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderkey IS NULL
+        UNION ALL
+        SELECT 'orders_orphan_custkey', CAST(count(*) AS BIGINT)
+        FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE c.c_custkey IS NULL
+        UNION ALL
+        SELECT 'customer_negative_acctbal',
+               CAST(sum(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT)
+        FROM customer
+        UNION ALL
+        SELECT 'lineitem_discount_range',
+               CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 0.1
+                        THEN 1 ELSE 0 END) AS BIGINT)
+        FROM lineitem
+        UNION ALL
+        SELECT 'lineitem_nonpositive_qty',
+               CAST(sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END)
+                    AS BIGINT)
+        FROM lineitem
+        UNION ALL
+        SELECT 'shipped_before_ordered',
+               CAST(sum(CASE WHEN l_shipdate < o_orderdate THEN 1 ELSE 0 END)
+                    AS BIGINT)
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    """
+    d["top_customers"] = """
+        WITH li AS (
+          SELECT l_orderkey,
+                 CAST(round(l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                   AS rev_c2
+          FROM lineitem
+        ), pc AS (
+          SELECT o_custkey, CAST(sum(rev_c2) AS BIGINT) AS rev_c2
+          FROM li JOIN orders ON l_orderkey = o_orderkey GROUP BY 1
+        ), r AS (
+          SELECT n_name, c_custkey, c_name, rev_c2,
+                 row_number() OVER (PARTITION BY n_name
+                                    ORDER BY rev_c2 DESC, c_custkey) AS rnk
+          FROM pc
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+        )
+        SELECT n_name, CAST(rnk AS INTEGER) AS rnk, c_custkey, c_name,
+               CAST(rev_c2 AS DOUBLE) / 10000.0 AS revenue
+        FROM r WHERE rnk <= 3
+    """
     return d

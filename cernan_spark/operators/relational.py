@@ -1,0 +1,247 @@
+"""Relational/star-schema operators over the warehouse tables.
+
+cernan's pipeline ends at sinks; the analytics a metrics warehouse runs
+NEXT — star-join rollups, integrity audits, top-k per dimension — are
+the query surface this module adds over the TPC-H-shaped tables. The
+reference's closest analog is the sink-side aggregation contract
+(`/root/reference/src/buckets.rs` bins then sums), generalized here to
+multi-table declarative plans Catalyst can reorder.
+
+Design rules (the 100 TB plan):
+
+* **Exact-integer money.** Every price/discount/tax becomes an exact
+  integer (cents, percent) at scan time: ``round(x * 100)`` is one IEEE
+  multiply + one half-away-from-zero round in BOTH engines, so sums are
+  integer sums — associative, partial-aggregable map-side, and
+  bit-identical regardless of partitioning. The only doubles emitted
+  are single divisions of those exact sums. A float-fold of
+  ``sum(price * (1 - disc))`` would be partition-order-dependent — the
+  one thing a distributed rollup must never be.
+* **Dims broadcast, facts shuffle once.** region/nation/customer are
+  broadcast (`F.broadcast`) so the only exchange is the fact-fact join
+  (lineitem ⋈ orders on orderkey) and the final (small) rollup.
+* **Audits are aggregates, not row dumps.** Data-quality rules emit
+  (rule, n_violations) — counts survive 100 TB; violation row dumps do
+  not. Anti-join rules keep the join key only (column pruning reaches
+  the scan).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _cents(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c * 100, 0).cast("long")
+
+
+def pricing_rollup(lineitem: DataFrame, ship_cutoff: str) -> DataFrame:
+    """TPC-H-Q1-shaped pricing summary: one hash aggregate over
+    (returnflag, linestatus) with all money folded as exact integers —
+    cents, cent·pct (disc price), cent·pct² (charge) — and divided back
+    to doubles only at emit. Filter reaches the parquet scan.
+
+    Output per flag/status: ``n_rows, sum_qty, sum_base, sum_disc_price,
+    sum_charge, avg_qty, avg_price``.
+    """
+    li = lineitem.filter(F.col("l_shipdate") <= ship_cutoff).select(
+        "l_returnflag",
+        "l_linestatus",
+        F.round("l_quantity", 0).cast("long").alias("qty"),
+        _cents("l_extendedprice").alias("price_c"),
+        (F.lit(100) - _cents("l_discount")).alias("disc_keep"),
+        (F.lit(100) + _cents("l_tax")).alias("tax_mult"),
+    )
+    g = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("qty").alias("sum_qty"),
+        F.sum("price_c").alias("base_c"),
+        F.sum(F.col("price_c") * F.col("disc_keep")).alias("disc_c2"),
+        F.sum(
+            F.col("price_c") * F.col("disc_keep") * F.col("tax_mult")
+        ).alias("charge_c3"),
+    )
+    return g.select(
+        "l_returnflag",
+        "l_linestatus",
+        "n_rows",
+        "sum_qty",
+        (F.col("base_c").cast("double") / F.lit(100.0)).alias("sum_base"),
+        (F.col("disc_c2").cast("double") / F.lit(10000.0)).alias(
+            "sum_disc_price"
+        ),
+        (F.col("charge_c3").cast("double") / F.lit(1000000.0)).alias(
+            "sum_charge"
+        ),
+        (
+            F.col("sum_qty").cast("double") / F.col("n_rows").cast("double")
+        ).alias("avg_qty"),
+        (
+            F.col("base_c").cast("double")
+            / (F.col("n_rows").cast("double") * F.lit(100.0))
+        ).alias("avg_price"),
+    )
+
+
+def region_revenue(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    order_year: int,
+) -> DataFrame:
+    """Star-join revenue rollup (TPC-H-Q5 family): discounted revenue
+    per (region, nation) for orders placed in one year. The ONLY big
+    exchange is lineitem ⋈ orders on orderkey; customer/nation/region
+    are broadcast so the dim joins are map-side. The year filter prunes
+    orders BEFORE the fact join (predicate pushdown to the scan), and
+    revenue is an exact cent·pct integer until the final division.
+    """
+    o = orders.filter(F.year("o_orderdate") == order_year).select(
+        "o_orderkey", "o_custkey"
+    )
+    li = lineitem.select(
+        "l_orderkey",
+        (_cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))).alias(
+            "rev_c2"
+        ),
+    )
+    dim = (
+        customer.select("c_custkey", "c_nationkey")
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name", "n_regionkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(region.select("r_regionkey", "r_name")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("c_custkey", "n_name", "r_name")
+    )
+    j = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).join(
+        F.broadcast(dim), F.col("o_custkey") == F.col("c_custkey")
+    )
+    return (
+        j.groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("rev_c2").alias("rev_c2"),
+        )
+        .select(
+            "r_name",
+            "n_name",
+            "n_items",
+            (F.col("rev_c2").cast("double") / F.lit(10000.0)).alias("revenue"),
+        )
+    )
+
+
+def integrity_audit(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+) -> DataFrame:
+    """Data-contract audit → one (rule, n_violations) row per rule, a
+    violation count never a row dump. Rules: referential integrity by
+    ANTI join (orphan lineitems / orders), domain constraints as
+    predicate counts, and the cross-table ordering invariant "shipped
+    before ordered" (the audit that catches clock skew between the
+    order service and the warehouse). Each rule is an independent
+    aggregate; the union is rows-few. The anti joins carry ONLY the
+    join key through the shuffle.
+    """
+    orphan_li = (
+        lineitem.select("l_orderkey")
+        .join(orders.select("o_orderkey"), F.col("l_orderkey") == F.col("o_orderkey"), "left_anti")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("lineitem_orphan_orderkey").alias("rule"), "n")
+    )
+    orphan_o = (
+        orders.select("o_custkey")
+        .join(customer.select("c_custkey"), F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("orders_orphan_custkey").alias("rule"), "n")
+    )
+    neg_bal = customer.agg(
+        F.sum((F.col("c_acctbal") < 0).cast("long")).alias("n")
+    ).select(F.lit("customer_negative_acctbal").alias("rule"), "n")
+    domain = lineitem.agg(
+        F.sum(
+            ((F.col("l_discount") < 0) | (F.col("l_discount") > 0.1)).cast(
+                "long"
+            )
+        ).alias("disc"),
+        F.sum((F.col("l_quantity") <= 0).cast("long")).alias("qty"),
+    )
+    disc = domain.select(
+        F.lit("lineitem_discount_range").alias("rule"), F.col("disc").alias("n")
+    )
+    qty = domain.select(
+        F.lit("lineitem_nonpositive_qty").alias("rule"), F.col("qty").alias("n")
+    )
+    ship_before = (
+        lineitem.select("l_orderkey", "l_shipdate")
+        .join(
+            orders.select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .agg(
+            F.sum((F.col("l_shipdate") < F.col("o_orderdate")).cast("long")).alias("n")
+        )
+        .select(F.lit("shipped_before_ordered").alias("rule"), "n")
+    )
+    return reduce(DataFrame.unionByName, [orphan_li, orphan_o, neg_bal, disc, qty, ship_before])
+
+
+def top_customers_per_nation(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    k: int = 3,
+) -> DataFrame:
+    """Top-k customers by discounted revenue within each nation —
+    aggregate FIRST (fact shuffle on orderkey, then one rollup to
+    customer grain: ~#customers rows), broadcast-join the dim, window
+    rank over the tiny aggregate. Ranking before aggregating (window
+    over raw lineitem) would sort 100 TB; this plan windows over the
+    customer-grain rollup only. Ties break to the smaller custkey.
+    """
+    li = lineitem.select(
+        "l_orderkey",
+        (_cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))).alias(
+            "rev_c2"
+        ),
+    )
+    per_cust = (
+        li.join(
+            orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_custkey")
+        .agg(F.sum("rev_c2").alias("rev_c2"))
+    )
+    dim = customer.select("c_custkey", "c_name", "c_nationkey").join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    )
+    j = per_cust.join(F.broadcast(dim), F.col("o_custkey") == F.col("c_custkey"))
+    w = Window.partitionBy("n_name").orderBy(
+        F.col("rev_c2").desc(), F.col("c_custkey")
+    )
+    return (
+        j.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "n_name",
+            "rnk",
+            "c_custkey",
+            "c_name",
+            (F.col("rev_c2").cast("double") / F.lit(10000.0)).alias("revenue"),
+        )
+    )

@@ -1,0 +1,113 @@
+"""Relational/star-schema operator tests (operators/relational.py)."""
+from __future__ import annotations
+
+import datetime as dt
+
+from cernan_spark.operators.relational import (
+    integrity_audit,
+    pricing_rollup,
+    region_revenue,
+    top_customers_per_nation,
+)
+
+
+def _li(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_quantity double, l_extendedprice double, "
+        "l_discount double, l_tax double, l_returnflag string, "
+        "l_linestatus string, l_shipdate timestamp",
+    )
+
+
+def test_pricing_rollup_exact_cents(spark):
+    t = dt.datetime(1998, 1, 1)
+    late = dt.datetime(1999, 1, 1)  # beyond cutoff, must be filtered
+    rows = [
+        (1, 2.0, 10.00, 0.10, 0.05, "A", "F", t),
+        (1, 3.0, 20.00, 0.00, 0.00, "A", "F", t),
+        (2, 1.0, 99.99, 0.05, 0.08, "R", "O", t),
+        (2, 9.0, 50.00, 0.00, 0.00, "R", "O", late),
+    ]
+    got = {
+        (r.l_returnflag, r.l_linestatus): r
+        for r in pricing_rollup(_li(spark, rows), "1998-09-01").collect()
+    }
+    a = got[("A", "F")]
+    assert (a.n_rows, a.sum_qty) == (2, 5)
+    assert a.sum_base == 30.00
+    # 10*0.9 + 20*1.0 = 29.00 ; charge 10*0.9*1.05 + 20 = 29.45
+    assert a.sum_disc_price == 29.00 and a.sum_charge == 29.45
+    assert a.avg_qty == 2.5 and a.avg_price == 15.00
+    r = got[("R", "O")]
+    assert r.n_rows == 1 and r.sum_base == 99.99  # late row filtered
+
+
+def test_region_revenue_and_top_customers(spark):
+    t96 = dt.datetime(1996, 5, 1)
+    t97 = dt.datetime(1997, 5, 1)
+    region = spark.createDataFrame([(0, "EU")], "r_regionkey int, r_name string")
+    nation = spark.createDataFrame(
+        [(10, "FR", 0), (11, "DE", 0)], "n_nationkey int, n_name string, n_regionkey int"
+    )
+    cust = spark.createDataFrame(
+        [(100, "alice", 10, 0.0, "x"), (101, "bob", 11, 0.0, "x"), (102, "eve", 11, 0.0, "x")],
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, c_mktsegment string",
+    )
+    orders = spark.createDataFrame(
+        [(1, 100, "O", 0.0, t96, "p"), (2, 101, "O", 0.0, t96, "p"),
+         (3, 102, "O", 0.0, t96, "p"), (4, 100, "O", 0.0, t97, "p")],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    li = _li(
+        spark,
+        [
+            (1, 1.0, 100.0, 0.0, 0.0, "N", "O", t96),
+            (2, 1.0, 200.0, 0.5, 0.0, "N", "O", t96),  # 50% off -> 100
+            (3, 1.0, 10.0, 0.0, 0.0, "N", "O", t96),
+            (4, 1.0, 999.0, 0.0, 0.0, "N", "O", t97),  # 1997 excluded
+        ],
+    )
+    rev = {
+        (r.r_name, r.n_name): r.revenue
+        for r in region_revenue(li, orders, cust, nation, region, 1996).collect()
+    }
+    assert rev == {("EU", "FR"): 100.0, ("EU", "DE"): 110.0}
+
+    top = top_customers_per_nation(li, orders, cust, nation, k=1).collect()
+    got = {r.n_name: (r.c_custkey, r.revenue, r.rnk) for r in top}
+    # FR: alice 100 + 999 (no year filter here); DE: bob 100 beats eve 10
+    assert got["FR"] == (100, 1099.0, 1)
+    assert got["DE"] == (101, 100.0, 1)
+
+
+def test_integrity_audit_rules_fire(spark):
+    t = dt.datetime(1996, 1, 1)
+    before = dt.datetime(1995, 1, 1)
+    orders = spark.createDataFrame(
+        [(1, 100, "O", 0.0, t, "p"), (2, 999, "O", 0.0, t, "p")],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    cust = spark.createDataFrame(
+        [(100, "a", 1, -5.0, "x")],
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, c_mktsegment string",
+    )
+    li = _li(
+        spark,
+        [
+            (1, 1.0, 1.0, 0.0, 0.0, "N", "O", before),  # shipped before ordered
+            (7, 1.0, 1.0, 0.2, 0.0, "N", "O", t),       # orphan + bad discount
+            (1, 0.0, 1.0, 0.0, 0.0, "N", "O", t),       # nonpositive qty
+        ],
+    )
+    got = {r.rule: r.n for r in integrity_audit(li, orders, cust).collect()}
+    assert got == {
+        "lineitem_orphan_orderkey": 1,
+        "orders_orphan_custkey": 1,
+        "customer_negative_acctbal": 1,
+        "lineitem_discount_range": 1,
+        "lineitem_nonpositive_qty": 1,
+        "shipped_before_ordered": 1,
+    }
