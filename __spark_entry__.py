@@ -3116,6 +3116,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "region_revenue": q_region_revenue,
         "integrity_audit": q_integrity_audit,
         "top_customers": q_top_customers,
+        "supplier_share": q_supplier_share,
+        "priority_skew": q_priority_skew,
+        "brand_volume": q_brand_volume,
+        "monthly_returns": q_monthly_returns,
     }
 
 
@@ -5123,6 +5127,51 @@ def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     rd = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")
     return top_customers_per_nation(
         rd("lineitem"), rd("orders"), rd("customer"), rd("nation"), k=3
+    )
+
+
+def q_supplier_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market share by supplier nation per ship year (Q8 family):
+    broadcast supplier→nation→region dim, one aggregate to
+    (year, nation) grain, per-year total as a window over the tiny
+    rollup; share is one division of exact cent·pct integers
+    (operators/relational.py)."""
+    from cernan_spark.operators.relational import supplier_share
+
+    rd = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")
+    return supplier_share(rd("lineitem"), rd("supplier"), rd("nation"), rd("region"))
+
+
+def q_priority_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders with ≥1 clock-skewed line (shipped before ordered),
+    counted per priority — Q4's LEFT SEMI shape: EXISTS never
+    duplicates an order, the fact side shuffles only (orderkey,
+    shipdate) (operators/relational.py)."""
+    from cernan_spark.operators.relational import priority_skew_orders
+
+    rd = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")
+    return priority_skew_orders(rd("orders"), rd("lineitem"))
+
+
+def q_brand_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand volume + revenue share: lineitem ⋈ broadcast(part),
+    one brand-grain aggregate, share denominator a window total over
+    the dozens-row rollup (operators/relational.py)."""
+    from cernan_spark.operators.relational import brand_volume
+
+    rd = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")
+    return brand_volume(rd("lineitem"), rd("part"))
+
+
+def q_monthly_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Returned-revenue rate per ship month — the warehouse QA time
+    series; month emitted as a string so the grain survives engine
+    timestamp dialects (operators/relational.py)."""
+    from cernan_spark.operators.relational import monthly_return_rate
+
+    _utc(spark)
+    return monthly_return_rate(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     )
 
 
@@ -7971,5 +8020,89 @@ def oracle_sql() -> dict[str, str]:
         SELECT n_name, CAST(rnk AS INTEGER) AS rnk, c_custkey, c_name,
                CAST(rev_c2 AS DOUBLE) / 10000.0 AS revenue
         FROM r WHERE rnk <= 3
+    """
+    d["supplier_share"] = """
+        WITH dim AS (
+          SELECT s_suppkey, n_name, r_name
+          FROM supplier
+          JOIN nation ON s_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+        ), li AS (
+          SELECT l_suppkey, year(l_shipdate) AS ship_year,
+                 CAST(round(l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                   AS rev_c2
+          FROM lineitem
+        ), g AS (
+          SELECT ship_year, r_name, n_name,
+                 CAST(count(*) AS BIGINT) AS n_items,
+                 CAST(sum(rev_c2) AS BIGINT) AS rev_c2
+          FROM li JOIN dim ON l_suppkey = s_suppkey
+          GROUP BY 1, 2, 3
+        )
+        SELECT CAST(ship_year AS INTEGER) AS ship_year, r_name, n_name,
+               n_items,
+               CAST(rev_c2 AS DOUBLE) / 10000.0 AS revenue,
+               CAST(rev_c2 AS DOUBLE)
+                 / CAST(CAST(sum(rev_c2) OVER (PARTITION BY ship_year)
+                             AS BIGINT) AS DOUBLE) AS share
+        FROM g
+    """
+    d["priority_skew"] = """
+        SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+        FROM orders o
+        WHERE EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND l.l_shipdate < o.o_orderdate
+        )
+        GROUP BY 1
+    """
+    d["brand_volume"] = """
+        WITH li AS (
+          SELECT l_partkey,
+                 CAST(round(l_quantity) AS BIGINT) AS qty,
+                 CAST(round(l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                   AS rev_c2
+          FROM lineitem
+        ), g AS (
+          SELECT p_brand,
+                 CAST(count(*) AS BIGINT) AS n_items,
+                 CAST(sum(qty) AS BIGINT) AS sum_qty,
+                 CAST(sum(rev_c2) AS BIGINT) AS rev_c2
+          FROM li JOIN part ON l_partkey = p_partkey
+          GROUP BY 1
+        )
+        SELECT p_brand, n_items, sum_qty,
+               CAST(rev_c2 AS DOUBLE) / 10000.0 AS revenue,
+               CAST(rev_c2 AS DOUBLE)
+                 / CAST(CAST(sum(rev_c2) OVER () AS BIGINT) AS DOUBLE)
+                 AS share
+        FROM g
+    """
+    d["monthly_returns"] = """
+        WITH li AS (
+          SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m')
+                   AS ship_month,
+                 CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS ret,
+                 CAST(round(l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                   AS rev_c2
+          FROM lineitem
+        ), g AS (
+          SELECT ship_month,
+                 CAST(count(*) AS BIGINT) AS n_items,
+                 CAST(sum(rev_c2) AS BIGINT) AS tot_c2,
+                 CAST(sum(CASE WHEN ret = 1 THEN rev_c2 ELSE 0 END)
+                      AS BIGINT) AS ret_c2
+          FROM li GROUP BY 1
+        )
+        SELECT ship_month, n_items,
+               CAST(tot_c2 AS DOUBLE) / 10000.0 AS revenue,
+               CAST(ret_c2 AS DOUBLE) / 10000.0 AS returned_revenue,
+               CAST(ret_c2 AS DOUBLE) / CAST(tot_c2 AS DOUBLE)
+                 AS return_rate
+        FROM g
     """
     return d

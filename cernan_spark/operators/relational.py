@@ -245,3 +245,149 @@ def top_customers_per_nation(
             (F.col("rev_c2").cast("double") / F.lit(10000.0)).alias("revenue"),
         )
     )
+
+
+def supplier_share(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+) -> DataFrame:
+    """Market share by supplier nation (TPC-H-Q8 family): per ship
+    year, each nation's share of total discounted revenue. The fact
+    table joins ONE broadcast dim (supplier→nation→region collapsed
+    driver-free into a single small relation), one hash aggregate to
+    (year, nation) grain, then the per-year total is a window over the
+    ~years×nations aggregate — never over raw lineitem. Share is a
+    single division of two exact cent·pct integers.
+    """
+    dim = (
+        supplier.select("s_suppkey", "s_nationkey")
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name", "n_regionkey")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(region.select("r_regionkey", "r_name")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "n_name", "r_name")
+    )
+    li = lineitem.select(
+        "l_suppkey",
+        F.year("l_shipdate").alias("ship_year"),
+        (_cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))).alias(
+            "rev_c2"
+        ),
+    )
+    g = (
+        li.join(F.broadcast(dim), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("ship_year", "r_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("n_items"), F.sum("rev_c2").alias("rev_c2"))
+    )
+    w = Window.partitionBy("ship_year")
+    return g.select(
+        "ship_year",
+        "r_name",
+        "n_name",
+        "n_items",
+        (F.col("rev_c2").cast("double") / F.lit(10000.0)).alias("revenue"),
+        (
+            F.col("rev_c2").cast("double")
+            / F.sum("rev_c2").over(w).cast("double")
+        ).alias("share"),
+    )
+
+
+def priority_skew_orders(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Orders having at least one clock-skewed line (shipped before the
+    order date), counted per priority — TPC-H Q4's shape with a LEFT
+    SEMI join: the fact side is reduced to (orderkey, shipdate) before
+    the shuffle, the EXISTS never duplicates an order no matter how
+    many lines match, and only the order table's few columns survive.
+    """
+    skewed = orders.join(
+        lineitem.select("l_orderkey", "l_shipdate"),
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") < F.col("o_orderdate")),
+        "left_semi",
+    )
+    return skewed.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+def brand_volume(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """Per-brand volume and revenue share: lineitem ⋈ broadcast(part)
+    — the dim never shuffles the fact — one hash aggregate to brand
+    grain, then the share denominator is a window total over the
+    ~dozens-of-brands aggregate. Exact integers until the two emit
+    divisions.
+    """
+    li = lineitem.select(
+        "l_partkey",
+        F.round("l_quantity", 0).cast("long").alias("qty"),
+        (_cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))).alias(
+            "rev_c2"
+        ),
+    )
+    g = (
+        li.join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("qty").alias("sum_qty"),
+            F.sum("rev_c2").alias("rev_c2"),
+        )
+    )
+    w = Window.partitionBy()
+    return g.select(
+        "p_brand",
+        "n_items",
+        "sum_qty",
+        (F.col("rev_c2").cast("double") / F.lit(10000.0)).alias("revenue"),
+        (
+            F.col("rev_c2").cast("double")
+            / F.sum("rev_c2").over(w).cast("double")
+        ).alias("share"),
+    )
+
+
+def monthly_return_rate(lineitem: DataFrame) -> DataFrame:
+    """Returned-revenue rate per ship month — the warehouse-side QA
+    time series (a rising 'R' share is the alarm). ONE hash aggregate
+    on the month key; the rate is one division of two exact cent·pct
+    sums; the month is emitted as a string so the grain survives any
+    engine's timestamp dialect.
+    """
+    li = lineitem.select(
+        F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"),
+        (F.col("l_returnflag") == "R").cast("int").alias("ret"),
+        (_cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))).alias(
+            "rev_c2"
+        ),
+    )
+    return (
+        li.groupBy("ship_month")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("rev_c2").alias("tot_c2"),
+            F.sum(F.when(F.col("ret") == 1, F.col("rev_c2")).otherwise(F.lit(0))).alias(
+                "ret_c2"
+            ),
+        )
+        .select(
+            "ship_month",
+            "n_items",
+            (F.col("tot_c2").cast("double") / F.lit(10000.0)).alias("revenue"),
+            (F.col("ret_c2").cast("double") / F.lit(10000.0)).alias(
+                "returned_revenue"
+            ),
+            (
+                F.col("ret_c2").cast("double") / F.col("tot_c2").cast("double")
+            ).alias("return_rate"),
+        )
+    )

@@ -111,3 +111,75 @@ def test_integrity_audit_rules_fire(spark):
         "lineitem_nonpositive_qty": 1,
         "shipped_before_ordered": 1,
     }
+
+
+def test_supplier_share_and_brand_volume(spark):
+    t96 = dt.datetime(1996, 3, 1)
+    region = spark.createDataFrame([(0, "EU")], "r_regionkey int, r_name string")
+    nation = spark.createDataFrame(
+        [(10, "FR", 0), (11, "DE", 0)], "n_nationkey int, n_name string, n_regionkey int"
+    )
+    supp = spark.createDataFrame(
+        [(1, "s1", 10, 0.0), (2, "s2", 11, 0.0)],
+        "s_suppkey long, s_name string, s_nationkey int, s_acctbal double",
+    )
+    li = spark.createDataFrame(
+        [(1, 1, 1.0, 300.0, 0.0, t96), (1, 2, 1.0, 100.0, 0.0, t96)],
+        "l_orderkey long, l_suppkey long, l_quantity double, "
+        "l_extendedprice double, l_discount double, l_shipdate timestamp",
+    )
+    from cernan_spark.operators.relational import supplier_share
+
+    got = {r.n_name: r for r in supplier_share(li, supp, nation, region).collect()}
+    assert got["FR"].share == 0.75 and got["DE"].share == 0.25
+    assert got["FR"].ship_year == 1996 and got["FR"].r_name == "EU"
+
+    part = spark.createDataFrame(
+        [(7, "pn", "B1", "t", 1, 0.0), (8, "pn", "B2", "t", 1, 0.0)],
+        "p_partkey long, p_name string, p_brand string, p_type string, "
+        "p_size int, p_retailprice double",
+    )
+    li2 = spark.createDataFrame(
+        [(1, 7, 2.0, 100.0, 0.0, t96), (1, 8, 3.0, 100.0, 0.5, t96)],
+        "l_orderkey long, l_partkey long, l_quantity double, "
+        "l_extendedprice double, l_discount double, l_shipdate timestamp",
+    )
+    from cernan_spark.operators.relational import brand_volume
+
+    bv = {r.p_brand: r for r in brand_volume(li2, part).collect()}
+    assert bv["B1"].revenue == 100.0 and bv["B2"].revenue == 50.0
+    assert abs(bv["B1"].share - 100.0 / 150.0) < 1e-15
+    assert bv["B1"].sum_qty == 2 and bv["B2"].sum_qty == 3
+
+
+def test_priority_skew_semi_join_no_duplication(spark):
+    t = dt.datetime(1996, 1, 1)
+    before = dt.datetime(1995, 1, 1)
+    orders = spark.createDataFrame(
+        [(1, 1, "O", 0.0, t, "1-URGENT"), (2, 1, "O", 0.0, t, "1-URGENT")],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    # order 1 has TWO skewed lines -> must still count once
+    li = spark.createDataFrame(
+        [(1, before), (1, before), (2, t)],
+        "l_orderkey long, l_shipdate timestamp",
+    )
+    from cernan_spark.operators.relational import priority_skew_orders
+
+    got = priority_skew_orders(orders, li).collect()
+    assert len(got) == 1 and got[0].n_orders == 1
+
+
+def test_monthly_return_rate(spark):
+    jan, feb = dt.datetime(1996, 1, 15), dt.datetime(1996, 2, 15)
+    li = spark.createDataFrame(
+        [("R", 100.0, 0.0, jan), ("N", 300.0, 0.0, jan), ("N", 50.0, 0.0, feb)],
+        "l_returnflag string, l_extendedprice double, l_discount double, "
+        "l_shipdate timestamp",
+    )
+    from cernan_spark.operators.relational import monthly_return_rate
+
+    got = {r.ship_month: r for r in monthly_return_rate(li).collect()}
+    assert got["1996-01"].return_rate == 0.25
+    assert got["1996-02"].return_rate == 0.0 and got["1996-02"].revenue == 50.0
