@@ -148,6 +148,8 @@ def main() -> None:
             "grok_apache",
             "context_pack",
             "priority_sample",
+            # star-schema layer: broadcast-dim fact join + rollup
+            "region_revenue",
         ):
             queries[name] = time_write(entry.queries()[name](spark, sf_dir))
 
