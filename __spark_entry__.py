@@ -3120,6 +3120,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_skew": q_priority_skew,
         "brand_volume": q_brand_volume,
         "monthly_returns": q_monthly_returns,
+        "partition_diff": q_partition_diff,
+        "pareto_bands": q_pareto_bands,
+        "column_stats": q_column_stats,
     }
 
 
@@ -5173,6 +5176,85 @@ def q_monthly_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     return monthly_return_rate(
         spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     )
+
+
+def q_partition_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changed-partition planner: checksum every day partition of two
+    event snapshots (new = old minus every 997th event, with a 1-cent
+    correction on every 101st) via commutative sums of the portable row
+    hash, and flag the days a backfill must recompute
+    (operators/temporal.py). The hash fold is bit-identical in the
+    DuckDB twin (functions/porthash.py)."""
+    from cernan_spark.operators.temporal import partition_checksum_diff
+
+    _utc(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("c"),
+    )
+    new = ev.filter(F.col("event_id") % 997 != 0).withColumn(
+        "c",
+        F.col("c")
+        + F.when(F.col("event_id") % 101 == 0, F.lit(1)).otherwise(F.lit(0)),
+    )
+    canon = F.concat_ws(
+        "|",
+        F.col("event_id").cast("string"),
+        F.col("event_type"),
+        F.col("c").cast("string"),
+    )
+    return partition_checksum_diff(ev, new, "day", canon)
+
+
+def q_pareto_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration without a global sort: customer rollup →
+    power-of-two revenue bands (exact integer log2 via length(bin)),
+    descending cumulative share over the ~50-row band frame
+    (operators/relational.py)."""
+    from cernan_spark.operators.relational import revenue_band_concentration
+
+    rd = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")
+    return revenue_band_concentration(rd("lineitem"), rd("orders"))
+
+
+def q_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style CBO statistics over three orders columns: n, null
+    count, exact ndv, native-type min/max (stringified at emit), and
+    the heavy-hitter value via struct-min — no sort, no window
+    (operators/relational.py)."""
+    from cernan_spark.operators.relational import analyze_columns
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return analyze_columns(o, ["o_custkey", "o_orderstatus", "o_orderpriority"])
+
+
+def _column_stats_oracle_sql() -> str:
+    """DuckDB twin of q_column_stats — generated per column so the
+    literal column list is shared with the Spark query."""
+    cols = ["o_custkey", "o_orderstatus", "o_orderpriority"]
+    blocks = []
+    for c in cols:
+        blocks.append(f"""
+        SELECT '{c}' AS col, s.n_rows, s.n_null, s.ndv, s.min_v, s.max_v,
+               t.top_v, t.top_cnt
+        FROM (
+          SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                 CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_null,
+                 CAST(count(DISTINCT {c}) AS BIGINT) AS ndv,
+                 CAST(min({c}) AS VARCHAR) AS min_v,
+                 CAST(max({c}) AS VARCHAR) AS max_v
+          FROM orders
+        ) s CROSS JOIN (
+          SELECT v AS top_v, CAST(cnt AS BIGINT) AS top_cnt FROM (
+            SELECT v, cnt, row_number() OVER (ORDER BY cnt DESC, v) AS rn
+            FROM (SELECT CAST({c} AS VARCHAR) AS v, count(*) AS cnt
+                  FROM orders WHERE {c} IS NOT NULL GROUP BY 1)
+          ) WHERE rn = 1
+        ) t""")
+    return " UNION ALL ".join(blocks)
 
 
 def _infogain_oracle_sql() -> str:
@@ -8105,4 +8187,67 @@ def oracle_sql() -> dict[str, str]:
                  AS return_rate
         FROM g
     """
+    from cernan_spark.functions.porthash import portable_hash_sql
+
+    _canon = (
+        "(CAST(event_id AS VARCHAR) || '|' || event_type || '|' "
+        "|| CAST(c AS VARCHAR))"
+    )
+    d["partition_diff"] = f"""
+        WITH old AS (
+          SELECT strftime(ts, '%Y-%m-%d') AS part, event_id, event_type,
+                 CAST(round(value * 100) AS BIGINT) AS c
+          FROM events
+        ), neu AS (
+          SELECT part, event_id, event_type,
+                 c + CASE WHEN event_id % 101 = 0 THEN 1 ELSE 0 END AS c
+          FROM old WHERE event_id % 997 <> 0
+        ), po AS (
+          SELECT part, CAST(count(*) AS BIGINT) AS n_old,
+                 CAST(sum({portable_hash_sql(_canon)}) AS BIGINT) AS sum_old
+          FROM old GROUP BY 1
+        ), pn AS (
+          SELECT part, CAST(count(*) AS BIGINT) AS n_new,
+                 CAST(sum({portable_hash_sql(_canon)}) AS BIGINT) AS sum_new
+          FROM neu GROUP BY 1
+        )
+        SELECT coalesce(po.part, pn.part) AS part,
+               coalesce(n_old, 0) AS n_old,
+               coalesce(n_new, 0) AS n_new,
+               coalesce(sum_old, 0) AS checksum_old,
+               coalesce(sum_new, 0) AS checksum_new,
+               CAST(CASE WHEN coalesce(n_old, 0) <> coalesce(n_new, 0)
+                           OR coalesce(sum_old, 0) <> coalesce(sum_new, 0)
+                         THEN 1 ELSE 0 END AS INTEGER) AS changed
+        FROM po FULL OUTER JOIN pn ON po.part = pn.part
+    """
+    d["pareto_bands"] = """
+        WITH li AS (
+          SELECT l_orderkey,
+                 CAST(round(l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                   AS rev_c2
+          FROM lineitem
+        ), pc AS (
+          SELECT o_custkey, CAST(sum(rev_c2) AS BIGINT) AS rev_c2
+          FROM li JOIN orders ON l_orderkey = o_orderkey GROUP BY 1
+        ), b AS (
+          SELECT length(bin(rev_c2)) AS band,
+                 CAST(count(*) AS BIGINT) AS n_customers,
+                 CAST(sum(rev_c2) AS BIGINT) AS band_c2
+          FROM pc GROUP BY 1
+        )
+        SELECT CAST(band AS INTEGER) AS band,
+               CAST(power(2, band - 1) AS BIGINT) AS band_floor_c2,
+               n_customers,
+               CAST(band_c2 AS DOUBLE) / 10000.0 AS revenue,
+               CAST(CAST(sum(band_c2) OVER (
+                      ORDER BY band DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS DOUBLE)
+                 / CAST(CAST(sum(band_c2) OVER () AS BIGINT) AS DOUBLE)
+                 AS cum_share_top
+        FROM b
+    """
+    d["column_stats"] = _column_stats_oracle_sql()
     return d

@@ -391,3 +391,97 @@ def monthly_return_rate(lineitem: DataFrame) -> DataFrame:
             ).alias("return_rate"),
         )
     )
+
+
+def revenue_band_concentration(
+    lineitem: DataFrame, orders: DataFrame
+) -> DataFrame:
+    """Revenue concentration WITHOUT a global sort: customers roll up
+    to exact cent·pct revenue, each lands in a power-of-two band
+    (``length(bin(rev))`` — an exact integer log2, no float boundary),
+    and the Pareto curve is a descending cumulative share over the
+    ~50-row band frame. The corpus never sorts; only the band histogram
+    does — the same histogram-grain-window discipline as
+    corpus.length_deciles. Output per band: customer count, revenue,
+    the band floor, and the share of total revenue held by this band
+    and every richer one.
+    """
+    li = lineitem.select(
+        "l_orderkey",
+        (_cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))).alias(
+            "rev_c2"
+        ),
+    )
+    per_cust = (
+        li.join(
+            orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_custkey")
+        .agg(F.sum("rev_c2").alias("rev_c2"))
+    )
+    bands = per_cust.groupBy(
+        F.length(F.bin("rev_c2")).alias("band")
+    ).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("rev_c2").alias("band_c2"),
+    )
+    w_cum = Window.orderBy(F.col("band").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.partitionBy()
+    return bands.select(
+        F.col("band").cast("int").alias("band"),
+        F.pow(F.lit(2.0), F.col("band") - 1).cast("long").alias("band_floor_c2"),
+        "n_customers",
+        (F.col("band_c2").cast("double") / F.lit(10000.0)).alias("revenue"),
+        (
+            F.sum("band_c2").over(w_cum).cast("double")
+            / F.sum("band_c2").over(w_all).cast("double")
+        ).alias("cum_share_top"),
+    )
+
+
+def analyze_columns(df: DataFrame, cols: list[str]) -> DataFrame:
+    """ANALYZE-style column statistics — the CBO inputs (ndv, null
+    fraction, min/max, heavy hitter) Spark's own ``ANALYZE TABLE … FOR
+    COLUMNS`` collects, emitted as one row per column: ``n_rows,
+    n_null, ndv, min_v, max_v, top_v, top_cnt``. min/max compute on the
+    NATIVE type (numeric order, not lexicographic) and stringify only
+    at emit. The heavy hitter is a value-grain aggregate reduced by
+    struct-min (most frequent, tie → smallest string) — no window, no
+    sort. One column-pruned pass per column, exactly the per-column
+    scan ANALYZE runs.
+    """
+    outs = []
+    for c in cols:
+        base = df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col(c).isNull().cast("long")).alias("n_null"),
+            F.countDistinct(c).alias("ndv"),
+            F.min(c).cast("string").alias("min_v"),
+            F.max(c).cast("string").alias("max_v"),
+        )
+        vg = (
+            df.where(F.col(c).isNotNull())
+            .groupBy(F.col(c).cast("string").alias("v"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        top = vg.agg(
+            F.min(F.struct((-F.col("cnt")).alias("neg"), F.col("v"))).alias("b")
+        ).select(
+            F.col("b.v").alias("top_v"), (-F.col("b.neg")).alias("top_cnt")
+        )
+        outs.append(
+            base.crossJoin(F.broadcast(top)).select(
+                F.lit(c).alias("col"),
+                "n_rows",
+                "n_null",
+                "ndv",
+                "min_v",
+                "max_v",
+                "top_v",
+                "top_cnt",
+            )
+        )
+    return reduce(DataFrame.unionByName, outs)

@@ -554,3 +554,47 @@ def disorder_profile(
             / n.cast("double")
         ).alias("coverage"),
     )
+
+
+def partition_checksum_diff(
+    old: DataFrame,
+    new: DataFrame,
+    part_col: Column | str,
+    row_canon: Column,
+) -> DataFrame:
+    """Changed-partition detection for incremental recompute: checksum
+    every partition of two table snapshots (sum of portable row hashes
+    — commutative, so partition-order-free and map-side combinable) and
+    emit one row per partition with both counts, both checksums, and a
+    ``changed`` verdict. The downstream backfill re-runs ONLY changed
+    partitions — the planning step that turns a 100 TB daily recompute
+    into a handful of partition jobs. ``row_canon`` is the caller's
+    canonical row string (include every column that matters; the hash
+    is `functions/porthash.py`'s 31-bit fold, bit-identical in the SQL
+    twin). A partition present in one snapshot only is ``changed`` with
+    the missing side's count/checksum at 0.
+    """
+    from cernan_spark.functions.porthash import portable_hash
+
+    p = F.col(part_col) if isinstance(part_col, str) else part_col
+
+    def prof(df: DataFrame, tag: str) -> DataFrame:
+        return df.select(p.alias("part"), portable_hash(row_canon).alias("h")).groupBy(
+            "part"
+        ).agg(
+            F.count(F.lit(1)).alias(f"n_{tag}"),
+            F.sum("h").alias(f"sum_{tag}"),
+        )
+
+    j = prof(old, "old").join(prof(new, "new"), "part", "full_outer")
+    z = lambda c: F.coalesce(F.col(c), F.lit(0))
+    return j.select(
+        "part",
+        z("n_old").alias("n_old"),
+        z("n_new").alias("n_new"),
+        z("sum_old").alias("checksum_old"),
+        z("sum_new").alias("checksum_new"),
+        (
+            (z("n_old") != z("n_new")) | (z("sum_old") != z("sum_new"))
+        ).cast("int").alias("changed"),
+    )

@@ -183,3 +183,63 @@ def test_monthly_return_rate(spark):
     got = {r.ship_month: r for r in monthly_return_rate(li).collect()}
     assert got["1996-01"].return_rate == 0.25
     assert got["1996-02"].return_rate == 0.0 and got["1996-02"].revenue == 50.0
+
+
+def test_revenue_band_concentration_shares(spark):
+    t = dt.datetime(1996, 1, 1)
+    orders = spark.createDataFrame(
+        [(i, i, "O", 0.0, t, "p") for i in (1, 2, 3)],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    # customer revenues (cent-pct): 1 -> 40000 (band 16), 2 -> 40000,
+    # 3 -> 20000 (band 15): top band holds 80% of revenue
+    li = spark.createDataFrame(
+        [(1, 4.0, 0.0), (2, 4.0, 0.0), (3, 2.0, 0.0)],
+        "l_orderkey long, l_extendedprice double, l_discount double",
+    )
+    from cernan_spark.operators.relational import revenue_band_concentration
+
+    got = {r.band: r for r in revenue_band_concentration(li, orders).collect()}
+    assert got[16].n_customers == 2 and got[16].cum_share_top == 0.8
+    assert got[15].n_customers == 1 and got[15].cum_share_top == 1.0
+    assert got[16].band_floor_c2 == 2**15
+
+
+def test_analyze_columns_stats_and_top(spark):
+    df = spark.createDataFrame(
+        [(1, "A"), (2, "A"), (2, "B"), (None, None)],
+        "k int, s string",
+    )
+    from cernan_spark.operators.relational import analyze_columns
+
+    got = {r.col: r for r in analyze_columns(df, ["k", "s"]).collect()}
+    k = got["k"]
+    assert (k.n_rows, k.n_null, k.ndv) == (4, 1, 2)
+    assert (k.min_v, k.max_v) == ("1", "2")
+    assert (k.top_v, k.top_cnt) == ("2", 2)
+    s = got["s"]
+    assert (s.ndv, s.top_v, s.top_cnt) == (2, "A", 2)
+
+
+def test_partition_checksum_diff_flags_only_changed(spark):
+    from cernan_spark.operators.temporal import partition_checksum_diff
+    from pyspark.sql import functions as F
+
+    old = spark.createDataFrame(
+        [("d1", 1, "x"), ("d1", 2, "y"), ("d2", 3, "z"), ("d3", 4, "w")],
+        "day string, id long, payload string",
+    )
+    # d1 unchanged but rows REORDERED; d2 payload edited; d3 dropped; d4 added
+    new = spark.createDataFrame(
+        [("d1", 2, "y"), ("d1", 1, "x"), ("d2", 3, "Z"), ("d4", 5, "v")],
+        "day string, id long, payload string",
+    )
+    canon = F.concat_ws("|", F.col("id").cast("string"), F.col("payload"))
+    got = {
+        r.part: r for r in partition_checksum_diff(old, new, "day", canon).collect()
+    }
+    assert got["d1"].changed == 0  # order-independent checksum
+    assert got["d2"].changed == 1 and got["d2"].n_old == got["d2"].n_new == 1
+    assert got["d3"].changed == 1 and got["d3"].n_new == 0
+    assert got["d4"].changed == 1 and got["d4"].n_old == 0
