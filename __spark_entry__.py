@@ -3123,6 +3123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partition_diff": q_partition_diff,
         "pareto_bands": q_pareto_bands,
         "column_stats": q_column_stats,
+        "native_spool": q_native_spool,
     }
 
 
@@ -5228,6 +5229,63 @@ def q_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
     return analyze_columns(o, ["o_custkey", "o_orderstatus", "o_orderpriority"])
+
+
+def q_native_spool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read the native wire protocol as a FIRST-CLASS Spark format:
+    a deterministic spool (u32-BE framed protobuf Payloads derived from
+    events, 4 connection files) is read back via
+    ``spark.read.format("cernan_native")`` — the Python DataSource API
+    re-expression of the reference's native TCP source
+    (sources/native_datasource.py, native.rs:63-133). One InputPartition
+    per spool file; decode runs executor-side; the oracle re-derives
+    every decoded row from the events table."""
+    import shutil
+    import tempfile
+
+    from cernan_spark.sources.native_datasource import (
+        CernanNativeDataSource,
+        write_spool,
+    )
+
+    _utc(spark)
+    spark.dataSource.register(CernanNativeDataSource)
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"cernan_spool_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    if not os.path.isdir(base):
+        kinds = ["SUM", "SET", "SUMMARIZE"]
+        ev = (
+            spark.read.parquet(f"{sf_dir}/events.parquet")
+            .select(
+                "event_id",
+                F.unix_timestamp(F.col("ts").cast("timestamp")).alias("sec"),
+                "event_type",
+                "value",
+            )
+            .orderBy("event_id")
+            .collect()
+        )
+        rows = (
+            {
+                "conn": r.event_id % 4,
+                "name": r.event_type,
+                "samples": [r.value],
+                "kind": kinds[r.event_id % 3],
+                "ts_ms": r.sec * 1000 + r.event_id % 1000,
+            }
+            for r in ev
+        )
+        tmp = base + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        write_spool(rows, tmp, 4)
+        os.replace(tmp, base)
+    df = spark.read.format("cernan_native").load(base)
+    return df.select(
+        "conn_id", "frame_idx", "name", "sample_idx", "value", "kind",
+        "event_epoch",
+    )
 
 
 def _column_stats_oracle_sql() -> str:
@@ -8250,4 +8308,20 @@ def oracle_sql() -> dict[str, str]:
         FROM b
     """
     d["column_stats"] = _column_stats_oracle_sql()
+    d["native_spool"] = """
+        SELECT event_id % 4 AS conn_id,
+               CAST(row_number() OVER (PARTITION BY event_id % 4
+                                       ORDER BY event_id) - 1 AS INTEGER)
+                 AS frame_idx,
+               event_type AS name,
+               CAST(0 AS INTEGER) AS sample_idx,
+               value,
+               CASE CAST(event_id % 3 AS INTEGER)
+                 WHEN 0 THEN 'SUM' WHEN 1 THEN 'SET' ELSE 'SUMMARIZE'
+               END AS kind,
+               CAST(trunc((CAST(floor(epoch(ts)) AS BIGINT) * 1000
+                           + event_id % 1000) * 0.001) AS BIGINT)
+                 AS event_epoch
+        FROM events
+    """
     return d
