@@ -35,7 +35,14 @@ import os
 import re
 import struct
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+    WriterCommitMessage,
+)
 
 # Column order must match functions/nativeproto.DECODED_SCHEMA.
 _SCHEMA = (
@@ -123,6 +130,12 @@ class CernanNativeDataSource(DataSource):
     def reader(self, schema) -> CernanNativeReader:
         return CernanNativeReader(self.options)
 
+    def writer(self, schema, overwrite: bool):
+        return CernanNativeWriter(self.options, overwrite)
+
+    def simpleStreamReader(self, schema):
+        return CernanNativeStreamReader(self.options)
+
 
 def write_spool(rows, out_dir: str, n_conns: int) -> None:
     """Deterministic spool writer (driver-side test/fixture helper): each
@@ -154,3 +167,166 @@ def write_spool(rows, out_dir: str, n_conns: int) -> None:
     finally:
         for fh in handles.values():
             fh.close()
+
+
+# ---------------------------------------------------------------------------
+# Writer — the native SINK analog (df.write.format("cernan_native"))
+# ---------------------------------------------------------------------------
+
+class _SpoolCommit(WriterCommitMessage):
+    def __init__(self, pid: int, tmp: str, n: int):
+        self.pid = pid
+        self.tmp = tmp
+        self.n = n
+
+
+class CernanNativeWriter(DataSourceWriter):
+    """Per-task spool writer: each input partition becomes one
+    connection file (`conn-<partitionId>.bin`), written to a hidden
+    temp name and renamed only in `commit()` — the all-or-nothing
+    visibility rule every idempotent sink in this repo follows
+    (plans/checkpoint.py), and the batch analog of the native sink's
+    flush-then-ack (`/root/reference/src/sink/native.rs` buffers then
+    writes whole frames). Input rows: ``conn_id?, name, samples
+    array<double>, kind, persist?, ts_ms, tags?``."""
+
+    def __init__(self, options, overwrite: bool):
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("cernan_native write requires a path")
+        self._overwrite = overwrite
+
+    def write(self, rows):
+        import uuid
+
+        from pyspark import TaskContext
+
+        from cernan_spark.functions.nativeproto import (
+            encode_payload,
+            encode_telemetry,
+        )
+
+        pid = TaskContext.get().partitionId()
+        os.makedirs(self._path, exist_ok=True)
+        tmp = os.path.join(self._path, f".tmp-conn-{pid}-{uuid.uuid4().hex}")
+        n = 0
+        with open(tmp, "wb") as fh:
+            for r in rows:
+                t = encode_telemetry(
+                    r["name"],
+                    [float(s) for s in r["samples"]],
+                    kind=r["kind"],
+                    persist=bool(r["persist"]) if "persist" in r.__fields__ else False,
+                    timestamp_ms=int(r["ts_ms"]),
+                    metadata=dict(r["tags"]) if "tags" in r.__fields__ and r["tags"] is not None else None,
+                )
+                frame = encode_payload(points=[t])
+                fh.write(struct.pack(">I", len(frame)) + frame)
+                n += 1
+        return _SpoolCommit(pid, tmp, n)
+
+    def commit(self, messages):
+        if self._overwrite:
+            for f in os.listdir(self._path):
+                if f.endswith(".bin"):
+                    os.remove(os.path.join(self._path, f))
+        for m in messages:
+            os.replace(m.tmp, os.path.join(self._path, f"conn-{m.pid}.bin"))
+
+    def abort(self, messages):
+        for m in messages:
+            try:
+                os.remove(m.tmp)
+            except OSError:
+                pass
+
+
+# ---------------------------------------------------------------------------
+# Streaming reader — tail the spool like the TCP accept loop tails sockets
+# ---------------------------------------------------------------------------
+
+class CernanNativeStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batch tail over a live spool directory: the offset is a
+    JSON dict ``{file: [byte_offset, frame_idx]}``; each batch decodes
+    every COMPLETE frame appended since the last offset and leaves a
+    trailing partial frame for the next batch — byte-for-byte the
+    file-tailer's partial-line rule (sources/filetail.py) applied to
+    u32-BE frames, and the batch analog of native.rs's continuous
+    accept loop. New ``conn-*.bin`` files are picked up at any batch
+    (a new connection arriving). ``readBetweenOffsets`` replays a
+    committed range deterministically, so recovery re-emits the same
+    rows (at-least-once → effectively-once under the framework's
+    offset log)."""
+
+    def __init__(self, options):
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("cernan_native stream requires a path")
+
+    def initialOffset(self) -> dict:
+        return {}
+
+    def _decode_range(self, fname: str, lo: int, hi: int, fidx0: int):
+        from cernan_spark.functions.nativeproto import decode_payload
+
+        m = _CONN_RE.search(fname)
+        cid = int(m.group(1)) if m else -1
+        with open(os.path.join(self._path, fname), "rb") as fh:
+            fh.seek(lo)
+            blob = fh.read(hi - lo)
+        off, fidx = 0, fidx0
+        rows = []
+        while off + 4 <= len(blob):
+            (n,) = struct.unpack(">I", blob[off : off + 4])
+            if off + 4 + n > len(blob):
+                break
+            frame = blob[off + 4 : off + 4 + n]
+            off += 4 + n
+            try:
+                points, lines = decode_payload(frame)
+            except Exception:  # noqa: BLE001
+                rows.append((cid, fidx, "invalid", None, None, None, None,
+                             None, None, None, None, None, None))
+                fidx += 1
+                continue
+            for p in points:
+                if not p["samples"]:
+                    continue
+                epoch = int(p["timestamp_ms"] * 0.001)
+                for i, s in enumerate(p["samples"]):
+                    rows.append((cid, fidx, "telemetry", p["name"], i, s,
+                                 p["kind"], p["persist"], epoch, p["metadata"],
+                                 p["bin_bounds"] or None, None, None))
+            for ln in lines:
+                rows.append((cid, fidx, "log", None, None, None, None, None,
+                             int(ln["timestamp_ms"] * 0.001), ln["metadata"],
+                             None, ln["path"], ln["value"]))
+            fidx += 1
+        return rows, lo + off, fidx
+
+    def read(self, start: dict):
+        rows, end = [], {}
+        names = sorted(
+            f for f in os.listdir(self._path) if f.endswith(".bin")
+        ) if os.path.isdir(self._path) else []
+        for fname in names:
+            lo, fidx = start.get(fname, [0, 0])
+            size = os.path.getsize(os.path.join(self._path, fname))
+            r, consumed, fidx2 = self._decode_range(fname, lo, size, fidx)
+            rows.extend(r)
+            end[fname] = [consumed, fidx2]
+        for fname, pos in start.items():  # a file vanished: hold its offset
+            end.setdefault(fname, pos)
+        return iter(rows), end
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        rows = []
+        for fname, (hi, _) in end.items():
+            lo, fidx = start.get(fname, [0, 0])
+            if hi > lo:
+                r, _, _ = self._decode_range(fname, lo, hi, fidx)
+                rows.extend(r)
+        return iter(rows)
+
+    def commit(self, end: dict) -> None:
+        pass

@@ -95,3 +95,71 @@ def test_partial_trailing_frame_dropped_and_invalid_row(registered):
     got2 = spark.read.format("cernan_native").load(d).collect()
     kinds = sorted(r.record_kind for r in got2)
     assert kinds == ["invalid", "telemetry"]
+
+
+def test_writer_roundtrip_partition_per_conn(registered, tmp_path):
+    spark = registered
+    out = str(tmp_path / "spool_out")
+    df = spark.createDataFrame(
+        [("a", [1.0, 2.0], "SUM", False, 1999, {"k": "v"}),
+         ("b", [3.5], "SET", True, 2500, None)],
+        "name string, samples array<double>, kind string, persist boolean, "
+        "ts_ms long, tags map<string,string>",
+    ).repartition(2)
+    df.write.format("cernan_native").mode("overwrite").save(out)
+    assert sorted(os.listdir(out)) == ["conn-0.bin", "conn-1.bin"]
+    back = spark.read.format("cernan_native").load(out)
+    got = {(r.name, r.sample_idx): r for r in back.collect()}
+    assert got[("a", 0)].value == 1.0 and got[("a", 1)].value == 2.0
+    assert got[("b", 0)].persist is True and got[("b", 0)].event_epoch == 2
+    assert dict(got[("a", 0)].tags) == {"k": "v"}
+    # overwrite replaces, never appends
+    df.limit(1).repartition(1).write.format("cernan_native").mode(
+        "overwrite"
+    ).save(out)
+    assert sorted(os.listdir(out)) == ["conn-0.bin"]
+
+
+def test_stream_tails_new_frames_and_holds_partials(registered, tmp_path):
+    spark = registered
+    from cernan_spark.functions.nativeproto import (
+        encode_payload,
+        encode_telemetry,
+    )
+
+    sd = str(tmp_path / "spool_stream")
+    write_spool(
+        [{"conn": 0, "name": "s1", "samples": [1.0], "kind": "SUM", "ts_ms": 1000}],
+        sd, 1,
+    )
+    q = (
+        spark.readStream.format("cernan_native").load(sd)
+        .writeStream.format("memory").queryName("natstream_t")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows1 = spark.sql("SELECT name FROM natstream_t").collect()
+        assert [r.name for r in rows1] == ["s1"]
+        # append: one complete frame, one partial (must be held back),
+        # and a brand-new connection file (must be picked up)
+        fr = encode_payload(
+            points=[encode_telemetry("s2", [2.0], kind="SET", timestamp_ms=2000)]
+        )
+        with open(os.path.join(sd, "conn-0.bin"), "ab") as fh:
+            fh.write(struct.pack(">I", len(fr)) + fr)
+            fh.write(struct.pack(">I", 99) + b"partial")
+        write_spool(
+            [{"conn": 1, "name": "s3", "samples": [3.0], "kind": "SUM",
+              "ts_ms": 3000}],
+            sd, 2,
+        )
+        q.processAllAvailable()
+        rows2 = sorted(
+            r.name for r in spark.sql("SELECT name FROM natstream_t").collect()
+        )
+        assert rows2 == ["s1", "s2", "s3"]  # no dup of s1, no partial ghost
+    finally:
+        q.stop()
