@@ -3124,6 +3124,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pareto_bands": q_pareto_bands,
         "column_stats": q_column_stats,
         "native_spool": q_native_spool,
+        "sessionize_resume": q_sessionize_resume,
+        "attribution": q_attribution,
     }
 
 
@@ -5285,6 +5287,33 @@ def q_native_spool(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select(
         "conn_id", "frame_idx", "name", "sample_idx", "value", "kind",
         "event_epoch",
+    )
+
+
+def q_sessionize_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-run sessionization: run 1 ends at 2024-01-15, persists its
+    open sessions, run 2 resumes from those seeds; closed ∪ resumed
+    sessions ≡ the one-pass result BY CONSTRUCTION, and the oracle IS
+    the one-pass SQL (operators/skew.sessionize_resume). Both runs ride
+    the chunked segmented scan, so hot users never serialize."""
+    from cernan_spark.operators.skew import sessionize_resume
+
+    _utc(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sessionize_resume(ev, split_epoch=1705276800, gap_s=1800)
+
+
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase credits the user's most
+    recent view strictly before it within 1 h — one ordered scan with
+    last(ignorenulls), never a conversions×touches range join
+    (operators/behavior.attribute_conversions)."""
+    from cernan_spark.operators.behavior import attribute_conversions
+
+    _utc(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return attribute_conversions(
+        ev, convert_type="purchase", touch_type="view", window_s=3600
     )
 
 
@@ -8323,5 +8352,54 @@ def oracle_sql() -> dict[str, str]:
                            + event_id % 1000) * 0.001) AS BIGINT)
                  AS event_epoch
         FROM events
+    """
+    d["sessionize_resume"] = """
+        WITH e AS (
+          SELECT user_id, event_id,
+                 CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+          FROM events
+        ), g AS (
+          SELECT user_id, event_id, ts_s,
+                 ts_s - lag(ts_s) OVER (PARTITION BY user_id
+                                        ORDER BY event_id) AS gap
+          FROM e
+        ), s AS (
+          SELECT user_id, ts_s,
+                 sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY event_id) AS sid
+          FROM g
+        )
+        SELECT user_id, CAST(min(ts_s) AS BIGINT) AS start_s,
+               CAST(max(ts_s) AS BIGINT) AS end_s,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM s GROUP BY user_id, sid
+    """
+    d["attribution"] = """
+        WITH e AS (
+          SELECT user_id, event_id, event_type,
+                 CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+          FROM events
+        ), c AS (
+          SELECT user_id, event_id, event_type, ts_s,
+                 last_value(CASE WHEN event_type = 'view' THEN ts_s END
+                            IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS tts,
+                 last_value(CASE WHEN event_type = 'view' THEN event_id END
+                            IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS tord
+          FROM e
+        )
+        SELECT user_id, event_id AS conv_order, ts_s AS conv_ts_s,
+               CASE WHEN tts IS NOT NULL AND ts_s - tts <= 3600
+                    THEN tord END AS touch_order,
+               CASE WHEN tts IS NOT NULL AND ts_s - tts <= 3600
+                    THEN ts_s - tts END AS latency_s,
+               CAST(CASE WHEN tts IS NOT NULL AND ts_s - tts <= 3600
+                         THEN 1 ELSE 0 END AS INTEGER) AS attributed
+        FROM c WHERE event_type = 'purchase'
     """
     return d

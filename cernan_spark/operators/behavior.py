@@ -21,7 +21,7 @@ untouched — the oracle replays both exactly.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 WEEK_S = 604800
@@ -157,4 +157,58 @@ def tool_cooccurrence(
             ((F.col("n_ab") * F.col("n_convs")) / (F.col("n_a") * F.col("n_b")))
             .alias("lift"),
         )
+    )
+
+
+def attribute_conversions(
+    events: DataFrame,
+    convert_type: str = "purchase",
+    touch_type: str = "view",
+    window_s: int = 3600,
+    user_col: str = "user_id",
+    order_col: str = "event_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Last-touch attribution: each conversion credits the user's most
+    recent ``touch_type`` event STRICTLY BEFORE it, if that touch is
+    within ``window_s`` seconds — the marketing-pipeline join that is a
+    single ordered scan, never a self-join (a conversions×touches
+    range join would multiply rows before filtering; the carry-forward
+    is the same ``last(ignorenulls)`` discipline as
+    temporal.asof_join_union). ONE window exchange on the user key.
+
+    Output per conversion: ``user, conv_order, conv_ts_s, touch_order
+    (nullable), latency_s (nullable), attributed``.
+    """
+    ts_s = F.unix_timestamp(F.col(ts_col).cast("timestamp"))
+    base = events.select(
+        F.col(user_col),
+        F.col(order_col),
+        F.col(type_col),
+        ts_s.alias("_ts_s"),
+    )
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_touch = F.col(type_col) == touch_type
+    touch_ts = F.last(F.when(is_touch, F.col("_ts_s")), ignorenulls=True).over(w)
+    touch_order = F.last(
+        F.when(is_touch, F.col(order_col)), ignorenulls=True
+    ).over(w)
+    conv = base.withColumn("_tts", touch_ts).withColumn(
+        "_tord", touch_order
+    ).filter(F.col(type_col) == convert_type)
+    in_win = F.col("_tts").isNotNull() & (
+        F.col("_ts_s") - F.col("_tts") <= window_s
+    )
+    return conv.select(
+        F.col(user_col),
+        F.col(order_col).alias("conv_order"),
+        F.col("_ts_s").alias("conv_ts_s"),
+        F.when(in_win, F.col("_tord")).alias("touch_order"),
+        F.when(in_win, F.col("_ts_s") - F.col("_tts")).alias("latency_s"),
+        in_win.cast("int").alias("attributed"),
     )

@@ -196,3 +196,94 @@ def skew_report(
         F.expr("(n * 1000000) DIV _tot").alias("ppm"),
         F.expr(f"(n + {t - 1}) DIV {t}").alias("salt_factor"),
     )
+
+
+def session_summaries(
+    events: DataFrame,
+    user_col: str = "user_id",
+    order_col: str = "event_id",
+    ts_s_col: str = "_ts_s",
+    weight_col: str | None = None,
+    start_carry_col: str | None = None,
+    gap_s: int = 1800,
+) -> DataFrame:
+    """Per-session rollup over :func:`sessionize_chunked` (so hot users
+    still never serialize): one row per (user, session) with
+    ``start_s, end_s, last_order, n_events``. ``weight_col`` lets a row
+    stand for N already-merged events and ``start_carry_col`` lets it
+    carry an earlier true start — the two hooks the cross-run resume
+    seeds use (:func:`sessionize_resume`)."""
+    ev = events.withColumn("_ts", F.to_timestamp(F.col(ts_s_col)))
+    s = sessionize_chunked(ev, user_col, order_col, "_ts", gap_s=gap_s)
+    w = F.col(weight_col) if weight_col else F.lit(1)
+    start = (
+        F.least(F.min(start_carry_col), F.min(ts_s_col))
+        if start_carry_col
+        else F.min(ts_s_col)
+    )
+    return s.groupBy(user_col, "session_idx").agg(
+        start.alias("start_s"),
+        F.max(ts_s_col).alias("end_s"),
+        F.max(order_col).alias("last_order"),
+        F.sum(w).alias("n_events"),
+    )
+
+
+def sessionize_resume(
+    events: DataFrame,
+    split_epoch: int,
+    user_col: str = "user_id",
+    order_col: str = "event_id",
+    ts_col: str = "ts",
+    gap_s: int = 1800,
+) -> DataFrame:
+    """Cross-run sessionization: run 1 processes events before
+    ``split_epoch``, persists its OPEN sessions (end within ``gap_s`` of
+    the boundary — at most one per user, since a following session would
+    have to start after the boundary), and run 2 resumes by seeding one
+    pseudo-event per open session (ts = session end, weight = its event
+    count, carrying the true start). The union of run-1 closed sessions
+    and run-2 sessions is equal BY CONSTRUCTION to the one-pass result:
+    the seed reproduces exactly the state the one-pass scan would hold at
+    the boundary — the same resumed-≡-one-pass contract as
+    exact_substr_resume and the prometheus accumulators
+    (hopper's at-least-once handoff, /root/reference/src/config.rs:54-63).
+
+    Output: ``user, start_s, end_s, n_events`` per final session.
+    """
+    ts_s = F.unix_timestamp(F.col(ts_col).cast("timestamp"))
+    ev = events.select(
+        F.col(user_col), F.col(order_col), ts_s.alias("_ts_s")
+    )
+    day1 = ev.filter(F.col("_ts_s") < split_epoch)
+    day2 = ev.filter(F.col("_ts_s") >= split_epoch)
+
+    s1 = session_summaries(day1, user_col, order_col, gap_s=gap_s)
+    closed = s1.filter(F.col("end_s") < split_epoch - gap_s).select(
+        user_col, "start_s", "end_s", "n_events"
+    )
+    open_ = s1.filter(F.col("end_s") >= split_epoch - gap_s)
+
+    seed = open_.select(
+        F.col(user_col),
+        F.col("last_order").alias(order_col),
+        F.col("end_s").alias("_ts_s"),
+        F.col("n_events").alias("_w"),
+        F.col("start_s").alias("_carry"),
+    )
+    d2 = day2.select(
+        F.col(user_col),
+        F.col(order_col),
+        "_ts_s",
+        F.lit(1).cast("long").alias("_w"),
+        F.lit(None).cast("long").alias("_carry"),
+    )
+    merged = session_summaries(
+        seed.unionByName(d2),
+        user_col,
+        order_col,
+        weight_col="_w",
+        start_carry_col="_carry",
+        gap_s=gap_s,
+    ).select(user_col, "start_s", "end_s", "n_events")
+    return closed.unionByName(merged)

@@ -128,3 +128,60 @@ def test_sessionize_chunked_empty_frame(spark):
 
     df = spark.createDataFrame([], "event_id long, user_id long, ts timestamp")
     assert sessionize_chunked(df).count() == 0
+
+
+def test_sessionize_resume_equals_one_pass_at_boundary(spark):
+    """Sessions straddling the split must merge; closed ones must not.
+    Construct: user 1 has events at T-100, T+50 (same session across the
+    boundary); user 2 ends at T-5000 (closed) and restarts at T+10."""
+    import datetime as dt
+    from pyspark.sql import functions as F
+    from cernan_spark.operators.skew import sessionize_resume
+
+    T = 1705276800
+    rows = [
+        (1, 10, T - 100), (1, 11, T + 50),            # one merged session
+        (1, 12, T + 50 + 3000),                        # new session (gap>1800)
+        (2, 20, T - 5000), (2, 21, T + 10),            # closed + fresh
+        (3, 30, T - 1800), (3, 31, T - 1700),          # open but no day-2 rows
+    ]
+    df = spark.createDataFrame(
+        [(u, e, dt.datetime.utcfromtimestamp(s)) for u, e, s in rows],
+        "user_id long, event_id long, ts timestamp",
+    )
+    got = sorted(
+        (r.user_id, r.start_s, r.end_s, r.n_events)
+        for r in sessionize_resume(df, split_epoch=T, gap_s=1800).collect()
+    )
+    assert got == [
+        (1, T - 100, T + 50, 2),
+        (1, T + 3050, T + 3050, 1),
+        (2, T - 5000, T - 5000, 1),
+        (2, T + 10, T + 10, 1),
+        (3, T - 1800, T - 1700, 2),
+    ]
+
+
+def test_attribution_window_and_strictly_before(spark):
+    import datetime as dt
+    from cernan_spark.operators.behavior import attribute_conversions
+
+    T = 1705276800
+    rows = [
+        (1, 1, "view", T),          # touch
+        (1, 2, "purchase", T + 100),   # attributed to event 1
+        (1, 3, "purchase", T + 4000),  # view too old (>3600) -> unattributed
+        (2, 4, "purchase", T),         # no prior view at all
+        (2, 5, "view", T + 1),         # AFTER the purchase -> must not credit
+    ]
+    df = spark.createDataFrame(
+        [(u, e, k, dt.datetime.utcfromtimestamp(s)) for u, e, k, s in rows],
+        "user_id long, event_id long, event_type string, ts timestamp",
+    )
+    got = {
+        r.conv_order: (r.touch_order, r.latency_s, r.attributed)
+        for r in attribute_conversions(df).collect()
+    }
+    assert got[2] == (1, 100, 1)
+    assert got[3] == (None, None, 0)
+    assert got[4] == (None, None, 0)
