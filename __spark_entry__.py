@@ -3126,6 +3126,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "native_spool": q_native_spool,
         "sessionize_resume": q_sessionize_resume,
         "attribution": q_attribution,
+        "ppjoin_dedup": q_ppjoin_dedup,
+        "part_skyline": q_part_skyline,
     }
 
 
@@ -5314,6 +5316,29 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return attribute_conversions(
         ev, convert_type="purchase", touch_type="view", window_s=3600
+    )
+
+
+def q_ppjoin_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT near-dup pairs at shingle-Jaccard ≥ 4/5 via prefix
+    filtering (PPJoin family): rarest-token prefixes + integer length
+    filter bound the candidate set, exact intersection verifies — the
+    deterministic, no-false-negative complement to the MinHash path
+    (operators/dedup.prefix_filter_join)."""
+    from cernan_spark.operators.dedup import prefix_filter_join
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return prefix_filter_join(d, t_num=4, t_den=5, shingle_n=3)
+
+
+def q_part_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto frontier over parts (cheapest-for-size): price-grain
+    reduce, ascending scan over the distinct-price histogram frame, no
+    pairwise dominance compare (operators/relational.py)."""
+    from cernan_spark.operators.relational import price_size_skyline
+
+    return price_size_skyline(
+        spark.read.parquet(f"{sf_dir}/part.parquet")
     )
 
 
@@ -8401,5 +8426,69 @@ def oracle_sql() -> dict[str, str]:
                CAST(CASE WHEN tts IS NOT NULL AND ts_s - tts <= 3600
                          THEN 1 ELSE 0 END AS INTEGER) AS attributed
         FROM c WHERE event_type = 'purchase'
+    """
+    d["ppjoin_dedup"] = r"""
+        WITH toks AS (
+          SELECT doc_id, string_split_regex(text, '\s+') AS ws
+          FROM documents
+        ), sh AS (
+          SELECT doc_id, unnest(list_distinct(list_transform(
+                   range(1, greatest(len(ws) - 2, 0) + 1),
+                   i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS tok
+          FROM toks
+        ), dfq AS (
+          SELECT tok, count(*) AS df FROM sh GROUP BY 1
+        ), ranked AS (
+          SELECT tok, row_number() OVER (ORDER BY df, tok) AS rnk FROM dfq
+        ), pos AS (
+          SELECT s.doc_id, s.tok,
+                 row_number() OVER (PARTITION BY s.doc_id
+                                    ORDER BY r.rnk) AS pos,
+                 count(*) OVER (PARTITION BY s.doc_id) AS m
+          FROM sh s JOIN ranked r USING (tok)
+        ), pref AS (
+          SELECT doc_id, tok, m FROM pos
+          WHERE pos <= m - floor((4 * m + 4) / 5) + 1
+        ), cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                          a.m AS ma, b.m AS mb
+          FROM pref a JOIN pref b ON a.tok = b.tok AND a.doc_id < b.doc_id
+          WHERE 4 * greatest(a.m, b.m) <= 5 * least(a.m, b.m)
+        ), ix AS (
+          SELECT c.id_a, c.id_b, c.ma, c.mb, count(*) AS i
+          FROM cand c
+          JOIN sh sa ON sa.doc_id = c.id_a
+          JOIN sh sb ON sb.doc_id = c.id_b AND sb.tok = sa.tok
+          GROUP BY 1, 2, 3, 4
+        )
+        SELECT id_a, id_b, CAST(i AS BIGINT) AS inter,
+               CAST(ma + mb - i AS BIGINT) AS uni,
+               CAST(i AS DOUBLE) / CAST(ma + mb - i AS DOUBLE) AS jaccard
+        FROM ix WHERE 5 * i >= 4 * (ma + mb - i)
+    """
+    d["part_skyline"] = """
+        WITH p AS (
+          SELECT CAST(round(p_retailprice * 100) AS BIGINT) AS price_c,
+                 p_size
+          FROM part
+        ), lvl AS (
+          SELECT price_c, max(p_size) AS best_size FROM p GROUP BY 1
+        ), sky AS (
+          SELECT price_c, best_size,
+                 max(best_size) OVER (ORDER BY price_c
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prev_best
+          FROM lvl
+        ), n AS (
+          SELECT price_c, p_size AS best_size,
+                 CAST(count(*) AS BIGINT) AS n_parts
+          FROM p GROUP BY 1, 2
+        )
+        SELECT s.price_c,
+               CAST(s.price_c AS DOUBLE) / 100.0 AS price,
+               s.best_size AS size, n.n_parts
+        FROM sky s JOIN n ON n.price_c = s.price_c
+                         AND n.best_size = s.best_size
+        WHERE s.prev_best IS NULL OR s.best_size > s.prev_best
     """
     return d

@@ -1675,3 +1675,89 @@ def self_repetition_oracle_sql(
                CAST(max(e - s + 1) AS BIGINT) AS longest_span
         FROM spans GROUP BY 1
     """
+
+
+def prefix_filter_join(
+    docs: DataFrame,
+    t_num: int = 4,
+    t_den: int = 5,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT set-similarity self-join with prefix filtering (the
+    PPJoin/AllPairs family): every pair with shingle Jaccard ≥
+    ``t_num/t_den`` is found WITHOUT comparing all pairs, and without
+    MinHash's false negatives — the deterministic complement to
+    minhash_lsh_candidates. Correctness: if J(A,B) ≥ t, the two docs
+    must share a token inside each other's ``m − ⌈t·m⌉ + 1`` RAREST
+    tokens (pigeonhole on the overlap bound), so candidates are pairs
+    sharing a prefix token, pre-pruned by the length filter
+    ``t·max(m) ≤ min(m)``, then verified with an exact intersection
+    count. The threshold stays the RATIONAL t_num/t_den end-to-end —
+    every filter is integer arithmetic, the only double is the emitted
+    jaccard.
+
+    Plan: vocabulary-grain df rank (the vocab frame is ≪ corpus; at a
+    100M vocab the rank goes two-level like corpus.length_deciles),
+    per-doc rank-ordered positions (ONE doc-key window), prefix-token
+    equi-join, then the verify join touches only candidate pairs ×
+    their token sets. Output: ``id_a, id_b, inter, uni, jaccard``.
+    """
+    from pyspark.sql import Window as W
+
+    sh = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(F.col(text_col), shingle_n)).alias("tok"),
+    )
+    dfq = sh.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    ranked = dfq.withColumn(
+        "rnk", F.row_number().over(W.orderBy("df", "tok"))
+    ).select("tok", "rnk")
+    pos = (
+        sh.join(ranked, "tok")
+        .withColumn(
+            "pos", F.row_number().over(W.partitionBy("id").orderBy("rnk"))
+        )
+        .withColumn("m", F.count(F.lit(1)).over(W.partitionBy("id")))
+    )
+    plen = (
+        F.col("m")
+        - F.floor((t_num * F.col("m") + (t_den - 1)) / t_den)
+        + 1
+    )
+    pref = pos.filter(F.col("pos") <= plen).select("id", "tok", "m")
+    a = pref.select(
+        F.col("id").alias("id_a"), F.col("tok"), F.col("m").alias("ma")
+    )
+    b = pref.select(
+        F.col("id").alias("id_b"), F.col("tok"), F.col("m").alias("mb")
+    )
+    cand = (
+        a.join(b, "tok")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (
+                t_num * F.greatest("ma", "mb")
+                <= t_den * F.least("ma", "mb")
+            )
+        )
+        .select("id_a", "id_b", "ma", "mb")
+        .distinct()
+    )
+    sa = sh.select(F.col("id").alias("id_a"), F.col("tok"))
+    sb = sh.select(F.col("id").alias("id_b"), F.col("tok"))
+    inter = (
+        cand.join(sa, "id_a")
+        .join(sb, ["id_b", "tok"])
+        .groupBy("id_a", "id_b", "ma", "mb")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    uni = F.col("ma") + F.col("mb") - F.col("inter")
+    return inter.filter(t_den * F.col("inter") >= t_num * uni).select(
+        "id_a",
+        "id_b",
+        "inter",
+        uni.alias("uni"),
+        (F.col("inter").cast("double") / uni.cast("double")).alias("jaccard"),
+    )

@@ -485,3 +485,40 @@ def analyze_columns(df: DataFrame, cols: list[str]) -> DataFrame:
             )
         )
     return reduce(DataFrame.unionByName, outs)
+
+
+def price_size_skyline(part: DataFrame) -> DataFrame:
+    """2-D skyline (Pareto frontier): parts not dominated on (cheaper,
+    bigger) — no other part is ≤ price AND ≥ size with one strict. The
+    distributed form needs NO pairwise compare: reduce to price grain
+    (max size per exact price-cents — dominance within a price level is
+    total), then one ascending scan over the PRICE-HISTOGRAM frame
+    keeps levels whose size beats every cheaper level's running max —
+    the corpus never sorts, only the ~distinct-prices frame does (the
+    length_deciles discipline). Ties: equal (price, size) rows all
+    survive; the row count per frontier point is emitted.
+    """
+    p = part.select(
+        _cents("p_retailprice").alias("price_c"), F.col("p_size")
+    )
+    lvl = p.groupBy("price_c").agg(
+        F.max("p_size").alias("best_size"),
+    )
+    w = Window.orderBy("price_c").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    sky = lvl.withColumn(
+        "prev_best", F.max("best_size").over(w)
+    ).filter(
+        F.col("prev_best").isNull()
+        | (F.col("best_size") > F.col("prev_best"))
+    )
+    n = p.groupBy("price_c", F.col("p_size").alias("best_size")).agg(
+        F.count(F.lit(1)).alias("n_parts")
+    )
+    return sky.join(n, ["price_c", "best_size"]).select(
+        "price_c",
+        (F.col("price_c").cast("double") / F.lit(100.0)).alias("price"),
+        F.col("best_size").alias("size"),
+        "n_parts",
+    )

@@ -582,3 +582,61 @@ def test_kappa_agreement_perfect_and_chance(spark):
     df2 = spark.createDataFrame(rows, "a int, b int")
     r2 = kappa_agreement(df2, "a", "b", labels=[0, 1]).collect()[0]
     assert r2.p_o == 0.5 and r2.p_e == 0.5 and r2.kappa == 0.0
+
+
+def test_prefix_filter_join_finds_all_pairs_above_threshold(spark):
+    """Brute-force ground truth on a small corpus: the prefix-filtered
+    result must EQUAL the all-pairs answer (no false negatives — the
+    guarantee MinHash can't give)."""
+    from itertools import combinations
+
+    from cernan_spark.operators.dedup import prefix_filter_join
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = [
+        (0, base),
+        (1, base),                                    # exact dup
+        (2, base.replace("kappa", "lambda")),          # near dup
+        (3, "one two three four five six seven eight nine ten"),
+        (4, "totally different words entirely here now yes indeed truly ok"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in prefix_filter_join(df, t_num=4, t_den=5).collect()
+    }
+
+    def sh(t):
+        w = t.split()
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    want = {}
+    for (ia, ta), (ib, tb) in combinations(docs, 2):
+        a, b = sh(ta), sh(tb)
+        j = len(a & b) / len(a | b)
+        if j >= 4 / 5:
+            want[(ia, ib)] = j
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-15
+    assert (0, 1) in got and got[(0, 1)] == 1.0
+
+
+def test_price_size_skyline_dominance(spark):
+    from cernan_spark.operators.relational import price_size_skyline
+
+    rows = [
+        (1, "a", "b", "t", 10, 1.00),   # frontier (cheapest)
+        (2, "a", "b", "t", 5, 2.00),    # dominated: pricier AND smaller
+        (3, "a", "b", "t", 20, 2.00),   # frontier
+        (4, "a", "b", "t", 20, 3.00),   # dominated: same size, pricier
+        (5, "a", "b", "t", 21, 3.00),   # frontier
+        (6, "a", "b", "t", 21, 3.00),   # tie of 5 -> counted together
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "p_partkey long, p_name string, p_brand string, p_type string, "
+        "p_size int, p_retailprice double",
+    )
+    got = {(r.price, r.size): r.n_parts for r in price_size_skyline(df).collect()}
+    assert got == {(1.00, 10): 1, (2.00, 20): 1, (3.00, 21): 2}
