@@ -3128,6 +3128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribution": q_attribution,
         "ppjoin_dedup": q_ppjoin_dedup,
         "part_skyline": q_part_skyline,
+        "stream_join": q_stream_join,
     }
 
 
@@ -5340,6 +5341,90 @@ def q_part_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return price_size_skyline(
         spark.read.parquet(f"{sf_dir}/part.parquet")
     )
+
+
+def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join through the REAL micro-batch path:
+    views and purchases flow as two watermarked readStream sources
+    (two pinned-mtime batches each, availableNow), purchases join the
+    same user's views within 1 h in-flight
+    (streaming/pipeline.streaming_interval_join). The generous
+    watermark keeps every cross-batch match, so the streamed result
+    must equal the batch range join the oracle runs."""
+    import glob
+    import shutil
+    import tempfile
+    import uuid
+
+    _utc(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    mid = ev.agg(F.max("event_id")).first()[0] // 2
+
+    def spool(df: DataFrame) -> str:
+        tmp = tempfile.mkdtemp(prefix="stream_join_")
+        stamped: list[str] = []
+        for i, (lo, hi) in enumerate([(0, mid), (mid, 1 << 60)]):
+            df.filter(
+                (F.col("event_id") >= lo) & (F.col("event_id") < hi)
+            ).coalesce(1).write.mode("append").parquet(tmp)
+            for f in glob.glob(f"{tmp}/part-*.parquet"):
+                if f not in stamped:
+                    os.utime(f, (1_700_000_000 + i, 1_700_000_000 + i))
+                    stamped.append(f)
+        return tmp
+
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").cast("timestamp").alias("v_ts"),
+    )
+    convs = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("conv_id"),
+        F.col("ts").cast("timestamp").alias("c_ts"),
+    )
+    vdir, cdir = spool(views), spool(convs)
+    qname = f"stream_join_{uuid.uuid4().hex[:8]}"
+    try:
+        from cernan_spark.streaming.pipeline import streaming_interval_join
+
+        vs = (
+            spark.readStream.schema("v_user long, view_id long, v_ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(vdir)
+        )
+        cs = (
+            spark.readStream.schema("c_user long, conv_id long, c_ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(cdir)
+        )
+        cond = (
+            (F.col("v_user") == F.col("c_user"))
+            & (F.col("c_ts") >= F.col("v_ts"))
+            & (F.col("c_ts") <= F.col("v_ts") + F.expr("INTERVAL 3600 SECONDS"))
+        )
+        joined = streaming_interval_join(
+            vs, cs, cond, "v_ts", "c_ts", watermark_s=90 * 24 * 3600
+        ).select(
+            F.col("v_user").alias("user_id"),
+            "view_id",
+            "conv_id",
+            (F.unix_timestamp("c_ts") - F.unix_timestamp("v_ts")).alias(
+                "latency_s"
+            ),
+        )
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(qname)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(vdir, ignore_errors=True)
+        shutil.rmtree(cdir, ignore_errors=True)
+    return spark.table(qname)
 
 
 def _column_stats_oracle_sql() -> str:
@@ -8490,5 +8575,18 @@ def oracle_sql() -> dict[str, str]:
         FROM sky s JOIN n ON n.price_c = s.price_c
                          AND n.best_size = s.best_size
         WHERE s.prev_best IS NULL OR s.best_size > s.prev_best
+    """
+    d["stream_join"] = """
+        SELECT v.user_id,
+               v.event_id AS view_id,
+               c.event_id AS conv_id,
+               CAST(floor(epoch(c.ts)) AS BIGINT)
+                 - CAST(floor(epoch(v.ts)) AS BIGINT) AS latency_s
+        FROM events v
+        JOIN events c
+          ON v.user_id = c.user_id
+         AND c.ts >= v.ts
+         AND c.ts <= v.ts + INTERVAL 3600 SECONDS
+        WHERE v.event_type = 'view' AND c.event_type = 'purchase'
     """
     return d

@@ -237,3 +237,28 @@ def streaming_gauge(parsed: DataFrame) -> DataFrame:
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    join_on,
+    left_ts: str,
+    right_ts: str,
+    watermark_s: int,
+) -> DataFrame:
+    """Stream-stream INNER join with an event-time interval condition —
+    the two-firehose correlation (view↔conversion, request↔response)
+    cernan can only do by shipping both streams to a warehouse
+    (/root/reference/src/sink/firehose.rs is that handoff); Structured
+    Streaming does it in-flight. Both sides are watermarked so the join
+    state is BOUNDED: a buffered row is dropped once the other stream's
+    watermark passes the farthest time the interval condition could
+    still match — state size ∝ rate × (watermark + interval), never the
+    stream length. ``join_on`` must include the equality key (state
+    partitions on it) and the time-range predicate (state pruning reads
+    the bounds from it).
+    """
+    l = left.withWatermark(left_ts, f"{watermark_s} seconds")
+    r = right.withWatermark(right_ts, f"{watermark_s} seconds")
+    return l.join(r, join_on, "inner")

@@ -453,3 +453,64 @@ def test_streaming_hopping_windows(spark, stream_dir):
     assert got["2024-01-01 00:00:20"] == 6.0
     assert got["2024-01-01 00:00:40"] == 4.0
     assert got["2024-01-01 00:01:00"] == 4.0
+
+
+def test_stream_stream_interval_join_cross_batch(spark, tmp_path):
+    """A purchase arriving in a LATER micro-batch must still join a
+    view buffered from an earlier batch (state held under the
+    watermark); out-of-window pairs must not appear."""
+    import datetime as dt
+    import glob
+    import os
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from cernan_spark.streaming.pipeline import streaming_interval_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    views = [(1, 10, t0), (2, 20, t0)]
+    convs = [
+        (1, 11, t0 + dt.timedelta(seconds=100)),   # batch 2, joins view 10
+        (2, 21, t0 + dt.timedelta(seconds=7200)),  # out of 1h window
+    ]
+
+    def spool(rows, schema, batches):
+        d = str(tmp_path / uuid.uuid4().hex)
+        os.makedirs(d)
+        stamped = []
+        for i, batch in enumerate(batches):
+            spark.createDataFrame([rows[j] for j in batch], schema).coalesce(
+                1
+            ).write.mode("append").parquet(d)
+            for f in glob.glob(f"{d}/part-*.parquet"):
+                if f not in stamped:
+                    os.utime(f, (1_700_000_000 + i,) * 2)
+                    stamped.append(f)
+        return d
+
+    vdir = spool(views, "v_user long, view_id long, v_ts timestamp", [[0], [1]])
+    cdir = spool(convs, "c_user long, conv_id long, c_ts timestamp", [[], [0, 1]])
+    vs = (
+        spark.readStream.schema("v_user long, view_id long, v_ts timestamp")
+        .option("maxFilesPerTrigger", 1).parquet(vdir)
+    )
+    cs = (
+        spark.readStream.schema("c_user long, conv_id long, c_ts timestamp")
+        .option("maxFilesPerTrigger", 1).parquet(cdir)
+    )
+    cond = (
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("v_ts"))
+        & (F.col("c_ts") <= F.col("v_ts") + F.expr("INTERVAL 3600 SECONDS"))
+    )
+    name = f"ssj_{uuid.uuid4().hex[:8]}"
+    q = (
+        streaming_interval_join(vs, cs, cond, "v_ts", "c_ts", 10 * 24 * 3600)
+        .select("view_id", "conv_id")
+        .writeStream.outputMode("append").format("memory")
+        .queryName(name).trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = [(r.view_id, r.conv_id) for r in spark.table(name).collect()]
+    assert got == [(10, 11)]
