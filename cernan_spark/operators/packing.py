@@ -182,3 +182,73 @@ def zorder_key_sql(x: str, y: str, bits: int = 16) -> str:
         terms.append(f"((({x} >> {k}) & 1) << {2 * k})")
         terms.append(f"((({y} >> {k}) & 1) << {2 * k + 1})")
     return " + ".join(terms)
+
+
+def pruning_benefit(
+    events: DataFrame,
+    probes: list[int],
+    cell_shift: int = 8,
+    user_col: str = "user_id",
+    order_col: str = "event_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """WHY Z-order: simulate file-level min/max pruning under two
+    layouts of the same rows — arrival order (files = contiguous
+    ``order_col`` ranges) vs Z-order (files = coarse z-cells of
+    :func:`zorder_key`) — and count, for each point predicate
+    ``user = probe``, how many files a min/max-stats reader must scan.
+    Arrival files interleave every user, so their [min_user, max_user]
+    spans cover everything and nothing prunes; z-cells are narrow in
+    BOTH dimensions. Emits one row per (layout, probe): files scanned,
+    rows scanned, total files — all exact integers (the same arithmetic
+    an Iceberg planner does against its manifest stats; jar absent, the
+    math is engine-side either way).
+
+    The probe set is a literal list, so the cells×probes compare is a
+    broadcast against the tiny per-cell stats frame — the corpus is
+    touched ONCE per layout for the stats rollup.
+    """
+    mn = events.agg(F.min(F.unix_timestamp(ts_col))).collect()[0][0]
+    hours = ((F.unix_timestamp(ts_col) - F.lit(mn)) / 3600).cast("long")
+    z = zorder_key(
+        F.col(user_col).bitwiseAND(F.lit(0xFFFF)),
+        hours.bitwiseAND(F.lit(0xFFFF)),
+    )
+    keyed = events.select(
+        F.col(user_col).alias("u"),
+        F.shiftright(z, cell_shift).alias("zcell"),
+        F.floor(F.col(order_col) / 256).alias("acell"),
+    )
+
+    def stats(cell: str, layout: str) -> DataFrame:
+        cells = keyed.groupBy(F.col(cell).alias("cell")).agg(
+            F.min("u").alias("u_min"),
+            F.max("u").alias("u_max"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        pr = F.explode(
+            F.array(*[F.lit(p) for p in probes])
+        ).alias("probe_user")
+        hit = (F.col("probe_user") >= F.col("u_min")) & (
+            F.col("probe_user") <= F.col("u_max")
+        )
+        return (
+            cells.select("*", pr)
+            .groupBy("probe_user")
+            .agg(
+                F.sum(hit.cast("long")).alias("files_scanned"),
+                F.sum(F.when(hit, F.col("n_rows")).otherwise(F.lit(0))).alias(
+                    "rows_scanned"
+                ),
+                F.count(F.lit(1)).alias("files_total"),
+            )
+            .select(
+                F.lit(layout).alias("layout"),
+                "probe_user",
+                "files_scanned",
+                "rows_scanned",
+                "files_total",
+            )
+        )
+
+    return stats("acell", "arrival").unionByName(stats("zcell", "zorder"))

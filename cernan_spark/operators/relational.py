@@ -522,3 +522,50 @@ def price_size_skyline(part: DataFrame) -> DataFrame:
         F.col("best_size").alias("size"),
         "n_parts",
     )
+
+
+def join_cardinality_check(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    join_name: str,
+) -> DataFrame:
+    """CBO sanity row: the textbook equi-join cardinality estimate
+    ``|L|·|R| / max(ndv_L, ndv_R)`` next to the ACTUAL join count — the
+    diagnostic that tells you whether the optimizer's containment
+    assumption holds on this key before you trust its join order at
+    100 TB. Inputs: three aggregates (two per-side stats, one count of
+    the real join); the only doubles are the estimate's one division
+    and the error ratio.
+    """
+    ls = left.agg(
+        F.count(F.lit(1)).alias("n_left"),
+        F.countDistinct(left_key).alias("ndv_left"),
+    )
+    rs = right.agg(
+        F.count(F.lit(1)).alias("n_right"),
+        F.countDistinct(right_key).alias("ndv_right"),
+    )
+    actual = (
+        left.select(left_key)
+        .join(right.select(right_key), F.col(left_key) == F.col(right_key))
+        .agg(F.count(F.lit(1)).alias("actual_rows"))
+    )
+    est = (F.col("n_left") * F.col("n_right")).cast("double") / F.greatest(
+        "ndv_left", "ndv_right"
+    ).cast("double")
+    return (
+        ls.crossJoin(rs)
+        .crossJoin(actual)
+        .select(
+            F.lit(join_name).alias("join_name"),
+            "n_left",
+            "n_right",
+            "ndv_left",
+            "ndv_right",
+            est.alias("est_rows"),
+            "actual_rows",
+            (est / F.col("actual_rows").cast("double")).alias("err_ratio"),
+        )
+    )

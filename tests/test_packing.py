@@ -163,3 +163,59 @@ def test_greedy_pack_plan_single_exchange(spark):
     plan = packed._jdf.queryExecution().executedPlan().toString()
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
     assert "FlatMapGroupsInPandas" in plan
+
+
+def test_pruning_benefit_model(spark):
+    """Synthetic layout where the answer is computable by hand: 256 users
+    x 64 hours, arrival order interleaves users (every arrival file
+    spans all users -> zero pruning); z-cells at shift 8 isolate
+    (user, hour-band) neighborhoods, so a point user predicate prunes
+    most z-files. Totals and per-probe scan counts are checked against
+    a pure-Python replay of the same min/max arithmetic."""
+    from cernan_spark.operators.packing import pruning_benefit
+
+    rows = []
+    eid = 0
+    for hour in range(64):
+        for user in range(256):
+            rows.append((eid, user, 1700000000 + hour * 3600))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, epoch long"
+    ).select(
+        "event_id", "user_id", F.timestamp_seconds("epoch").alias("ts")
+    )
+    got = {
+        (r["layout"], r["probe_user"]): (
+            r["files_scanned"],
+            r["rows_scanned"],
+            r["files_total"],
+        )
+        for r in pruning_benefit(df, [0, 200, 9999], cell_shift=8).collect()
+    }
+
+    # python replay of the identical file-stats arithmetic
+    def interleave(x, y):
+        z = 0
+        for k in range(16):
+            z |= ((x >> k) & 1) << (2 * k)
+            z |= ((y >> k) & 1) << (2 * k + 1)
+        return z
+
+    cells = {"arrival": {}, "zorder": {}}
+    for eid2, (_, user, _ts) in enumerate(rows):
+        hour = (rows[eid2][2] - rows[0][2]) // 3600
+        for layout, cell in (
+            ("arrival", eid2 // 256),
+            ("zorder", interleave(user & 0xFFFF, hour & 0xFFFF) >> 8),
+        ):
+            lo, hi, n = cells[layout].get(cell, (10**9, -1, 0))
+            cells[layout][cell] = (min(lo, user), max(hi, user), n + 1)
+    for layout, cc in cells.items():
+        for probe in (0, 200, 9999):
+            fs = sum(1 for lo, hi, _ in cc.values() if lo <= probe <= hi)
+            rs = sum(n for lo, hi, n in cc.values() if lo <= probe <= hi)
+            assert got[(layout, probe)] == (fs, rs, len(cc))
+    # the headline claim: arrival scans everything, zorder prunes
+    assert got[("arrival", 0)][1] == len(rows)
+    assert got[("zorder", 0)][1] < len(rows) // 2

@@ -243,3 +243,31 @@ def test_partition_checksum_diff_flags_only_changed(spark):
     assert got["d2"].changed == 1 and got["d2"].n_old == got["d2"].n_new == 1
     assert got["d3"].changed == 1 and got["d3"].n_new == 0
     assert got["d4"].changed == 1 and got["d4"].n_old == 0
+
+
+def test_join_cardinality_estimate_exact_fk(spark):
+    """On a clean FK (every left key hits, right keys unique) the
+    containment estimate |L|x|R|/max(ndv) equals the true join size, so
+    err_ratio == 1. Breaking containment (shifting the right key domain
+    so only half the keys overlap) leaves the estimate unchanged but
+    halves the actual -> the diagnostic flags err_ratio == 2."""
+    from pyspark.sql import functions as F
+
+    from cernan_spark.operators.relational import join_cardinality_check
+
+    left = spark.range(100).select(
+        F.col("id").alias("pk"), (F.col("id") % 10).alias("fk")
+    )
+    right = spark.range(10).select(F.col("id").alias("rk"))
+    row = join_cardinality_check(left, right, "fk", "rk", "fk_full").collect()[0]
+    assert (row["n_left"], row["n_right"]) == (100, 10)
+    assert (row["ndv_left"], row["ndv_right"]) == (10, 10)
+    assert row["est_rows"] == 100.0 and row["actual_rows"] == 100
+    assert row["err_ratio"] == 1.0
+
+    shifted = spark.range(10).select((F.col("id") + 5).alias("rk"))
+    row2 = join_cardinality_check(
+        left, shifted, "fk", "rk", "fk_shifted"
+    ).collect()[0]
+    assert row2["est_rows"] == 100.0 and row2["actual_rows"] == 50
+    assert row2["err_ratio"] == 2.0
