@@ -3084,6 +3084,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_layout": q_zorder_layout,
         "pruning_benefit": q_pruning_benefit,
         "join_cardinality": q_join_cardinality,
+        "alpha_mix": q_alpha_mix,
+        "fim_transform": q_fim_transform,
         "tool_chains": q_tool_chains,
         "burst_collapse": q_burst_collapse,
         "tail_sampling": q_tail_sampling,
@@ -4534,6 +4536,30 @@ def q_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
             join_cardinality_check(li, p, "l_partkey", "p_partkey", "lineitem_part")
         )
     )
+
+
+def q_alpha_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multilingual data-mixing weights (mT5/XLM-R temperature sampling,
+    alpha = 1/2): per-language corpus share, sqrt-smoothed share, boost
+    ratio and the integer doc allocation under a 1000-doc budget. The
+    alpha=1/2 choice makes every double IEEE-exact (correctly-rounded
+    sqrt + pinned-order fold), so the mix is value-checked, not
+    approximately checked."""
+    from cernan_spark.operators.textstats import alpha_mix_weights
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return alpha_mix_weights(d, budget_docs=1000)
+
+
+def q_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle training examples over the documents corpus:
+    deterministic hash-derived cut points, ~50/50 PSM/SPM mode mix,
+    short docs passed through as plain LM examples — every emitted
+    string byte-checked against the DuckDB replay."""
+    from cernan_spark.operators.corpus import fim_transform
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return fim_transform(d)
 
 
 def q_tool_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7712,6 +7738,11 @@ def oracle_sql() -> dict[str, str]:
         + " UNION ALL "
         + _jcard("lineitem_part", "lineitem", "l_partkey", "part", "p_partkey")
     )
+    from cernan_spark.operators.corpus import fim_transform_oracle_sql
+    from cernan_spark.operators.textstats import alpha_mix_oracle_sql
+
+    d["alpha_mix"] = alpha_mix_oracle_sql("documents", budget_docs=1000)
+    d["fim_transform"] = fim_transform_oracle_sql("documents")
     d["tool_chains"] = P + """
         , c AS (
           SELECT conv_id,

@@ -1632,3 +1632,104 @@ def rank_normalize(
             / ((F.max("_n_part") - F.lit(1)) * F.count(F.lit(1)))
         ).alias("mean_q"),
     )
+
+
+# ---------------------------------------------------------------------------
+# fill-in-the-middle transform (PSM/SPM infilling examples)
+# ---------------------------------------------------------------------------
+
+FIM_MIN_CHARS = 40
+
+
+def fim_transform(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Fill-in-the-middle training examples (the OpenAI FIM / code-infill
+    recipe): each long-enough document is split into (prefix, middle,
+    suffix) at two DETERMINISTIC cut points derived from a portable hash
+    of the text — no RNG, so a re-run (or the oracle) reproduces every
+    example byte-for-byte — and re-serialized in PSM or SPM order (the
+    hash's parity picks the mode, giving a ~50/50 mix without state).
+
+    Cut arithmetic, all integer: with L = char length and third = L//3,
+    prefix ends at a = 1 + h1 % third, middle spans m = 1 + h2 % third
+    chars. Docs under FIM_MIN_CHARS pass through unchanged as mode
+    'plain' (the real pipeline trains them as ordinary LM examples).
+
+    Plan: a narrow per-row map — no shuffle, no UDF; substring + concat
+    stay inside whole-stage codegen, so this runs at scan speed over
+    100 TB.
+    """
+    from cernan_spark.functions.porthash import portable_hash
+
+    t = F.col(text_col)
+    L = F.length(t)
+    third = F.floor(L / 3).cast("long")
+    h1 = portable_hash(F.concat(t, F.lit("|fim-a")))
+    h2 = portable_hash(F.concat(t, F.lit("|fim-b")))
+    a = (F.lit(1) + h1 % third).cast("int")
+    m = (F.lit(1) + h2 % third).cast("int")
+    prefix = t.substr(F.lit(1), a)
+    middle = t.substr(a + F.lit(1), m)
+    suffix = t.substr(a + m + F.lit(1), L)
+    psm = F.concat(
+        F.lit("<PRE>"), prefix, F.lit("<SUF>"), suffix, F.lit("<MID>"), middle
+    )
+    spm = F.concat(
+        F.lit("<SUF>"), suffix, F.lit("<PRE>"), prefix, F.lit("<MID>"), middle
+    )
+    eligible = L >= F.lit(FIM_MIN_CHARS)
+    mode = F.when(~eligible, F.lit("plain")).when(
+        h1 % 2 == 0, F.lit("psm")
+    ).otherwise(F.lit("spm"))
+    return df.select(
+        "doc_id",
+        mode.alias("mode"),
+        F.when(~eligible, t).when(h1 % 2 == 0, psm).otherwise(spm).alias(
+            "fim_text"
+        ),
+        F.when(eligible, a.cast("long")).otherwise(F.lit(0)).alias("prefix_len"),
+        F.when(eligible, m.cast("long")).otherwise(F.lit(0)).alias("middle_len"),
+    )
+
+
+def fim_transform_oracle_sql(table: str = "documents") -> str:
+    """DuckDB twin of :func:`fim_transform` — same hash, same integer
+    cut arithmetic, same substring semantics (both engines are 1-based
+    and code-point-addressed on VARCHAR)."""
+    from cernan_spark.functions.porthash import portable_hash_sql
+
+    h1 = portable_hash_sql("(text || '|fim-a')")
+    h2 = portable_hash_sql("(text || '|fim-b')")
+    return f"""
+        WITH cuts AS (
+            SELECT doc_id, text, length(text) AS L,
+                   length(text) // 3 AS third,
+                   {h1} AS h1, {h2} AS h2
+            FROM {table}
+        ), pts AS (
+            SELECT doc_id, text, L,
+                   CAST(1 + h1 % third AS INTEGER) AS a,
+                   CAST(1 + h2 % third AS INTEGER) AS m,
+                   h1
+            FROM cuts WHERE L >= {FIM_MIN_CHARS}
+        ), parts AS (
+            SELECT doc_id, a, m, h1,
+                   substr(text, 1, a) AS prefix,
+                   substr(text, a + 1, m) AS middle,
+                   substr(text, a + m + 1, L) AS suffix
+            FROM pts
+        )
+        SELECT doc_id,
+               CASE WHEN h1 % 2 = 0 THEN 'psm' ELSE 'spm' END AS mode,
+               CASE WHEN h1 % 2 = 0
+                    THEN '<PRE>' || prefix || '<SUF>' || suffix
+                         || '<MID>' || middle
+                    ELSE '<SUF>' || suffix || '<PRE>' || prefix
+                         || '<MID>' || middle
+               END AS fim_text,
+               CAST(a AS BIGINT) AS prefix_len,
+               CAST(m AS BIGINT) AS middle_len
+        FROM parts
+        UNION ALL
+        SELECT doc_id, 'plain', text, 0, 0
+        FROM cuts WHERE L < {FIM_MIN_CHARS}
+    """

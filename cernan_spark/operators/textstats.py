@@ -791,3 +791,83 @@ def mine_templates_sql(text_expr: str, conv_expr: str, rel: str) -> str:
                min({text_expr}) AS example
         FROM {rel} GROUP BY 1
     """
+
+
+# ---------------------------------------------------------------------------
+# temperature-based multilingual mixture weights (mT5/XLM-R alpha sampling)
+# ---------------------------------------------------------------------------
+
+
+def alpha_mix_weights(
+    df: DataFrame,
+    budget_docs: int = 1000,
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Temperature-smoothed sampling weights across languages — the
+    mT5/XLM-R recipe p_l ∝ (n_l/N)^α with α = 1/2, which up-samples
+    low-resource languages without letting the head language drown the
+    mix. α = 1/2 is chosen deliberately: w_l = sqrt(n_l) and IEEE-754
+    sqrt is CORRECTLY ROUNDED, so every weight is bit-identical in any
+    compliant engine (no exp/pow whose libm rounding varies).
+
+    Float discipline: Σ_l sqrt(n_l) folds over the weight list sorted
+    ascending (collected once — the frame is langs-sized, a handful of
+    rows), so the fold order is pinned cross-engine; every other double
+    is a division of those exact terms. Emits, per language: raw doc
+    count and share, smoothed share, the up/down-sampling boost ratio,
+    and the integer document allocation under ``budget_docs``.
+
+    Plan: ONE map-side-combined count aggregate over the corpus; the
+    langs-sized frame then self-folds via a broadcast of one total row.
+    Nothing corpus-sized ever shuffles twice at 100 TB.
+    """
+    counts = df.groupBy(lang_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = counts.agg(
+        F.sum("n_docs").alias("n_total"),
+        F.aggregate(
+            F.sort_array(F.collect_list(F.sqrt(F.col("n_docs").cast("double")))),
+            F.lit(0.0),
+            lambda acc, w: acc + w,
+        ).alias("w_total"),
+    )
+    w = F.sqrt(F.col("n_docs").cast("double"))
+    share_raw = F.col("n_docs").cast("double") / F.col("n_total").cast("double")
+    share_alpha = w / F.col("w_total")
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            F.col(lang_col),
+            "n_docs",
+            share_raw.alias("share_raw"),
+            share_alpha.alias("share_alpha"),
+            (share_alpha / share_raw).alias("boost"),
+            F.floor(share_alpha * F.lit(float(budget_docs))).cast("long").alias(
+                "alloc_docs"
+            ),
+        )
+    )
+
+
+def alpha_mix_oracle_sql(table: str = "documents", budget_docs: int = 1000) -> str:
+    """DuckDB twin of :func:`alpha_mix_weights` (same sorted fold)."""
+    return f"""
+        WITH counts AS (
+            SELECT lang, count(*) AS n_docs FROM {table} GROUP BY 1
+        ), tot AS (
+            SELECT sum(n_docs) AS n_total,
+                   list_reduce(
+                     list_prepend(CAST(0.0 AS DOUBLE),
+                       list(sqrt(CAST(n_docs AS DOUBLE)) ORDER BY
+                            sqrt(CAST(n_docs AS DOUBLE)))),
+                     (acc, w) -> acc + w) AS w_total
+            FROM counts
+        )
+        SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+               CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE) AS share_raw,
+               sqrt(CAST(n_docs AS DOUBLE)) / w_total AS share_alpha,
+               (sqrt(CAST(n_docs AS DOUBLE)) / w_total)
+                 / (CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE)) AS boost,
+               CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) / w_total
+                          * {float(budget_docs)}) AS BIGINT) AS alloc_docs
+        FROM counts CROSS JOIN tot
+    """

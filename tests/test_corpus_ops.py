@@ -284,3 +284,52 @@ def test_cdc_last_writer_wins_and_tombstones(spark):
     }
     assert snap == {1: (11, 2.0, 2), 3: (31, 8.0, 2), 4: (41, 9.0, 2)}
     assert 2 not in snap
+
+
+def test_alpha_mix_hand_model(spark):
+    """4 vs 16 docs: sqrt weights 2 and 4, so the smoothed shares are
+    exactly 1/3 and 2/3 — the low-resource language is boosted 5/3x,
+    the head damped 5/6x, and the 1000-doc budget splits 333/666."""
+    from cernan_spark.operators.textstats import alpha_mix_weights
+
+    rows = [(i, "lo") for i in range(4)] + [(100 + i, "hi") for i in range(16)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    got = {r["lang"]: r for r in alpha_mix_weights(df, budget_docs=1000).collect()}
+    assert got["lo"]["n_docs"] == 4 and got["hi"]["n_docs"] == 16
+    assert got["lo"]["share_raw"] == 0.2 and got["hi"]["share_raw"] == 0.8
+    assert got["lo"]["share_alpha"] == 1 / 3 and got["hi"]["share_alpha"] == 2 / 3
+    assert abs(got["lo"]["boost"] - 5 / 3) < 1e-15
+    assert abs(got["hi"]["boost"] - 5 / 6) < 1e-15
+    assert got["lo"]["alloc_docs"] == 333 and got["hi"]["alloc_docs"] == 666
+
+
+def test_fim_transform_reconstructs_and_modes(spark):
+    """Every eligible example reassembles to the original text when the
+    sentinel-delimited pieces are reordered; short docs pass through as
+    mode 'plain'; cut points stay inside the document."""
+    from cernan_spark.operators.corpus import FIM_MIN_CHARS, fim_transform
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    orig = {r["doc_id"]: r["text"] for r in docs.collect()}
+    out = fim_transform(docs).collect()
+    assert len(out) == len(orig)
+    modes = {r["mode"] for r in out}
+    for r in out:
+        text = orig[r["doc_id"]]
+        if r["mode"] == "plain":
+            assert len(text) < FIM_MIN_CHARS and r["fim_text"] == text
+            continue
+        if r["mode"] == "psm":
+            body = r["fim_text"].removeprefix("<PRE>")
+            prefix, rest = body.split("<SUF>", 1)
+            suffix, middle = rest.split("<MID>", 1)
+        else:
+            body = r["fim_text"].removeprefix("<SUF>")
+            suffix, rest = body.split("<PRE>", 1)
+            prefix, middle = rest.split("<MID>", 1)
+        assert prefix + middle + suffix == text
+        assert len(prefix) == r["prefix_len"]
+        assert len(middle) == r["middle_len"]
+        assert 1 <= r["prefix_len"] <= len(text) // 3 + 1
+        assert 1 <= r["middle_len"] <= len(text) // 3 + 1
+    assert {"psm", "spm"} <= modes
