@@ -268,3 +268,67 @@ def test_sustained_alerts_single_exchange(spark):
         sustained_alerts(series, ["k"], "o", "cents", 10, min_run=3)
     )
     assert _count(plan, r"Exchange hashpartitioning") == 1
+
+
+def test_dynamic_partition_pruning_on_date_partitioned_fact(spark, tmp_path):
+    """Star-join over a date-partitioned fact: a selective dim filter must
+    reach the fact scan as a dynamic partition-pruning subquery, so at
+    100 TB the scan opens only the matching day directories instead of
+    the full table. Guarded structurally: the fact scan carries a
+    dynamicpruning expression in its partition filters."""
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    fact_path = str(tmp_path / "events_by_day")
+    ev.withColumn("day", F.to_date("ts")).write.partitionBy("day").mode(
+        "overwrite"
+    ).parquet(fact_path)
+    fact = spark.read.parquet(fact_path)
+    days = [r["day"] for r in fact.select("day").distinct().orderBy("day").collect()]
+    dim = spark.createDataFrame(
+        [(d, 1) for d in days[:2]], "day date, flag int"
+    )
+    dim_path = str(tmp_path / "dim_days")
+    dim.write.mode("overwrite").parquet(dim_path)
+    j = fact.join(
+        spark.read.parquet(dim_path).filter(F.col("flag") == 1), "day"
+    )
+    plan = _plan(j)
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    # and the pruned read returns exactly the two selected days
+    assert j.select("day").distinct().count() == 2
+
+
+def test_bloom_runtime_filter_prunes_shuffle_join_probe(spark):
+    """Selective-dim shuffle join: Spark's InjectRuntimeFilter must plant
+    a bloom might_contain() predicate on the fact side so, at 100 TB,
+    probe rows that cannot match are dropped at the scan instead of
+    being shuffled. The application-side size threshold is lowered to
+    make the tiny test scan eligible — the structural assert (filter
+    present + identical results) is scale-independent."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        orders = spark.read.parquet(f"{SF}/orders.parquet")
+        j = li.join(
+            orders.filter(F.col("o_orderstatus") == "F"),
+            li.l_orderkey == orders.o_orderkey,
+        )
+        opt = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in opt, opt[:2000]
+        n_filtered = j.count()
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+    # the bloom filter is advisory only: same rows with it disabled
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    n_plain = li.join(
+        orders.filter(F.col("o_orderstatus") == "F"),
+        li.l_orderkey == orders.o_orderkey,
+    ).count()
+    assert n_filtered == n_plain
