@@ -3086,6 +3086,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_cardinality": q_join_cardinality,
         "alpha_mix": q_alpha_mix,
         "fim_transform": q_fim_transform,
+        "hll_resume": q_hll_resume,
+        "event_pattern": q_event_pattern,
+        "bpe_pairs": q_bpe_pairs,
         "tool_chains": q_tool_chains,
         "burst_collapse": q_burst_collapse,
         "tail_sampling": q_tail_sampling,
@@ -4560,6 +4563,72 @@ def q_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return fim_transform(d)
+
+
+_PATTERN_CODES = {
+    "click": "c",
+    "view": "v",
+    "purchase": "p",
+    "signup": "s",
+    "error": "e",
+}
+_CEP_PATTERN = "c[cv]*p"
+
+
+def q_hll_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch mergeability across scheduled ingest shards: the bigram HLL
+    registers are computed PER SHARD (doc_id parity split), persisted-
+    style merged (union -> re-max), and the merged estimate is compared
+    against the ORACLE FOR THE ONE-PASS RUN — bit-identical by algebra
+    (register max is idempotent/commutative/associative), the property
+    that lets a 100 TB ingest accumulate distinct counts without ever
+    re-reading old shards."""
+    from cernan_spark.operators.corpus import (
+        hll_merge_registers,
+        hll_registers,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    bigrams = F.transform(
+        idx,
+        lambda i: F.concat(
+            F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)
+        ),
+    )
+    ex = d.select("doc_id", "lang", F.explode(bigrams).alias("bg"))
+    shard1 = hll_registers(
+        ex.filter(F.col("doc_id") % 2 == 0), ["lang"], F.col("bg")
+    )
+    shard2 = hll_registers(
+        ex.filter(F.col("doc_id") % 2 != 0), ["lang"], F.col("bg")
+    )
+    return hll_merge_registers([shard1, shard2], ["lang"], name="bigrams")
+
+
+def q_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complex-event detection over the event stream: per user, count
+    non-overlapping occurrences of 'a click run (clicks/views) ending in
+    a purchase' — the Flink-CEP pattern class as one aggregate plus a
+    native regex, no state machine, no window."""
+    from cernan_spark.operators.behavior import event_pattern_match
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return event_pattern_match(ev, _PATTERN_CODES, _CEP_PATTERN)
+
+
+def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-training first BPE iteration: top-50 adjacent character
+    pair merge candidates (end-of-word marked), counted on the distinct-
+    word vocabulary so the corpus is touched once."""
+    from cernan_spark.operators.textstats import bpe_pair_counts
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bpe_pair_counts(d, top_k=50)
 
 
 def q_tool_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7743,6 +7812,14 @@ def oracle_sql() -> dict[str, str]:
 
     d["alpha_mix"] = alpha_mix_oracle_sql("documents", budget_docs=1000)
     d["fim_transform"] = fim_transform_oracle_sql("documents")
+    d["hll_resume"] = d["hll_distinct"]
+    from cernan_spark.operators.behavior import event_pattern_oracle_sql
+    from cernan_spark.operators.textstats import bpe_pair_oracle_sql
+
+    d["event_pattern"] = event_pattern_oracle_sql(
+        _PATTERN_CODES, _CEP_PATTERN, "events"
+    )
+    d["bpe_pairs"] = bpe_pair_oracle_sql("documents", top_k=50)
     d["tool_chains"] = P + """
         , c AS (
           SELECT conv_id,

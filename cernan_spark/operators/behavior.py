@@ -212,3 +212,93 @@ def attribute_conversions(
         F.when(in_win, F.col("_ts_s") - F.col("_tts")).alias("latency_s"),
         in_win.cast("int").alias("attributed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CEP-style sequence pattern matching over per-user event streams
+# ---------------------------------------------------------------------------
+
+
+def event_pattern_match(
+    events: DataFrame,
+    codes: dict[str, str],
+    pattern: str,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """MATCH_RECOGNIZE-style complex-event detection: each user's event
+    stream is encoded as a string (one char per event type, in stream
+    order) and a regex runs over it — the Flink-CEP / Esper pattern
+    class ("a burst of clicks ending in a purchase") expressed with the
+    engine's native regex instead of a state machine. Non-overlapping
+    leftmost-match semantics are identical in Java and RE2-family
+    engines for the greedy ASCII patterns used here.
+
+    Emits, per user: stream length, number of pattern occurrences and
+    the first matched substring ('' when none) — exact strings/ints.
+
+    Plan: ONE hash aggregate builds each user's code string via a
+    pinned-order fold (sort_array over (order, code) structs, then
+    concat) — no window, no second shuffle; the regex is a narrow map
+    over user-sized rows. A pathological user's string is bounded by
+    their own event count, never the corpus.
+    """
+    code_col = F.lit(None).cast("string")
+    mapped = None
+    for etype, ch in codes.items():
+        mapped = (
+            F.when(F.col(type_col) == etype, F.lit(ch))
+            if mapped is None
+            else mapped.when(F.col(type_col) == etype, F.lit(ch))
+        )
+    code_col = mapped.otherwise(F.lit("x"))
+    per_user = (
+        events.select(
+            F.col(user_col).alias("user_id"),
+            F.struct(F.col(order_col).alias("o"), code_col.alias("c")).alias(
+                "oc"
+            ),
+        )
+        .groupBy("user_id")
+        .agg(F.sort_array(F.collect_list("oc")).alias("ocs"))
+        .select(
+            "user_id",
+            F.aggregate(
+                F.col("ocs"),
+                F.lit(""),
+                lambda acc, s: F.concat(acc, s["c"]),
+            ).alias("seq"),
+        )
+    )
+    return per_user.select(
+        "user_id",
+        F.length("seq").alias("seq_len"),
+        F.regexp_count("seq", F.lit(pattern)).alias("n_matches"),
+        F.regexp_extract("seq", pattern, 0).alias("first_match"),
+    )
+
+
+def event_pattern_oracle_sql(
+    codes: dict[str, str], pattern: str, table: str = "events"
+) -> str:
+    """DuckDB twin of :func:`event_pattern_match` (same encode, same
+    non-overlapping regex count)."""
+    arms = " ".join(
+        f"WHEN event_type = '{e}' THEN '{c}'" for e, c in codes.items()
+    )
+    return f"""
+        WITH coded AS (
+            SELECT user_id, event_id,
+                   CASE {arms} ELSE 'x' END AS c
+            FROM {table}
+        ), seqs AS (
+            SELECT user_id, string_agg(c, '' ORDER BY event_id) AS seq
+            FROM coded GROUP BY 1
+        )
+        SELECT user_id, CAST(length(seq) AS INTEGER) AS seq_len,
+               CAST(len(regexp_extract_all(seq, '{pattern}')) AS INTEGER)
+                 AS n_matches,
+               regexp_extract(seq, '{pattern}') AS first_match
+        FROM seqs
+    """

@@ -356,13 +356,44 @@ def hll_distinct(
     harmonic sum is a dyadic rational (sum of 256 powers of two ≥ 2^-25),
     exact in binary regardless of summation order.
     """
+    regs = hll_registers(df, group_cols, item_col)
+    return _hll_fold(regs, group_cols, name)
+
+
+def hll_registers(
+    df: DataFrame, group_cols: list[str], item_col: Column
+) -> DataFrame:
+    """Per-(group, register) MAX(rho) — the sketch's MERGEABLE state.
+    Persist this frame per ingest shard; a later run unions its registers
+    with the stored ones and re-maxes, and the merged estimate is
+    bit-identical to one pass over the union (max is idempotent,
+    commutative, associative — proven by the ``hll_resume`` gate)."""
     h = fmix32(portable_hash(item_col))
     reg, rho = hll_register_cols(h)
-    regs = (
+    return (
         df.select(*group_cols, reg.alias("reg"), rho.alias("rho"))
         .groupBy(*group_cols, "reg")
         .agg(F.max("rho").alias("max_rho"))
     )
+
+
+def hll_merge_registers(
+    shards: list[DataFrame], group_cols: list[str], name: str = "items"
+) -> DataFrame:
+    """Merge persisted register frames from N ingest shards into one
+    estimate: union → per-register max → the same fold as one-pass."""
+    merged = shards[0]
+    for s in shards[1:]:
+        merged = merged.unionByName(s)
+    regs = merged.groupBy(*group_cols, "reg").agg(
+        F.max("max_rho").alias("max_rho")
+    )
+    return _hll_fold(regs, group_cols, name)
+
+
+def _hll_fold(
+    regs: DataFrame, group_cols: list[str], name: str
+) -> DataFrame:
     m = float(HLL_M)
     alpha = _hll_alpha(HLL_M)
     folded = regs.groupBy(*group_cols).agg(

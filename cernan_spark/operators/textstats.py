@@ -871,3 +871,89 @@ def alpha_mix_oracle_sql(table: str = "documents", budget_docs: int = 1000) -> s
                           * {float(budget_docs)}) AS BIGINT) AS alloc_docs
         FROM counts CROSS JOIN tot
     """
+
+
+# ---------------------------------------------------------------------------
+# BPE merge-candidate pair counting (tokenizer-training first iteration)
+# ---------------------------------------------------------------------------
+
+# end-of-word marker: a control char no corpus token contains, rendered
+# as the conventional '</w>' in the output
+_BPE_EOW = "\x01"
+
+
+def bpe_pair_counts(
+    df: DataFrame, text_col: str = "text", top_k: int = 50
+) -> DataFrame:
+    """The first iteration of BPE tokenizer training: count adjacent
+    character pairs inside words, weighted by word frequency, with the
+    classic end-of-word marker so 'e</w>' and a mid-word 'e?' stay
+    distinct merges. Emits the top-K merge candidates (count desc, pair
+    asc — a total order, so the cut is deterministic).
+
+    The Sennrich trick that makes this 100 TB-safe is counting pairs on
+    the DISTINCT-WORD VOCABULARY, not the corpus: one map-side-combined
+    word-count aggregate touches the corpus once; pair explosion then
+    runs over vocab-sized data (millions of rows, not trillions) and
+    every later BPE merge iteration would too.
+    """
+    words = (
+        df.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n_word"))
+    )
+    marked = words.select(
+        F.concat(F.col("w"), F.lit(_BPE_EOW)).alias("mw"), "n_word"
+    )
+    pairs = marked.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("mw") - 1),
+                lambda i: F.col("mw").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+        "n_word",
+    )
+    counted = pairs.groupBy("pair").agg(
+        F.sum("n_word").alias("n_occ"),
+        F.count(F.lit(1)).alias("n_word_types"),
+    )
+    return (
+        counted.orderBy(F.desc("n_occ"), F.asc("pair"))
+        .limit(top_k)
+        .select(
+            F.replace(
+                F.col("pair"), F.lit(_BPE_EOW), F.lit("</w>")
+            ).alias("pair"),
+            "n_occ",
+            "n_word_types",
+        )
+    )
+
+
+def bpe_pair_oracle_sql(table: str = "documents", top_k: int = 50) -> str:
+    """DuckDB twin of :func:`bpe_pair_counts` (same marker, same order).
+    The ORDER BY on the raw marker precedes the '</w>' rendering in BOTH
+    engines, so ties cut identically."""
+    return f"""
+        WITH words AS (
+            SELECT w, count(*) AS n_word
+            FROM (SELECT unnest(string_split(text, ' ')) AS w FROM {table})
+            WHERE length(w) > 0 GROUP BY 1
+        ), marked AS (
+            SELECT w || chr(1) AS mw, n_word FROM words
+        ), pairs AS (
+            SELECT unnest(list_transform(range(1, length(mw)),
+                          i -> substr(mw, CAST(i AS INTEGER), 2))) AS pair,
+                   n_word
+            FROM marked
+        ), counted AS (
+            SELECT pair, CAST(sum(n_word) AS BIGINT) AS n_occ,
+                   CAST(count(*) AS BIGINT) AS n_word_types
+            FROM pairs GROUP BY 1
+        )
+        SELECT replace(pair, chr(1), '</w>') AS pair, n_occ, n_word_types
+        FROM (SELECT * FROM counted
+              ORDER BY n_occ DESC, pair ASC LIMIT {top_k})
+    """

@@ -524,3 +524,69 @@ def test_dlq_reason_full_taxonomy(spark):
     got = {r["line"]: r["r"] for r in
            df.select("line", dlq_reason(F.col("line")).alias("r")).collect()}
     assert got == cases
+
+
+def test_hll_shard_merge_identical_to_one_pass(spark):
+    """Register max is idempotent/commutative/associative, so a 3-way
+    shard split merged via union->re-max must reproduce the one-pass
+    sketch EXACTLY — every register, harmonic sum, and estimate."""
+    from cernan_spark.operators.corpus import (
+        hll_distinct,
+        hll_merge_registers,
+        hll_registers,
+    )
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("tok")
+    )
+    one_pass = {
+        tuple(r) for r in hll_distinct(d, ["lang"], F.col("tok")).collect()
+    }
+    shards = [
+        hll_registers(d.filter(F.col("doc_id") % 3 == k), ["lang"], F.col("tok"))
+        for k in range(3)
+    ]
+    merged = {
+        tuple(r) for r in hll_merge_registers(shards, ["lang"]).collect()
+    }
+    assert merged == one_pass
+
+
+def test_event_pattern_hand_model(spark):
+    """Known streams: 'ccvp' matches c[cv]*p once greedily; 'cpcp' twice
+    (non-overlapping); a stream with no purchase matches zero times."""
+    from cernan_spark.operators.behavior import event_pattern_match
+
+    seqs = {1: "ccvp", 2: "cpcp", 3: "ccvv", 4: "vcvcp"}
+    rows = [
+        (u, i, {"c": "click", "v": "view", "p": "purchase"}[ch])
+        for u, s in seqs.items()
+        for i, ch in enumerate(s)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, event_type string")
+    got = {
+        r["user_id"]: (r["seq_len"], r["n_matches"], r["first_match"])
+        for r in event_pattern_match(
+            df, {"click": "c", "view": "v", "purchase": "p"}, "c[cv]*p"
+        ).collect()
+    }
+    assert got[1] == (4, 1, "ccvp")
+    assert got[2] == (4, 2, "cp")
+    assert got[3] == (4, 0, "")
+    assert got[4] == (5, 1, "cvcp")
+
+
+def test_bpe_pair_counts_hand_model(spark):
+    """'low low lower': pairs weighted by word frequency with the
+    end-of-word marker — 'lo' and 'ow' occur in all 3 word tokens;
+    'w</w>' only in the two 'low' tokens."""
+    from cernan_spark.operators.textstats import bpe_pair_counts
+
+    df = spark.createDataFrame([(1, "low low lower")], "doc_id long, text string")
+    got = {r["pair"]: (r["n_occ"], r["n_word_types"]) for r in
+           bpe_pair_counts(df, top_k=50).collect()}
+    assert got["lo"] == (3, 2)
+    assert got["ow"] == (3, 2)
+    assert got["w</w>"] == (2, 1)
+    assert got["er"] == (1, 1)
+    assert got["r</w>"] == (1, 1)
