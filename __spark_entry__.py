@@ -3089,6 +3089,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_resume": q_hll_resume,
         "event_pattern": q_event_pattern,
         "bpe_pairs": q_bpe_pairs,
+        "url_canonical": q_url_canonical,
+        "fd_audit": q_fd_audit,
+        "schema_evolution": q_schema_evolution,
         "tool_chains": q_tool_chains,
         "burst_collapse": q_burst_collapse,
         "tail_sampling": q_tail_sampling,
@@ -4619,6 +4622,92 @@ def q_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return event_pattern_match(ev, _PATTERN_CODES, _CEP_PATTERN)
+
+
+def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier URL dedup: each doc is seeded with two messy
+    variants of the same logical URL (case, www, default port, trailing
+    slash, tracking params, fragment, param order); canonicalization
+    must collapse every variant pair onto one key, counted per canonical
+    URL. Every canonical string is byte-checked against the SQL twin."""
+    from cernan_spark.operators.textstats import canonical_url
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    site = (F.col("doc_id") % 13).cast("string")
+    page = (F.col("doc_id") % 7).cast("string")
+    b = (F.col("doc_id") % 3).cast("string")
+    u1 = F.concat(
+        F.lit("HTTPS://WWW.Site"), site, F.lit(".Example.COM:443/page/"),
+        page, F.lit("/?utm_source=feed&b="), b, F.lit("&a=1#sec"),
+    )
+    u2 = F.concat(
+        F.lit("https://site"), site, F.lit(".example.com/page/"), page,
+        F.lit("?a=1&b="), b,
+    )
+    urls = d.select("doc_id", F.explode(F.array(u1, u2)).alias("url"))
+    return (
+        urls.select("doc_id", canonical_url(F.col("url")).alias("curl"))
+        .groupBy("curl")
+        .agg(
+            F.count(F.lit(1)).alias("n_mentions"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+    )
+
+
+def q_fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency profiling across the star schema: which
+    assumed constraints actually hold (nation -> region: yes; order ->
+    one supplier: no; customer -> one order priority: no). The audit
+    that validates join-key assumptions before they shape a 100 TB
+    plan."""
+    from cernan_spark.operators.relational import fd_violations
+
+    na = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        fd_violations(na, "n_nationkey", "n_regionkey", "nation_region")
+        .unionByName(
+            fd_violations(li, "l_orderkey", "l_suppkey", "order_supplier")
+        )
+        .unionByName(
+            fd_violations(o, "o_custkey", "o_orderpriority", "cust_priority")
+        )
+    )
+
+
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolved read audit: two parquet snapshots written months
+    apart (the second adds a day column), read back in ONE mergeSchema
+    scan; the per-column null audit reports exactly which rows lack the
+    late-added field. The oracle re-derives the audit from the events
+    table, so the whole write -> evolved-read -> audit path is
+    value-checked."""
+    import tempfile
+
+    from cernan_spark.operators.relational import schema_null_audit
+
+    _utc(spark)
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"cernan_evo_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if not os.path.isdir(base):
+        snap1 = ev.filter(F.col("event_id") % 2 == 0).select(
+            "event_id", "event_type", "value"
+        )
+        snap2 = ev.filter(F.col("event_id") % 2 != 0).select(
+            "event_id", "event_type", "value",
+            F.to_date("ts").alias("day"),
+        )
+        snap1.write.mode("overwrite").parquet(f"{base}/snap1")
+        snap2.write.mode("overwrite").parquet(f"{base}/snap2")
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        f"{base}/snap1", f"{base}/snap2"
+    )
+    return schema_null_audit(merged)
 
 
 def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7820,6 +7909,62 @@ def oracle_sql() -> dict[str, str]:
         _PATTERN_CODES, _CEP_PATTERN, "events"
     )
     d["bpe_pairs"] = bpe_pair_oracle_sql("documents", top_k=50)
+    from cernan_spark.operators.textstats import canonical_url_sql
+
+    d["url_canonical"] = f"""
+        WITH seeded AS (
+            SELECT doc_id, unnest([
+              'HTTPS://WWW.Site' || CAST(doc_id % 13 AS VARCHAR)
+                || '.Example.COM:443/page/' || CAST(doc_id % 7 AS VARCHAR)
+                || '/?utm_source=feed&b=' || CAST(doc_id % 3 AS VARCHAR)
+                || '&a=1#sec',
+              'https://site' || CAST(doc_id % 13 AS VARCHAR)
+                || '.example.com/page/' || CAST(doc_id % 7 AS VARCHAR)
+                || '?a=1&b=' || CAST(doc_id % 3 AS VARCHAR)
+            ]) AS url
+            FROM documents
+        ), canon AS (
+            SELECT doc_id, {canonical_url_sql("url")} AS curl FROM seeded
+        )
+        SELECT curl, CAST(count(*) AS BIGINT) AS n_mentions,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM canon GROUP BY 1
+    """
+
+    def _fd(name, tbl, lhs, rhs):
+        return f"""
+          SELECT '{name}' AS fd, CAST(count(*) AS BIGINT) AS n_keys,
+                 CAST(sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_violating_keys,
+                 CAST(max(n_rhs) AS BIGINT) AS max_fanout
+          FROM (SELECT {lhs}, count(DISTINCT {rhs}) AS n_rhs
+                FROM {tbl} GROUP BY 1)
+        """
+
+    d["fd_audit"] = (
+        _fd("nation_region", "nation", "n_nationkey", "n_regionkey")
+        + " UNION ALL "
+        + _fd("order_supplier", "lineitem", "l_orderkey", "l_suppkey")
+        + " UNION ALL "
+        + _fd("cust_priority", "orders", "o_custkey", "o_orderpriority")
+    )
+    d["schema_evolution"] = """
+        WITH s AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END)
+                      AS BIGINT) AS z_et,
+                 CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)
+                      AS BIGINT) AS z_v,
+                 CAST(sum(CASE WHEN event_id % 2 = 0 OR ts IS NULL
+                               THEN 1 ELSE 0 END) AS BIGINT) AS z_day
+          FROM events
+        )
+        SELECT 'event_id' AS column_name, n AS n_rows,
+               CAST(0 AS BIGINT) AS n_nulls, n AS n_present FROM s
+        UNION ALL SELECT 'event_type', n, z_et, n - z_et FROM s
+        UNION ALL SELECT 'value', n, z_v, n - z_v FROM s
+        UNION ALL SELECT 'day', n, z_day, n - z_day FROM s
+    """
     d["tool_chains"] = P + """
         , c AS (
           SELECT conv_id,

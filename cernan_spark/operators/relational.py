@@ -569,3 +569,54 @@ def join_cardinality_check(
             (est / F.col("actual_rows").cast("double")).alias("err_ratio"),
         )
     )
+
+
+def fd_violations(
+    df: DataFrame, lhs: str, rhs: str, fd_name: str
+) -> DataFrame:
+    """Functional-dependency audit row: does ``lhs -> rhs`` hold? Emits
+    the key count, how many keys map to >1 distinct rhs (violations),
+    and the worst key's rhs fan-out — the profiling step that validates
+    assumed constraints (star-schema FKs, 'one region per nation')
+    before a 100 TB pipeline bakes them into joins. ONE map-side-
+    combined aggregate on (lhs, rhs) + one keys-sized rollup."""
+    per_key = (
+        df.select(lhs, rhs)
+        .groupBy(lhs)
+        .agg(F.countDistinct(rhs).alias("n_rhs"))
+    )
+    return per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum((F.col("n_rhs") > 1).cast("long")).alias("n_violating_keys"),
+        F.max("n_rhs").alias("max_fanout"),
+    ).select(
+        F.lit(fd_name).alias("fd"), "n_keys", "n_violating_keys", "max_fanout"
+    )
+
+
+def schema_null_audit(df: DataFrame) -> DataFrame:
+    """Per-column presence audit for schema-evolved reads: one row per
+    column with total/null/present counts. After a mergeSchema read over
+    snapshots written months apart, this is the table that says which
+    columns the old snapshots lack (all-null there) — the drift report a
+    long-lived ingest needs before trusting a new field. ONE aggregate;
+    the unpivot happens on a 1-row frame."""
+    aggs = []
+    for c in df.columns:
+        aggs.append(F.count(F.lit(1)).alias(f"__t_{c}"))
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"__n_{c}"))
+    one = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', __t_{c}, __n_{c}" for c in df.columns
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(df.columns)}, {stack_args}) "
+            "AS (column_name, n_rows, n_nulls)"
+        )
+    ).select(
+        "column_name",
+        "n_rows",
+        "n_nulls",
+        (F.col("n_rows") - F.col("n_nulls")).alias("n_present"),
+    )

@@ -957,3 +957,73 @@ def bpe_pair_oracle_sql(table: str = "documents", top_k: int = 50) -> str:
         FROM (SELECT * FROM counted
               ORDER BY n_occ DESC, pair ASC LIMIT {top_k})
     """
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization (crawl dedup pre-pass)
+# ---------------------------------------------------------------------------
+
+_URL_PARTS_RX = r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]+)([^?#]*)(.*)$"
+_TRACKING_RX = r"^(utm_[a-z]+|fbclid|gclid)="
+
+
+def canonical_url(url: Column) -> Column:
+    """Canonical form of a URL — the dedup key a crawl frontier uses so
+    `HTTPS://WWW.Example.COM:443/p/?utm_source=x&b=2&a=1#frag` and
+    `https://example.com/p?a=1&b=2` collapse: scheme/host lowercased,
+    default ports and `www.` stripped, fragment dropped, tracking params
+    (utm_*/fbclid/gclid) removed, remaining query params SORTED, and a
+    trailing slash on a non-root path trimmed. Pure column expressions —
+    regexp + array_sort stay JVM-side, O(len) per row, no shuffle."""
+    scheme = F.lower(F.regexp_extract(url, _URL_PARTS_RX, 1))
+    host0 = F.lower(F.regexp_extract(url, _URL_PARTS_RX, 2))
+    host = F.regexp_replace(
+        F.regexp_replace(host0, r"^www\.", ""), r":(80|443)$", ""
+    )
+    path0 = F.regexp_extract(url, _URL_PARTS_RX, 3)
+    path = F.when(
+        (F.length(path0) > 1) & path0.endswith("/"),
+        path0.substr(F.lit(1), F.length(path0) - 1),
+    ).otherwise(path0)
+    tail = F.regexp_extract(url, _URL_PARTS_RX, 4)
+    query = F.regexp_extract(tail, r"^\?([^#]*)", 1)
+    kept = F.filter(
+        F.split(query, "&"),
+        lambda prm: (F.length(prm) > 0) & ~prm.rlike(_TRACKING_RX),
+    )
+    qcanon = F.array_join(F.array_sort(kept), "&")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(
+            F.length(qcanon) > 0, F.concat(F.lit("?"), qcanon)
+        ).otherwise(F.lit("")),
+    )
+
+
+def canonical_url_sql(expr: str) -> str:
+    """DuckDB twin of :func:`canonical_url` over VARCHAR ``expr``."""
+    parts = "'" + _URL_PARTS_RX.replace("\\", "\\\\") + "'"
+    scheme = f"lower(regexp_extract({expr}, {parts}, 1))"
+    host = (
+        f"regexp_replace(regexp_replace(lower(regexp_extract({expr}, {parts}, 2)),"
+        " '^www\\.', ''), ':(80|443)$', '')"
+    )
+    path0 = f"regexp_extract({expr}, {parts}, 3)"
+    path = (
+        f"CASE WHEN length({path0}) > 1 AND {path0} LIKE '%/'"
+        f" THEN substr({path0}, 1, length({path0}) - 1) ELSE {path0} END"
+    )
+    query = f"regexp_extract(regexp_extract({expr}, {parts}, 4), '^\\?([^#]*)', 1)"
+    kept = (
+        f"list_filter(string_split({query}, '&'),"
+        f" prm -> length(prm) > 0 AND NOT regexp_matches(prm, '{_TRACKING_RX}'))"
+    )
+    qcanon = f"list_aggr(list_sort({kept}), 'string_agg', '&')"
+    return (
+        f"{scheme} || '://' || {host} || {path} || "
+        f"CASE WHEN length(coalesce({qcanon}, '')) > 0"
+        f" THEN '?' || {qcanon} ELSE '' END"
+    )

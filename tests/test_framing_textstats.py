@@ -377,3 +377,23 @@ def test_token_budget_per_language_map(spark):
         ).collect()
     }
     assert {(r["doc_id"], r["cum_tokens"]) for r in kept} == plain
+
+
+def test_canonical_url_cases(spark):
+    """Messy variants collapse; distinct logical URLs do not."""
+    from pyspark.sql import functions as F
+
+    from cernan_spark.operators.textstats import canonical_url
+
+    cases = [
+        ("HTTPS://WWW.Example.COM:443/p/?utm_source=x&b=2&a=1#frag",
+         "https://example.com/p?a=1&b=2"),
+        ("https://example.com/p?a=1&b=2", "https://example.com/p?a=1&b=2"),
+        ("http://Example.com:80/", "http://example.com/"),
+        ("http://example.com/path/sub/?gclid=zz", "http://example.com/path/sub"),
+        ("https://example.com", "https://example.com"),
+        ("https://example.com/p?a=2&b=1", "https://example.com/p?a=2&b=1"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r[0] for r in df.select(canonical_url(F.col("url"))).collect()]
+    assert got == [want for _, want in cases]

@@ -271,3 +271,42 @@ def test_join_cardinality_estimate_exact_fk(spark):
     ).collect()[0]
     assert row2["est_rows"] == 100.0 and row2["actual_rows"] == 50
     assert row2["err_ratio"] == 2.0
+
+
+def test_fd_violations_hand_model(spark):
+    """key 1 -> {a}, key 2 -> {a, b}, key 3 -> {a, b, c}: 3 keys, 2
+    violating, worst fan-out 3."""
+    from cernan_spark.operators.relational import fd_violations
+
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (2, "a"), (2, "b"), (3, "a"), (3, "b"), (3, "c")],
+        "k long, v string",
+    )
+    row = fd_violations(df, "k", "v", "kv").collect()[0]
+    assert (row["fd"], row["n_keys"], row["n_violating_keys"], row["max_fanout"]) == (
+        "kv", 3, 2, 3
+    )
+
+
+def test_schema_null_audit_after_merge_schema_read(spark, tmp_path):
+    """Two snapshots, the second adds a column: the mergeSchema read must
+    surface the old snapshot's rows as nulls in the new column, and the
+    audit counts them exactly."""
+    from cernan_spark.operators.relational import schema_null_audit
+
+    s1 = spark.createDataFrame([(1, "x"), (2, "y")], "id long, a string")
+    s2 = spark.createDataFrame(
+        [(3, "z", 10.0), (4, None, 20.0)], "id long, a string, b double"
+    )
+    s1.write.parquet(str(tmp_path / "s1"))
+    s2.write.parquet(str(tmp_path / "s2"))
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        str(tmp_path / "s1"), str(tmp_path / "s2")
+    )
+    got = {
+        r["column_name"]: (r["n_rows"], r["n_nulls"], r["n_present"])
+        for r in schema_null_audit(merged).collect()
+    }
+    assert got["id"] == (4, 0, 4)
+    assert got["a"] == (4, 1, 3)
+    assert got["b"] == (4, 2, 2)
