@@ -3092,6 +3092,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical": q_url_canonical,
         "fd_audit": q_fd_audit,
         "schema_evolution": q_schema_evolution,
+        "pref_length_bias": q_pref_length_bias,
         "tool_chains": q_tool_chains,
         "burst_collapse": q_burst_collapse,
         "tail_sampling": q_tail_sampling,
@@ -4708,6 +4709,33 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{base}/snap1", f"{base}/snap2"
     )
     return schema_null_audit(merged)
+
+
+def q_pref_length_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RLHF length-bias audit: preference pairs built per (lang, source)
+    group with a lexical-diversity reward proxy (distinct-token count,
+    ties on doc_id) are joined back to document lengths — per language:
+    how often 'chosen' is simply the LONGER document, the mean length
+    delta, and the chosen-longer rate among length-close pairs. The
+    report that tells you whether a reward model is learning quality or
+    verbosity before a 100 TB DPO run bakes it in."""
+    from cernan_spark.operators.conversation import (
+        preference_length_bias,
+        preference_pairs,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scored = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size(F.array_distinct(F.split("text", " "))).alias("score"),
+    )
+    pairs = preference_pairs(scored, ["lang", "source"], "doc_id", "score", 1.0)
+    lengths = d.select("doc_id", "n_chars")
+    return preference_length_bias(
+        pairs, lengths, group_col="lang", id_col="doc_id", len_col="n_chars"
+    )
 
 
 def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7948,6 +7976,47 @@ def oracle_sql() -> dict[str, str]:
         + " UNION ALL "
         + _fd("cust_priority", "orders", "o_custkey", "o_orderpriority")
     )
+    d["pref_length_bias"] = """
+        WITH scored AS (
+            SELECT doc_id, lang, source,
+                   len(list_distinct(string_split(text, ' '))) AS score,
+                   n_chars
+            FROM documents
+        ), ranked AS (
+            SELECT doc_id, lang, source, score, n_chars,
+                   row_number() OVER (PARTITION BY lang, source
+                                      ORDER BY score DESC, doc_id ASC) AS rb,
+                   row_number() OVER (PARTITION BY lang, source
+                                      ORDER BY score ASC, doc_id ASC) AS rw,
+                   count(*) OVER (PARTITION BY lang, source) AS n_cand
+            FROM scored
+        ), pairs AS (
+            SELECT b.lang,
+                   b.n_chars AS chosen_len, w.n_chars AS rejected_len
+            FROM (SELECT * FROM ranked WHERE rb = 1) b
+            JOIN (SELECT * FROM ranked WHERE rw = 1) w
+              ON b.lang = w.lang AND b.source = w.source
+            WHERE b.n_cand >= 2 AND b.score - w.score >= 1.0
+        )
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(sum(CASE WHEN chosen_len > rejected_len
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_chosen_longer,
+               CAST(sum(CASE WHEN chosen_len > rejected_len
+                             THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE) AS chosen_longer_rate,
+               CAST(sum(chosen_len - rejected_len) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE) AS avg_len_delta,
+               CAST(sum(CASE WHEN abs(chosen_len - rejected_len) * 10
+                                  <= greatest(chosen_len, rejected_len)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_close,
+               CAST(sum(CASE WHEN abs(chosen_len - rejected_len) * 10
+                                  <= greatest(chosen_len, rejected_len)
+                              AND chosen_len > rejected_len
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_close_chosen_longer
+        FROM pairs GROUP BY 1
+    """
     d["schema_evolution"] = """
         WITH s AS (
           SELECT CAST(count(*) AS BIGINT) AS n,

@@ -736,3 +736,61 @@ def discounted_return(
             (F.sum(scaled) / F.lit(float(100 * 2**horizon))).alias("ret"),
         )
     )
+
+
+def preference_length_bias(
+    pairs: DataFrame,
+    lengths: DataFrame,
+    group_col: str = "lang",
+    id_col: str = "item_id",
+    len_col: str = "item_len",
+) -> DataFrame:
+    """Length-bias audit for preference data (the classic RLHF failure:
+    the reward proxy secretly prefers LONGER responses, and DPO then
+    trains verbosity). Joins each pair's chosen/rejected ids to their
+    lengths and reports, per group: how often chosen is the longer one,
+    the mean length delta, and — the diagnostic that actually separates
+    signal from verbosity — the chosen-longer rate among length-CLOSE
+    pairs (|delta| within 10% of the longer side), where a real quality
+    signal should sit near 50%.
+
+    Plan: two broadcast-sized equi-joins on the id (pairs are group-
+    sized, the length frame projects two columns), then one map-side-
+    combined aggregate. Exact integers; the two rates are single
+    divisions."""
+    ln = lengths.select(
+        F.col(id_col).alias("__id"), F.col(len_col).alias("__len")
+    )
+    j = (
+        pairs.join(ln, pairs["chosen"] == F.col("__id"))
+        .withColumnRenamed("__len", "chosen_len")
+        .drop("__id")
+        .join(ln, pairs["rejected"] == F.col("__id"))
+        .withColumnRenamed("__len", "rejected_len")
+        .drop("__id")
+    )
+    delta = F.col("chosen_len") - F.col("rejected_len")
+    longer = F.greatest("chosen_len", "rejected_len")
+    close = (F.abs(delta) * 10) <= longer
+    agg = j.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum((delta > 0).cast("long")).alias("n_chosen_longer"),
+        F.sum(delta).alias("sum_len_delta"),
+        F.sum(close.cast("long")).alias("n_close"),
+        F.sum((close & (delta > 0)).cast("long")).alias("n_close_chosen_longer"),
+    )
+    return agg.select(
+        group_col,
+        "n_pairs",
+        "n_chosen_longer",
+        (
+            F.col("n_chosen_longer").cast("double")
+            / F.col("n_pairs").cast("double")
+        ).alias("chosen_longer_rate"),
+        (
+            F.col("sum_len_delta").cast("double")
+            / F.col("n_pairs").cast("double")
+        ).alias("avg_len_delta"),
+        "n_close",
+        "n_close_chosen_longer",
+    )

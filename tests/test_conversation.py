@@ -227,3 +227,26 @@ def test_json_schema_profile_counts_and_malformed(spark):
         ("svc", "b"): (1, 3, 1 / 3),
         ("other", "z"): (1, 1, 1.0),
     }
+
+
+def test_preference_length_bias_hand_model(spark):
+    """Two pairs in group g: (chosen longer by 100) and (chosen SHORTER,
+    lengths 105 vs 100 -> close). Rates and deltas are hand-computable."""
+    from cernan_spark.operators.conversation import preference_length_bias
+
+    pairs = spark.createDataFrame(
+        [("g", 1, 2), ("g", 3, 4)], "lang string, chosen long, rejected long"
+    )
+    lengths = spark.createDataFrame(
+        [(1, 200), (2, 100), (3, 100), (4, 105)], "doc_id long, n_chars long"
+    )
+    row = preference_length_bias(
+        pairs, lengths, group_col="lang", id_col="doc_id", len_col="n_chars"
+    ).collect()[0]
+    assert row["n_pairs"] == 2
+    assert row["n_chosen_longer"] == 1
+    assert row["chosen_longer_rate"] == 0.5
+    # deltas: +100 and -5 -> avg 47.5
+    assert row["avg_len_delta"] == 47.5
+    # |100-200|*10 > 200 (not close); |100-105|*10=50 <= 105 (close)
+    assert row["n_close"] == 1 and row["n_close_chosen_longer"] == 0

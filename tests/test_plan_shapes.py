@@ -332,3 +332,44 @@ def test_bloom_runtime_filter_prunes_shuffle_join_probe(spark):
         li.l_orderkey == orders.o_orderkey,
     ).count()
     assert n_filtered == n_plain
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """A hot join key (2/3 of all rows) must trigger AQE's skew-join
+    split — the runtime answer to key skew that salting handles at the
+    operator level (operators/skew.py): the skewed shuffle partition is
+    split across tasks and the matching dim partition duplicated, so one
+    straggler task never owns 2/3 of a 100 TB shuffle. Thresholds are
+    lowered to make the tiny test shuffle eligible; the structural
+    assert (skew=true on the final SMJ) is scale-independent."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "256KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "256KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.shuffle.partitions": "8",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(300000).select(
+            F.when(F.col("id") < 200000, F.lit(7))
+            .otherwise(F.col("id") % 1000)
+            .alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("pad"),
+        )
+        right = spark.range(1000).select(
+            F.col("id").alias("k"), F.lit("dim").alias("name")
+        )
+        # keep pad in the output: pruning it would shrink the shuffle
+        # below the skew threshold at this toy size
+        j = left.join(right, "k")
+        assert len(j.collect()) == 300000  # every key matches
+        plan = _plan(j)
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:1500]
+        assert "skewed" in plan  # the AQEShuffleRead actually split it
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
