@@ -3093,6 +3093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fd_audit": q_fd_audit,
         "schema_evolution": q_schema_evolution,
         "pref_length_bias": q_pref_length_bias,
+        "field_mi": q_field_mi,
         "tool_chains": q_tool_chains,
         "burst_collapse": q_burst_collapse,
         "tail_sampling": q_tail_sampling,
@@ -4709,6 +4710,30 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{base}/snap1", f"{base}/snap2"
     )
     return schema_null_audit(merged)
+
+
+def q_field_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field-dependency profiling, statistical edition: mutual
+    information (nats) between event_type and hour-of-day, and between
+    event_type and a user shard — with marginal entropies and normalized
+    MI. Complements fd_audit's exact functional dependencies with the
+    soft dependencies that decide partition-key layouts."""
+    from cernan_spark.operators.relational import field_mutual_information
+
+    _utc(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    base = ev.select(
+        "event_type",
+        F.pmod((F.unix_timestamp("ts") / 3600).cast("long"), F.lit(24)).alias(
+            "hr"
+        ),
+        F.pmod(F.col("user_id"), F.lit(16)).alias("ushard"),
+    )
+    return field_mutual_information(
+        base, "event_type", "hr", "type_hour"
+    ).unionByName(
+        field_mutual_information(base, "event_type", "ushard", "type_ushard")
+    )
 
 
 def q_pref_length_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7975,6 +8000,58 @@ def oracle_sql() -> dict[str, str]:
         + _fd("order_supplier", "lineitem", "l_orderkey", "l_suppkey")
         + " UNION ALL "
         + _fd("cust_priority", "orders", "o_custkey", "o_orderpriority")
+    )
+    def _mi_sql(name, x_expr, y_expr):
+        return f"""
+          WITH base AS (
+              SELECT {x_expr} AS x, {y_expr} AS y FROM events
+          ), cells AS (
+              SELECT x, y, count(*) AS c_xy FROM base GROUP BY 1, 2
+          ), margx AS (SELECT x, sum(c_xy) AS c_x FROM cells GROUP BY 1),
+          margy AS (SELECT y, sum(c_xy) AS c_y FROM cells GROUP BY 1),
+          tot AS (SELECT sum(c_xy) AS n FROM cells),
+          terms AS (
+              SELECT c.x, c.y,
+                     (CAST(c_xy AS DOUBLE) / CAST(n AS DOUBLE))
+                       * ln(CAST(c_xy AS DOUBLE) * CAST(n AS DOUBLE)
+                            / (CAST(c_x AS DOUBLE) * CAST(c_y AS DOUBLE)))
+                       AS t
+              FROM cells c JOIN margx USING (x) JOIN margy USING (y)
+              CROSS JOIN tot
+          ), mi AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_cells,
+                     list_reduce(list_prepend(0.0, list(t ORDER BY x, y)),
+                                 (a, v) -> a + v) AS mi
+              FROM terms
+          ), hx AS (
+              SELECT list_reduce(list_prepend(0.0,
+                       list(-(CAST(c_x AS DOUBLE) / CAST(n AS DOUBLE))
+                            * ln(CAST(c_x AS DOUBLE) / CAST(n AS DOUBLE))
+                            ORDER BY x)),
+                       (a, v) -> a + v) AS h_x
+              FROM margx CROSS JOIN tot
+          ), hy AS (
+              SELECT list_reduce(list_prepend(0.0,
+                       list(-(CAST(c_y AS DOUBLE) / CAST(n AS DOUBLE))
+                            * ln(CAST(c_y AS DOUBLE) / CAST(n AS DOUBLE))
+                            ORDER BY y)),
+                       (a, v) -> a + v) AS h_y
+              FROM margy CROSS JOIN tot
+          )
+          SELECT '{name}' AS pair, n_cells,
+                 round(h_x, 6) AS h_x, round(h_y, 6) AS h_y,
+                 round(mi, 6) AS mi,
+                 round(mi / least(h_x, h_y), 6) AS nmi
+          FROM mi CROSS JOIN hx CROSS JOIN hy
+        """
+
+    _hr = "(CAST(floor(epoch(ts)) AS BIGINT) // 3600) % 24"
+    d["field_mi"] = (
+        "SELECT * FROM ("
+        + _mi_sql("type_hour", "event_type", _hr)
+        + ") UNION ALL SELECT * FROM ("
+        + _mi_sql("type_ushard", "event_type", "user_id % 16")
+        + ")"
     )
     d["pref_length_bias"] = """
         WITH scored AS (

@@ -620,3 +620,88 @@ def schema_null_audit(df: DataFrame) -> DataFrame:
         "n_nulls",
         (F.col("n_rows") - F.col("n_nulls")).alias("n_present"),
     )
+
+
+def field_mutual_information(
+    df: DataFrame, x_col: str, y_col: str, pair_name: str
+) -> DataFrame:
+    """Statistical sibling of :func:`fd_violations`: mutual information
+    between two categorical log fields, in nats, with the marginal
+    entropies and the normalized MI (mi / min(h_x, h_y) — 1.0 means one
+    field determines the other, 0 means independent). The profiling
+    signal that finds redundant columns and hidden dependencies before
+    a 100 TB layout bakes them into partitioning keys.
+
+    Float discipline: every ln argument is a division of exact integer
+    counts in one fixed shape; the three sums fold over lists sorted by
+    the cell key, so rounding order is pinned cross-engine.
+
+    Plan: ONE corpus aggregate at (x, y) grain; marginals, joins and
+    folds all happen on the cells-sized frame (|X|x|Y| rows).
+    """
+    cells = df.groupBy(
+        F.col(x_col).alias("x"), F.col(y_col).alias("y")
+    ).agg(F.count(F.lit(1)).alias("c_xy"))
+    margx = cells.groupBy("x").agg(F.sum("c_xy").alias("c_x"))
+    margy = cells.groupBy("y").agg(F.sum("c_xy").alias("c_y"))
+    tot = cells.agg(F.sum("c_xy").alias("n"))
+    j = (
+        cells.join(F.broadcast(margx), "x")
+        .join(F.broadcast(margy), "y")
+        .crossJoin(F.broadcast(tot))
+    )
+    cxy = F.col("c_xy").cast("double")
+    cx = F.col("c_x").cast("double")
+    cy = F.col("c_y").cast("double")
+    n = F.col("n").cast("double")
+    mi_term = (cxy / n) * F.log(cxy * n / (cx * cy))
+    folded = j.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.aggregate(
+            F.sort_array(
+                F.collect_list(F.struct("x", "y", mi_term.alias("t")))
+            ),
+            F.lit(0.0),
+            lambda acc, s: acc + s["t"],
+        ).alias("mi"),
+    )
+    hx = margx.crossJoin(F.broadcast(tot)).agg(
+        F.aggregate(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        "x", (-(cx / n) * F.log(cx / n)).alias("t")
+                    )
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, s: acc + s["t"],
+        ).alias("h_x")
+    )
+    hy = margy.crossJoin(F.broadcast(tot)).agg(
+        F.aggregate(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        "y", (-(cy / n) * F.log(cy / n)).alias("t")
+                    )
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, s: acc + s["t"],
+        ).alias("h_y")
+    )
+    return (
+        folded.crossJoin(hx)
+        .crossJoin(hy)
+        .select(
+            F.lit(pair_name).alias("pair"),
+            "n_cells",
+            F.round("h_x", 6).alias("h_x"),
+            F.round("h_y", 6).alias("h_y"),
+            F.round("mi", 6).alias("mi"),
+            F.round(
+                F.col("mi") / F.least("h_x", "h_y"), 6
+            ).alias("nmi"),
+        )
+    )

@@ -310,3 +310,25 @@ def test_schema_null_audit_after_merge_schema_read(spark, tmp_path):
     assert got["id"] == (4, 0, 4)
     assert got["a"] == (4, 1, 3)
     assert got["b"] == (4, 2, 2)
+
+
+def test_field_mutual_information_extremes(spark):
+    """Independent uniform 2x2 -> MI 0; a bijective mapping -> MI equals
+    the marginal entropy (nmi 1)."""
+    import math
+
+    from cernan_spark.operators.relational import field_mutual_information
+
+    indep = spark.createDataFrame(
+        [("a", 0), ("a", 1), ("b", 0), ("b", 1)] * 5, "x string, y long"
+    )
+    r = field_mutual_information(indep, "x", "y", "indep").collect()[0]
+    assert r["mi"] == 0.0 and r["n_cells"] == 4
+    assert abs(r["h_x"] - round(math.log(2), 6)) < 1e-9
+
+    dep = spark.createDataFrame(
+        [("a", 0), ("b", 1), ("c", 2)] * 4, "x string, y long"
+    )
+    r2 = field_mutual_information(dep, "x", "y", "dep").collect()[0]
+    assert abs(r2["mi"] - round(math.log(3), 6)) < 1e-6
+    assert r2["nmi"] == 1.0
