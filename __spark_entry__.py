@@ -3094,6 +3094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_evolution": q_schema_evolution,
         "pref_length_bias": q_pref_length_bias,
         "field_mi": q_field_mi,
+        "template_drift": q_template_drift,
         "tool_chains": q_tool_chains,
         "burst_collapse": q_burst_collapse,
         "tail_sampling": q_tail_sampling,
@@ -4710,6 +4711,37 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{base}/snap1", f"{base}/snap2"
     )
     return schema_null_audit(merged)
+
+
+def q_template_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template lifecycle over the mixed transcript stream, with a
+    seeded NEVER-SEEN-BEFORE error class ('oom killed pid <NUM>')
+    injected only into the last quarter of the time span: the drift
+    report must flag it status='new' while the steady line classes come
+    back 'stable' with exact frequency lifts. The page-on-new-template
+    monitor stacked on the log_templates miner."""
+    from cernan_spark.operators.textstats import template_drift
+
+    _utc(spark)
+    t = transcripts_from_events(spark, sf_dir).select("text", "ts")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ep = F.unix_timestamp("ts")
+    bounds = ev.agg(
+        F.floor(F.min(ep) + ((F.max(ep) - F.min(ep)) * 3) / 4)
+        .cast("long")
+        .alias("q3")
+    )
+    seeded = (
+        ev.crossJoin(F.broadcast(bounds))
+        .filter((ep > F.col("q3")) & (F.col("event_id") % 11 == 0))
+        .select(
+            F.concat(
+                F.lit("oom killed pid "), F.col("event_id").cast("string")
+            ).alias("text"),
+            "ts",
+        )
+    )
+    return template_drift(t.unionByName(seeded))
 
 
 def q_field_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8053,6 +8085,23 @@ def oracle_sql() -> dict[str, str]:
         + _mi_sql("type_ushard", "event_type", "user_id % 16")
         + ")"
     )
+    from cernan_spark.operators.textstats import template_drift_sql
+
+    d["template_drift"] = P + """, q3 AS (
+            SELECT CAST(floor(min(CAST(floor(epoch(ts)) AS BIGINT))
+                   + ((max(CAST(floor(epoch(ts)) AS BIGINT))
+                       - min(CAST(floor(epoch(ts)) AS BIGINT))) * 3) / 4)
+                   AS BIGINT) AS q3
+            FROM events
+        ), seeded AS (
+            SELECT text, ts FROM transcripts
+            UNION ALL
+            SELECT 'oom killed pid ' || CAST(event_id AS VARCHAR) AS text, ts
+            FROM events
+            WHERE CAST(floor(epoch(ts)) AS BIGINT) > (SELECT q3 FROM q3)
+              AND event_id % 11 = 0
+        ), td AS (""" + template_drift_sql("text", "seeded", "ts") + """)
+        SELECT * FROM td"""
     d["pref_length_bias"] = """
         WITH scored AS (
             SELECT doc_id, lang, source,

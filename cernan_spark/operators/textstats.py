@@ -1027,3 +1027,93 @@ def canonical_url_sql(expr: str) -> str:
         f"CASE WHEN length(coalesce({qcanon}, '')) > 0"
         f" THEN '?' || {qcanon} ELSE '' END"
     )
+
+
+def template_drift(
+    df: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Template lifecycle monitor: mine templates (same masks as
+    :func:`mine_templates`), split the stream at its epoch midpoint, and
+    report per template whether it is NEW (late half only — the
+    never-seen-before error class an on-call wants paged on), VANISHED
+    (early only), or stable, plus the frequency lift for stable ones.
+    The Drain-style follow-up to template mining: not what the line
+    classes are, but how their mix is moving.
+
+    lift = (n_late/total_late) / (n_early/total_early), computed as ONE
+    division of exact integer products, so it is bit-identical across
+    engines. Plan: one narrow map + ONE template-grain aggregate; the
+    midpoint and totals are 1-row broadcasts.
+    """
+    t = F.col(text_col)
+    for rx, tok in TEMPLATE_MASKS:
+        t = F.regexp_replace(t, rx, tok)
+    ep = F.unix_timestamp(F.col(ts_col))
+    base = df.select(t.alias("template"), ep.alias("ep"))
+    bounds = base.agg(
+        ((F.min("ep") + F.max("ep")) / 2).cast("long").alias("thr")
+    )
+    g = (
+        base.crossJoin(F.broadcast(bounds))
+        .groupBy("template")
+        .agg(
+            F.sum((F.col("ep") <= F.col("thr")).cast("long")).alias("n_early"),
+            F.sum((F.col("ep") > F.col("thr")).cast("long")).alias("n_late"),
+        )
+    )
+    totals = g.agg(
+        F.sum("n_early").alias("te"), F.sum("n_late").alias("tl")
+    )
+    status = (
+        F.when(F.col("n_early") == 0, F.lit("new"))
+        .when(F.col("n_late") == 0, F.lit("vanished"))
+        .otherwise(F.lit("stable"))
+    )
+    lift = F.when(
+        (F.col("n_early") > 0) & (F.col("n_late") > 0),
+        (F.col("n_late") * F.col("te")).cast("double")
+        / (F.col("n_early") * F.col("tl")).cast("double"),
+    )
+    return g.crossJoin(F.broadcast(totals)).select(
+        "template", "n_early", "n_late", status.alias("status"),
+        lift.alias("lift"),
+    )
+
+
+def template_drift_sql(text_expr: str, rel: str, ts_expr: str = "ts") -> str:
+    """DuckDB twin of :func:`template_drift` over relation ``rel``."""
+    t = text_expr
+    for rx, tok in TEMPLATE_MASKS:
+        t = f"regexp_replace({t}, '{rx}', '{tok}', 'g')"
+    return f"""
+        WITH base AS (
+            SELECT {t} AS template,
+                   CAST(floor(epoch({ts_expr})) AS BIGINT) AS ep
+            FROM {rel}
+        ), bounds AS (
+            -- floor, not bare CAST: DuckDB CAST(double AS BIGINT) rounds
+            -- while Spark's cast truncates
+            SELECT CAST(floor((min(ep) + max(ep)) / 2) AS BIGINT) AS thr
+            FROM base
+        ), g AS (
+            SELECT template,
+                   CAST(sum(CASE WHEN ep <= (SELECT thr FROM bounds)
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_early,
+                   CAST(sum(CASE WHEN ep > (SELECT thr FROM bounds)
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+            FROM base GROUP BY 1
+        ), tot AS (
+            SELECT sum(n_early) AS te, sum(n_late) AS tl FROM g
+        )
+        SELECT template, n_early, n_late,
+               CASE WHEN n_early = 0 THEN 'new'
+                    WHEN n_late = 0 THEN 'vanished'
+                    ELSE 'stable' END AS status,
+               CASE WHEN n_early > 0 AND n_late > 0
+                    THEN CAST(n_late * (SELECT te FROM tot) AS DOUBLE)
+                         / CAST(n_early * (SELECT tl FROM tot) AS DOUBLE)
+               END AS lift
+        FROM g
+    """

@@ -397,3 +397,27 @@ def test_canonical_url_cases(spark):
     df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
     got = [r[0] for r in df.select(canonical_url(F.col("url"))).collect()]
     assert got == [want for _, want in cases]
+
+
+def test_template_drift_lifecycle(spark):
+    """Early-only template -> vanished, late-only -> new, balanced ->
+    stable with lift 1 (same share both halves)."""
+    import datetime as dt
+
+    from cernan_spark.operators.textstats import template_drift
+
+    early = dt.datetime(2026, 1, 1)
+    late = dt.datetime(2026, 1, 3)  # midpoint = Jan 2
+    rows = (
+        [("old err 7", early)] * 3
+        + [("new err 9", late)] * 2
+        + [("steady 1", early), ("steady 2", late)]
+    )
+    df = spark.createDataFrame(rows, "text string, ts timestamp")
+    got = {r["template"]: r for r in template_drift(df).collect()}
+    assert got["old err <N>"]["status"] == "vanished"
+    assert got["new err <N>"]["status"] == "new"
+    s = got["steady <N>"]
+    assert s["status"] == "stable" and s["n_early"] == 1 and s["n_late"] == 1
+    # shares: early 1/4, late 1/3 -> lift (1*4)/(1*3)
+    assert abs(s["lift"] - 4 / 3) < 1e-15
