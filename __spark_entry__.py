@@ -3095,6 +3095,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pref_length_bias": q_pref_length_bias,
         "field_mi": q_field_mi,
         "template_drift": q_template_drift,
+        "epoch_shuffle": q_epoch_shuffle,
         "tool_chains": q_tool_chains,
         "burst_collapse": q_burst_collapse,
         "tail_sampling": q_tail_sampling,
@@ -4711,6 +4712,18 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{base}/snap1", f"{base}/snap2"
     )
     return schema_null_audit(merged)
+
+
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible multi-epoch shuffle schedule: 3 epochs' first-20
+    document heads under the stateless hash order hash(id':'epoch) —
+    any worker or resumed run re-derives the identical permutation,
+    hash-checked against the SQL replay. Routed through the salted
+    top-K so an epoch group never serializes a global sort."""
+    from cernan_spark.operators.corpus import epoch_shuffle_heads
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    return epoch_shuffle_heads(d, n_epochs=3, k=20)
 
 
 def q_template_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8085,6 +8098,9 @@ def oracle_sql() -> dict[str, str]:
         + _mi_sql("type_ushard", "event_type", "user_id % 16")
         + ")"
     )
+    from cernan_spark.operators.corpus import epoch_shuffle_oracle_sql
+
+    d["epoch_shuffle"] = epoch_shuffle_oracle_sql(3, 20, "documents")
     from cernan_spark.operators.textstats import template_drift_sql
 
     d["template_drift"] = P + """, q3 AS (

@@ -1764,3 +1764,82 @@ def fim_transform_oracle_sql(table: str = "documents") -> str:
         SELECT doc_id, 'plain', text, 0, 0
         FROM cuts WHERE L < {FIM_MIN_CHARS}
     """
+
+
+# ---------------------------------------------------------------------------
+# deterministic per-epoch shuffle order (multi-epoch training schedule)
+# ---------------------------------------------------------------------------
+
+
+def epoch_shuffle_heads(
+    df: DataFrame,
+    n_epochs: int,
+    k: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Multi-epoch training data order, reproducibly: epoch e's shuffle
+    key for a document is hash(id || ':' || e) — no RNG state, so any
+    worker (or a resumed run, or this oracle) recomputes the exact same
+    permutation, which is how a 100 TB trainer re-derives epoch order
+    instead of shipping it. Emits each epoch's first ``k`` documents
+    with their positions; distinct epochs produce distinct orders (the
+    property the pytest asserts).
+
+    Plan: the per-epoch head is a top-K by hash, routed through
+    :func:`~cernan_spark.operators.skew.salted_topk` so the (few,
+    hot) epoch groups never serialize a full sort into one task —
+    TakeOrdered semantics, never a global sort.
+    """
+    from cernan_spark.functions.porthash import portable_hash
+    from cernan_spark.operators.skew import salted_topk
+
+    epochs = df.select(
+        F.col(id_col),
+        F.explode(
+            F.sequence(F.lit(0), F.lit(n_epochs - 1))
+        ).alias("epoch"),
+    )
+    h = fmix32(
+        portable_hash(
+            F.concat(
+                F.col(id_col).cast("string"),
+                F.lit(":"),
+                F.col("epoch").cast("string"),
+            )
+        )
+    )
+    keyed = epochs.select("epoch", F.col(id_col), h.alias("h"))
+    return salted_topk(
+        keyed,
+        ["epoch"],
+        [F.col("h").asc(), F.col(id_col).asc()],
+        k,
+        rank_col="pos",
+    ).select("epoch", "pos", id_col, "h")
+
+
+def epoch_shuffle_oracle_sql(
+    n_epochs: int, k: int, table: str = "documents", id_col: str = "doc_id"
+) -> str:
+    """DuckDB twin of :func:`epoch_shuffle_heads` (same hash chain)."""
+    from cernan_spark.functions.porthash import portable_hash_sql
+
+    h = fmix32_sql(
+        portable_hash_sql(f"(CAST({id_col} AS VARCHAR) || ':' || CAST(epoch AS VARCHAR))")
+    )
+    return f"""
+        WITH epochs AS (
+            SELECT {id_col}, unnest(range(0, {n_epochs})) AS epoch
+            FROM {table}
+        ), keyed AS (
+            SELECT CAST(epoch AS INTEGER) AS epoch, {id_col}, {h} AS h
+            FROM epochs
+        ), ranked AS (
+            SELECT epoch, {id_col}, h,
+                   row_number() OVER (PARTITION BY epoch
+                                      ORDER BY h ASC, {id_col} ASC) AS pos
+            FROM keyed
+        )
+        SELECT epoch, CAST(pos AS INTEGER) AS pos, {id_col}, h
+        FROM ranked WHERE pos <= {k}
+    """

@@ -333,3 +333,25 @@ def test_fim_transform_reconstructs_and_modes(spark):
         assert 1 <= r["prefix_len"] <= len(text) // 3 + 1
         assert 1 <= r["middle_len"] <= len(text) // 3 + 1
     assert {"psm", "spm"} <= modes
+
+
+def test_epoch_shuffle_distinct_and_reproducible(spark):
+    """Each epoch is a k-head of a DIFFERENT permutation; re-running
+    yields the identical schedule (stateless hash, no RNG)."""
+    from cernan_spark.operators.corpus import epoch_shuffle_heads
+
+    d = spark.range(500).select(F.col("id").alias("doc_id"))
+    out1 = {
+        (r["epoch"], r["pos"]): r["doc_id"]
+        for r in epoch_shuffle_heads(d, n_epochs=3, k=15).collect()
+    }
+    out2 = {
+        (r["epoch"], r["pos"]): r["doc_id"]
+        for r in epoch_shuffle_heads(d, n_epochs=3, k=15).collect()
+    }
+    assert out1 == out2
+    assert len(out1) == 45
+    orders = [
+        tuple(out1[(e, p)] for p in range(1, 16)) for e in range(3)
+    ]
+    assert len(set(orders)) == 3  # three genuinely different permutations
