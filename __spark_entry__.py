@@ -3096,6 +3096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "field_mi": q_field_mi,
         "template_drift": q_template_drift,
         "epoch_shuffle": q_epoch_shuffle,
+        "ndcg_bm25": q_ndcg_bm25,
         "tool_chains": q_tool_chains,
         "burst_collapse": q_burst_collapse,
         "tail_sampling": q_tail_sampling,
@@ -4712,6 +4713,25 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{base}/snap1", f"{base}/snap2"
     )
     return schema_null_audit(merged)
+
+
+def q_ndcg_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality eval: nDCG@10 of the BM25 ranking
+    (q_bm25_search's retriever, ranked by rounded score with doc_id
+    ties) against graded relevance = number of distinct query terms the
+    doc contains. Closes the retrieval loop: bm25_search/rrf_fusion
+    build rankings, this one measures them — position-pinned ln folds,
+    every frame after the TakeOrdered cut is 10 rows."""
+    from cernan_spark.operators.corpus import BM25_QUERY, bm25_scores, ndcg_at_k
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    s = bm25_scores(d, BM25_QUERY).filter(F.col("n_query_hits") > 0)
+    scored = s.select(
+        "doc_id",
+        F.round("bm25", 6).alias("bm25r"),
+        F.col("n_query_hits").alias("rel"),
+    )
+    return ndcg_at_k(scored, k=10)
 
 
 def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8101,6 +8121,36 @@ def oracle_sql() -> dict[str, str]:
     from cernan_spark.operators.corpus import epoch_shuffle_oracle_sql
 
     d["epoch_shuffle"] = epoch_shuffle_oracle_sql(3, 20, "documents")
+    d["ndcg_bm25"] = f"""
+        WITH bm AS ({bm25_oracle_sql(BM25_QUERY)}),
+        top AS (
+            SELECT n_query_hits AS rel,
+                   row_number() OVER (ORDER BY bm25 DESC, doc_id) AS pos
+            FROM bm ORDER BY bm25 DESC, doc_id LIMIT 10
+        ), dcg AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_ranked,
+                   list_reduce(list_prepend(0.0,
+                     list(CAST(rel AS DOUBLE)
+                          / ln(CAST(pos + 1 AS DOUBLE)) ORDER BY pos)),
+                     (a, v) -> a + v) AS dcg
+            FROM top
+        ), ideal AS (
+            SELECT n_query_hits AS rel,
+                   row_number() OVER (ORDER BY n_query_hits DESC, doc_id)
+                     AS pos
+            FROM bm WHERE n_query_hits > 0
+            ORDER BY n_query_hits DESC, doc_id LIMIT 10
+        ), idcg AS (
+            SELECT list_reduce(list_prepend(0.0,
+                     list(CAST(rel AS DOUBLE)
+                          / ln(CAST(pos + 1 AS DOUBLE)) ORDER BY pos)),
+                     (a, v) -> a + v) AS idcg
+            FROM ideal
+        )
+        SELECT n_ranked, round(dcg, 6) AS dcg, round(idcg, 6) AS idcg,
+               round(dcg / idcg, 6) AS ndcg
+        FROM dcg CROSS JOIN idcg
+    """
     from cernan_spark.operators.textstats import template_drift_sql
 
     d["template_drift"] = P + """, q3 AS (

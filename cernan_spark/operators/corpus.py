@@ -1843,3 +1843,72 @@ def epoch_shuffle_oracle_sql(
         SELECT epoch, CAST(pos AS INTEGER) AS pos, {id_col}, h
         FROM ranked WHERE pos <= {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# retrieval quality: nDCG@k of a ranking against graded relevance
+# ---------------------------------------------------------------------------
+
+
+def ndcg_at_k(
+    scored: DataFrame,
+    k: int = 10,
+    score_col: str = "bm25r",
+    rel_col: str = "rel",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """nDCG@k of a retriever's ranking against graded relevance — the
+    eval that closes the retrieval loop (BM25/RRF build rankings; this
+    measures them). DCG folds rel/ln(pos+1) in POSITION order (a pinned
+    k-term fold, so the float sum is cross-engine exact); the ideal
+    ranking re-sorts by (relevance desc, id) with the same fold. Both
+    top-k cuts are TakeOrdered (orderBy.limit) — never a global sort —
+    and every downstream frame is k rows.
+    """
+    from pyspark.sql import Window
+
+    ranked = (
+        scored.orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+        .limit(k)
+        .select(
+            F.col(id_col), F.col(rel_col).alias("rel"), F.col(score_col)
+        )
+    )
+    wr = Window.orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+    ranked = ranked.select(
+        "rel", F.row_number().over(wr).alias("pos")
+    )  # k-row frame: the unpartitioned window is a k-row sort, not a scan
+    ideal = (
+        scored.filter(F.col(rel_col) > 0)
+        .orderBy(F.col(rel_col).desc(), F.col(id_col).asc())
+        .limit(k)
+        .select(F.col(rel_col).alias("rel"), F.col(id_col))
+    )
+    wi = Window.orderBy(F.col("rel").desc(), F.col(id_col).asc())
+    ideal = ideal.select("rel", F.row_number().over(wi).alias("pos"))
+
+    def fold(df: DataFrame, out: str) -> DataFrame:
+        term = F.struct(
+            F.col("pos"),
+            (
+                F.col("rel").cast("double")
+                / F.log((F.col("pos") + 1).cast("double"))
+            ).alias("t"),
+        )
+        return df.agg(
+            F.count(F.lit(1)).alias(f"n_{out}"),
+            F.aggregate(
+                F.sort_array(F.collect_list(term)),
+                F.lit(0.0),
+                lambda acc, s: acc + s["t"],
+            ).alias(out),
+        )
+
+    dcg = fold(ranked, "dcg")
+    idcg = fold(ideal, "idcg")
+    return dcg.crossJoin(idcg).select(
+        F.col("n_dcg").alias("n_ranked"),
+        F.round("dcg", 6).alias("dcg"),
+        F.round("idcg", 6).alias("idcg"),
+        F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg"),
+    )

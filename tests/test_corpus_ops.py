@@ -355,3 +355,29 @@ def test_epoch_shuffle_distinct_and_reproducible(spark):
         tuple(out1[(e, p)] for p in range(1, 16)) for e in range(3)
     ]
     assert len(set(orders)) == 3  # three genuinely different permutations
+
+
+def test_ndcg_hand_model(spark):
+    """Perfect ranking -> nDCG 1; swapping the top two graded docs drops
+    DCG by exactly (3-1)*(1/ln2 - 1/ln3)."""
+    import math
+
+    from cernan_spark.operators.corpus import ndcg_at_k
+
+    perfect = spark.createDataFrame(
+        [(1, 30.0, 3), (2, 20.0, 2), (3, 10.0, 1)],
+        "doc_id long, bm25r double, rel long",
+    )
+    r = ndcg_at_k(perfect, k=3).collect()[0]
+    assert r["ndcg"] == 1.0 and r["n_ranked"] == 3
+    ideal_dcg = 3 / math.log(2) + 2 / math.log(3) + 1 / math.log(4)
+    assert abs(r["dcg"] - round(ideal_dcg, 6)) < 1e-9
+
+    swapped = spark.createDataFrame(
+        [(1, 20.0, 3), (2, 30.0, 2), (3, 10.0, 1)],
+        "doc_id long, bm25r double, rel long",
+    )
+    r2 = ndcg_at_k(swapped, k=3).collect()[0]
+    want_dcg = 2 / math.log(2) + 3 / math.log(3) + 1 / math.log(4)
+    assert abs(r2["dcg"] - round(want_dcg, 6)) < 1e-9
+    assert r2["idcg"] == r["idcg"] and r2["ndcg"] < 1.0
