@@ -3097,6 +3097,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "template_drift": q_template_drift,
         "epoch_shuffle": q_epoch_shuffle,
         "ndcg_bm25": q_ndcg_bm25,
+        "watermark_advisor": q_watermark_advisor,
+        "dedup_savings": q_dedup_savings,
         "tool_chains": q_tool_chains,
         "burst_collapse": q_burst_collapse,
         "tail_sampling": q_tail_sampling,
@@ -4713,6 +4715,62 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{base}/snap1", f"{base}/snap2"
     )
     return schema_null_audit(merged)
+
+
+def q_watermark_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """disorder_profile's decision step: over the same seeded
+    out-of-order arrival stream, the EXACT rank-selected p99 lateness
+    per event_type, the whole-second withWatermark delay that covers
+    it, and the exact admit fraction at that delay — the watermark
+    sized from data instead of folklore."""
+    from cernan_spark.operators.temporal import watermark_advisor
+
+    _utc(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    arr = F.col("event_id") + F.when(
+        F.col("event_id") % 7 == 3, 25
+    ).otherwise(0)
+    d = ev.select("event_type", "ts", "event_id", arr.alias("arrival"))
+    return watermark_advisor(d, ["event_type"], ["arrival", "event_id"], "ts")
+
+
+def q_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-report number dedup exists to produce: cluster-size
+    distribution of the resolved near-dup components (same chain-built
+    clusters as dedup_groups) with exact bytes saved if each cluster
+    keeps only its canonical doc. Cluster resolution is the
+    pointer-doubling CC; the rollup is two key-grain aggregates."""
+    from cernan_spark.operators.dedup import dedup_groups
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 200
+    )
+    toks = F.array_distinct(F.split("text", " "))
+    t = d.select("doc_id", toks.alias("t"))
+    a = t.select(F.col("doc_id").alias("id_a"), F.col("t").alias("ta"))
+    b = t.select(F.col("doc_id").alias("id_b"), F.col("t").alias("tb"))
+    jac = F.size(F.array_intersect("ta", "tb")) / F.size(
+        F.array_union("ta", "tb")
+    )
+    pairs = a.join(b, F.col("id_b") == F.col("id_a") + 1).filter(jac >= 0.5)
+    groups = dedup_groups(pairs.select("id_a", "id_b"))
+    m = groups.join(
+        d.select("doc_id", "n_chars"), groups["id"] == F.col("doc_id")
+    )
+    cl = m.groupBy("canonical_id").agg(
+        F.count(F.lit(1)).alias("cluster_size"),
+        F.sum("n_chars").alias("total_bytes"),
+        F.sum(
+            F.when(F.col("id") == F.col("canonical_id"), F.col("n_chars")).otherwise(
+                F.lit(0)
+            )
+        ).alias("kept_bytes"),
+    )
+    return cl.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("total_bytes").alias("bytes_total"),
+        F.sum(F.col("total_bytes") - F.col("kept_bytes")).alias("bytes_saved"),
+    )
 
 
 def q_ndcg_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8121,6 +8179,64 @@ def oracle_sql() -> dict[str, str]:
     from cernan_spark.operators.corpus import epoch_shuffle_oracle_sql
 
     d["epoch_shuffle"] = epoch_shuffle_oracle_sql(3, 20, "documents")
+    d["dedup_savings"] = (
+        "WITH g AS (SELECT * FROM ("
+        + d["dedup_groups"]
+        + """)), m AS (
+            SELECT g.id, g.canonical_id, doc.n_chars
+            FROM g JOIN documents doc ON doc.doc_id = g.id
+        ), cl AS (
+            SELECT canonical_id, count(*) AS cluster_size,
+                   sum(n_chars) AS total_bytes,
+                   sum(CASE WHEN id = canonical_id THEN n_chars
+                            ELSE 0 END) AS kept_bytes
+            FROM m GROUP BY 1
+        )
+        SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+               CAST(count(*) AS BIGINT) AS n_clusters,
+               CAST(sum(total_bytes) AS BIGINT) AS bytes_total,
+               CAST(sum(total_bytes - kept_bytes) AS BIGINT) AS bytes_saved
+        FROM cl GROUP BY 1"""
+    )
+    d["watermark_advisor"] = """
+        WITH base AS (
+            SELECT event_type,
+                   event_id + CASE WHEN event_id % 7 = 3 THEN 25 ELSE 0 END
+                     AS arrival,
+                   event_id, epoch_us(ts) AS us
+            FROM events
+        ), prof AS (
+            SELECT event_type, arrival, event_id,
+                   greatest(0, coalesce(
+                     max(us) OVER (PARTITION BY event_type
+                                   ORDER BY arrival, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING) - us, 0)) AS late
+            FROM base
+        ), ranked AS (
+            SELECT event_type, late,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY late, arrival, event_id)
+                     AS rn,
+                   count(*) OVER (PARTITION BY event_type) AS n
+            FROM prof
+        ), p AS (
+            SELECT event_type, CAST(max(n) AS BIGINT) AS n_rows,
+                   max(CASE WHEN rn = (99 * n + 99) // 100 THEN late END)
+                     AS p99_late_us
+            FROM ranked GROUP BY 1
+        ), rec AS (
+            SELECT event_type, n_rows, p99_late_us,
+                   (p99_late_us + 999999) // 1000000 AS rec_watermark_s
+            FROM p
+        )
+        SELECT r.event_type, r.n_rows, r.p99_late_us, r.rec_watermark_s,
+               CAST(sum(CASE WHEN pr.late <= r.rec_watermark_s * 1000000
+                             THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE) AS coverage_at_rec
+        FROM prof pr JOIN rec r USING (event_type)
+        GROUP BY 1, 2, 3, 4
+    """
     d["ndcg_bm25"] = f"""
         WITH bm AS ({bm25_oracle_sql(BM25_QUERY)}),
         top AS (

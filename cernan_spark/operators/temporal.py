@@ -598,3 +598,72 @@ def partition_checksum_diff(
             (z("n_old") != z("n_new")) | (z("sum_old") != z("sum_new"))
         ).cast("int").alias("changed"),
     )
+
+
+def watermark_advisor(
+    df: DataFrame,
+    key_cols: list[str],
+    arrival_cols: list[str],
+    ts_col: str,
+    pct: int = 99,
+) -> DataFrame:
+    """Turns :func:`disorder_profile`'s measurement into the DECISION: the
+    exact p``pct`` of observed lateness per stream, rank-selected (no
+    approx sketch), plus the whole-second watermark delay that covers it
+    and the exact fraction of rows that delay admits. This is the number
+    an operator types into ``withWatermark`` — sized from data instead
+    of folklore.
+
+    target rank = ceil(pct·n/100) computed in integer arithmetic; all
+    lateness is exact integer microseconds; the one ratio is a single
+    division of exact counts. Plan: the lateness window, the rank
+    window and both aggregates all cluster on the stream key — the key
+    exchange happens once, everything after is key-grain.
+    """
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(*[F.col(c) for c in arrival_cols])
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    late = F.greatest(F.lit(0), F.coalesce(F.max(us).over(w) - us, F.lit(0)))
+    prof = df.select(*key_cols, *arrival_cols, late.alias("_late_us"))
+    wr = Window.partitionBy(*key_cols).orderBy(
+        F.col("_late_us").asc(), *[F.col(c).asc() for c in arrival_cols]
+    )
+    wk = Window.partitionBy(*key_cols)
+    ranked = prof.select(
+        *key_cols,
+        "_late_us",
+        F.row_number().over(wr).alias("_rn"),
+        F.count(F.lit(1)).over(wk).alias("_n"),
+    )
+    target = F.floor(
+        (F.lit(pct) * F.col("_n") + F.lit(100 - 1)) / F.lit(100)
+    ).cast("long")
+    p = ranked.groupBy(*key_cols).agg(
+        F.max("_n").alias("n_rows"),
+        F.max(F.when(F.col("_rn") == target, F.col("_late_us"))).alias(
+            f"p{pct}_late_us"
+        ),
+    )
+    rec_s = F.floor(
+        (F.col(f"p{pct}_late_us") + 999_999) / F.lit(1_000_000)
+    ).cast("long")
+    p = p.select(*key_cols, "n_rows", f"p{pct}_late_us", rec_s.alias("rec_watermark_s"))
+    cov = (
+        prof.join(F.broadcast(p), key_cols)
+        .groupBy(*key_cols)
+        .agg(
+            (
+                F.sum(
+                    (
+                        F.col("_late_us")
+                        <= F.col("rec_watermark_s") * 1_000_000
+                    ).cast("long")
+                ).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("coverage_at_rec")
+        )
+    )
+    return p.join(cov, key_cols)

@@ -220,3 +220,31 @@ def test_cdc_snapshot_diff_statuses(spark):
     out = {r["k"]: r["status"] for r in cdc_snapshot_diff(
         df, ["k"], ["e", "event_id"], "e", t1=10, t2=20).collect()}
     assert out == {1: "changed", 2: "removed", 3: "added"}
+
+
+def test_watermark_advisor_hand_model(spark):
+    """10 in-order events plus one 5s-late straggler: p99 lateness is
+    the straggler's 5s (rank 11 of 11), the recommendation is 5s, and
+    coverage at 5s is 1.0. With pct=50 the median lateness is 0."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from cernan_spark.operators.temporal import watermark_advisor
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [("s", t0 + dt.timedelta(seconds=i), i, i) for i in range(10)]
+    # arrives last (arrival 10) but its event time is 5s behind the max
+    rows.append(("s", t0 + dt.timedelta(seconds=4), 99, 10))
+    df = spark.createDataFrame(
+        rows, "key string, ts timestamp, event_id long, arrival long"
+    )
+    r = watermark_advisor(df, ["key"], ["arrival", "event_id"], "ts").collect()[0]
+    assert r["n_rows"] == 11
+    assert r["p99_late_us"] == 5_000_000
+    assert r["rec_watermark_s"] == 5
+    assert r["coverage_at_rec"] == 1.0
+    r50 = watermark_advisor(
+        df, ["key"], ["arrival", "event_id"], "ts", pct=50
+    ).collect()[0]
+    assert r50["p50_late_us"] == 0

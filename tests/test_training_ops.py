@@ -595,3 +595,35 @@ def test_stratified_sample_rates_and_nesting(spark):
     lo_ids = {r.doc_id for r in lo.collect()}
     hi_ids = {r.doc_id for r in hi.collect()}
     assert lo_ids <= hi_ids
+
+
+def test_dedup_savings_cluster_rollup(spark):
+    """Chain 1-2-3 (one cluster of 3) + pair 7-8: sizes {3:1, 2:1};
+    bytes saved = total minus the canonical member's bytes."""
+    from pyspark.sql import functions as F
+
+    from cernan_spark.operators.dedup import dedup_groups
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], "id_a long, id_b long"
+    )
+    sizes = spark.createDataFrame(
+        [(1, 100), (2, 110), (3, 120), (7, 50), (8, 60)],
+        "doc_id long, n_chars long",
+    )
+    g = dedup_groups(pairs)
+    m = g.join(sizes, g["id"] == F.col("doc_id"))
+    cl = m.groupBy("canonical_id").agg(
+        F.count(F.lit(1)).alias("cluster_size"),
+        F.sum("n_chars").alias("total_bytes"),
+        F.sum(
+            F.when(F.col("id") == F.col("canonical_id"), F.col("n_chars"))
+            .otherwise(F.lit(0))
+        ).alias("kept_bytes"),
+    )
+    out = {
+        r["cluster_size"]: (r["total_bytes"], r["kept_bytes"])
+        for r in cl.collect()
+    }
+    assert out[3] == (330, 100)  # canonical is min id 1
+    assert out[2] == (110, 50)
