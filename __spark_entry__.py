@@ -3099,6 +3099,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ndcg_bm25": q_ndcg_bm25,
         "watermark_advisor": q_watermark_advisor,
         "dedup_savings": q_dedup_savings,
+        "turn_latency": q_turn_latency,
+        "route_preflight": q_route_preflight,
         "tool_chains": q_tool_chains,
         "burst_collapse": q_burst_collapse,
         "tail_sampling": q_tail_sampling,
@@ -4715,6 +4717,44 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{base}/snap1", f"{base}/snap2"
     )
     return schema_null_audit(merged)
+
+
+#: the proposed routes edit the preflight diffs against DEFAULT_ROUTES:
+#: wavefront retired, clicks promoted to influxdb, errors also to kafka
+_PROPOSED_ROUTES = [
+    ("r_console", "telemetry", ".*", "console", 100),
+    ("r_prometheus", "telemetry", ".*", "prometheus", 100),
+    ("r_influx_purchase", "telemetry", "^purchase.*", "influxdb", 10),
+    ("r_influx_errors", "telemetry", "^errors$", "influxdb", 10),
+    ("r_influx_clicks", "telemetry", "^clicks$", "influxdb", 10),
+    ("r_kafka_errors", "telemetry", "^errors$", "kafka", 10),
+]
+
+
+def q_route_preflight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Routing-config preflight: per-sink traffic under the CURRENT
+    topology vs a PROPOSED edit (wavefront retired, clicks promoted to
+    influxdb, errors mirrored to kafka), diffed in ONE routed pass —
+    what the edit would do to every sink's volume before it ships."""
+    from cernan_spark.operators.route import route_preflight
+    from cernan_spark.sources.dimensions import ROUTE_SCHEMA, default_routes
+
+    p = _parsed(spark, sf_dir).withColumn(
+        "match_kind_value", F.lit("telemetry")
+    )
+    proposed = spark.createDataFrame(_PROPOSED_ROUTES, ROUTE_SCHEMA)
+    return route_preflight(p, default_routes(spark), proposed)
+
+
+def q_turn_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assistant response-latency dashboard over the transcripts table:
+    exact integer-second delays of assistant turns answering user turns,
+    per TRIGGER tool (the user turn's tool), with exact rank-selected
+    medians — which interaction contexts make the assistant slow."""
+    from cernan_spark.operators.conversation import turn_latency
+
+    _utc(spark)
+    return turn_latency(transcripts_from_events(spark, sf_dir))
 
 
 def q_watermark_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8179,6 +8219,55 @@ def oracle_sql() -> dict[str, str]:
     from cernan_spark.operators.corpus import epoch_shuffle_oracle_sql
 
     d["epoch_shuffle"] = epoch_shuffle_oracle_sql(3, 20, "documents")
+    d["route_preflight"] = P + """, rts(v, name_mask, sink) AS (VALUES
+            ('cur', '.*', 'console'),
+            ('cur', '.*', 'wavefront'),
+            ('cur', '.*', 'prometheus'),
+            ('cur', '^purchase.*', 'influxdb'),
+            ('cur', '^errors$', 'influxdb'),
+            ('new', '.*', 'console'),
+            ('new', '.*', 'prometheus'),
+            ('new', '^purchase.*', 'influxdb'),
+            ('new', '^errors$', 'influxdb'),
+            ('new', '^clicks$', 'influxdb'),
+            ('new', '^errors$', 'kafka'))
+        SELECT r.sink,
+               CAST(sum(CASE WHEN r.v = 'cur' THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_current,
+               CAST(sum(CASE WHEN r.v = 'new' THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_proposed,
+               CAST(sum(CASE WHEN r.v = 'new' THEN 1 ELSE 0 END)
+                    - sum(CASE WHEN r.v = 'cur' THEN 1 ELSE 0 END) AS BIGINT)
+                 AS delta
+        FROM parsed p JOIN rts r ON regexp_matches(p.name, r.name_mask)
+        GROUP BY 1
+    """
+    d["turn_latency"] = P + """, lagged AS (
+            SELECT conv_id, turn_idx, role, tool,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS ep,
+                   lag(role) OVER w AS prev_role,
+                   lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w AS prev_ep,
+                   lag(tool) OVER w AS trigger_tool
+            FROM transcripts
+            WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+        ), resp AS (
+            SELECT trigger_tool, ep - prev_ep AS delay_s
+            FROM lagged WHERE role = 'assistant' AND prev_role = 'user'
+        ), ranked AS (
+            SELECT trigger_tool, delay_s,
+                   row_number() OVER (PARTITION BY trigger_tool
+                                      ORDER BY delay_s) AS rn,
+                   count(*) OVER (PARTITION BY trigger_tool) AS n
+            FROM resp
+        )
+        SELECT trigger_tool, CAST(max(n) AS BIGINT) AS n_responses,
+               CAST(sum(delay_s) AS DOUBLE) / CAST(max(n) AS DOUBLE)
+                 AS mean_delay_s,
+               max(CASE WHEN rn = (n + 1) // 2 THEN delay_s END)
+                 AS p50_delay_s,
+               max(delay_s) AS max_delay_s
+        FROM ranked GROUP BY 1
+    """
     d["dedup_savings"] = (
         "WITH g AS (SELECT * FROM ("
         + d["dedup_groups"]

@@ -794,3 +794,63 @@ def preference_length_bias(
         "n_close",
         "n_close_chosen_longer",
     )
+
+
+def turn_latency(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    ts_col: str = "ts",
+    tool_col: str = "tool",
+) -> DataFrame:
+    """Assistant response-latency profile: for every assistant turn
+    whose immediate predecessor (by ``idx_col``) is a user turn, the
+    response delay in exact integer seconds, rolled up per TRIGGER tool
+    (the tool of the user turn it answers) as count / mean / exact
+    rank-selected median / max. The conversational twin of a service
+    latency dashboard — which interaction contexts make the assistant
+    slow.
+
+    Plan: ONE conv-grain window (lag over (conv, idx)) then ONE
+    tool-grain aggregate pair; the median is an exact rank selection
+    (rank window + conditional max), never a sort-based percentile over
+    the corpus. Every double is a single division of exact integers.
+    """
+    w = W.partitionBy(conv_col).orderBy(idx_col)
+    ep = F.unix_timestamp(F.col(ts_col))
+    base = df.select(
+        F.col(conv_col),
+        F.col(idx_col),
+        F.col(role_col),
+        ep.alias("ep"),
+        F.lag(F.col(role_col)).over(w).alias("prev_role"),
+        F.lag(ep).over(w).alias("prev_ep"),
+        F.lag(F.col(tool_col)).over(w).alias("trigger_tool"),
+    )
+    resp = base.filter(
+        (F.col(role_col) == "assistant") & (F.col("prev_role") == "user")
+    ).select(
+        "trigger_tool", (F.col("ep") - F.col("prev_ep")).alias("delay_s")
+    )
+    wr = W.partitionBy("trigger_tool").orderBy(
+        F.col("delay_s").asc()
+    )
+    wk = W.partitionBy("trigger_tool")
+    ranked = resp.select(
+        "trigger_tool",
+        "delay_s",
+        F.row_number().over(wr).alias("_rn"),
+        F.count(F.lit(1)).over(wk).alias("_n"),
+    )
+    med_rank = F.floor((F.col("_n") + 1) / 2).cast("long")
+    return ranked.groupBy("trigger_tool").agg(
+        F.max("_n").alias("n_responses"),
+        (
+            F.sum("delay_s").cast("double") / F.max("_n").cast("double")
+        ).alias("mean_delay_s"),
+        F.max(F.when(F.col("_rn") == med_rank, F.col("delay_s"))).alias(
+            "p50_delay_s"
+        ),
+        F.max("delay_s").alias("max_delay_s"),
+    )

@@ -83,3 +83,58 @@ def validate_routes(routes: DataFrame, known_sinks=KNOWN_SINKS) -> None:
             "unable to fulfill configured forward(s): "
             + ", ".join(f"=> {s}" for s in dangling)
         )
+
+
+def route_preflight(
+    df: DataFrame,
+    routes_current: DataFrame,
+    routes_proposed: DataFrame,
+    kind_col: str = "match_kind_value",
+    name_col: str = "name",
+) -> DataFrame:
+    """Config-change preflight: per-sink routed-row counts under the
+    CURRENT topology vs a PROPOSED one, in ONE pass — the diff an
+    operator reads before shipping a routes edit (the reference aborts
+    on a dangling forward at startup, cernan.rs:406-420; this answers
+    the next question: what would the edit DO to traffic?).
+
+    Both route sets broadcast with a version tag, so the fan-out join
+    runs once over the stream and the diff is a sink-grain pivot —
+    at 100 TB the preflight costs one routed pass, not two.
+    """
+    tagged = routes_current.select(
+        F.lit("cur").alias("_v"), "rule_id", "match_kind", "name_mask", "sink"
+    ).unionByName(
+        routes_proposed.select(
+            F.lit("new").alias("_v"),
+            "rule_id",
+            "match_kind",
+            "name_mask",
+            "sink",
+        )
+    )
+    r = F.broadcast(
+        tagged.select(
+            "_v",
+            F.col("match_kind").alias("_mk"),
+            F.col("name_mask").alias("_mask"),
+            "sink",
+        )
+    )
+    cond = (F.col(kind_col) == F.col("_mk")) & F.regexp_like(
+        F.col(name_col), F.col("_mask")
+    )
+    hits = df.join(r, cond, "inner")
+    return (
+        hits.groupBy("sink")
+        .agg(
+            F.sum((F.col("_v") == "cur").cast("long")).alias("n_current"),
+            F.sum((F.col("_v") == "new").cast("long")).alias("n_proposed"),
+        )
+        .select(
+            "sink",
+            "n_current",
+            "n_proposed",
+            (F.col("n_proposed") - F.col("n_current")).alias("delta"),
+        )
+    )

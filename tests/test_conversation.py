@@ -250,3 +250,37 @@ def test_preference_length_bias_hand_model(spark):
     assert row["avg_len_delta"] == 47.5
     # |100-200|*10 > 200 (not close); |100-105|*10=50 <= 105 (close)
     assert row["n_close"] == 1 and row["n_close_chosen_longer"] == 0
+
+
+def test_turn_latency_hand_model(spark):
+    """conv: user(grep)@0 -> assistant@7, user(read)@10 -> assistant@13,
+    tool->assistant@20 ignored (prev not user). Delays: grep [7],
+    read [3]."""
+    import datetime as dt
+
+    from cernan_spark.operators.conversation import turn_latency
+
+    t0 = dt.datetime(2026, 1, 1)
+
+    def row(idx, role, tool, sec):
+        return ("c1", idx, role, f"t{idx}", tool, t0 + dt.timedelta(seconds=sec))
+
+    df = spark.createDataFrame(
+        [
+            row(0, "user", "grep", 0),
+            row(1, "assistant", "search", 7),
+            row(2, "user", "read", 10),
+            row(3, "assistant", "search", 13),
+            row(4, "tool", "bash", 15),
+            row(5, "assistant", "search", 20),
+        ],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    got = {
+        r["trigger_tool"]: (
+            r["n_responses"], r["mean_delay_s"], r["p50_delay_s"], r["max_delay_s"]
+        )
+        for r in turn_latency(df).collect()
+    }
+    assert got == {"grep": (1, 7.0, 7, 7), "read": (1, 3.0, 3, 3)}

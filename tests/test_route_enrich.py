@@ -283,3 +283,39 @@ def test_internal_telemetry_delay_reject_with_threshold(spark):
     rej = m["cernan.filters.delay.telemetry.reject"]
     assert rej > 0  # the 24h-slot generator has events outside 1h of max
     assert acc + rej == out["telemetry_unfiltered"].count()
+
+
+def test_route_preflight_single_pass_diff(spark):
+    """Retiring a catch-all sink shows a full-volume negative delta;
+    adding a narrow rule shows exactly its match count; untouched sinks
+    diff to zero."""
+    from pyspark.sql import functions as F
+
+    from cernan_spark.operators.route import route_preflight
+    from cernan_spark.sources.dimensions import ROUTE_SCHEMA
+
+    p = spark.createDataFrame(
+        [("clicks",), ("clicks",), ("errors",), ("views",)],
+        "name string",
+    ).withColumn("match_kind_value", F.lit("telemetry"))
+    cur = spark.createDataFrame(
+        [
+            ("a", "telemetry", ".*", "console", 1),
+            ("b", "telemetry", ".*", "wavefront", 1),
+        ],
+        ROUTE_SCHEMA,
+    )
+    new = spark.createDataFrame(
+        [
+            ("a", "telemetry", ".*", "console", 1),
+            ("c", "telemetry", "^errors$", "kafka", 1),
+        ],
+        ROUTE_SCHEMA,
+    )
+    got = {
+        r["sink"]: (r["n_current"], r["n_proposed"], r["delta"])
+        for r in route_preflight(p, cur, new).collect()
+    }
+    assert got["console"] == (4, 4, 0)
+    assert got["wavefront"] == (4, 0, -4)
+    assert got["kafka"] == (0, 1, 1)
