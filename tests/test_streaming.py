@@ -514,3 +514,61 @@ def test_stream_stream_interval_join_cross_batch(spark, tmp_path):
     q.awaitTermination()
     got = [(r.view_id, r.conv_id) for r in spark.table(name).collect()]
     assert got == [(10, 11)]
+
+
+def test_drop_duplicates_within_watermark_builtin(spark, tmp_path):
+    """Spark's BUILT-IN bounded-state dedup (dropDuplicatesWithinWatermark)
+    — the prefer-built-in twin of streaming_exact_dedup: a duplicate key
+    arriving within the watermark horizon is suppressed; one arriving
+    after the state for its key has aged out (event time far beyond the
+    watermark) is emitted AGAIN. That re-emission is exactly the bounded
+    -state tradeoff the custom first-seen fold avoids by keeping state
+    forever — this test pins the boundary between the two."""
+    import glob
+    import os
+    import uuid
+
+    # batch 0: keys a,b at t=0s; batch 1: dup 'a' at t=5s (inside the 10s
+    # watermark -> suppressed). batch 2 ('c' at t=10000s) advances the
+    # watermark; dedup lookups happen BEFORE eviction within a batch, so
+    # the 'a' in batch 3 is still suppressed while batch 3's END evicts
+    # the aged state — only the 'a' in batch 4 is emitted again.
+    rows = [
+        (0, [("a", 0), ("b", 0)]),
+        (1, [("a", 5)]),
+        (2, [("c", 10_000)]),
+        (3, [("a", 10_001)]),
+        (4, [("a", 10_002)]),
+    ]
+    d = str(tmp_path / "wm_dedup_stream")
+    stamped: set[str] = set()
+    for part, batch in rows:
+        spark.createDataFrame(
+            [(k, 1_700_000_000 + s) for k, s in batch], "k string, sec long"
+        ).coalesce(1).write.mode("append").parquet(d)
+        for f in glob.glob(f"{d}/part-*.parquet"):
+            if f not in stamped:
+                os.utime(f, (1_700_000_000 + part, 1_700_000_000 + part))
+                stamped.add(f)
+
+    qname = f"wmdedup_{uuid.uuid4().hex[:8]}"
+    stream = (
+        spark.readStream.schema("k string, sec long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+        .select("k", F.timestamp_seconds("sec").alias("ts"))
+        .withWatermark("ts", "10 seconds")
+        .dropDuplicatesWithinWatermark(["k"])
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(qname)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = [(r["k"], r["ts"]) for r in spark.sql(f"SELECT * FROM {qname}").collect()]
+    ks = sorted(r[0] for r in got)
+    # a (first), b, c, and a AGAIN after its state aged out = 4 rows
+    assert ks == ["a", "a", "b", "c"], got
