@@ -373,3 +373,42 @@ def test_aqe_splits_skewed_join_partition(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_bpe_pairs_explodes_vocab_not_corpus(spark):
+    """The Sennrich property as a plan fact: pair explosion must hang off
+    the (vocab-sized) word-count AGGREGATE, not off the corpus scan —
+    exactly two exchanges (word count, pair count) and the generator
+    sits above the first hash aggregate."""
+    import re
+
+    from cernan_spark.operators.textstats import bpe_pair_counts
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _final_plan(bpe_pair_counts(d, top_k=10))
+    # exchanges: word-grain, pair-grain, and the final top-k single
+    # partition gather — but never a corpus-grain wide shuffle
+    n_hash_ex = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_hash_ex == 2, plan[:1200]
+    # the explode (Generate) consumes the aggregate, not the file scan:
+    # in the linearized plan the first HashAggregate appears BELOW
+    # (later in text than) the Generate that feeds the pair count
+    gen = plan.index("Generate explode")
+    assert "HashAggregate" in plan[gen:], "explode must sit above the word-count aggregate"
+
+
+def test_event_pattern_single_exchange(spark):
+    """The per-user sequence build is ONE hash exchange on user_id; the
+    regex scoring is a narrow map above it (no window, no second
+    shuffle)."""
+    import re
+
+    from cernan_spark.operators.behavior import event_pattern_match
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    out = event_pattern_match(
+        ev, {"click": "c", "view": "v", "purchase": "p"}, "c[cv]*p"
+    )
+    plan = _final_plan(out)
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan[:1200]
+    assert "Window" not in plan
