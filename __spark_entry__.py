@@ -3101,6 +3101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_savings": q_dedup_savings,
         "turn_latency": q_turn_latency,
         "route_preflight": q_route_preflight,
+        "neg_sampling": q_neg_sampling,
         "tool_chains": q_tool_chains,
         "burst_collapse": q_burst_collapse,
         "tail_sampling": q_tail_sampling,
@@ -4717,6 +4718,18 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{base}/snap1", f"{base}/snap2"
     )
     return schema_null_audit(merged)
+
+
+def q_neg_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """word2vec negative-sampling distribution over the top-100 corpus
+    vocabulary: P(tok) proportional to count^(3/4), computed as
+    sqrt(cnt*sqrt(cnt)) so every weight is an IEEE-exact double (no
+    libm pow), with the raw share, the smoothing boost and the integer
+    draw allocation under 10k samples."""
+    from cernan_spark.operators.corpus import negative_sampling_weights
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return negative_sampling_weights(d)
 
 
 #: the proposed routes edit the preflight diffs against DEFAULT_ROUTES:
@@ -8219,6 +8232,9 @@ def oracle_sql() -> dict[str, str]:
     from cernan_spark.operators.corpus import epoch_shuffle_oracle_sql
 
     d["epoch_shuffle"] = epoch_shuffle_oracle_sql(3, 20, "documents")
+    from cernan_spark.operators.corpus import negative_sampling_oracle_sql
+
+    d["neg_sampling"] = negative_sampling_oracle_sql("documents")
     d["route_preflight"] = P + """, rts(v, name_mask, sink) AS (VALUES
             ('cur', '.*', 'console'),
             ('cur', '.*', 'wavefront'),

@@ -1912,3 +1912,89 @@ def ndcg_at_k(
         F.round("idcg", 6).alias("idcg"),
         F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg"),
     )
+
+
+# ---------------------------------------------------------------------------
+# negative-sampling distribution (word2vec count^0.75 smoothing)
+# ---------------------------------------------------------------------------
+
+
+def negative_sampling_weights(
+    df: DataFrame,
+    text_col: str = "text",
+    vocab_k: int = 100,
+    n_draws: int = 10_000,
+) -> DataFrame:
+    """The word2vec negative-sampling distribution over the top-K
+    vocabulary: P(tok) ∝ count^0.75 — the smoothing that keeps frequent
+    tokens from dominating the negatives. The 3/4 power is computed as
+    ``sqrt(cnt · sqrt(cnt))``: both sqrts are CORRECTLY ROUNDED under
+    IEEE-754 and the multiply is one deterministic IEEE op, so every
+    weight is bit-identical in any compliant engine — no libm ``pow``
+    whose rounding varies. Shares fold in pinned (count desc, token)
+    order over the K-row vocab; alloc is the integer draw count under
+    ``n_draws`` samples.
+
+    Plan: ONE corpus-grain token count; everything after is K rows.
+    """
+    toks = df.select(F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+    vocab = (
+        toks.filter(F.length("tok") > 0)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("tok"))
+        .limit(vocab_k)
+    )
+    cd = F.col("cnt").cast("double")
+    w = F.sqrt(cd * F.sqrt(cd))
+    weighted = vocab.select("tok", "cnt", w.alias("w"))
+    tot = weighted.agg(
+        F.sum("cnt").alias("n_total"),
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct((-F.col("cnt")).alias("_negc"), "tok", "w"))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["w"],
+        ).alias("w_total"),
+    )
+    share_raw = F.col("cnt").cast("double") / F.col("n_total").cast("double")
+    share = F.col("w") / F.col("w_total")
+    return weighted.crossJoin(F.broadcast(tot)).select(
+        "tok",
+        "cnt",
+        share_raw.alias("share_raw"),
+        share.alias("share_smooth"),
+        (share / share_raw).alias("boost"),
+        F.floor(share * F.lit(float(n_draws))).cast("long").alias("alloc_draws"),
+    )
+
+
+def negative_sampling_oracle_sql(
+    table: str = "documents", vocab_k: int = 100, n_draws: int = 10_000
+) -> str:
+    """DuckDB twin of :func:`negative_sampling_weights` (same nested-sqrt
+    3/4 power, same pinned fold order)."""
+    return f"""
+        WITH toks AS (
+            SELECT unnest(string_split(text, ' ')) AS tok FROM {table}
+        ), vocab AS (
+            SELECT tok, count(*) AS cnt FROM toks WHERE length(tok) > 0
+            GROUP BY 1 ORDER BY cnt DESC, tok LIMIT {vocab_k}
+        ), weighted AS (
+            SELECT tok, cnt,
+                   sqrt(CAST(cnt AS DOUBLE) * sqrt(CAST(cnt AS DOUBLE))) AS w
+            FROM vocab
+        ), tot AS (
+            SELECT sum(cnt) AS n_total,
+                   list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                     list(w ORDER BY -cnt, tok)), (a, v) -> a + v) AS w_total
+            FROM weighted
+        )
+        SELECT tok, CAST(cnt AS BIGINT) AS cnt,
+               CAST(cnt AS DOUBLE) / CAST(n_total AS DOUBLE) AS share_raw,
+               w / w_total AS share_smooth,
+               (w / w_total) / (CAST(cnt AS DOUBLE) / CAST(n_total AS DOUBLE))
+                 AS boost,
+               CAST(floor(w / w_total * {float(n_draws)}) AS BIGINT)
+                 AS alloc_draws
+        FROM weighted CROSS JOIN tot
+    """

@@ -381,3 +381,23 @@ def test_ndcg_hand_model(spark):
     want_dcg = 2 / math.log(2) + 3 / math.log(3) + 1 / math.log(4)
     assert abs(r2["dcg"] - round(want_dcg, 6)) < 1e-9
     assert r2["idcg"] == r["idcg"] and r2["ndcg"] < 1.0
+
+
+def test_negative_sampling_smoothing_direction(spark):
+    """count^0.75 boosts rare tokens (>1) and damps frequent ones (<1);
+    weights equal the exact nested-sqrt arithmetic; alloc sums <= draws."""
+    import math
+
+    from cernan_spark.operators.corpus import negative_sampling_weights
+
+    text = " ".join(["common"] * 81 + ["rare"] * 16)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = {r["tok"]: r for r in negative_sampling_weights(df).collect()}
+    w_c, w_r = math.sqrt(81 * math.sqrt(81)), math.sqrt(16 * math.sqrt(16))
+    tot = w_c + w_r
+    assert got["common"]["share_smooth"] == w_c / tot
+    assert got["rare"]["share_smooth"] == w_r / tot
+    assert got["common"]["boost"] < 1 < got["rare"]["boost"]
+    assert (
+        got["common"]["alloc_draws"] + got["rare"]["alloc_draws"] <= 10_000
+    )
