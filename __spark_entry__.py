@@ -3102,6 +3102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "turn_latency": q_turn_latency,
         "route_preflight": q_route_preflight,
         "neg_sampling": q_neg_sampling,
+        "hll_hourly": q_hll_hourly,
         "tool_chains": q_tool_chains,
         "burst_collapse": q_burst_collapse,
         "tail_sampling": q_tail_sampling,
@@ -4718,6 +4719,23 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{base}/snap1", f"{base}/snap2"
     )
     return schema_null_audit(merged)
+
+
+def q_hll_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per hour as a MERGEABLE sketch: the portable HLL
+    keyed by the event hour — the shape a 100 TB dashboard keeps
+    (per-window register states union across ingest shards, estimates
+    re-derived at read), value-checked register-for-register by the
+    SQL replay."""
+    from cernan_spark.operators.corpus import hll_distinct
+
+    _utc(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    keyed = ev.select(
+        (F.unix_timestamp("ts") / 3600).cast("long").alias("hour"),
+        F.col("user_id").cast("string").alias("uid"),
+    )
+    return hll_distinct(keyed, ["hour"], F.col("uid"), name="users")
 
 
 def q_neg_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8235,6 +8253,13 @@ def oracle_sql() -> dict[str, str]:
     from cernan_spark.operators.corpus import negative_sampling_oracle_sql
 
     d["neg_sampling"] = negative_sampling_oracle_sql("documents")
+    d["hll_hourly"] = hll_oracle_sql(
+        "(CAST(floor(epoch(ts)) AS BIGINT) // 3600)",
+        "CAST(user_id AS VARCHAR)",
+        "events",
+        name="users",
+        group_out="hour",
+    )
     d["route_preflight"] = P + """, rts(v, name_mask, sink) AS (VALUES
             ('cur', '.*', 'console'),
             ('cur', '.*', 'wavefront'),
