@@ -3103,6 +3103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "route_preflight": q_route_preflight,
         "neg_sampling": q_neg_sampling,
         "hll_hourly": q_hll_hourly,
+        "kmv_resume": q_kmv_resume,
         "tool_chains": q_tool_chains,
         "burst_collapse": q_burst_collapse,
         "tail_sampling": q_tail_sampling,
@@ -4719,6 +4720,27 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{base}/snap1", f"{base}/snap2"
     )
     return schema_null_audit(merged)
+
+
+def q_kmv_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-token sketch, resumed across
+    ingest shards: per-shard 64-minima persisted, union re-min'd, the
+    estimate re-derived — identical to one pass BY ALGEBRA (min-k is
+    idempotent/commutative/associative on sets), the order-statistics
+    cousin of hll_resume. The oracle replays the one-pass sketch; the
+    full 64-value state string is hash-checked, not just the
+    estimate."""
+    from cernan_spark.operators.sketch import kmv_merge, kmv_minima
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.length("tok") > 0)
+    shards = [
+        kmv_minima(toks.filter(F.col("doc_id") % 3 == i), F.col("tok"))
+        for i in range(3)
+    ]
+    return kmv_merge(shards)
 
 
 def q_hll_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8253,6 +8275,28 @@ def oracle_sql() -> dict[str, str]:
     from cernan_spark.operators.corpus import negative_sampling_oracle_sql
 
     d["neg_sampling"] = negative_sampling_oracle_sql("documents")
+    from cernan_spark.functions.porthash import portable_hash_sql as _phs
+    from cernan_spark.operators.corpus import fmix32_sql as _fm
+
+    _kmv_h = _fm(_phs("tok"))
+    d["kmv_resume"] = f"""
+        WITH toks AS (
+            SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+        ), hashes AS (
+            SELECT DISTINCT {_kmv_h} AS h
+            FROM toks WHERE length(tok) > 0
+        ), mins AS (SELECT h FROM hashes ORDER BY h LIMIT 64)
+        SELECT CAST(count(*) AS BIGINT) AS k_actual,
+               max(h) AS kth_min,
+               round(CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+                          ELSE CAST((count(*) - 1) * 4294967296 AS DOUBLE)
+                               / CAST(max(h) AS DOUBLE) END, 4)
+                 AS est_distinct,
+               list_aggr(list_transform(list_sort(list(h)),
+                         x -> CAST(x AS VARCHAR)), 'string_agg', ',')
+                 AS minima
+        FROM mins
+    """
     d["hll_hourly"] = hll_oracle_sql(
         "(CAST(floor(epoch(ts)) AS BIGINT) // 3600)",
         "CAST(user_id AS VARCHAR)",

@@ -214,3 +214,69 @@ def staged_hash_list_sql(shingles_expr: str) -> str:
         + fmix32_sql(portable_hash_sql("s"))
         + ")"
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k minimum values) distinct sketch — the order-statistics cousin of HLL
+# ---------------------------------------------------------------------------
+
+_M32 = 1 << 32
+
+
+def kmv_minima(df: DataFrame, item_col: Column, k: int = 64) -> DataFrame:
+    """The sketch STATE: the k smallest distinct avalanche-mixed hashes
+    of the items (fmix32 over the portable polynomial hash — the raw
+    poly hash clusters sequential keys, which skews order statistics
+    exactly like it saturates HLL registers) — mergeable by
+    construction (the k smallest of a union are found inside the union
+    of per-shard k smallest), so shards persist k rows each and a
+    reader re-mins. orderBy().limit() is TakeOrdered: a per-partition
+    heap + driver merge, never a global sort."""
+    from cernan_spark.functions.porthash import portable_hash
+
+    return (
+        df.select(fmix32(portable_hash(item_col)).alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+    )
+
+
+def kmv_estimate(mins: DataFrame, k: int = 64) -> DataFrame:
+    """Fold the state into the KMV estimator: with the k-th smallest of
+    n distinct uniform hashes in [0, M), E[h_k] ≈ k·M/(n+1), so
+    n̂ = (k-1)·M/h_k (the standard unbiased KMV form). When fewer than
+    k distinct hashes exist the sketch IS the exact distinct set. One
+    division of exact integers; the joined minima string pins the whole
+    state in the gate."""
+    agg = mins.agg(
+        F.count(F.lit(1)).alias("k_actual"),
+        F.max("h").alias("kth_min"),
+        F.sort_array(F.collect_list("h")).alias("_mins"),
+    )
+    est = F.when(
+        F.col("k_actual") < k, F.col("k_actual").cast("double")
+    ).otherwise(
+        ((F.col("k_actual") - 1) * F.lit(_M32)).cast("double")
+        / F.col("kth_min").cast("double")
+    )
+    return agg.select(
+        "k_actual",
+        "kth_min",
+        F.round(est, 4).alias("est_distinct"),
+        F.array_join(
+            F.transform("_mins", lambda h: h.cast("string")), ","
+        ).alias("minima"),
+    )
+
+
+def kmv_merge(shards: list[DataFrame], k: int = 64) -> DataFrame:
+    """Union persisted per-shard minima, re-min, estimate — identical to
+    one pass over the union BY ALGEBRA (min-k is idempotent,
+    commutative, associative on sets)."""
+    merged = shards[0]
+    for s in shards[1:]:
+        merged = merged.unionByName(s)
+    return kmv_estimate(
+        merged.distinct().orderBy("h").limit(k), k
+    )

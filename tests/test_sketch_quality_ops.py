@@ -590,3 +590,35 @@ def test_bpe_pair_counts_hand_model(spark):
     assert got["w</w>"] == (2, 1)
     assert got["er"] == (1, 1)
     assert got["r</w>"] == (1, 1)
+
+
+def test_kmv_merge_identical_to_one_pass_and_estimates(spark):
+    """3-way shard merge reproduces the one-pass sketch exactly (state
+    string included); on >k distinct items the estimate lands within
+    3/sqrt(k) relative error of truth (the KMV bound at ~3 sigma)."""
+    from cernan_spark.operators.sketch import (
+        kmv_estimate,
+        kmv_merge,
+        kmv_minima,
+    )
+
+    items = spark.range(5000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("tok-"), (F.col("id") % 1200).cast("string")).alias(
+            "tok"
+        ),
+    )
+    one = kmv_estimate(kmv_minima(items, F.col("tok"))).collect()[0]
+    shards = [
+        kmv_minima(items.filter(F.col("doc_id") % 3 == i), F.col("tok"))
+        for i in range(3)
+    ]
+    merged = kmv_merge(shards).collect()[0]
+    assert tuple(merged) == tuple(one)
+    assert one["k_actual"] == 64
+    assert abs(one["est_distinct"] - 1200) / 1200 < 3 / (64 ** 0.5)
+    # under k distinct -> the sketch IS the exact set
+    small = kmv_estimate(
+        kmv_minima(items.filter(F.col("id") % 1200 < 10), F.col("tok"))
+    ).collect()[0]
+    assert small["k_actual"] == 10 and small["est_distinct"] == 10.0
