@@ -3104,6 +3104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neg_sampling": q_neg_sampling,
         "hll_hourly": q_hll_hourly,
         "kmv_resume": q_kmv_resume,
+        "partitioned_scan": q_partitioned_scan,
         "tool_chains": q_tool_chains,
         "burst_collapse": q_burst_collapse,
         "tail_sampling": q_tail_sampling,
@@ -4720,6 +4721,37 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{base}/snap1", f"{base}/snap2"
     )
     return schema_null_audit(merged)
+
+
+def q_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-layout round trip: events written ONCE partitioned by
+    day (the Iceberg-style layout, jar-free), read back with a
+    two-earliest-days filter that prunes at the directory level, and
+    rolled up per day — content proven identical to the oracle\'s
+    derivation from the flat table, so the partitioned write + pruned
+    scan path is value-checked, not just plan-checked
+    (tests/test_plan_shapes.py carries the dynamicpruning guard)."""
+    import tempfile
+
+    _utc(spark)
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"cernan_partscan_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if not os.path.isdir(base):
+        ev.withColumn("day", F.to_date("ts")).write.partitionBy(
+            "day"
+        ).mode("overwrite").parquet(base)
+    part = spark.read.parquet(base)
+    first = part.agg(F.min("day").alias("d0"))
+    sel = part.join(F.broadcast(first)).filter(
+        F.col("day") <= F.date_add(F.col("d0"), 1)
+    )
+    return sel.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
 
 
 def q_kmv_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8279,6 +8311,15 @@ def oracle_sql() -> dict[str, str]:
     from cernan_spark.operators.corpus import fmix32_sql as _fm
 
     _kmv_h = _fm(_phs("tok"))
+    d["partitioned_scan"] = """
+        WITH d0 AS (SELECT min(CAST(ts AS DATE)) AS d0 FROM events)
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(sum(value), 4) AS sum_value
+        FROM events
+        WHERE CAST(ts AS DATE) <= (SELECT d0 FROM d0) + INTERVAL 1 DAY
+        GROUP BY 1
+    """
     d["kmv_resume"] = f"""
         WITH toks AS (
             SELECT unnest(string_split(text, ' ')) AS tok FROM documents
