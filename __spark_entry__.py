@@ -3105,6 +3105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_hourly": q_hll_hourly,
         "kmv_resume": q_kmv_resume,
         "partitioned_scan": q_partitioned_scan,
+        "metric_trend": q_metric_trend,
         "tool_chains": q_tool_chains,
         "burst_collapse": q_burst_collapse,
         "tail_sampling": q_tail_sampling,
@@ -4721,6 +4722,26 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{base}/snap1", f"{base}/snap2"
     )
     return schema_null_audit(merged)
+
+
+def q_metric_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-metric drift direction: least-squares slope of value (cents)
+    over the hour index since span start, with intercept and R2 — the
+    closed form from five exact integer sums, ONE map-side-combined
+    aggregate, one division per output."""
+    from cernan_spark.operators.anomaly import metric_trend
+
+    _utc(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    mn = ev.agg(F.min(F.unix_timestamp("ts")).alias("mn"))
+    prep = ev.crossJoin(F.broadcast(mn)).select(
+        "event_type",
+        ((F.unix_timestamp("ts") - F.col("mn")) / 3600)
+        .cast("long")
+        .alias("x"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    return metric_trend(prep, ["event_type"], "x", "cents")
 
 
 def q_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8311,6 +8332,41 @@ def oracle_sql() -> dict[str, str]:
     from cernan_spark.operators.corpus import fmix32_sql as _fm
 
     _kmv_h = _fm(_phs("tok"))
+    d["metric_trend"] = """
+        WITH bnd AS (
+            SELECT CAST(floor(epoch(min(ts))) AS BIGINT) AS mn FROM events
+        ), prep AS (
+            SELECT event_type,
+                   (CAST(floor(epoch(ts)) AS BIGINT)
+                    - (SELECT mn FROM bnd)) // 3600 AS x,
+                   CAST(round(value * 100, 0) AS BIGINT) AS cents
+            FROM events
+        ), g AS (
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT) AS sx,
+                   CAST(sum(cents) AS BIGINT) AS sy,
+                   CAST(sum(x * cents) AS BIGINT) AS sxy,
+                   CAST(sum(x * x) AS BIGINT) AS sxx,
+                   CAST(sum(cents * cents) AS BIGINT) AS syy
+            FROM prep GROUP BY 1
+        )
+        SELECT event_type, n,
+               round(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE), 6)
+                 AS slope_cents_per_x,
+               round((CAST(sy AS DOUBLE)
+                      - (CAST(n * sxy - sx * sy AS DOUBLE)
+                         / CAST(n * sxx - sx * sx AS DOUBLE))
+                        * CAST(sx AS DOUBLE))
+                     / CAST(n AS DOUBLE), 6) AS intercept_cents,
+               round((CAST(n * sxy - sx * sy AS DOUBLE)
+                      * CAST(n * sxy - sx * sy AS DOUBLE))
+                     / (CAST(n * sxx - sx * sx AS DOUBLE)
+                        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+                 AS r2
+        FROM g
+    """
     d["partitioned_scan"] = """
         WITH d0 AS (SELECT min(CAST(ts AS DATE)) AS d0 FROM events)
         SELECT CAST(ts AS DATE) AS day,

@@ -576,3 +576,52 @@ def burstiness_profile(
             / (F.sum("_g").cast("double") * F.sum("_g").cast("double"))
         ).alias("cv2"),
     )
+
+
+def metric_trend(
+    df: DataFrame,
+    key_cols: list[str],
+    x_col: str,
+    cents_col: str,
+) -> DataFrame:
+    """Per-series least-squares trend: slope/intercept of value (cents)
+    over an integer time index, plus R² — the drift detector that says
+    WHICH direction a metric is moving and how much of its variance the
+    line explains. The closed form uses ONLY the five integer sums
+    (n, Σx, Σy, Σxy, Σx²[, Σy²]), so the slope is ONE division of exact
+    int64 products — bit-identical in any engine — and R²'s squared
+    term is evaluated in doubles built from those exact sums (int64
+    would overflow the square; the double product rounds identically
+    everywhere).
+
+    Plan: ONE map-side-combined aggregate over the stream; everything
+    after is series-grain arithmetic.
+    """
+    g = df.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col(x_col)).alias("sx"),
+        F.sum(F.col(cents_col)).alias("sy"),
+        F.sum(F.col(x_col) * F.col(cents_col)).alias("sxy"),
+        F.sum(F.col(x_col) * F.col(x_col)).alias("sxx"),
+        F.sum(F.col(cents_col) * F.col(cents_col)).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = num.cast("double") / den.cast("double")
+    intercept = (
+        F.col("sy").cast("double") - slope * F.col("sx").cast("double")
+    ) / F.col("n").cast("double")
+    deny = (
+        F.col("n").cast("double") * F.col("syy").cast("double")
+        - F.col("sy").cast("double") * F.col("sy").cast("double")
+    )
+    r2 = (num.cast("double") * num.cast("double")) / (
+        den.cast("double") * deny
+    )
+    return g.select(
+        *key_cols,
+        "n",
+        F.round(slope, 6).alias("slope_cents_per_x"),
+        F.round(intercept, 6).alias("intercept_cents"),
+        F.round(r2, 6).alias("r2"),
+    )

@@ -237,3 +237,21 @@ def test_rollup_tiers_rejects_non_nesting(spark):
                                "name string, kind string, epoch long, cents long")
     with pytest.raises(ValueError):
         rollup_tiers(df, ["name", "kind"], "epoch", "cents", tiers=(60, 90))
+
+
+def test_metric_trend_exact_line(spark):
+    """Two series exactly on lines (cents = 300x+500 and 1000-7x):
+    slope and intercept recovered exactly, r2 == 1 for both."""
+    from pyspark.sql import functions as F
+
+    from cernan_spark.operators.anomaly import metric_trend
+
+    rows = [("m", x, 300 * x + 500) for x in range(10)]
+    rows += [("w", x, 1000 - 7 * x) for x in range(10)]
+    df = spark.createDataFrame(rows, "k string, x long, cents long")
+    got = {r["k"]: r for r in metric_trend(df, ["k"], "x", "cents").collect()}
+    assert got["m"]["slope_cents_per_x"] == 300.0
+    assert got["m"]["intercept_cents"] == 500.0
+    assert got["m"]["r2"] == 1.0
+    assert got["w"]["slope_cents_per_x"] == -7.0
+    assert got["w"]["r2"] == 1.0
