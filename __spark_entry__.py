@@ -3106,6 +3106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_resume": q_kmv_resume,
         "partitioned_scan": q_partitioned_scan,
         "metric_trend": q_metric_trend,
+        "zipf_fit": q_zipf_fit,
         "tool_chains": q_tool_chains,
         "burst_collapse": q_burst_collapse,
         "tail_sampling": q_tail_sampling,
@@ -4722,6 +4723,18 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{base}/snap1", f"{base}/snap2"
     )
     return schema_null_audit(merged)
+
+
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-naturalness gate: the Zipf slope of ln(freq) vs ln(rank)
+    over the top-100 vocabulary with its R2 — natural text sits near
+    -1; templated or synthetic corpora flatten or kink the line. One
+    corpus token count; all fit arithmetic on 100 rows with pinned
+    folds."""
+    from cernan_spark.operators.textstats import zipf_fit
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return zipf_fit(d)
 
 
 def q_metric_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8332,6 +8345,9 @@ def oracle_sql() -> dict[str, str]:
     from cernan_spark.operators.corpus import fmix32_sql as _fm
 
     _kmv_h = _fm(_phs("tok"))
+    from cernan_spark.operators.textstats import zipf_fit_oracle_sql
+
+    d["zipf_fit"] = zipf_fit_oracle_sql("documents")
     d["metric_trend"] = """
         WITH bnd AS (
             SELECT CAST(floor(epoch(min(ts))) AS BIGINT) AS mn FROM events

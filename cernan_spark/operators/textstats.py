@@ -1117,3 +1117,112 @@ def template_drift_sql(text_expr: str, rel: str, ts_expr: str = "ts") -> str:
                END AS lift
         FROM g
     """
+
+
+def zipf_fit(
+    df: DataFrame, text_col: str = "text", vocab_k: int = 100
+) -> DataFrame:
+    """Zipf's-law fit over the top-K vocabulary: least-squares slope of
+    ln(freq) against ln(rank) — natural language sits near −1; a
+    synthetic or templated corpus shows up immediately as a flat or
+    kinked line, making this a one-row corpus-naturalness gate.
+
+    Float discipline: every ln argument is an exact integer (count,
+    rank); the five sums fold over the K-row frame in pinned rank order
+    (sort_array + aggregate ↔ list_reduce(ORDER BY rank)); slope and R²
+    are divisions of those folded doubles. Plan: ONE corpus token
+    count, a K-row TakeOrdered cut, then constant-size arithmetic.
+    """
+    toks = df.select(F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+    vocab = (
+        toks.filter(F.length("tok") > 0)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("tok"))
+        .limit(vocab_k)
+    )
+    from pyspark.sql import Window as W2
+
+    wr = W2.orderBy(F.col("cnt").desc(), F.col("tok").asc())
+    ranked = vocab.select(
+        "cnt", F.row_number().over(wr).alias("rank")
+    )  # K rows: the unpartitioned window sorts K rows, not the corpus
+    term = F.struct(
+        "rank",
+        F.log(F.col("rank").cast("double")).alias("lx"),
+        F.log(F.col("cnt").cast("double")).alias("ly"),
+    )
+    folded = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.aggregate(
+            F.sort_array(F.collect_list(term)), F.lit(0.0),
+            lambda a, s: a + s["lx"],
+        ).alias("sx"),
+        F.aggregate(
+            F.sort_array(F.collect_list(term)), F.lit(0.0),
+            lambda a, s: a + s["ly"],
+        ).alias("sy"),
+        F.aggregate(
+            F.sort_array(F.collect_list(term)), F.lit(0.0),
+            lambda a, s: a + s["lx"] * s["ly"],
+        ).alias("sxy"),
+        F.aggregate(
+            F.sort_array(F.collect_list(term)), F.lit(0.0),
+            lambda a, s: a + s["lx"] * s["lx"],
+        ).alias("sxx"),
+        F.aggregate(
+            F.sort_array(F.collect_list(term)), F.lit(0.0),
+            lambda a, s: a + s["ly"] * s["ly"],
+        ).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = n * F.col("syy") - F.col("sy") * F.col("sy")
+    return folded.select(
+        F.col("n").alias("n_ranks"),
+        F.round(num / den, 6).alias("zipf_slope"),
+        F.round((num * num) / (den * deny), 6).alias("r2"),
+    )
+
+
+def zipf_fit_oracle_sql(table: str = "documents", vocab_k: int = 100) -> str:
+    """DuckDB twin of :func:`zipf_fit` (same fold order, same shapes)."""
+    return f"""
+        WITH toks AS (
+            SELECT unnest(string_split(text, ' ')) AS tok FROM {table}
+        ), vocab AS (
+            SELECT tok, count(*) AS cnt FROM toks WHERE length(tok) > 0
+            GROUP BY 1 ORDER BY cnt DESC, tok LIMIT {vocab_k}
+        ), ranked AS (
+            SELECT cnt, row_number() OVER (ORDER BY cnt DESC, tok) AS rank
+            FROM vocab
+        ), folded AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   list_reduce(list_prepend(0.0,
+                     list(ln(CAST(rank AS DOUBLE)) ORDER BY rank)),
+                     (a, v) -> a + v) AS sx,
+                   list_reduce(list_prepend(0.0,
+                     list(ln(CAST(cnt AS DOUBLE)) ORDER BY rank)),
+                     (a, v) -> a + v) AS sy,
+                   list_reduce(list_prepend(0.0,
+                     list(ln(CAST(rank AS DOUBLE)) * ln(CAST(cnt AS DOUBLE))
+                          ORDER BY rank)), (a, v) -> a + v) AS sxy,
+                   list_reduce(list_prepend(0.0,
+                     list(ln(CAST(rank AS DOUBLE)) * ln(CAST(rank AS DOUBLE))
+                          ORDER BY rank)), (a, v) -> a + v) AS sxx,
+                   list_reduce(list_prepend(0.0,
+                     list(ln(CAST(cnt AS DOUBLE)) * ln(CAST(cnt AS DOUBLE))
+                          ORDER BY rank)), (a, v) -> a + v) AS syy
+            FROM ranked
+        )
+        SELECT n AS n_ranks,
+               round((CAST(n AS DOUBLE) * sxy - sx * sy)
+                     / (CAST(n AS DOUBLE) * sxx - sx * sx), 6)
+                 AS zipf_slope,
+               round(((CAST(n AS DOUBLE) * sxy - sx * sy)
+                      * (CAST(n AS DOUBLE) * sxy - sx * sy))
+                     / ((CAST(n AS DOUBLE) * sxx - sx * sx)
+                        * (CAST(n AS DOUBLE) * syy - sy * sy)), 6) AS r2
+        FROM folded
+    """

@@ -421,3 +421,28 @@ def test_template_drift_lifecycle(spark):
     assert s["status"] == "stable" and s["n_early"] == 1 and s["n_late"] == 1
     # shares: early 1/4, late 1/3 -> lift (1*4)/(1*3)
     assert abs(s["lift"] - 4 / 3) < 1e-15
+
+
+def test_zipf_fit_exact_power_law(spark):
+    """A corpus engineered so count(rank) = round(1000/rank) follows an
+    exact -1 power law in the large terms: the fitted slope lands near
+    -1 with high R2; a uniform corpus (all counts equal) fits slope 0."""
+    from cernan_spark.operators.textstats import zipf_fit
+
+    words = []
+    for r in range(1, 21):
+        words += [f"w{r:02d}"] * round(1000 / r)
+    df = spark.createDataFrame(
+        [(1, " ".join(words))], "doc_id long, text string"
+    )
+    row = zipf_fit(df, vocab_k=20).collect()[0]
+    assert row["n_ranks"] == 20
+    assert abs(row["zipf_slope"] + 1.0) < 0.01
+    assert row["r2"] > 0.999
+
+    flat = spark.createDataFrame(
+        [(1, " ".join([f"t{i}" for i in range(30)] * 3))],
+        "doc_id long, text string",
+    )
+    row2 = zipf_fit(flat, vocab_k=30).collect()[0]
+    assert row2["zipf_slope"] == 0.0
