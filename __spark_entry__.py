@@ -3107,6 +3107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partitioned_scan": q_partitioned_scan,
         "metric_trend": q_metric_trend,
         "zipf_fit": q_zipf_fit,
+        "lead_lag": q_lead_lag,
         "tool_chains": q_tool_chains,
         "burst_collapse": q_burst_collapse,
         "tail_sampling": q_tail_sampling,
@@ -4723,6 +4724,33 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{base}/snap1", f"{base}/snap2"
     )
     return schema_null_audit(merged)
+
+
+def q_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead/lag detection: Pearson r between the hourly click series and
+    the hourly error series shifted by lag 0..6 hours — 'do errors
+    follow click bursts, and by how long'. Exact integer hourly cent
+    rollups; one division by a correctly-rounded sqrt per lag."""
+    from cernan_spark.operators.anomaly import lag_correlation
+
+    _utc(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    mn = ev.agg(F.min(F.unix_timestamp("ts")).alias("mn"))
+    hourly = (
+        ev.crossJoin(F.broadcast(mn))
+        .select(
+            "event_type",
+            ((F.unix_timestamp("ts") - F.col("mn")) / 3600)
+            .cast("long")
+            .alias("h"),
+            F.round(F.col("value") * 100, 0).cast("long").alias("c"),
+        )
+        .groupBy("event_type", "h")
+        .agg(F.sum("c").alias("cents"))
+    )
+    clicks = hourly.filter(F.col("event_type") == "click").select("h", "cents")
+    errors = hourly.filter(F.col("event_type") == "error").select("h", "cents")
+    return lag_correlation(clicks, errors, max_lag=6)
 
 
 def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8348,6 +8376,43 @@ def oracle_sql() -> dict[str, str]:
     from cernan_spark.operators.textstats import zipf_fit_oracle_sql
 
     d["zipf_fit"] = zipf_fit_oracle_sql("documents")
+    d["lead_lag"] = """
+        WITH bnd AS (
+            SELECT CAST(floor(epoch(min(ts))) AS BIGINT) AS mn FROM events
+        ), hourly AS (
+            SELECT event_type,
+                   (CAST(floor(epoch(ts)) AS BIGINT)
+                    - (SELECT mn FROM bnd)) // 3600 AS h,
+                   CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                        AS BIGINT) AS cents
+            FROM events GROUP BY 1, 2
+        ), a AS (SELECT h AS ha, cents AS va FROM hourly
+                 WHERE event_type = 'click'),
+        b AS (SELECT h AS hb, cents AS vb FROM hourly
+              WHERE event_type = 'error'),
+        lags AS (SELECT unnest(range(0, 7)) AS lag),
+        j AS (
+            SELECT lag, va, vb
+            FROM a CROSS JOIN lags JOIN b ON hb = ha + lag
+        ), g AS (
+            SELECT lag, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(va) AS BIGINT) AS sa,
+                   CAST(sum(vb) AS BIGINT) AS sb,
+                   CAST(sum(va * vb) AS BIGINT) AS sab,
+                   CAST(sum(va * va) AS BIGINT) AS saa,
+                   CAST(sum(vb * vb) AS BIGINT) AS sbb
+            FROM j GROUP BY 1
+        )
+        SELECT CAST(lag AS INTEGER) AS lag, n AS n_hours,
+               round((CAST(n AS DOUBLE) * CAST(sab AS DOUBLE)
+                      - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+                     / sqrt((CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+                             - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+                            * (CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
+                               - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))),
+                     6) AS pearson_r
+        FROM g
+    """
     d["metric_trend"] = """
         WITH bnd AS (
             SELECT CAST(floor(epoch(min(ts))) AS BIGINT) AS mn FROM events

@@ -625,3 +625,55 @@ def metric_trend(
         F.round(intercept, 6).alias("intercept_cents"),
         F.round(r2, 6).alias("r2"),
     )
+
+
+def lag_correlation(
+    a: DataFrame,
+    b: DataFrame,
+    max_lag: int = 6,
+    h_col: str = "h",
+    v_col: str = "cents",
+) -> DataFrame:
+    """Lead/lag detection between two metric series: Pearson r between
+    A(h) and B(h + lag) for lag 0..max_lag — the diagnostic that says
+    'errors follow clicks by 2 hours', which a same-bin correlation
+    (metric_corr) cannot see. Inputs are hourly integer-cent rollups,
+    so the per-lag sums are exact int64; the final r divides a
+    double-exact numerator by the correctly-rounded sqrt of a double
+    product — bit-identical cross-engine.
+
+    Plan: both series are hours-sized rollups (ONE corpus aggregate
+    upstream of this function); the lag explosion and joins run on
+    frames of |hours|·lags rows.
+    """
+    lags = F.explode(
+        F.sequence(F.lit(0), F.lit(max_lag))
+    ).alias("lag")
+    left = a.select(F.col(h_col).alias("ha"), F.col(v_col).alias("va")).select(
+        "*", lags
+    )
+    right = b.select(F.col(h_col).alias("hb"), F.col(v_col).alias("vb"))
+    j = left.join(right, F.col("hb") == F.col("ha") + F.col("lag"))
+    g = j.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("va").alias("sa"),
+        F.sum("vb").alias("sb"),
+        F.sum(F.col("va") * F.col("vb")).alias("sab"),
+        F.sum(F.col("va") * F.col("va")).alias("saa"),
+        F.sum(F.col("vb") * F.col("vb")).alias("sbb"),
+    )
+    n = F.col("n").cast("double")
+    num = n * F.col("sab").cast("double") - F.col("sa").cast(
+        "double"
+    ) * F.col("sb").cast("double")
+    da = n * F.col("saa").cast("double") - F.col("sa").cast(
+        "double"
+    ) * F.col("sa").cast("double")
+    db = n * F.col("sbb").cast("double") - F.col("sb").cast(
+        "double"
+    ) * F.col("sb").cast("double")
+    return g.select(
+        "lag",
+        F.col("n").alias("n_hours"),
+        F.round(num / F.sqrt(da * db), 6).alias("pearson_r"),
+    )

@@ -255,3 +255,23 @@ def test_metric_trend_exact_line(spark):
     assert got["m"]["r2"] == 1.0
     assert got["w"]["slope_cents_per_x"] == -7.0
     assert got["w"]["r2"] == 1.0
+
+
+def test_lag_correlation_finds_planted_lead(spark):
+    """B is A shifted by exactly 2 hours (plus a constant): the lag-2
+    correlation is exactly 1.0 and every other lag is strictly lower."""
+    from pyspark.sql import functions as F
+
+    from cernan_spark.operators.anomaly import lag_correlation
+
+    vals = [100, 400, 900, 1600, 400, 2500, 100, 3600, 900, 4900,
+            1600, 100, 2500, 3600, 400, 4900, 900, 100, 1600, 2500]
+    a = spark.createDataFrame(
+        [(h, v) for h, v in enumerate(vals)], "h long, cents long"
+    )
+    b = spark.createDataFrame(
+        [(h + 2, v + 50) for h, v in enumerate(vals)], "h long, cents long"
+    )
+    got = {r["lag"]: r["pearson_r"] for r in lag_correlation(a, b, 6).collect()}
+    assert got[2] == 1.0
+    assert all(got[l] < 1.0 for l in got if l != 2)
