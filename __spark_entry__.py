@@ -3108,6 +3108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metric_trend": q_metric_trend,
         "zipf_fit": q_zipf_fit,
         "lead_lag": q_lead_lag,
+        "bot_profile": q_bot_profile,
         "tool_chains": q_tool_chains,
         "burst_collapse": q_burst_collapse,
         "tail_sampling": q_tail_sampling,
@@ -4724,6 +4725,32 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{base}/snap1", f"{base}/snap2"
     )
     return schema_null_audit(merged)
+
+
+def q_bot_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bot-likeness profiles: behavioral entropy of each user's
+    event-type mix plus inter-arrival regularity (gap CV), with a
+    seeded metronomic single-action user (one event type, exact 60 s
+    cadence) that MUST flag bot_like while organic users do not."""
+    from cernan_spark.operators.behavior import user_behavior_profile
+
+    _utc(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    mn = ev.agg(F.min(F.unix_timestamp("ts")).alias("mn"))
+    bot = (
+        spark.range(50)
+        .crossJoin(F.broadcast(mn))
+        .select(
+            (F.col("id") + 10_000_000).alias("event_id"),
+            F.timestamp_seconds(F.col("mn") + F.col("id") * 60).alias("ts"),
+            F.lit(999_999).cast("long").alias("user_id"),
+            F.lit("click").alias("event_type"),
+        )
+    )
+    corpus = ev.select("event_id", "ts", "user_id", "event_type").unionByName(
+        bot
+    )
+    return user_behavior_profile(corpus)
 
 
 def q_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8376,6 +8403,55 @@ def oracle_sql() -> dict[str, str]:
     from cernan_spark.operators.textstats import zipf_fit_oracle_sql
 
     d["zipf_fit"] = zipf_fit_oracle_sql("documents")
+    d["bot_profile"] = """
+        WITH bnd AS (
+            SELECT CAST(floor(epoch(min(ts))) AS BIGINT) AS mn FROM events
+        ), corpus AS (
+            SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ep,
+                   user_id, event_type
+            FROM events
+            UNION ALL
+            SELECT 10000000 + i, (SELECT mn FROM bnd) + i * 60,
+                   999999, 'click'
+            FROM (SELECT unnest(range(0, 50)) AS i)
+        ), tc AS (
+            SELECT user_id AS u, event_type AS t, count(*) AS c
+            FROM corpus GROUP BY 1, 2
+        ), ent AS (
+            SELECT u, CAST(sum(c) AS BIGINT) AS n_events,
+                   CAST(count(*) AS BIGINT) AS n_types,
+                   list_reduce(list_prepend(0.0,
+                     list(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))
+                          ORDER BY t)), (a, v) -> a + v) AS clnc
+            FROM tc GROUP BY 1
+        ), lagged AS (
+            SELECT u, g FROM (
+                SELECT user_id AS u,
+                       ep - lag(ep) OVER (PARTITION BY user_id
+                                          ORDER BY event_id) AS g
+                FROM corpus
+            ) WHERE g IS NOT NULL
+        ), gaps AS (
+            SELECT u, CAST(count(*) AS BIGINT) AS ng,
+                   CAST(sum(g) AS BIGINT) AS sg,
+                   CAST(sum(g * g) AS BIGINT) AS sgg
+            FROM lagged GROUP BY 1
+        )
+        SELECT e.u AS user_id, e.n_events, e.n_types,
+               round(ln(CAST(e.n_events AS DOUBLE))
+                     - e.clnc / CAST(e.n_events AS DOUBLE), 6)
+                 AS type_entropy,
+               round(sqrt(CAST(g.ng AS DOUBLE) * CAST(g.sgg AS DOUBLE)
+                          - CAST(g.sg AS DOUBLE) * CAST(g.sg AS DOUBLE))
+                     / CAST(g.sg AS DOUBLE), 6) AS gap_cv,
+               (ln(CAST(e.n_events AS DOUBLE))
+                - e.clnc / CAST(e.n_events AS DOUBLE)) < 0.5
+               AND sqrt(CAST(g.ng AS DOUBLE) * CAST(g.sgg AS DOUBLE)
+                        - CAST(g.sg AS DOUBLE) * CAST(g.sg AS DOUBLE))
+                   / CAST(g.sg AS DOUBLE) < 0.1 AS bot_like
+        FROM ent e JOIN gaps g ON g.u = e.u
+        WHERE e.n_events >= 20
+    """
     d["lead_lag"] = """
         WITH bnd AS (
             SELECT CAST(floor(epoch(min(ts))) AS BIGINT) AS mn FROM events

@@ -302,3 +302,71 @@ def event_pattern_oracle_sql(
                regexp_extract(seq, '{pattern}') AS first_match
         FROM seqs
     """
+
+
+def user_behavior_profile(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    order_col: str = "event_id",
+    ts_col: str = "ts",
+    min_events: int = 20,
+) -> DataFrame:
+    """Bot-likeness profile per user: (1) behavioral entropy of the
+    event-type mix — a scripted client hammers one action, a human
+    wanders — and (2) the coefficient of variation of inter-arrival
+    gaps — a cron fires metronomically, a human is bursty. Both from
+    exact integer sums: entropy is ln(n) − (Σ c·ln c)/n folded in
+    pinned type order; gap CV is sqrt(n·Σg² − (Σg)²)/Σg, one
+    correctly-rounded sqrt over double-exact products. ``bot_like``
+    flags the low-entropy AND low-CV corner.
+
+    Plan: one (user, type) aggregate + one per-user gap window, both
+    clustered on the user key — the user exchange happens once.
+    """
+    type_counts = events.groupBy(
+        F.col(user_col).alias("u"), F.col(type_col).alias("t")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    ent = type_counts.groupBy("u").agg(
+        F.sum("c").alias("n_events"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("t", "c"))),
+            F.lit(0.0),
+            lambda a, s: a
+            + s["c"].cast("double") * F.log(s["c"].cast("double")),
+        ).alias("_clnc"),
+    )
+    n = F.col("n_events").cast("double")
+    entropy = F.log(n) - F.col("_clnc") / n
+    w = Window.partitionBy(user_col).orderBy(order_col)
+    gaps = (
+        events.select(
+            F.col(user_col).alias("u"),
+            (
+                F.unix_timestamp(F.col(ts_col))
+                - F.lag(F.unix_timestamp(F.col(ts_col))).over(w)
+            ).alias("g"),
+        )
+        .filter(F.col("g").isNotNull())
+        .groupBy("u")
+        .agg(
+            F.count(F.lit(1)).alias("ng"),
+            F.sum("g").alias("sg"),
+            F.sum(F.col("g") * F.col("g")).alias("sgg"),
+        )
+    )
+    ngd = F.col("ng").cast("double")
+    cv = F.sqrt(
+        ngd * F.col("sgg").cast("double")
+        - F.col("sg").cast("double") * F.col("sg").cast("double")
+    ) / F.col("sg").cast("double")
+    prof = ent.join(gaps, "u").filter(F.col("n_events") >= min_events)
+    return prof.select(
+        F.col("u").alias("user_id"),
+        "n_events",
+        "n_types",
+        F.round(entropy, 6).alias("type_entropy"),
+        F.round(cv, 6).alias("gap_cv"),
+        ((entropy < 0.5) & (cv < 0.1)).alias("bot_like"),
+    )

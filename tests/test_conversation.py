@@ -284,3 +284,33 @@ def test_turn_latency_hand_model(spark):
         for r in turn_latency(df).collect()
     }
     assert got == {"grep": (1, 7.0, 7, 7), "read": (1, 3.0, 3, 3)}
+
+
+def test_user_behavior_profile_bot_vs_organic(spark):
+    """A metronomic single-action user flags bot_like (entropy 0, CV 0);
+    a user mixing types with irregular gaps does not."""
+    import datetime as dt
+
+    from cernan_spark.operators.behavior import user_behavior_profile
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [
+        (i, 1, "click", t0 + dt.timedelta(seconds=60 * i)) for i in range(25)
+    ]
+    organic_gaps = [5, 90, 30, 700, 12, 45, 3, 200, 77, 8, 130, 22, 9,
+                    310, 40, 6, 55, 400, 18, 70, 25, 95, 11, 60]
+    t = 0
+    for i, g in enumerate(organic_gaps):
+        t += g
+        rows.append(
+            (1000 + i, 2, ["click", "view", "purchase", "error"][i % 4],
+             t0 + dt.timedelta(seconds=t))
+        )
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    got = {r["user_id"]: r for r in user_behavior_profile(df).collect()}
+    assert got[1]["bot_like"] is True
+    assert got[1]["type_entropy"] == 0.0 and got[1]["gap_cv"] == 0.0
+    assert got[2]["bot_like"] is False
+    assert got[2]["type_entropy"] > 1.0 and got[2]["gap_cv"] > 0.5
