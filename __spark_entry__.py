@@ -3109,6 +3109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_fit": q_zipf_fit,
         "lead_lag": q_lead_lag,
         "bot_profile": q_bot_profile,
+        "cdc_dedup": q_cdc_dedup,
         "tool_chains": q_tool_chains,
         "burst_collapse": q_burst_collapse,
         "tail_sampling": q_tail_sampling,
@@ -4725,6 +4726,23 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{base}/snap1", f"{base}/snap2"
     )
     return schema_null_audit(merged)
+
+
+def q_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup (LBFS/restic scheme): the corpus
+    plus 20 PREFIX-SHIFTED twins ('Z ' prepended — the edit that breaks
+    every fixed-width span match) still shares byte-identical chunks
+    because boundaries re-synchronize on content. Every shared chunk
+    string is hash-checked against the SQL replay."""
+    from cernan_spark.operators.dedup import cdc_duplicate_chunks
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    twins = d.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.lit("Z "), F.col("text")).alias("text"),
+    )
+    corpus = d.select("doc_id", "text").unionByName(twins)
+    return cdc_duplicate_chunks(corpus)
 
 
 def q_bot_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8403,6 +8421,14 @@ def oracle_sql() -> dict[str, str]:
     from cernan_spark.operators.textstats import zipf_fit_oracle_sql
 
     d["zipf_fit"] = zipf_fit_oracle_sql("documents")
+    from cernan_spark.operators.dedup import cdc_oracle_sql
+
+    d["cdc_dedup"] = cdc_oracle_sql(
+        """(SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000, 'Z ' || text
+            FROM documents WHERE doc_id < 20) corpus"""
+    )
     d["bot_profile"] = """
         WITH bnd AS (
             SELECT CAST(floor(epoch(min(ts))) AS BIGINT) AS mn FROM events

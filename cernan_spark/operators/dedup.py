@@ -1761,3 +1761,128 @@ def prefix_filter_join(
         uni.alias("uni"),
         (F.col("inter").cast("double") / uni.cast("double")).alias("jaccard"),
     )
+
+
+# ---------------------------------------------------------------------------
+# content-defined chunking (CDC) — shift-robust chunk-level dedup
+# ---------------------------------------------------------------------------
+
+
+def cdc_duplicate_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 16,
+    mask: int = 63,
+    min_len: int = 32,
+) -> DataFrame:
+    """Content-defined chunking (the LBFS/restic/borg scheme): a chunk
+    boundary falls wherever the rolling hash of the last ``window``
+    chars satisfies ``h & mask == 0``, so boundaries are decided by
+    CONTENT, not position — insert one char at the front of a document
+    and fixed-width spans (exact_substr_*) all shift and stop matching,
+    but CDC boundaries re-synchronize after one chunk. Emits every
+    chunk of length ≥ ``min_len`` that appears in MORE THAN ONE
+    document: the byte-identical shared content, with doc and
+    occurrence counts.
+
+    The per-position window hash is a column expression (transform over
+    the position sequence) so the DuckDB twin replays it exactly; at
+    true 100 TB the O(len·window) expression would hand off to an
+    O(len) rolling mapInPandas kernel — same boundaries, same chunks,
+    this declarative form stays as its oracle.
+
+    Plan: chunking is a narrow per-row map; ONE hash aggregate on the
+    chunk groups the corpus's shared content (map-side combined; a
+    corpus-wide boilerplate chunk arrives pre-counted per partition).
+    """
+    from cernan_spark.functions.porthash import portable_hash
+
+    t = F.col(text_col)
+    L = F.length(t)
+    pos_hash_ok = lambda p: (
+        portable_hash(t.substr(p - F.lit(window - 1), F.lit(window)))
+        % F.lit(mask + 1)
+        == 0
+    )
+    bounds = F.concat(
+        F.array(F.lit(0)),
+        F.filter(
+            F.transform(
+                F.sequence(F.lit(window), F.greatest(L, F.lit(window))),
+                lambda p: F.when(
+                    (p <= L) & pos_hash_ok(p), p
+                ).otherwise(F.lit(None)),
+            ),
+            lambda x: x.isNotNull(),
+        ),
+        F.array(L),
+    )
+    staged = df.select(F.col(id_col), t.alias("__t"), bounds.alias("__b"))
+    chunks = F.transform(
+        F.sequence(F.lit(1), F.size("__b") - 1),
+        lambda i: F.col("__t").substr(
+            F.element_at("__b", i) + F.lit(1),
+            F.element_at("__b", i + F.lit(1)) - F.element_at("__b", i),
+        ),
+    )
+    ex = staged.select(
+        F.col(id_col), F.explode(chunks).alias("chunk")
+    ).filter(F.length("chunk") >= min_len)
+    return (
+        ex.groupBy("chunk")
+        .agg(
+            F.countDistinct(id_col).alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occ"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .select(
+            "chunk", F.length("chunk").alias("chunk_len"), "n_docs", "n_occ"
+        )
+    )
+
+
+def cdc_oracle_sql(
+    rel: str,
+    text_expr: str = "text",
+    id_expr: str = "doc_id",
+    window: int = 16,
+    mask: int = 63,
+    min_len: int = 32,
+) -> str:
+    """DuckDB twin of :func:`cdc_duplicate_chunks` (same window hash,
+    same boundary rule, same chunk slicing)."""
+    from cernan_spark.functions.porthash import portable_hash_sql
+
+    h = portable_hash_sql(
+        f"substr({text_expr}, CAST(p - {window - 1} AS INTEGER), {window})"
+    )
+    return f"""
+        WITH staged AS (
+            SELECT {id_expr} AS id, {text_expr} AS t,
+                   list_concat(list_concat([CAST(0 AS BIGINT)],
+                     list_filter(
+                       list_transform(
+                         range(CAST({window} AS BIGINT),
+                               CAST(greatest(length({text_expr}),
+                                             {window}) AS BIGINT) + 1),
+                         p -> CASE WHEN p <= length({text_expr})
+                                    AND ({h}) % {mask + 1} = 0
+                                   THEN p END),
+                       x -> x IS NOT NULL)),
+                     [CAST(length({text_expr}) AS BIGINT)]) AS b
+            FROM {rel}
+        ), ex AS (
+            SELECT id, unnest(list_transform(range(1, len(b)),
+                     i -> substr(t, CAST(b[CAST(i AS INTEGER)] + 1 AS INTEGER),
+                                 CAST(b[CAST(i AS INTEGER) + 1]
+                                      - b[CAST(i AS INTEGER)] AS INTEGER))))
+                     AS chunk
+            FROM staged
+        )
+        SELECT chunk, CAST(length(chunk) AS INTEGER) AS chunk_len,
+               CAST(count(DISTINCT id) AS BIGINT) AS n_docs,
+               CAST(count(*) AS BIGINT) AS n_occ
+        FROM ex WHERE length(chunk) >= {min_len}
+        GROUP BY 1 HAVING count(DISTINCT id) > 1
+    """
