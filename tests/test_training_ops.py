@@ -648,11 +648,17 @@ def test_cdc_chunks_survive_prefix_shift(spark):
     corpus = base.select("doc_id", "text").unionByName(twins)
     dups = cdc_duplicate_chunks(corpus).collect()
     assert len(dups) > 0
-    texts = {r["doc_id"]: r["text"] for r in base.collect()}
-    # every reported shared chunk really occurs in some original doc
-    shared_bytes = 0
+    all_texts = [r["text"] for r in corpus.collect()]
+    orig_texts = [r["text"] for r in base.collect()]
+    # every reported shared chunk really occurs somewhere in the corpus
     for r in dups:
-        assert any(r["chunk"] in t for t in texts.values()), r["chunk"][:40]
-        shared_bytes += r["chunk_len"]
-    # resync recovers a substantial amount of byte-identical content
-    assert shared_bytes > 500
+        assert any(r["chunk"] in t for t in all_texts), r["chunk"][:40]
+    # and the headline property: chunks shared ACROSS the shift — present
+    # in an (unshifted) original AND reported duplicated — carry
+    # substantial byte-identical content despite the prefix edit
+    cross_bytes = sum(
+        r["chunk_len"]
+        for r in dups
+        if any(r["chunk"] in t for t in orig_texts)
+    )
+    assert cross_bytes > 500
