@@ -3110,6 +3110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lead_lag": q_lead_lag,
         "bot_profile": q_bot_profile,
         "cdc_dedup": q_cdc_dedup,
+        "fightin_words": q_fightin_words,
         "tool_chains": q_tool_chains,
         "burst_collapse": q_burst_collapse,
         "tail_sampling": q_tail_sampling,
@@ -4726,6 +4727,27 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{base}/snap1", f"{base}/snap2"
     )
     return schema_null_audit(merged)
+
+
+def q_fightin_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-slice profiling (Monroe's fightin' words): the top-40
+    tokens that distinguish source src7 from the rest by Dirichlet-
+    smoothed log-odds z-score, with a seeded src7-only marker token
+    that must surface at rank 1. Per-token exact expressions — no fold,
+    no order pinning needed."""
+    from cernan_spark.operators.corpus import distinctive_terms
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    seeded = d.select(
+        "source",
+        F.when(
+            F.col("source") == "src7",
+            F.concat(F.col("text"), F.lit(" srcseventoken")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return distinctive_terms(seeded, "source", "src7")
 
 
 def q_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8421,6 +8443,15 @@ def oracle_sql() -> dict[str, str]:
     from cernan_spark.operators.textstats import zipf_fit_oracle_sql
 
     d["zipf_fit"] = zipf_fit_oracle_sql("documents")
+    from cernan_spark.operators.corpus import distinctive_terms_oracle_sql
+
+    d["fightin_words"] = distinctive_terms_oracle_sql(
+        """(SELECT source,
+                   CASE WHEN source = 'src7'
+                        THEN text || ' srcseventoken' ELSE text END AS text
+            FROM documents) seeded""",
+        "source = 'src7'",
+    )
     from cernan_spark.operators.dedup import cdc_oracle_sql
 
     d["cdc_dedup"] = cdc_oracle_sql(

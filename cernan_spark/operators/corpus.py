@@ -1998,3 +1998,115 @@ def negative_sampling_oracle_sql(
                  AS alloc_draws
         FROM weighted CROSS JOIN tot
     """
+
+
+# ---------------------------------------------------------------------------
+# distinctive terms between corpus slices (log-odds with Dirichlet prior)
+# ---------------------------------------------------------------------------
+
+
+def distinctive_terms(
+    df: DataFrame,
+    split_col: str,
+    target: str,
+    text_col: str = "text",
+    alpha: float = 0.5,
+    top_k: int = 40,
+) -> DataFrame:
+    """Monroe et al.'s "fightin' words": which tokens distinguish one
+    corpus slice (``split_col == target``) from the rest — the log-odds
+    ratio with a Dirichlet prior, z-scored by its estimated variance.
+    The corpus-curation question ("what is src7 actually full of?")
+    answered with smoothing, so rare tokens don't dominate the way raw
+    ratios let them.
+
+    delta = ln((c1+a)/(n1+aV-c1-a)) - ln((c2+a)/(n2+aV-c2-a)),
+    z = delta / sqrt(1/(c1+a) + 1/(c2+a)) — every term is ln/division/
+    sqrt over exact integer counts plus the rational prior, evaluated
+    PER TOKEN (no fold anywhere), so cross-engine equality needs no
+    order pinning at all. Top-K by (|z| desc, token) is deterministic.
+
+    Plan: ONE (token, side) count aggregate over the corpus; the scoring
+    runs on vocab-sized rows and the cut is a TakeOrdered.
+    """
+    side = (F.col(split_col) == target).cast("int")
+    toks = df.select(
+        side.alias("s"), F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    ).filter(F.length("tok") > 0)
+    counts = toks.groupBy("tok").agg(
+        F.sum("s").alias("c1"),
+        F.sum(1 - F.col("s")).alias("c2"),
+    )
+    tot = counts.agg(
+        F.sum("c1").alias("n1"),
+        F.sum("c2").alias("n2"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    j = counts.crossJoin(F.broadcast(tot))
+    a = F.lit(alpha)
+    av = a * F.col("v").cast("double")
+    c1 = F.col("c1").cast("double")
+    c2 = F.col("c2").cast("double")
+    n1 = F.col("n1").cast("double")
+    n2 = F.col("n2").cast("double")
+    delta = F.log((c1 + a) / (n1 + av - c1 - a)) - F.log(
+        (c2 + a) / (n2 + av - c2 - a)
+    )
+    z = delta / F.sqrt(1.0 / (c1 + a) + 1.0 / (c2 + a))
+    return (
+        j.select(
+            "tok",
+            F.col("c1").alias("n_target"),
+            F.col("c2").alias("n_rest"),
+            F.round(delta, 6).alias("log_odds"),
+            F.round(z, 6).alias("z"),
+        )
+        .orderBy(F.abs(F.col("z")).desc(), F.col("tok"))
+        .limit(top_k)
+    )
+
+
+def distinctive_terms_oracle_sql(
+    table: str,
+    split_expr: str,
+    text_expr: str = "text",
+    alpha: float = 0.5,
+    top_k: int = 40,
+) -> str:
+    """DuckDB twin of :func:`distinctive_terms` (same shapes, same cut)."""
+    return f"""
+        WITH toks AS (
+            SELECT CASE WHEN {split_expr} THEN 1 ELSE 0 END AS s,
+                   unnest(string_split({text_expr}, ' ')) AS tok
+            FROM {table}
+        ), counts AS (
+            SELECT tok, CAST(sum(s) AS BIGINT) AS c1,
+                   CAST(sum(1 - s) AS BIGINT) AS c2
+            FROM toks WHERE length(tok) > 0 GROUP BY 1
+        ), tot AS (
+            SELECT CAST(sum(c1) AS BIGINT) AS n1,
+                   CAST(sum(c2) AS BIGINT) AS n2,
+                   CAST(count(*) AS BIGINT) AS v
+            FROM counts
+        ), scored AS (
+            SELECT tok, c1 AS n_target, c2 AS n_rest,
+                   ln((CAST(c1 AS DOUBLE) + {alpha})
+                      / (CAST(n1 AS DOUBLE) + {alpha} * CAST(v AS DOUBLE)
+                         - CAST(c1 AS DOUBLE) - {alpha}))
+                   - ln((CAST(c2 AS DOUBLE) + {alpha})
+                        / (CAST(n2 AS DOUBLE) + {alpha} * CAST(v AS DOUBLE)
+                           - CAST(c2 AS DOUBLE) - {alpha})) AS delta,
+                   (ln((CAST(c1 AS DOUBLE) + {alpha})
+                       / (CAST(n1 AS DOUBLE) + {alpha} * CAST(v AS DOUBLE)
+                          - CAST(c1 AS DOUBLE) - {alpha}))
+                    - ln((CAST(c2 AS DOUBLE) + {alpha})
+                         / (CAST(n2 AS DOUBLE) + {alpha} * CAST(v AS DOUBLE)
+                            - CAST(c2 AS DOUBLE) - {alpha})))
+                   / sqrt(1.0 / (CAST(c1 AS DOUBLE) + {alpha})
+                          + 1.0 / (CAST(c2 AS DOUBLE) + {alpha})) AS z
+            FROM counts CROSS JOIN tot
+        )
+        SELECT tok, n_target, n_rest,
+               round(delta, 6) AS log_odds, round(z, 6) AS z
+        FROM scored ORDER BY abs(z) DESC, tok LIMIT {top_k}
+    """

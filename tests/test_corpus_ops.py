@@ -401,3 +401,22 @@ def test_negative_sampling_smoothing_direction(spark):
     assert (
         got["common"]["alloc_draws"] + got["rare"]["alloc_draws"] <= 10_000
     )
+
+
+def test_distinctive_terms_seeded_marker_wins(spark):
+    """A token appearing ONLY in the target slice tops the z ranking;
+    a token appearing only in the rest lands most-negative."""
+    from cernan_spark.operators.corpus import distinctive_terms
+
+    rows = [(1, "a", "common words here targetonly"),
+            (2, "a", "common words here targetonly"),
+            (3, "b", "common words here restonly"),
+            (4, "b", "common words here restonly")]
+    df = spark.createDataFrame(rows, "doc_id long, split string, text string")
+    out = distinctive_terms(df, "split", "a", top_k=10).collect()
+    assert out[0]["tok"] in ("targetonly", "restonly")
+    by = {r["tok"]: r for r in out}
+    assert by["targetonly"]["z"] > 0 > by["restonly"]["z"]
+    assert by["targetonly"]["n_target"] == 2 and by["targetonly"]["n_rest"] == 0
+    # shared tokens score near zero, strictly between the two extremes
+    assert abs(by["common"]["z"]) < by["targetonly"]["z"]
