@@ -3111,6 +3111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bot_profile": q_bot_profile,
         "cdc_dedup": q_cdc_dedup,
         "fightin_words": q_fightin_words,
+        "stream_enrich": q_stream_enrich,
         "tool_chains": q_tool_chains,
         "burst_collapse": q_burst_collapse,
         "tail_sampling": q_tail_sampling,
@@ -4727,6 +4728,64 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{base}/snap1", f"{base}/snap2"
     )
     return schema_null_audit(merged)
+
+
+_LANG_FAMILY = [
+    ("en", "germanic"), ("de", "germanic"),
+    ("es", "romance"), ("fr", "romance"), ("zh", "sinitic"),
+]
+
+
+def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment gate — the remaining streaming join
+    pattern (stream-stream: stream_join; stateful: streaming_dedup;
+    windowed: streaming_bucket_sums): documents flow through a REAL
+    readStream in pinned micro-batches and each batch broadcast-joins
+    the static language-family dimension; the enriched append-mode
+    output must equal the batch join exactly. Stateless — no watermark,
+    no state store — which is precisely what makes stream-static the
+    cheap enrichment path at 100 TB."""
+    _utc(spark)
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "n_chars"
+    )
+    dim = spark.createDataFrame(_LANG_FAMILY, "lang string, family string")
+    tmp = tempfile.mkdtemp(prefix="stream_enrich_")
+    qname = f"stream_enrich_{uuid.uuid4().hex[:8]}"
+    try:
+        d.repartition(3).write.mode("overwrite").parquet(tmp)
+        base = 1_700_000_000
+        for i, f in enumerate(sorted(glob.glob(f"{tmp}/part-*.parquet"))):
+            os.utime(f, (base + i, base + i))
+        stream = (
+            spark.readStream.schema("doc_id long, lang string, n_chars long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(tmp)
+        )
+        enriched = stream.join(F.broadcast(dim), "lang").select(
+            "doc_id", "lang", "family", "n_chars"
+        )
+        q = (
+            enriched.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = spark.sql(
+            f"SELECT doc_id, lang, family, n_chars FROM {qname}"
+        )
+        # pin the result past the temp memory table's lifetime
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def q_fightin_words(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8445,6 +8504,13 @@ def oracle_sql() -> dict[str, str]:
     d["zipf_fit"] = zipf_fit_oracle_sql("documents")
     from cernan_spark.operators.corpus import distinctive_terms_oracle_sql
 
+    d["stream_enrich"] = """
+        WITH dim(lang, family) AS (VALUES
+            ('en', 'germanic'), ('de', 'germanic'),
+            ('es', 'romance'), ('fr', 'romance'), ('zh', 'sinitic'))
+        SELECT doc_id, lang, family, n_chars
+        FROM documents JOIN dim USING (lang)
+    """
     d["fightin_words"] = distinctive_terms_oracle_sql(
         """(SELECT source,
                    CASE WHEN source = 'src7'
