@@ -3112,6 +3112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_dedup": q_cdc_dedup,
         "fightin_words": q_fightin_words,
         "stream_enrich": q_stream_enrich,
+        "partition_advisor": q_partition_advisor,
         "tool_chains": q_tool_chains,
         "burst_collapse": q_burst_collapse,
         "tail_sampling": q_tail_sampling,
@@ -4728,6 +4729,29 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{base}/snap1", f"{base}/snap2"
     )
     return schema_null_audit(merged)
+
+
+def q_partition_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layout advice from data: four candidate partition expressions for
+    the events table — event_type (too few), user_id (too fine), day
+    (the usual right answer), a 16-way user shard — each scored on
+    exact cardinality / hottest-key share / mean partition size with an
+    integer-math verdict."""
+    from cernan_spark.operators.relational import partition_advisor
+
+    _utc(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return partition_advisor(
+        ev,
+        {
+            "event_type": F.col("event_type"),
+            "user_id": F.col("user_id").cast("string"),
+            "day": F.to_date("ts").cast("string"),
+            "user_shard_16": F.pmod(F.col("user_id"), F.lit(16)).cast(
+                "string"
+            ),
+        },
+    )
 
 
 _LANG_FAMILY = [
@@ -8504,6 +8528,34 @@ def oracle_sql() -> dict[str, str]:
     d["zipf_fit"] = zipf_fit_oracle_sql("documents")
     from cernan_spark.operators.corpus import distinctive_terms_oracle_sql
 
+    def _padv(name, expr):
+        return f"""
+          SELECT '{name}' AS candidate, ndv, n_rows, top_key_rows,
+                 CAST(top_key_rows AS DOUBLE) / CAST(n_rows AS DOUBLE)
+                   AS top_key_share,
+                 CAST(n_rows AS DOUBLE) / CAST(ndv AS DOUBLE)
+                   AS mean_rows_per_partition,
+                 CASE WHEN ndv < 8 THEN 'too_few'
+                      WHEN top_key_rows * 100 > n_rows * 20
+                        THEN 'too_skewed'
+                      WHEN n_rows < ndv * 1000 THEN 'too_fine'
+                      ELSE 'good' END AS verdict
+          FROM (SELECT CAST(count(*) AS BIGINT) AS ndv,
+                       CAST(sum(c) AS BIGINT) AS n_rows,
+                       CAST(max(c) AS BIGINT) AS top_key_rows
+                FROM (SELECT {expr} AS k, count(*) AS c
+                      FROM events GROUP BY 1))
+        """
+
+    d["partition_advisor"] = (
+        _padv("event_type", "event_type")
+        + " UNION ALL "
+        + _padv("user_id", "CAST(user_id AS VARCHAR)")
+        + " UNION ALL "
+        + _padv("day", "CAST(CAST(ts AS DATE) AS VARCHAR)")
+        + " UNION ALL "
+        + _padv("user_shard_16", "CAST(user_id % 16 AS VARCHAR)")
+    )
     d["stream_enrich"] = """
         WITH dim(lang, family) AS (VALUES
             ('en', 'germanic'), ('de', 'germanic'),

@@ -705,3 +705,72 @@ def field_mutual_information(
             ).alias("nmi"),
         )
     )
+
+
+def partition_advisor(
+    df: DataFrame,
+    candidates: dict[str, Column],
+    target_rows_per_partition: int = 1000,
+    skew_threshold_pct: int = 20,
+    min_partitions: int = 8,
+) -> DataFrame:
+    """Layout advice from data, not folklore: for each candidate
+    partition expression, the exact cardinality, the hottest key's
+    share, the mean rows per partition — and a verdict: too_few
+    (< ``min_partitions`` values: no parallelism), too_skewed (hottest
+    key above ``skew_threshold_pct``%: one straggler partition),
+    too_fine (mean rows below ``target_rows_per_partition``: the small-
+    files problem), else good. The pre-write check that prevents the
+    two classic 100 TB layout mistakes in one pass per candidate.
+
+    One (candidate, key) aggregate each — map-side combined; the
+    verdict math is integer cross-multiplication (share·100 vs pct·n),
+    so no float enters the decision.
+    """
+    outs = []
+    for name, expr in candidates.items():
+        per_key = (
+            df.select(expr.alias("k"))
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        stats = per_key.agg(
+            F.count(F.lit(1)).alias("ndv"),
+            F.sum("c").alias("n_rows"),
+            F.max("c").alias("top_key_rows"),
+        )
+        verdict = (
+            F.when(F.col("ndv") < min_partitions, F.lit("too_few"))
+            .when(
+                F.col("top_key_rows") * 100
+                > F.col("n_rows") * skew_threshold_pct,
+                F.lit("too_skewed"),
+            )
+            .when(
+                F.col("n_rows")
+                < F.col("ndv") * target_rows_per_partition,
+                F.lit("too_fine"),
+            )
+            .otherwise(F.lit("good"))
+        )
+        outs.append(
+            stats.select(
+                F.lit(name).alias("candidate"),
+                "ndv",
+                "n_rows",
+                "top_key_rows",
+                (
+                    F.col("top_key_rows").cast("double")
+                    / F.col("n_rows").cast("double")
+                ).alias("top_key_share"),
+                (
+                    F.col("n_rows").cast("double")
+                    / F.col("ndv").cast("double")
+                ).alias("mean_rows_per_partition"),
+                verdict.alias("verdict"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res

@@ -332,3 +332,33 @@ def test_field_mutual_information_extremes(spark):
     r2 = field_mutual_information(dep, "x", "y", "dep").collect()[0]
     assert abs(r2["mi"] - round(math.log(3), 6)) < 1e-6
     assert r2["nmi"] == 1.0
+
+
+def test_partition_advisor_verdicts(spark):
+    """Constructed extremes hit each verdict: 2 values -> too_few; a 30%
+    hot key -> too_skewed; 1000 singleton keys -> too_fine; 10 balanced
+    keys x 2000 rows -> good."""
+    from pyspark.sql import functions as F
+
+    from cernan_spark.operators.relational import partition_advisor
+
+    df = spark.range(20000).select(F.col("id"))
+    out = {
+        r["candidate"]: r["verdict"]
+        for r in partition_advisor(
+            df,
+            {
+                "binary": (F.col("id") % 2).cast("string"),
+                "hot": F.when(F.col("id") < 6000, F.lit("hotkey"))
+                .otherwise((F.col("id") % 100).cast("string")),
+                "fine": F.col("id").cast("string"),
+                "balanced": (F.col("id") % 10).cast("string"),
+            },
+        ).collect()
+    }
+    assert out == {
+        "binary": "too_few",
+        "hot": "too_skewed",
+        "fine": "too_fine",
+        "balanced": "good",
+    }
