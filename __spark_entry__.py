@@ -3160,6 +3160,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppjoin_dedup": q_ppjoin_dedup,
         "part_skyline": q_part_skyline,
         "stream_join": q_stream_join,
+        "roc_auc": q_roc_auc,
+        "calibration_bins": q_calibration_bins,
+        "domain_pagerank": q_domain_pagerank,
+        "rouge_overlap": q_rouge_overlap,
+        "record_linkage": q_record_linkage,
     }
 
 
@@ -6424,6 +6429,181 @@ def _countmin_oracle_sql_entry() -> str:
         key_hash_expr=portable_hash_sql("conv_id"),
         width=256,
     )
+
+
+def _pagerank_oracle_sql(iters: int = 3) -> str:
+    """DuckDB twin of q_domain_pagerank: the same edge construction,
+    per-iteration dangling-mass and inflow folds replayed with
+    ``list_reduce(list(x ORDER BY …))`` so every double addition has the
+    same pinned order as the Spark ``array_sort`` + ``F.aggregate``
+    folds."""
+    head = """
+        WITH e AS (
+            SELECT DISTINCT
+                   'site' || CAST(doc_id % 23 AS VARCHAR) AS src,
+                   'site' || CAST((doc_id * 7 + 3) % 29 AS VARCHAR) AS dst
+            FROM documents
+        ), nodes AS (
+            SELECT n.node, CAST(coalesce(dg.deg, 0) AS BIGINT) AS out_deg
+            FROM (SELECT src AS node FROM e UNION SELECT dst FROM e) n
+            LEFT JOIN (SELECT src, count(*) AS deg FROM e GROUP BY 1) dg
+                   ON n.node = dg.src
+        ), nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        r0 AS (
+            SELECT node, out_deg, 1.0 / (SELECT n FROM nn) AS rank
+            FROM nodes
+        )"""
+    body = ""
+    for t in range(1, iters + 1):
+        p = f"r{t - 1}"
+        body += f""",
+        d{t} AS (
+            SELECT coalesce((SELECT list_reduce(
+                       list(rank ORDER BY node), (a, x) -> a + x)
+                   FROM {p} WHERE out_deg = 0), 0.0) AS dm
+        ),
+        i{t} AS (
+            SELECT e.dst AS node,
+                   list_reduce(
+                       list(r.rank / CAST(r.out_deg AS DOUBLE)
+                            ORDER BY e.src),
+                       (a, x) -> a + x) AS inflow
+            FROM {p} r JOIN e ON r.node = e.src
+            WHERE r.out_deg > 0
+            GROUP BY e.dst
+        ),
+        r{t} AS (
+            SELECT n.node, n.out_deg,
+                   (1.0 - 0.85) / (SELECT n FROM nn)
+                   + 0.85 * (coalesce(i.inflow, 0.0)
+                             + (SELECT dm FROM d{t}) / (SELECT n FROM nn))
+                     AS rank
+            FROM nodes n LEFT JOIN i{t} i ON n.node = i.node
+        )"""
+    return head + body + f"""
+        SELECT node, out_deg, rank FROM r{iters}
+    """
+
+
+def _scored_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic classifier eval frame: integer score in [0, 117)
+    correlated with the binary high-label target (the same construction
+    exists as SQL in the oracle)."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return e.select(
+        (F.col("label") * 12 + F.col("vec_id") % 13).alias("score"),
+        (F.col("label") >= 5).cast("int").alias("y"),
+    )
+
+
+def q_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC by the Mann–Whitney rank statistic with
+    tie-averaged ranks — the collect-free classifier eval a quality
+    filter runs over its scores (operators/similarity.py). ONE hash
+    aggregate to the distinct-score grain, a window over that ≤117-row
+    rollup; every intermediate an exact integer or half-integer, the
+    only divisions at emit."""
+    from cernan_spark.operators.similarity import binary_auc
+
+    return binary_auc(_scored_embeddings(spark, sf_dir), "score", "y")
+
+
+def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram + expected calibration error for the same
+    scored frame: p = score/128 (exact binary fraction), 8 equal-width
+    bins, per-bin mean prediction vs empirical positive rate, ECE
+    folded over bin-sorted terms and broadcast back
+    (operators/similarity.py)."""
+    from cernan_spark.operators.similarity import calibration_report
+
+    return calibration_report(
+        _scored_embeddings(spark, sf_dir), "score", "y", denom=128, n_bins=8
+    )
+
+
+def q_domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 power iterations, d=0.85) over a deterministic
+    domain link graph seeded from documents — src hosts 0..22 each link
+    one of 29 dst hosts, so hosts 23..28 are dangling (dst-only). Each
+    iteration is ONE shuffle on dst; inflow and dangling-mass folds run
+    over sorted structs so the DuckDB replay is bit-identical
+    (operators/graph.py)."""
+    from cernan_spark.operators.graph import pagerank
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    edges = d.select(
+        F.concat(
+            F.lit("site"), (F.col("doc_id") % 23).cast("string")
+        ).alias("src"),
+        F.concat(
+            F.lit("site"), ((F.col("doc_id") * 7 + 3) % 29).cast("string")
+        ).alias("dst"),
+    )
+    return pagerank(edges, iters=3, damping=0.85)
+
+
+def q_rouge_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-1/BLEU-1 clipped unigram overlap per (candidate,
+    reference) pair — candidate is the document text, reference the
+    same text with every 3rd token dropped (deterministic golden), so
+    precision/recall/F1 land in a nontrivial band. Exact-integer
+    counts, divisions only at emit (operators/textstats.py)."""
+    from cernan_spark.operators.textstats import unigram_overlap_eval
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.split(F.col("text"), " ")
+    ref = F.array_join(
+        F.filter(toks, lambda x, i: (i + 1) % 3 != 0), " "
+    )
+    pairs = d.select(
+        "doc_id", F.col("text").alias("cand"), ref.alias("ref")
+    )
+    return unigram_overlap_eval(pairs, "cand", "ref", "doc_id")
+
+
+def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi–Sunter blocked record linkage between the customer table
+    and a deterministically-dirtied copy (every 7th name case-mangled,
+    every 11th balance +0.01, every 13th segment lost): blocked
+    candidates only (nation × balance-bucket), fixed integer agreement
+    weights, and the precision/recall eval row against the known truth
+    ids (operators/relational.py)."""
+    from cernan_spark.operators.relational import record_linkage
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    k = F.col("c_custkey")
+
+    def blk(bal):
+        return F.concat(
+            F.col("c_nationkey").cast("string"),
+            F.lit("_"),
+            F.floor(bal / F.lit(1000.0)).cast("string"),
+        )
+
+    left = c.select(
+        k.alias("rec_id"),
+        k.alias("truth_id"),
+        blk(F.col("c_acctbal")).alias("block"),
+        F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_acctbal").alias("balance"),
+    )
+    bal2 = F.when(
+        k % 11 == 0, F.col("c_acctbal") + F.lit(0.01)
+    ).otherwise(F.col("c_acctbal"))
+    right = c.select(
+        (k + 1000000).alias("rec_id"),
+        k.alias("truth_id"),
+        blk(bal2).alias("block"),
+        F.when(k % 7 == 0, F.upper("c_name"))
+        .otherwise(F.col("c_name"))
+        .alias("name"),
+        F.when(k % 13 == 0, F.lit("UNKNOWN"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("segment"),
+        bal2.alias("balance"),
+    )
+    return record_linkage(left, right)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -9924,5 +10104,168 @@ def oracle_sql() -> dict[str, str]:
          AND c.ts >= v.ts
          AND c.ts <= v.ts + INTERVAL 3600 SECONDS
         WHERE v.event_type = 'view' AND c.event_type = 'purchase'
+    """
+    d["roc_auc"] = """
+        WITH s AS (
+            SELECT (label * 12 + vec_id % 13) AS score,
+                   CASE WHEN label >= 5 THEN 1 ELSE 0 END AS y
+            FROM embeddings
+        ), g AS (
+            SELECT score, CAST(count(*) AS BIGINT) AS n_g,
+                   CAST(sum(y) AS BIGINT) AS pos_g
+            FROM s GROUP BY 1
+        ), rk AS (
+            SELECT n_g, pos_g,
+                   CAST(coalesce(sum(n_g) OVER (ORDER BY score
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS DOUBLE)
+                   + CAST(n_g + 1 AS DOUBLE) / 2.0 AS avg_rank
+            FROM g
+        ), t AS (
+            SELECT CAST(sum(n_g) AS BIGINT) AS n,
+                   CAST(sum(pos_g) AS BIGINT) AS n_pos,
+                   sum(CAST(pos_g AS DOUBLE) * avg_rank) AS rank_sum_pos
+            FROM rk
+        ), a AS (
+            SELECT n, n_pos, n - n_pos AS n_neg, rank_sum_pos,
+                   (rank_sum_pos
+                    - CAST(n_pos * (n_pos + 1) AS DOUBLE) / 2.0)
+                     / CAST(n_pos * (n - n_pos) AS DOUBLE) AS auc
+            FROM t
+        )
+        SELECT n, n_pos, n_neg, rank_sum_pos, auc,
+               2.0 * auc - 1.0 AS gini
+        FROM a
+    """
+    d["calibration_bins"] = """
+        WITH s AS (
+            SELECT (label * 12 + vec_id % 13) AS score,
+                   CASE WHEN label >= 5 THEN 1 ELSE 0 END AS y
+            FROM embeddings
+        ), b AS (
+            SELECT CAST(floor(score / 16.0) AS BIGINT) AS bin,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(y) AS BIGINT) AS n_pos,
+                   CAST(sum(score) AS BIGINT) AS sum_s
+            FROM s GROUP BY 1
+        ), bg AS (
+            SELECT bin, n,
+                   CAST(sum_s AS DOUBLE) / CAST(n * 128 AS DOUBLE)
+                     AS mean_pred,
+                   CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS frac_pos,
+                   abs(CAST(sum_s AS DOUBLE) / CAST(n * 128 AS DOUBLE)
+                       - CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))
+                     AS abs_gap
+            FROM b
+        ), e AS (
+            SELECT list_reduce(
+                       list(CAST(n AS DOUBLE) * abs_gap ORDER BY bin),
+                       (a, x) -> a + x)
+                   / CAST(sum(n) AS DOUBLE) AS ece
+            FROM bg
+        )
+        SELECT bin, n, mean_pred, frac_pos, abs_gap,
+               (SELECT ece FROM e) AS ece
+        FROM bg
+    """
+    d["domain_pagerank"] = _pagerank_oracle_sql(iters=3)
+    d["rouge_overlap"] = """
+        WITH cand AS (
+            SELECT doc_id AS pair_id,
+                   unnest(string_split(text, ' ')) AS tok,
+                   1 AS is_cand
+            FROM documents
+        ), ref AS (
+            SELECT doc_id AS pair_id,
+                   string_split(text, ' ')[i] AS tok,
+                   0 AS is_cand
+            FROM documents,
+                 unnest(range(1, len(string_split(text, ' ')) + 1)) AS u(i)
+            WHERE i % 3 <> 0
+        ), both_sides AS (
+            SELECT * FROM cand UNION ALL SELECT * FROM ref
+        ), grain AS (
+            SELECT pair_id, tok,
+                   CAST(sum(is_cand) AS BIGINT) AS c_n,
+                   CAST(sum(1 - is_cand) AS BIGINT) AS r_n
+            FROM both_sides WHERE tok <> '' GROUP BY 1, 2
+        ), pp AS (
+            SELECT pair_id,
+                   CAST(sum(c_n) AS BIGINT) AS cand_len,
+                   CAST(sum(r_n) AS BIGINT) AS ref_len,
+                   CAST(sum(least(c_n, r_n)) AS BIGINT) AS overlap
+            FROM grain GROUP BY 1
+        )
+        SELECT pair_id, cand_len, ref_len, overlap,
+               CAST(overlap AS DOUBLE) / CAST(cand_len AS DOUBLE)
+                 AS "precision",
+               CAST(overlap AS DOUBLE) / CAST(ref_len AS DOUBLE) AS recall,
+               CASE WHEN overlap = 0 THEN 0.0
+                    ELSE 2.0
+                         * (CAST(overlap AS DOUBLE)
+                            / CAST(cand_len AS DOUBLE))
+                         * (CAST(overlap AS DOUBLE)
+                            / CAST(ref_len AS DOUBLE))
+                         / ((CAST(overlap AS DOUBLE)
+                             / CAST(cand_len AS DOUBLE))
+                            + (CAST(overlap AS DOUBLE)
+                               / CAST(ref_len AS DOUBLE)))
+               END AS f1
+        FROM pp
+    """
+    d["record_linkage"] = """
+        WITH l AS (
+            SELECT c_custkey AS l_truth,
+                   CAST(c_nationkey AS VARCHAR) || '_' ||
+                     CAST(CAST(floor(c_acctbal / 1000.0) AS BIGINT)
+                          AS VARCHAR) AS l_block,
+                   c_name AS l_name, c_mktsegment AS l_seg,
+                   c_acctbal AS l_bal
+            FROM customer
+        ), r0 AS (
+            SELECT c_custkey AS r_truth,
+                   CASE WHEN c_custkey % 7 = 0 THEN upper(c_name)
+                        ELSE c_name END AS r_name,
+                   CASE WHEN c_custkey % 13 = 0 THEN 'UNKNOWN'
+                        ELSE c_mktsegment END AS r_seg,
+                   CASE WHEN c_custkey % 11 = 0 THEN c_acctbal + 0.01
+                        ELSE c_acctbal END AS r_bal,
+                   c_nationkey
+            FROM customer
+        ), r2 AS (
+            SELECT r_truth, r_name, r_seg, r_bal,
+                   CAST(c_nationkey AS VARCHAR) || '_' ||
+                     CAST(CAST(floor(r_bal / 1000.0) AS BIGINT)
+                          AS VARCHAR) AS r_block
+            FROM r0
+        ), sc AS (
+            SELECT l_truth, r_truth,
+                   CASE WHEN (CASE WHEN l_name = r_name THEN 24 ELSE -8 END
+                              + CASE WHEN l_seg = r_seg THEN 6 ELSE -2 END
+                              + CASE WHEN abs(l_bal - r_bal) < 0.05
+                                     THEN 8 ELSE -3 END) >= 20
+                        THEN 1 ELSE 0 END AS is_match
+            FROM l JOIN r2 ON l.l_block = r2.r_block
+        ), agg AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_candidates,
+                   CAST(sum(is_match) AS BIGINT) AS n_matched,
+                   CAST(sum(is_match * CASE WHEN l_truth = r_truth
+                                            THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_true_found
+            FROM sc
+        ), sz AS (
+            SELECT (SELECT CAST(count(*) AS BIGINT) FROM l) AS n_left,
+                   (SELECT CAST(count(*) AS BIGINT) FROM r2) AS n_right,
+                   (SELECT CAST(count(*) AS BIGINT)
+                    FROM l JOIN r2 ON l.l_truth = r2.r_truth)
+                     AS n_true_pairs
+        )
+        SELECT n_left, n_right, n_candidates, n_matched, n_true_pairs,
+               n_true_found,
+               CAST(n_true_found AS DOUBLE) / CAST(n_matched AS DOUBLE)
+                 AS "precision",
+               CAST(n_true_found AS DOUBLE) / CAST(n_true_pairs AS DOUBLE)
+                 AS recall
+        FROM agg, sz
     """
     return d

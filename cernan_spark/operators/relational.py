@@ -774,3 +774,95 @@ def partition_advisor(
     for o in outs[1:]:
         res = res.unionByName(o)
     return res
+
+
+def record_linkage(
+    left: DataFrame,
+    right: DataFrame,
+    truth_col: str = "truth_id",
+    match_threshold: int = 20,
+) -> DataFrame:
+    """Fellegi–Sunter style blocked record linkage between two customer
+    snapshots with precomputed integer agreement weights — the entity
+    resolution step a warehouse runs before merging a dirty feed.
+
+    Both sides must carry ``rec_id, truth_id, block, name, segment,
+    balance``. Candidates come ONLY from an equi-join on the blocking
+    key (never a cross join — the blocking key bounds the pair
+    explosion, the linkage analog of LSH banding in
+    ``operators/dedup.py``). Each candidate scores the weighted sum of
+    field agreements (fixed integer log-odds weights, the shape FS
+    produces after EM); pairs at or above ``match_threshold`` link.
+
+    Because the synthetic truth is known, the output is the eval row a
+    linkage pipeline reports: ``n_left, n_right, n_candidates,
+    n_matched, n_true_pairs, n_true_found, precision, recall`` — exact
+    integers with divisions only at emit. Recall < 1 when a true pair's
+    blocking keys diverge (the documented blocking trade-off).
+    """
+    l = left.select(
+        F.col("rec_id").alias("l_id"),
+        F.col(truth_col).alias("l_truth"),
+        F.col("block").alias("l_block"),
+        F.col("name").alias("l_name"),
+        F.col("segment").alias("l_seg"),
+        F.col("balance").alias("l_bal"),
+    )
+    r = right.select(
+        F.col("rec_id").alias("r_id"),
+        F.col(truth_col).alias("r_truth"),
+        F.col("block").alias("r_block"),
+        F.col("name").alias("r_name"),
+        F.col("segment").alias("r_seg"),
+        F.col("balance").alias("r_bal"),
+    )
+    cand = l.join(r, l["l_block"] == r["r_block"])
+    score = (
+        F.when(F.col("l_name") == F.col("r_name"), F.lit(24)).otherwise(F.lit(-8))
+        + F.when(F.col("l_seg") == F.col("r_seg"), F.lit(6)).otherwise(F.lit(-2))
+        + F.when(
+            F.abs(F.col("l_bal") - F.col("r_bal")) < F.lit(0.05), F.lit(8)
+        ).otherwise(F.lit(-3))
+    )
+    scored = cand.select(
+        "l_truth", "r_truth", score.alias("score")
+    ).withColumn("is_match", (F.col("score") >= F.lit(match_threshold)).cast("long"))
+    agg = scored.agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.sum("is_match").alias("n_matched"),
+        F.sum(
+            (F.col("is_match") == 1).cast("long")
+            * (F.col("l_truth") == F.col("r_truth")).cast("long")
+        ).alias("n_true_found"),
+    )
+    # side totals fold into one-row frames and broadcast back — no
+    # driver-side count() rescans the inputs just to mint a literal
+    sizes = (
+        left.agg(F.count(F.lit(1)).alias("n_left"))
+        .crossJoin(F.broadcast(right.agg(F.count(F.lit(1)).alias("n_right"))))
+    )
+    true_pairs = (
+        left.select(F.col(truth_col).alias("t"))
+        .join(right.select(F.col(truth_col).alias("t")), "t")
+        .agg(F.count(F.lit(1)).alias("n_true_pairs"))
+    )
+    return (
+        agg.crossJoin(F.broadcast(sizes))
+        .crossJoin(F.broadcast(true_pairs))
+        .select(
+            "n_left",
+            "n_right",
+            "n_candidates",
+            "n_matched",
+            "n_true_pairs",
+            "n_true_found",
+            (
+                F.col("n_true_found").cast("double")
+                / F.col("n_matched").cast("double")
+            ).alias("precision"),
+            (
+                F.col("n_true_found").cast("double")
+                / F.col("n_true_pairs").cast("double")
+            ).alias("recall"),
+        )
+    )

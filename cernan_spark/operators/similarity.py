@@ -1005,3 +1005,118 @@ def kappa_agreement(
         pe.alias("p_e"),
         ((po - pe) / (F.lit(1.0) - pe)).alias("kappa"),
     )
+
+
+def binary_auc(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
+    """Exact ROC-AUC by the Mann–Whitney rank statistic — the one-pass,
+    collect-free classifier eval a quality-filter pipeline runs before
+    trusting a model's scores (reference analog: cernan's CKMS quantile
+    summaries are the same "rank statistics at scale" discipline,
+    /root/reference/src/buckets.rs quantile queries).
+
+    Ties are handled with average ranks computed on the DISTINCT-score
+    rollup: one hash aggregate to (score, n, n_pos), a window over that
+    tiny table for the cumulative rank offset, then one final aggregate.
+    Every intermediate is an exact integer or half-integer (avg rank =
+    cum_before + (n+1)/2), so the commutative sums stay bit-exact and
+    the only division is at emit. At 100 TB the shuffle carries ONE row
+    per distinct score — quantize continuous scores first and the plan
+    is unchanged.
+
+    Output: one row — ``n, n_pos, n_neg, rank_sum_pos, auc, gini``.
+    """
+    y = F.col(label_col).cast("long")
+    g = df.groupBy(F.col(score_col).alias("score")).agg(
+        F.count(F.lit(1)).alias("n_g"),
+        F.sum(y).alias("pos_g"),
+    )
+    w = W.orderBy("score").rowsBetween(W.unboundedPreceding, -1)
+    ranked = g.select(
+        "n_g",
+        "pos_g",
+        (
+            F.coalesce(F.sum("n_g").over(w), F.lit(0)).cast("double")
+            + (F.col("n_g") + 1).cast("double") / F.lit(2.0)
+        ).alias("avg_rank"),
+    )
+    t = ranked.agg(
+        F.sum("n_g").alias("n"),
+        F.sum("pos_g").alias("n_pos"),
+        F.sum(F.col("pos_g").cast("double") * F.col("avg_rank")).alias(
+            "rank_sum_pos"
+        ),
+    )
+    n_neg = F.col("n") - F.col("n_pos")
+    auc = (
+        F.col("rank_sum_pos")
+        - (F.col("n_pos") * (F.col("n_pos") + 1)).cast("double") / F.lit(2.0)
+    ) / (F.col("n_pos") * n_neg).cast("double")
+    return t.select(
+        "n",
+        "n_pos",
+        n_neg.alias("n_neg"),
+        "rank_sum_pos",
+        auc.alias("auc"),
+        (F.lit(2.0) * auc - F.lit(1.0)).alias("gini"),
+    )
+
+
+def calibration_report(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    denom: int = 128,
+    n_bins: int = 8,
+) -> DataFrame:
+    """Reliability diagram + expected calibration error over an integer
+    score in ``[0, denom)``: predicted probability p = score/denom (an
+    exact binary fraction when denom is a power of two), equal-width
+    bins, per-bin mean prediction vs empirical positive rate, and the
+    bin-weighted |gap| folded in bin order into one corpus-level ECE.
+
+    ONE hash aggregate to the bin grain (≤ n_bins rows); the ECE fold
+    runs over the sorted bin structs and is broadcast back onto the bin
+    rows, so nothing bigger than n_bins ever moves after the aggregate.
+
+    Output: one row per non-empty bin — ``bin, n, mean_pred, frac_pos,
+    abs_gap, ece`` (ece repeated on every row).
+    """
+    width = denom // n_bins
+    s = F.col(score_col).cast("long")
+    y = F.col(label_col).cast("long")
+    bins = (
+        df.groupBy(F.floor(s / F.lit(width)).cast("long").alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(y).alias("n_pos"),
+            F.sum(s).alias("sum_s"),
+        )
+        .select(
+            "bin",
+            "n",
+            (
+                F.col("sum_s").cast("double")
+                / (F.col("n") * F.lit(denom)).cast("double")
+            ).alias("mean_pred"),
+            (F.col("n_pos").cast("double") / F.col("n").cast("double")).alias(
+                "frac_pos"
+            ),
+        )
+        .withColumn("abs_gap", F.abs(F.col("mean_pred") - F.col("frac_pos")))
+    )
+    total = bins.agg(
+        F.sum("n").alias("n_total"),
+        F.array_sort(
+            F.collect_list(F.struct("bin", (F.col("n").cast("double") * F.col("abs_gap")).alias("term")))
+        ).alias("terms"),
+    ).select(
+        (
+            F.aggregate(
+                "terms", F.lit(0.0), lambda acc, x: acc + x["term"]
+            )
+            / F.col("n_total").cast("double")
+        ).alias("ece")
+    )
+    return bins.crossJoin(F.broadcast(total)).select(
+        "bin", "n", "mean_pred", "frac_pos", "abs_gap", "ece"
+    )

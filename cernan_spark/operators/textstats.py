@@ -1226,3 +1226,66 @@ def zipf_fit_oracle_sql(table: str = "documents", vocab_k: int = 100) -> str:
                         * (CAST(n AS DOUBLE) * syy - sy * sy)), 6) AS r2
         FROM folded
     """
+
+
+def unigram_overlap_eval(
+    docs: DataFrame,
+    cand_col: str = "cand",
+    ref_col: str = "ref",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ROUGE-1 / BLEU-1 style clipped unigram overlap between a candidate
+    and a reference text per pair — the n-gram eval a generation
+    pipeline runs against golden outputs at corpus scale.
+
+    Clipped overlap = Σ over distinct tokens of min(count_cand,
+    count_ref); precision = overlap / |cand|, recall = overlap / |ref|,
+    f1 = 2pr/(p+q) — all exact-integer counts with divisions only at
+    emit, so the DuckDB twin matches bit-for-bit.
+
+    Plan: both sides explode into ONE frame tagged by side, one
+    map-side-combined aggregate to (pair, token) grain, one more to the
+    pair grain — two shuffles total, no join. At 100 TB the (pair,
+    token) grain is bounded by corpus token count; no all-pairs step.
+    """
+    toks = F.split(F.col("txt"), " ")
+    both = docs.select(
+        F.col(id_col).alias("pair_id"),
+        F.col(cand_col).alias("txt"),
+        F.lit(1).alias("is_cand"),
+    ).unionByName(
+        docs.select(
+            F.col(id_col).alias("pair_id"),
+            F.col(ref_col).alias("txt"),
+            F.lit(0).alias("is_cand"),
+        )
+    )
+    grain = (
+        both.select(
+            "pair_id", "is_cand", F.explode(toks).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+        .groupBy("pair_id", "tok")
+        .agg(
+            F.sum("is_cand").alias("c_n"),
+            F.sum(1 - F.col("is_cand")).alias("r_n"),
+        )
+    )
+    per_pair = grain.groupBy("pair_id").agg(
+        F.sum("c_n").alias("cand_len"),
+        F.sum("r_n").alias("ref_len"),
+        F.sum(F.least("c_n", "r_n")).alias("overlap"),
+    )
+    p = F.col("overlap").cast("double") / F.col("cand_len").cast("double")
+    r = F.col("overlap").cast("double") / F.col("ref_len").cast("double")
+    return per_pair.select(
+        "pair_id",
+        "cand_len",
+        "ref_len",
+        "overlap",
+        p.alias("precision"),
+        r.alias("recall"),
+        F.when(
+            F.col("overlap") == 0, F.lit(0.0)
+        ).otherwise(F.lit(2.0) * p * r / (p + r)).alias("f1"),
+    )

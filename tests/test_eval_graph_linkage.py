@@ -1,0 +1,167 @@
+"""Hand-model checks for the round-5 eval/graph/linkage operators:
+exact ROC-AUC (Mann–Whitney), calibration/ECE, PageRank power
+iterations, clipped unigram overlap, and blocked record linkage."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cernan_spark.operators.graph import pagerank
+from cernan_spark.operators.relational import record_linkage
+from cernan_spark.operators.similarity import binary_auc, calibration_report
+from cernan_spark.operators.textstats import unigram_overlap_eval
+
+
+def test_binary_auc_matches_pairwise_definition(spark):
+    """AUC from tie-averaged ranks equals the pairwise definition
+    P(score_pos > score_neg) + 0.5·P(tie), computed by brute force."""
+    rows = [
+        (3, 1), (3, 0), (1, 0), (2, 0), (5, 1), (4, 1), (4, 0),
+        (2, 1), (1, 0), (5, 1), (3, 0), (0, 0),
+    ]
+    df = spark.createDataFrame(rows, "score int, y int")
+    got = binary_auc(df, "score", "y").first()
+    pos = [s for s, y in rows if y == 1]
+    neg = [s for s, y in rows if y == 0]
+    wins = sum(
+        1.0 if p > n else (0.5 if p == n else 0.0) for p in pos for n in neg
+    )
+    expect = wins / (len(pos) * len(neg))
+    assert got["n_pos"] == len(pos) and got["n_neg"] == len(neg)
+    assert got["auc"] == pytest.approx(expect, abs=1e-12)
+    assert got["gini"] == pytest.approx(2 * expect - 1, abs=1e-12)
+
+
+def test_binary_auc_perfect_and_random(spark):
+    """A perfectly separating score gives AUC 1; a constant score
+    (all ties) gives exactly 0.5."""
+    perfect = spark.createDataFrame(
+        [(i, 1 if i >= 50 else 0) for i in range(100)], "score int, y int"
+    )
+    assert binary_auc(perfect, "score", "y").first()["auc"] == 1.0
+    const = spark.createDataFrame(
+        [(7, i % 2) for i in range(40)], "score int, y int"
+    )
+    assert const.select(F.lit(1)).count() == 40
+    assert binary_auc(const, "score", "y").first()["auc"] == 0.5
+
+
+def test_calibration_report_hand_model(spark):
+    """Two populated bins with known exact gaps; ECE is the n-weighted
+    mean |gap| and repeats on every bin row."""
+    # bin 0: scores {0,16-eps}? keep inside [0,16): scores 8,8,8,8 → p=8/128
+    # bin 2: scores 40 ×4 → p=40/128
+    rows = [(8, 0)] * 3 + [(8, 1)] + [(40, 1)] * 3 + [(40, 0)]
+    df = spark.createDataFrame(rows, "score int, y int")
+    out = {
+        r["bin"]: r
+        for r in calibration_report(df, "score", "y", denom=128, n_bins=8).collect()
+    }
+    assert set(out) == {0, 2}
+    b0, b2 = out[0], out[2]
+    assert b0["mean_pred"] == 8 / 128 and b0["frac_pos"] == 0.25
+    assert b2["mean_pred"] == 40 / 128 and b2["frac_pos"] == 0.75
+    g0 = abs(8 / 128 - 0.25)
+    g2 = abs(40 / 128 - 0.75)
+    ece = (4 * g0 + 4 * g2) / 8
+    assert b0["abs_gap"] == pytest.approx(g0, abs=1e-15)
+    assert b0["ece"] == pytest.approx(ece, abs=1e-15)
+    assert b2["ece"] == b0["ece"]
+
+
+def test_pagerank_hand_model(spark):
+    """3 iterations over a 4-node graph with one dangling node match a
+    Python replay that folds contributions in the same sorted order;
+    total mass stays exactly conserved at 1."""
+    edges = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "d")]
+    # d is dangling (no out-edges)
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"]: r for r in pagerank(df, iters=3, damping=0.85).collect()}
+
+    nodes = ["a", "b", "c", "d"]
+    deg = {"a": 2, "b": 1, "c": 1, "d": 0}
+    n = len(nodes)
+    rank = {v: 1.0 / n for v in nodes}
+    base = (1.0 - 0.85) / n
+    for _ in range(3):
+        dm = 0.0
+        for v in sorted(nodes):
+            if deg[v] == 0:
+                dm += rank[v]
+        inflow = {v: None for v in nodes}
+        for v in nodes:
+            srcs = sorted(s for s, t in edges if t == v)
+            if srcs:
+                acc = 0.0
+                for s in srcs:
+                    acc += rank[s] / float(deg[s])
+                inflow[v] = acc
+        rank = {
+            v: base + 0.85 * ((inflow[v] or 0.0) + dm / float(n))
+            for v in nodes
+        }
+    for v in nodes:
+        assert got[v]["rank"] == rank[v], v
+        assert got[v]["out_deg"] == deg[v]
+    assert sum(rank.values()) == pytest.approx(1.0, abs=1e-12)
+    assert sum(r["rank"] for r in got.values()) == pytest.approx(1.0, abs=1e-12)
+
+
+def test_unigram_overlap_hand_model(spark):
+    """Clipped counts: candidate 'a a b c', reference 'a b b' →
+    overlap = min(2,1) + min(1,2) + min(1,0) = 2."""
+    df = spark.createDataFrame(
+        [(1, "a a b c", "a b b"), (2, "x y", "x y")],
+        "doc_id long, cand string, ref string",
+    )
+    out = {r["pair_id"]: r for r in unigram_overlap_eval(df).collect()}
+    r1 = out[1]
+    assert (r1["cand_len"], r1["ref_len"], r1["overlap"]) == (4, 3, 2)
+    assert r1["precision"] == 0.5
+    assert r1["recall"] == pytest.approx(2 / 3, abs=1e-15)
+    p, r = 0.5, 2 / 3
+    assert r1["f1"] == pytest.approx(2 * p * r / (p + r), abs=1e-15)
+    r2 = out[2]
+    assert r2["overlap"] == 2 and r2["f1"] == 1.0
+
+
+def test_unigram_overlap_zero_overlap_f1_zero(spark):
+    df = spark.createDataFrame(
+        [(1, "a a", "b b")], "doc_id long, cand string, ref string"
+    )
+    r = unigram_overlap_eval(df).first()
+    assert r["overlap"] == 0 and r["f1"] == 0.0
+
+
+def test_record_linkage_hand_model(spark):
+    """Two true pairs in one block: one agrees on every field (links),
+    one has a mangled name (name weight lost → below threshold); a
+    cross pair never reaches the threshold. A third true pair sits in a
+    diverged block and is never a candidate (blocking recall loss)."""
+    left = spark.createDataFrame(
+        [
+            (1, 1, "B1", "alice", "AUTO", 100.0),
+            (2, 2, "B1", "bob", "AUTO", 200.0),
+            (3, 3, "B9", "carol", "HOME", 300.0),
+        ],
+        "rec_id long, truth_id long, block string, name string, "
+        "segment string, balance double",
+    )
+    right = spark.createDataFrame(
+        [
+            (11, 1, "B1", "alice", "AUTO", 100.0),   # full agree → 38
+            (12, 2, "B1", "BOB", "AUTO", 200.0),     # name broken → 6
+            (13, 3, "B8", "carol", "HOME", 300.0),   # block diverged
+        ],
+        "rec_id long, truth_id long, block string, name string, "
+        "segment string, balance double",
+    )
+    r = record_linkage(left, right).first()
+    assert (r["n_left"], r["n_right"]) == (3, 3)
+    # candidates: block B1 → {1,2} × {11,12} = 4 pairs
+    assert r["n_candidates"] == 4
+    assert r["n_matched"] == 1 and r["n_true_found"] == 1
+    assert r["n_true_pairs"] == 3
+    assert r["precision"] == 1.0
+    assert r["recall"] == pytest.approx(1 / 3, abs=1e-15)
