@@ -3165,6 +3165,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_pagerank": q_domain_pagerank,
         "rouge_overlap": q_rouge_overlap,
         "record_linkage": q_record_linkage,
+        "sliced_auc": q_sliced_auc,
+        "roc_curve": q_roc_curve,
     }
 
 
@@ -6559,6 +6561,40 @@ def q_rouge_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("text").alias("cand"), ref.alias("ref")
     )
     return unigram_overlap_eval(pairs, "cand", "ref", "doc_id")
+
+
+def q_sliced_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disaggregated (fairness) eval: per-language exact ROC-AUC of a
+    quality score whose separation strength deliberately differs by
+    slice (en > es > rest), plus the max−min AUC gap broadcast onto
+    every row — the audit that catches a filter scoring one language
+    worse (operators/similarity.py)."""
+    from cernan_spark.operators.similarity import sliced_auc
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    y = (F.col("doc_id") % 5 < 2).cast("int")
+    boost = (
+        F.when(F.col("lang") == "en", F.lit(20))
+        .when(F.col("lang") == "es", F.lit(10))
+        .otherwise(F.lit(4))
+    )
+    s = d.select(
+        F.col("lang").alias("grp"),
+        ((F.col("doc_id") % 31) + y * boost).alias("score"),
+        y.alias("y"),
+    )
+    return sliced_auc(s, "grp", "score", "y")
+
+
+def q_roc_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full ROC/PR operating table for the scored-embeddings classifier:
+    one row per distinct threshold with exact confusion counts from
+    suffix sums over the distinct-score rollup — threshold-sized
+    output, plots straight from the cluster
+    (operators/similarity.py)."""
+    from cernan_spark.operators.similarity import roc_curve
+
+    return roc_curve(_scored_embeddings(spark, sf_dir), "score", "y")
 
 
 def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -10267,5 +10303,74 @@ def oracle_sql() -> dict[str, str]:
                CAST(n_true_found AS DOUBLE) / CAST(n_true_pairs AS DOUBLE)
                  AS recall
         FROM agg, sz
+    """
+    d["sliced_auc"] = """
+        WITH s AS (
+            SELECT lang AS grp,
+                   (doc_id % 31)
+                   + (CASE WHEN doc_id % 5 < 2 THEN 1 ELSE 0 END)
+                     * (CASE WHEN lang = 'en' THEN 20
+                             WHEN lang = 'es' THEN 10
+                             ELSE 4 END) AS score,
+                   CASE WHEN doc_id % 5 < 2 THEN 1 ELSE 0 END AS y
+            FROM documents
+        ), g AS (
+            SELECT grp, score, CAST(count(*) AS BIGINT) AS n_g,
+                   CAST(sum(y) AS BIGINT) AS pos_g
+            FROM s GROUP BY 1, 2
+        ), rk AS (
+            SELECT grp, n_g, pos_g,
+                   CAST(coalesce(sum(n_g) OVER (PARTITION BY grp
+                       ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS DOUBLE)
+                   + CAST(n_g + 1 AS DOUBLE) / 2.0 AS avg_rank
+            FROM g
+        ), per AS (
+            SELECT grp, CAST(sum(n_g) AS BIGINT) AS n,
+                   CAST(sum(pos_g) AS BIGINT) AS n_pos,
+                   sum(CAST(pos_g AS DOUBLE) * avg_rank) AS rank_sum_pos
+            FROM rk GROUP BY 1
+        ), pa AS (
+            SELECT grp, n, n_pos, n - n_pos AS n_neg,
+                   CASE WHEN n_pos > 0 AND n - n_pos > 0 THEN
+                       (rank_sum_pos
+                        - CAST(n_pos * (n_pos + 1) AS DOUBLE) / 2.0)
+                         / CAST(n_pos * (n - n_pos) AS DOUBLE)
+                   END AS auc
+            FROM per
+        ), gap AS (SELECT max(auc) - min(auc) AS auc_gap FROM pa)
+        SELECT grp, n, n_pos, n_neg, auc,
+               (SELECT auc_gap FROM gap) AS auc_gap
+        FROM pa
+    """
+    d["roc_curve"] = """
+        WITH s AS (
+            SELECT (label * 12 + vec_id % 13) AS score,
+                   CASE WHEN label >= 5 THEN 1 ELSE 0 END AS y
+            FROM embeddings
+        ), g AS (
+            SELECT score AS threshold, CAST(count(*) AS BIGINT) AS n_g,
+                   CAST(sum(y) AS BIGINT) AS pos_g
+            FROM s GROUP BY 1
+        ), c AS (
+            SELECT threshold,
+                   CAST(sum(pos_g) OVER wdesc AS BIGINT) AS tp,
+                   CAST(sum(n_g) OVER wdesc - sum(pos_g) OVER wdesc
+                        AS BIGINT) AS fp,
+                   CAST(sum(pos_g) OVER ()
+                        - sum(pos_g) OVER wdesc AS BIGINT) AS fn,
+                   CAST(sum(n_g) OVER () - sum(pos_g) OVER ()
+                        - (sum(n_g) OVER wdesc - sum(pos_g) OVER wdesc)
+                        AS BIGINT) AS tn
+            FROM g
+            WINDOW wdesc AS (ORDER BY threshold DESC
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW)
+        )
+        SELECT threshold, tp, fp, fn, tn,
+               CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) AS tpr,
+               CAST(fp AS DOUBLE) / CAST(fp + tn AS DOUBLE) AS fpr,
+               CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) AS prec
+        FROM c
     """
     return d

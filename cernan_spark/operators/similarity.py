@@ -1120,3 +1120,117 @@ def calibration_report(
     return bins.crossJoin(F.broadcast(total)).select(
         "bin", "n", "mean_pred", "frac_pos", "abs_gap", "ece"
     )
+
+
+def sliced_auc(
+    df: DataFrame, grp_col: str, score_col: str, label_col: str
+) -> DataFrame:
+    """Per-slice exact ROC-AUC plus the cross-slice fairness gap — the
+    disaggregated-eval audit (does the quality filter score one
+    language/source worse than another?) run the same collect-free way
+    as :func:`binary_auc`: one hash aggregate to the (slice, distinct
+    score) grain, windows PARTITIONED by slice over that rollup, one
+    aggregate per slice, and the max−min AUC gap broadcast back from a
+    one-row fold. max/min of deterministic doubles are order-free, so
+    no fold pinning is needed anywhere.
+
+    Output: one row per slice — ``grp, n, n_pos, n_neg, auc, auc_gap``
+    (gap repeated; slices missing a class emit NULL auc and are
+    excluded from the gap).
+    """
+    y = F.col(label_col).cast("long")
+    g = df.groupBy(
+        F.col(grp_col).alias("grp"), F.col(score_col).alias("score")
+    ).agg(F.count(F.lit(1)).alias("n_g"), F.sum(y).alias("pos_g"))
+    w = (
+        W.partitionBy("grp")
+        .orderBy("score")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    ranked = g.select(
+        "grp",
+        "n_g",
+        "pos_g",
+        (
+            F.coalesce(F.sum("n_g").over(w), F.lit(0)).cast("double")
+            + (F.col("n_g") + 1).cast("double") / F.lit(2.0)
+        ).alias("avg_rank"),
+    )
+    per = ranked.groupBy("grp").agg(
+        F.sum("n_g").alias("n"),
+        F.sum("pos_g").alias("n_pos"),
+        F.sum(F.col("pos_g").cast("double") * F.col("avg_rank")).alias(
+            "rank_sum_pos"
+        ),
+    )
+    n_neg = F.col("n") - F.col("n_pos")
+    auc = F.when(
+        (F.col("n_pos") > 0) & (n_neg > 0),
+        (
+            F.col("rank_sum_pos")
+            - (F.col("n_pos") * (F.col("n_pos") + 1)).cast("double")
+            / F.lit(2.0)
+        )
+        / (F.col("n_pos") * n_neg).cast("double"),
+    )
+    per = per.select(
+        "grp", "n", "n_pos", n_neg.alias("n_neg"), auc.alias("auc")
+    )
+    gap = per.agg(
+        (F.max("auc") - F.min("auc")).alias("auc_gap")
+    )
+    return per.crossJoin(F.broadcast(gap)).select(
+        "grp", "n", "n_pos", "n_neg", "auc", "auc_gap"
+    )
+
+
+def roc_curve(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
+    """The full ROC/PR operating table: one row per distinct score
+    threshold t with the confusion counts and rates for the rule
+    "predict positive when score ≥ t". Suffix sums over the
+    distinct-score rollup (window ordered by score DESC) — exact
+    integers, divisions only at emit; the output is threshold-sized,
+    never data-sized, so it plots straight from the cluster.
+
+    Output per threshold: ``threshold, tp, fp, fn, tn, tpr, fpr,
+    prec`` (prec = tp/(tp+fp); tp+fp ≥ 1 by construction since the
+    threshold itself carries at least one row).
+    """
+    y = F.col(label_col).cast("long")
+    g = df.groupBy(F.col(score_col).alias("threshold")).agg(
+        F.count(F.lit(1)).alias("n_g"), F.sum(y).alias("pos_g")
+    )
+    wdesc = W.orderBy(F.col("threshold").desc()).rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    tot = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    c = g.select(
+        "threshold",
+        F.sum("pos_g").over(wdesc).alias("tp"),
+        (F.sum("n_g").over(wdesc) - F.sum("pos_g").over(wdesc)).alias("fp"),
+        (F.sum("pos_g").over(tot) - F.sum("pos_g").over(wdesc)).alias("fn"),
+        (
+            F.sum("n_g").over(tot)
+            - F.sum("pos_g").over(tot)
+            - (F.sum("n_g").over(wdesc) - F.sum("pos_g").over(wdesc))
+        ).alias("tn"),
+    )
+    return c.select(
+        "threshold",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        (
+            F.col("tp").cast("double")
+            / (F.col("tp") + F.col("fn")).cast("double")
+        ).alias("tpr"),
+        (
+            F.col("fp").cast("double")
+            / (F.col("fp") + F.col("tn")).cast("double")
+        ).alias("fpr"),
+        (
+            F.col("tp").cast("double")
+            / (F.col("tp") + F.col("fp")).cast("double")
+        ).alias("prec"),
+    )

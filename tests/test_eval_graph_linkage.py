@@ -165,3 +165,44 @@ def test_record_linkage_hand_model(spark):
     assert r["n_true_pairs"] == 3
     assert r["precision"] == 1.0
     assert r["recall"] == pytest.approx(1 / 3, abs=1e-15)
+
+
+def test_sliced_auc_groups_and_gap(spark):
+    """Slice A perfectly separated (AUC 1), slice B constant score
+    (AUC 0.5), slice C single-class (NULL auc, excluded from the gap);
+    gap = 0.5 on every row."""
+    from cernan_spark.operators.similarity import sliced_auc
+
+    rows = (
+        [("A", i, 1 if i >= 5 else 0) for i in range(10)]
+        + [("B", 7, i % 2) for i in range(10)]
+        + [("C", i, 1) for i in range(4)]
+    )
+    df = spark.createDataFrame(rows, "grp string, score int, y int")
+    out = {r["grp"]: r for r in sliced_auc(df, "grp", "score", "y").collect()}
+    assert out["A"]["auc"] == 1.0
+    assert out["B"]["auc"] == 0.5
+    assert out["C"]["auc"] is None
+    for r in out.values():
+        assert r["auc_gap"] == 0.5
+
+
+def test_roc_curve_hand_model(spark):
+    """Confusion counts at every threshold match the brute-force rule
+    'positive when score >= t'; curve endpoints behave."""
+    from cernan_spark.operators.similarity import roc_curve
+
+    rows = [(1, 0), (1, 0), (2, 1), (3, 0), (3, 1), (4, 1)]
+    df = spark.createDataFrame(rows, "score int, y int")
+    out = {r["threshold"]: r for r in roc_curve(df, "score", "y").collect()}
+    P = sum(y for _, y in rows)
+    N = len(rows) - P
+    for t in {s for s, _ in rows}:
+        tp = sum(1 for s, y in rows if s >= t and y == 1)
+        fp = sum(1 for s, y in rows if s >= t and y == 0)
+        r = out[t]
+        assert (r["tp"], r["fp"]) == (tp, fp), t
+        assert (r["fn"], r["tn"]) == (P - tp, N - fp), t
+        assert r["tpr"] == tp / P and r["fpr"] == fp / N
+        assert r["prec"] == tp / (tp + fp)
+    assert out[min(out)]["tpr"] == 1.0 and out[min(out)]["fpr"] == 1.0
