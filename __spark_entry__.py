@@ -3167,6 +3167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "record_linkage": q_record_linkage,
         "sliced_auc": q_sliced_auc,
         "roc_curve": q_roc_curve,
+        "posting_lists": q_posting_lists,
     }
 
 
@@ -6561,6 +6562,19 @@ def q_rouge_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("text").alias("cand"), ref.alias("ref")
     )
     return unigram_overlap_eval(pairs, "cand", "ref", "doc_id")
+
+
+def q_posting_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build: per-token document frequency, total term
+    frequency, and the delta-encoded posting list (comma-joined gap
+    string — the varint-compressible form). One exchange to the
+    (token, doc) grain; the posting sort and the token-grain aggregate
+    reuse that partitioning (operators/corpus.py)."""
+    from cernan_spark.operators.corpus import posting_lists
+
+    return posting_lists(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
 
 
 def q_sliced_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -10372,5 +10386,25 @@ def oracle_sql() -> dict[str, str]:
                CAST(fp AS DOUBLE) / CAST(fp + tn AS DOUBLE) AS fpr,
                CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) AS prec
         FROM c
+    """
+    d["posting_lists"] = """
+        WITH tf AS (
+            SELECT tok, doc_id, CAST(count(*) AS BIGINT) AS tf
+            FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                FROM documents
+            )
+            WHERE tok <> '' GROUP BY 1, 2
+        ), gp AS (
+            SELECT tok, doc_id, tf,
+                   doc_id - coalesce(lag(doc_id) OVER (
+                       PARTITION BY tok ORDER BY doc_id), 0) AS gap
+            FROM tf
+        )
+        SELECT tok, CAST(count(*) AS BIGINT) AS df,
+               CAST(sum(tf) AS BIGINT) AS total_tf,
+               string_agg(CAST(gap AS VARCHAR), ',' ORDER BY doc_id)
+                 AS gaps
+        FROM gp GROUP BY 1
     """
     return d

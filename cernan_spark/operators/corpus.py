@@ -2110,3 +2110,56 @@ def distinctive_terms_oracle_sql(
                round(delta, 6) AS log_odds, round(z, 6) AS z
         FROM scored ORDER BY abs(z) DESC, tok LIMIT {top_k}
     """
+
+
+def posting_lists(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Inverted-index posting-list build with delta-encoded doc-id gaps —
+    the retrieval-infra artifact (Lucene/ES posting shape) a corpus
+    pipeline materializes before BM25 serving. Per token: document
+    frequency, total term frequency, and the gap-encoded posting list
+    (first gap = smallest doc_id, later gaps = id deltas — the form that
+    varint-compresses at scale).
+
+    Plan: ONE exchange to the (token, doc) grain for tf, then the
+    posting sort runs as a window INSIDE each token partition and the
+    final token-grain aggregate reuses that partitioning — no second
+    wide shuffle. Hot tokens (stopwords) make big postings, exactly as
+    in a real index; AQE skew handling splits them. Postings emit as a
+    comma-joined string so the cross-engine value hash is
+    byte-identical (arrays serialize differently per engine).
+    """
+    from pyspark.sql import Window as W
+
+    tf = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .groupBy("tok", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    w = W.partitionBy("tok").orderBy("doc_id")
+    gapped = tf.select(
+        "tok",
+        "doc_id",
+        "tf",
+        (
+            F.col("doc_id") - F.coalesce(F.lag("doc_id").over(w), F.lit(0))
+        ).alias("gap"),
+    )
+    return gapped.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("tf").alias("total_tf"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("doc_id", "gap"))
+                ),
+                lambda s: s["gap"].cast("string"),
+            ),
+            ",",
+        ).alias("gaps"),
+    )

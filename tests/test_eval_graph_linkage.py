@@ -206,3 +206,17 @@ def test_roc_curve_hand_model(spark):
         assert r["tpr"] == tp / P and r["fpr"] == fp / N
         assert r["prec"] == tp / (tp + fp)
     assert out[min(out)]["tpr"] == 1.0 and out[min(out)]["fpr"] == 1.0
+
+
+def test_posting_lists_gap_encoding(spark):
+    """Token in docs {2,5,9} delta-encodes to '2,3,4'; df/total_tf
+    count documents and occurrences respectively."""
+    from cernan_spark.operators.corpus import posting_lists
+
+    df = spark.createDataFrame(
+        [(2, "a b"), (5, "a a"), (9, "a c")], "doc_id long, text string"
+    )
+    out = {r["tok"]: r for r in posting_lists(df).collect()}
+    a = out["a"]
+    assert (a["df"], a["total_tf"], a["gaps"]) == (3, 4, "2,3,4")
+    assert out["b"]["gaps"] == "2" and out["c"]["gaps"] == "9"
