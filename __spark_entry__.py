@@ -3168,6 +3168,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliced_auc": q_sliced_auc,
         "roc_curve": q_roc_curve,
         "posting_lists": q_posting_lists,
+        "l_diversity": q_l_diversity,
+        "wilson_errors": q_wilson_errors,
     }
 
 
@@ -6562,6 +6564,36 @@ def q_rouge_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("text").alias("cand"), ref.alias("ref")
     )
     return unigram_overlap_eval(pairs, "cand", "ref", "doc_id")
+
+
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity release audit over the documents table: QI =
+    (lang, 32-char length bucket), sensitive = source; groups whose
+    members span < 3 sources are suppressed, and max_share reports the
+    homogeneity-attack confidence
+    (operators/loghygiene.l_diversity_audit)."""
+    from cernan_spark.operators.loghygiene import l_diversity_audit
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "lang",
+        F.floor(F.col("n_chars") / F.lit(32.0)).alias("len_bucket"),
+        "source",
+    )
+    return l_diversity_audit(d, ["lang", "len_bucket"], "source", l=3)
+
+
+def q_wilson_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cohort error rate with Wilson score bounds (z=1.96): alert
+    only when the interval's LOWER bound clears 0.25 — the small-n
+    honesty rule naive rate dashboards get wrong
+    (operators/anomaly.wilson_error_bounds)."""
+    from cernan_spark.operators.anomaly import wilson_error_bounds
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        (F.col("user_id") % 50).alias("cohort"),
+        (F.col("event_type") == "error").cast("int").alias("is_err"),
+    )
+    return wilson_error_bounds(ev, ["cohort"], "is_err", alert_threshold=0.25)
 
 
 def q_posting_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -10406,5 +10438,66 @@ def oracle_sql() -> dict[str, str]:
                string_agg(CAST(gap AS VARCHAR), ',' ORDER BY doc_id)
                  AS gaps
         FROM gp GROUP BY 1
+    """
+    d["l_diversity"] = """
+        WITH fine AS (
+            SELECT lang,
+                   CAST(floor(n_chars / 32.0) AS BIGINT) AS len_bucket,
+                   source, CAST(count(*) AS BIGINT) AS c
+            FROM documents GROUP BY 1, 2, 3
+        )
+        SELECT lang, len_bucket,
+               CAST(sum(c) AS BIGINT) AS n_rows,
+               CAST(count(*) AS BIGINT) AS n_sensitive,
+               CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE)
+                 AS max_share,
+               CASE WHEN count(*) >= 3 THEN 1 ELSE 0 END AS published
+        FROM fine GROUP BY 1, 2
+    """
+    d["wilson_errors"] = """
+        WITH s AS (
+            SELECT user_id % 50 AS cohort,
+                   CASE WHEN event_type = 'error' THEN 1 ELSE 0 END
+                     AS is_err
+            FROM events
+        ), g AS (
+            SELECT cohort, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(is_err) AS BIGINT) AS n_err
+            FROM s GROUP BY 1
+        )
+        SELECT cohort, n, n_err,
+               CAST(n_err AS DOUBLE) / CAST(n AS DOUBLE) AS rate,
+               (CAST(n_err AS DOUBLE) / CAST(n AS DOUBLE)
+                + (1.96 * 1.96) / (2.0 * CAST(n AS DOUBLE))
+                - 1.96 * sqrt(
+                      (CAST(n_err AS DOUBLE) / CAST(n AS DOUBLE))
+                      * (1.0 - CAST(n_err AS DOUBLE) / CAST(n AS DOUBLE))
+                      / CAST(n AS DOUBLE)
+                      + (1.96 * 1.96)
+                        / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+               / (1.0 + (1.96 * 1.96) / CAST(n AS DOUBLE)) AS wilson_lo,
+               (CAST(n_err AS DOUBLE) / CAST(n AS DOUBLE)
+                + (1.96 * 1.96) / (2.0 * CAST(n AS DOUBLE))
+                + 1.96 * sqrt(
+                      (CAST(n_err AS DOUBLE) / CAST(n AS DOUBLE))
+                      * (1.0 - CAST(n_err AS DOUBLE) / CAST(n AS DOUBLE))
+                      / CAST(n AS DOUBLE)
+                      + (1.96 * 1.96)
+                        / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+               / (1.0 + (1.96 * 1.96) / CAST(n AS DOUBLE)) AS wilson_hi,
+               CASE WHEN
+                   (CAST(n_err AS DOUBLE) / CAST(n AS DOUBLE)
+                    + (1.96 * 1.96) / (2.0 * CAST(n AS DOUBLE))
+                    - 1.96 * sqrt(
+                          (CAST(n_err AS DOUBLE) / CAST(n AS DOUBLE))
+                          * (1.0 - CAST(n_err AS DOUBLE)
+                                   / CAST(n AS DOUBLE))
+                          / CAST(n AS DOUBLE)
+                          + (1.96 * 1.96)
+                            / (4.0 * CAST(n AS DOUBLE)
+                               * CAST(n AS DOUBLE))))
+                   / (1.0 + (1.96 * 1.96) / CAST(n AS DOUBLE)) > 0.25
+                   THEN 1 ELSE 0 END AS alert
+        FROM g
     """
     return d

@@ -677,3 +677,46 @@ def lag_correlation(
         F.col("n").alias("n_hours"),
         F.round(num / F.sqrt(da * db), 6).alias("pearson_r"),
     )
+
+
+def wilson_error_bounds(
+    df: DataFrame,
+    grp_cols: list[str],
+    err_col: str,
+    alert_threshold: float = 0.25,
+) -> DataFrame:
+    """Per-group error rate with the Wilson score interval (z = 1.96)
+    and the alert verdict a dashboard actually needs: flag only when
+    the interval's LOWER bound clears the threshold — a 2/3 failure
+    cohort alerts, a 1/1 fluke does not. The small-n honesty rule naive
+    rate dashboards get wrong.
+
+    ONE map-side-combined hash aggregate to the group grain; the Wilson
+    formula is a fixed arithmetic tree over exact integer counts
+    (divisions, one correctly-rounded sqrt), so the DuckDB twin running
+    the same expression matches bit-for-bit.
+    """
+    e = F.col(err_col).cast("long")
+    g = df.groupBy(*grp_cols).agg(
+        F.count(F.lit(1)).alias("n"), F.sum(e).alias("n_err")
+    )
+    nd = F.col("n").cast("double")
+    p = F.col("n_err").cast("double") / nd
+    z = F.lit(1.96)
+    z2 = z * z
+    center = p + z2 / (F.lit(2.0) * nd)
+    margin = z * F.sqrt(
+        p * (F.lit(1.0) - p) / nd + z2 / (F.lit(4.0) * nd * nd)
+    )
+    denom = F.lit(1.0) + z2 / nd
+    return g.select(
+        *grp_cols,
+        "n",
+        "n_err",
+        p.alias("rate"),
+        ((center - margin) / denom).alias("wilson_lo"),
+        ((center + margin) / denom).alias("wilson_hi"),
+        (((center - margin) / denom) > F.lit(alert_threshold))
+        .cast("int")
+        .alias("alert"),
+    )

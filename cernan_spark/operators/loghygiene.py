@@ -273,3 +273,34 @@ def stitch_multiline(
             ),
         )
     )
+
+
+def l_diversity_audit(
+    df: DataFrame,
+    qi_cols: list[str],
+    sensitive_col: str,
+    l: int,
+) -> DataFrame:
+    """l-diversity audit — the release gate AFTER k-anonymity: a QI
+    group where every member shares one sensitive value leaks that
+    value even when the group is large (homogeneity attack). Per QI
+    group: row count, distinct sensitive values, the most-common
+    sensitive value's share (the attack confidence), and the publish
+    verdict ``n_sensitive >= l``.
+
+    Two map-side-combined hash aggregates — (QI, sensitive) grain then
+    QI grain, the second reusing the first's partitioning prefix; max
+    and sum are order-free so no fold pinning is needed; the only
+    division is at emit.
+    """
+    fine = df.groupBy(
+        *qi_cols, F.col(sensitive_col).alias("_sens")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    return fine.groupBy(*qi_cols).agg(
+        F.sum("c").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_sensitive"),
+        (
+            F.max("c").cast("double") / F.sum("c").cast("double")
+        ).alias("max_share"),
+        (F.count(F.lit(1)) >= F.lit(l)).cast("int").alias("published"),
+    )

@@ -220,3 +220,51 @@ def test_posting_lists_gap_encoding(spark):
     a = out["a"]
     assert (a["df"], a["total_tf"], a["gaps"]) == (3, 4, "2,3,4")
     assert out["b"]["gaps"] == "2" and out["c"]["gaps"] == "9"
+
+
+def test_l_diversity_hand_model(spark):
+    """A homogeneous group is suppressed even though it is large; a
+    3-source group publishes; max_share reports attack confidence."""
+    from cernan_spark.operators.loghygiene import l_diversity_audit
+
+    rows = (
+        [("en", 1, "s0")] * 10                       # 1 source → suppress
+        + [("en", 2, "s0")] * 2
+        + [("en", 2, "s1")] * 1
+        + [("en", 2, "s2")] * 1                       # 3 sources → publish
+    )
+    df = spark.createDataFrame(rows, "lang string, b int, src string")
+    out = {r["b"]: r for r in l_diversity_audit(df, ["lang", "b"], "src", l=3).collect()}
+    assert out[1]["published"] == 0 and out[1]["max_share"] == 1.0
+    assert out[2]["published"] == 1
+    assert out[2]["n_rows"] == 4 and out[2]["n_sensitive"] == 3
+    assert out[2]["max_share"] == 0.5
+
+
+def test_wilson_bounds_small_n_honesty(spark):
+    """1/1 failures does NOT alert (wide interval), 40/60 does; bounds
+    match the closed-form Wilson formula computed in Python."""
+    import math
+
+    from cernan_spark.operators.anomaly import wilson_error_bounds
+
+    rows = [("fluke", 1)] + [("bad", 1)] * 40 + [("bad", 0)] * 20
+    df = spark.createDataFrame(rows, "grp string, is_err int")
+    out = {
+        r["grp"]: r
+        for r in wilson_error_bounds(df, ["grp"], "is_err", 0.25).collect()
+    }
+
+    def wilson_lo(n_err, n):
+        p = n_err / n
+        z = 1.96
+        return (p + z * z / (2.0 * n) - z * math.sqrt(
+            p * (1.0 - p) / n + z * z / (4.0 * n * n)
+        )) / (1.0 + z * z / n)
+
+    assert out["fluke"]["alert"] == 0
+    assert out["fluke"]["rate"] == 1.0
+    assert out["fluke"]["wilson_lo"] == pytest.approx(wilson_lo(1, 1), abs=1e-12)
+    assert out["bad"]["alert"] == 1
+    assert out["bad"]["wilson_lo"] == pytest.approx(wilson_lo(40, 60), abs=1e-12)
+    assert out["bad"]["wilson_lo"] > 0.25
