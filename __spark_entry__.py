@@ -6599,9 +6599,11 @@ def q_wilson_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_posting_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted-index build: per-token document frequency, total term
     frequency, and the delta-encoded posting list (comma-joined gap
-    string — the varint-compressible form). One exchange to the
-    (token, doc) grain; the posting sort and the token-grain aggregate
-    reuse that partitioning (operators/corpus.py)."""
+    string — the varint-compressible form). ONE exchange in the AQE
+    final plan: the map-side-combined tf aggregate completes in the
+    scan stage (pairs born co-located), the token shuffle feeds the
+    posting-sort window, and the final aggregate reuses its
+    partitioning (operators/corpus.py)."""
     from cernan_spark.operators.corpus import posting_lists
 
     return posting_lists(

@@ -2122,11 +2122,17 @@ def posting_lists(
     (first gap = smallest doc_id, later gaps = id deltas — the form that
     varint-compresses at scale).
 
-    Plan: ONE exchange to the (token, doc) grain for tf, then the
-    posting sort runs as a window INSIDE each token partition and the
-    final token-grain aggregate reuses that partitioning — no second
-    wide shuffle. Hot tokens (stopwords) make big postings, exactly as
-    in a real index; AQE skew handling splits them. Postings emit as a
+    Plan (measured, AQE final): ONE exchange. The static plan carries
+    two — (token, doc) for tf, then token for the posting-sort window —
+    but ENSURE_REQUIREMENTS collapses them: the tf aggregate completes
+    inside the scan stage (globally correct HERE because explode never
+    splits a document across partitions, so every (token, doc) pair is
+    born co-located), the single shuffle runs on token, and the final
+    token-grain aggregate reuses the window's partitioning (subset
+    rule). Raw exploded tokens still combine map-side before the wire —
+    the win on stopword-heavy corpora. Hot tokens (stopwords) make big
+    postings, as in a real index; AQE skew handling splits them.
+    Guarded by ``test_posting_lists_two_exchanges_mapside_combine``. Postings emit as a
     comma-joined string so the cross-engine value hash is
     byte-identical (arrays serialize differently per engine).
     """

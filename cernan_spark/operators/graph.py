@@ -64,7 +64,7 @@ def pagerank(
     rank = nodes.select(
         "node", "out_deg", F.lit(1.0 / n_nodes).alias("rank")
     )
-    for _ in range(iters):
+    for it in range(iters):
         # dangling mass: pinned fold over node-sorted (node, rank) structs
         dangling = (
             rank.filter(F.col("out_deg") == 0)
@@ -111,4 +111,13 @@ def pagerank(
                 ).alias("rank"),
             )
         )
+        # Truncate lineage per iteration (the pointer-doubling CC /
+        # thread_paths discipline): the lazy rank frame is referenced
+        # TWICE per iteration (dangling fold + contributions), so
+        # without this the plan tree doubles every round — 2^iters
+        # subtree copies, each recompiled and re-executed. The LAST
+        # iteration stays lazy so the caller composes/inspects a real
+        # one-iteration plan instead of a checkpoint scan.
+        if it < iters - 1:
+            rank = rank.localCheckpoint(eager=True)
     return rank.select("node", "out_deg", "rank")

@@ -101,3 +101,51 @@ def test_js_divergence_totals_broadcast_never_shuffle(spark):
     plan = _final_plan(js_divergence_drift(_docs(spark)))
     assert _count(plan, r"BroadcastNestedLoopJoin") == 1
     assert _count(plan, r"SortMergeJoin|ShuffledHashJoin") == 0
+
+
+def _final_plan_collected(df) -> str:
+    """AQE-final plan of the SAME DataFrame — a noop write finalizes a
+    DIFFERENT QueryExecution and reads back isFinalPlan=false."""
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the adaptive toString appends an "== Initial Plan ==" section that
+    # would double-count every node
+    return plan.split("== Initial Plan ==")[0]
+
+
+def test_posting_lists_two_exchanges_mapside_combine(spark):
+    """Posting-list build, AQE final plan: exactly ONE wide exchange —
+    ENSURE_REQUIREMENTS collapses the (token, doc) tf exchange into the
+    window's token exchange (every (token, doc) pair is born co-located
+    since explode never splits a document row); tf still combines
+    map-side; the final token aggregate reuses the window partitioning
+    (subset rule), never adding another shuffle."""
+    from cernan_spark.operators.corpus import posting_lists
+
+    plan = _final_plan_collected(posting_lists(_docs(spark)))
+    assert _count(plan, r"Exchange hashpartitioning") == 1
+    assert _count(plan, r"hashpartitioning\(tok") == 1
+    assert _count(plan, r"partial") >= 1  # map-side combine
+    assert _count(plan, r"CartesianProduct") == 0
+
+
+def test_pagerank_iteration_plan_shape(spark):
+    """PageRank: earlier iterations are checkpointed (lineage would
+    otherwise double per round), so the final plan is exactly ONE
+    iteration: the dangling-mass attachment is the single broadcast
+    one-row nested-loop join, the edge/inflow joins are hash joins,
+    and there is no all-pairs step anywhere."""
+    from cernan_spark.operators.graph import pagerank
+
+    edges = spark.range(200).select(
+        F.concat(F.lit("s"), (F.col("id") % 23).cast("string")).alias("src"),
+        F.concat(F.lit("s"), ((F.col("id") * 7 + 3) % 29).cast("string")).alias(
+            "dst"
+        ),
+    )
+    plan = _final_plan_collected(pagerank(edges, iters=3))
+    assert _count(plan, r"CartesianProduct") == 0
+    assert _count(plan, r"BroadcastNestedLoopJoin") == 1
+    assert (
+        _count(plan, r"BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin") >= 2
+    )
