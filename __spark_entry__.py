@@ -3170,6 +3170,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "posting_lists": q_posting_lists,
         "l_diversity": q_l_diversity,
         "wilson_errors": q_wilson_errors,
+        "tri_clustering": q_tri_clustering,
+        "bradley_terry": q_bradley_terry,
     }
 
 
@@ -6688,6 +6690,74 @@ def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         bal2.alias("balance"),
     )
     return record_linkage(left, right)
+
+
+def q_tri_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient over a
+    deterministic co-citation graph seeded from documents (endpoints
+    doc_id%23 and doc_id%29 — by CRT the edge set sweeps the 23x29 pair
+    space, so it densifies with SF but stays bounded). Spark enumerates
+    with degree-ordered orientation (hub-safe O(m^1.5) wedge join,
+    operators/graph.triangle_counts); the oracle counts the SAME triangle
+    set in plain node order — counts are orientation-independent and the
+    coefficient is one exact-integer division."""
+    from cernan_spark.operators.graph import triangle_counts
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    edges = d.select(
+        (F.col("doc_id") % 23).alias("src"),
+        (F.col("doc_id") % 29).alias("dst"),
+    )
+    return triangle_counts(edges)
+
+
+def q_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry preference strengths over per-user event-type
+    'duels': per (user, type) the exact-cents sum and count; type A beats
+    type B for a user when A's mean value is higher, decided by INTEGER
+    cross-multiplication (sum_a*n_b vs sum_b*n_a — no float compare).
+    Eight Hunter-MM rounds with the +1-virtual-win-per-direction
+    regularizer (operators/graph.bradley_terry); every double is a
+    division/pinned-fold of exact inputs, so the DuckDB recursive
+    list-carried replay is bit-identical."""
+    from cernan_spark.operators.graph import bradley_terry
+
+    _utc(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    s = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("sc"),
+    )
+    a = s.select(
+        F.col("user_id"),
+        F.col("event_type").alias("ta"),
+        F.col("n").alias("na"),
+        F.col("sc").alias("sa"),
+    )
+    b = s.select(
+        F.col("user_id"),
+        F.col("event_type").alias("tb"),
+        F.col("n").alias("nb"),
+        F.col("sc").alias("sb"),
+    )
+    duels = a.join(b, "user_id").filter(F.col("ta") < F.col("tb"))
+    comps = duels.filter(
+        F.col("sa") * F.col("nb") != F.col("sb") * F.col("na")
+    ).select(
+        F.when(
+            F.col("sa") * F.col("nb") > F.col("sb") * F.col("na"),
+            F.col("ta"),
+        )
+        .otherwise(F.col("tb"))
+        .alias("winner"),
+        F.when(
+            F.col("sa") * F.col("nb") > F.col("sb") * F.col("na"),
+            F.col("tb"),
+        )
+        .otherwise(F.col("ta"))
+        .alias("loser"),
+    )
+    return bradley_terry(comps, iters=8)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -10501,5 +10571,103 @@ def oracle_sql() -> dict[str, str]:
                    / (1.0 + (1.96 * 1.96) / CAST(n AS DOUBLE)) > 0.25
                    THEN 1 ELSE 0 END AS alert
         FROM g
+    """
+    d["tri_clustering"] = """
+        WITH e AS (
+            SELECT DISTINCT least(doc_id % 23, doc_id % 29) AS u,
+                            greatest(doc_id % 23, doc_id % 29) AS v
+            FROM documents WHERE doc_id % 23 <> doc_id % 29
+        ), deg AS (
+            SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+                SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e
+            ) GROUP BY 1
+        ), tri AS (
+            SELECT e1.u AS a, e1.v AS b, e2.v AS c
+            FROM e e1
+            JOIN e e2 ON e2.u = e1.v
+            JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+        ), pn AS (
+            SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM (
+                SELECT a AS node FROM tri
+                UNION ALL SELECT b AS node FROM tri
+                UNION ALL SELECT c AS node FROM tri
+            ) GROUP BY 1
+        )
+        SELECT d.node, d.deg,
+               CAST(COALESCE(pn.n_tri, 0) AS BIGINT) AS n_tri,
+               CASE WHEN d.deg >= 2 THEN
+                   round((2.0 * CAST(COALESCE(pn.n_tri, 0) AS DOUBLE))
+                         / (CAST(d.deg AS DOUBLE)
+                            * CAST(d.deg - 1 AS DOUBLE)), 6)
+               ELSE 0.0 END AS clustering
+        FROM deg d LEFT JOIN pn ON pn.node = d.node
+    """
+    d["bradley_terry"] = """
+        WITH RECURSIVE s AS (
+            SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                        AS BIGINT) AS sc
+            FROM events GROUP BY 1, 2
+        ), comps AS (
+            SELECT CASE WHEN a.sc * b.n > b.sc * a.n
+                        THEN a.event_type ELSE b.event_type END AS winner,
+                   CASE WHEN a.sc * b.n > b.sc * a.n
+                        THEN b.event_type ELSE a.event_type END AS loser
+            FROM s a JOIN s b
+              ON a.user_id = b.user_id AND a.event_type < b.event_type
+            WHERE a.sc * b.n <> b.sc * a.n
+        ), wp AS (
+            SELECT winner AS i, loser AS j, CAST(count(*) AS BIGINT) AS n
+            FROM comps GROUP BY 1, 2
+        ), pairs AS (
+            SELECT i, j, CAST(sum(n) + 1 AS BIGINT) AS wins_ij FROM (
+                SELECT i, j, n FROM wp
+                UNION ALL SELECT j AS i, i AS j, 0 AS n FROM wp
+            ) GROUP BY 1, 2
+        ), games AS (
+            SELECT i, j, CAST(sum(wins_ij) AS BIGINT) AS n_ij FROM (
+                SELECT i, j, wins_ij FROM pairs
+                UNION ALL SELECT j AS i, i AS j, wins_ij FROM pairs
+            ) GROUP BY 1, 2
+        ), wins AS (
+            SELECT i, CAST(sum(wins_ij) AS BIGINT) AS w
+            FROM pairs GROUP BY 1
+        ), stats AS (
+            SELECT i, CAST(sum(n_ij) AS BIGINT) AS n_games
+            FROM games GROUP BY 1
+        ), m AS (
+            SELECT (SELECT list({'i': i, 'j': j, 'n': CAST(n_ij AS DOUBLE)}
+                                ORDER BY i, j) FROM games) AS gl,
+                   (SELECT list({'i': i, 'w': CAST(w AS DOUBLE)}
+                                ORDER BY i) FROM wins) AS wl
+        ), r AS (
+            SELECT 0 AS k,
+                   (SELECT list({'item': i, 'p': CAST(1.0 AS DOUBLE)}
+                                ORDER BY i) FROM wins) AS ps
+            UNION ALL
+            SELECT k + 1,
+                   list_transform(ps, s -> {
+                       'item': s.item,
+                       'p': list_filter(wl, x -> x.i = s.item)[1].w
+                            / list_reduce(
+                                list_transform(
+                                    list_filter(gl, g -> g.i = s.item),
+                                    g -> g.n / (s.p + list_filter(
+                                        ps, q -> q.item = g.j)[1].p)),
+                                (acc, t) -> acc + t)
+                   })
+            FROM r, m WHERE k < 8
+        ), fin AS (
+            SELECT ps FROM r WHERE k = 8
+        ), tot AS (
+            SELECT list_reduce(list_transform(ps, s -> s.p),
+                               (acc, p) -> acc + p) AS total_p
+            FROM fin
+        )
+        SELECT u.s.item AS item, st.n_games, wi.w AS n_wins,
+               round(u.s.p / (SELECT total_p FROM tot), 6) AS strength
+        FROM (SELECT unnest(ps) AS s FROM fin) u
+        JOIN stats st ON st.i = u.s.item
+        JOIN wins wi ON wi.i = u.s.item
     """
     return d

@@ -121,3 +121,194 @@ def pagerank(
         if it < iters - 1:
             rank = rank.localCheckpoint(eager=True)
     return rank.select("node", "out_deg", "rank")
+
+
+def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Per-node triangle counts and local clustering coefficient over an
+    undirected edge list — the community-density signal a link-graph
+    corpus audit reads next to :func:`pagerank` (spam farms are
+    triangle-dense, organic link neighborhoods are sparse).
+
+    Scale shape: edges are ORIENTED from the lower-(degree, node) endpoint
+    to the higher one before wedge enumeration (the classic node-iterator++
+    ordering), so every triangle is produced exactly once and the wedge
+    join fans out from LOW-degree vertices — a hub with degree d sits on
+    the closing side of the join instead of generating d^2 wedges. Total
+    work is O(m^1.5) joins, all distributed; no driver-side adjacency.
+
+    Float discipline: counts and degrees are exact BIGINTs; the clustering
+    coefficient is ONE division of exact integers per node, so the DuckDB
+    replay (which may enumerate triangles in plain node order — the
+    triangle SET is orientation-independent) is bit-identical.
+
+    Reference analog: cernan has no graph operator; like ``pagerank`` this
+    extends the aggregation family (/root/reference/src/buckets.rs) to
+    graph-shaped corpus analytics.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    ranked = e.join(du, "u").join(dv, "v")
+    # orient a -> b where (deg, node) of a precedes (deg, node) of b
+    lo_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = ranked.select(
+        F.when(lo_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(lo_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+    )
+    e1 = oriented.select(F.col("a"), F.col("b"))
+    e2 = oriented.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    e3 = oriented.select(F.col("a").alias("ta"), F.col("b").alias("tc"))
+    wedges = e1.join(e2, "b")
+    tris = wedges.join(
+        e3, (wedges["a"] == e3["ta"]) & (wedges["c"] == e3["tc"])
+    ).select("a", "b", "c")
+    per_node = (
+        tris.select(F.col("a").alias("node"))
+        .unionAll(tris.select(F.col("b").alias("node")))
+        .unionAll(tris.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    return (
+        deg.join(per_node, "node", "left")
+        .select(
+            "node",
+            "deg",
+            F.coalesce("n_tri", F.lit(0)).alias("n_tri"),
+            F.when(
+                F.col("deg") >= 2,
+                F.round(
+                    (2.0 * F.coalesce("n_tri", F.lit(0)).cast("double"))
+                    / (
+                        F.col("deg").cast("double")
+                        * (F.col("deg") - 1).cast("double")
+                    ),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("clustering"),
+        )
+    )
+
+
+def bradley_terry(
+    comparisons: DataFrame,
+    winner_col: str = "winner",
+    loser_col: str = "loser",
+    iters: int = 8,
+) -> DataFrame:
+    """Bradley–Terry strength estimation from pairwise preference
+    comparisons — the model-ranking step an RLHF/eval pipeline runs over
+    judged response pairs (compose with ``conversation.preference_pairs``).
+
+    Fits P(i beats j) = p_i / (p_i + p_j) by ``iters`` rounds of the
+    Hunter (2004) MM update  p_i <- W_i / sum_j n_ij / (p_i + p_j),
+    with ONE virtual win added in each direction of every observed pair
+    (the standard pseudo-game regularizer: keeps every observed item's
+    win count positive and the comparison graph's MM step finite). The
+    update is scale-free, so no per-iteration normalization is needed;
+    the returned ``strength`` is p_i divided by the pinned-order sum of
+    all p (items sorted), rounded to 6 places.
+
+    Scale shape: each iteration is one broadcastable join of the
+    (i, j, n_ij) game matrix against the current strength frame plus one
+    groupBy-i fold — the strength table never visits the driver, and the
+    per-iteration ``localCheckpoint`` keeps the plan linear in ``iters``
+    (the ``pagerank`` lineage discipline).
+
+    Float discipline: every double is a division/addition of exact
+    integers or prior pinned results; per-i denominators fold over
+    j-sorted structs, so a DuckDB recursive replay (one-row list-carried
+    p-vector, ``list_filter`` preserving the (i, j)-sorted matrix order)
+    is bit-identical.
+    """
+    wp = comparisons.groupBy(
+        F.col(winner_col).alias("i"), F.col(loser_col).alias("j")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    # symmetrize with the +1 virtual win per direction per observed pair
+    pairs = (
+        wp.select("i", "j", "n")
+        .unionByName(
+            wp.select(
+                F.col("j").alias("i"), F.col("i").alias("j"), F.lit(0).alias("n")
+            )
+        )
+        .groupBy("i", "j")
+        .agg((F.sum("n") + 1).alias("wins_ij"))
+    )
+    games = (
+        pairs.unionByName(
+            pairs.select(
+                F.col("j").alias("i"),
+                F.col("i").alias("j"),
+                F.col("wins_ij"),
+            )
+        )
+        .groupBy("i", "j")
+        .agg(F.sum("wins_ij").alias("n_ij"))
+    )
+    wins = pairs.groupBy("i").agg(F.sum("wins_ij").alias("w"))
+    stats = games.groupBy("i").agg(F.sum("n_ij").alias("n_games")).join(
+        wins, "i"
+    )
+
+    p = wins.select("i", F.lit(1.0).alias("p"))
+    for it in range(iters):
+        pj = p.select(F.col("i").alias("j"), F.col("p").alias("p_j"))
+        terms = (
+            games.join(p, "i")
+            .join(pj, "j")
+            .select(
+                "i",
+                "j",
+                (
+                    F.col("n_ij").cast("double")
+                    / (F.col("p") + F.col("p_j"))
+                ).alias("t"),
+            )
+        )
+        denom = terms.groupBy("i").agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("j", "t"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["t"],
+            ).alias("denom")
+        )
+        p = denom.join(wins, "i").select(
+            "i", (F.col("w").cast("double") / F.col("denom")).alias("p")
+        )
+        if it < iters - 1:
+            p = p.localCheckpoint(eager=True)
+    total = p.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("i", "p"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["p"],
+        ).alias("total_p")
+    )
+    return (
+        p.join(stats, "i")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("i").alias("item"),
+            F.col("n_games"),
+            F.col("w").alias("n_wins"),
+            F.round(F.col("p") / F.col("total_p"), 6).alias("strength"),
+        )
+    )

@@ -268,3 +268,112 @@ def test_wilson_bounds_small_n_honesty(spark):
     assert out["bad"]["alert"] == 1
     assert out["bad"]["wilson_lo"] == pytest.approx(wilson_lo(40, 60), abs=1e-12)
     assert out["bad"]["wilson_lo"] > 0.25
+
+
+def test_triangle_counts_k4_plus_pendant(spark):
+    """K4 with a pendant node: every K4 vertex sits on 3 triangles with
+    clustering 1.0 except the one carrying the pendant (deg 4, still 3
+    triangles, clustering 0.5); the pendant has none. Duplicate and
+    reversed edges must not change anything."""
+    from cernan_spark.operators.graph import triangle_counts
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    edges = k4 + [(3, 9)] + [(b, a) for a, b in k4] + k4  # rev + dup
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r for r in triangle_counts(df).collect()}
+    assert len(got) == 5
+    for n in (0, 1, 2):
+        assert got[n]["deg"] == 3 and got[n]["n_tri"] == 3
+        assert got[n]["clustering"] == 1.0
+    assert got[3]["deg"] == 4 and got[3]["n_tri"] == 3
+    assert got[3]["clustering"] == 0.5
+    assert got[9]["deg"] == 1 and got[9]["n_tri"] == 0
+    assert got[9]["clustering"] == 0.0
+
+
+def test_triangle_counts_square_has_none(spark):
+    """A 4-cycle has no triangles at all."""
+    from cernan_spark.operators.graph import triangle_counts
+
+    df = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 0)], "src long, dst long"
+    )
+    rows = triangle_counts(df).collect()
+    assert all(r["n_tri"] == 0 and r["clustering"] == 0.0 for r in rows)
+    assert all(r["deg"] == 2 for r in rows)
+
+
+def _bt_reference(comps, iters=8):
+    """Pure-Python Hunter MM twin with the SAME pinned fold orders as
+    operators/graph.bradley_terry (+1 virtual win per direction)."""
+    wp = {}
+    for w, l in comps:
+        wp[(w, l)] = wp.get((w, l), 0) + 1
+    pairs = {}
+    for (w, l), n in wp.items():
+        pairs[(w, l)] = pairs.get((w, l), 0) + n
+        pairs.setdefault((l, w), 0)
+    pairs = {k: v + 1 for k, v in pairs.items()}
+    games = {}
+    for (i, j), n in pairs.items():
+        games[(i, j)] = games.get((i, j), 0) + n
+        games[(j, i)] = games.get((j, i), 0) + n
+    wins = {}
+    for (i, _j), n in pairs.items():
+        wins[i] = wins.get(i, 0) + n
+    items = sorted(wins)
+    p = {i: 1.0 for i in items}
+    for _ in range(iters):
+        nxt = {}
+        for i in items:
+            denom = 0.0
+            for j in items:
+                if (i, j) in games:
+                    denom = denom + float(games[(i, j)]) / (p[i] + p[j])
+            nxt[i] = float(wins[i]) / denom
+        p = nxt
+    total = 0.0
+    for i in items:
+        total = total + p[i]
+    n_games = {i: sum(n for (a, _), n in games.items() if a == i) for i in items}
+    return {
+        i: (n_games[i], wins[i], round(p[i] / total, 6)) for i in items
+    }
+
+
+def test_bradley_terry_matches_python_twin(spark):
+    """Distributed MM equals the in-memory twin bit-for-bit (same fold
+    orders), on an asymmetric 4-item tournament."""
+    from cernan_spark.operators.graph import bradley_terry
+
+    comps = (
+        [("a", "b")] * 5 + [("b", "a")] * 1 + [("a", "c")] * 4
+        + [("c", "d")] * 3 + [("d", "c")] * 2 + [("b", "d")] * 2
+        + [("d", "b")] * 2 + [("c", "a")] * 1
+    )
+    df = spark.createDataFrame(comps, "winner string, loser string")
+    got = {r["item"]: r for r in bradley_terry(df, iters=8).collect()}
+    ref = _bt_reference(comps, iters=8)
+    assert set(got) == set(ref)
+    for item, (n_games, n_wins, strength) in ref.items():
+        assert got[item]["n_games"] == n_games
+        assert got[item]["n_wins"] == n_wins
+        assert got[item]["strength"] == strength
+    # dominance sanity: a beats everyone most often
+    assert got["a"]["strength"] == max(r["strength"] for r in got.values())
+
+
+def test_bradley_terry_symmetric_is_uniform(spark):
+    """A perfectly balanced round-robin gives every item the same
+    strength (1/n up to rounding)."""
+    from cernan_spark.operators.graph import bradley_terry
+
+    items = ["w", "x", "y"]
+    comps = [
+        (a, b) for a in items for b in items if a != b
+    ] * 3  # every direction 3 times
+    df = spark.createDataFrame(comps, "winner string, loser string")
+    rows = bradley_terry(df, iters=6).collect()
+    assert len(rows) == 3
+    assert len({r["strength"] for r in rows}) == 1
+    assert abs(sum(r["strength"] for r in rows) - 1.0) < 1e-5
