@@ -3172,6 +3172,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wilson_errors": q_wilson_errors,
         "tri_clustering": q_tri_clustering,
         "bradley_terry": q_bradley_terry,
+        "mann_whitney": q_mann_whitney,
+        "spearman_hours": q_spearman_hours,
+        "theil_sen": q_theil_sen,
     }
 
 
@@ -6758,6 +6761,71 @@ def q_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("loser"),
     )
     return bradley_terry(comps, iters=8)
+
+
+def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nonparametric A/B gate: did 'view' values shift vs 'click'?
+    Mann-Whitney rank-sum over exact cents with tie-averaged ranks kept
+    as INTEGER doubled ranks (operators/rankstats.mann_whitney) — the
+    rank spine is one groupBy per distinct value plus one cumulative
+    window, O(|distinct|) shuffle, and z/rank-biserial are pinned-order
+    double expressions over exact BIGINTs."""
+    from cernan_spark.operators.rankstats import mann_whitney
+
+    _utc(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    prep = ev.filter(F.col("event_type").isin("click", "view")).select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    return mann_whitney(prep, "event_type", "cents", "click", "view")
+
+
+def q_spearman_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monotone association between the hourly click and view cent sums
+    (inner-joined on hour): Spearman rho from exact doubled-rank BIGINT
+    sums (operators/rankstats.spearman_corr). Robust to the heavy-tailed
+    hours that distort Pearson (metric_corr's lens)."""
+    from cernan_spark.operators.rankstats import spearman_corr
+
+    _utc(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    prep = ev.select(
+        "event_type",
+        (F.unix_timestamp("ts") / 3600).cast("long").alias("h"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    hourly = prep.groupBy("event_type", "h").agg(
+        F.sum("cents").alias("s")
+    )
+    x = hourly.filter(F.col("event_type") == "click").select(
+        "h", F.col("s").alias("xv")
+    )
+    y = hourly.filter(F.col("event_type") == "view").select(
+        "h", F.col("s").alias("yv")
+    )
+    return spearman_corr(x.join(y, "h"), "xv", "yv")
+
+
+def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier-robust drift per metric: the Theil-Sen slope (median of
+    all pairwise slopes) of the hourly cent-sum series, the robust twin
+    of metric_trend's least-squares fit. Each slope is ONE division of
+    exact integers and the median is an order statistic — zero
+    accumulation (operators/rankstats.theil_sen). Bounded O(n^2) per key
+    by construction: 720 hourly points -> ~259k pair rows per series,
+    all distributed."""
+    from cernan_spark.operators.rankstats import theil_sen
+
+    _utc(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    prep = ev.select(
+        "event_type",
+        (F.unix_timestamp("ts") / 3600).cast("long").alias("x"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    ser = prep.groupBy("event_type", "x").agg(F.sum("cents").alias("y"))
+    return theil_sen(ser, ["event_type"], "x", "y")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -10669,5 +10737,122 @@ def oracle_sql() -> dict[str, str]:
         FROM (SELECT unnest(ps) AS s FROM fin) u
         JOIN stats st ON st.i = u.s.item
         JOIN wins wi ON wi.i = u.s.item
+    """
+    d["mann_whitney"] = """
+        WITH two AS (
+            SELECT event_type AS g,
+                   CAST(round(value * 100, 0) AS BIGINT) AS v
+            FROM events WHERE event_type IN ('click', 'view')
+        ), per_gv AS (
+            SELECT v,
+                   CAST(sum(CASE WHEN g = 'click' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS na_v,
+                   CAST(sum(CASE WHEN g = 'view' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS nb_v
+            FROM two GROUP BY 1
+        ), ranked AS (
+            SELECT na_v, nb_v, na_v + nb_v AS t,
+                   2 * COALESCE(CAST(sum(na_v + nb_v) OVER (
+                           ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING) AS BIGINT), 0)
+                     + (na_v + nb_v) + 1 AS rank2
+            FROM per_gv
+        ), g AS (
+            SELECT CAST(sum(na_v) AS BIGINT) AS n_a,
+                   CAST(sum(nb_v) AS BIGINT) AS n_b,
+                   CAST(sum(rank2 * na_v) AS BIGINT) AS r2_a,
+                   CAST(sum(t * t * t - t) AS BIGINT) AS tie_sum
+            FROM ranked
+        )
+        SELECT n_a, n_b,
+               CAST(r2_a - n_a * (n_a + 1) AS DOUBLE) / 2.0 AS u_a,
+               round((CAST(r2_a - n_a * (n_a + 1) - n_a * n_b
+                           AS DOUBLE) / 2.0)
+                     / sqrt((CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+                             / 12.0)
+                            * (CAST(n_a + n_b + 1 AS DOUBLE)
+                               - CAST(tie_sum AS DOUBLE)
+                                 / (CAST(n_a + n_b AS DOUBLE)
+                                    * CAST(n_a + n_b - 1 AS DOUBLE)))),
+                     6) AS z,
+               round(CAST(r2_a - n_a * (n_a + 1) AS DOUBLE)
+                     / CAST(n_a * n_b AS DOUBLE) - 1.0, 6)
+                 AS rank_biserial
+        FROM g
+    """
+    d["spearman_hours"] = """
+        WITH prep AS (
+            SELECT event_type,
+                   CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,
+                   CAST(round(value * 100, 0) AS BIGINT) AS cents
+            FROM events
+        ), hourly AS (
+            SELECT event_type, h, CAST(sum(cents) AS BIGINT) AS s
+            FROM prep GROUP BY 1, 2
+        ), pairs AS (
+            SELECT x.s AS xv, y.s AS yv
+            FROM (SELECT h, s FROM hourly WHERE event_type = 'click') x
+            JOIN (SELECT h, s FROM hourly WHERE event_type = 'view') y
+              USING (h)
+        ), rx AS (
+            SELECT v AS xv,
+                   2 * COALESCE(CAST(sum(cnt) OVER (
+                           ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING) AS BIGINT), 0) + cnt + 1
+                     AS rx2
+            FROM (SELECT xv AS v, CAST(count(*) AS BIGINT) AS cnt
+                  FROM pairs GROUP BY 1)
+        ), ry AS (
+            SELECT v AS yv,
+                   2 * COALESCE(CAST(sum(cnt) OVER (
+                           ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING) AS BIGINT), 0) + cnt + 1
+                     AS ry2
+            FROM (SELECT yv AS v, CAST(count(*) AS BIGINT) AS cnt
+                  FROM pairs GROUP BY 1)
+        ), g AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(rx2) AS BIGINT) AS sx,
+                   CAST(sum(ry2) AS BIGINT) AS sy,
+                   CAST(sum(rx2 * ry2) AS BIGINT) AS sxy,
+                   CAST(sum(rx2 * rx2) AS BIGINT) AS sxx,
+                   CAST(sum(ry2 * ry2) AS BIGINT) AS syy
+            FROM pairs JOIN rx USING (xv) JOIN ry USING (yv)
+        )
+        SELECT n,
+               round(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                        * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+                 AS rho
+        FROM g
+    """
+    d["theil_sen"] = """
+        WITH prep AS (
+            SELECT event_type,
+                   CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS x,
+                   CAST(round(value * 100, 0) AS BIGINT) AS cents
+            FROM events
+        ), ser AS (
+            SELECT event_type, x, CAST(sum(cents) AS BIGINT) AS y
+            FROM prep GROUP BY 1, 2
+        ), pr AS (
+            SELECT a.event_type,
+                   CAST(b.y - a.y AS DOUBLE)
+                   / CAST(b.x - a.x AS DOUBLE) AS slope
+            FROM ser a JOIN ser b
+              ON a.event_type = b.event_type AND a.x < b.x
+        ), g AS (
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+                   list(slope ORDER BY slope) AS ss
+            FROM pr GROUP BY 1
+        ), np AS (
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n_points
+            FROM ser GROUP BY 1
+        )
+        SELECT g.event_type, np.n_points, g.n_pairs,
+               round((ss[CAST((n_pairs + 1) // 2 AS INT)]
+                      + ss[CAST((n_pairs + 2) // 2 AS INT)]) / 2.0, 6)
+                 AS ts_slope
+        FROM g JOIN np USING (event_type)
     """
     return d

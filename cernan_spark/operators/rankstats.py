@@ -1,0 +1,204 @@
+"""Rank-based statistics over distributed metric frames.
+
+Three operators an experimentation / telemetry-comparison pipeline needs
+next to the parametric ones in :mod:`cernan_spark.operators.anomaly`:
+
+* :func:`mann_whitney` — the rank-sum A/B test (tie-corrected z), the
+  nonparametric answer to "did variant B move the latency distribution?"
+  where a t-test is wrong for skewed metrics.
+* :func:`spearman_corr` — rank correlation between two paired series
+  (monotone association without Pearson's linearity assumption).
+* :func:`theil_sen` — per-series robust slope: the median of all pairwise
+  slopes, immune to the outlier points that wreck the least-squares
+  ``anomaly.metric_trend``.
+
+Float discipline (the repo-wide IEEE-exact gate): tie-averaged ranks are
+kept as INTEGER doubled ranks (2·rank = 2·|{v' < v}| + |{v' = v}| + 1),
+so every rank sum, rank product and tie-correction term is exact BIGINT
+arithmetic; the handful of doubles (z, rho, slopes, medians) are divisions
+/ multiplications / sqrt of exact integers written in one pinned op order,
+all correctly-rounded IEEE ops that DuckDB replays bit-identically. No
+fold-order pinning is needed anywhere in this module.
+
+Scale shape: ranking is ONE groupBy on the value (per distinct value, not
+per row) plus ONE cumulative window over the distinct-value spine —
+shuffle size O(|distinct values|), not O(rows). Theil–Sen is the only
+O(n²)-per-key operator and is meant for BOUNDED per-key series (hourly
+rollups: n ≈ hundreds → ≤ 10^5 pair rows per key, all distributed); the
+docstring contract is the guard, not a silent sample.
+
+Reference analog: cernan has no significance testing; this extends the
+aggregation family (/root/reference/src/buckets.rs) the way an SRE
+comparing two deploys actually reads the buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _doubled_ranks(df: DataFrame, value_col: str) -> DataFrame:
+    """Distinct-value spine with exact doubled tie-averaged ranks:
+    2·rank(v) = 2·cnt_less(v) + cnt_eq(v) + 1 (an exact BIGINT).
+    One aggregate + one cumulative window over the distinct values."""
+    per_v = df.groupBy(F.col(value_col).alias("v")).agg(
+        F.count(F.lit(1)).alias("cnt_eq")
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    return per_v.select(
+        "v",
+        "cnt_eq",
+        (
+            2 * F.coalesce(F.sum("cnt_eq").over(w), F.lit(0))
+            + F.col("cnt_eq")
+            + 1
+        ).alias("rank2"),
+    )
+
+
+def mann_whitney(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Mann–Whitney U between two labeled samples. Returns ONE row:
+    ``n_a, n_b, u_a, z, rank_biserial``.
+
+    * ``u_a`` — U statistic for group A (wins + half-ties over all A×B
+      pairs), computed from the exact integer rank sum, emitted as a
+      double (it is a multiple of 0.5).
+    * ``z`` — normal approximation with the tie correction
+      Σ(t³−t) folded into the variance.
+    * ``rank_biserial`` — 2·U_a/(n_a·n_b) − 1, the effect size in [−1, 1].
+    """
+    two = df.filter(F.col(group_col).isin(group_a, group_b)).select(
+        F.col(group_col).alias("g"), F.col(value_col).alias("v")
+    )
+    per_gv = two.groupBy("v").agg(
+        F.sum(F.when(F.col("g") == group_a, 1).otherwise(0)).alias("na_v"),
+        F.sum(F.when(F.col("g") == group_b, 1).otherwise(0)).alias("nb_v"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = per_gv.select(
+        "na_v",
+        "nb_v",
+        (F.col("na_v") + F.col("nb_v")).alias("t"),
+        (
+            2
+            * F.coalesce(
+                F.sum(F.col("na_v") + F.col("nb_v")).over(w), F.lit(0)
+            )
+            + (F.col("na_v") + F.col("nb_v"))
+            + 1
+        ).alias("rank2"),
+    )
+    agg = ranked.agg(
+        F.sum("na_v").alias("n_a"),
+        F.sum("nb_v").alias("n_b"),
+        F.sum(F.col("rank2") * F.col("na_v")).alias("r2_a"),
+        F.sum(
+            F.col("t") * F.col("t") * F.col("t") - F.col("t")
+        ).alias("tie_sum"),
+    )
+    n_a, n_b = F.col("n_a"), F.col("n_b")
+    n = n_a + n_b
+    u2_a = F.col("r2_a") - n_a * (n_a + 1)  # exact 2·U_a (BIGINT)
+    num = (u2_a - n_a * n_b).cast("double") / 2.0
+    var = (
+        (n_a.cast("double") * n_b.cast("double") / 12.0)
+        * (
+            (n + 1).cast("double")
+            - F.col("tie_sum").cast("double")
+            / (n.cast("double") * (n - 1).cast("double"))
+        )
+    )
+    return agg.select(
+        n_a,
+        n_b,
+        (u2_a.cast("double") / 2.0).alias("u_a"),
+        F.round(num / F.sqrt(var), 6).alias("z"),
+        F.round(
+            u2_a.cast("double") / (n_a * n_b).cast("double") - 1.0, 6
+        ).alias("rank_biserial"),
+    )
+
+
+def spearman_corr(
+    df: DataFrame, x_col: str, y_col: str
+) -> DataFrame:
+    """Spearman rank correlation between two paired columns. Returns ONE
+    row ``n, rho`` where rho is Pearson over tie-averaged ranks, computed
+    from exact BIGINT doubled-rank sums (overflow-safe for series up to
+    ~10^4 points — pair this with per-window rollups, not raw rows).
+    """
+    rx = _doubled_ranks(df, x_col).select(
+        F.col("v").alias("xv"), F.col("rank2").alias("rx2")
+    )
+    ry = _doubled_ranks(df, y_col).select(
+        F.col("v").alias("yv"), F.col("rank2").alias("ry2")
+    )
+    j = (
+        df.select(F.col(x_col).alias("xv"), F.col(y_col).alias("yv"))
+        .join(rx, "xv")
+        .join(ry, "yv")
+    )
+    agg = j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rx2").alias("sx"),
+        F.sum("ry2").alias("sy"),
+        F.sum(F.col("rx2") * F.col("ry2")).alias("sxy"),
+        F.sum(F.col("rx2") * F.col("rx2")).alias("sxx"),
+        F.sum(F.col("ry2") * F.col("ry2")).alias("syy"),
+    )
+    n = F.col("n")
+    cov = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    vx = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vy = (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return agg.select(
+        n, F.round(cov / (F.sqrt(vx) * F.sqrt(vy)), 6).alias("rho")
+    )
+
+
+def theil_sen(
+    df: DataFrame, keys: list[str], x_col: str, y_col: str
+) -> DataFrame:
+    """Per-key Theil–Sen slope: the median over all C(n,2) pairwise
+    slopes (y_j−y_i)/(x_j−x_i) with x_i < x_j. Even pair counts average
+    the two middle slopes (a dyadic halving — exact). Returns one row per
+    key: ``*keys, n_points, n_pairs, ts_slope``.
+
+    x/y must be exact integers (epoch hours, cents); every slope is ONE
+    correctly-rounded division, and the median is an order statistic —
+    no accumulation at all. O(n²) per key by construction: feed rollup
+    series (n ≲ 10³), never raw events.
+    """
+    a = df.select(
+        *keys, F.col(x_col).alias("x1"), F.col(y_col).alias("y1")
+    )
+    b = df.select(
+        *keys, F.col(x_col).alias("x2"), F.col(y_col).alias("y2")
+    )
+    pairs = a.join(b, keys).filter(F.col("x1") < F.col("x2"))
+    slopes = pairs.select(
+        *keys,
+        (
+            (F.col("y2") - F.col("y1")).cast("double")
+            / (F.col("x2") - F.col("x1")).cast("double")
+        ).alias("slope"),
+    )
+    n_points = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_points"))
+    agg = slopes.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.array_sort(F.collect_list("slope")).alias("ss"),
+    )
+    lo = F.expr("element_at(ss, CAST((n_pairs + 1) / 2 AS INT))")
+    hi = F.expr("element_at(ss, CAST((n_pairs + 2) / 2 AS INT))")
+    return agg.join(n_points, keys).select(
+        *keys,
+        "n_points",
+        "n_pairs",
+        F.round((lo + hi) / 2.0, 6).alias("ts_slope"),
+    )
