@@ -3175,6 +3175,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mann_whitney": q_mann_whitney,
         "spearman_hours": q_spearman_hours,
         "theil_sen": q_theil_sen,
+        "t_closeness": q_t_closeness,
+        "benford": q_benford,
+        "gini_traffic": q_gini_traffic,
     }
 
 
@@ -6826,6 +6829,48 @@ def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ser = prep.groupBy("event_type", "x").agg(F.sum("cents").alias("y"))
     return theil_sen(ser, ["event_type"], "x", "y")
+
+
+def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness release audit (the gate after k_anon/l_diversity):
+    per hour-of-day QI group, the ordered-domain EMD between the group's
+    event-type mix and the corpus mix, publish iff emd <= 0.15. All
+    cumulative terms are exact BIGINT numerators over the common
+    denominator n_g*N — one double division per group at emit
+    (operators/loghygiene.t_closeness_audit)."""
+    from cernan_spark.operators.loghygiene import t_closeness_audit
+
+    _utc(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    base = ev.select(F.hour("ts").alias("hh"), "event_type")
+    return t_closeness_audit(base, ["hh"], "event_type", 0.15)
+
+
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit over order totals per priority class:
+    observed vs expected leading-digit shares and the chi-square
+    statistic (operators/relational.benford_audit). The Benford
+    probabilities are pinned decimal literals — no cross-engine log10 —
+    and digits come from the decimal rendering of exact cents."""
+    from cernan_spark.operators.relational import benford_audit
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    prep = o.select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    return benford_audit(prep, ["o_orderpriority"], "cents")
+
+
+def q_gini_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-distribution skew score for the per-user event load: Gini
+    coefficient + head share from exact integer rank sums
+    (operators/skew.gini_concentration) — the one-number input to the
+    salting / AQE-skew decision that skew_report's top-k view feeds."""
+    from cernan_spark.operators.skew import gini_concentration
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return gini_concentration(ev, ["user_id"])
 
 
 def oracle_sql() -> dict[str, str]:
@@ -10854,5 +10899,125 @@ def oracle_sql() -> dict[str, str]:
                       + ss[CAST((n_pairs + 2) // 2 AS INT)]) / 2.0, 6)
                  AS ts_slope
         FROM g JOIN np USING (event_type)
+    """
+    d["t_closeness"] = """
+        WITH base AS (
+            SELECT CAST(hour(ts) AS INT) AS hh, event_type AS s
+            FROM events
+        ), fine AS (
+            SELECT hh, s, CAST(count(*) AS BIGINT) AS c
+            FROM base GROUP BY 1, 2
+        ), groups AS (
+            SELECT hh, CAST(sum(c) AS BIGINT) AS n_g FROM fine GROUP BY 1
+        ), gdist AS (
+            SELECT s, CAST(count(*) AS BIGINT) AS c_all
+            FROM base GROUP BY 1
+        ), tot AS (
+            SELECT CAST(sum(c_all) AS BIGINT) AS n_all,
+                   CAST(count(*) AS BIGINT) AS m
+            FROM gdist
+        ), spine AS (
+            SELECT g.hh, gl.s, g.n_g, t.m, t.n_all,
+                   COALESCE(f.c, 0) * t.n_all - gl.c_all * g.n_g AS d
+            FROM groups g
+            CROSS JOIN gdist gl
+            LEFT JOIN fine f ON f.hh = g.hh AND f.s = gl.s
+            CROSS JOIN tot t
+        ), cum AS (
+            SELECT hh, n_g, m, n_all,
+                   CAST(sum(d) OVER (PARTITION BY hh ORDER BY s
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS cum
+            FROM spine
+        ), agg AS (
+            SELECT hh, CAST(min(n_g) AS BIGINT) AS n,
+                   CAST(sum(abs(cum)) AS BIGINT) AS abs_sum,
+                   CAST(min(m) AS BIGINT) AS m,
+                   CAST(min(n_all) AS BIGINT) AS n_all
+            FROM cum GROUP BY 1
+        )
+        SELECT hh, n,
+               round(CAST(abs_sum AS DOUBLE)
+                     / (CAST(n AS DOUBLE) * CAST(n_all AS DOUBLE)
+                        * CAST(m - 1 AS DOUBLE)), 6) AS emd,
+               (CAST(abs_sum AS DOUBLE)
+                / (CAST(n AS DOUBLE) * CAST(n_all AS DOUBLE)
+                   * CAST(m - 1 AS DOUBLE))) <= 0.15 AS publish
+        FROM agg
+    """
+    d["benford"] = """
+        WITH prep AS (
+            SELECT o_orderpriority,
+                   CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+            FROM orders
+        ), base AS (
+            SELECT o_orderpriority,
+                   CAST(substr(CAST(abs(cents) AS VARCHAR), 1, 1) AS INT)
+                     AS digit
+            FROM prep WHERE cents <> 0
+        ), per_d AS (
+            SELECT o_orderpriority, digit,
+                   CAST(count(*) AS BIGINT) AS n_d
+            FROM base GROUP BY 1, 2
+        ), totals AS (
+            SELECT o_orderpriority, CAST(sum(n_d) AS BIGINT) AS n
+            FROM per_d GROUP BY 1
+        ), bf AS (
+            SELECT * FROM (VALUES
+                (1, CAST(0.3010299956639812 AS DOUBLE)),
+                (2, CAST(0.17609125905568124 AS DOUBLE)),
+                (3, CAST(0.12493873660829992 AS DOUBLE)),
+                (4, CAST(0.09691001300805642 AS DOUBLE)),
+                (5, CAST(0.07918124604762482 AS DOUBLE)),
+                (6, CAST(0.06694678963061322 AS DOUBLE)),
+                (7, CAST(0.05799194697768673 AS DOUBLE)),
+                (8, CAST(0.05115252244738129 AS DOUBLE)),
+                (9, CAST(0.045757490560675115 AS DOUBLE))
+            ) v(digit, p_exp)
+        ), terms AS (
+            SELECT p.o_orderpriority, p.digit, p.n_d, t.n,
+                   round(CAST(p.n_d AS DOUBLE) / CAST(t.n AS DOUBLE), 6)
+                     AS p_obs,
+                   b.p_exp,
+                   (CAST(p.n_d AS DOUBLE)
+                    - CAST(t.n AS DOUBLE) * b.p_exp)
+                   * (CAST(p.n_d AS DOUBLE)
+                      - CAST(t.n AS DOUBLE) * b.p_exp)
+                   / (CAST(t.n AS DOUBLE) * b.p_exp) AS t
+            FROM per_d p
+            JOIN totals t USING (o_orderpriority)
+            JOIN bf b ON b.digit = p.digit
+        ), chi AS (
+            SELECT o_orderpriority,
+                   round(list_reduce(
+                       list_prepend(CAST(0.0 AS DOUBLE),
+                                    list(t ORDER BY digit)),
+                       (acc, x) -> acc + x), 6) AS chi2
+            FROM terms GROUP BY 1
+        )
+        SELECT te.o_orderpriority, te.digit, te.n_d, te.n, te.p_obs,
+               te.p_exp, round(te.t, 6) AS chi2_term, c.chi2
+        FROM terms te JOIN chi c USING (o_orderpriority)
+    """
+    d["gini_traffic"] = """
+        WITH counts AS (
+            SELECT user_id, CAST(count(*) AS BIGINT) AS x
+            FROM events GROUP BY 1
+        ), ranked AS (
+            SELECT x, row_number() OVER (ORDER BY x, user_id) AS i
+            FROM counts
+        ), g AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_keys,
+                   CAST(sum(x) AS BIGINT) AS total_rows,
+                   CAST(max(x) AS BIGINT) AS max_rows,
+                   CAST(sum(i * x) AS BIGINT) AS ix
+            FROM ranked
+        )
+        SELECT n_keys, total_rows, max_rows,
+               round(CAST(max_rows AS DOUBLE)
+                     / CAST(total_rows AS DOUBLE), 6) AS top1_share,
+               round(CAST(2 * ix - (n_keys + 1) * total_rows AS DOUBLE)
+                     / CAST(n_keys * total_rows AS DOUBLE), 6) AS gini
+        FROM g
     """
     return d

@@ -866,3 +866,90 @@ def record_linkage(
             ).alias("recall"),
         )
     )
+
+
+#: log10(1 + 1/d) for d = 1..9, hardcoded so Spark and any SQL oracle
+#: parse the SAME decimal literals to the same doubles (no cross-engine
+#: log10 call, whose libm rounding is not pinned by IEEE 754).
+BENFORD_P = [
+    0.3010299956639812,
+    0.17609125905568124,
+    0.12493873660829992,
+    0.09691001300805642,
+    0.07918124604762482,
+    0.06694678963061322,
+    0.05799194697768673,
+    0.05115252244738129,
+    0.045757490560675115,
+]
+
+
+def benford_audit(
+    df: DataFrame, key_cols: list[str], amount_col: str
+) -> DataFrame:
+    """First-digit (Benford's law) audit per key — the classic
+    fabricated-numbers detector for financial/metric columns: natural
+    multiplicative data leads with digit d with probability
+    log10(1+1/d); synthetic or capped data does not. Per (key, digit):
+    observed count/share, expected share, and the chi-square
+    contribution (o − e)²/e; per key the total chi-square repeats on
+    each row (compare against the 5% critical value 15.507 at 8 df).
+
+    Zero amounts carry no leading digit and are excluded; signs are
+    stripped. Digits come from the decimal rendering of the exact
+    integer amount (cents), so both engines agree byte-for-byte. The
+    only doubles are divisions of exact BIGINTs and products with the
+    pinned literals above — one hash aggregate at (key, digit) grain,
+    then a 9-row-per-key broadcastable rollup.
+
+    Output: ``key_cols..., digit, n_d, n, p_obs, p_exp, chi2_term,
+    chi2``.
+    """
+    digit = F.substring(
+        F.abs(F.col(amount_col)).cast("string"), 1, 1
+    ).cast("int")
+    base = df.filter(F.col(amount_col) != 0).select(
+        *key_cols, digit.alias("digit")
+    )
+    per_d = base.groupBy(*key_cols, "digit").agg(
+        F.count(F.lit(1)).alias("n_d")
+    )
+    totals = per_d.groupBy(*key_cols).agg(F.sum("n_d").alias("n"))
+    p_exp = F.element_at(
+        F.array(*[F.lit(p) for p in BENFORD_P]), F.col("digit")
+    )
+    terms = per_d.join(totals, key_cols).select(
+        *key_cols,
+        "digit",
+        "n_d",
+        "n",
+        F.round(
+            F.col("n_d").cast("double") / F.col("n").cast("double"), 6
+        ).alias("p_obs"),
+        p_exp.alias("p_exp"),
+        (
+            (F.col("n_d").cast("double") - F.col("n").cast("double") * p_exp)
+            * (F.col("n_d").cast("double") - F.col("n").cast("double") * p_exp)
+            / (F.col("n").cast("double") * p_exp)
+        ).alias("t"),
+    )
+    chi2 = terms.groupBy(*key_cols).agg(
+        F.round(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("digit", "t"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["t"],
+            ),
+            6,
+        ).alias("chi2")
+    )
+    return terms.join(chi2, key_cols).select(
+        *key_cols,
+        "digit",
+        "n_d",
+        "n",
+        "p_obs",
+        "p_exp",
+        F.round("t", 6).alias("chi2_term"),
+        "chi2",
+    )

@@ -14,7 +14,7 @@ Remedies, in order:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -287,3 +287,52 @@ def sessionize_resume(
         gap_s=gap_s,
     ).select(user_col, "start_s", "end_s", "n_events")
     return closed.unionByName(merged)
+
+
+def gini_concentration(
+    df: DataFrame, key_cols: list[str]
+) -> DataFrame:
+    """Traffic-concentration profile over a key: the Gini coefficient of
+    the per-key row-count distribution plus the head shares — the
+    numeric answer to "how skewed is this key?" that decides between a
+    plain shuffle, :func:`salted_repartition`, and AQE skew hints
+    (compose with :func:`skew_report`, which profiles the top keys;
+    this scores the whole distribution in one number).
+
+    With per-key loads x_(1) ≤ … ≤ x_(n) (ties broken by key so the
+    ranking is deterministic), Gini = (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx)
+    — every term exact BIGINT, ONE double division at emit. The rank
+    pass is a single window over the n per-key counts (n = |keys|,
+    already aggregated — not row-scale).
+
+    Output one row: ``n_keys, total_rows, max_rows, top1_share,
+    gini``.
+    """
+    counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("x"))
+    w = Window.orderBy("x", *key_cols)
+    ranked = counts.select(
+        "x", F.row_number().over(w).alias("i")
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("x").alias("total_rows"),
+        F.max("x").alias("max_rows"),
+        F.sum(F.col("i") * F.col("x")).alias("ix"),
+    )
+    return agg.select(
+        "n_keys",
+        "total_rows",
+        "max_rows",
+        F.round(
+            F.col("max_rows").cast("double")
+            / F.col("total_rows").cast("double"),
+            6,
+        ).alias("top1_share"),
+        F.round(
+            (
+                2 * F.col("ix") - (F.col("n_keys") + 1) * F.col("total_rows")
+            ).cast("double")
+            / (F.col("n_keys") * F.col("total_rows")).cast("double"),
+            6,
+        ).alias("gini"),
+    )

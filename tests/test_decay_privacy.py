@@ -101,3 +101,28 @@ def test_tool_cooccurrence_lift(spark):
     assert ab.n_ab == 2
     assert ab.lift == (2 * 4) / (3 * 2)   # n_ab·N / (n_a·n_b)
     assert got[("a", "c")].n_ab == 1
+
+
+def test_t_closeness_hand_model(spark):
+    """Two QI groups over an ordered 3-value domain with hand-computed
+    EMDs: a group matching the global mix exactly scores 0; a fully
+    homogeneous group scores the hand value."""
+    from pyspark.sql import functions as F
+
+    from cernan_spark.operators.loghygiene import t_closeness_audit
+
+    # global mix: a:4, b:2, c:2 (N=8). g1 mirrors it (a:2,b:1,c:1);
+    # g2 is all 'a' (a:2).
+    rows = (
+        [("g1", "a")] * 2 + [("g1", "b")] + [("g1", "c")]
+        + [("g2", "a")] * 2 + [("g3", "b")] + [("g3", "c")]
+    )
+    df = spark.createDataFrame(rows, "q string, s string")
+    got = {r["q"]: r for r in t_closeness_audit(df, ["q"], "s", 0.3).collect()}
+    # hand EMD for g2: p_g=(1,0,0), p=(1/2,1/4,1/4)
+    # cum diffs: 1/2, 1/4, 0; EMD=(1/2+1/4)/2=0.375
+    assert got["g1"]["emd"] == 0.0 and bool(got["g1"]["publish"]) is True
+    assert got["g2"]["emd"] == 0.375 and bool(got["g2"]["publish"]) is False
+    # g3: p_g=(0,1/2,1/2): cum -1/2, -1/4 → EMD=(1/2+1/4)/2=0.375
+    assert got["g3"]["emd"] == 0.375 and bool(got["g3"]["publish"]) is False
+    assert got["g1"]["n"] == 4 and got["g2"]["n"] == 2

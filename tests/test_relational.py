@@ -362,3 +362,41 @@ def test_partition_advisor_verdicts(spark):
         "fine": "too_fine",
         "balanced": "good",
     }
+
+
+def test_benford_audit_hand_model(spark):
+    """A perfectly Benford-weighted sample (counts proportional to the
+    expected shares over 10000) gives a small chi-square; leading digits,
+    exclusions (zero) and signs are handled."""
+    from pyspark.sql import functions as F
+
+    from cernan_spark.operators.relational import BENFORD_P, benford_audit
+
+    counts = [round(p * 10000) for p in BENFORD_P]
+    rows = []
+    for d, c in enumerate(counts, start=1):
+        # amounts with leading digit d, mixed magnitudes and a sign
+        rows += [("k", d * 10 + 1)] * (c // 2)
+        rows += [("k", -(d * 100 + 7))] * (c - c // 2)
+    rows += [("k", 0)] * 5  # excluded
+    df = spark.createDataFrame(rows, "g string, amt long")
+    out = {r["digit"]: r for r in benford_audit(df, ["g"], "amt").collect()}
+    assert set(out) == set(range(1, 10))
+    n = sum(counts)
+    assert all(r["n"] == n for r in out.values())
+    for d in range(1, 10):
+        assert out[d]["n_d"] == counts[d - 1]
+        assert out[d]["p_exp"] == BENFORD_P[d - 1]
+    # rounding to integer counts keeps every term tiny
+    assert out[1]["chi2"] < 0.01
+
+
+def test_benford_audit_uniform_digits_flagged(spark):
+    """Uniform leading digits (fabricated data) blow past the 8-df
+    critical value 15.507."""
+    from cernan_spark.operators.relational import benford_audit
+
+    rows = [("k", d * 1000 + 13) for d in range(1, 10) for _ in range(200)]
+    df = spark.createDataFrame(rows, "g string, amt long")
+    chi2 = benford_audit(df, ["g"], "amt").first()["chi2"]
+    assert chi2 > 15.507

@@ -185,3 +185,26 @@ def test_attribution_window_and_strictly_before(spark):
     assert got[2] == (1, 100, 1)
     assert got[3] == (None, None, 0)
     assert got[4] == (None, None, 0)
+
+
+def test_gini_concentration_hand_models(spark):
+    """Uniform load gives Gini 0; an extreme one-hot load approaches
+    (n-1)/n; a hand-computed mixed case matches exactly."""
+    from cernan_spark.operators.skew import gini_concentration
+
+    uniform = spark.createDataFrame(
+        [(k, i) for k in range(10) for i in range(5)], "k long, junk long"
+    )
+    g = gini_concentration(uniform, ["k"]).first()
+    assert g["n_keys"] == 10 and g["total_rows"] == 50
+    assert g["gini"] == 0.0 and g["top1_share"] == 0.1
+
+    onehot = spark.createDataFrame(
+        [(0, i) for i in range(96)] + [(1, 0), (2, 0), (3, 0), (4, 0)],
+        "k long, junk long",
+    )
+    g = gini_concentration(onehot, ["k"]).first()
+    # loads sorted: [1,1,1,1,96]; gini = (2*(1+2+3+4+5*96) - 6*100)/(5*100)
+    expect = (2 * (1 + 2 + 3 + 4 + 5 * 96) - 6 * 100) / (5 * 100)
+    assert g["gini"] == round(expect, 6)
+    assert g["max_rows"] == 96 and g["top1_share"] == 0.96
