@@ -3178,6 +3178,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_closeness": q_t_closeness,
         "benford": q_benford,
         "gini_traffic": q_gini_traffic,
+        "good_turing": q_good_turing,
+        "phrase_search": q_phrase_search,
+        "mrr_recall": q_mrr_recall,
     }
 
 
@@ -6871,6 +6874,61 @@ def q_gini_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return gini_concentration(ev, ["user_id"])
+
+
+def q_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing frequency spectrum over WITHIN-document term
+    frequencies (types = (doc_id, token) — the SF-stable variant for a
+    closed-vocabulary corpus): N_r, the smoothed r*, and the unseen
+    mass N_1/N, all single divisions of exact BIGINTs
+    (operators/corpus.good_turing_spectrum)."""
+    from cernan_spark.operators.corpus import good_turing_spectrum
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return good_turing_spectrum(d, max_r=10, type_cols=["doc_id"])
+
+
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase query ('order order') over the positional
+    posting rows: token-filtered index postings adjacency-joined on
+    (doc, pos+offset), overlap-counting occurrences per doc — the
+    phrase extension of posting_lists; integer-only output
+    (operators/corpus.phrase_search)."""
+    from cernan_spark.operators.corpus import phrase_search
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return phrase_search(d, ["order", "order"])
+
+
+def q_mrr_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-relevance retrieval eval over three fixed BM25 queries:
+    MRR and mean recall@10 where a doc is relevant when it contains >=2
+    distinct query terms, ranked by (rounded score desc, doc_id) — the
+    companion gate to ndcg_bm25 (operators/corpus.retrieval_metrics)."""
+    from cernan_spark.operators.corpus import (
+        BM25_QUERY,
+        bm25_scores,
+        retrieval_metrics,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    parts = []
+    for qid, terms in [
+        (1, BM25_QUERY),
+        (2, ["table", "scan", "merge"]),
+        (3, ["customer", "filter", "column"]),
+    ]:
+        s = bm25_scores(d, terms).filter(F.col("n_query_hits") > 0)
+        parts.append(
+            s.select(
+                F.lit(qid).alias("query_id"),
+                "doc_id",
+                F.round("bm25", 6).alias("score"),
+                (F.col("n_query_hits") >= 2).cast("int").alias("rel"),
+            )
+        )
+    ranked = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    return retrieval_metrics(ranked, k=10)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -11019,5 +11077,111 @@ def oracle_sql() -> dict[str, str]:
                round(CAST(2 * ix - (n_keys + 1) * total_rows AS DOUBLE)
                      / CAST(n_keys * total_rows AS DOUBLE), 6) AS gini
         FROM g
+    """
+    d["good_turing"] = """
+        WITH tk AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        ), tk2 AS (
+            SELECT doc_id, tok FROM tk WHERE length(tok) > 0
+        ), per AS (
+            SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS r
+            FROM tk2 GROUP BY 1, 2
+        ), spec AS (
+            SELECT r, CAST(count(*) AS BIGINT) AS n_r FROM per GROUP BY 1
+        ), tot AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_total FROM tk2
+        ), n1 AS (
+            SELECT CAST(COALESCE(sum(CASE WHEN r = 1 THEN n_r END), 0)
+                        AS BIGINT) AS n_1 FROM spec
+        ), led AS (
+            SELECT r, n_r,
+                   CASE WHEN lead(r) OVER (ORDER BY r) = r + 1
+                        THEN lead(n_r) OVER (ORDER BY r) END AS n_r1
+            FROM spec
+        )
+        SELECT r, n_r,
+               round(CAST(r + 1 AS DOUBLE) * CAST(n_r1 AS DOUBLE)
+                     / CAST(n_r AS DOUBLE), 6) AS r_star,
+               round(CAST((SELECT n_1 FROM n1) AS DOUBLE)
+                     / CAST((SELECT n_total FROM tot) AS DOUBLE), 6)
+                 AS p_unseen
+        FROM led WHERE r <= 10
+    """
+    d["phrase_search"] = """
+        WITH pos0 AS (
+            SELECT doc_id AS doc,
+                   unnest(string_split(text, ' ')) AS token,
+                   generate_subscripts(string_split(text, ' '), 1) - 1
+                     AS pos
+            FROM documents
+        ), p AS (
+            SELECT doc, token, CAST(pos AS INT) AS pos
+            FROM pos0 WHERE length(token) > 0
+        ), h0 AS (
+            SELECT doc, pos AS p0 FROM p WHERE token = 'order'
+        ), h1 AS (
+            SELECT doc, pos - 1 AS p0 FROM p WHERE token = 'order'
+        ), hits AS (
+            SELECT h0.doc, h0.p0
+            FROM h0 JOIN h1 USING (doc, p0)
+        )
+        SELECT doc, CAST(count(*) AS BIGINT) AS n_occurrences,
+               CAST(min(p0) AS INT) AS first_pos
+        FROM hits GROUP BY 1
+    """
+    from cernan_spark.operators.corpus import (
+        BM25_QUERY as _bm25q,
+        bm25_oracle_sql as _bm25sql,
+    )
+
+    _mrr_parts = " UNION ALL ".join(
+        f"SELECT {qid} AS query_id, doc_id, bm25 AS score, "
+        f"CASE WHEN n_query_hits >= 2 THEN 1 ELSE 0 END AS rel "
+        f"FROM ({_bm25sql(terms)})"
+        for qid, terms in [
+            (1, _bm25q),
+            (2, ["table", "scan", "merge"]),
+            (3, ["customer", "filter", "column"]),
+        ]
+    )
+    d["mrr_recall"] = f"""
+        WITH ranked AS (
+            {_mrr_parts}
+        ), r AS (
+            SELECT query_id, rel,
+                   row_number() OVER (PARTITION BY query_id
+                       ORDER BY score DESC, doc_id) AS rank
+            FROM ranked
+        ), per_q AS (
+            SELECT query_id,
+                   min(CASE WHEN rel = 1 THEN rank END) AS first_rel,
+                   CAST(sum(CASE WHEN rel = 1 AND rank <= 10
+                            THEN 1 ELSE 0 END) AS BIGINT) AS rel_in_k,
+                   CAST(sum(rel) AS BIGINT) AS n_rel
+            FROM r GROUP BY 1
+        ), scored AS (
+            SELECT query_id,
+                   CASE WHEN first_rel IS NOT NULL
+                        THEN 1.0 / CAST(first_rel AS DOUBLE)
+                        ELSE 0.0 END AS rr,
+                   CASE WHEN n_rel > 0
+                        THEN CAST(rel_in_k AS DOUBLE)
+                             / CAST(n_rel AS DOUBLE)
+                        ELSE 0.0 END AS recall_k
+            FROM per_q
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_queries,
+               round(list_reduce(
+                   list_prepend(CAST(0.0 AS DOUBLE),
+                                list(rr ORDER BY query_id)),
+                   (acc, x) -> acc + x) / CAST(count(*) AS DOUBLE), 6)
+                 AS mrr,
+               round(list_reduce(
+                   list_prepend(CAST(0.0 AS DOUBLE),
+                                list(recall_k ORDER BY query_id)),
+                   (acc, x) -> acc + x) / CAST(count(*) AS DOUBLE), 6)
+                 AS mean_recall_at_k
+        FROM scored
     """
     return d

@@ -35,7 +35,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from cernan_spark.functions.porthash import MERSENNE31, portable_hash
@@ -2168,4 +2168,180 @@ def posting_lists(
             ),
             ",",
         ).alias("gaps"),
+    )
+
+
+def good_turing_spectrum(
+    df: DataFrame,
+    text_col: str = "text",
+    max_r: int = 10,
+    type_cols: list[str] | None = None,
+) -> DataFrame:
+    """Good–Turing frequency-of-frequencies: per raw count r (1..max_r)
+    the number of token types seen exactly r times (N_r), the smoothed
+    count r* = (r+1)·N_{r+1}/N_r, and the unseen mass p0 = N_1/N repeated
+    on every row — the quantity a language-model pipeline reads to budget
+    vocabulary cutoffs and OOV handling (Gale & Sampson's simple GT; r*
+    is left NULL when N_{r+1}=0, where the estimator is undefined
+    without regression smoothing).
+
+    ``type_cols`` widens the type identity: with ``["doc_id"]`` a type is
+    (document, token) and the spectrum profiles WITHIN-document term
+    frequencies (burstiness) — the SF-stable variant for corpora whose
+    global vocabulary is closed, where every global count is huge and
+    the small-r classes are empty.
+
+    Shape: token explode → ONE (type) count aggregate → ONE (r) count
+    aggregate (the spectrum is tiny) → a lead() window over the small r
+    spine. Every double is one division of exact BIGINTs; N_1 and N are
+    single-row aggregates (COALESCEd, so an empty class yields 0, not an
+    empty frame).
+    """
+    keys = list(type_cols or [])
+    toks = df.select(
+        *keys, F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    ).filter(F.length("tok") > 0)
+    per_tok = toks.groupBy(*keys, "tok").agg(
+        F.count(F.lit(1)).alias("r")
+    )
+    spectrum = per_tok.groupBy("r").agg(F.count(F.lit(1)).alias("n_r"))
+    total = toks.agg(F.count(F.lit(1)).alias("n_total"))
+    n1 = spectrum.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("r") == 1, F.col("n_r"))), F.lit(0)
+        ).alias("n_1")
+    )
+    w = Window.orderBy("r")
+    # lead() must see the FULL spectrum before the max_r cut, and the
+    # successor row counts as N_{r+1} only when its r IS r+1 — a gap in
+    # the spectrum means N_{r+1} = 0 (r* undefined), not "borrow the
+    # next populated class".
+    led = spectrum.withColumn(
+        "n_r1",
+        F.when(
+            F.lead("r").over(w) == F.col("r") + 1, F.lead("n_r").over(w)
+        ),
+    )
+    return (
+        led.filter(F.col("r") <= max_r)
+        .crossJoin(F.broadcast(total))
+        .crossJoin(F.broadcast(n1))
+        .select(
+            "r",
+            "n_r",
+            F.round(
+                (F.col("r") + 1).cast("double")
+                * F.col("n_r1").cast("double")
+                / F.col("n_r").cast("double"),
+                6,
+            ).alias("r_star"),
+            F.round(
+                F.col("n_1").cast("double") / F.col("n_total").cast("double"),
+                6,
+            ).alias("p_unseen"),
+        )
+    )
+
+
+def phrase_positions(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Positional posting rows (token, doc, pos) — the index side of
+    :func:`posting_lists` extended with positions, the structure phrase
+    and proximity queries join against."""
+    return df.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "token"),
+    ).filter(F.length("token") > 0)
+
+
+def phrase_search(
+    df: DataFrame,
+    phrase: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact phrase query over the positional index: documents where
+    ``phrase``'s tokens appear at consecutive positions, with the
+    (overlap-counting) occurrence count and first hit position.
+
+    Scale shape: the index rows are FILTERED to the phrase's tokens
+    before any shuffle (predicate pushdown against the token column of a
+    materialized index), then each adjacency is one equi-join on
+    (doc, pos+offset) — |phrase|−1 joins over only the matching
+    postings, never the corpus. Integer-only output.
+    """
+    pos = phrase_positions(df, text_col, id_col)
+    hits = pos.filter(F.col("token") == phrase[0]).select(
+        "doc", F.col("pos").alias("p0")
+    )
+    for k, term in enumerate(phrase[1:], start=1):
+        nxt = pos.filter(F.col("token") == term).select(
+            F.col("doc"), (F.col("pos") - k).alias("p0")
+        )
+        hits = hits.join(nxt, ["doc", "p0"])
+    return hits.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.min("p0").alias("first_pos"),
+    )
+
+
+def retrieval_metrics(
+    ranked: DataFrame, k: int = 10
+) -> DataFrame:
+    """MRR and recall@k over per-query rankings — the binary-relevance
+    counterpart of :func:`ndcg_at_k`. ``ranked`` carries
+    (query_id, doc_id, score, rel) with rel ∈ {0,1}; ranking order is
+    (score DESC, doc_id ASC) so ties are pinned.
+
+    Output ONE row: ``n_queries, mrr, mean_recall_at_k`` — the
+    reciprocal rank and per-query recall are exact-integer divisions,
+    and the two means fold over query_id-sorted structs (pinned order).
+    """
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
+    r = ranked.select(
+        "query_id", "rel", F.row_number().over(w).alias("rank")
+    )
+    per_q = r.groupBy("query_id").agg(
+        F.min(F.when(F.col("rel") == 1, F.col("rank"))).alias("first_rel"),
+        F.sum(
+            F.when((F.col("rel") == 1) & (F.col("rank") <= k), 1).otherwise(0)
+        ).alias("rel_in_k"),
+        F.sum(F.when(F.col("rel") == 1, 1).otherwise(0)).alias("n_rel"),
+    )
+    scored = per_q.select(
+        "query_id",
+        F.when(
+            F.col("first_rel").isNotNull(),
+            F.lit(1.0) / F.col("first_rel").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("rr"),
+        F.when(
+            F.col("n_rel") > 0,
+            F.col("rel_in_k").cast("double") / F.col("n_rel").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("recall_k"),
+    )
+    agg = scored.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.array_sort(
+            F.collect_list(F.struct("query_id", "rr", "recall_k"))
+        ).alias("xs"),
+    )
+    return agg.select(
+        "n_queries",
+        F.round(
+            F.aggregate("xs", F.lit(0.0), lambda a, x: a + x["rr"])
+            / F.col("n_queries").cast("double"),
+            6,
+        ).alias("mrr"),
+        F.round(
+            F.aggregate("xs", F.lit(0.0), lambda a, x: a + x["recall_k"])
+            / F.col("n_queries").cast("double"),
+            6,
+        ).alias("mean_recall_at_k"),
     )

@@ -420,3 +420,117 @@ def test_distinctive_terms_seeded_marker_wins(spark):
     assert by["targetonly"]["n_target"] == 2 and by["targetonly"]["n_rest"] == 0
     # shared tokens score near zero, strictly between the two extremes
     assert abs(by["common"]["z"]) < by["targetonly"]["z"]
+
+
+def test_good_turing_hand_model(spark):
+    """Known spectrum: types with counts {1,1,1,2,2,3}: N_1=3, N_2=2,
+    N_3=1, N=10; r*(1)=2*2/3, r*(2)=3*1/2, r*(3) NULL (N_4=0);
+    p_unseen=3/10."""
+    from pyspark.sql import functions as F
+
+    from cernan_spark.operators.corpus import good_turing_spectrum
+
+    df = spark.createDataFrame(
+        [("a b c d d e e e",), ("f f",)], "text string"
+    )
+    # counts: a1 b1 c1 d2 e3 f2 → N1=3, N2=2, N3=1, N=10
+    out = {r["r"]: r for r in good_turing_spectrum(df).collect()}
+    assert out[1]["n_r"] == 3 and out[2]["n_r"] == 2 and out[3]["n_r"] == 1
+    assert out[1]["r_star"] == round(2 * 2 / 3, 6)
+    assert out[2]["r_star"] == round(3 * 1 / 2, 6)
+    assert out[3]["r_star"] is None
+    assert all(r["p_unseen"] == 0.3 for r in out.values())
+
+
+def test_good_turing_spectrum_gap_is_null_not_borrowed(spark):
+    """A gap in the spectrum (no type with count r+1) must yield NULL
+    r*, not borrow the next populated class."""
+    from cernan_spark.operators.corpus import good_turing_spectrum
+
+    # counts: a:1, b:3  → N_1=1, N_3=1, N_2 missing
+    df = spark.createDataFrame([("a b b b",)], "text string")
+    out = {r["r"]: r for r in good_turing_spectrum(df).collect()}
+    assert out[1]["r_star"] is None  # N_2 = 0, nothing borrowed from N_3
+    assert out[3]["r_star"] is None
+
+
+def test_good_turing_doc_scoped_types(spark):
+    """type_cols=['doc_id'] counts within documents: the same token in
+    two docs is two types."""
+    from cernan_spark.operators.corpus import good_turing_spectrum
+
+    df = spark.createDataFrame(
+        [(1, "x x y"), (2, "x z")], "doc_id long, text string"
+    )
+    # per-doc counts: (1,x)=2 (1,y)=1 (2,x)=1 (2,z)=1 → N1=3, N2=1
+    out = {
+        r["r"]: r
+        for r in good_turing_spectrum(
+            df, type_cols=["doc_id"]
+        ).collect()
+    }
+    assert out[1]["n_r"] == 3 and out[2]["n_r"] == 1
+    assert out[1]["r_star"] == round(2 * 1 / 3, 6)
+    assert all(r["p_unseen"] == 0.6 for r in out.values())
+
+
+def test_phrase_search_overlaps_and_multiword(spark):
+    """'ha ha ha ha' contains the phrase 'ha ha' three times
+    (overlap-counting) and 'ha ha ha' twice; a three-token phrase only
+    matches true runs."""
+    from cernan_spark.operators.corpus import phrase_search
+
+    df = spark.createDataFrame(
+        [
+            (1, "ha ha ha ha"),
+            (2, "ha x ha ha"),
+            (3, "no match here ha"),
+            (4, "a ha ha trailer"),
+        ],
+        "doc_id long, text string",
+    )
+    two = {r["doc"]: r for r in phrase_search(df, ["ha", "ha"]).collect()}
+    assert two[1]["n_occurrences"] == 3 and two[1]["first_pos"] == 0
+    assert two[2]["n_occurrences"] == 1 and two[2]["first_pos"] == 2
+    assert two[4]["n_occurrences"] == 1 and two[4]["first_pos"] == 1
+    assert 3 not in two
+    three = {
+        r["doc"]: r for r in phrase_search(df, ["ha", "ha", "ha"]).collect()
+    }
+    assert three[1]["n_occurrences"] == 2
+    assert set(three) == {1}
+
+
+def test_retrieval_metrics_hand_model(spark):
+    """Two queries with known rankings: q1's first relevant doc at rank
+    2 with 2/3 of its relevant docs in top-2; q2 has none relevant →
+    rr 0, recall 0; means are exact."""
+    from cernan_spark.operators.corpus import retrieval_metrics
+
+    rows = [
+        # query 1: ranks by (score desc, doc): d9(.9,rel0) d5(.8,rel1)
+        # d7(.7,rel1) d1(.1,rel1)
+        (1, 9, 0.9, 0), (1, 5, 0.8, 1), (1, 7, 0.7, 1), (1, 1, 0.1, 1),
+        # query 2: no relevant docs at all
+        (2, 3, 0.5, 0), (2, 4, 0.4, 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "query_id int, doc_id long, score double, rel int"
+    )
+    got = retrieval_metrics(df, k=2).first()
+    assert got["n_queries"] == 2
+    assert got["mrr"] == round((1 / 2 + 0.0) / 2, 6)
+    assert got["mean_recall_at_k"] == round((1 / 3 + 0.0) / 2, 6)
+
+
+def test_retrieval_metrics_tie_break_is_doc_id(spark):
+    """Equal scores rank by doc_id ascending — the pinned tie rule."""
+    from cernan_spark.operators.corpus import retrieval_metrics
+
+    rows = [(1, 10, 0.5, 1), (1, 2, 0.5, 0)]  # tie: doc 2 ranks first
+    df = spark.createDataFrame(
+        rows, "query_id int, doc_id long, score double, rel int"
+    )
+    got = retrieval_metrics(df, k=1).first()
+    assert got["mrr"] == 0.5  # relevant doc 10 is rank 2
+    assert got["mean_recall_at_k"] == 0.0
