@@ -3181,6 +3181,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "good_turing": q_good_turing,
         "phrase_search": q_phrase_search,
         "mrr_recall": q_mrr_recall,
+        "cuped": q_cuped,
+        "poisson_boot": q_poisson_boot,
+        "label_prop": q_label_prop,
     }
 
 
@@ -6929,6 +6932,79 @@ def q_mrr_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ranked = parts[0].unionByName(parts[1]).unionByName(parts[2])
     return retrieval_metrics(ranked, k=10)
+
+
+def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED-adjusted A/B effect on per-user post-period spend with the
+    pre-period spend as covariate (variant = user parity, split at day
+    15): theta, adjusted diff and the variance-reduction factor rho^2,
+    all divisions of exact BIGINT sums in pinned order
+    (operators/experiment.cuped_adjust)."""
+    from cernan_spark.operators.experiment import cuped_adjust
+
+    _utc(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    mn = ev.agg(F.min(F.unix_timestamp("ts")).alias("mn"))
+    per_user = (
+        ev.crossJoin(F.broadcast(mn))
+        .select(
+            "user_id",
+            ((F.unix_timestamp("ts") - F.col("mn")) / 86400)
+            .cast("long")
+            .alias("day"),
+            F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("day") < 15, F.col("cents")).otherwise(0)
+            ).alias("x"),
+            F.sum(
+                F.when(F.col("day") >= 15, F.col("cents")).otherwise(0)
+            ).alias("y"),
+        )
+    )
+    units = per_user.select(
+        F.when(F.col("user_id") % 2 == 1, F.lit("B"))
+        .otherwise(F.lit("A"))
+        .alias("variant"),
+        "x",
+        "y",
+    )
+    return cuped_adjust(units, "variant", "x", "y", "B", "A")
+
+
+def q_poisson_boot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap CI for the mean purchase value: 32 deterministic
+    replicates in ONE pass, multiplicities drawn from the portable hash
+    of (event_id, replicate) through pinned Poisson(1) CDF literals; the
+    CI bounds are the 2nd/31st order statistics of the replicate means
+    (operators/experiment.poisson_bootstrap_mean)."""
+    from cernan_spark.operators.experiment import poisson_bootstrap_mean
+
+    _utc(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    prep = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    return poisson_bootstrap_mean(prep, "event_id", "cents")
+
+
+def q_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synchronous label propagation (4 rounds, ties to
+    the smallest label, argmax reduced as ONE integer priority — no
+    floats at all) over the residue co-citation graph; emits each node's
+    community and its size (operators/graph.label_propagation). The
+    DuckDB twin replays the rounds in a list-carried recursive CTE."""
+    from cernan_spark.operators.graph import label_propagation
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    edges = d.select(
+        (F.col("doc_id") % 23).alias("src"),
+        (F.col("doc_id") % 29).alias("dst"),
+    )
+    return label_propagation(edges, iters=4, label_space=32)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -11183,5 +11259,148 @@ def oracle_sql() -> dict[str, str]:
                    (acc, x) -> acc + x) / CAST(count(*) AS DOUBLE), 6)
                  AS mean_recall_at_k
         FROM scored
+    """
+    d["cuped"] = """
+        WITH mn AS (
+            SELECT CAST(floor(epoch(min(ts))) AS BIGINT) AS mn FROM events
+        ), per_user AS (
+            SELECT user_id,
+                   CAST(sum(CASE WHEN (CAST(floor(epoch(ts)) AS BIGINT)
+                                       - (SELECT mn FROM mn)) // 86400 < 15
+                            THEN CAST(round(value * 100, 0) AS BIGINT)
+                            ELSE 0 END) AS BIGINT) AS x,
+                   CAST(sum(CASE WHEN (CAST(floor(epoch(ts)) AS BIGINT)
+                                       - (SELECT mn FROM mn)) // 86400 >= 15
+                            THEN CAST(round(value * 100, 0) AS BIGINT)
+                            ELSE 0 END) AS BIGINT) AS y
+            FROM events GROUP BY 1
+        ), g AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT) AS sx,
+                   CAST(sum(y) AS BIGINT) AS sy,
+                   CAST(sum(x * y) AS BIGINT) AS sxy,
+                   CAST(sum(x * x) AS BIGINT) AS sxx,
+                   CAST(sum(y * y) AS BIGINT) AS syy,
+                   CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_b,
+                   CAST(sum(CASE WHEN user_id % 2 = 1 THEN x ELSE 0 END)
+                        AS BIGINT) AS sx_b,
+                   CAST(sum(CASE WHEN user_id % 2 = 1 THEN y ELSE 0 END)
+                        AS BIGINT) AS sy_b
+            FROM per_user
+        )
+        SELECT n - n_b AS n_a, n_b,
+               round(CAST(sy - sy_b AS DOUBLE) / CAST(n - n_b AS DOUBLE),
+                     6) AS mean_y_a,
+               round(CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6)
+                 AS mean_y_b,
+               round(CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+                     - CAST(sy - sy_b AS DOUBLE)
+                       / CAST(n - n_b AS DOUBLE), 6) AS diff_raw,
+               round(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS theta,
+               round((CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+                      - CAST(sy - sy_b AS DOUBLE)
+                        / CAST(n - n_b AS DOUBLE))
+                     - (CAST(n * sxy - sx * sy AS DOUBLE)
+                        / CAST(n * sxx - sx * sx AS DOUBLE))
+                       * (CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+                          - CAST(sx - sx_b AS DOUBLE)
+                            / CAST(n - n_b AS DOUBLE)), 6) AS diff_cuped,
+               round(CAST(n * sxy - sx * sy AS DOUBLE)
+                     * CAST(n * sxy - sx * sy AS DOUBLE)
+                     / (CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+                 AS var_reduction
+        FROM g
+    """
+    from cernan_spark.functions.porthash import (
+        portable_hash_sql as _porthash_sql,
+    )
+    from cernan_spark.operators.corpus import fmix32_sql as _fmix32_sql
+
+    _pb_hash = _fmix32_sql(
+        _porthash_sql("(id || ':' || CAST(b AS VARCHAR))")
+    )
+    d["poisson_boot"] = f"""
+        WITH base AS (
+            SELECT CAST(event_id AS VARCHAR) AS id,
+                   CAST(round(value * 100, 0) AS BIGINT) AS v
+            FROM events WHERE event_type = 'purchase'
+        ), reps AS (
+            SELECT id, v, CAST(b AS BIGINT) AS b
+            FROM base, (SELECT unnest(range(0, 32)) AS b)
+        ), wtd AS (
+            SELECT b, v,
+                   (CASE WHEN u >= 0.36787944117144233 THEN 1 ELSE 0 END)
+                   + (CASE WHEN u >= 0.7357588823428847 THEN 1 ELSE 0 END)
+                   + (CASE WHEN u >= 0.9196986029286058 THEN 1 ELSE 0 END)
+                   + (CASE WHEN u >= 0.9810118431238462 THEN 1 ELSE 0 END)
+                   + (CASE WHEN u >= 0.9963401531726563 THEN 1 ELSE 0 END)
+                   + (CASE WHEN u >= 0.9994058151824183 THEN 1 ELSE 0 END)
+                     AS m
+            FROM (SELECT b, v,
+                         CAST({_pb_hash} AS DOUBLE) / 4294967296.0 AS u
+                  FROM reps)
+        ), per_rep AS (
+            SELECT b, CAST(sum(m * v) AS BIGINT) AS sv,
+                   CAST(sum(m) AS BIGINT) AS sm
+            FROM wtd GROUP BY 1
+        ), means AS (
+            SELECT CAST(sv AS DOUBLE) / CAST(sm AS DOUBLE) AS mb
+            FROM per_rep
+        ), boot AS (
+            SELECT list(mb ORDER BY mb) AS ms FROM means
+        ), stats AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(v) AS BIGINT) AS sv_all
+            FROM base
+        )
+        SELECT n_rows,
+               round(CAST(sv_all AS DOUBLE) / CAST(n_rows AS DOUBLE), 6)
+                 AS mean,
+               round(ms[2], 6) AS boot_lo,
+               round(ms[31], 6) AS boot_hi
+        FROM stats, boot
+    """
+    d["label_prop"] = """
+        WITH RECURSIVE e AS (
+            SELECT DISTINCT least(doc_id % 23, doc_id % 29) AS u,
+                            greatest(doc_id % 23, doc_id % 29) AS v
+            FROM documents WHERE doc_id % 23 <> doc_id % 29
+        ), adj AS (
+            SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e
+        ), m AS (
+            SELECT (SELECT list({'u': u, 'v': v} ORDER BY u, v)
+                    FROM adj) AS al
+        ), r AS (
+            SELECT 0 AS k,
+                   (SELECT list({'node': u, 'label': CAST(u AS BIGINT)}
+                                ORDER BY u)
+                    FROM (SELECT DISTINCT u FROM adj)) AS ps
+            UNION ALL
+            SELECT k + 1, list_transform(ps, s -> {
+                'node': s.node,
+                'label': list_transform(
+                    [list_transform(
+                        list_filter(al, e -> e.u = s.node),
+                        e -> list_filter(ps,
+                                 q -> q.node = e.v)[1].label)],
+                    l -> CAST(31 - (list_aggr(list_transform(l,
+                             x -> CAST(len(list_filter(l, y -> y = x))
+                                       AS BIGINT) * 32 + (31 - x)),
+                         'max') % 32) AS BIGINT))[1]
+            })
+            FROM r, m WHERE k < 4
+        ), fin AS (
+            SELECT unnest(ps) AS s FROM r WHERE k = 4
+        ), lab AS (
+            SELECT s.node AS node, s.label AS label FROM fin
+        ), sizes AS (
+            SELECT label, CAST(count(*) AS BIGINT) AS community_size
+            FROM lab GROUP BY 1
+        )
+        SELECT lab.node, lab.label, sizes.community_size
+        FROM lab JOIN sizes USING (label)
     """
     return d

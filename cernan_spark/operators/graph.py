@@ -312,3 +312,72 @@ def bradley_terry(
             F.round(F.col("p") / F.col("total_p"), 6).alias("strength"),
         )
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    iters: int = 4,
+    label_space: int = 1 << 20,
+) -> DataFrame:
+    """Synchronous label propagation over an undirected simple edge set:
+    every node starts as its own label; each round it adopts its
+    neighbors' most frequent label, ties broken by SMALLEST label — a
+    deterministic LPA variant (fixed ``iters`` synchronous rounds, so the
+    result is reproducible regardless of convergence; classic async LPA
+    is order-dependent by construction and cannot be gated).
+
+    The argmax is reduced as one integer: priority = cnt·label_space +
+    (label_space−1−label), decoded after the max — so the whole round is
+    groupBy(node, label) → groupBy(node) over BIGINTs, no window, no
+    floats anywhere in the operator. Node labels must be integers in
+    [0, label_space).
+
+    Scale shape: per round ONE shuffle on the neighbor endpoint at edge
+    grain and one at (node, label) grain; per-iteration localCheckpoint
+    keeps the plan linear (the ``pagerank`` discipline).
+
+    Output: ``node, label, community_size``.
+    """
+    e = (
+        edges.select(
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    adj = e.unionAll(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )  # (u, v): v is a neighbor of u
+    labels = (
+        adj.select(F.col("u").alias("node"))
+        .distinct()
+        .select("node", F.col("node").cast("long").alias("label"))
+    )
+    ls = F.lit(label_space)
+    for it in range(iters):
+        nb = adj.join(
+            labels.select(
+                F.col("node").alias("v"), F.col("label")
+            ),
+            "v",
+        ).select(F.col("u").alias("node"), "label")
+        cnt = nb.groupBy("node", "label").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        best = cnt.groupBy("node").agg(
+            F.max(
+                F.col("cnt") * ls + (ls - 1 - F.col("label"))
+            ).alias("p")
+        )
+        labels = best.select(
+            "node", (ls - 1 - F.col("p") % ls).alias("label")
+        )
+        if it < iters - 1:
+            labels = labels.localCheckpoint(eager=True)
+    sizes = labels.groupBy("label").agg(
+        F.count(F.lit(1)).alias("community_size")
+    )
+    return labels.join(sizes, "label").select(
+        "node", "label", "community_size"
+    )

@@ -1,0 +1,109 @@
+"""Hand-model checks for the experimentation operators (CUPED, Poisson
+bootstrap) and deterministic label propagation."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cernan_spark.operators.experiment import (
+    cuped_adjust,
+    poisson_bootstrap_mean,
+)
+from cernan_spark.operators.graph import label_propagation
+
+
+def test_cuped_matches_hand_formulas(spark):
+    """theta, adjusted diff and rho^2 equal the closed forms computed in
+    Python over the same integer sums."""
+    rows = [
+        ("A", 10, 12), ("A", 20, 25), ("A", 30, 28), ("A", 40, 45),
+        ("B", 12, 20), ("B", 22, 33), ("B", 28, 39), ("B", 44, 60),
+    ]
+    df = spark.createDataFrame(rows, "variant string, x long, y long")
+    got = cuped_adjust(df, "variant", "x", "y", "B", "A").first()
+    xs = [r[1] for r in rows]
+    ys = [r[2] for r in rows]
+    n = len(rows)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    sxx = sum(a * a for a in xs)
+    syy = sum(b * b for b in ys)
+    theta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    ya = sum(ys[:4]) / 4
+    yb = sum(ys[4:]) / 4
+    xa = sum(xs[:4]) / 4
+    xb = sum(xs[4:]) / 4
+    rho2 = (n * sxy - sx * sy) ** 2 / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+    assert got["n_a"] == 4 and got["n_b"] == 4
+    assert got["theta"] == pytest.approx(theta, abs=1e-6)
+    assert got["diff_raw"] == pytest.approx(yb - ya, abs=1e-6)
+    assert got["diff_cuped"] == pytest.approx(
+        (yb - ya) - theta * (xb - xa), abs=1e-6
+    )
+    assert got["var_reduction"] == pytest.approx(rho2, abs=1e-6)
+    assert 0.0 < got["var_reduction"] <= 1.0
+
+
+def test_cuped_uncorrelated_covariate_changes_nothing(spark):
+    """A constant covariate cannot be correlated with y... a covariate
+    equal across variants with theta applied to a zero x-gap leaves the
+    raw diff intact."""
+    rows = [("A", v % 3, 10 + v) for v in range(6)] + [
+        ("B", v % 3, 20 + v) for v in range(6)
+    ]
+    df = spark.createDataFrame(rows, "variant string, x long, y long")
+    got = cuped_adjust(df, "variant", "x", "y", "B", "A").first()
+    # x distribution identical across variants → x̄_B − x̄_A = 0
+    assert got["diff_cuped"] == got["diff_raw"]
+
+
+def test_poisson_bootstrap_deterministic_and_sane(spark):
+    """Two runs produce identical CIs (hash-driven, no RNG); the CI
+    brackets the point mean; a constant column collapses the CI."""
+    rows = [(i, 100 + (i * 37) % 50) for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    a = poisson_bootstrap_mean(df, "id", "v").first()
+    b = poisson_bootstrap_mean(df, "id", "v").first()
+    assert a == b
+    assert a["n_rows"] == 300
+    assert a["boot_lo"] <= a["mean"] <= a["boot_hi"]
+    assert a["boot_lo"] < a["boot_hi"]
+    const = spark.createDataFrame(
+        [(i, 42) for i in range(200)], "id long, v long"
+    )
+    c = poisson_bootstrap_mean(const, "id", "v").first()
+    assert c["boot_lo"] == 42.0 and c["boot_hi"] == 42.0
+
+
+def test_label_propagation_two_cliques_with_bridge(spark):
+    """Two 4-cliques joined by one bridge edge settle into exactly two
+    communities — each clique adopts its own minimum label."""
+    c1 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    c2 = [(a + 10, b + 10) for a, b in c1]
+    edges = c1 + c2 + [(3, 10)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = label_propagation(df, iters=6, label_space=32).collect()
+    got = {r["node"]: r["label"] for r in out}
+    assert len({got[n] for n in range(4)}) == 1
+    assert len({got[n + 10] for n in range(4)}) == 1
+    assert got[0] != got[10]
+    sizes = {r["node"]: r["community_size"] for r in out}
+    assert sizes[0] == 4 and sizes[10] == 4
+
+
+def test_label_propagation_sync_tie_break_smallest(spark):
+    """A path 0-1-2: node 1's neighbors tie → smallest label wins;
+    fixed synchronous rounds are reproducible run to run."""
+    df = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    a = sorted(
+        label_propagation(df, iters=3, label_space=32).collect()
+    )
+    b = sorted(
+        label_propagation(df, iters=3, label_space=32).collect()
+    )
+    assert a == b
+    got = {r["node"]: r["label"] for r in a}
+    # round1: 0→1, 1→0 (tie {0,2}), 2→1; round2: 0→0, 1→1, 2→0;
+    # round3: 0→1, 1→0, 2→1 (period-2 oscillation — deterministic)
+    assert got == {0: 1, 1: 0, 2: 1}
