@@ -3184,6 +3184,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cuped": q_cuped,
         "poisson_boot": q_poisson_boot,
         "label_prop": q_label_prop,
+        "hll_overlap": q_hll_overlap,
+        "silhouette": q_silhouette,
+        "diversity": q_diversity,
     }
 
 
@@ -7005,6 +7008,43 @@ def q_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % 29).alias("dst"),
     )
     return label_propagation(edges, iters=4, label_space=32)
+
+
+def q_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL audience overlap: clicker vs purchaser user sets sketched
+    once (tagged registers), union by register-max, intersection by
+    inclusion-exclusion on the corrected estimates, implied Jaccard —
+    no distinct join touches the raw rows
+    (operators/corpus.hll_set_overlap)."""
+    from cernan_spark.operators.corpus import hll_set_overlap
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return hll_set_overlap(
+        ev, "event_type", F.col("user_id").cast("string"),
+        "click", "purchase",
+    )
+
+
+def q_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified (centroid-based) silhouette per embedding cluster:
+    O(n·k) distances to the micro-unit-exact label centroids, per-point
+    s = (b−a)/max(a,b), id-sorted mean folds — the cluster-quality gate
+    after label_centroids (operators/similarity.simplified_silhouette)."""
+    from cernan_spark.operators.similarity import simplified_silhouette
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return simplified_silhouette(emb)
+
+
+def q_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-diversity indices per source slice: Simpson (exact
+    BIGINT pair counts, one division), effective class count, Shannon
+    entropy folded lang-sorted — the corpus-mix health check beside
+    domain_cap/alpha_mix (operators/textstats.diversity_profile)."""
+    from cernan_spark.operators.textstats import diversity_profile
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return diversity_profile(d, ["source"], "lang")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -11402,5 +11442,105 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT lab.node, lab.label, sizes.community_size
         FROM lab JOIN sizes USING (label)
+    """
+    from cernan_spark.operators.corpus import (
+        hll_overlap_oracle_sql as _hll_overlap_sql,
+    )
+
+    d["hll_overlap"] = _hll_overlap_sql(
+        "event_type", "CAST(user_id AS VARCHAR)", "events",
+        "click", "purchase",
+    )
+    d["silhouette"] = """
+        WITH q AS (
+            SELECT vec_id, label,
+                   list_transform(embedding,
+                       x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0, 0)
+                                 AS BIGINT)) AS qv
+            FROM embeddings
+        ), pts AS (
+            SELECT vec_id AS vid, label AS lab,
+                   list_transform(qv, v -> CAST(v AS DOUBLE) / 1000000.0)
+                     AS v
+            FROM q
+        ), ex AS (
+            SELECT label AS clab, generate_subscripts(qv, 1) AS i,
+                   unnest(qv) AS comp
+            FROM q
+        ), cs AS (
+            SELECT clab, i, CAST(sum(comp) AS BIGINT) AS s,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM ex GROUP BY 1, 2
+        ), cents AS (
+            SELECT clab,
+                   list((CAST(s AS DOUBLE) / n) / 1000000.0 ORDER BY i)
+                     AS c
+            FROM cs GROUP BY 1
+        ), dists AS (
+            SELECT p.vid, p.lab, c.clab,
+                   sqrt(list_reduce(
+                       list_prepend(CAST(0.0 AS DOUBLE),
+                           list_transform(range(1, 65),
+                               j -> (p.v[CAST(j AS INT)]
+                                     - c.c[CAST(j AS INT)])
+                                    * (p.v[CAST(j AS INT)]
+                                       - c.c[CAST(j AS INT)]))),
+                       (acc, e) -> acc + e)) AS dd
+            FROM pts p, cents c
+        ), pp AS (
+            SELECT vid, lab,
+                   max(CASE WHEN clab = lab THEN dd END) AS a,
+                   min(CASE WHEN clab <> lab THEN dd END) AS b
+            FROM dists GROUP BY 1, 2
+        ), sc AS (
+            SELECT vid, lab, a, b,
+                   CASE WHEN greatest(a, b) > 0
+                        THEN (b - a) / greatest(a, b)
+                        ELSE 0.0 END AS s
+            FROM pp
+        ), agg AS (
+            SELECT lab AS label, CAST(count(*) AS BIGINT) AS n,
+                   list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                       list(a ORDER BY vid)), (x, y) -> x + y) AS sa,
+                   list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                       list(b ORDER BY vid)), (x, y) -> x + y) AS sb,
+                   list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                       list(s ORDER BY vid)), (x, y) -> x + y) AS ss
+            FROM sc GROUP BY 1
+        )
+        SELECT label, n,
+               round(sa / CAST(n AS DOUBLE), 6) AS mean_a,
+               round(sb / CAST(n AS DOUBLE), 6) AS mean_b,
+               round(ss / CAST(n AS DOUBLE), 6) AS mean_silhouette
+        FROM agg
+    """
+    d["diversity"] = """
+        WITH fine AS (
+            SELECT source, lang, CAST(count(*) AS BIGINT) AS c
+            FROM documents GROUP BY 1, 2
+        ), wn AS (
+            SELECT source, lang, c,
+                   CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS n
+            FROM fine
+        ), agg AS (
+            SELECT source, CAST(min(n) AS BIGINT) AS n,
+                   CAST(count(*) AS BIGINT) AS n_classes,
+                   CAST(sum(c * (c - 1)) AS BIGINT) AS pairs,
+                   list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                       list((CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                            * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                            ORDER BY lang)),
+                       (acc, t) -> acc + t) AS hsum
+            FROM wn GROUP BY 1
+        )
+        SELECT source, n, n_classes,
+               round(CAST(pairs AS DOUBLE)
+                     / CAST(n * (n - 1) AS DOUBLE), 6) AS simpson,
+               CASE WHEN pairs > 0 THEN
+                   round(1.0 / (CAST(pairs AS DOUBLE)
+                                / CAST(n * (n - 1) AS DOUBLE)), 6)
+               END AS inv_simpson,
+               round(-hsum, 6) AS shannon
+        FROM agg
     """
     return d

@@ -2345,3 +2345,113 @@ def retrieval_metrics(
             6,
         ).alias("mean_recall_at_k"),
     )
+
+
+def hll_set_overlap(
+    df: DataFrame,
+    set_col: str,
+    item_col: Column,
+    set_a: str,
+    set_b: str,
+) -> DataFrame:
+    """HLL audience overlap: distinct-count estimates for two item sets,
+    their union (register-wise max — the HLL merge), and the
+    inclusion–exclusion intersection |A|+|B|−|A∪B| with the implied
+    Jaccard — the "how many purchasers also clicked" sketch answer that
+    needs neither a distinct join nor a second pass over the raw rows.
+
+    The union sketch merges the two sets' registers (max is idempotent/
+    commutative — the `hll_resume` law), so all three estimates come from
+    ONE register aggregate over the tagged rows. The subtraction happens
+    on the UNROUNDED corrected estimates, in the pinned order
+    (E_a + E_b) − E_u, then everything rounds to 4 places.
+
+    Output ONE row: ``hll_a, hll_b, hll_union, hll_intersection,
+    jaccard_est``.
+    """
+    tagged = df.filter(F.col(set_col).isin(set_a, set_b)).select(
+        F.when(F.col(set_col) == set_a, F.lit("a"))
+        .otherwise(F.lit("b"))
+        .alias("s"),
+        item_col.alias("item"),
+    )
+    regs = hll_registers(tagged, ["s"], F.col("item"))
+    union_regs = regs.groupBy("reg").agg(
+        F.max("max_rho").alias("max_rho")
+    ).select(F.lit("u").alias("s"), "reg", F.col("max_rho"))
+    folded = _hll_fold(
+        regs.unionByName(union_regs), ["s"], "est"
+    ).select("s", F.col("hll_est"))
+    one = folded.agg(
+        F.max(F.when(F.col("s") == "a", F.col("hll_est"))).alias("ea"),
+        F.max(F.when(F.col("s") == "b", F.col("hll_est"))).alias("eb"),
+        F.max(F.when(F.col("s") == "u", F.col("hll_est"))).alias("eu"),
+    )
+    inter = F.col("ea") + F.col("eb") - F.col("eu")
+    return one.select(
+        F.col("ea").alias("hll_a"),
+        F.col("eb").alias("hll_b"),
+        F.col("eu").alias("hll_union"),
+        F.round(inter, 4).alias("hll_intersection"),
+        F.round(inter / F.col("eu"), 4).alias("jaccard_est"),
+    )
+
+
+def hll_overlap_oracle_sql(
+    set_expr: str,
+    item_expr: str,
+    from_clause: str,
+    set_a: str,
+    set_b: str,
+) -> str:
+    """DuckDB twin of :func:`hll_set_overlap` — same registers, same
+    folds, same correction, same (E_a + E_b) − E_u pinned arithmetic.
+    NOTE: the Spark side rounds each per-set estimate to 4 places inside
+    `_hll_fold` BEFORE the subtraction, so this twin does too."""
+    from cernan_spark.functions.porthash import portable_hash_sql
+
+    h = fmix32_sql(portable_hash_sql(item_expr))
+    m = float(HLL_M)
+    alpha = _hll_alpha(HLL_M)
+    est = (
+        f"round(CASE WHEN ({alpha * m * m}) / (present_sum + ({m} - n_present))"
+        f" <= {2.5 * m} AND n_present < {HLL_M}"
+        f" THEN {m} * ln({m} / CAST({HLL_M} - n_present AS DOUBLE))"
+        f" ELSE ({alpha * m * m}) / (present_sum + ({m} - n_present)) END, 4)"
+    )
+    return f"""
+        WITH hashed AS (
+            SELECT CASE WHEN ({set_expr}) = '{set_a}' THEN 'a'
+                        ELSE 'b' END AS s, ({h}) AS h
+            FROM {from_clause}
+            WHERE ({set_expr}) IN ('{set_a}', '{set_b}')
+        ), regs AS (
+            SELECT s, CAST(h % {HLL_M} AS INTEGER) AS reg,
+                   max(CASE WHEN (h >> {HLL_P}) = 0
+                            THEN {HLL_REST_BITS + 1}
+                            ELSE {HLL_REST_BITS + 1}
+                                 - length(bin(h >> {HLL_P}))
+                       END) AS max_rho
+            FROM hashed GROUP BY 1, 2
+        ), allregs AS (
+            SELECT s, reg, max_rho FROM regs
+            UNION ALL
+            SELECT 'u' AS s, reg, max(max_rho) AS max_rho
+            FROM regs GROUP BY 2
+        ), folded AS (
+            SELECT s, count(*) AS n_present,
+                   sum(power(2.0, -max_rho)) AS present_sum
+            FROM allregs GROUP BY 1
+        ), ests AS (
+            SELECT s, {est} AS e FROM folded
+        ), one AS (
+            SELECT max(CASE WHEN s = 'a' THEN e END) AS ea,
+                   max(CASE WHEN s = 'b' THEN e END) AS eb,
+                   max(CASE WHEN s = 'u' THEN e END) AS eu
+            FROM ests
+        )
+        SELECT ea AS hll_a, eb AS hll_b, eu AS hll_union,
+               round(ea + eb - eu, 4) AS hll_intersection,
+               round((ea + eb - eu) / eu, 4) AS jaccard_est
+        FROM one
+    """

@@ -1234,3 +1234,102 @@ def roc_curve(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
             / (F.col("tp") + F.col("fp")).cast("double")
         ).alias("prec"),
     )
+
+
+def simplified_silhouette(
+    emb: DataFrame,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Simplified (centroid-based) silhouette per cluster — the cluster-
+    quality score an embedding-clustering pipeline reads after
+    :func:`label_centroids`: per point a = distance to its OWN centroid,
+    b = distance to the NEAREST OTHER centroid, s = (b−a)/max(a,b); the
+    full-pairwise silhouette's O(n²) distance matrix is replaced by
+    O(n·k), the standard large-scale variant.
+
+    Float discipline: components quantize to integer micro-units exactly
+    like ``label_centroids`` (sums order-free), centroid means are two
+    correctly-rounded divisions, every squared distance folds over
+    ascending dimension index, sqrt is correctly rounded, and per-cluster
+    means fold over id-sorted structs — bit-identical cross-engine.
+
+    Scale shape: ONE (label, dim) centroid aggregate, the k×dim centroid
+    table broadcast back (k clusters — dimension-sized), one narrow map
+    per point, one mean aggregate. No pairwise joins.
+
+    Output per cluster: ``label, n, mean_a, mean_b, mean_silhouette``.
+    """
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * 1e6, 0).cast("long"),
+    )
+    pts = emb.select(
+        F.col(id_col).alias("vid"),
+        F.col(label_col).alias("lab"),
+        F.transform(q, lambda v: v.cast("double") / F.lit(1e6)).alias("v"),
+    )
+    cents = (
+        emb.select(
+            F.col(label_col).alias("clab"), F.posexplode(q).alias("i", "qv")
+        )
+        .groupBy("clab", "i")
+        .agg(F.sum("qv").alias("s"), F.count(F.lit(1)).alias("n"))
+        .groupBy("clab")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "i",
+                            (
+                                (F.col("s").cast("double") / F.col("n"))
+                                / F.lit(1e6)
+                            ).alias("m"),
+                        )
+                    )
+                ),
+                lambda st: st["m"],
+            ).alias("c")
+        )
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("v"), F.col("c"), lambda x, c: (x - c) * (x - c)
+        ),
+        F.lit(0.0),
+        lambda acc, e: acc + e,
+    )
+    dists = pts.crossJoin(F.broadcast(cents)).select(
+        "vid", "lab", "clab", F.sqrt(d2).alias("d")
+    )
+    per_pt = dists.groupBy("vid", "lab").agg(
+        F.max(F.when(F.col("clab") == F.col("lab"), F.col("d"))).alias(
+            "a"
+        ),
+        F.min(F.when(F.col("clab") != F.col("lab"), F.col("d"))).alias(
+            "b"
+        ),
+    )
+    s = F.when(
+        F.greatest("a", "b") > 0,
+        (F.col("b") - F.col("a")) / F.greatest("a", "b"),
+    ).otherwise(F.lit(0.0))
+    scored = per_pt.select("vid", "lab", "a", "b", s.alias("s"))
+    agg = scored.groupBy(F.col("lab").alias("label")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.array_sort(
+            F.collect_list(F.struct("vid", "a", "b", "s"))
+        ).alias("xs"),
+    )
+    fold = lambda field: F.aggregate(  # noqa: E731
+        "xs", F.lit(0.0), lambda acc, x: acc + x[field]
+    ) / F.col("n").cast("double")
+    return agg.select(
+        "label",
+        "n",
+        F.round(fold("a"), 6).alias("mean_a"),
+        F.round(fold("b"), 6).alias("mean_b"),
+        F.round(fold("s"), 6).alias("mean_silhouette"),
+    )

@@ -1289,3 +1289,52 @@ def unigram_overlap_eval(
             F.col("overlap") == 0, F.lit(0.0)
         ).otherwise(F.lit(2.0) * p * r / (p + r)).alias("f1"),
     )
+
+
+def diversity_profile(
+    df: DataFrame, group_cols: list[str], class_col: str
+) -> DataFrame:
+    """Class-diversity indices per slice — the corpus-mix health check a
+    data-mixing pipeline reads next to ``domain_cap``/``alpha_mix``:
+    Simpson's index D = Σ c(c−1) / (n(n−1)) (the probability two draws
+    without replacement share a class), its inverse (effective number of
+    classes), and Shannon entropy in nats.
+
+    D is a single division of exact BIGINTs. Entropy folds −(c/n)·ln(c/n)
+    over class-sorted terms (pinned order; ln of an exact-division double
+    — the repo-wide bm25/idf discipline). ``inv_simpson`` is NULL when
+    D = 0 (all classes singleton — no finite effective count).
+
+    Output per group: ``*group_cols, n, n_classes, simpson, inv_simpson,
+    shannon``.
+    """
+    fine = df.groupBy(
+        *group_cols, F.col(class_col).alias("_cls")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    agg = fine.groupBy(*group_cols).agg(
+        F.sum("c").alias("n"),
+        F.count(F.lit(1)).alias("n_classes"),
+        F.sum(F.col("c") * (F.col("c") - 1)).alias("pairs"),
+        F.array_sort(F.collect_list(F.struct("_cls", "c"))).alias("xs"),
+    )
+    d = F.col("pairs").cast("double") / (
+        F.col("n") * (F.col("n") - 1)
+    ).cast("double")
+    n_d = F.col("n").cast("double")
+    shannon = -F.aggregate(
+        "xs",
+        F.lit(0.0),
+        lambda acc, x: acc
+        + (x["c"].cast("double") / n_d)
+        * F.log(x["c"].cast("double") / n_d),
+    )
+    return agg.select(
+        *group_cols,
+        "n",
+        "n_classes",
+        F.round(d, 6).alias("simpson"),
+        F.when(F.col("pairs") > 0, F.round(1.0 / d, 6)).alias(
+            "inv_simpson"
+        ),
+        F.round(shannon, 6).alias("shannon"),
+    )

@@ -622,3 +622,94 @@ def test_kmv_merge_identical_to_one_pass_and_estimates(spark):
         kmv_minima(items.filter(F.col("id") % 1200 < 10), F.col("tok"))
     ).collect()[0]
     assert small["k_actual"] == 10 and small["est_distinct"] == 10.0
+
+
+def test_hll_set_overlap_laws(spark):
+    """Identical sets: intersection ≈ each estimate, Jaccard ≈ 1.
+    Disjoint sets: intersection ≈ 0 (within sketch noise) and the union
+    estimate equals the one-pass union sketch exactly (merge law)."""
+    from pyspark.sql import functions as F
+
+    from cernan_spark.operators.corpus import hll_distinct, hll_set_overlap
+
+    same = spark.createDataFrame(
+        [(g, f"u{i}") for g in ("a", "b") for i in range(2000)],
+        "g string, item string",
+    )
+    r = hll_set_overlap(same, "g", F.col("item"), "a", "b").first()
+    assert r["hll_a"] == r["hll_b"] == r["hll_union"]
+    assert r["jaccard_est"] == 1.0
+
+    disjoint = spark.createDataFrame(
+        [("a", f"x{i}") for i in range(1500)]
+        + [("b", f"y{i}") for i in range(1500)],
+        "g string, item string",
+    )
+    r = hll_set_overlap(disjoint, "g", F.col("item"), "a", "b").first()
+    assert abs(r["jaccard_est"]) < 0.15  # sketch noise only
+    one_pass = hll_distinct(
+        disjoint.select(F.lit("k").alias("k"), "item"),
+        ["k"],
+        F.col("item"),
+        name="est",
+    ).first()["hll_est"]
+    assert r["hll_union"] == one_pass  # register-max merge law
+
+
+def test_simplified_silhouette_hand_model(spark):
+    """Two separated 2-point clusters in 2-D: every point sits 1 from
+    its own centroid and sqrt(101) from the other, so each cluster's
+    mean silhouette is (sqrt(101)-1)/sqrt(101)."""
+    import math
+
+    from cernan_spark.operators.similarity import simplified_silhouette
+
+    rows = [
+        (1, [0.0, 0.0], 0), (2, [0.0, 2.0], 0),
+        (3, [10.0, 0.0], 1), (4, [10.0, 2.0], 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = {r["label"]: r for r in simplified_silhouette(df).collect()}
+    expect = (math.sqrt(101) - 1) / math.sqrt(101)
+    for lab in (0, 1):
+        assert out[lab]["n"] == 2
+        assert out[lab]["mean_a"] == 1.0
+        assert abs(out[lab]["mean_silhouette"] - expect) < 1e-6
+
+
+def test_simplified_silhouette_singleton_cluster_zero_a(spark):
+    """A singleton cluster's point IS its centroid: a = 0, s > 0."""
+    from cernan_spark.operators.similarity import simplified_silhouette
+
+    rows = [
+        (1, [0.0, 0.0], 0), (2, [1.0, 0.0], 0), (3, [9.0, 9.0], 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = {r["label"]: r for r in simplified_silhouette(df).collect()}
+    assert out[1]["mean_a"] == 0.0 and out[1]["mean_silhouette"] == 1.0
+
+
+def test_diversity_profile_hand_model(spark):
+    """counts {2,2}: Simpson 1/3, effective classes 3, Shannon ln 2;
+    counts {1,1}: Simpson 0 → inv_simpson NULL, Shannon still ln 2."""
+    import math
+
+    from cernan_spark.operators.textstats import diversity_profile
+
+    rows = (
+        [("g1", "en")] * 2 + [("g1", "es")] * 2
+        + [("g2", "en"), ("g2", "es")]
+    )
+    df = spark.createDataFrame(rows, "g string, cls string")
+    out = {r["g"]: r for r in diversity_profile(df, ["g"], "cls").collect()}
+    assert out["g1"]["simpson"] == round(1 / 3, 6)
+    assert out["g1"]["inv_simpson"] == 3.0
+    assert out["g1"]["shannon"] == round(math.log(2), 6)
+    assert out["g2"]["simpson"] == 0.0
+    assert out["g2"]["inv_simpson"] is None
+    assert out["g2"]["shannon"] == round(math.log(2), 6)
+    assert out["g1"]["n"] == 4 and out["g1"]["n_classes"] == 2
