@@ -3187,6 +3187,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_overlap": q_hll_overlap,
         "silhouette": q_silhouette,
         "diversity": q_diversity,
+        "holt": q_holt,
+        "stl": q_stl,
+        "rake": q_rake,
     }
 
 
@@ -7045,6 +7048,51 @@ def q_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return diversity_profile(d, ["source"], "lang")
+
+
+def _hourly_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared rollup: per (event_type, epoch-hour) exact cent sums."""
+    _utc(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    prep = ev.select(
+        "event_type",
+        (F.unix_timestamp("ts") / 3600).cast("long").alias("x"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    return prep.groupBy("event_type", "x").agg(F.sum("cents").alias("y"))
+
+
+def q_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing (alpha=beta=1/2) of the hourly
+    cent sums per metric: final level, trend and one-step forecast from
+    a pinned fold of exact halvings — the trend-aware EWMA
+    (operators/temporal.holt_forecast)."""
+    from cernan_spark.operators.temporal import holt_forecast
+
+    ser = _hourly_cents(spark, sf_dir)
+    return holt_forecast(ser, ["event_type"], ["x"], "y")
+
+
+def q_stl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-lite decomposition of each metric's hourly series: complete-
+    window centered MA trend (exact sum / 25), hour-of-day seasonal
+    means of the detrended values, and per-slot mean |residual| — all
+    pinned folds (operators/temporal.stl_decompose)."""
+    from cernan_spark.operators.temporal import stl_decompose
+
+    ser = _hourly_cents(spark, sf_dir)
+    return stl_decompose(ser, ["event_type"], "x", "y")
+
+
+def q_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction over the corpus: stopword-delimited
+    candidate runs, word scores deg/freq from exact counts, phrase
+    scores folded in phrase order, global top-20 by (score desc,
+    phrase) (operators/textstats.rake_keyphrases)."""
+    from cernan_spark.operators.textstats import rake_keyphrases
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return rake_keyphrases(d, top_k=20)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -11542,5 +11590,127 @@ def oracle_sql() -> dict[str, str]:
                END AS inv_simpson,
                round(-hsum, 6) AS shannon
         FROM agg
+    """
+    _hourly_sql = """
+            SELECT event_type,
+                   CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS x,
+                   CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                        AS BIGINT) AS y
+            FROM events GROUP BY 1, 2
+    """
+    # NOTE: the natural struct-accumulator list_reduce replay is WRONG on
+    # DuckDB 1.0.0 — a lambda whose second struct field repeats the first
+    # field's subexpression mis-evaluates from the 3rd fold step on
+    # (minimal repro in tests/test_experiment_ops.py docstring lore); the
+    # recurrence is replayed as a recursive CTE over the rank spine
+    # instead, which is step-exact.
+    d["holt"] = f"""
+        WITH RECURSIVE ser AS ({_hourly_sql}),
+        ranked AS (
+            SELECT event_type, y,
+                   CAST(row_number() OVER (PARTITION BY event_type
+                                           ORDER BY x) AS BIGINT) AS t
+            FROM ser
+        ), np AS (
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n_points
+            FROM ranked GROUP BY 1
+        ), r AS (
+            SELECT event_type, t, CAST(y AS DOUBLE) AS l,
+                   CAST(0.0 AS DOUBLE) AS b
+            FROM ranked WHERE t = 1
+            UNION ALL
+            SELECT s.event_type, s.t,
+                   (CAST(s.y AS DOUBLE) + (r.l + r.b)) * 0.5,
+                   (((CAST(s.y AS DOUBLE) + (r.l + r.b)) * 0.5 - r.l)
+                    + r.b) * 0.5
+            FROM r JOIN ranked s
+              ON s.event_type = r.event_type AND s.t = r.t + 1
+        )
+        SELECT r.event_type, np.n_points,
+               round(r.l, 6) AS level,
+               round(r.b, 6) AS trend,
+               round(r.l + r.b, 6) AS forecast_1
+        FROM r JOIN np ON np.event_type = r.event_type
+                      AND r.t = np.n_points
+    """
+    d["stl"] = f"""
+        WITH ser AS ({_hourly_sql}),
+        wt AS (
+            SELECT event_type, x AS h, y,
+                   CASE WHEN count(*) OVER w = 25
+                        THEN CAST(sum(y) OVER w AS DOUBLE) / 25.0
+                   END AS trend
+            FROM ser
+            WINDOW w AS (PARTITION BY event_type ORDER BY x
+                         ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+        ), dtr AS (
+            SELECT event_type, h, h % 24 AS hos,
+                   CAST(y AS DOUBLE) - trend AS d
+            FROM wt WHERE trend IS NOT NULL
+        ), agg AS (
+            SELECT event_type, hos, CAST(count(*) AS BIGINT) AS n_obs,
+                   list(d ORDER BY h) AS xs
+            FROM dtr GROUP BY 1, 2
+        ), sea AS (
+            SELECT event_type, hos, n_obs, xs,
+                   list_reduce(list_prepend(CAST(0.0 AS DOUBLE), xs),
+                               (a, b) -> a + b)
+                   / CAST(n_obs AS DOUBLE) AS seasonal
+            FROM agg
+        )
+        SELECT event_type, hos, n_obs,
+               round(seasonal, 6) AS seasonal,
+               round(list_reduce(
+                   list_prepend(CAST(0.0 AS DOUBLE),
+                       list_transform(xs, v -> abs(v - seasonal))),
+                   (a, b) -> a + b) / CAST(n_obs AS DOUBLE), 6)
+                 AS mean_abs_resid
+        FROM sea
+    """
+    d["rake"] = """
+        WITH toks AS (
+            SELECT doc_id AS doc,
+                   unnest(string_split(text, ' ')) AS w,
+                   generate_subscripts(string_split(text, ' '), 1) - 1
+                     AS pos
+            FROM documents
+        ), t2 AS (
+            SELECT doc, CAST(pos AS INT) AS pos, w
+            FROM toks WHERE length(w) > 0
+        ), marked AS (
+            SELECT doc, pos, w, (w IN ('the', 'a')) AS is_stop,
+                   sum(CASE WHEN w IN ('the', 'a') THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY doc ORDER BY pos
+                             ROWS UNBOUNDED PRECEDING) AS seg
+            FROM t2
+        ), phr AS (
+            SELECT doc, seg, list(w ORDER BY pos) AS words,
+                   string_agg(w, ' ' ORDER BY pos) AS phrase,
+                   CAST(count(*) AS BIGINT) AS plen
+            FROM marked WHERE NOT is_stop GROUP BY 1, 2
+        ), ws AS (
+            SELECT w, CAST(count(*) AS BIGINT) AS freq,
+                   CAST(sum(plen) AS BIGINT) AS deg
+            FROM (SELECT unnest(words) AS w, plen FROM phr) GROUP BY 1
+        ), pp AS (
+            SELECT phrase, CAST(count(*) AS BIGINT) AS n_occurrences,
+                   any_value(words) AS words
+            FROM phr GROUP BY 1
+        ), pw AS (
+            SELECT phrase, n_occurrences,
+                   unnest(words) AS w,
+                   generate_subscripts(words, 1) AS wi
+            FROM pp
+        ), sc AS (
+            SELECT phrase, n_occurrences,
+                   round(list_reduce(
+                       list_prepend(CAST(0.0 AS DOUBLE),
+                           list(CAST(deg AS DOUBLE)
+                                / CAST(freq AS DOUBLE) ORDER BY wi)),
+                       (a, b) -> a + b), 6) AS score
+            FROM pw JOIN ws USING (w) GROUP BY 1, 2
+        )
+        SELECT phrase, n_occurrences, score
+        FROM sc ORDER BY score DESC, phrase LIMIT 20
     """
     return d

@@ -667,3 +667,137 @@ def watermark_advisor(
         )
     )
     return p.join(cov, key_cols)
+
+
+def holt_forecast(
+    series: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    value_col: str = "value",
+) -> DataFrame:
+    """Holt double-exponential smoothing per series, α = β = 1/2 — the
+    trend-aware sibling of :func:`ewma_fold` (which tracks level only and
+    lags any drifting metric by construction). Recurrence:
+
+        l₀ = y₀, b₀ = 0
+        l_t = (y_t + (l_{t−1} + b_{t−1})) · 0.5
+        b_t = ((l_t − l_{t−1}) + b_{t−1}) · 0.5
+
+    Fixing both gains at 1/2 makes every update a couple of IEEE adds
+    plus exact halvings — correctly rounded ops in a pinned fold order
+    (sorted by ``order_cols``), so the DuckDB struct-accumulator
+    ``list_reduce`` replays it bit-identically.
+
+    Same plan shape as ``ewma_fold``: ONE hash aggregate collects each
+    bounded series, then a narrow fold; use on rollup series (hourly
+    grain), never raw events.
+
+    Output per key: ``*key_cols, n_points, level, trend, forecast_1``
+    (the one-step-ahead forecast l + b).
+    """
+    ordered = F.sort_array(
+        F.collect_list(
+            F.struct(
+                *[F.col(c) for c in order_cols],
+                F.col(value_col).alias("__v"),
+            )
+        )
+    )
+    vals = F.transform(ordered, lambda t: t["__v"].cast("double"))
+    init = F.struct(
+        F.lit(0.0).alias("l"),
+        F.lit(0.0).alias("b"),
+        F.lit(False).alias("st"),
+    )
+
+    def step(acc, x):
+        l_new = (x + (acc["l"] + acc["b"])) * F.lit(0.5)
+        b_new = ((l_new - acc["l"]) + acc["b"]) * F.lit(0.5)
+        return F.struct(
+            F.when(acc["st"], l_new).otherwise(x).alias("l"),
+            F.when(acc["st"], b_new).otherwise(F.lit(0.0)).alias("b"),
+            F.lit(True).alias("st"),
+        )
+
+    folded = F.aggregate(vals, init, step)
+    return series.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.round(folded["l"], 6).alias("level"),
+        F.round(folded["b"], 6).alias("trend"),
+        F.round(folded["l"] + folded["b"], 6).alias("forecast_1"),
+    )
+
+
+def stl_decompose(
+    hourly: DataFrame,
+    key_cols: list[str],
+    hour_col: str,
+    value_col: str,
+    half_window: int = 12,
+    season: int = 24,
+) -> DataFrame:
+    """STL-lite decomposition of a bounded per-key hourly series into
+    trend + seasonal + residual — the classical decomposition a
+    telemetry pipeline runs before alerting on deviations (compose with
+    ``anomaly.seasonal_baseline``, which models the raw values; this
+    models the DETRENDED values, so a ramping metric doesn't masquerade
+    as seasonality).
+
+    * trend_t — centered moving average over ±half_window rows
+      (emitted only where the window is COMPLETE, the standard edge
+      rule): one exact integer sum, one division.
+    * seasonal_s — per (key, hour-of-season) mean of (y − trend),
+      folded in hour order (pinned).
+    * residual stats — mean |y − trend − seasonal| per slot, folded in
+      hour order over the same collected array.
+
+    ``hour_col`` must be a dense integer hour index (rollup grain);
+    window semantics are ROWS-based, so series gaps shrink the physical
+    window rather than padding it — feed dense series.
+
+    Output per (key, hour-of-season): ``*key_cols, hos, n_obs,
+    seasonal, mean_abs_resid``.
+    """
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(hour_col)
+        .rowsBetween(-half_window, half_window)
+    )
+    full = 2 * half_window + 1
+    with_trend = hourly.select(
+        *key_cols,
+        F.col(hour_col).alias("h"),
+        F.col(value_col).alias("y"),
+        F.when(
+            F.count(F.lit(1)).over(w) == full,
+            F.sum(value_col).over(w).cast("double") / F.lit(float(full)),
+        ).alias("trend"),
+    ).filter(F.col("trend").isNotNull())
+    dtr = with_trend.select(
+        *key_cols,
+        "h",
+        (F.col("h") % season).alias("hos"),
+        (F.col("y").cast("double") - F.col("trend")).alias("d"),
+    )
+    agg = dtr.groupBy(*key_cols, "hos").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.array_sort(F.collect_list(F.struct("h", "d"))).alias("xs"),
+    )
+    seasonal = F.aggregate(
+        "xs", F.lit(0.0), lambda acc, x: acc + x["d"]
+    ) / F.col("n_obs").cast("double")
+    with_seasonal = agg.select(
+        *key_cols, "hos", "n_obs", "xs", seasonal.alias("seasonal")
+    )
+    mean_abs = F.aggregate(
+        "xs",
+        F.lit(0.0),
+        lambda acc, x: acc + F.abs(x["d"] - F.col("seasonal")),
+    ) / F.col("n_obs").cast("double")
+    return with_seasonal.select(
+        *key_cols,
+        "hos",
+        "n_obs",
+        F.round("seasonal", 6).alias("seasonal"),
+        F.round(mean_abs, 6).alias("mean_abs_resid"),
+    )

@@ -7,7 +7,7 @@ language) are tiny broadcast literals.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _MERSENNE31 = (1 << 31) - 1
@@ -1337,4 +1337,106 @@ def diversity_profile(
             "inv_simpson"
         ),
         F.round(shannon, 6).alias("shannon"),
+    )
+
+
+#: RAKE delimiter words for the synthetic corpus vocabulary — function
+#: words that break keyword runs. A real deployment passes its own list.
+RAKE_STOPWORDS = ["the", "a"]
+
+
+def rake_keyphrases(
+    df: DataFrame,
+    stopwords: list[str] | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 20,
+) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al., 2010): candidate phrases
+    are maximal stopword-free token runs; each word scores
+    deg(w)/freq(w) over the candidate corpus (deg counts co-members,
+    phrase length included, with multiplicity); a phrase scores the sum
+    of its words' scores in phrase order (pinned fold). Returns the
+    global top-k phrases by (score desc, phrase asc) with occurrence
+    counts — the cheap unsupervised keyword signal next to bm25/fightin'
+    words.
+
+    Shape: posexplode → a cumulative stopword-count window per doc
+    (segment ids) → per-(doc, segment) sort-fold into the phrase → ONE
+    (word) stats aggregate joined back (word vocab is small — broadcast)
+    → phrase-order score fold → top-k. deg/freq are exact BIGINTs; the
+    only doubles are those divisions and their pinned-order sum.
+    """
+    sw = stopwords if stopwords is not None else RAKE_STOPWORDS
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "w"),
+    ).filter(F.length("w") > 0)
+    seg_w = (
+        Window.partitionBy("doc")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    marked = toks.select(
+        "doc",
+        "pos",
+        "w",
+        F.col("w").isin(sw).alias("is_stop"),
+        F.sum(F.col("w").isin(sw).cast("int")).over(seg_w).alias("seg"),
+    )
+    phrases = (
+        marked.filter(~F.col("is_stop"))
+        .groupBy("doc", "seg")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                lambda s: s["w"],
+            ).alias("words")
+        )
+        .select(
+            F.col("words"),
+            F.array_join("words", " ").alias("phrase"),
+            F.size("words").alias("plen"),
+        )
+    )
+    word_stats = (
+        phrases.select(F.explode("words").alias("w"), "plen")
+        .groupBy("w")
+        .agg(
+            F.count(F.lit(1)).alias("freq"),
+            F.sum("plen").alias("deg"),
+        )
+        .select(
+            "w",
+            (F.col("deg").cast("double") / F.col("freq").cast("double"))
+            .alias("wscore"),
+        )
+    )
+    per_phrase = phrases.groupBy("phrase").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.first("words").alias("words"),
+    )
+    scored = (
+        per_phrase.select(
+            "phrase", "n_occurrences", F.posexplode("words").alias("wi", "w")
+        )
+        .join(F.broadcast(word_stats), "w")
+        .groupBy("phrase", "n_occurrences")
+        .agg(
+            F.round(
+                F.aggregate(
+                    F.array_sort(
+                        F.collect_list(F.struct("wi", "wscore"))
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["wscore"],
+                ),
+                6,
+            ).alias("score")
+        )
+    )
+    return (
+        scored.orderBy(F.col("score").desc(), "phrase")
+        .limit(top_k)
+        .select("phrase", "n_occurrences", "score")
     )

@@ -446,3 +446,52 @@ def test_zipf_fit_exact_power_law(spark):
     )
     row2 = zipf_fit(flat, vocab_k=30).collect()[0]
     assert row2["zipf_slope"] == 0.0
+
+
+def test_rake_keyphrases_hand_model(spark):
+    """Classic RAKE hand example: stopword-delimited runs score by
+    deg/freq sums; a longer phrase of co-occurring words outranks a
+    frequent single word."""
+    from cernan_spark.operators.textstats import rake_keyphrases
+
+    docs = spark.createDataFrame(
+        [
+            (1, "deep learning the deep learning systems"),
+            (2, "systems a deep learning"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["phrase"]: r
+        for r in rake_keyphrases(
+            docs, stopwords=["the", "a"], top_k=10
+        ).collect()
+    }
+    # candidates: 'deep learning' (x2: doc1 pre-the, doc2 post-a),
+    # 'deep learning systems' (doc1), 'systems' (doc2)
+    assert out["deep learning"]["n_occurrences"] == 2
+    assert out["deep learning systems"]["n_occurrences"] == 1
+    assert out["systems"]["n_occurrences"] == 1
+    # word stats: deep: freq3 deg=2+2+3=7; learning: same; systems:
+    # freq2 deg=3+1=4
+    assert out["deep learning"]["score"] == round(7 / 3 + 7 / 3, 6)
+    assert out["deep learning systems"]["score"] == round(
+        7 / 3 + 7 / 3 + 4 / 2, 6
+    )
+    assert out["systems"]["score"] == 2.0
+    best = max(out.values(), key=lambda r: r["score"])
+    assert best["phrase"] == "deep learning systems"
+
+
+def test_rake_top_k_and_stopword_only_docs(spark):
+    """Docs of only stopwords contribute nothing; top_k truncates by
+    (score desc, phrase asc)."""
+    from cernan_spark.operators.textstats import rake_keyphrases
+
+    docs = spark.createDataFrame(
+        [(1, "the a the"), (2, "alpha the beta"), (3, "alpha the beta")],
+        "doc_id long, text string",
+    )
+    rows = rake_keyphrases(docs, stopwords=["the", "a"], top_k=1).collect()
+    assert len(rows) == 1
+    assert rows[0]["phrase"] == "alpha"  # tie on score 1.0 → lexicographic

@@ -248,3 +248,74 @@ def test_watermark_advisor_hand_model(spark):
         df, ["key"], ["arrival", "event_id"], "ts", pct=50
     ).collect()[0]
     assert r50["p50_late_us"] == 0
+
+
+def test_holt_forecast_hand_model(spark):
+    """y=[10,20,30]: l=23.75, b=5.625, forecast 29.375 by hand; a
+    constant series keeps level = value, trend decaying-from-zero = 0."""
+    from cernan_spark.operators.temporal import holt_forecast
+
+    df = spark.createDataFrame(
+        [("k", 1, 10), ("k", 2, 20), ("k", 3, 30)],
+        "k string, x long, y long",
+    )
+    got = holt_forecast(df, ["k"], ["x"], "y").first()
+    assert got["n_points"] == 3
+    assert got["level"] == 23.75
+    assert got["trend"] == 5.625
+    assert got["forecast_1"] == 29.375
+
+    const = spark.createDataFrame(
+        [("k", i, 7) for i in range(10)], "k string, x long, y long"
+    )
+    g2 = holt_forecast(const, ["k"], ["x"], "y").first()
+    assert g2["level"] == 7.0 and g2["trend"] == 0.0
+
+
+def test_holt_tracks_linear_ramp(spark):
+    """On a long pure ramp the trend converges to the true slope and the
+    one-step forecast approaches the next value."""
+    from cernan_spark.operators.temporal import holt_forecast
+
+    df = spark.createDataFrame(
+        [("k", i, 100 + 5 * i) for i in range(200)],
+        "k string, x long, y long",
+    )
+    got = holt_forecast(df, ["k"], ["x"], "y").first()
+    assert abs(got["trend"] - 5.0) < 0.01
+    assert abs(got["forecast_1"] - (100 + 5 * 200)) < 0.1
+
+
+def test_stl_decompose_recovers_planted_seasonality(spark):
+    """A series = linear trend + planted hour-of-day bumps: the
+    decomposition recovers the bump offsets (up to the seasonal mean)
+    and leaves near-zero residuals."""
+    from cernan_spark.operators.temporal import stl_decompose
+
+    bump = {0: 50, 1: -30}  # hours 0 and 1 of each day deviate
+    rows = [
+        ("m", h, 1000 + 2 * h + bump.get(h % 24, 0))
+        for h in range(24 * 10)
+    ]
+    df = spark.createDataFrame(rows, "k string, h long, y long")
+    out = {r["hos"]: r for r in stl_decompose(df, ["k"], "h", "y").collect()}
+    assert len(out) == 24
+    # seasonal estimates preserve the bump GAPS (a constant offset may
+    # shift all slots, and MA edges leak ~1 unit)
+    assert abs((out[0]["seasonal"] - out[5]["seasonal"]) - 50) < 1.5
+    assert abs((out[1]["seasonal"] - out[5]["seasonal"]) - (-30)) < 1.5
+    assert all(r["mean_abs_resid"] < 3.0 for r in out.values())
+    # complete-window rule: 12 rows trimmed at each edge
+    assert sum(r["n_obs"] for r in out.values()) == 240 - 24
+
+
+def test_stl_flat_series_is_all_zero(spark):
+    """A constant series has zero seasonal and zero residual
+    everywhere."""
+    from cernan_spark.operators.temporal import stl_decompose
+
+    df = spark.createDataFrame(
+        [("k", h, 500) for h in range(100)], "k string, h long, y long"
+    )
+    rows = stl_decompose(df, ["k"], "h", "y").collect()
+    assert all(r["seasonal"] == 0.0 and r["mean_abs_resid"] == 0.0 for r in rows)
