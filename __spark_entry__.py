@@ -3190,6 +3190,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "holt": q_holt,
         "stl": q_stl,
         "rake": q_rake,
+        "kendall": q_kendall,
+        "ks_test": q_ks_test,
+        "markov_entropy": q_markov_entropy,
+        "overdispersion": q_overdispersion,
     }
 
 
@@ -7093,6 +7097,73 @@ def q_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return rake_keyphrases(d, top_k=20)
+
+
+def q_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b between the hourly click and view cent sums —
+    concordant/discordant pair counts with tie corrections, all exact
+    BIGINTs until the final sqrt/division; the probabilistic companion
+    to spearman_hours (operators/rankstats.kendall_tau)."""
+    from cernan_spark.operators.rankstats import kendall_tau
+
+    _utc(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    prep = ev.select(
+        "event_type",
+        (F.unix_timestamp("ts") / 3600).cast("long").alias("h"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    hourly = prep.groupBy("event_type", "h").agg(F.sum("cents").alias("s"))
+    x = hourly.filter(F.col("event_type") == "click").select(
+        "h", F.col("s").alias("xv")
+    )
+    y = hourly.filter(F.col("event_type") == "view").select(
+        "h", F.col("s").alias("yv")
+    )
+    return kendall_tau(x.join(y, "h"), "xv", "yv")
+
+
+def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov shape test between click and view
+    cent values: max ECDF gap as an exact BIGINT numerator, alpha=0.05
+    rejection against the pinned 1.358 large-sample constant — catches
+    shape changes mann_whitney's location test misses
+    (operators/rankstats.ks_two_sample)."""
+    from cernan_spark.operators.rankstats import ks_two_sample
+
+    _utc(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    prep = ev.filter(F.col("event_type").isin("click", "view")).select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    return ks_two_sample(prep, "event_type", "cents", "click", "view")
+
+
+def q_markov_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate of the conversation role chain (END sentinel
+    included): -sum pi(i) p(j|i) ln p(j|i) from exact transition counts,
+    folded (role, next_role)-sorted — the one-number predictability of
+    turn flow (operators/conversation.markov_entropy_rate)."""
+    from cernan_spark.operators.conversation import markov_entropy_rate
+
+    _utc(spark)
+    return markov_entropy_rate(transcripts_from_events(spark, sf_dir))
+
+
+def q_overdispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance-to-mean index of each metric's hourly event counts —
+    the Poisson-ness gate for rate alerting, ONE division of exact
+    BIGINTs per metric (operators/anomaly.overdispersion_index)."""
+    from cernan_spark.operators.anomaly import overdispersion_index
+
+    _utc(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    counts = ev.select(
+        "event_type",
+        (F.unix_timestamp("ts") / 3600).cast("long").alias("x"),
+    ).groupBy("event_type", "x").agg(F.count(F.lit(1)).alias("c"))
+    return overdispersion_index(counts, ["event_type"], "c")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -11712,5 +11783,142 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT phrase, n_occurrences, score
         FROM sc ORDER BY score DESC, phrase LIMIT 20
+    """
+    _hourly_xy = """
+        hourly AS (
+            SELECT event_type,
+                   CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,
+                   CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                        AS BIGINT) AS s
+            FROM events GROUP BY 1, 2
+        ), pairs AS (
+            SELECT x.s AS xv, y.s AS yv
+            FROM (SELECT h, s FROM hourly WHERE event_type = 'click') x
+            JOIN (SELECT h, s FROM hourly WHERE event_type = 'view') y
+              USING (h)
+        )
+    """
+    d["kendall"] = f"""
+        WITH {_hourly_xy}, pr AS (
+            SELECT a.xv AS x1, a.yv AS y1, b.xv AS x2, b.yv AS y2
+            FROM pairs a, pairs b
+            WHERE a.xv < b.xv OR (a.xv = b.xv AND a.yv < b.yv)
+        ), cd AS (
+            SELECT CAST(sum(CASE WHEN (x2 - x1) * (y2 - y1) > 0
+                            THEN 1 ELSE 0 END) AS BIGINT) AS c,
+                   CAST(sum(CASE WHEN (x2 - x1) * (y2 - y1) < 0
+                            THEN 1 ELSE 0 END) AS BIGINT) AS d
+            FROM pr
+        ), nn AS (
+            SELECT CAST(count(*) AS BIGINT) AS n FROM pairs
+        ), tx AS (
+            SELECT CAST(COALESCE(sum(t * (t - 1) // 2), 0) AS BIGINT)
+                     AS n1
+            FROM (SELECT count(*) AS t FROM pairs GROUP BY xv)
+        ), ty AS (
+            SELECT CAST(COALESCE(sum(t * (t - 1) // 2), 0) AS BIGINT)
+                     AS n2
+            FROM (SELECT count(*) AS t FROM pairs GROUP BY yv)
+        )
+        SELECT nn.n, cd.c AS concordant, cd.d AS discordant,
+               round(CAST(cd.c - cd.d AS DOUBLE)
+                     / sqrt(CAST((nn.n * (nn.n - 1) // 2 - tx.n1)
+                                 * (nn.n * (nn.n - 1) // 2 - ty.n2)
+                            AS DOUBLE)), 6) AS tau_b
+        FROM cd, nn, tx, ty
+    """
+    d["ks_test"] = """
+        WITH two AS (
+            SELECT event_type AS g,
+                   CAST(round(value * 100, 0) AS BIGINT) AS v
+            FROM events WHERE event_type IN ('click', 'view')
+        ), per_v AS (
+            SELECT v,
+                   CAST(sum(CASE WHEN g = 'click' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS ca,
+                   CAST(sum(CASE WHEN g = 'view' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS cb
+            FROM two GROUP BY 1
+        ), cum AS (
+            SELECT CAST(sum(ca) OVER w AS BIGINT) AS cum_a,
+                   CAST(sum(cb) OVER w AS BIGINT) AS cum_b
+            FROM per_v
+            WINDOW w AS (ORDER BY v ROWS UNBOUNDED PRECEDING)
+        ), tot AS (
+            SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+                   CAST(sum(cb) AS BIGINT) AS n_b
+            FROM per_v
+        ), g AS (
+            SELECT CAST(max(abs(cum_a * (SELECT n_b FROM tot)
+                                - cum_b * (SELECT n_a FROM tot)))
+                        AS BIGINT) AS d_num
+            FROM cum
+        )
+        SELECT tot.n_a, tot.n_b,
+               round(CAST(g.d_num AS DOUBLE)
+                     / CAST(tot.n_a * tot.n_b AS DOUBLE), 6) AS d_stat,
+               round(1.358 * sqrt(CAST(tot.n_a + tot.n_b AS DOUBLE)
+                                  / CAST(tot.n_a * tot.n_b AS DOUBLE)),
+                     6) AS d_crit,
+               (CAST(g.d_num AS DOUBLE)
+                / CAST(tot.n_a * tot.n_b AS DOUBLE))
+               > (1.358 * sqrt(CAST(tot.n_a + tot.n_b AS DOUBLE)
+                               / CAST(tot.n_a * tot.n_b AS DOUBLE)))
+                 AS reject
+        FROM g, tot
+    """
+    d["markov_entropy"] = PR + """
+        , adj AS (
+            SELECT conv_id, role,
+                   coalesce(lead(role) OVER (PARTITION BY conv_id
+                                             ORDER BY turn_idx), 'END')
+                     AS next_role
+            FROM transcripts
+        ), trans AS (
+            SELECT role, next_role, CAST(count(*) AS BIGINT) AS c
+            FROM adj GROUP BY 1, 2
+        ), rt AS (
+            SELECT role, CAST(sum(c) AS BIGINT) AS rc
+            FROM trans GROUP BY 1
+        ), tot AS (
+            SELECT CAST(sum(c) AS BIGINT) AS n_transitions,
+                   CAST(count(DISTINCT role) AS BIGINT) AS n_states
+            FROM trans
+        ), terms AS (
+            SELECT t.role, t.next_role,
+                   (CAST(rt.rc AS DOUBLE)
+                    / CAST(tot.n_transitions AS DOUBLE))
+                   * (CAST(t.c AS DOUBLE) / CAST(rt.rc AS DOUBLE))
+                   * ln(CAST(t.c AS DOUBLE) / CAST(rt.rc AS DOUBLE))
+                     AS trm
+            FROM trans t JOIN rt USING (role), tot
+        )
+        SELECT (SELECT n_transitions FROM tot) AS n_transitions,
+               (SELECT n_states FROM tot) AS n_states,
+               round(-list_reduce(
+                   list_prepend(CAST(0.0 AS DOUBLE),
+                       (SELECT list(trm ORDER BY role, next_role)
+                        FROM terms)),
+                   (a, b) -> a + b), 6) AS entropy_rate
+    """
+    d["overdispersion"] = """
+        WITH hc AS (
+            SELECT event_type,
+                   CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS x,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM events GROUP BY 1, 2
+        ), g AS (
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(c) AS BIGINT) AS sx,
+                   CAST(sum(c * c) AS BIGINT) AS sxx
+            FROM hc GROUP BY 1
+        )
+        SELECT event_type, n,
+               round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean,
+               round(CAST(n * sxx - sx * sx AS DOUBLE)
+                     / CAST((n - 1) * sx AS DOUBLE), 6) AS dispersion,
+               (CAST(n * sxx - sx * sx AS DOUBLE)
+                / CAST((n - 1) * sx AS DOUBLE)) > 1.5 AS overdispersed
+        FROM g
     """
     return d

@@ -720,3 +720,38 @@ def wilson_error_bounds(
         .cast("int")
         .alias("alert"),
     )
+
+
+def overdispersion_index(
+    hourly: DataFrame, key_cols: list[str], value_col: str
+) -> DataFrame:
+    """Variance-to-mean ratio (index of dispersion) of a per-key count
+    series — the Poisson-ness check that decides whether rate alerting
+    can assume var ≈ mean (index ≈ 1) or the series is bursty
+    (index ≫ 1, negative-binomial territory: widen thresholds or the
+    pager lies). Sample variance over mean reduces to ONE division of
+    exact BIGINTs: D = (n·Σx² − (Σx)²) / ((n−1)·Σx).
+
+    One map-side-combined aggregate; flag at the conventional 1.5.
+
+    Output per key: ``*key_cols, n, mean, dispersion, overdispersed``.
+    """
+    agg = hourly.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(value_col).alias("sx"),
+        F.sum(F.col(value_col) * F.col(value_col)).alias("sxx"),
+    )
+    disp = (
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .cast("double")
+        / ((F.col("n") - 1) * F.col("sx")).cast("double")
+    )
+    return agg.select(
+        *key_cols,
+        "n",
+        F.round(
+            F.col("sx").cast("double") / F.col("n").cast("double"), 6
+        ).alias("mean"),
+        F.round(disp, 6).alias("dispersion"),
+        (disp > 1.5).alias("overdispersed"),
+    )

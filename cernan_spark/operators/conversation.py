@@ -854,3 +854,61 @@ def turn_latency(
         ),
         F.max("delay_s").alias("max_delay_s"),
     )
+
+
+def markov_entropy_rate(df: DataFrame) -> DataFrame:
+    """Entropy rate of the conversation role chain — ONE number for "how
+    predictable is the turn flow": H = −Σ_i π(i) Σ_j p(j|i) ln p(j|i),
+    with π the empirical source distribution of transitions and p(j|i)
+    the row-normalized counts from :func:`role_transitions`'s adjacency
+    grid (END sentinel included, so terminal behavior counts). A scripted
+    bot pipeline approaches 0; organic mixed-role traffic doesn't.
+
+    All probabilities are single divisions of exact BIGINT counts; the
+    double fold runs over (role, next_role)-sorted terms — pinned — and
+    ln of an exact-division double is the repo-wide bm25/idf discipline.
+
+    Output ONE row: ``n_transitions, n_states, entropy_rate``.
+    """
+    w = W.partitionBy("conv_id").orderBy("turn_idx")
+    nxt = F.coalesce(F.lead("role").over(w), F.lit("END"))
+    trans = (
+        df.withColumn("next_role", nxt)
+        .groupBy("role", "next_role")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    row_tot = trans.groupBy("role").agg(F.sum("c").alias("rc"))
+    tot = trans.agg(
+        F.sum("c").alias("n_transitions"),
+        F.countDistinct("role").alias("n_states"),
+    )
+    terms = trans.join(row_tot, "role").crossJoin(F.broadcast(tot))
+    folded = terms.groupBy("n_transitions", "n_states").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    "role",
+                    "next_role",
+                    (
+                        (
+                            F.col("rc").cast("double")
+                            / F.col("n_transitions").cast("double")
+                        )
+                        * (F.col("c").cast("double") / F.col("rc").cast("double"))
+                        * F.log(
+                            F.col("c").cast("double")
+                            / F.col("rc").cast("double")
+                        )
+                    ).alias("t"),
+                )
+            )
+        ).alias("xs")
+    )
+    return folded.select(
+        "n_transitions",
+        "n_states",
+        F.round(
+            -F.aggregate("xs", F.lit(0.0), lambda acc, x: acc + x["t"]),
+            6,
+        ).alias("entropy_rate"),
+    )

@@ -202,3 +202,136 @@ def theil_sen(
         "n_pairs",
         F.round((lo + hi) / 2.0, 6).alias("ts_slope"),
     )
+
+
+def kendall_tau(
+    df: DataFrame, x_col: str, y_col: str
+) -> DataFrame:
+    """Kendall tau-b between two paired columns: concordant minus
+    discordant pairs over the tie-corrected pair counts,
+    τ_b = (C − D) / sqrt((n0 − n1)(n0 − n2)). EVERY term is an exact
+    BIGINT (pair counting, tie triangles); the square root and one
+    division are the only doubles.
+
+    O(n²) pair join by construction — feed bounded rollup series
+    (hourly grain, n ≲ 10³ → ≤ 10⁶ pair rows, distributed), the same
+    contract as :func:`theil_sen`. Rank-based τ degrades gracefully
+    where Pearson (``metric_corr``) is wrecked by outliers and detects
+    any monotone association like :func:`spearman_corr` — τ's pair
+    semantics additionally give it a direct probabilistic reading
+    (P(concordant) − P(discordant)).
+
+    Output ONE row: ``n, concordant, discordant, tau_b``.
+    """
+    a = df.select(F.col(x_col).alias("x1"), F.col(y_col).alias("y1"))
+    b = df.select(F.col(x_col).alias("x2"), F.col(y_col).alias("y2"))
+    pairs = a.crossJoin(b).filter(
+        (F.col("x1") < F.col("x2"))
+        | ((F.col("x1") == F.col("x2")) & (F.col("y1") < F.col("y2")))
+    )
+    sgn = (F.col("x2") - F.col("x1")) * (F.col("y2") - F.col("y1"))
+    counts = pairs.agg(
+        F.sum((sgn > 0).cast("long")).alias("c"),
+        F.sum((sgn < 0).cast("long")).alias("d"),
+    )
+    n_row = df.agg(F.count(F.lit(1)).alias("n"))
+    tx = (
+        df.groupBy(F.col(x_col).alias("v"))
+        .agg(F.count(F.lit(1)).alias("t"))
+        .agg(
+            F.sum(F.col("t") * (F.col("t") - 1) / 2)
+            .cast("long")
+            .alias("n1")
+        )
+    )
+    ty = (
+        df.groupBy(F.col(y_col).alias("v"))
+        .agg(F.count(F.lit(1)).alias("t"))
+        .agg(
+            F.sum(F.col("t") * (F.col("t") - 1) / 2)
+            .cast("long")
+            .alias("n2")
+        )
+    )
+    j = (
+        counts.crossJoin(F.broadcast(n_row))
+        .crossJoin(F.broadcast(tx))
+        .crossJoin(F.broadcast(ty))
+    )
+    n0 = (F.col("n") * (F.col("n") - 1) / 2).cast("long")
+    num = (F.col("c") - F.col("d")).cast("double")
+    den = F.sqrt(
+        ((n0 - F.col("n1")) * (n0 - F.col("n2"))).cast("double")
+    )
+    return j.select(
+        F.col("n"),
+        F.col("c").alias("concordant"),
+        F.col("d").alias("discordant"),
+        F.round(num / den, 6).alias("tau_b"),
+    )
+
+
+def ks_two_sample(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+    alpha_c: float = 1.358,
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov test: the maximum ECDF gap between
+    two labeled samples, with the large-sample α=0.05 rejection rule
+    D > c(α)·sqrt((n_a+n_b)/(n_a·n_b)) (c(0.05)=1.358, a pinned
+    literal). The distribution-shape companion to
+    :func:`mann_whitney` — KS sees variance/shape changes a pure
+    location test misses.
+
+    Exactness: the ECDF gap numerator |F_a·n_a·n_b − F_b·n_a·n_b| =
+    |cum_a·n_b − cum_b·n_a| is an exact BIGINT per distinct value; max
+    is order-free; D divides once at emit. Same O(|distinct|) rank
+    spine as the other rank statistics.
+
+    Output ONE row: ``n_a, n_b, d_stat, d_crit, reject``.
+    """
+    two = df.filter(F.col(group_col).isin(group_a, group_b)).select(
+        F.col(group_col).alias("g"), F.col(value_col).alias("v")
+    )
+    per_v = two.groupBy("v").agg(
+        F.sum(F.when(F.col("g") == group_a, 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("g") == group_b, 1).otherwise(0)).alias("cb"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_v.select(
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cb").over(w).alias("cum_b"),
+    )
+    totals = per_v.agg(
+        F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b")
+    )
+    agg = (
+        cum.crossJoin(F.broadcast(totals))
+        .agg(
+            F.max("n_a").alias("n_a"),
+            F.max("n_b").alias("n_b"),
+            F.max(
+                F.abs(
+                    F.col("cum_a") * F.col("n_b")
+                    - F.col("cum_b") * F.col("n_a")
+                )
+            ).alias("d_num"),
+        )
+    )
+    d = F.col("d_num").cast("double") / (
+        F.col("n_a") * F.col("n_b")
+    ).cast("double")
+    crit = F.lit(alpha_c) * F.sqrt(
+        (F.col("n_a") + F.col("n_b")).cast("double")
+        / (F.col("n_a") * F.col("n_b")).cast("double")
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.round(d, 6).alias("d_stat"),
+        F.round(crit, 6).alias("d_crit"),
+        (d > crit).alias("reject"),
+    )

@@ -275,3 +275,27 @@ def test_lag_correlation_finds_planted_lead(spark):
     got = {r["lag"]: r["pearson_r"] for r in lag_correlation(a, b, 6).collect()}
     assert got[2] == 1.0
     assert all(got[l] < 1.0 for l in got if l != 2)
+
+
+def test_overdispersion_index_hand_models(spark):
+    """A constant series has dispersion 0; a bursty one matches the
+    hand var/mean; the 1.5 flag separates them."""
+    from cernan_spark.operators.anomaly import overdispersion_index
+
+    const = spark.createDataFrame(
+        [("m", i, 10) for i in range(6)], "k string, x long, c long"
+    )
+    g = overdispersion_index(const, ["k"], "c").first()
+    assert g["dispersion"] == 0.0 and bool(g["overdispersed"]) is False
+    assert g["mean"] == 10.0
+
+    vals = [1, 1, 1, 1, 16]  # mean 4, var = (4*1+4*1+4*1+4*1... hand below
+    df = spark.createDataFrame(
+        [("m", i, v) for i, v in enumerate(vals)], "k string, x long, c long"
+    )
+    n = len(vals)
+    mean = sum(vals) / n
+    var = sum((v - mean) ** 2 for v in vals) / (n - 1)
+    g2 = overdispersion_index(df, ["k"], "c").first()
+    assert g2["dispersion"] == round(var / mean, 6)
+    assert bool(g2["overdispersed"]) is True

@@ -126,3 +126,79 @@ def test_theil_sen_even_pairs_average(spark):
     got = theil_sen(df, ["k"], "x", "y").first()
     assert got["n_pairs"] == 6
     assert got["ts_slope"] == pytest.approx(med, abs=1e-6)
+
+
+def test_kendall_tau_matches_bruteforce(spark):
+    """tau-b equals the textbook computation with ties in both
+    columns."""
+    xs = [1, 2, 2, 3, 5, 5, 7]
+    ys = [2, 2, 3, 1, 6, 6, 6]
+    from cernan_spark.operators.rankstats import kendall_tau
+
+    df = spark.createDataFrame(list(zip(xs, ys)), "xv long, yv long")
+    got = kendall_tau(df, "xv", "yv").first()
+    n = len(xs)
+    c = d = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            s = (xs[j] - xs[i]) * (ys[j] - ys[i])
+            c += s > 0
+            d += s < 0
+    from collections import Counter
+    import math
+
+    n0 = n * (n - 1) // 2
+    n1 = sum(t * (t - 1) // 2 for t in Counter(xs).values())
+    n2 = sum(t * (t - 1) // 2 for t in Counter(ys).values())
+    tau = (c - d) / math.sqrt((n0 - n1) * (n0 - n2))
+    assert got["concordant"] == c and got["discordant"] == d
+    assert got["tau_b"] == pytest.approx(tau, abs=1e-6)
+
+
+def test_kendall_tau_perfect_orders(spark):
+    """Strictly increasing → +1; strictly decreasing → −1."""
+    from cernan_spark.operators.rankstats import kendall_tau
+
+    inc = spark.createDataFrame(
+        [(i, i * i) for i in range(1, 9)], "xv long, yv long"
+    )
+    dec = spark.createDataFrame(
+        [(i, 100 - i) for i in range(1, 9)], "xv long, yv long"
+    )
+    assert kendall_tau(inc, "xv", "yv").first()["tau_b"] == 1.0
+    assert kendall_tau(dec, "xv", "yv").first()["tau_b"] == -1.0
+
+
+def test_ks_two_sample_matches_bruteforce(spark):
+    """D equals the max ECDF gap computed in Python; identical samples
+    give D = 0 and no rejection; disjoint samples give D = 1 and
+    rejection."""
+    from cernan_spark.operators.rankstats import ks_two_sample
+
+    a = [1, 3, 3, 5, 9, 11]
+    b = [2, 3, 8, 8, 10, 12, 14]
+    rows = [("a", v) for v in a] + [("b", v) for v in b]
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = ks_two_sample(df, "g", "v", "a", "b").first()
+    vals = sorted(set(a + b))
+    dmax = max(
+        abs(
+            sum(x <= v for x in a) / len(a)
+            - sum(x <= v for x in b) / len(b)
+        )
+        for v in vals
+    )
+    assert got["d_stat"] == pytest.approx(dmax, abs=1e-6)
+
+    same = spark.createDataFrame(
+        [("a", v) for v in a] + [("b", v) for v in a], "g string, v long"
+    )
+    g2 = ks_two_sample(same, "g", "v", "a", "b").first()
+    assert g2["d_stat"] == 0.0 and bool(g2["reject"]) is False
+
+    disj = spark.createDataFrame(
+        [("a", v) for v in range(50)] + [("b", v + 100) for v in range(50)],
+        "g string, v long",
+    )
+    g3 = ks_two_sample(disj, "g", "v", "a", "b").first()
+    assert g3["d_stat"] == 1.0 and bool(g3["reject"]) is True
