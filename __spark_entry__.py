@@ -3194,6 +3194,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_test": q_ks_test,
         "markov_entropy": q_markov_entropy,
         "overdispersion": q_overdispersion,
+        "apriori": q_apriori,
+        "kcore": q_kcore,
     }
 
 
@@ -7164,6 +7166,37 @@ def q_overdispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_timestamp("ts") / 3600).cast("long").alias("x"),
     ).groupBy("event_type", "x").agg(F.count(F.lit(1)).alias("c"))
     return overdispersion_index(counts, ["event_type"], "c")
+
+
+def q_apriori(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent tool-set mining over conversation baskets (Apriori,
+    sizes 1-3, level-wise pruned): min support = max(2, n_convs // 4)
+    so the threshold scales with SF; exact integer supports
+    (operators/behavior.apriori_itemsets)."""
+    from cernan_spark.operators.behavior import apriori_itemsets
+
+    _utc(spark)
+    t = transcripts_from_events(spark, sf_dir)
+    baskets = t.filter(F.col("tool") != "none").select("conv_id", "tool")
+    n_convs = baskets.select("conv_id").distinct().count()
+    ms = max(2, n_convs // 4)
+    return apriori_itemsets(baskets, "conv_id", "tool", ms)
+
+
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """6-core of the sparse residue co-citation graph (doc_id%89 —
+    doc_id%97): synchronous peeling to the unique fixed point with
+    early exit; members + their in-core degree, integer-only
+    (operators/graph.k_core). The oracle replays the peel as a
+    boolean-flags recursive CTE that stops at the same fixed point."""
+    from cernan_spark.operators.graph import k_core
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    edges = d.select(
+        (F.col("doc_id") % 89).alias("src"),
+        (F.col("doc_id") % 97).alias("dst"),
+    )
+    return k_core(edges, k=6, max_iters=120)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -11920,5 +11953,89 @@ def oracle_sql() -> dict[str, str]:
                (CAST(n * sxx - sx * sx AS DOUBLE)
                 / CAST((n - 1) * sx AS DOUBLE)) > 1.5 AS overdispersed
         FROM g
+    """
+    d["apriori"] = PR + """
+        , b AS (
+            SELECT DISTINCT conv_id AS g, tool AS i
+            FROM transcripts WHERE tool <> 'none'
+        ), ms AS (
+            SELECT greatest(2, count(DISTINCT g) // 4) AS ms FROM b
+        ), l1 AS (
+            SELECT i, CAST(count(*) AS BIGINT) AS support
+            FROM b GROUP BY 1
+            HAVING count(*) >= (SELECT ms FROM ms)
+        ), b1 AS (
+            SELECT b.g, b.i FROM b JOIN l1 USING (i)
+        ), l2 AS (
+            SELECT a.i AS i1, c.i AS i2,
+                   CAST(count(*) AS BIGINT) AS support
+            FROM b1 a JOIN b1 c ON a.g = c.g AND a.i < c.i
+            GROUP BY 1, 2
+            HAVING count(*) >= (SELECT ms FROM ms)
+        ), cand AS (
+            SELECT p.i1, p.i2, q.i2 AS i3
+            FROM l2 p JOIN l2 q ON q.i1 = p.i1 AND p.i2 < q.i2
+            WHERE EXISTS (SELECT 1 FROM l2 z
+                          WHERE z.i1 = p.i2 AND z.i2 = q.i2)
+        ), l3 AS (
+            SELECT t1.i AS i1, t2.i AS i2, t3.i AS i3,
+                   CAST(count(*) AS BIGINT) AS support
+            FROM b1 t1
+            JOIN b1 t2 ON t2.g = t1.g
+            JOIN b1 t3 ON t3.g = t1.g
+            JOIN cand ON cand.i1 = t1.i AND cand.i2 = t2.i
+                     AND cand.i3 = t3.i
+            GROUP BY 1, 2, 3
+            HAVING count(*) >= (SELECT ms FROM ms)
+        )
+        SELECT i AS itemset, 1 AS size, support FROM l1
+        UNION ALL
+        SELECT i1 || ',' || i2, 2, support FROM l2
+        UNION ALL
+        SELECT i1 || ',' || i2 || ',' || i3, 3, support FROM l3
+    """
+    d["kcore"] = """
+        WITH RECURSIVE e AS (
+            SELECT DISTINCT least(doc_id % 89, doc_id % 97) AS u,
+                            greatest(doc_id % 89, doc_id % 97) AS v
+            FROM documents WHERE doc_id % 89 <> doc_id % 97
+        ), adj AS (
+            SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e
+        ), m AS (
+            SELECT (SELECT list({'u': u, 'v': v} ORDER BY u, v)
+                    FROM adj) AS al
+        ), init AS (
+            SELECT list_transform(range(0, 97),
+                       i -> list_contains(nl.ul, i)) AS fl
+            FROM (SELECT (SELECT list(DISTINCT u) FROM adj) AS ul) nl
+        ), r AS (
+            SELECT 0 AS it, (SELECT fl FROM init) AS flags
+            UNION ALL
+            SELECT it + 1,
+                   list_transform(range(0, 97), i ->
+                       flags[CAST(i AS INT) + 1]
+                       AND len(list_filter(al, ed ->
+                               ed.u = i
+                               AND flags[CAST(ed.v AS INT) + 1])) >= 6)
+            FROM r, m
+            WHERE it < 110
+              AND flags <> list_transform(range(0, 97), i ->
+                      flags[CAST(i AS INT) + 1]
+                      AND len(list_filter(al, ed ->
+                              ed.u = i
+                              AND flags[CAST(ed.v AS INT) + 1])) >= 6)
+        ), fin AS (
+            SELECT flags FROM r ORDER BY it DESC LIMIT 1
+        ), core AS (
+            SELECT CAST(i AS BIGINT) AS node, fin.flags AS flags
+            FROM (SELECT unnest(range(0, 97)) AS i), fin
+            WHERE fin.flags[CAST(i AS INT) + 1]
+        )
+        SELECT c.node,
+               CAST(len(list_filter(m.al, ed ->
+                        ed.u = c.node
+                        AND c.flags[CAST(ed.v AS INT) + 1]))
+                    AS BIGINT) AS core_deg
+        FROM core c, m
     """
     return d

@@ -370,3 +370,85 @@ def user_behavior_profile(
         F.round(cv, 6).alias("gap_cv"),
         ((entropy < 0.5) & (cv < 0.1)).alias("bot_like"),
     )
+
+
+def apriori_itemsets(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    min_support: int,
+    max_size: int = 3,
+) -> DataFrame:
+    """Frequent itemset mining (Apriori, sizes 1–3) over per-group item
+    baskets — "which tool combinations co-occur in a conversation" is
+    the association signal routing/caching decisions read. Classic
+    level-wise pruning: size-k candidates are generated ONLY from
+    frequent (k−1)-sets (semi-joins), so the combinatorial blowup a
+    naive k-way self-join has on a wide alphabet never materializes;
+    support counting is exact integer aggregation on deduplicated
+    (group, item) pairs.
+
+    Output: ``itemset`` (comma-joined, lexicographic), ``size``,
+    ``support`` — one frame for all sizes.
+    """
+    b = df.select(
+        F.col(group_col).alias("g"), F.col(item_col).alias("i")
+    ).distinct()
+    l1 = b.groupBy("i").agg(F.count(F.lit(1)).alias("support")).filter(
+        F.col("support") >= min_support
+    )
+    out = l1.select(
+        F.col("i").alias("itemset"), F.lit(1).alias("size"), "support"
+    )
+    if max_size < 2:
+        return out
+    b1 = b.join(l1.select("i"), "i")  # restrict baskets to frequent items
+    pairs = (
+        b1.select("g", F.col("i").alias("i1"))
+        .join(b1.select("g", F.col("i").alias("i2")), "g")
+        .filter(F.col("i1") < F.col("i2"))
+    )
+    l2 = pairs.groupBy("i1", "i2").agg(
+        F.count(F.lit(1)).alias("support")
+    ).filter(F.col("support") >= min_support)
+    out = out.unionByName(
+        l2.select(
+            F.concat_ws(",", "i1", "i2").alias("itemset"),
+            F.lit(2).alias("size"),
+            "support",
+        )
+    )
+    if max_size < 3:
+        return out
+    # candidate triples from L2 joins (i1<i2<i3), apriori-pruned so every
+    # 2-subset is frequent, THEN support-counted against the baskets.
+    cand = (
+        l2.select("i1", "i2")
+        .join(
+            l2.select(F.col("i1"), F.col("i2").alias("i3")),
+            "i1",
+        )
+        .filter(F.col("i2") < F.col("i3"))
+        .join(
+            l2.select(
+                F.col("i1").alias("i2"), F.col("i2").alias("i3")
+            ),
+            ["i2", "i3"],
+        )
+    )
+    triples = (
+        b1.select("g", F.col("i").alias("i1"))
+        .join(b1.select("g", F.col("i").alias("i2")), "g")
+        .join(b1.select("g", F.col("i").alias("i3")), "g")
+        .join(F.broadcast(cand), ["i1", "i2", "i3"])
+    )
+    l3 = triples.groupBy("i1", "i2", "i3").agg(
+        F.count(F.lit(1)).alias("support")
+    ).filter(F.col("support") >= min_support)
+    return out.unionByName(
+        l3.select(
+            F.concat_ws(",", "i1", "i2", "i3").alias("itemset"),
+            F.lit(3).alias("size"),
+            "support",
+        )
+    )

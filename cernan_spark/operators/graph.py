@@ -381,3 +381,63 @@ def label_propagation(
     return labels.join(sizes, "label").select(
         "node", "label", "community_size"
     )
+
+
+def k_core(
+    edges: DataFrame, k: int = 3, max_iters: int = 40
+) -> DataFrame:
+    """The k-core of an undirected simple graph: the maximal subgraph
+    where every member keeps degree ≥ k — the dense-nucleus extractor a
+    link-corpus audit runs after :func:`triangle_counts` (spam farms and
+    citation cliques live in high cores). Synchronous peeling: each
+    round drops every node whose degree WITHIN the surviving set is
+    below k; the fixed point is unique (the k-core is order-independent),
+    so early exit and a fixed-round oracle replay converge to the same
+    set whenever rounds ≥ |V| in the worst case.
+
+    Integer-only. Each round is one semi-join of the adjacency against
+    the survivor set plus one count aggregate; survivor frames are
+    localCheckpointed (the ``pagerank`` lineage rule) and the loop exits
+    as soon as a round removes nobody (one scalar count per round — the
+    bounded driver action this repo allows, like pagerank's N).
+
+    Output: ``node, core_deg`` for k-core members only.
+    """
+    e = (
+        edges.select(
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    adj = e.unionAll(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    alive = adj.select(F.col("u").alias("node")).distinct()
+    n_prev = alive.count()
+    for _ in range(max_iters):
+        au = alive.select(F.col("node").alias("u"))
+        av = alive.select(F.col("node").alias("v"))
+        deg = (
+            adj.join(au, "u")
+            .join(av, "v")
+            .groupBy("u")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        alive = deg.filter(F.col("deg") >= k).select(
+            F.col("u").alias("node")
+        )
+        alive = alive.localCheckpoint(eager=True)
+        n_now = alive.count()
+        if n_now == n_prev:
+            break
+        n_prev = n_now
+    au = alive.select(F.col("node").alias("u"))
+    av = alive.select(F.col("node").alias("v"))
+    return (
+        adj.join(au, "u")
+        .join(av, "v")
+        .groupBy(F.col("u").alias("node"))
+        .agg(F.count(F.lit(1)).alias("core_deg"))
+    )

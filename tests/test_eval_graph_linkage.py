@@ -377,3 +377,76 @@ def test_bradley_terry_symmetric_is_uniform(spark):
     assert len(rows) == 3
     assert len({r["strength"] for r in rows}) == 1
     assert abs(sum(r["strength"] for r in rows) - 1.0) < 1e-5
+
+
+def test_k_core_hand_model(spark):
+    """A 4-clique with pendant chains: the 3-core is exactly the clique
+    (peeling cascades through the chain), each member at in-core
+    degree 3."""
+    from cernan_spark.operators.graph import k_core
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    chain = [(3, 10), (10, 11), (11, 12)]
+    df = spark.createDataFrame(k4 + chain, "src long, dst long")
+    got = {r["node"]: r["core_deg"] for r in k_core(df, k=3).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_k_core_cascading_peel(spark):
+    """Peeling must cascade: node A only drops after its supporter B
+    drops (two synchronous rounds), not in one."""
+    from cernan_spark.operators.graph import k_core
+
+    # square 0-1-2-3 (deg 2 each) + tail 3-4: 2-core = the square only;
+    # node 4 peels round 1, which does NOT drop 3 (still deg 2 in square)
+    edges = [(0, 1), (1, 2), (2, 3), (3, 0), (3, 4)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["core_deg"] for r in k_core(df, k=2).collect()}
+    assert got == {0: 2, 1: 2, 2: 2, 3: 2}
+
+    # line graph has NO 2-core at all — peeling eats it end-in
+    line = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "src long, dst long"
+    )
+    assert k_core(line, k=2).count() == 0
+
+
+def test_apriori_itemsets_hand_model(spark):
+    """Hand baskets with known supports; candidate pruning must not
+    drop the frequent triple; an infrequent pair blocks its triples."""
+    from cernan_spark.operators.behavior import apriori_itemsets
+
+    baskets = {
+        1: ["a", "b", "c"],
+        2: ["a", "b", "c"],
+        3: ["a", "b"],
+        4: ["a", "c"],
+        5: ["b", "c"],
+        6: ["a", "d"],
+    }
+    rows = [(g, i) for g, items in baskets.items() for i in items]
+    df = spark.createDataFrame(rows, "g long, i string")
+    got = {
+        (r["itemset"], r["size"]): r["support"]
+        for r in apriori_itemsets(df, "g", "i", 2).collect()
+    }
+    assert got[("a", 1)] == 5 and got[("b", 1)] == 4 and got[("c", 1)] == 4
+    assert ("d", 1) not in got  # support 1 < 2
+    assert got[("a,b", 2)] == 3 and got[("a,c", 2)] == 3
+    assert got[("b,c", 2)] == 3
+    assert got[("a,b,c", 3)] == 2
+    assert ("a,d", 2) not in got
+    assert len([k for k in got if k[1] == 3]) == 1
+
+
+def test_apriori_dedups_repeated_items(spark):
+    """An item repeated within one basket counts once toward support."""
+    from cernan_spark.operators.behavior import apriori_itemsets
+
+    rows = [(1, "x"), (1, "x"), (1, "y"), (2, "x"), (2, "y")]
+    df = spark.createDataFrame(rows, "g long, i string")
+    got = {
+        (r["itemset"], r["size"]): r["support"]
+        for r in apriori_itemsets(df, "g", "i", 2).collect()
+    }
+    assert got[("x", 1)] == 2 and got[("x,y", 2)] == 2

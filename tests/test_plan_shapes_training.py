@@ -149,3 +149,69 @@ def test_pagerank_iteration_plan_shape(spark):
     assert (
         _count(plan, r"BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin") >= 2
     )
+
+
+def test_triangle_counts_plan_no_cartesian(spark):
+    """Triangle enumeration must stay equi-join shaped: the wedge and
+    closing joins hash on (b) and (a, c) — no CartesianProduct, no
+    nested loop over the edge set."""
+    from cernan_spark.operators.graph import triangle_counts
+
+    edges = spark.range(300).select(
+        (F.col("id") % 23).alias("src"), (F.col("id") % 29).alias("dst")
+    )
+    plan = _final_plan(triangle_counts(edges))
+    assert _count(plan, r"CartesianProduct") == 0
+    assert _count(plan, r"BroadcastNestedLoopJoin") == 0
+
+
+def test_bradley_terry_final_plan_is_one_iteration(spark):
+    """Earlier MM iterations are checkpointed, so the executed plan
+    holds ONE iteration's joins plus the strength normalization — a
+    single one-row broadcast NLJ (the total fold), zero cartesian."""
+    from cernan_spark.operators.graph import bradley_terry
+
+    comps = spark.range(400).select(
+        F.concat(F.lit("i"), (F.col("id") % 5).cast("string")).alias(
+            "winner"
+        ),
+        F.concat(F.lit("i"), ((F.col("id") + 1 + F.col("id") % 3) % 5)
+                 .cast("string")).alias("loser"),
+    ).filter(F.col("winner") != F.col("loser"))
+    plan = _final_plan(bradley_terry(comps, iters=3))
+    assert _count(plan, r"CartesianProduct") == 0
+    assert _count(plan, r"BroadcastNestedLoopJoin") == 1
+
+
+def test_silhouette_centroids_broadcast_not_shuffled(spark):
+    """The k×dim centroid table must reach every point by BROADCAST
+    (one-row-per-cluster dimension table); the point side is never
+    shuffled for the distance map."""
+    from cernan_spark.operators.similarity import simplified_silhouette
+
+    emb = spark.range(200).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[(F.col("id") % (j + 2)).cast("float") for j in range(8)])
+         .alias("embedding"),
+        (F.col("id") % 4).cast("int").alias("label"),
+    )
+    plan = _final_plan(simplified_silhouette(emb))
+    assert _count(plan, r"BroadcastNestedLoopJoin") >= 1  # k-row cross
+    assert _count(plan, r"CartesianProduct") == 0
+
+
+def test_mann_whitney_rank_spine_is_distinct_grain(spark):
+    """The rank pass aggregates per DISTINCT value before the single
+    cumulative window — the shuffle carries the value spine, not the
+    raw rows (verify: exactly one window, partial aggregation
+    present)."""
+    from cernan_spark.operators.rankstats import mann_whitney
+
+    df = spark.range(5000).select(
+        F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("g"),
+        (F.col("id") % 37).alias("v"),
+    )
+    plan = _final_plan(mann_whitney(df, "g", "v", "a", "b"))
+    assert _count(plan, r"Window") == 1
+    assert _count(plan, r"partial") >= 1
+    assert _count(plan, r"CartesianProduct") == 0
