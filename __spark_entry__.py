@@ -3196,6 +3196,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overdispersion": q_overdispersion,
         "apriori": q_apriori,
         "kcore": q_kcore,
+        "bfs": q_bfs,
+        "hits": q_hits,
+        "kfold": q_kfold,
     }
 
 
@@ -7197,6 +7200,49 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % 97).alias("dst"),
     )
     return k_core(edges, k=6, max_iters=120)
+
+
+def q_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS hop distances from node 0 over the sparse residue graph:
+    monotone union-min frontier iteration with early exit — the exact
+    distance map, integer-only (operators/graph.bfs_hops)."""
+    from cernan_spark.operators.graph import bfs_hops
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    edges = d.select(
+        (F.col("doc_id") % 89).alias("src"),
+        (F.col("doc_id") % 97).alias("dst"),
+    )
+    return bfs_hops(edges, 0)
+
+
+def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities (3 rounds, L2-normalized half-steps) over
+    the DIRECTED residue graph doc%89 -> doc%97 — the complementary
+    centrality to domain_pagerank; sorted-struct folds and
+    correctly-rounded sqrt make the list-carried recursive replay
+    bit-identical (operators/graph.hits_scores)."""
+    from cernan_spark.operators.graph import hits_scores
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    edges = d.select(
+        (F.col("doc_id") % 89).alias("src"),
+        (F.col("doc_id") % 97).alias("dst"),
+    )
+    return hits_scores(edges, iters=3)
+
+
+def q_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-aware stratified 5-fold assignment over transcript turns:
+    fold = fmix32(hash(conv_id)) % 5 so a conversation NEVER straddles
+    folds (leakage audited to zero in the same pass); per (tool-stratum,
+    fold) group/row counts and the fold's share of the stratum
+    (operators/packing.stratified_kfold)."""
+    from cernan_spark.operators.packing import stratified_kfold
+
+    _utc(spark)
+    t = transcripts_from_events(spark, sf_dir)
+    return stratified_kfold(t, "conv_id", "tool", k=5)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -12037,5 +12083,108 @@ def oracle_sql() -> dict[str, str]:
                         AND c.flags[CAST(ed.v AS INT) + 1]))
                     AS BIGINT) AS core_deg
         FROM core c, m
+    """
+    d["bfs"] = """
+        WITH RECURSIVE e AS (
+            SELECT DISTINCT least(doc_id % 89, doc_id % 97) AS u,
+                            greatest(doc_id % 89, doc_id % 97) AS v
+            FROM documents WHERE doc_id % 89 <> doc_id % 97
+        ), adj AS (
+            SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e
+        ), r AS (
+            SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS d
+            WHERE EXISTS (SELECT 1 FROM adj WHERE u = 0)
+            UNION
+            SELECT adj.v AS node, r.d + 1 AS d
+            FROM r JOIN adj ON adj.u = r.node WHERE r.d < 100
+        )
+        SELECT node, CAST(min(d) AS BIGINT) AS hops
+        FROM r GROUP BY 1
+    """
+    _fold = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), {x}), "
+        "(fa, fb) -> fa + fb)"
+    ).format
+    _f_ar = _fold(
+        x="list_transform(list_filter(el, ed -> ed.d = j), "
+        "ed -> st.hs[list_position(nl, ed.s)])"
+    )
+    _f_an = _fold(x="list_transform(ar, v -> v * v)")
+    _f_hr = _fold(
+        x="list_transform(list_filter(el, ed2 -> ed2.s = u), "
+        "ed2 -> av[list_position(nl, ed2.d)])"
+    )
+    _f_hn = _fold(x="list_transform(hr, v2 -> v2 * v2)")
+    d["hits"] = f"""
+        WITH RECURSIVE e AS (
+            SELECT DISTINCT doc_id % 89 AS s, doc_id % 97 AS d
+            FROM documents WHERE doc_id % 89 <> doc_id % 97
+        ), m AS (
+            SELECT (SELECT list({{'s': s, 'd': d}} ORDER BY s, d)
+                    FROM e) AS el,
+                   (SELECT list(n ORDER BY n) FROM
+                      (SELECT DISTINCT s AS n FROM e
+                       UNION SELECT DISTINCT d FROM e)) AS nl
+        ), r AS (
+            SELECT 0 AS k,
+                   (SELECT {{'hs': list_transform(nl,
+                                x -> 1.0 / sqrt(CAST(len(nl) AS DOUBLE))),
+                             'asv': list_transform(nl,
+                                x -> 1.0 / sqrt(CAST(len(nl) AS DOUBLE)))}}
+                    FROM m) AS st
+            UNION ALL
+            SELECT k + 1,
+              list_transform([
+                list_transform(nl, j -> {_f_ar})
+              ], ar ->
+                list_transform([ sqrt({_f_an}) ], an ->
+                  list_transform([ list_transform(ar, v -> v / an) ],
+                    av ->
+                    {{'asv': av,
+                      'hs': list_transform([
+                              list_transform(nl, u -> {_f_hr})
+                            ], hr ->
+                              list_transform(hr,
+                                  w -> w / sqrt({_f_hn}))
+                            )[1]
+                    }})[1])[1])[1]
+            FROM r, m WHERE k < 3
+        ), fin AS (
+            SELECT st FROM r WHERE k = 3
+        )
+        SELECT m.nl[CAST(i AS INT)] AS node,
+               round(fin.st.hs[CAST(i AS INT)], 6) AS hub,
+               round(fin.st.asv[CAST(i AS INT)], 6) AS authority
+        FROM fin, m, (SELECT unnest(range(1, 1000)) AS i)
+        WHERE i <= len(m.nl)
+    """
+    _kfold_hash = _fmix32_sql(_porthash_sql("conv_id"))
+    d["kfold"] = PR + f"""
+        , tagged AS (
+            SELECT conv_id AS g, tool AS stratum,
+                   CAST(({_kfold_hash}) % 5 AS INT) AS fold
+            FROM transcripts
+        ), pg AS (
+            SELECT g, stratum,
+                   CAST(count(DISTINCT fold) AS BIGINT) AS n_folds,
+                   CAST(min(fold) AS INT) AS fold,
+                   CAST(count(*) AS BIGINT) AS n_rows
+            FROM tagged GROUP BY 1, 2
+        ), audit AS (
+            SELECT stratum, fold,
+                   CAST(count(*) AS BIGINT) AS n_groups,
+                   CAST(sum(n_rows) AS BIGINT) AS n_rows,
+                   CAST(sum(CASE WHEN n_folds > 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS leaked_groups
+            FROM pg GROUP BY 1, 2
+        ), st AS (
+            SELECT stratum, CAST(sum(n_rows) AS BIGINT) AS tot
+            FROM audit GROUP BY 1
+        )
+        SELECT a.stratum, a.fold, a.n_groups, a.n_rows,
+               round(CAST(a.n_rows AS DOUBLE) / CAST(st.tot AS DOUBLE),
+                     6) AS stratum_share,
+               a.leaked_groups
+        FROM audit a JOIN st USING (stratum)
     """
     return d

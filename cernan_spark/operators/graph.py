@@ -441,3 +441,147 @@ def k_core(
         .groupBy(F.col("u").alias("node"))
         .agg(F.count(F.lit(1)).alias("core_deg"))
     )
+
+
+def bfs_hops(
+    edges: DataFrame, source, max_iters: int = 100
+) -> DataFrame:
+    """Unweighted shortest-hop distances from ``source`` over the
+    undirected simple graph — the reachability/radius primitive a
+    link-corpus audit uses to ask "how far is everything from the seed
+    set". Frontier-iterated BFS: each round relaxes the adjacency once
+    and keeps min(dist); because the first time BFS reaches a node is
+    already optimal, the union-min iteration is monotone and the early
+    exit (node count unchanged — one bounded scalar per round, the
+    ``k_core`` discipline) stops at the exact distance map.
+
+    Integer-only; one hash equi-join + one min aggregate per round,
+    localCheckpoint per round. Output: ``node, hops`` for REACHED nodes.
+    """
+    e = (
+        edges.select(
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    adj = e.unionAll(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    dist = (
+        adj.select(F.col("u").alias("node"))
+        .distinct()
+        .filter(F.col("node") == source)
+        .select("node", F.lit(0).cast("long").alias("hops"))
+    )
+    n_prev = dist.count()
+    for _ in range(max_iters):
+        nxt = adj.join(
+            dist.select(F.col("node").alias("u"), "hops"), "u"
+        ).select(F.col("v").alias("node"), (F.col("hops") + 1).alias("hops"))
+        dist = (
+            dist.unionByName(nxt)
+            .groupBy("node")
+            .agg(F.min("hops").alias("hops"))
+        )
+        dist = dist.localCheckpoint(eager=True)
+        n_now = dist.count()
+        if n_now == n_prev:
+            break
+        n_prev = n_now
+    return dist
+
+
+def hits_scores(
+    edges: DataFrame, iters: int = 3
+) -> DataFrame:
+    """HITS hubs-and-authorities over a DIRECTED edge list (Kleinberg):
+    a ← Aᵀh, h ← Aa, each L2-normalized per half-step — the
+    complementary centrality to :func:`pagerank` (a page can be a great
+    directory without being an authority; pagerank conflates the two).
+    Fixed ``iters`` synchronous rounds from the uniform vector.
+
+    Float discipline: inflow/outflow folds run over sorted (neighbor,
+    score) structs, the L2 norm folds squares over node-sorted structs,
+    and sqrt/divisions are correctly rounded — the pagerank replay
+    discipline, so a list-carried recursive CTE reproduces every bit.
+    Per round: two hash-join + fold aggregates; the one-row norm frames
+    broadcast back; earlier rounds localCheckpoint.
+
+    Output: ``node, hub, authority`` (round 6).
+    """
+    e = edges.select("src", "dst").filter(
+        F.col("src") != F.col("dst")
+    ).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    import math
+
+    n_nodes = nodes.count()
+    # math.sqrt is correctly rounded (IEEE); x ** 0.5 routes through libm
+    # pow, whose rounding is NOT pinned — the oracle replays 1/sqrt(n).
+    init = 1.0 / math.sqrt(float(n_nodes))
+    h = nodes.select("node", F.lit(init).alias("s"))
+    a = nodes.select("node", F.lit(init).alias("s"))
+
+    def _norm(df: DataFrame) -> DataFrame:
+        nrm = df.agg(
+            F.sqrt(
+                F.aggregate(
+                    F.array_sort(F.collect_list(F.struct("node", "s"))),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["s"] * x["s"],
+                )
+            ).alias("nrm")
+        )
+        return df.crossJoin(F.broadcast(nrm)).select(
+            "node", (F.col("s") / F.col("nrm")).alias("s")
+        )
+
+    for it in range(iters):
+        a_in = (
+            e.join(h.select(F.col("node").alias("src"), "s"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(
+                F.aggregate(
+                    F.array_sort(F.collect_list(F.struct("src", "s"))),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["s"],
+                ).alias("s")
+            )
+        )
+        a = _norm(
+            nodes.join(a_in, "node", "left").select(
+                "node", F.coalesce("s", F.lit(0.0)).alias("s")
+            )
+        )
+        h_in = (
+            e.join(a.select(F.col("node").alias("dst"), "s"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(
+                F.aggregate(
+                    F.array_sort(F.collect_list(F.struct("dst", "s"))),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["s"],
+                ).alias("s")
+            )
+        )
+        h = _norm(
+            nodes.join(h_in, "node", "left").select(
+                "node", F.coalesce("s", F.lit(0.0)).alias("s")
+            )
+        )
+        if it < iters - 1:
+            a = a.localCheckpoint(eager=True)
+            h = h.localCheckpoint(eager=True)
+    return (
+        h.select("node", F.round("s", 6).alias("hub"))
+        .join(
+            a.select("node", F.round("s", 6).alias("authority")),
+            "node",
+        )
+    )

@@ -252,3 +252,65 @@ def pruning_benefit(
         )
 
     return stats("acell", "arrival").unionByName(stats("zcell", "zorder"))
+
+
+def stratified_kfold(
+    df: DataFrame,
+    group_col: str,
+    stratum_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Group-aware stratified k-fold assignment — the split builder a
+    training pipeline needs when rows share provenance (all turns of a
+    conversation must land in ONE fold or eval leaks) and labels are
+    imbalanced (each fold should mirror the stratum mix). Every GROUP
+    gets fold = fmix32(hash(group)) % k — stateless, rerun- and
+    engine-stable, like ``epoch_shuffle``'s ordering hash — and the
+    whole assignment is audited in one pass: per (stratum, fold) the
+    row/group counts plus the fold's share of the stratum, and
+    ``leaked_groups`` (groups straddling folds) which is ZERO by
+    construction of the group-grain hash.
+
+    One distinct + one aggregate; the audit's doubles are single
+    divisions of exact BIGINTs.
+
+    Output per (stratum, fold): ``stratum, fold, n_groups, n_rows,
+    stratum_share, leaked_groups``.
+    """
+    from cernan_spark.functions.porthash import portable_hash
+    from cernan_spark.operators.corpus import fmix32
+
+    fold = (
+        fmix32(portable_hash(F.col(group_col).cast("string"))) % k
+    ).cast("int")
+    tagged = df.select(
+        F.col(group_col).alias("g"),
+        F.col(stratum_col).alias("stratum"),
+        fold.alias("fold"),
+    )
+    per_group = tagged.groupBy("g", "stratum").agg(
+        F.countDistinct("fold").alias("n_folds"),
+        F.min("fold").alias("fold"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    audit = per_group.groupBy("stratum", "fold").agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("n_rows").alias("n_rows"),
+        F.sum(F.when(F.col("n_folds") > 1, 1).otherwise(0)).alias(
+            "leaked_groups"
+        ),
+    )
+    stratum_tot = audit.groupBy("stratum").agg(
+        F.sum("n_rows").alias("tot")
+    )
+    return audit.join(stratum_tot, "stratum").select(
+        "stratum",
+        "fold",
+        "n_groups",
+        "n_rows",
+        F.round(
+            F.col("n_rows").cast("double") / F.col("tot").cast("double"),
+            6,
+        ).alias("stratum_share"),
+        "leaked_groups",
+    )

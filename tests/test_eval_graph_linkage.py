@@ -450,3 +450,79 @@ def test_apriori_dedups_repeated_items(spark):
         for r in apriori_itemsets(df, "g", "i", 2).collect()
     }
     assert got[("x", 1)] == 2 and got[("x,y", 2)] == 2
+
+
+def test_bfs_hops_hand_model(spark):
+    """Path + branch graph: distances match hand BFS; unreachable
+    components are absent."""
+    from cernan_spark.operators.graph import bfs_hops
+
+    edges = [(0, 1), (1, 2), (2, 3), (1, 4), (4, 5), (7, 8)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["hops"] for r in bfs_hops(df, 0).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 4: 2, 3: 3, 5: 3}
+    assert 7 not in got and 8 not in got
+
+
+def test_bfs_prefers_shortest_of_multiple_routes(spark):
+    """A long detour must not inflate the hop count."""
+    from cernan_spark.operators.graph import bfs_hops
+
+    edges = [(0, 1), (1, 2), (2, 9), (0, 3), (3, 4), (4, 5), (5, 9)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["hops"] for r in bfs_hops(df, 0).collect()}
+    assert got[9] == 3  # via 0-1-2-9, not the 4-hop detour
+
+
+def test_hits_matches_python_reference(spark):
+    """Distributed HITS equals the in-memory reference bit-for-bit
+    (same fold orders) on an asymmetric directed graph."""
+    import math
+
+    from cernan_spark.operators.graph import hits_scores
+
+    edges = [(0, 1), (0, 2), (1, 2), (2, 3), (3, 0), (1, 3)]
+    nodes = sorted({n for e in edges for n in e})
+    el = sorted(edges)
+    n = len(nodes)
+    h = {u: 1 / math.sqrt(n) for u in nodes}
+    a = dict(h)
+    for _ in range(3):
+        araw = {j: sum(h[s] for s, dd in el if dd == j) for j in nodes}
+        an = math.sqrt(sum(araw[j] ** 2 for j in nodes))
+        a = {j: araw[j] / an for j in nodes}
+        hraw = {u: sum(a[dd] for s, dd in el if s == u) for u in nodes}
+        hn = math.sqrt(sum(hraw[u] ** 2 for u in nodes))
+        h = {u: hraw[u] / hn for u in nodes}
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r for r in hits_scores(df, iters=3).collect()}
+    for u in nodes:
+        assert got[u]["hub"] == round(h[u], 6)
+        assert got[u]["authority"] == round(a[u], 6)
+    # structural sanity: node 3 points at the hub cycle but nothing
+    # points at... node 1 has max hub (links to the two top authorities)
+    assert max(got.values(), key=lambda r: r["hub"])["node"] == 1
+
+
+def test_stratified_kfold_no_leakage_and_stable(spark):
+    """Every group lands in exactly one fold; reruns agree; shares sum
+    to 1 per stratum."""
+    from cernan_spark.operators.packing import stratified_kfold
+
+    rows = [
+        (f"g{i}", ["x", "y"][i % 2], j) for i in range(40) for j in range(3)
+    ]
+    df = spark.createDataFrame(rows, "g string, s string, payload long")
+    out = stratified_kfold(df, "g", "s", k=4).collect()
+    assert all(r["leaked_groups"] == 0 for r in out)
+    from collections import defaultdict
+
+    shares = defaultdict(float)
+    groups = defaultdict(int)
+    for r in out:
+        shares[r["stratum"]] += r["stratum_share"]
+        groups[r["stratum"]] += r["n_groups"]
+    assert all(abs(v - 1.0) < 1e-5 for v in shares.values())
+    assert groups["x"] == 20 and groups["y"] == 20
+    again = stratified_kfold(df, "g", "s", k=4).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
