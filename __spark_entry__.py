@@ -3199,6 +3199,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs": q_bfs,
         "hits": q_hits,
         "kfold": q_kfold,
+        "cidr": q_cidr,
+        "flaps": q_flaps,
     }
 
 
@@ -7059,8 +7061,10 @@ def q_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return diversity_profile(d, ["source"], "lang")
 
 
-def _hourly_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shared rollup: per (event_type, epoch-hour) exact cent sums."""
+def _hourly_cents_xy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared rollup: per (event_type, epoch-hour) exact cent sums
+    as (event_type, x, y) — NOT the cusum/forecast helper of the same
+    family above, which emits (…, day, hour, …)."""
     _utc(spark)
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     prep = ev.select(
@@ -7078,7 +7082,7 @@ def q_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/temporal.holt_forecast)."""
     from cernan_spark.operators.temporal import holt_forecast
 
-    ser = _hourly_cents(spark, sf_dir)
+    ser = _hourly_cents_xy(spark, sf_dir)
     return holt_forecast(ser, ["event_type"], ["x"], "y")
 
 
@@ -7089,7 +7093,7 @@ def q_stl(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned folds (operators/temporal.stl_decompose)."""
     from cernan_spark.operators.temporal import stl_decompose
 
-    ser = _hourly_cents(spark, sf_dir)
+    ser = _hourly_cents_xy(spark, sf_dir)
     return stl_decompose(ser, ["event_type"], "x", "y")
 
 
@@ -7243,6 +7247,52 @@ def q_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
     t = transcripts_from_events(spark, sf_dir)
     return stratified_kfold(t, "conv_id", "tool", k=5)
+
+
+def q_cidr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CIDR /16 + /24 rollup of a synthetic access-log IP column (every
+    13th address malformed -> the '_BAD_' accounting row): request /
+    distinct-IP / error counts per network, all integer arithmetic — no
+    cross-engine bitwise ops (operators/loghygiene.cidr_rollup)."""
+    from cernan_spark.operators.loghygiene import cidr_rollup
+
+    _utc(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ip = F.when(F.col("event_id") % 13 == 0, F.lit("bad.ip")).otherwise(
+        F.concat(
+            F.lit("10."),
+            (F.col("user_id") % 4).cast("string"),
+            F.lit("."),
+            (F.col("user_id") % 256).cast("string"),
+            F.lit("."),
+            (F.col("event_id") % 256).cast("string"),
+        )
+    )
+    base = ev.select(
+        ip.alias("ip"),
+        (F.col("event_type") == "error").alias("err"),
+    )
+    return cidr_rollup(base, "ip", F.col("err"), (16, 24))
+
+
+def q_flaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alert flap audit per metric: hourly cents vs the metric's own
+    mean threshold compared by INTEGER cross-multiplication (y·n > tot),
+    crossings counted from one lag window; flappy above 340 flips
+    (operators/anomaly.alert_flaps)."""
+    from cernan_spark.operators.anomaly import alert_flaps
+
+    ser = _hourly_cents_xy(spark, sf_dir)
+    tot = ser.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("t")
+    )
+    j = ser.join(tot, "event_type").select(
+        "event_type",
+        "x",
+        (F.col("y") * F.col("n")).alias("v"),
+        F.col("t"),
+    )
+    return alert_flaps(j, ["event_type"], "x", "v", "t", max_flips=340)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -12186,5 +12236,101 @@ def oracle_sql() -> dict[str, str]:
                      6) AS stratum_share,
                a.leaked_groups
         FROM audit a JOIN st USING (stratum)
+    """
+    d["cidr"] = """
+        WITH base AS (
+            SELECT CASE WHEN event_id % 13 = 0 THEN 'bad.ip'
+                   ELSE '10.' || CAST(user_id % 4 AS VARCHAR) || '.'
+                        || CAST(user_id % 256 AS VARCHAR) || '.'
+                        || CAST(event_id % 256 AS VARCHAR) END AS ip,
+                   CAST(event_type = 'error' AS BIGINT) AS err
+            FROM events
+        ), p AS (
+            SELECT string_split(ip, '.') AS parts, err FROM base
+        ), v AS (
+            SELECT TRY_CAST(parts[1] AS BIGINT) AS o1,
+                   TRY_CAST(parts[2] AS BIGINT) AS o2,
+                   TRY_CAST(parts[3] AS BIGINT) AS o3,
+                   TRY_CAST(parts[4] AS BIGINT) AS o4,
+                   len(parts) = 4 AS len4, err
+            FROM p
+        ), w AS (
+            SELECT (len4 AND o1 IS NOT NULL AND o1 BETWEEN 0 AND 255
+                         AND o2 IS NOT NULL AND o2 BETWEEN 0 AND 255
+                         AND o3 IS NOT NULL AND o3 BETWEEN 0 AND 255
+                         AND o4 IS NOT NULL AND o4 BETWEEN 0 AND 255)
+                     AS ok,
+                   o1 * 16777216 + o2 * 65536 + o3 * 256 + o4 AS ip32,
+                   err
+            FROM v
+        ), g16 AS (
+            SELECT ip32 - ip32 % 65536 AS net32,
+                   CAST(count(*) AS BIGINT) AS n_requests,
+                   CAST(count(DISTINCT ip32) AS BIGINT) AS n_ips,
+                   CAST(sum(err) AS BIGINT) AS n_errors
+            FROM w WHERE ok GROUP BY 1
+        ), g24 AS (
+            SELECT ip32 - ip32 % 256 AS net32,
+                   CAST(count(*) AS BIGINT) AS n_requests,
+                   CAST(count(DISTINCT ip32) AS BIGINT) AS n_ips,
+                   CAST(sum(err) AS BIGINT) AS n_errors
+            FROM w WHERE ok GROUP BY 1
+        ), bad AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_requests,
+                   CAST(sum(err) AS BIGINT) AS n_errors
+            FROM w WHERE NOT ok HAVING count(*) > 0
+        )
+        SELECT 16 AS prefix_len,
+               CAST(net32 // 16777216 AS VARCHAR) || '.'
+               || CAST((net32 // 65536) % 256 AS VARCHAR) || '.'
+               || CAST((net32 // 256) % 256 AS VARCHAR) || '.'
+               || CAST(net32 % 256 AS VARCHAR) || '/16' AS network,
+               n_requests, n_ips, n_errors,
+               round(CAST(n_errors AS DOUBLE)
+                     / CAST(n_requests AS DOUBLE), 6) AS error_rate
+        FROM g16
+        UNION ALL
+        SELECT 24,
+               CAST(net32 // 16777216 AS VARCHAR) || '.'
+               || CAST((net32 // 65536) % 256 AS VARCHAR) || '.'
+               || CAST((net32 // 256) % 256 AS VARCHAR) || '.'
+               || CAST(net32 % 256 AS VARCHAR) || '/24',
+               n_requests, n_ips, n_errors,
+               round(CAST(n_errors AS DOUBLE)
+                     / CAST(n_requests AS DOUBLE), 6)
+        FROM g24
+        UNION ALL
+        SELECT 0, '_BAD_', n_requests, CAST(0 AS BIGINT), n_errors,
+               round(CAST(n_errors AS DOUBLE)
+                     / CAST(n_requests AS DOUBLE), 6)
+        FROM bad
+    """
+    d["flaps"] = f"""
+        WITH ser AS ({_hourly_sql}),
+        tot AS (
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(y) AS BIGINT) AS t
+            FROM ser GROUP BY 1
+        ), j AS (
+            SELECT s.event_type, s.x, s.y * tot.n AS v, tot.t
+            FROM ser s JOIN tot USING (event_type)
+        ), st AS (
+            SELECT event_type, x,
+                   CAST(v > t AS INT) AS st
+            FROM j
+        ), l AS (
+            SELECT event_type, st,
+                   lag(st) OVER (PARTITION BY event_type ORDER BY x)
+                     AS prev
+            FROM st
+        )
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_points,
+               CAST(sum(st) AS BIGINT) AS n_above,
+               CAST(sum(CASE WHEN prev IS NOT NULL AND st <> prev
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_flips,
+               CAST(sum(CASE WHEN prev IS NOT NULL AND st <> prev
+                        THEN 1 ELSE 0 END) AS BIGINT) > 340 AS flappy
+        FROM l GROUP BY 1
     """
     return d

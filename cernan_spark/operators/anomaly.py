@@ -755,3 +755,48 @@ def overdispersion_index(
         F.round(disp, 6).alias("dispersion"),
         (disp > 1.5).alias("overdispersed"),
     )
+
+
+def alert_flaps(
+    hourly: DataFrame,
+    key_cols: list[str],
+    rank_col: str,
+    value_col: str,
+    threshold_col: str,
+    max_flips: int = 3,
+) -> DataFrame:
+    """Alert flap detection — the hysteresis audit a paging pipeline
+    runs so a metric oscillating around its threshold doesn't page on
+    every crossing: per key, the series' above/below state sequence is
+    diffed against its lag and the CROSSINGS counted; a series flipping
+    more than ``max_flips`` times is marked flappy (route to a digest,
+    not a page — compose with :func:`sustained_alerts`, which handles
+    the opposite failure of paging too late).
+
+    One lag window over the per-key rollup series + one aggregate; all
+    integer. Output per key: ``*key_cols, n_points, n_above, n_flips,
+    flappy``.
+    """
+    from pyspark.sql import Window as W
+
+    state = (F.col(value_col) > F.col(threshold_col)).cast("int")
+    w = W.partitionBy(*key_cols).orderBy("r")
+    st = hourly.select(
+        *key_cols, F.col(rank_col).alias("r"), state.alias("st")
+    ).withColumn("prev", F.lag("st").over(w))
+    return st.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum("st").alias("n_above"),
+        F.sum(
+            F.when(
+                F.col("prev").isNotNull() & (F.col("st") != F.col("prev")),
+                1,
+            ).otherwise(0)
+        ).alias("n_flips"),
+    ).select(
+        *key_cols,
+        "n_points",
+        "n_above",
+        "n_flips",
+        (F.col("n_flips") > max_flips).alias("flappy"),
+    )

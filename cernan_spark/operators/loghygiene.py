@@ -386,3 +386,107 @@ def t_closeness_audit(
         F.round(emd, 6).alias("emd"),
         (emd <= F.lit(t)).alias("publish"),
     )
+
+
+def cidr_rollup(
+    df: DataFrame,
+    ip_col: str,
+    error_col: Column | None = None,
+    prefixes: tuple[int, ...] = (16, 24),
+) -> DataFrame:
+    """CIDR prefix rollup of client IPs — the "which subnet is hammering
+    us / erroring" view an access-log pipeline reads before rate-limiting
+    or blocklisting. Dotted quads become uint32 via pure integer
+    arithmetic, each requested prefix length masks by integer division
+    (no cross-engine bitwise ops), and per (prefix, network): request
+    count, distinct addresses, error count + rate.
+
+    Malformed addresses (wrong field count / out-of-range octet) group
+    under network '_BAD_' with prefix 0 — the parse-failure accounting
+    rule every ingest operator in this repo follows (statsd.rs bad-line
+    counters). One aggregate per prefix length over exact BIGINTs; the
+    only double is the error-rate division.
+
+    Output: ``prefix_len, network, n_requests, n_ips, n_errors,
+    error_rate``.
+    """
+    parts = F.split(F.col(ip_col), r"\.")
+    # F.get (NULL out-of-bounds) + try_cast (NULL on garbage): malformed
+    # addresses must route to accounting, not throw under ANSI mode.
+    octs = [F.get(parts, i).try_cast("long") for i in range(4)]
+    valid = (F.size(parts) == 4) & F.lit(True)
+    for o in octs:
+        valid = valid & o.isNotNull() & (o >= 0) & (o <= 255)
+    ip32 = (
+        octs[0] * 16777216 + octs[1] * 65536 + octs[2] * 256 + octs[3]
+    )
+    err = (
+        error_col.cast("long")
+        if error_col is not None
+        else F.lit(0).cast("long")
+    )
+    base = df.select(
+        valid.alias("ok"), ip32.alias("ip32"), err.alias("err")
+    )
+    outs = []
+    for p in prefixes:
+        block = 1 << (32 - p)
+        net32 = (F.col("ip32") - F.col("ip32") % block).alias("net32")
+        net_str = F.concat(
+            (F.col("net32") / 16777216).cast("long").cast("string"),
+            F.lit("."),
+            ((F.col("net32") / 65536).cast("long") % 256).cast("string"),
+            F.lit("."),
+            ((F.col("net32") / 256).cast("long") % 256).cast("string"),
+            F.lit("."),
+            (F.col("net32") % 256).cast("string"),
+            F.lit("/"),
+            F.lit(str(p)),
+        )
+        g = (
+            base.filter("ok")
+            .select(net32, "ip32", "err")
+            .groupBy("net32")
+            .agg(
+                F.count(F.lit(1)).alias("n_requests"),
+                F.countDistinct("ip32").alias("n_ips"),
+                F.sum("err").alias("n_errors"),
+            )
+            .select(
+                F.lit(p).alias("prefix_len"),
+                net_str.alias("network"),
+                "n_requests",
+                "n_ips",
+                "n_errors",
+                F.round(
+                    F.col("n_errors").cast("double")
+                    / F.col("n_requests").cast("double"),
+                    6,
+                ).alias("error_rate"),
+            )
+        )
+        outs.append(g)
+    bad = (
+        base.filter(~F.col("ok"))
+        .agg(
+            F.count(F.lit(1)).alias("n_requests"),
+            F.sum("err").alias("n_errors"),
+        )
+        .filter(F.col("n_requests") > 0)
+        .select(
+            F.lit(0).alias("prefix_len"),
+            F.lit("_BAD_").alias("network"),
+            "n_requests",
+            F.lit(0).cast("long").alias("n_ips"),
+            "n_errors",
+            F.round(
+                F.col("n_errors").cast("double")
+                / F.col("n_requests").cast("double"),
+                6,
+            ).alias("error_rate"),
+        )
+    )
+    out = outs[0]
+    for g in outs[1:]:
+        out = out.unionByName(g)
+    return out.unionByName(bad)

@@ -299,3 +299,23 @@ def test_overdispersion_index_hand_models(spark):
     g2 = overdispersion_index(df, ["k"], "c").first()
     assert g2["dispersion"] == round(var / mean, 6)
     assert bool(g2["overdispersed"]) is True
+
+
+def test_alert_flaps_hand_model(spark):
+    """An oscillating series counts every crossing; a step series
+    crosses once; the max_flips flag separates them."""
+    from cernan_spark.operators.anomaly import alert_flaps
+
+    osc = [("osc", i, 10 if i % 2 == 0 else 20, 15) for i in range(10)]
+    step = [("step", i, 10 if i < 5 else 20, 15) for i in range(10)]
+    df = spark.createDataFrame(
+        osc + step, "k string, r long, v long, thr long"
+    )
+    out = {
+        r["k"]: r
+        for r in alert_flaps(df, ["k"], "r", "v", "thr", max_flips=3).collect()
+    }
+    assert out["osc"]["n_flips"] == 9 and bool(out["osc"]["flappy"]) is True
+    assert out["osc"]["n_above"] == 5
+    assert out["step"]["n_flips"] == 1
+    assert bool(out["step"]["flappy"]) is False

@@ -133,3 +133,47 @@ def test_seasonal_baseline_exact_arithmetic(spark):
     # season idx: (sum_slot · n_total) / (n_slot · sum_total)
     assert got[0].season_idx == (400 * 3) / (2 * 1000)
     assert got[1].season_idx == (600 * 3) / (1 * 1000)
+
+
+def test_cidr_rollup_hand_model(spark):
+    """Known addresses roll into /16 and /24 networks with exact
+    request/ip/error counts; malformed rows land under '_BAD_'."""
+    from pyspark.sql import functions as F
+
+    from cernan_spark.operators.loghygiene import cidr_rollup
+
+    rows = [
+        ("10.1.2.3", 0), ("10.1.2.4", 1), ("10.1.2.3", 0),
+        ("10.1.9.1", 0), ("10.2.0.1", 1),
+        ("bad.ip", 1), ("10.1.2.300", 0), ("1.2.3", 0),
+    ]
+    df = spark.createDataFrame(rows, "ip string, err int")
+    out = {
+        (r["prefix_len"], r["network"]): r
+        for r in cidr_rollup(df, "ip", F.col("err")).collect()
+    }
+    r16 = out[(16, "10.1.0.0/16")]
+    assert r16["n_requests"] == 4 and r16["n_ips"] == 3
+    assert r16["n_errors"] == 1 and r16["error_rate"] == 0.25
+    r24 = out[(24, "10.1.2.0/24")]
+    assert r24["n_requests"] == 3 and r24["n_ips"] == 2
+    assert out[(24, "10.1.9.0/24")]["n_requests"] == 1
+    assert out[(16, "10.2.0.0/16")]["n_errors"] == 1
+    bad = out[(0, "_BAD_")]
+    assert bad["n_requests"] == 3 and bad["n_errors"] == 1
+
+
+def test_cidr_rollup_no_bad_row_when_all_valid(spark):
+    """The '_BAD_' accounting row only appears when needed."""
+    from pyspark.sql import functions as F
+
+    from cernan_spark.operators.loghygiene import cidr_rollup
+
+    df = spark.createDataFrame(
+        [("192.168.0.1", 0), ("192.168.0.2", 0)], "ip string, err int"
+    )
+    nets = {
+        r["network"] for r in cidr_rollup(df, "ip", F.col("err")).collect()
+    }
+    assert "_BAD_" not in nets
+    assert "192.168.0.0/16" in nets and "192.168.0.0/24" in nets
