@@ -3201,6 +3201,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kfold": q_kfold,
         "cidr": q_cidr,
         "flaps": q_flaps,
+        "fair_share": q_fair_share,
+        "rfm": q_rfm,
     }
 
 
@@ -7293,6 +7295,39 @@ def q_flaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("t"),
     )
     return alert_flaps(j, ["event_type"], "x", "v", "t", max_flips=340)
+
+
+def q_fair_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max-min fair (water-filling) split of an ingest budget of HALF
+    the corpus across per-user demands: saturation decided by integer
+    cross-multiplication over the demand-sorted spine, unsaturated
+    tenants share the remainder equally — ONE double division
+    (operators/skew.fair_share_alloc)."""
+    from cernan_spark.operators.skew import fair_share_alloc
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    demands = ev.groupBy(F.col("user_id").alias("user")).agg(
+        F.count(F.lit(1)).alias("demand")
+    )
+    capacity = ev.count() // 2
+    return fair_share_alloc(demands, ["user"], "demand", capacity)
+
+
+def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM quintile segmentation per user from exact integers (last
+    epoch, event count, cent sum) with deterministic (metric, user)
+    tie-breaks; rfm = 100r + 10f + m
+    (operators/behavior.rfm_scores)."""
+    from cernan_spark.operators.behavior import rfm_scores
+
+    _utc(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    prep = ev.select(
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    return rfm_scores(prep, "user_id", "ts", "cents", n_tiles=5)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -12332,5 +12367,64 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(CASE WHEN prev IS NOT NULL AND st <> prev
                         THEN 1 ELSE 0 END) AS BIGINT) > 340 AS flappy
         FROM l GROUP BY 1
+    """
+    d["fair_share"] = """
+        WITH dem AS (
+            SELECT user_id AS "user", CAST(count(*) AS BIGINT) AS d
+            FROM events GROUP BY 1
+        ), cap AS (
+            SELECT CAST(count(*) // 2 AS BIGINT) AS c FROM events
+        ), spine AS (
+            SELECT "user", d,
+                   CAST(row_number() OVER (ORDER BY d, "user") AS BIGINT)
+                     AS i,
+                   COALESCE(CAST(sum(d) OVER (ORDER BY d, "user"
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS BIGINT), 0) AS cum_prev,
+                   CAST(count(*) OVER () AS BIGINT) AS n
+            FROM dem
+        ), marked AS (
+            SELECT "user", d, n,
+                   d * (n - i + 1) <= ((SELECT c FROM cap) - cum_prev)
+                     AS sat
+            FROM spine
+        ), tot AS (
+            SELECT CAST(sum(CASE WHEN sat THEN d ELSE 0 END) AS BIGINT)
+                     AS sat_sum,
+                   CAST(sum(CASE WHEN sat THEN 0 ELSE 1 END) AS BIGINT)
+                     AS n_unsat
+            FROM marked
+        )
+        SELECT m."user", m.d AS demand,
+               round(CASE WHEN m.sat THEN CAST(m.d AS DOUBLE)
+                     WHEN t.n_unsat > 0 THEN
+                          CAST((SELECT c FROM cap) - t.sat_sum AS DOUBLE)
+                          / CAST(t.n_unsat AS DOUBLE)
+                     ELSE 0.0 END, 6) AS allocated,
+               m.sat AS saturated
+        FROM marked m, tot t
+    """
+    d["rfm"] = """
+        WITH pu AS (
+            SELECT user_id AS "user",
+                   CAST(max(CAST(floor(epoch(ts)) AS BIGINT)) AS BIGINT)
+                     AS recency_e,
+                   CAST(count(*) AS BIGINT) AS frequency,
+                   CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                        AS BIGINT) AS monetary
+            FROM events GROUP BY 1
+        ), scored AS (
+            SELECT "user", recency_e, frequency, monetary,
+                   CAST(ntile(5) OVER (ORDER BY recency_e, "user")
+                        AS INT) AS r,
+                   CAST(ntile(5) OVER (ORDER BY frequency, "user")
+                        AS INT) AS f,
+                   CAST(ntile(5) OVER (ORDER BY monetary, "user")
+                        AS INT) AS m
+            FROM pu
+        )
+        SELECT "user", recency_e, frequency, monetary, r, f, m,
+               CAST(r * 100 + f * 10 + m AS INT) AS rfm
+        FROM scored
     """
     return d

@@ -452,3 +452,42 @@ def apriori_itemsets(
             "support",
         )
     )
+
+
+def rfm_scores(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    amount_col: str,
+    n_tiles: int = 5,
+) -> DataFrame:
+    """RFM (recency / frequency / monetary) quintile scoring per user —
+    the classic behavioral segmentation a lifecycle pipeline derives
+    from the event stream. Per user: last-activity epoch, event count,
+    exact amount sum; each dimension then ranks into ``n_tiles`` buckets
+    with DETERMINISTIC tie-breaks (metric, then user id), high scores =
+    recent/frequent/valuable.
+
+    ntile over the per-user rollup (n = |users|, not row-scale); all
+    inputs exact integers. Output: ``user, recency_e, frequency,
+    monetary, r, f, m, rfm`` (rfm = 100·r + 10·f + m).
+    """
+    per_user = events.groupBy(F.col(user_col).alias("user")).agg(
+        F.max(F.unix_timestamp(F.col(ts_col))).alias("recency_e"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(amount_col).alias("monetary"),
+    )
+    r = F.ntile(n_tiles).over(Window.orderBy("recency_e", "user"))
+    f = F.ntile(n_tiles).over(Window.orderBy("frequency", "user"))
+    m = F.ntile(n_tiles).over(Window.orderBy("monetary", "user"))
+    return per_user.select(
+        "user",
+        "recency_e",
+        "frequency",
+        "monetary",
+        r.alias("r"),
+        f.alias("f"),
+        m.alias("m"),
+    ).withColumn(
+        "rfm", F.col("r") * 100 + F.col("f") * 10 + F.col("m")
+    )

@@ -336,3 +336,75 @@ def gini_concentration(
             6,
         ).alias("gini"),
     )
+
+
+def fair_share_alloc(
+    demands: DataFrame,
+    key_cols: list[str],
+    demand_col: str,
+    capacity: int,
+) -> DataFrame:
+    """Max–min fair allocation of an integer capacity across per-tenant
+    demands (progressive filling / water-filling) — the admission-budget
+    computation a multi-tenant ingest tier runs each interval: small
+    demands are fully satisfied, the rest split the remainder equally.
+
+    Closed form over the demand-sorted spine: with demands d_(1) ≤ … ≤
+    d_(n), tenant i is SATURATED iff d_(i) · (n−i+1) ≤ C − Σ_{j<i} d_(j)
+    (its full demand fits the equal split of what remains); unsaturated
+    tenants share the post-saturation remainder equally. Saturation
+    tests are INTEGER cross-multiplications; the only double is the
+    final equal-share division. Ties rank by (demand, key) so the spine
+    is deterministic.
+
+    One sort-window over the n-tenant rollup (not row-scale) + one
+    aggregate for the saturated prefix. Output per tenant:
+    ``*key_cols, demand, allocated, saturated``.
+    """
+    w = Window.orderBy(demand_col, *key_cols)
+    spine = demands.select(
+        *key_cols, F.col(demand_col).alias("d")
+    ).select(
+        *key_cols,
+        "d",
+        F.row_number().over(Window.orderBy("d", *key_cols)).alias("i"),
+        F.coalesce(
+            F.sum("d").over(
+                Window.orderBy("d", *key_cols).rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ).alias("cum_prev"),
+        F.count(F.lit(1)).over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    sat = F.col("d") * (F.col("n") - F.col("i") + 1) <= (
+        F.lit(capacity) - F.col("cum_prev")
+    )
+    marked = spine.select(*key_cols, "d", "n", sat.alias("sat"))
+    totals = marked.agg(
+        F.sum(F.when(F.col("sat"), F.col("d")).otherwise(0)).alias(
+            "sat_sum"
+        ),
+        F.sum(F.when(F.col("sat"), 0).otherwise(1)).alias("n_unsat"),
+    )
+    share = F.when(
+        F.col("n_unsat") > 0,
+        (F.lit(capacity) - F.col("sat_sum")).cast("double")
+        / F.col("n_unsat").cast("double"),
+    ).otherwise(F.lit(0.0))
+    return marked.crossJoin(F.broadcast(totals)).select(
+        *key_cols,
+        F.col("d").alias("demand"),
+        F.round(
+            F.when(F.col("sat"), F.col("d").cast("double")).otherwise(
+                share
+            ),
+            6,
+        ).alias("allocated"),
+        F.col("sat").alias("saturated"),
+    )

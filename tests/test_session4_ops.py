@@ -640,3 +640,22 @@ def test_price_size_skyline_dominance(spark):
     )
     got = {(r.price, r.size): r.n_parts for r in price_size_skyline(df).collect()}
     assert got == {(1.00, 10): 1, (2.00, 20): 1, (3.00, 21): 2}
+
+
+def test_rfm_scores_hand_model(spark):
+    """Quintiles with deterministic tie-breaks; the all-around best user
+    scores 555, the worst 111; rfm composes digits."""
+    from cernan_spark.operators.behavior import rfm_scores
+
+    rows = []
+    for u in range(5):
+        # user u: u+1 events, amounts 10*(u+1), last ts day u
+        for j in range(u + 1):
+            rows.append((u, f"2024-01-0{u + 1} 00:00:00", 10 * (u + 1)))
+    df = spark.createDataFrame(rows, "user_id long, ts string, amt long")
+    df = df.withColumn("ts", df.ts.cast("timestamp"))
+    out = {r["user"]: r for r in rfm_scores(df, "user_id", "ts", "amt").collect()}
+    assert out[4]["r"] == 5 and out[4]["f"] == 5 and out[4]["m"] == 5
+    assert out[4]["rfm"] == 555
+    assert out[0]["rfm"] == 111
+    assert out[2]["frequency"] == 3 and out[2]["monetary"] == 90

@@ -208,3 +208,33 @@ def test_gini_concentration_hand_models(spark):
     expect = (2 * (1 + 2 + 3 + 4 + 5 * 96) - 6 * 100) / (5 * 100)
     assert g["gini"] == round(expect, 6)
     assert g["max_rows"] == 96 and g["top1_share"] == 0.96
+
+
+def test_fair_share_alloc_hand_model(spark):
+    """Classic water-filling: demands [2,3,10,20], capacity 16 →
+    2 and 3 fully satisfied, the remaining 11 splits 5.5/5.5."""
+    from cernan_spark.operators.skew import fair_share_alloc
+
+    df = spark.createDataFrame(
+        [("a", 2), ("b", 3), ("c", 10), ("d", 20)], "k string, demand long"
+    )
+    out = {r["k"]: r for r in fair_share_alloc(df, ["k"], "demand", 16).collect()}
+    assert out["a"]["allocated"] == 2.0 and bool(out["a"]["saturated"])
+    assert out["b"]["allocated"] == 3.0 and bool(out["b"]["saturated"])
+    assert out["c"]["allocated"] == 5.5 and not out["c"]["saturated"]
+    assert out["d"]["allocated"] == 5.5 and not out["d"]["saturated"]
+
+
+def test_fair_share_alloc_abundant_and_scarce(spark):
+    """Capacity above total demand saturates everyone; scarce capacity
+    gives the pure equal split."""
+    from cernan_spark.operators.skew import fair_share_alloc
+
+    df = spark.createDataFrame(
+        [("a", 5), ("b", 7)], "k string, demand long"
+    )
+    rich = {r["k"]: r for r in fair_share_alloc(df, ["k"], "demand", 100).collect()}
+    assert rich["a"]["allocated"] == 5.0 and rich["b"]["allocated"] == 7.0
+    poor = {r["k"]: r for r in fair_share_alloc(df, ["k"], "demand", 8).collect()}
+    assert poor["a"]["allocated"] == 4.0 and poor["b"]["allocated"] == 4.0
+    assert not poor["a"]["saturated"] and not poor["b"]["saturated"]
