@@ -3203,6 +3203,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flaps": q_flaps,
         "fair_share": q_fair_share,
         "rfm": q_rfm,
+        "item_cosine": q_item_cosine,
+        "embedding_drift": q_embedding_drift,
+        "hbos": q_hbos,
     }
 
 
@@ -7328,6 +7331,45 @@ def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
     )
     return rfm_scores(prep, "user_id", "ts", "cents", n_tiles=5)
+
+
+def q_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item co-visitation similarity over (user, event_type)
+    baskets: co-user counts, cosine and Jaccard per ordered pair —
+    exact BIGINTs, one sqrt/division each
+    (operators/behavior.item_cosine)."""
+    from cernan_spark.operators.behavior import item_cosine
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return item_cosine(ev, "user_id", "event_type", 2)
+
+
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid drift between the even and odd vec_id cohorts
+    (the snapshot-comparison tripwire): micro-unit exact centroids,
+    squared deltas folded dimension-ascending, one sqrt
+    (operators/similarity.embedding_drift)."""
+    from cernan_spark.operators.similarity import embedding_drift
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_drift(emb, F.col("vec_id") % 2 == 1)
+
+
+def q_hbos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HBOS outlier triage over (cents, hour-of-day): per feature an
+    equal-width 16-bin histogram (integer bin arithmetic), score =
+    sum of -ln(bin density), pinned top-20
+    (operators/anomaly.hbos_scores)."""
+    from cernan_spark.operators.anomaly import hbos_scores
+
+    _utc(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    prep = ev.select(
+        "event_id",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        F.hour("ts").cast("long").alias("hh"),
+    )
+    return hbos_scores(prep, "event_id", ["cents", "hh"], 16, 20)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -12426,5 +12468,110 @@ def oracle_sql() -> dict[str, str]:
         SELECT "user", recency_e, frequency, monetary, r, f, m,
                CAST(r * 100 + f * 10 + m AS INT) AS rfm
         FROM scored
+    """
+    d["item_cosine"] = """
+        WITH b AS (
+            SELECT DISTINCT user_id AS u, event_type AS i FROM events
+        ), per_item AS (
+            SELECT i, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY 1
+        ), pairs AS (
+            SELECT a.i AS item_a, c.i AS item_b,
+                   CAST(count(*) AS BIGINT) AS n_common
+            FROM b a JOIN b c ON a.u = c.u AND a.i < c.i
+            GROUP BY 1, 2 HAVING count(*) >= 2
+        )
+        SELECT p.item_a, p.item_b, na.n AS n_a, nb.n AS n_b, p.n_common,
+               round(CAST(p.n_common AS DOUBLE)
+                     / sqrt(CAST(na.n * nb.n AS DOUBLE)), 6) AS cosine,
+               round(CAST(p.n_common AS DOUBLE)
+                     / CAST(na.n + nb.n - p.n_common AS DOUBLE), 6)
+                 AS jaccard
+        FROM pairs p
+        JOIN per_item na ON na.i = p.item_a
+        JOIN per_item nb ON nb.i = p.item_b
+    """
+    d["embedding_drift"] = """
+        WITH q AS (
+            SELECT vec_id, label, vec_id % 2 = 1 AS in_b,
+                   list_transform(embedding,
+                       x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0, 0)
+                                 AS BIGINT)) AS qv
+            FROM embeddings
+        ), ex AS (
+            SELECT label, in_b, generate_subscripts(qv, 1) AS i,
+                   unnest(qv) AS comp
+            FROM q
+        ), cs AS (
+            SELECT label, in_b, i, CAST(sum(comp) AS BIGINT) AS s,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM ex GROUP BY 1, 2, 3
+        ), cents AS (
+            SELECT label, in_b, CAST(max(n) AS BIGINT) AS n_vecs,
+                   list((CAST(s AS DOUBLE) / n) / 1000000.0 ORDER BY i)
+                     AS c
+            FROM cs GROUP BY 1, 2
+        ), a AS (
+            SELECT label, n_vecs AS n_a, c AS ca FROM cents WHERE NOT in_b
+        ), bb AS (
+            SELECT label, n_vecs AS n_b, c AS cb FROM cents WHERE in_b
+        )
+        SELECT a.label, a.n_a, bb.n_b,
+               round(sqrt(list_reduce(
+                   list_prepend(CAST(0.0 AS DOUBLE),
+                       list_transform(range(1, 65),
+                           j -> (a.ca[CAST(j AS INT)]
+                                 - bb.cb[CAST(j AS INT)])
+                                * (a.ca[CAST(j AS INT)]
+                                   - bb.cb[CAST(j AS INT)]))),
+                   (acc, e) -> acc + e)), 6) AS drift
+        FROM a JOIN bb USING (label)
+    """
+    d["hbos"] = """
+        WITH prep AS (
+            SELECT event_id AS id,
+                   CAST(round(value * 100, 0) AS BIGINT) AS cents,
+                   CAST(hour(ts) AS BIGINT) AS hh
+            FROM events
+        ), r1 AS (
+            SELECT CAST(min(cents) AS BIGINT) AS mn,
+                   CAST(max(cents) AS BIGINT) AS mx,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM prep
+        ), b1 AS (
+            SELECT id,
+                   CAST((cents - (SELECT mn FROM r1)) * 16
+                        // ((SELECT mx FROM r1) - (SELECT mn FROM r1) + 1)
+                        AS BIGINT) AS b
+            FROM prep
+        ), d1 AS (
+            SELECT b, CAST(count(*) AS BIGINT) AS c FROM b1 GROUP BY 1
+        ), t1 AS (
+            SELECT b1.id,
+                   -ln(CAST(d1.c AS DOUBLE)
+                       / CAST((SELECT n FROM r1) AS DOUBLE)) AS t
+            FROM b1 JOIN d1 USING (b)
+        ), r2 AS (
+            SELECT CAST(min(hh) AS BIGINT) AS mn,
+                   CAST(max(hh) AS BIGINT) AS mx,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM prep
+        ), b2 AS (
+            SELECT id,
+                   CAST((hh - (SELECT mn FROM r2)) * 16
+                        // ((SELECT mx FROM r2) - (SELECT mn FROM r2) + 1)
+                        AS BIGINT) AS b
+            FROM prep
+        ), d2 AS (
+            SELECT b, CAST(count(*) AS BIGINT) AS c FROM b2 GROUP BY 1
+        ), t2 AS (
+            SELECT b2.id,
+                   -ln(CAST(d2.c AS DOUBLE)
+                       / CAST((SELECT n FROM r2) AS DOUBLE)) AS t
+            FROM b2 JOIN d2 USING (b)
+        )
+        SELECT t1.id, round(t1.t + t2.t, 6) AS score
+        FROM t1 JOIN t2 ON t2.id = t1.id
+        ORDER BY t1.t + t2.t DESC, t1.id
+        LIMIT 20
     """
     return d

@@ -800,3 +800,72 @@ def alert_flaps(
         "n_flips",
         (F.col("n_flips") > max_flips).alias("flappy"),
     )
+
+
+def hbos_scores(
+    df: DataFrame,
+    id_col: str,
+    feature_cols: list[str],
+    n_bins: int = 16,
+    top_k: int = 20,
+) -> DataFrame:
+    """HBOS (histogram-based outlier score, Goldstein & Dengel 2012) —
+    the cheap multivariate outlier ranker: each integer feature bins
+    into ``n_bins`` equal-width buckets over its own [min, max], a
+    point's score is Σ_f −ln(density of its bin), and the global top-k
+    (score desc, id asc — pinned) are emitted. Assumes feature
+    independence, which is exactly why it costs one aggregate per
+    feature instead of a pairwise pass — the triage stage before an
+    expensive detector.
+
+    Bin index is pure integer arithmetic ((v−min)·n_bins div
+    (max−min+1)); densities are exact count ratios; ln of an
+    exact-division double + additions in feature order (pinned).
+
+    Output: ``id, score`` for the top-k.
+    """
+    feats = df.select(F.col(id_col).alias("id"), *feature_cols)
+    scored = None
+    for fcol in feature_cols:
+        rng = feats.agg(
+            F.min(fcol).alias("mn"),
+            F.max(fcol).alias("mx"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        binned = feats.select("id", F.col(fcol).alias("v")).crossJoin(
+            F.broadcast(rng)
+        ).select(
+            "id",
+            (
+                (F.col("v") - F.col("mn"))
+                * n_bins
+                / (F.col("mx") - F.col("mn") + 1)
+            )
+            .cast("long")
+            .alias("b"),
+            "n",
+        )
+        dens = binned.groupBy("b").agg(F.count(F.lit(1)).alias("c"))
+        term = (
+            binned.join(dens, "b")
+            .select(
+                "id",
+                (
+                    -F.log(
+                        F.col("c").cast("double") / F.col("n").cast("double")
+                    )
+                ).alias("t"),
+            )
+        )
+        scored = (
+            term.select("id", F.col("t").alias("score"))
+            if scored is None
+            else scored.join(term, "id").select(
+                "id", (F.col("score") + F.col("t")).alias("score")
+            )
+        )
+    return (
+        scored.select("id", F.round("score", 6).alias("score"))
+        .orderBy(F.col("score").desc(), "id")
+        .limit(top_k)
+    )

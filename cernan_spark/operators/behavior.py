@@ -491,3 +491,59 @@ def rfm_scores(
     ).withColumn(
         "rfm", F.col("r") * 100 + F.col("f") * 10 + F.col("m")
     )
+
+
+def item_cosine(
+    df: DataFrame,
+    user_col: str,
+    item_col: str,
+    min_common: int = 2,
+) -> DataFrame:
+    """Item–item co-visitation similarity from the binary user×item
+    matrix — the memory-based collaborative-filtering kernel ("users who
+    used X also used Y"): per ordered item pair the co-user count,
+    cosine c/√(n_i·n_j) and Jaccard c/(n_i+n_j−c), emitted when at
+    least ``min_common`` users share the pair.
+
+    Exactness: counts are BIGINTs from deduplicated (user, item) pairs;
+    cosine is one correctly-rounded sqrt + division, Jaccard one
+    division. Scale shape: the self-join keys on user — a hot user
+    fans out |items|² pairs, which is bounded by the ITEM alphabet, not
+    the corpus; the pair aggregate map-side combines.
+
+    Output: ``item_a, item_b, n_a, n_b, n_common, cosine, jaccard``.
+    """
+    b = df.select(
+        F.col(user_col).alias("u"), F.col(item_col).alias("i")
+    ).distinct()
+    per_item = b.groupBy("i").agg(F.count(F.lit(1)).alias("n"))
+    pairs = (
+        b.select("u", F.col("i").alias("item_a"))
+        .join(b.select("u", F.col("i").alias("item_b")), "u")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+    )
+    na = per_item.select(F.col("i").alias("item_a"), F.col("n").alias("n_a"))
+    nb = per_item.select(F.col("i").alias("item_b"), F.col("n").alias("n_b"))
+    j = pairs.join(na, "item_a").join(nb, "item_b")
+    return j.select(
+        "item_a",
+        "item_b",
+        "n_a",
+        "n_b",
+        "n_common",
+        F.round(
+            F.col("n_common").cast("double")
+            / F.sqrt((F.col("n_a") * F.col("n_b")).cast("double")),
+            6,
+        ).alias("cosine"),
+        F.round(
+            F.col("n_common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast(
+                "double"
+            ),
+            6,
+        ).alias("jaccard"),
+    )

@@ -1333,3 +1333,71 @@ def simplified_silhouette(
         F.round(fold("b"), 6).alias("mean_b"),
         F.round(fold("s"), 6).alias("mean_silhouette"),
     )
+
+
+def embedding_drift(
+    emb: DataFrame,
+    split_col: Column,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label embedding drift between two cohorts (e.g. old vs new
+    snapshot, split by a boolean column): the L2 distance between the
+    cohorts' label centroids — the retraining tripwire an embedding
+    pipeline watches (compose with ``label_centroids``, whose micro-unit
+    exact-mean discipline this reuses; the distance folds squared
+    component deltas in ascending dimension order, then one sqrt).
+
+    Output per label: ``label, n_a, n_b, drift``.
+    """
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * 1e6, 0).cast("long"),
+    )
+    ex = emb.select(
+        F.col(label_col).alias("label"),
+        split_col.alias("in_b"),
+        F.posexplode(q).alias("i", "qv"),
+    )
+    cents = (
+        ex.groupBy("label", "in_b", "i")
+        .agg(F.sum("qv").alias("s"), F.count(F.lit(1)).alias("n"))
+        .groupBy("label", "in_b")
+        .agg(
+            F.max("n").alias("n_vecs_dim"),
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "i",
+                            (
+                                (F.col("s").cast("double") / F.col("n"))
+                                / F.lit(1e6)
+                            ).alias("m"),
+                        )
+                    )
+                ),
+                lambda st: st["m"],
+            ).alias("c"),
+        )
+    )
+    a = cents.filter(~F.col("in_b")).select(
+        "label",
+        F.col("n_vecs_dim").alias("n_a"),
+        F.col("c").alias("ca"),
+    )
+    b = cents.filter(F.col("in_b")).select(
+        "label",
+        F.col("n_vecs_dim").alias("n_b"),
+        F.col("c").alias("cb"),
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("ca"), F.col("cb"), lambda x, y: (x - y) * (x - y)
+        ),
+        F.lit(0.0),
+        lambda acc, e: acc + e,
+    )
+    return a.join(b, "label").select(
+        "label", "n_a", "n_b", F.round(F.sqrt(d2), 6).alias("drift")
+    )

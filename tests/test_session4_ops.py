@@ -659,3 +659,68 @@ def test_rfm_scores_hand_model(spark):
     assert out[4]["rfm"] == 555
     assert out[0]["rfm"] == 111
     assert out[2]["frequency"] == 3 and out[2]["monetary"] == 90
+
+
+def test_item_cosine_hand_model(spark):
+    """Three items over four users with hand-counted overlaps; repeated
+    (user, item) rows dedup; min_common filters rare pairs."""
+    import math
+
+    from cernan_spark.operators.behavior import item_cosine
+
+    rows = [
+        (1, "a"), (1, "b"), (1, "b"),
+        (2, "a"), (2, "b"),
+        (3, "a"), (3, "c"),
+        (4, "c"),
+    ]
+    df = spark.createDataFrame(rows, "u long, i string")
+    out = {
+        (r["item_a"], r["item_b"]): r
+        for r in item_cosine(df, "u", "i", 2).collect()
+    }
+    ab = out[("a", "b")]
+    assert ab["n_a"] == 3 and ab["n_b"] == 2 and ab["n_common"] == 2
+    assert ab["cosine"] == round(2 / math.sqrt(6), 6)
+    assert ab["jaccard"] == round(2 / 3, 6)
+    assert ("a", "c") not in out  # only 1 common user < min_common
+
+
+def test_embedding_drift_hand_model(spark):
+    """Cohorts with hand-known centroids: shifted label drifts by the
+    exact L2 distance; identical cohorts drift 0."""
+    from cernan_spark.operators.similarity import embedding_drift
+    from pyspark.sql import functions as F
+
+    rows = [
+        # label 0: cohort A {(0,0),(2,0)} c=(1,0); B {(4,2),(6,2)} c=(5,2)
+        (0, [0.0, 0.0], 0), (2, [2.0, 0.0], 0),
+        (1, [4.0, 2.0], 0), (3, [6.0, 2.0], 0),
+        # label 1: identical cohorts
+        (10, [1.0, 1.0], 1), (11, [1.0, 1.0], 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = {
+        r["label"]: r
+        for r in embedding_drift(df, F.col("vec_id") % 2 == 1).collect()
+    }
+    assert out[0]["n_a"] == 2 and out[0]["n_b"] == 2
+    assert out[0]["drift"] == round((16 + 4) ** 0.5, 6)
+    assert out[1]["drift"] == 0.0
+
+
+def test_hbos_scores_flags_the_planted_outlier(spark):
+    """A lone point in otherwise-dense bins gets the top score; scores
+    are deterministic across reruns."""
+    from cernan_spark.operators.anomaly import hbos_scores
+
+    rows = [(i, 100 + i % 3, 5 + i % 2) for i in range(100)]
+    rows.append((999, 5000, 23))  # isolated in BOTH features
+    df = spark.createDataFrame(rows, "id long, f1 long, f2 long")
+    out = hbos_scores(df, "id", ["f1", "f2"], 16, 5).collect()
+    assert out[0]["id"] == 999
+    assert out[0]["score"] > out[1]["score"]
+    again = hbos_scores(df, "id", ["f1", "f2"], 16, 5).collect()
+    assert [tuple(r) for r in out] == [tuple(r) for r in again]
