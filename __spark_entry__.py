@@ -3206,6 +3206,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "item_cosine": q_item_cosine,
         "embedding_drift": q_embedding_drift,
         "hbos": q_hbos,
+        "topic_shifts": q_topic_shifts,
+        "stickiness": q_stickiness,
     }
 
 
@@ -7370,6 +7372,28 @@ def q_hbos(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hour("ts").cast("long").alias("hh"),
     )
     return hbos_scores(prep, "event_id", ["cents", "hh"], 16, 20)
+
+
+def q_topic_shifts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical topic segmentation per conversation: adjacent-turn
+    distinct-token Jaccard below 0.2 (INTEGER cross-multiplied) starts
+    a segment; mean adjacent Jaccard folds turn-ordered
+    (operators/conversation.topic_shifts)."""
+    _utc(spark)
+    from cernan_spark.operators.conversation import topic_shifts
+
+    return topic_shifts(transcripts_from_events(spark, sf_dir))
+
+
+def q_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU over trailing-28-day MAU per day, exact distincts on the
+    deduplicated (user, day) grid — the engagement ratio chart
+    (operators/behavior.stickiness)."""
+    from cernan_spark.operators.behavior import stickiness
+
+    _utc(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return stickiness(ev, "user_id", "ts", 28)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -12573,5 +12597,73 @@ def oracle_sql() -> dict[str, str]:
         FROM t1 JOIN t2 ON t2.id = t1.id
         ORDER BY t1.t + t2.t DESC, t1.id
         LIMIT 20
+    """
+    d["topic_shifts"] = PR + """
+        , tk AS (
+            SELECT conv_id, turn_idx,
+                   list_distinct(list_filter(string_split(text, ' '),
+                                 x -> len(x) > 0)) AS tk
+            FROM transcripts
+        ), staged AS (
+            SELECT conv_id, turn_idx, tk,
+                   lag(tk) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+                     AS prev
+            FROM tk
+        ), pairs AS (
+            SELECT conv_id, turn_idx,
+                   CASE WHEN prev IS NOT NULL THEN
+                       CAST(len(list_filter(list_distinct(prev),
+                            x -> list_contains(tk, x))) AS BIGINT)
+                   END AS i,
+                   CASE WHEN prev IS NOT NULL THEN
+                       CAST(len(prev) + len(tk)
+                            - len(list_filter(list_distinct(prev),
+                                  x -> list_contains(tk, x))) AS BIGINT)
+                   END AS u
+            FROM staged
+        ), scored AS (
+            SELECT conv_id, turn_idx, i, u,
+                   CAST(i IS NOT NULL AND 5 * i < 1 * u AS INT) AS b,
+                   CASE WHEN u > 0
+                        THEN CAST(i AS DOUBLE) / CAST(u AS DOUBLE)
+                        ELSE 0.0 END AS j
+            FROM pairs
+        ), agg AS (
+            SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+                   CAST(sum(b) AS BIGINT) AS n_boundaries,
+                   CAST(sum(CASE WHEN i IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_adj,
+                   list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                       list(j ORDER BY turn_idx)), (a, x) -> a + x)
+                     AS jsum
+            FROM scored GROUP BY 1
+        )
+        SELECT conv_id, n_turns, n_boundaries,
+               CAST(n_boundaries + 1 AS BIGINT) AS n_segments,
+               round(CASE WHEN n_adj > 0
+                     THEN jsum / CAST(n_adj AS DOUBLE)
+                     ELSE 0.0 END, 6) AS mean_jaccard
+        FROM agg
+    """
+    d["stickiness"] = """
+        WITH ud AS (
+            SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS day
+            FROM events
+        ), days AS (
+            SELECT DISTINCT day AS spine FROM ud
+        ), dau AS (
+            SELECT day AS spine, CAST(count(DISTINCT u) AS BIGINT) AS dau
+            FROM ud GROUP BY 1
+        ), mau AS (
+            SELECT d.spine, CAST(count(DISTINCT ud.u) AS BIGINT) AS mau
+            FROM ud JOIN days d
+              ON ud.day <= d.spine
+             AND ud.day >= d.spine - INTERVAL 27 DAY
+            GROUP BY 1
+        )
+        SELECT dau.spine AS day, dau.dau, mau.mau,
+               round(CAST(dau.dau AS DOUBLE) / CAST(mau.mau AS DOUBLE),
+                     6) AS stickiness
+        FROM dau JOIN mau USING (spine)
     """
     return d

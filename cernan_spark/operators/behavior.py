@@ -547,3 +547,55 @@ def item_cosine(
             6,
         ).alias("jaccard"),
     )
+
+
+def stickiness(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    window_days: int = 28,
+) -> DataFrame:
+    """DAU/MAU stickiness per day — the engagement ratio a product
+    pipeline charts: distinct users active that day over distinct users
+    active in the trailing ``window_days`` (inclusive). Exact distinct
+    counts (no sketch): the (user, day) grid is deduplicated FIRST, so
+    the trailing-window range join fans out at day grain (≤ window_days
+    per grid row), never at event grain.
+
+    Output per day: ``day, dau, mau, stickiness`` (one exact-integer
+    division).
+    """
+    ud = events.select(
+        F.col(user_col).alias("u"),
+        F.to_date(F.col(ts_col)).alias("day"),
+    ).distinct()
+    days = ud.select("day").distinct().select(
+        F.col("day").alias("spine")
+    )
+    dau = ud.groupBy(F.col("day").alias("spine")).agg(
+        F.countDistinct("u").alias("dau")
+    )
+    mau = (
+        ud.join(
+            days,
+            (F.col("day") <= F.col("spine"))
+            & (
+                F.col("day")
+                >= F.date_sub(F.col("spine"), window_days - 1)
+            ),
+        )
+        .groupBy("spine")
+        .agg(F.countDistinct("u").alias("mau"))
+    )
+    return (
+        dau.join(mau, "spine")
+        .select(
+            F.col("spine").alias("day"),
+            "dau",
+            "mau",
+            F.round(
+                F.col("dau").cast("double") / F.col("mau").cast("double"),
+                6,
+            ).alias("stickiness"),
+        )
+    )

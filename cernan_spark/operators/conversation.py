@@ -912,3 +912,73 @@ def markov_entropy_rate(df: DataFrame) -> DataFrame:
             6,
         ).alias("entropy_rate"),
     )
+
+
+def topic_shifts(
+    df: DataFrame,
+    jaccard_num: int = 1,
+    jaccard_den: int = 5,
+) -> DataFrame:
+    """Topic-shift segmentation of conversations: adjacent turns whose
+    distinct-token Jaccard falls below ``jaccard_num/jaccard_den``
+    (default 0.2) start a new segment — the cheap lexical topic
+    boundary a context-packing pipeline reads before splitting long
+    conversations (compose with ``context_pack``/``doc_chunks``).
+
+    The boundary test is an INTEGER cross-multiplication
+    (den·|∩| < num·|∪|, union via |A|+|B|−|∩| over pre-distinct token
+    sets — no float compare); mean adjacent Jaccard folds turn-ordered
+    divisions of exact ints. One lag window per conversation + one
+    aggregate.
+
+    Output per conversation: ``conv_id, n_turns, n_boundaries,
+    n_segments, mean_jaccard``.
+    """
+    toks = F.array_distinct(
+        F.filter(F.split("text", " "), lambda x: F.length(x) > 0)
+    )
+    w = W.partitionBy("conv_id").orderBy("turn_idx")
+    staged = df.select(
+        "conv_id", "turn_idx", toks.alias("tk")
+    ).withColumn("prev", F.lag("tk").over(w))
+    inter = F.size(F.array_intersect("prev", "tk"))
+    union = F.size("prev") + F.size("tk") - inter
+    pairs = staged.select(
+        "conv_id",
+        "turn_idx",
+        F.when(F.col("prev").isNotNull(), inter).alias("i"),
+        F.when(F.col("prev").isNotNull(), union).alias("u"),
+    )
+    boundary = (
+        F.col("i").isNotNull()
+        & (F.lit(jaccard_den) * F.col("i") < F.lit(jaccard_num) * F.col("u"))
+    ).cast("int")
+    j = F.when(
+        F.col("u") > 0, F.col("i").cast("double") / F.col("u").cast("double")
+    ).otherwise(F.lit(0.0))
+    agg = pairs.select(
+        "conv_id", "turn_idx", boundary.alias("b"), "i", "u", j.alias("j")
+    ).groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum("b").alias("n_boundaries"),
+        F.array_sort(
+            F.collect_list(
+                F.struct("turn_idx", F.col("j").alias("jac"))
+            )
+        ).alias("xs"),
+        F.sum(F.when(F.col("i").isNotNull(), 1).otherwise(0)).alias(
+            "n_adj"
+        ),
+    )
+    mean_j = F.when(
+        F.col("n_adj") > 0,
+        F.aggregate("xs", F.lit(0.0), lambda a, x: a + x["jac"])
+        / F.col("n_adj").cast("double"),
+    ).otherwise(F.lit(0.0))
+    return agg.select(
+        "conv_id",
+        "n_turns",
+        "n_boundaries",
+        (F.col("n_boundaries") + 1).alias("n_segments"),
+        F.round(mean_j, 6).alias("mean_jaccard"),
+    )

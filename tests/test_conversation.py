@@ -347,3 +347,39 @@ def test_markov_entropy_rate_hand_models(spark):
         "conv_id string, turn_idx int, role string",
     )
     assert markov_entropy_rate(noisy).first()["entropy_rate"] > got["entropy_rate"]
+
+
+def test_topic_shifts_hand_model(spark):
+    """A conversation that switches vocabulary mid-way gets exactly one
+    boundary; repeated-vocabulary turns don't split; mean Jaccard is
+    the hand value."""
+    from cernan_spark.operators.conversation import topic_shifts
+
+    rows = [
+        ("c1", 0, "alpha beta gamma"),
+        ("c1", 1, "beta gamma delta"),     # J = 2/4 = 0.5 — no boundary
+        ("c1", 2, "xray yankee zulu"),      # J = 0 — boundary
+        ("c1", 3, "zulu xray quebec"),      # J = 2/4 — no boundary
+        ("c2", 0, "solo"),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    out = {r["conv_id"]: r for r in topic_shifts(df).collect()}
+    c1 = out["c1"]
+    assert c1["n_turns"] == 4 and c1["n_boundaries"] == 1
+    assert c1["n_segments"] == 2
+    assert c1["mean_jaccard"] == round((0.5 + 0.0 + 0.5) / 3, 6)
+    c2 = out["c2"]
+    assert c2["n_segments"] == 1 and c2["mean_jaccard"] == 0.0
+
+
+def test_topic_shifts_duplicate_tokens_dedup(spark):
+    """Token multisets dedup before Jaccard: 'a a a b' vs 'a b' are
+    identical sets (J = 1)."""
+    from cernan_spark.operators.conversation import topic_shifts
+
+    df = spark.createDataFrame(
+        [("c", 0, "a a a b"), ("c", 1, "a b")],
+        "conv_id string, turn_idx int, text string",
+    )
+    r = topic_shifts(df).first()
+    assert r["n_boundaries"] == 0 and r["mean_jaccard"] == 1.0

@@ -724,3 +724,28 @@ def test_hbos_scores_flags_the_planted_outlier(spark):
     assert out[0]["score"] > out[1]["score"]
     again = hbos_scores(df, "id", ["f1", "f2"], 16, 5).collect()
     assert [tuple(r) for r in out] == [tuple(r) for r in again]
+
+
+def test_stickiness_hand_model(spark):
+    """Three days, overlapping users: DAU/MAU per day match hand counts
+    with a trailing window shorter than the span."""
+    from cernan_spark.operators.behavior import stickiness
+
+    rows = [
+        (1, "2024-01-01 05:00:00"), (2, "2024-01-01 06:00:00"),
+        (1, "2024-01-02 05:00:00"),
+        (3, "2024-01-03 05:00:00"), (1, "2024-01-03 09:00:00"),
+    ]
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(rows, "user_id long, ts string").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    out = {str(r["day"]): r for r in stickiness(df, "user_id", "ts", 2).collect()}
+    # window = 2 days (today + yesterday)
+    assert out["2024-01-01"]["dau"] == 2 and out["2024-01-01"]["mau"] == 2
+    assert out["2024-01-02"]["dau"] == 1 and out["2024-01-02"]["mau"] == 2
+    # Jan 3 trailing 2 days = {Jan 2, Jan 3} → users {1, 3}
+    assert out["2024-01-03"]["dau"] == 2 and out["2024-01-03"]["mau"] == 2
+    assert out["2024-01-03"]["stickiness"] == 1.0
+    assert out["2024-01-02"]["stickiness"] == 0.5
