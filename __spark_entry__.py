@@ -3208,6 +3208,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hbos": q_hbos,
         "topic_shifts": q_topic_shifts,
         "stickiness": q_stickiness,
+        "ips": q_ips,
+        "conformal": q_conformal,
     }
 
 
@@ -7394,6 +7396,58 @@ def q_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return stickiness(ev, "user_id", "ts", 28)
+
+
+def q_ips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Off-policy (IPS/SNIPS) value of a candidate tool-routing policy
+    from logged actions with dyadic-rational propensities — the
+    counterfactual router eval; id-sorted pinned folds
+    (operators/experiment.ips_policy_value)."""
+    from cernan_spark.operators.experiment import ips_policy_value
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    tool = (
+        F.when(F.col("event_type") == "click", "grep")
+        .when(F.col("event_type") == "view", "read")
+        .when(F.col("event_type") == "purchase", "search")
+        .when(F.col("event_type") == "signup", "none")
+        .otherwise("bash")
+    )
+    logs = ev.select(
+        "event_id",
+        tool.alias("a"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("r"),
+        F.when(
+            tool.isin("grep", "read", "search"), F.lit(0.25)
+        )
+        .otherwise(F.lit(0.125))
+        .alias("p"),
+        F.when(F.col("user_id") % 2 == 0, F.lit("read"))
+        .otherwise(F.lit("grep"))
+        .alias("pi"),
+    )
+    return ips_policy_value(logs, "event_id", "a", "r", "p", "pi")
+
+
+def q_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal calibration of the naive lag-1 hourly forecaster
+    per metric: q-hat = exact order statistic of even-hour |residuals|
+    (alpha = 0.1 as integer ceiling division), coverage checked on odd
+    hours (operators/experiment.conformal_coverage)."""
+    from cernan_spark.operators.experiment import conformal_coverage
+    from pyspark.sql import Window as W
+
+    ser = _hourly_cents_xy(spark, sf_dir)
+    w = W.partitionBy("event_type").orderBy("x")
+    lagd = ser.withColumn("yh", F.lag("y").over(w)).filter(
+        F.col("yh").isNotNull()
+    )
+    prep = lagd.select(
+        "event_type",
+        (F.col("x") % 2 == 0).alias("cal"),
+        F.abs(F.col("y") - F.col("yh")).alias("e"),
+    )
+    return conformal_coverage(prep, ["event_type"], "cal", "e", 1, 10)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -12665,5 +12719,82 @@ def oracle_sql() -> dict[str, str]:
                round(CAST(dau.dau AS DOUBLE) / CAST(mau.mau AS DOUBLE),
                      6) AS stickiness
         FROM dau JOIN mau USING (spine)
+    """
+    d["ips"] = """
+        WITH logs AS (
+            SELECT event_id AS id,
+                   CASE event_type WHEN 'click' THEN 'grep'
+                        WHEN 'view' THEN 'read'
+                        WHEN 'purchase' THEN 'search'
+                        WHEN 'signup' THEN 'none'
+                        ELSE 'bash' END AS a,
+                   CAST(round(value * 100, 0) AS BIGINT) AS r,
+                   user_id % 2 = 0 AS even
+            FROM events
+        ), st AS (
+            SELECT id,
+                   CASE WHEN (CASE WHEN even THEN 'read'
+                              ELSE 'grep' END) = a
+                        THEN 1 ELSE 0 END AS m,
+                   r,
+                   CASE WHEN a IN ('grep', 'read', 'search')
+                        THEN CAST(0.25 AS DOUBLE)
+                        ELSE CAST(0.125 AS DOUBLE) END AS p
+            FROM logs
+        ), g AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(m) AS BIGINT) AS n_matched,
+                   CAST(sum(r) AS BIGINT) AS r_sum,
+                   list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                       list(CASE WHEN m = 1
+                            THEN CAST(r AS DOUBLE) / p
+                            ELSE CAST(0.0 AS DOUBLE) END ORDER BY id)),
+                       (x, y) -> x + y) AS w_sum,
+                   list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                       list(CASE WHEN m = 1 THEN 1.0 / p
+                            ELSE CAST(0.0 AS DOUBLE) END ORDER BY id)),
+                       (x, y) -> x + y) AS iw_sum
+            FROM st
+        )
+        SELECT n, n_matched,
+               round(CAST(r_sum AS DOUBLE) / CAST(n AS DOUBLE), 6)
+                 AS v_logged,
+               round(w_sum / CAST(n AS DOUBLE), 6) AS v_ips,
+               CASE WHEN n_matched > 0
+                    THEN round(w_sum / iw_sum, 6) END AS v_snips
+        FROM g
+    """
+    d["conformal"] = f"""
+        WITH ser AS ({_hourly_sql}),
+        lagd AS (
+            SELECT event_type, x, y,
+                   lag(y) OVER (PARTITION BY event_type ORDER BY x)
+                     AS yh
+            FROM ser
+        ), resid AS (
+            SELECT event_type, x % 2 = 0 AS cal,
+                   CAST(abs(y - yh) AS BIGINT) AS e
+            FROM lagd WHERE yh IS NOT NULL
+        ), c AS (
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n_cal,
+                   list(e ORDER BY e) AS es
+            FROM resid WHERE cal GROUP BY 1
+        ), q AS (
+            SELECT event_type, n_cal,
+                   es[CAST(least((n_cal + 1) * 9 + 9, n_cal * 10) // 10
+                           AS INT)] AS qhat
+            FROM c
+        ), t AS (
+            SELECT r.event_type, q.n_cal, q.qhat,
+                   CAST(count(*) AS BIGINT) AS n_test,
+                   CAST(sum(CASE WHEN r.e <= q.qhat THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_in
+            FROM resid r JOIN q USING (event_type)
+            WHERE NOT r.cal GROUP BY 1, 2, 3
+        )
+        SELECT event_type, n_cal, n_test, qhat,
+               round(CAST(n_in AS DOUBLE) / CAST(n_test AS DOUBLE), 6)
+                 AS coverage
+        FROM t
     """
     return d

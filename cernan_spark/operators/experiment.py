@@ -185,3 +185,125 @@ def poisson_bootstrap_mean(
         F.round(F.element_at("ms", lo_rank), 6).alias("boot_lo"),
         F.round(F.element_at("ms", hi_rank), 6).alias("boot_hi"),
     )
+
+
+def ips_policy_value(
+    logs: DataFrame,
+    id_col: str,
+    action_col: str,
+    reward_col: str,
+    propensity_col: str,
+    target_col: str,
+) -> DataFrame:
+    """Off-policy evaluation of a candidate routing policy from logged
+    (action, reward, propensity) rows — the counterfactual "what would
+    the new router have earned" answer WITHOUT an experiment:
+
+    * IPS  V̂ = (1/n) Σ 1[π(x)=a] · r / p   (unbiased, high variance)
+    * SNIPS V̂ = Σ 1[π=a]·r/p / Σ 1[π=a]/p  (self-normalized)
+
+    Propensities must be the LOGGING policy's true action probabilities
+    (here exact dyadic rationals, so r/p and 1/p are single
+    correctly-rounded divisions); both folds run id-sorted (pinned).
+
+    Output ONE row: ``n, n_matched, v_logged, v_ips, v_snips``.
+    """
+    m = (F.col(action_col) == F.col(target_col)).cast("int")
+    staged = logs.select(
+        F.col(id_col).alias("id"),
+        m.alias("m"),
+        F.col(reward_col).alias("r"),
+        F.col(propensity_col).alias("p"),
+    )
+    agg = staged.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("m").alias("n_matched"),
+        F.sum("r").alias("r_sum"),
+        F.array_sort(
+            F.collect_list(F.struct("id", "m", "r", "p"))
+        ).alias("xs"),
+    )
+    w_sum = F.aggregate(
+        "xs",
+        F.lit(0.0),
+        lambda acc, x: acc
+        + F.when(
+            x["m"] == 1, x["r"].cast("double") / x["p"]
+        ).otherwise(F.lit(0.0)),
+    )
+    iw_sum = F.aggregate(
+        "xs",
+        F.lit(0.0),
+        lambda acc, x: acc
+        + F.when(x["m"] == 1, F.lit(1.0) / x["p"]).otherwise(F.lit(0.0)),
+    )
+    return agg.select(
+        "n",
+        "n_matched",
+        F.round(
+            F.col("r_sum").cast("double") / F.col("n").cast("double"), 6
+        ).alias("v_logged"),
+        F.round(w_sum / F.col("n").cast("double"), 6).alias("v_ips"),
+        F.when(
+            F.col("n_matched") > 0, F.round(w_sum / iw_sum, 6)
+        ).alias("v_snips"),
+    )
+
+
+def conformal_coverage(
+    df: DataFrame,
+    key_cols: list[str],
+    split_col: str,
+    resid_col: str,
+    alpha_num: int = 1,
+    alpha_den: int = 10,
+) -> DataFrame:
+    """Split-conformal interval calibration over integer residuals: the
+    calibration half (``split_col`` true) yields q̂ = the
+    ⌈(n_cal+1)·(1−α)⌉-th smallest |residual| (a pure order statistic —
+    α = alpha_num/alpha_den kept as integers so the rank is exact
+    ceiling division); the held-out half reports empirical coverage of
+    |resid| ≤ q̂, which should be ≳ 1−α when exchangeability holds —
+    the distribution-free forecast-band check for any predictor.
+
+    Integer-only until the final coverage division.
+
+    Output per key: ``*key_cols, n_cal, n_test, qhat, coverage``.
+    """
+    staged = df.select(
+        *key_cols, F.col(split_col).alias("cal"), F.col(resid_col).alias("e")
+    )
+    cal = staged.filter("cal").groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("n_cal"),
+        F.array_sort(F.collect_list("e")).alias("es"),
+    )
+    num = alpha_den - alpha_num  # (1 - alpha) numerator over alpha_den
+    qhat = cal.select(
+        *key_cols,
+        "n_cal",
+        F.expr(
+            f"element_at(es, CAST(least((n_cal + 1) * {num} + {alpha_den}"
+            f" - 1, n_cal * {alpha_den}) / {alpha_den} AS INT))"
+        ).alias("qhat"),
+    )
+    test = staged.filter(~F.col("cal"))
+    return (
+        test.join(qhat, key_cols)
+        .groupBy(*key_cols, "n_cal", "qhat")
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.sum(
+                F.when(F.col("e") <= F.col("qhat"), 1).otherwise(0)
+            ).alias("n_in"),
+        )
+        .select(
+            *key_cols,
+            "n_cal",
+            "n_test",
+            "qhat",
+            F.round(
+                F.col("n_in").cast("double") / F.col("n_test").cast("double"),
+                6,
+            ).alias("coverage"),
+        )
+    )

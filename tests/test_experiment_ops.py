@@ -107,3 +107,76 @@ def test_label_propagation_sync_tie_break_smallest(spark):
     # round1: 0→1, 1→0 (tie {0,2}), 2→1; round2: 0→0, 1→1, 2→0;
     # round3: 0→1, 1→0, 2→1 (period-2 oscillation — deterministic)
     assert got == {0: 1, 1: 0, 2: 1}
+
+
+def test_ips_policy_value_hand_model(spark):
+    """IPS/SNIPS match hand arithmetic on a 4-row log; a policy
+    matching nothing yields v_ips 0 and NULL v_snips."""
+    from cernan_spark.operators.experiment import ips_policy_value
+
+    rows = [
+        # id, action, reward, propensity, target
+        (1, "a", 10, 0.5, "a"),   # match: w=20, iw=2
+        (2, "b", 8, 0.25, "a"),   # no match
+        (3, "a", 6, 0.5, "a"),    # match: w=12, iw=2
+        (4, "b", 100, 0.25, "b"), # match: w=400, iw=4
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, a string, r long, p double, pi string"
+    )
+    got = ips_policy_value(df, "id", "a", "r", "p", "pi").first()
+    assert got["n"] == 4 and got["n_matched"] == 3
+    assert got["v_logged"] == round(124 / 4, 6)
+    assert got["v_ips"] == round((20 + 12 + 400) / 4, 6)
+    assert got["v_snips"] == round((20 + 12 + 400) / 8, 6)
+
+    from pyspark.sql import functions as F
+
+    nomatch = df.withColumn("pi", F.lit("z"))
+    g2 = ips_policy_value(nomatch, "id", "a", "r", "p", "pi").first()
+    assert g2["v_ips"] == 0.0 and g2["v_snips"] is None
+
+
+def test_ips_identity_policy_recovers_logged_value(spark):
+    """Evaluating the LOGGING policy itself (pi = a) with correct
+    propensities is unbiased in expectation; with uniform propensities
+    it recovers v_logged·(1/p) scaling consistency via SNIPS = mean of
+    matched rewards."""
+    from cernan_spark.operators.experiment import ips_policy_value
+    from pyspark.sql import functions as F
+
+    rows = [(i, "a" if i % 2 else "b", 10 + i, 0.5) for i in range(20)]
+    df = spark.createDataFrame(rows, "id long, a string, r long, p double")
+    df = df.withColumn("pi", F.col("a"))
+    got = ips_policy_value(df, "id", "a", "r", "p", "pi").first()
+    # every row matches with constant 1/p → SNIPS = plain mean
+    assert got["v_snips"] == got["v_logged"]
+
+
+def test_conformal_coverage_hand_model(spark):
+    """Known residuals: q-hat is the exact ceil((n+1)(1-α)) order
+    statistic; coverage counts test residuals ≤ q-hat."""
+    from cernan_spark.operators.experiment import conformal_coverage
+
+    cal = [1, 2, 3, 4, 5, 6, 7, 8, 9]           # n_cal = 9
+    test = [2, 5, 9, 10, 11]                     # ≤ qhat?
+    rows = [("k", True, e) for e in cal] + [("k", False, e) for e in test]
+    df = spark.createDataFrame(rows, "k string, cal boolean, e long")
+    got = conformal_coverage(df, ["k"], "cal", "e", 1, 10).first()
+    # rank = ceil(10 * 0.9) = 9 → qhat = 9
+    assert got["n_cal"] == 9 and got["qhat"] == 9
+    assert got["n_test"] == 5
+    assert got["coverage"] == round(3 / 5, 6)
+
+
+def test_conformal_rank_caps_at_n_cal(spark):
+    """Tiny calibration sets cap the rank at n_cal instead of
+    overflowing the order statistic."""
+    from cernan_spark.operators.experiment import conformal_coverage
+
+    rows = [("k", True, 4), ("k", True, 7), ("k", False, 5),
+            ("k", False, 8)]
+    df = spark.createDataFrame(rows, "k string, cal boolean, e long")
+    got = conformal_coverage(df, ["k"], "cal", "e", 1, 10).first()
+    assert got["qhat"] == 7  # rank ceil(3*0.9)=3 → capped to n_cal=2
+    assert got["coverage"] == 0.5
