@@ -3210,6 +3210,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stickiness": q_stickiness,
         "ips": q_ips,
         "conformal": q_conformal,
+        "kaplan_meier": q_kaplan_meier,
+        "modularity": q_modularity,
+        "assortativity": q_assortativity,
+        "isotonic": q_isotonic,
+        "pinball": q_pinball,
+        "heaps_law": q_heaps_law,
     }
 
 
@@ -7448,6 +7454,132 @@ def q_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.abs(F.col("y") - F.col("yh")).alias("e"),
     )
     return conformal_coverage(prep, ["event_type"], "cal", "e", 1, 10)
+
+
+def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier time-to-first-purchase survival with right
+    censoring (never-purchasers censored at the corpus horizon), plus
+    the Nelson–Aalen cumulative hazard: at-risk counts from an exact
+    integer running sum, survival/hazard as LEFT folds over the
+    duration-ordered step list (operators/survival.kaplan_meier)."""
+    from cernan_spark.operators.survival import kaplan_meier
+
+    _utc(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    fe = ev.groupBy("user_id").agg(F.min("ts").alias("t0"))
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tp"))
+    )
+    mx = ev.agg(F.max("ts").alias("tmax"))
+    lt = (
+        fe.join(fp, "user_id", "left")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.datediff(
+                F.to_date(F.coalesce("tp", "tmax")), F.to_date("t0")
+            )
+            .cast("long")
+            .alias("t"),
+            F.col("tp").isNotNull().alias("event"),
+        )
+    )
+    return kaplan_meier(lt, "t", "event")
+
+
+def _residue_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The residue co-citation graph shared by label_prop / modularity /
+    assortativity: doc_id mod 23 cites doc_id mod 29."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return d.select(
+        (F.col("doc_id") % 23).alias("src"),
+        (F.col("doc_id") % 29).alias("dst"),
+    )
+
+
+def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of a 5-way residue partition of the residue
+    graph (the LPA partition collapses this dense graph to one
+    community — pytest covers that composition on a two-clique graph) —
+    community quality as the exact BIGINT rational (4·L_c·m − d_c²)/
+    (4m²), one division at emit, total repeated per row via an integer
+    window over the ≤5-community rollup (operators/graph.modularity)."""
+    from cernan_spark.operators.graph import modularity
+    from cernan_spark.operators.graph import _simple_undirected
+
+    edges = _residue_edges(spark, sf_dir)
+    nodes = (
+        _simple_undirected(edges)
+        .select(F.col("u").alias("node"))
+        .unionAll(
+            _simple_undirected(edges).select(F.col("v").alias("node"))
+        )
+        .distinct()
+    )
+    labels = nodes.select("node", (F.col("node") % 5).alias("label"))
+    return modularity(edges, labels)
+
+
+def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the residue graph: Pearson correlation
+    of end-point degrees over the directed-both edge view, where
+    exchangeability collapses the sqrt into a pure BIGINT rational —
+    no float until the single division (operators/graph.
+    degree_assortativity)."""
+    from cernan_spark.operators.graph import degree_assortativity
+
+    return degree_assortativity(_residue_edges(spark, sf_dir))
+
+
+def q_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (PAV) recalibration of the scored classifier frame on
+    the distinct-score grain via the exact minimax form — integer
+    prefix counts, interval means as single BIGINT divisions, min/max
+    over doubles (order-insensitive); rate_iso is non-decreasing
+    (operators/experiment.isotonic_calibration)."""
+    from cernan_spark.operators.experiment import isotonic_calibration
+
+    return isotonic_calibration(
+        _scored_embeddings(spark, sf_dir), "score", "y"
+    )
+
+
+def q_pinball(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean pinball loss of the naive lag-1 hourly forecaster at
+    τ ∈ {0.1, 0.5, 0.9}: per-row terms max(t·e, (t−10)·e) stay exact
+    BIGINTs (cents × tenths), ONE integer aggregate per (metric, τ),
+    one division at emit (operators/experiment.pinball_loss)."""
+    from cernan_spark.operators.experiment import pinball_loss
+    from pyspark.sql import Window as W
+
+    ser = _hourly_cents_xy(spark, sf_dir)
+    w = W.partitionBy("event_type").orderBy("x")
+    lagd = ser.withColumn("yh", F.lag("y").over(w)).filter(
+        F.col("yh").isNotNull()
+    )
+    return pinball_loss(lagd, ["event_type"], "y", "yh", [1, 5, 9])
+
+
+def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth V ≈ K·N^β of the corpus BIGRAM
+    vocabulary (the unigram pool is fixed by construction) from 12
+    equal-width doc_id-range checkpoints — no rank spine, cumulative
+    counts from broadcast cut joins; ln–ln OLS folded LEFT over the
+    checkpoint list (operators/corpus.heaps_law)."""
+    from cernan_spark.operators.corpus import heaps_law
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    arr = F.split("text", " ")
+    bigrams = F.zip_with(
+        F.slice(arr, 1, F.size(arr) - 1),
+        F.slice(arr, 2, F.size(arr) - 1),
+        lambda a, b: F.concat(a, F.lit("_"), b),
+    )
+    stream = d.select(
+        "doc_id", F.explode(bigrams).alias("tok")
+    )
+    return heaps_law(stream, "doc_id", "tok", 12)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -11806,7 +11938,10 @@ def oracle_sql() -> dict[str, str]:
                round(ms[31], 6) AS boot_hi
         FROM stats, boot
     """
-    d["label_prop"] = """
+    # shared by label_prop and modularity: the residue co-citation
+    # graph plus 4 rounds of list-carried synchronous LPA ending in a
+    # (node, label) relation `lab`.
+    _lp_cte = """
         WITH RECURSIVE e AS (
             SELECT DISTINCT least(doc_id % 23, doc_id % 29) AS u,
                             greatest(doc_id % 23, doc_id % 29) AS v
@@ -11839,12 +11974,87 @@ def oracle_sql() -> dict[str, str]:
             SELECT unnest(ps) AS s FROM r WHERE k = 4
         ), lab AS (
             SELECT s.node AS node, s.label AS label FROM fin
-        ), sizes AS (
+        )"""
+    d["label_prop"] = _lp_cte + """
+        , sizes AS (
             SELECT label, CAST(count(*) AS BIGINT) AS community_size
             FROM lab GROUP BY 1
         )
         SELECT lab.node, lab.label, sizes.community_size
         FROM lab JOIN sizes USING (label)
+    """
+    d["modularity"] = """
+        WITH e AS (
+            SELECT DISTINCT least(doc_id % 23, doc_id % 29) AS u,
+                            greatest(doc_id % 23, doc_id % 29) AS v
+            FROM documents WHERE doc_id % 23 <> doc_id % 29
+        ), lab AS (
+            SELECT DISTINCT u AS node, u % 5 AS label
+            FROM (SELECT u FROM e UNION ALL SELECT v AS u FROM e)
+        ), mm AS (
+            SELECT CAST(count(*) AS BIGINT) AS m FROM e
+        ), deg AS (
+            SELECT u, CAST(count(*) AS BIGINT) AS deg
+            FROM (SELECT u FROM e UNION ALL SELECT v FROM e)
+            GROUP BY 1
+        ), dc AS (
+            SELECT lab.label AS community,
+                   CAST(count(*) AS BIGINT) AS n_nodes,
+                   CAST(sum(deg.deg) AS BIGINT) AS degree_sum
+            FROM deg JOIN lab ON lab.node = deg.u
+            GROUP BY 1
+        ), intra AS (
+            SELECT lu.label AS community,
+                   CAST(count(*) AS BIGINT) AS intra_edges
+            FROM e JOIN lab lu ON lu.node = e.u
+                   JOIN lab lv ON lv.node = e.v
+            WHERE lu.label = lv.label
+            GROUP BY 1
+        ), per AS (
+            SELECT dc.community, dc.n_nodes, dc.degree_sum,
+                   coalesce(intra.intra_edges, 0) AS intra_edges,
+                   4 * coalesce(intra.intra_edges, 0) * mm.m
+                     - dc.degree_sum * dc.degree_sum AS numer,
+                   4 * mm.m * mm.m AS denom
+            FROM dc LEFT JOIN intra USING (community) CROSS JOIN mm
+        )
+        SELECT community, n_nodes, degree_sum,
+               CAST(intra_edges AS BIGINT) AS intra_edges,
+               round(CAST(numer AS DOUBLE) / CAST(denom AS DOUBLE), 6)
+                 AS contribution,
+               round(CAST(sum(numer) OVER () AS DOUBLE)
+                     / CAST(denom AS DOUBLE), 6) AS modularity
+        FROM per
+    """
+    d["assortativity"] = """
+        WITH e AS (
+            SELECT DISTINCT least(doc_id % 23, doc_id % 29) AS u,
+                            greatest(doc_id % 23, doc_id % 29) AS v
+            FROM documents WHERE doc_id % 23 <> doc_id % 29
+        ), adj AS (
+            SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e
+        ), deg AS (
+            SELECT u, CAST(count(*) AS BIGINT) AS deg
+            FROM adj GROUP BY 1
+        ), pe AS (
+            SELECT dx.deg AS x, dy.deg AS y
+            FROM adj JOIN deg dx ON dx.u = adj.u
+                     JOIN deg dy ON dy.u = adj.v
+        ), g AS (
+            SELECT CAST(count(*) AS BIGINT) AS m2,
+                   CAST(sum(x) AS BIGINT) AS sx,
+                   CAST(sum(x * y) AS BIGINT) AS sxy,
+                   CAST(sum(x * x) AS BIGINT) AS sxx
+            FROM pe
+        ), nn AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg
+        )
+        SELECT nn.n_nodes, m2 // 2 AS n_edges,
+               round(CASE WHEN m2 * sxx - sx * sx <> 0
+                     THEN CAST(m2 * sxy - sx * sx AS DOUBLE)
+                          / CAST(m2 * sxx - sx * sx AS DOUBLE) END, 6)
+                 AS assortativity
+        FROM g CROSS JOIN nn
     """
     from cernan_spark.operators.corpus import (
         hll_overlap_oracle_sql as _hll_overlap_sql,
@@ -12796,5 +13006,178 @@ def oracle_sql() -> dict[str, str]:
                round(CAST(n_in AS DOUBLE) / CAST(n_test AS DOUBLE), 6)
                  AS coverage
         FROM t
+    """
+    d["kaplan_meier"] = """
+        WITH fe AS (
+            SELECT user_id, min(ts) AS t0 FROM events GROUP BY 1
+        ), fp AS (
+            SELECT user_id, min(ts) AS tp FROM events
+            WHERE event_type = 'purchase' GROUP BY 1
+        ), mx AS (
+            SELECT max(ts) AS tmax FROM events
+        ), lt AS (
+            SELECT CAST(date_diff('day', CAST(fe.t0 AS DATE),
+                        CAST(coalesce(fp.tp, mx.tmax) AS DATE))
+                        AS BIGINT) AS t,
+                   fp.tp IS NOT NULL AS ev
+            FROM fe LEFT JOIN fp USING (user_id) CROSS JOIN mx
+        ), steps AS (
+            SELECT t,
+                   CAST(sum(CASE WHEN ev THEN 1 ELSE 0 END) AS BIGINT)
+                     AS d,
+                   CAST(sum(CASE WHEN ev THEN 0 ELSE 1 END) AS BIGINT)
+                     AS c
+            FROM lt GROUP BY 1
+        ), tot AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_total FROM lt
+        ), risked AS (
+            SELECT t, d, c,
+                   tot.n_total - coalesce(
+                       CAST(sum(d + c) OVER (ORDER BY t
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING) AS BIGINT), 0) AS n
+            FROM steps CROSS JOIN tot
+        ), l AS (
+            SELECT list(struct_pack(t := t, n := n, d := d, c := c)
+                        ORDER BY t) AS arr
+            FROM risked
+        ), ex AS (
+            SELECT unnest(generate_series(1, CAST(length(arr) AS INT)))
+                     AS k, arr
+            FROM l
+        )
+        SELECT arr[k].t AS t, arr[k].n AS n_risk,
+               arr[k].d AS n_event, arr[k].c AS n_censored,
+               round(list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
+                   list_transform(arr[1:k],
+                       s -> (s.n - s.d) / s.n)),
+                   (a, b) -> a * b), 6) AS survival,
+               round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(arr[1:k], s -> s.d / s.n)),
+                   (a, b) -> a + b), 6) AS cum_hazard
+        FROM ex
+    """
+    d["isotonic"] = """
+        WITH sc AS (
+            SELECT label * 12 + vec_id % 13 AS s,
+                   CASE WHEN label >= 5 THEN 1 ELSE 0 END AS y
+            FROM embeddings
+        ), bins AS (
+            SELECT s, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(y) AS BIGINT) AS p
+            FROM sc GROUP BY 1
+        ), pref AS (
+            SELECT s, n, p,
+                   CAST(sum(n) OVER (ORDER BY s) AS BIGINT) AS cn,
+                   CAST(sum(p) OVER (ORDER BY s) AS BIGINT) AS cp
+            FROM bins
+        ), ivl AS (
+            SELECT l.s AS si, h.s AS sj,
+                   CAST(h.cp - (l.cp - l.p) AS DOUBLE)
+                   / CAST(h.cn - (l.cn - l.n) AS DOUBLE) AS avg
+            FROM pref l JOIN pref h ON l.s <= h.s
+        ), sufmin AS (
+            SELECT si, sj AS k,
+                   min(avg) OVER (PARTITION BY si ORDER BY sj
+                       ROWS BETWEEN CURRENT ROW
+                       AND UNBOUNDED FOLLOWING) AS m
+            FROM ivl
+        ), fit AS (
+            SELECT k, max(m) AS iso FROM sufmin
+            WHERE si <= k GROUP BY 1
+        )
+        SELECT pref.s AS score, pref.n, pref.p AS n_pos,
+               round(CAST(pref.p AS DOUBLE) / CAST(pref.n AS DOUBLE), 6)
+                 AS rate_raw,
+               round(iso, 6) AS rate_iso
+        FROM pref JOIN fit ON fit.k = pref.s
+    """
+    d["pinball"] = f"""
+        WITH ser AS ({_hourly_sql}),
+        lagd AS (
+            SELECT event_type, y,
+                   lag(y) OVER (PARTITION BY event_type ORDER BY x)
+                     AS yh
+            FROM ser
+        ), r AS (
+            SELECT event_type, CAST(y - yh AS BIGINT) AS e
+            FROM lagd WHERE yh IS NOT NULL
+        ), x AS (
+            SELECT event_type, e, unnest([1, 5, 9]) AS t FROM r
+        )
+        SELECT event_type, t AS tau_tenths,
+               CAST(count(*) AS BIGINT) AS n,
+               round(CAST(sum(greatest(t * e, (t - 10) * e)) AS DOUBLE)
+                     / (10.0 * CAST(count(*) AS DOUBLE)), 6) AS loss
+        FROM x GROUP BY 1, 2
+    """
+    d["heaps_law"] = """
+        WITH toks AS (
+            SELECT CAST(doc_id AS BIGINT) AS id,
+                   string_split(text, ' ') AS t
+            FROM documents
+        ), big AS (
+            SELECT id,
+                   unnest(list_transform(
+                       generate_series(1, length(t) - 1),
+                       i -> t[i] || '_' || t[i + 1])) AS tok
+            FROM toks
+        ), ids AS (
+            SELECT id, CAST(count(*) AS BIGINT) AS n_tok
+            FROM big GROUP BY 1
+        ), bounds AS (
+            SELECT min(id) AS lo, max(id) AS hi FROM ids
+        ), cuts AS (
+            SELECT c, lo + ((hi - lo + 1) * c) // 12 AS cut
+            FROM bounds,
+                 (SELECT unnest(generate_series(1, 12)) AS c)
+        ), n_c AS (
+            SELECT c, cut, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+            FROM ids JOIN cuts ON ids.id < cuts.cut
+            GROUP BY 1, 2
+        ), tok_first AS (
+            SELECT tok, min(id) AS fd
+            FROM big GROUP BY 1
+        ), v_c AS (
+            SELECT c, CAST(count(*) AS BIGINT) AS vocab
+            FROM tok_first JOIN cuts ON tok_first.fd < cuts.cut
+            GROUP BY 1
+        ), chk AS (
+            SELECT n_c.c AS checkpoint, n_c.cut AS cut_id,
+                   n_tokens, vocab
+            FROM n_c JOIN v_c ON v_c.c = n_c.c
+            WHERE n_tokens > 0 AND vocab > 0
+        ), pts AS (
+            SELECT list(struct_pack(
+                       c := checkpoint,
+                       x := ln(CAST(n_tokens AS DOUBLE)),
+                       y := ln(CAST(vocab AS DOUBLE))) ORDER BY checkpoint)
+                     AS a
+            FROM chk
+        ), sums AS (
+            SELECT CAST(length(a) AS DOUBLE) AS k,
+                   list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                       list_transform(a, s -> s.x)), (p, q) -> p + q)
+                     AS sx,
+                   list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                       list_transform(a, s -> s.y)), (p, q) -> p + q)
+                     AS sy,
+                   list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                       list_transform(a, s -> s.x * s.y)),
+                       (p, q) -> p + q) AS sxy,
+                   list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                       list_transform(a, s -> s.x * s.x)),
+                       (p, q) -> p + q) AS sxx
+            FROM pts
+        ), fit AS (
+            SELECT round((k * sxy - sx * sy) / (k * sxx - sx * sx), 6)
+                     + 0.0 AS beta,
+                   round(exp((sy - ((k * sxy - sx * sy)
+                                    / (k * sxx - sx * sx)) * sx) / k),
+                         6) AS k_coef
+            FROM sums
+        )
+        SELECT checkpoint, cut_id, n_tokens, vocab, beta, k_coef
+        FROM chk CROSS JOIN fit
     """
     return d

@@ -2455,3 +2455,112 @@ def hll_overlap_oracle_sql(
                round((ea + eb - eu) / eu, 4) AS jaccard_est
         FROM one
     """
+
+
+def heaps_law(
+    tokens: DataFrame,
+    id_col: str = "doc_id",
+    tok_col: str = "tok",
+    k_checkpoints: int = 12,
+) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit V(N) ≈ K·N^β over a token
+    stream (one row per token occurrence, tagged with its document id)
+    from equal-width id-range checkpoints — the tokenizer-budget
+    planner's estimate of how vocabulary scales with corpus size.
+
+    Scale shape: NO rank spine — checkpoints are ``k`` equal-width
+    slices of the [min(id), max(id)] RANGE, so cumulative token counts
+    and vocabulary sizes come from joining doc-grain / token-grain
+    rollups against a broadcast k-row cut table (each an ordinary
+    map-side-combined aggregate); the per-token first-occurrence is one
+    ``min(id)`` groupBy. Nothing windows over raw rows.
+
+    Float discipline: N_c and V_c are exact BIGINTs; the ln–ln OLS runs
+    over the ≤k checkpoint rows as LEFT folds of a checkpoint-ordered
+    struct list (``F.aggregate`` ≡ ``list_reduce``), β and ln K̂ each
+    ONE division; ``k_coef = exp(lnK̂)``; ``+ 0.0`` at emit maps an
+    IEEE −0 fit to +0 so both engines print the same zero. Empty
+    checkpoints (N or V = 0) are excluded, keeping ln well-defined.
+
+    Returns one row per non-empty checkpoint: ``checkpoint, cut_id,
+    n_tokens, vocab, beta, k_coef`` (fit columns repeated).
+    """
+    stream = tokens.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(tok_col).alias("tok"),
+    )
+    ids = stream.groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tok")
+    )
+    bounds = ids.agg(
+        F.min("id").alias("lo"), F.max("id").alias("hi")
+    )
+    cuts = bounds.select(
+        F.explode(F.sequence(F.lit(1), F.lit(k_checkpoints))).alias("c"),
+        "lo",
+        "hi",
+    ).select(
+        "c",
+        (
+            F.col("lo")
+            + F.floor(
+                ((F.col("hi") - F.col("lo") + 1) * F.col("c"))
+                / F.lit(k_checkpoints)
+            )
+        )
+        .cast("long")
+        .alias("cut"),
+    )
+    n_c = (
+        ids.join(F.broadcast(cuts), ids["id"] < cuts["cut"])
+        .groupBy("c", "cut")
+        .agg(F.sum("n_tok").cast("long").alias("n_tokens"))
+    )
+    tok_first = stream.groupBy("tok").agg(F.min("id").alias("fd"))
+    v_c = (
+        tok_first.join(F.broadcast(cuts), tok_first["fd"] < cuts["cut"])
+        .groupBy("c")
+        .agg(F.count(F.lit(1)).cast("long").alias("vocab"))
+    )
+    chk = (
+        n_c.join(v_c, "c")
+        .filter((F.col("n_tokens") > 0) & (F.col("vocab") > 0))
+        .select(
+            F.col("c").alias("checkpoint"),
+            F.col("cut").alias("cut_id"),
+            "n_tokens",
+            "vocab",
+        )
+    )
+    pts = chk.groupBy().agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    "checkpoint",
+                    F.log(F.col("n_tokens").cast("double")).alias("x"),
+                    F.log(F.col("vocab").cast("double")).alias("y"),
+                )
+            )
+        ).alias("a")
+    )
+
+    def _fold(expr):
+        return F.aggregate(expr, F.lit(0.0), lambda acc, v: acc + v)
+
+    sums = pts.select(
+        F.size("a").cast("double").alias("k"),
+        _fold(F.transform(F.col("a"), lambda s: s["x"])).alias("sx"),
+        _fold(F.transform(F.col("a"), lambda s: s["y"])).alias("sy"),
+        _fold(F.transform(F.col("a"), lambda s: s["x"] * s["y"])).alias("sxy"),
+        _fold(F.transform(F.col("a"), lambda s: s["x"] * s["x"])).alias("sxx"),
+    )
+    beta = (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    fit = sums.select(
+        (F.round(beta, 6) + F.lit(0.0)).alias("beta"),
+        F.round(
+            F.exp((F.col("sy") - beta * F.col("sx")) / F.col("k")), 6
+        ).alias("k_coef"),
+    )
+    return chk.crossJoin(F.broadcast(fit))

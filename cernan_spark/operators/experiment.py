@@ -307,3 +307,136 @@ def conformal_coverage(
             ).alias("coverage"),
         )
     )
+
+
+def isotonic_calibration(
+    df: DataFrame, score_col: str, y_col: str
+) -> DataFrame:
+    """Isotonic (PAV) calibration of a binary classifier on the
+    distinct-score grain, via the minimax characterization of the
+    pool-adjacent-violators fit: ŷ_k = max_{i≤k} min_{j≥k} mean(y on
+    bins i..j). Raw rows are touched by ONE map-side-combined hash
+    aggregate to the ≤B-row score rollup; the B² interval frame, the
+    suffix-min window and the final max all run on that bounded rollup
+    (B = distinct quantized scores, fixed by the scorer — never grows
+    with corpus rows), so every join below broadcasts at any SF.
+
+    Float discipline: prefix counts are exact integer window sums; the
+    interval means are single divisions of BIGINTs; min/max over
+    doubles are order-insensitive (exact comparisons), so no fold needs
+    pinning. One ``round(·, 6)`` at emit.
+
+    Returns one row per distinct score: ``score, n, n_pos, rate_raw,
+    rate_iso`` with ``rate_iso`` non-decreasing in ``score``.
+    """
+    from pyspark.sql.window import Window
+
+    bins = (
+        df.select(
+            F.col(score_col).cast("long").alias("s"),
+            F.col(y_col).cast("long").alias("y"),
+        )
+        .groupBy("s")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("y").cast("long").alias("p"),
+        )
+    )
+    wcum = (
+        Window.partitionBy(F.lit(1))
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    pref = bins.select(
+        "s",
+        "n",
+        "p",
+        F.sum("n").over(wcum).alias("cn"),
+        F.sum("p").over(wcum).alias("cp"),
+    )
+    lo = pref.select(
+        F.col("s").alias("si"),
+        (F.col("cn") - F.col("n")).alias("n_lo"),
+        (F.col("cp") - F.col("p")).alias("p_lo"),
+    )
+    hi = pref.select(
+        F.col("s").alias("sj"),
+        F.col("cn").alias("n_hi"),
+        F.col("cp").alias("p_hi"),
+    )
+    ivl = lo.join(hi, lo["si"] <= hi["sj"]).select(
+        "si",
+        "sj",
+        (
+            (F.col("p_hi") - F.col("p_lo")).cast("double")
+            / (F.col("n_hi") - F.col("n_lo")).cast("double")
+        ).alias("avg"),
+    )
+    wsuf = (
+        Window.partitionBy("si")
+        .orderBy("sj")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    sufmin = ivl.select(
+        "si", F.col("sj").alias("k"), F.min("avg").over(wsuf).alias("m")
+    )
+    fit = (
+        sufmin.filter(F.col("si") <= F.col("k"))
+        .groupBy("k")
+        .agg(F.max("m").alias("iso"))
+    )
+    return (
+        pref.join(fit, pref["s"] == fit["k"])
+        .select(
+            "s",
+            "n",
+            F.col("p").alias("n_pos"),
+            F.round(F.col("p").cast("double") / F.col("n").cast("double"), 6)
+            .alias("rate_raw"),
+            F.round("iso", 6).alias("rate_iso"),
+        )
+        .withColumnRenamed("s", "score")
+    )
+
+
+def pinball_loss(
+    df: DataFrame,
+    key_cols: list[str],
+    y_col: str,
+    yhat_col: str,
+    taus_tenths: list[int] = (1, 5, 9),
+) -> DataFrame:
+    """Mean pinball (quantile) loss of a forecaster at integer-tenth
+    quantile levels τ = t/10: loss = mean(max(τ·e, (τ−1)·e)), e = y−ŷ.
+    With integer residuals (cents) and integer tenths the per-row term
+    ``max(t·e, (t−10)·e)`` is an exact BIGINT — the whole reduction is
+    ONE map-side-combined integer aggregate per (key, τ), with the
+    single division (by 10·n) at emit.
+
+    Returns one row per (key, tau_tenths): ``…, tau, n, loss``.
+    """
+    t = F.explode(
+        F.array(*[F.lit(int(x)) for x in taus_tenths])
+    ).alias("t")
+    e = (F.col(y_col) - F.col(yhat_col)).cast("long")
+    rows = df.select(*key_cols, e.alias("e"), t)
+    term = F.greatest(
+        F.col("t") * F.col("e"), (F.col("t") - 10) * F.col("e")
+    )
+    return (
+        rows.groupBy(*key_cols, "t")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(term).cast("long").alias("l10"),
+        )
+        .select(
+            *key_cols,
+            F.col("t").alias("tau_tenths"),
+            "n",
+            F.round(
+                F.col("l10").cast("double")
+                / (F.lit(10).cast("double") * F.col("n").cast("double")),
+                6,
+            ).alias("loss"),
+        )
+    )

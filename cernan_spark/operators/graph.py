@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def pagerank(
@@ -584,4 +585,139 @@ def hits_scores(
             a.select("node", F.round("s", 6).alias("authority")),
             "node",
         )
+    )
+
+
+def _simple_undirected(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Canonical simple undirected edge set (u < v, loops dropped,
+    duplicates collapsed) — the same normalization every iterative
+    operator in this module applies, factored out for the two
+    whole-graph statistics below."""
+    return (
+        edges.select(
+            F.least(src, dst).alias("u"),
+            F.greatest(src, dst).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def degree_assortativity(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Degree assortativity coefficient r of the simple undirected
+    graph (Newman 2002): the Pearson correlation of the degrees at the
+    two ends of every edge, computed over the directed-both view so x
+    and y are exchangeable — which collapses the usual sqrt into a pure
+    BIGINT rational, (M·Σxy − (Σx)²) / (M·Σx² − (Σx)²), ONE double
+    division at emit. Degenerate (regular) graphs emit NULL.
+
+    Scale shape: a degree aggregate at node grain, one broadcast-able
+    join of degrees back to edges, one map-side-combined global sum —
+    no window, no collect.
+
+    Returns one row: ``n_nodes, n_edges, assortativity``.
+    """
+    e = _simple_undirected(edges, src, dst)
+    adj = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = adj.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    both = (
+        adj.join(deg.select(F.col("u"), F.col("deg").alias("x")), "u")
+        .join(
+            deg.select(F.col("u").alias("v"), F.col("deg").alias("y")),
+            "v",
+        )
+    )
+    g = both.agg(
+        F.count(F.lit(1)).cast("long").alias("m2"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    nn = deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    num = F.col("m2") * F.col("sxy") - F.col("sx") * F.col("sx")
+    den = F.col("m2") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return g.crossJoin(F.broadcast(nn)).select(
+        "n_nodes",
+        (F.col("m2") / F.lit(2)).cast("long").alias("n_edges"),
+        F.round(
+            F.when(den != 0, num.cast("double") / den.cast("double")),
+            6,
+        ).alias("assortativity"),
+    )
+
+
+def modularity(
+    edges: DataFrame,
+    labels: DataFrame,
+    node_col: str = "node",
+    label_col: str = "label",
+) -> DataFrame:
+    """Newman modularity of a node partition over the simple undirected
+    graph: per community c, contribution = L_c/m − (d_c/2m)² where L_c
+    is the intra-community edge count and d_c the community degree sum
+    — kept as the exact BIGINT rational (4·L_c·m − d_c²) / (4m²) with
+    ONE division at emit; ``modularity`` repeats the partition total on
+    every row (an exact integer window sum over the ≤|labels|-row
+    community rollup).
+
+    Scale shape: two label joins at edge grain (labels broadcast when
+    small), then node- and community-grain aggregates; the window runs
+    on the community rollup, never on rows.
+
+    Returns one row per community: ``community, n_nodes, degree_sum,
+    intra_edges, contribution, modularity``.
+    """
+    e = _simple_undirected(edges)
+    lab = labels.select(
+        F.col(node_col).alias("node"), F.col(label_col).cast("long").alias("lab")
+    )
+    m = e.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    adj = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = adj.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    dc = (
+        deg.join(lab.withColumnRenamed("node", "u"), "u")
+        .groupBy("lab")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.sum("deg").cast("long").alias("degree_sum"),
+        )
+    )
+    intra = (
+        e.join(lab.select(F.col("node").alias("u"), F.col("lab").alias("lu")), "u")
+        .join(lab.select(F.col("node").alias("v"), F.col("lab").alias("lv")), "v")
+        .filter(F.col("lu") == F.col("lv"))
+        .groupBy(F.col("lu").alias("lab"))
+        .agg(F.count(F.lit(1)).cast("long").alias("intra_edges"))
+    )
+    per = (
+        dc.join(intra, "lab", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            F.col("lab").alias("community"),
+            "n_nodes",
+            "degree_sum",
+            F.coalesce("intra_edges", F.lit(0)).cast("long").alias("intra_edges"),
+            "m",
+        )
+        .withColumn(
+            "numer",
+            F.lit(4) * F.col("intra_edges") * F.col("m")
+            - F.col("degree_sum") * F.col("degree_sum"),
+        )
+    )
+    w = Window.partitionBy(F.lit(1))
+    denom = (F.lit(4) * F.col("m") * F.col("m")).cast("double")
+    return per.select(
+        "community",
+        "n_nodes",
+        "degree_sum",
+        "intra_edges",
+        F.round(F.col("numer").cast("double") / denom, 6).alias("contribution"),
+        F.round(F.sum("numer").over(w).cast("double") / denom, 6).alias(
+            "modularity"
+        ),
     )

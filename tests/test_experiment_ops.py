@@ -180,3 +180,47 @@ def test_conformal_rank_caps_at_n_cal(spark):
     got = conformal_coverage(df, ["k"], "cal", "e", 1, 10).first()
     assert got["qhat"] == 7  # rank ceil(3*0.9)=3 → capped to n_cal=2
     assert got["coverage"] == 0.5
+
+
+def test_isotonic_pools_violating_bins(spark):
+    """Rates (1, 0, 0.5) violate monotonicity -> PAV pools all three
+    bins to the global mean 0.5 (checked against the minimax form)."""
+    from cernan_spark.operators.experiment import isotonic_calibration
+
+    rows = [(1, 1), (2, 0), (3, 1), (3, 0)]
+    df = spark.createDataFrame(rows, "score long, y int")
+    got = {r["score"]: r for r in
+           isotonic_calibration(df, "score", "y").collect()}
+    assert [got[s]["rate_iso"] for s in (1, 2, 3)] == [0.5, 0.5, 0.5]
+    assert got[1]["rate_raw"] == 1.0 and got[2]["rate_raw"] == 0.0
+
+
+def test_isotonic_monotone_and_mass_preserving(spark):
+    """On a seeded frame the fit is non-decreasing and preserves the
+    total positive mass (sum n_k * iso_k == sum positives)."""
+    from cernan_spark.operators.experiment import isotonic_calibration
+
+    rows = [(i % 7, 1 if (i * 13) % 10 < (i % 7) + 2 else 0)
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "score long, y int")
+    out = sorted(isotonic_calibration(df, "score", "y").collect(),
+                 key=lambda r: r["score"])
+    isos = [r["rate_iso"] for r in out]
+    assert isos == sorted(isos)
+    mass = sum(r["n"] * r["rate_iso"] for r in out)
+    pos = sum(r["n_pos"] for r in out)
+    assert abs(mass - pos) < 1e-3
+
+
+def test_pinball_hand_values(spark):
+    """Residuals {+2, -3}: loss(tau=.1)=1.45, (.5)=1.25, (.9)=1.05."""
+    from cernan_spark.operators.experiment import pinball_loss
+
+    df = spark.createDataFrame(
+        [("m", 12, 10), ("m", 7, 10)], "k string, y long, yhat long"
+    )
+    got = {r["tau_tenths"]: r["loss"] for r in
+           pinball_loss(df, ["k"], "y", "yhat", [1, 5, 9]).collect()}
+    assert got[1] == pytest.approx(1.45)
+    assert got[5] == pytest.approx(1.25)
+    assert got[9] == pytest.approx(1.05)
