@@ -3216,6 +3216,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "isotonic": q_isotonic,
         "pinball": q_pinball,
         "heaps_law": q_heaps_law,
+        "acf": q_acf,
+        "link_pred": q_link_pred,
+        "sprt": q_sprt,
+        "operating_point": q_operating_point,
+        "yule_k": q_yule_k,
     }
 
 
@@ -7580,6 +7585,140 @@ def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(bigrams).alias("tok")
     )
     return heaps_law(stream, "doc_id", "tok", 12)
+
+
+def q_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of each metric's hourly cent-sum series at lags
+    1–6 — the seasonal-window evidence stl consumes as an assumption.
+    ONE collect of the bounded rollup series per key, numerator and
+    denominator as LEFT folds in series order, two divisions at emit
+    (operators/temporal.acf_profile)."""
+    from cernan_spark.operators.temporal import acf_profile
+
+    ser = _hourly_cents_xy(spark, sf_dir)
+    return acf_profile(ser, ["event_type"], "x", "y", max_lag=6)
+
+
+def _lp_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse residue graph for link prediction: doc_id % 211 linked to
+    (doc_id·31 + 7) % 211 — stays sparse at every SF, unlike the dense
+    mod-23/29 graph the community queries share (which is complete at
+    sf0.1 and would make every pair adjacent)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return d.select(
+        (F.col("doc_id") % 211).alias("src"),
+        ((F.col("doc_id") * 31 + 7) % 211).alias("dst"),
+    )
+
+
+def q_link_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction on the sparse residue graph: every non-adjacent
+    pair sharing a neighbor scored by common-neighbors, Jaccard and
+    Adamic–Adar — one wedge self-join, degree joins broadcast, the AA
+    sum folded over z-sorted terms (operators/graph.link_prediction)."""
+    from cernan_spark.operators.graph import link_prediction
+
+    return link_prediction(_lp_edges(spark, sf_dir))
+
+
+def q_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald SPRT per event stream: H0 p=0.5 vs H1 p=0.6 on the
+    deterministic cent-residue success bit, llr in CLOSED FORM from
+    exact window integers (never a float fold), earliest boundary
+    crossing via min-struct (operators/experiment.sprt_decision)."""
+    from cernan_spark.operators.experiment import sprt_decision
+
+    _utc(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    stream = ev.select(
+        "event_type",
+        "ts",
+        "event_id",
+        (((cents % 7) + 7) % 7 < 4).cast("int").alias("x"),
+    )
+    return sprt_decision(
+        stream, ["event_type"], ["ts", "event_id"], "x"
+    )
+
+
+def q_operating_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deployable-cutoff selection for the scored classifier frame:
+    argmax of Youden's J on its exact BIGINT numerator (ties → higher
+    threshold), then the confusion + F1/MCC/balanced-accuracy summary
+    at that point — the argmax of roc_curve
+    (operators/experiment.operating_point)."""
+    from cernan_spark.operators.experiment import operating_point
+
+    return operating_point(_scored_embeddings(spark, sf_dir), "score", "y")
+
+
+def q_yule_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yule's K vocabulary-richness per language shard — exact BIGINT
+    frequency-spectrum sums straight off the type grain, one division
+    at emit; the repetitiveness companion to heaps_law and good_turing
+    (operators/corpus.yule_k)."""
+    from cernan_spark.operators.corpus import yule_k
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = d.select(
+        "lang", F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.length("tok") > 0)
+    return yule_k(toks, ["lang"])
+
+
+def q_cmh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran–Mantel–Haenszel pooled odds ratio across event-type
+    strata for the deterministic (even-user exposure) × (cent-residue
+    outcome) tables — exact BIGINT 2×2 counts, stratum terms folded in
+    stratum order, pooled OR one division
+    (operators/experiment.cmh_odds)."""
+    from cernan_spark.operators.experiment import cmh_odds
+
+    _utc(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    frame = ev.select(
+        "event_type",
+        (F.col("user_id") % 2 == 0).alias("exposed"),
+        (((cents % 7) + 7) % 7 < 4).alias("outcome"),
+    )
+    return cmh_odds(frame, "event_type", "exposed", "outcome")
+
+
+def q_brier_decomp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy decomposition of the scored frame's Brier score
+    (REL − RES + UNC = Brier): exact binary-fraction forecasts at the
+    distinct-score grain, every Σ a LEFT fold over the score-sorted
+    bin list (operators/experiment.brier_decomposition)."""
+    from cernan_spark.operators.experiment import brier_decomposition
+
+    return brier_decomposition(
+        _scored_embeddings(spark, sf_dir), "score", "y", denom=128
+    )
+
+
+def q_turn_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete life table of conversation lengths: hazard of ending at
+    each reached turn count plus the survival fold — exact BIGINT
+    end/at-risk counts over the bounded length rollup
+    (operators/conversation.turn_hazard)."""
+    from cernan_spark.operators.conversation import turn_hazard
+
+    _utc(spark)
+    return turn_hazard(transcripts_from_events(spark, sf_dir))
+
+
+def q_grid_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-density (DBSCAN-style) clustering of the embedding cloud's
+    first two coordinates: eps-cell rollup, min_pts density gate,
+    8-neighborhood merge via shifted-key EQUIJOIN + iterative min-label
+    with early exit; noise row −1
+    (operators/similarity.grid_dbscan)."""
+    from cernan_spark.operators.similarity import grid_dbscan
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return grid_dbscan(e, "vec_id", "embedding", eps=0.05, min_pts=4)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -13179,5 +13318,181 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT checkpoint, cut_id, n_tokens, vocab, beta, k_coef
         FROM chk CROSS JOIN fit
+    """
+    # acf: the '+ 0.0' normalizes a rounded -0.0 to +0.0 (Spark's
+    # BigDecimal round never emits -0.0; DuckDB's can).
+    d["acf"] = f"""
+        WITH ser AS ({_hourly_sql}),
+        a AS (
+            SELECT event_type,
+                   list(CAST(y AS DOUBLE) ORDER BY x) AS ys,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(y) AS BIGINT) AS s
+            FROM ser GROUP BY 1
+        ), b AS (
+            SELECT event_type, n,
+                   list_transform(
+                       ys, v -> v - CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                   ) AS zs
+            FROM a
+        ), c AS (
+            SELECT event_type, n, zs,
+                   list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                       list_transform(zs, z -> z * z)),
+                       (p, q) -> p + q) AS den
+            FROM b
+        ), l AS (
+            SELECT event_type, n, zs, den,
+                   unnest([1, 2, 3, 4, 5, 6]) AS lg
+            FROM c
+        )
+        SELECT event_type, CAST(lg AS INT) AS "lag",
+               n - lg AS n_pairs,
+               round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(range(1, CAST(n - lg AS BIGINT) + 1),
+                       i -> list_extract(zs, i)
+                            * list_extract(zs, i + lg))),
+                   (p, q) -> p + q) / den, 6) + 0.0 AS acf
+        FROM l WHERE n - lg >= 2
+    """
+    d["link_pred"] = """
+        WITH e0 AS (
+            SELECT DISTINCT
+                   least(doc_id % 211, (doc_id * 31 + 7) % 211) AS u,
+                   greatest(doc_id % 211, (doc_id * 31 + 7) % 211) AS v
+            FROM documents
+            WHERE doc_id % 211 <> (doc_id * 31 + 7) % 211
+        ), adj AS (
+            SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0
+        ), deg AS (
+            SELECT u, CAST(count(*) AS BIGINT) AS deg FROM adj GROUP BY 1
+        ), w AS (
+            SELECT a.u AS pu, b.u AS pv, a.v AS z
+            FROM adj a JOIN adj b ON a.v = b.v AND a.u < b.u
+        ), cand AS (
+            SELECT w.pu, w.pv, w.z
+            FROM w LEFT JOIN e0 ON w.pu = e0.u AND w.pv = e0.v
+            WHERE e0.u IS NULL
+        ), g AS (
+            SELECT pu, pv, CAST(count(*) AS BIGINT) AS cn,
+                   list(1.0 / ln(CAST(dz.deg AS DOUBLE)) ORDER BY z)
+                     AS terms
+            FROM cand JOIN deg dz ON cand.z = dz.u GROUP BY 1, 2
+        ), aa AS (
+            SELECT pu, pv, cn,
+                   list_reduce(list_prepend(CAST(0.0 AS DOUBLE), terms),
+                               (p, q) -> p + q) AS aav
+            FROM g
+        )
+        SELECT pu AS u, pv AS v, cn, du.deg AS deg_u, dv.deg AS deg_v,
+               round(CAST(cn AS DOUBLE)
+                     / CAST(du.deg + dv.deg - cn AS DOUBLE), 6) AS jaccard,
+               round(aav, 6) AS adamic_adar
+        FROM aa JOIN deg du ON aa.pu = du.u JOIN deg dv ON aa.pv = dv.u
+    """
+    d["sprt"] = """
+        WITH s AS (
+            SELECT event_type, ts, event_id,
+                   CASE WHEN ((CAST(round(value * 100, 0) AS BIGINT) % 7)
+                              + 7) % 7 < 4
+                        THEN 1 ELSE 0 END AS x
+            FROM events
+        ), w AS (
+            SELECT event_type,
+                   CAST(row_number() OVER (PARTITION BY event_type
+                                           ORDER BY ts, event_id)
+                        AS BIGINT) AS t,
+                   CAST(sum(x) OVER (PARTITION BY event_type
+                                     ORDER BY ts, event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS BIGINT) AS k
+            FROM s
+        ), l AS (
+            SELECT event_type, t, k,
+                   CAST(k AS DOUBLE) * ln(0.6 / 0.5)
+                   + CAST(t - k AS DOUBLE)
+                     * ln((1.0 - 0.6) / (1.0 - 0.5)) AS llr
+            FROM w
+        ), agg AS (
+            SELECT event_type,
+                   max(t) AS n_total, max(k) AS k_total,
+                   min(CASE WHEN llr >= ln((1.0 - 0.05) / 0.05)
+                              OR llr <= ln(0.05 / (1.0 - 0.05))
+                            THEN struct_pack(t := t, k := k, llr := llr)
+                       END) AS fh
+            FROM l GROUP BY 1
+        )
+        SELECT event_type, n_total, k_total,
+               CASE WHEN fh IS NULL THEN 'continue'
+                    WHEN fh.llr >= ln((1.0 - 0.05) / 0.05)
+                         THEN 'accept_h1'
+                    ELSE 'accept_h0' END AS decision,
+               fh.t AS n_decide, fh.k AS k_decide,
+               round(fh.llr, 6) AS llr_decide
+        FROM agg
+    """
+    d["operating_point"] = """
+        WITH s AS (
+            SELECT (label * 12 + vec_id % 13) AS score,
+                   CASE WHEN label >= 5 THEN 1 ELSE 0 END AS y
+            FROM embeddings
+        ), g AS (
+            SELECT score AS threshold, CAST(count(*) AS BIGINT) AS n_g,
+                   CAST(sum(y) AS BIGINT) AS pos_g
+            FROM s GROUP BY 1
+        ), c AS (
+            SELECT threshold,
+                   CAST(sum(pos_g) OVER wdesc AS BIGINT) AS tp,
+                   CAST(sum(n_g) OVER wdesc - sum(pos_g) OVER wdesc
+                        AS BIGINT) AS fp,
+                   CAST(sum(pos_g) OVER () AS BIGINT) AS p_all,
+                   CAST(sum(n_g) OVER () - sum(pos_g) OVER ()
+                        AS BIGINT) AS n_all
+            FROM g
+            WINDOW wdesc AS (ORDER BY threshold DESC
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW)
+        ), c2 AS (
+            SELECT threshold, tp, fp, p_all - tp AS fn, n_all - fp AS tn,
+                   p_all, n_all, tp * n_all - fp * p_all AS j_num
+            FROM c
+        ), best AS (
+            SELECT * FROM c2
+            QUALIFY row_number() OVER (ORDER BY j_num DESC,
+                                       threshold DESC) = 1
+        )
+        SELECT threshold, tp, fp, tn, fn,
+               round(CAST(j_num AS DOUBLE)
+                     / CAST(p_all * n_all AS DOUBLE), 6) AS youden_j,
+               round(CAST(2 * tp AS DOUBLE)
+                     / CAST(2 * tp + fp + fn AS DOUBLE), 6) AS f1,
+               round(CASE WHEN sqrt(CAST((tp + fp) * (tp + fn)
+                                         * (tn + fp) * (tn + fn)
+                                    AS DOUBLE)) <> 0.0
+                          THEN CAST(tp * tn - fp * fn AS DOUBLE)
+                               / sqrt(CAST((tp + fp) * (tp + fn)
+                                           * (tn + fp) * (tn + fn)
+                                      AS DOUBLE))
+                     END, 6) + 0.0 AS mcc,
+               round(CAST(tp * n_all + tn * p_all AS DOUBLE)
+                     / CAST(2 * p_all * n_all AS DOUBLE), 6)
+                 AS balanced_acc
+        FROM best
+    """
+    d["yule_k"] = """
+        WITH tk AS (
+            SELECT lang, unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        ), tk2 AS (
+            SELECT lang, tok FROM tk WHERE length(tok) > 0
+        ), per AS (
+            SELECT lang, tok, CAST(count(*) AS BIGINT) AS m
+            FROM tk2 GROUP BY 1, 2
+        )
+        SELECT lang, CAST(sum(m) AS BIGINT) AS n_tokens,
+               CAST(count(*) AS BIGINT) AS v_types,
+               round(10000.0 * CAST(sum(m * m) - sum(m) AS DOUBLE)
+                     / CAST(sum(m) * sum(m) AS DOUBLE), 6) AS yule_k
+        FROM per GROUP BY 1
     """
     return d

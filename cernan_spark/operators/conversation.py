@@ -982,3 +982,88 @@ def topic_shifts(
         (F.col("n_boundaries") + 1).alias("n_segments"),
         F.round(mean_j, 6).alias("mean_jaccard"),
     )
+
+
+def turn_hazard(transcripts: DataFrame) -> DataFrame:
+    """Discrete termination hazard of the conversation corpus: for each
+    observed length t (turns), the probability a conversation that
+    REACHED t turns ends there — the life table a context-budget
+    planner reads before sizing windows (compose with
+    trim_to_tail_budget, which assumes a tail size; this measures how
+    long tails actually run). The uncensored batch twin of
+    operators/survival.kaplan_meier: every conversation's end is
+    observed, so hazard(t) = ends(t) / at_risk(t) with
+    at_risk(t) = Σ_{u ≥ t} ends(u).
+
+    Float discipline: ends/at-risk are exact BIGINTs from one
+    conversation-grain aggregate + one descending cumulative window
+    over the bounded length rollup; hazard and the survival fold
+    S(t) = Π (1 − h(u)) run LEFT over the length-sorted list — both
+    single divisions / pinned folds.
+
+    Plan shape: conv-grain max() aggregate (map-side combined), length
+    rollup, window over ≤max-length rows. Raw turns are never windowed.
+
+    Output per length: ``t_turns, n_end, n_risk, hazard, survival``
+    (round 6; survival = P(length > t)).
+    """
+    lens = transcripts.groupBy("conv_id").agg(
+        (F.max("turn_idx") + F.lit(1)).cast("long").alias("t_turns")
+    )
+    rollup = lens.groupBy("t_turns").agg(
+        F.count(F.lit(1)).cast("long").alias("n_end")
+    )
+    w = (
+        W.orderBy(F.col("t_turns").desc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    with_risk = rollup.select(
+        "t_turns", "n_end", F.sum("n_end").over(w).alias("n_risk")
+    )
+    # survival via a pinned fold over the length-sorted (t, h) list,
+    # broadcast back to the rollup rows
+    folded = with_risk.select(
+        F.sort_array(
+            F.collect_list(F.struct("t_turns", "n_end", "n_risk"))
+        ).alias("xs")
+    ).select(
+        F.transform(
+            "xs",
+            lambda t: F.struct(
+                t["t_turns"].alias("t_turns"),
+                (
+                    F.lit(1.0)
+                    - t["n_end"].cast("double") / t["n_risk"].cast("double")
+                ).alias("keep"),
+            ),
+        ).alias("ks")
+    )
+    surv = folded.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("ks")),
+                lambda i: F.struct(
+                    F.element_at("ks", i)["t_turns"].alias("t_turns"),
+                    F.aggregate(
+                        F.slice("ks", F.lit(1), i),
+                        F.lit(1.0),
+                        lambda acc, k: acc * k["keep"],
+                    ).alias("survival"),
+                ),
+            )
+        ).alias("s")
+    ).select(F.col("s.t_turns").alias("t_turns"), F.col("s.survival"))
+    return (
+        with_risk.join(surv, "t_turns")
+        .select(
+            "t_turns",
+            "n_end",
+            "n_risk",
+            F.round(
+                F.col("n_end").cast("double") / F.col("n_risk").cast("double"),
+                6,
+            ).alias("hazard"),
+            F.round("survival", 6).alias("survival"),
+        )
+        .orderBy("t_turns")
+    )

@@ -2564,3 +2564,55 @@ def heaps_law(
         ).alias("k_coef"),
     )
     return chk.crossJoin(F.broadcast(fit))
+
+
+def yule_k(
+    tokens: DataFrame,
+    group_cols: list[str],
+    tok_col: str = "tok",
+) -> DataFrame:
+    """Yule's characteristic K — vocabulary-richness per group from the
+    frequency spectrum, the repetitiveness score a corpus-quality gate
+    pairs with :func:`heaps_law` (growth) and the Good–Turing spectrum
+    (mass of the unseen):
+
+        K = 10⁴ · (Σ_m m²·V_m − N) / N²
+
+    where V_m counts the types occurring exactly m times and N is the
+    total token count. Low K = rich vocabulary; boilerplate-heavy or
+    templated text pushes K up, which makes it a cheap dedup-pressure
+    signal per source/lang shard.
+
+    Float discipline: Σ m²·V_m ≡ Σ_types m² and N are exact BIGINTs;
+    K is ONE division at emit (the 10⁴ scale is exact).
+
+    Plan shape: two hash aggregates — token-freq grain then group grain
+    — both map-side combined; no window, no spectrum materialization
+    (m² sums directly off the type grain).
+
+    Output per group: ``*group_cols, n_tokens, v_types, yule_k``
+    (round 6).
+    """
+    freq = tokens.groupBy(*group_cols, tok_col).agg(
+        F.count(F.lit(1)).cast("long").alias("m")
+    )
+    return (
+        freq.groupBy(*group_cols)
+        .agg(
+            F.sum("m").alias("n_tokens"),
+            F.count(F.lit(1)).alias("v_types"),
+            F.sum(F.col("m") * F.col("m")).alias("s_m2"),
+        )
+        .select(
+            *group_cols,
+            "n_tokens",
+            "v_types",
+            F.round(
+                F.lit(10000.0)
+                * (F.col("s_m2") - F.col("n_tokens")).cast("double")
+                / (F.col("n_tokens") * F.col("n_tokens")).cast("double"),
+                6,
+            ).alias("yule_k"),
+        )
+        .orderBy(*group_cols)
+    )

@@ -440,3 +440,366 @@ def pinball_loss(
             ).alias("loss"),
         )
     )
+
+
+def sprt_decision(
+    stream: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    x_col: str,
+    p0: float = 0.5,
+    p1: float = 0.6,
+    alpha: float = 0.05,
+    beta: float = 0.05,
+) -> DataFrame:
+    """Wald's sequential probability ratio test per key over an ordered
+    Bernoulli stream: H0: p = p0 vs H1: p = p1, stopping at the first
+    crossing of the log boundaries A = ln((1−β)/α), B = ln(β/(1−α)) —
+    the always-valid sequential sibling of the fixed-horizon tests in
+    :mod:`cernan_spark.operators.rankstats` (peeking at those inflates
+    α; the SPRT is DESIGNED to be read after every event).
+
+    Float discipline: the log-likelihood ratio after t events with k
+    successes is the CLOSED FORM k·ln(p1/p0) + (t−k)·ln((1−p1)/(1−p0))
+    — k and t are exact window integers, so each row's llr is two
+    int×double products and one add, NOT a sequential float fold; the
+    boundary constants are engine-side ln of shared literals. Both
+    engines therefore compare identical doubles.
+
+    Plan shape: one window pass for (t, k), one hash aggregate per key —
+    min-struct picks the earliest crossing without a second sort.
+
+    Output per key: ``*key_cols, n_total, k_total, decision
+    ('accept_h1'|'accept_h0'|'continue'), n_decide, k_decide,
+    llr_decide`` (round 6; NULLs when the walk never crosses).
+
+    Reference analog: cernan's DelayFilter accepts/rejects per event on
+    a static bound (src/filter/delay_filter.rs:35-60); the SPRT is the
+    adaptive version of the same accept/reject walk.
+    """
+    from pyspark.sql import Window
+
+    lw = F.log(F.lit(p1) / F.lit(p0))
+    ll = F.log((F.lit(1.0) - F.lit(p1)) / (F.lit(1.0) - F.lit(p0)))
+    ln_a = F.log((F.lit(1.0) - F.lit(beta)) / F.lit(alpha))
+    ln_b = F.log(F.lit(beta) / (F.lit(1.0) - F.lit(alpha)))
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    walk = stream.select(
+        *key_cols,
+        F.row_number()
+        .over(Window.partitionBy(*key_cols).orderBy(*order_cols))
+        .cast("long")
+        .alias("__t"),
+        F.sum(F.col(x_col).cast("long")).over(w).alias("__k"),
+    ).withColumn(
+        "__llr",
+        F.col("__k").cast("double") * lw
+        + (F.col("__t") - F.col("__k")).cast("double") * ll,
+    )
+    hit = F.when(
+        (F.col("__llr") >= ln_a) | (F.col("__llr") <= ln_b),
+        F.struct(
+            F.col("__t").alias("t"),
+            F.col("__k").alias("k"),
+            F.col("__llr").alias("llr"),
+        ),
+    )
+    agg = walk.groupBy(*key_cols).agg(
+        F.max("__t").alias("n_total"),
+        F.max("__k").alias("k_total"),
+        F.min(hit).alias("first_hit"),
+    )
+    fh = F.col("first_hit")
+    return agg.select(
+        *key_cols,
+        "n_total",
+        "k_total",
+        F.when(fh.isNull(), F.lit("continue"))
+        .when(fh["llr"] >= ln_a, F.lit("accept_h1"))
+        .otherwise(F.lit("accept_h0"))
+        .alias("decision"),
+        fh["t"].alias("n_decide"),
+        fh["k"].alias("k_decide"),
+        F.round(fh["llr"], 6).alias("llr_decide"),
+    ).orderBy(*key_cols)
+
+
+def operating_point(
+    scored: DataFrame, score_col: str, y_col: str
+) -> DataFrame:
+    """Threshold selection for a binary scorer: sweep every distinct
+    score as a ≥-threshold, maximize Youden's J = tpr − fpr, and report
+    the full confusion + quality summary at the chosen point — the
+    operator that turns a ROC curve into a deployable cutoff (compose
+    downstream of the roc_curve query; this is its argmax).
+
+    Float discipline: with P positives and N negatives, J has the
+    shared denominator P·N, so the argmax runs on the exact BIGINT
+    numerator tp·N − fp·P (ties → HIGHER threshold, the conservative
+    cut); MCC's numerator tp·tn − fp·fn is exact, its denominator one
+    correctly-rounded sqrt of an exact ≤n⁴ product; J, F1, balanced
+    accuracy are single divisions at emit.
+
+    Plan shape: ONE hash aggregate to the distinct-score grain, a
+    window over that bounded rollup, a 1-row argmax — identical scan
+    profile to binary_auc (operators/similarity.py).
+
+    Output: one row ``threshold, tp, fp, tn, fn, youden_j, f1, mcc,
+    balanced_acc`` (round 6).
+    """
+    from pyspark.sql import Window
+
+    g = scored.groupBy(F.col(score_col).alias("threshold")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum(F.col(y_col).cast("long")).alias("pos_g"),
+    )
+    wdesc = (
+        Window.orderBy(F.col("threshold").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    c = g.select(
+        "threshold",
+        F.sum("pos_g").over(wdesc).alias("tp"),
+        (F.sum("n_g").over(wdesc) - F.sum("pos_g").over(wdesc)).alias("fp"),
+        F.sum("pos_g").over(wall).alias("p_all"),
+        (F.sum("n_g").over(wall) - F.sum("pos_g").over(wall)).alias("n_all"),
+    ).select(
+        "threshold",
+        "tp",
+        "fp",
+        (F.col("p_all") - F.col("tp")).alias("fn"),
+        (F.col("n_all") - F.col("fp")).alias("tn"),
+        "p_all",
+        "n_all",
+        (F.col("tp") * F.col("n_all") - F.col("fp") * F.col("p_all")).alias(
+            "j_num"
+        ),
+    )
+    best = c.orderBy(
+        F.col("j_num").desc(), F.col("threshold").desc()
+    ).limit(1)
+    mcc_num = F.col("tp") * F.col("tn") - F.col("fp") * F.col("fn")
+    mcc_den = F.sqrt(
+        (
+            (F.col("tp") + F.col("fp"))
+            * (F.col("tp") + F.col("fn"))
+            * (F.col("tn") + F.col("fp"))
+            * (F.col("tn") + F.col("fn"))
+        ).cast("double")
+    )
+    return best.select(
+        "threshold",
+        "tp",
+        "fp",
+        "tn",
+        "fn",
+        F.round(
+            F.col("j_num").cast("double")
+            / (F.col("p_all") * F.col("n_all")).cast("double"),
+            6,
+        ).alias("youden_j"),
+        F.round(
+            (F.lit(2) * F.col("tp")).cast("double")
+            / (F.lit(2) * F.col("tp") + F.col("fp") + F.col("fn")).cast(
+                "double"
+            ),
+            6,
+        ).alias("f1"),
+        F.round(
+            F.when(mcc_den != 0.0, mcc_num.cast("double") / mcc_den), 6
+        ).alias("mcc"),
+        F.round(
+            (
+                F.col("tp") * F.col("n_all") + F.col("tn") * F.col("p_all")
+            ).cast("double")
+            / (F.lit(2) * F.col("p_all") * F.col("n_all")).cast("double"),
+            6,
+        ).alias("balanced_acc"),
+    )
+
+
+def cmh_odds(
+    tables: DataFrame,
+    stratum_col: str,
+    exposed_col: str,
+    outcome_col: str,
+) -> DataFrame:
+    """Cochran–Mantel–Haenszel pooled odds ratio across strata — the
+    confounder-adjusted effect estimate an experimentation pipeline
+    reports when a marginal 2×2 table would Simpson-flip (the pooled
+    complement of the per-stratum tests in rankstats):
+
+        OR_CMH = Σ_i (a_i·d_i / n_i)  /  Σ_i (b_i·c_i / n_i)
+
+    over per-stratum tables [[a=exposed∧outcome, b=exposed∧¬outcome],
+    [c=¬exposed∧outcome, d=¬exposed∧¬outcome]].
+
+    Float discipline: a,b,c,d are exact BIGINTs; each stratum term is
+    ONE exact-integer product over one exact-integer division, and both
+    CMH sums are LEFT folds over the stratum-sorted term list, so the
+    DuckDB replay is bit-identical; per-stratum OR is a single division
+    (NULL when b·c = 0).
+
+    Plan shape: ONE hash aggregate to the stratum grain (map-side
+    combined booleans→counts), one fold over the bounded stratum list
+    broadcast back onto the per-stratum rows.
+
+    Output per stratum: ``stratum, a, b, c, d, or_stratum, or_cmh``
+    (round 6; or_cmh repeated on every row, the repo's whole-result
+    broadcast convention).
+    """
+    exp = F.col(exposed_col).cast("boolean")
+    out = F.col(outcome_col).cast("boolean")
+    g = tables.groupBy(F.col(stratum_col).alias("stratum")).agg(
+        F.sum((exp & out).cast("long")).alias("a"),
+        F.sum((exp & ~out).cast("long")).alias("b"),
+        F.sum((~exp & out).cast("long")).alias("c"),
+        F.sum((~exp & ~out).cast("long")).alias("d"),
+    )
+    n = F.col("a") + F.col("b") + F.col("c") + F.col("d")
+    terms = g.select(
+        "stratum",
+        "a",
+        "b",
+        "c",
+        "d",
+        ((F.col("a") * F.col("d")).cast("double") / n.cast("double")).alias(
+            "t_num"
+        ),
+        ((F.col("b") * F.col("c")).cast("double") / n.cast("double")).alias(
+            "t_den"
+        ),
+    )
+    pooled = terms.agg(
+        F.aggregate(
+            F.sort_array(
+                F.collect_list(F.struct("stratum", "t_num"))
+            ),
+            F.lit(0.0),
+            lambda acc, t: acc + t["t_num"],
+        ).alias("s_num"),
+        F.aggregate(
+            F.sort_array(
+                F.collect_list(F.struct("stratum", "t_den"))
+            ),
+            F.lit(0.0),
+            lambda acc, t: acc + t["t_den"],
+        ).alias("s_den"),
+    )
+    return (
+        terms.crossJoin(F.broadcast(pooled))
+        .select(
+            "stratum",
+            "a",
+            "b",
+            "c",
+            "d",
+            F.round(
+                F.when(
+                    F.col("b") * F.col("c") != 0,
+                    (F.col("a") * F.col("d")).cast("double")
+                    / (F.col("b") * F.col("c")).cast("double"),
+                ),
+                6,
+            ).alias("or_stratum"),
+            F.round(
+                F.when(F.col("s_den") != 0.0, F.col("s_num") / F.col("s_den")),
+                6,
+            ).alias("or_cmh"),
+        )
+        .orderBy("stratum")
+    )
+
+
+def brier_decomposition(
+    scored: DataFrame,
+    score_col: str,
+    y_col: str,
+    denom: int = 128,
+) -> DataFrame:
+    """Murphy decomposition of the Brier score at the distinct-score
+    grain — Brier = Reliability − Resolution + Uncertainty — the
+    diagnostic that says WHY a probabilistic router scores badly
+    (miscalibrated vs uninformative), where calibration_report only
+    draws the picture:
+
+        REL = Σ_k n_k (p_k − ō_k)² / N      (calibration error mass)
+        RES = Σ_k n_k (ō_k − ō)² / N        (discrimination mass)
+        UNC = ō (1 − ō)                     (irreducible base rate)
+
+    with p_k = score/denom the exact binary-fraction forecast of bin k,
+    ō_k its empirical positive rate, ō the base rate.
+
+    Float discipline: bins are the distinct scores, so p_k is exact;
+    n_k, pos_k, P, N are exact BIGINTs; ō_k and ō are single divisions;
+    every Σ is a LEFT fold over the score-sorted bin list. The Brier
+    score itself is folded from the same list as
+    Σ_k [pos_k (p_k−1)² + (n_k−pos_k) p_k²] / N, so the identity
+    REL − RES + UNC = Brier holds to float round-off (pytest asserts
+    it at 1e-12).
+
+    Plan shape: ONE hash aggregate to the score grain, one fold over
+    the bounded bin list — same scan profile as binary_auc.
+
+    Output: one row ``n, base_rate, brier, reliability, resolution,
+    uncertainty`` (round 6).
+    """
+    g = scored.groupBy(F.col(score_col).alias("s")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_k"),
+        F.sum(F.col(y_col).cast("long")).alias("pos_k"),
+    )
+    tot = g.agg(
+        F.sum("n_k").alias("n"),
+        F.sum("pos_k").alias("p"),
+        F.sort_array(
+            F.collect_list(F.struct("s", "n_k", "pos_k"))
+        ).alias("bins"),
+    )
+    obar = F.col("p").cast("double") / F.col("n").cast("double")
+
+    def pk(t):
+        return t["s"].cast("double") / F.lit(float(denom))
+
+    def ok(t):
+        return t["pos_k"].cast("double") / t["n_k"].cast("double")
+
+    rel = F.aggregate(
+        "bins",
+        F.lit(0.0),
+        lambda acc, t: acc
+        + t["n_k"].cast("double") * (pk(t) - ok(t)) * (pk(t) - ok(t)),
+    ) / F.col("n").cast("double")
+    res = F.aggregate(
+        "bins",
+        F.lit(0.0),
+        lambda acc, t: acc
+        + t["n_k"].cast("double") * (ok(t) - obar) * (ok(t) - obar),
+    ) / F.col("n").cast("double")
+    # the bin term's two addends are grouped (A + B) BEFORE adding to
+    # the accumulator so the oracle's x + (A + B) lambda is bit-equal
+    brier = F.aggregate(
+        "bins",
+        F.lit(0.0),
+        lambda acc, t: acc
+        + (
+            t["pos_k"].cast("double")
+            * (pk(t) - F.lit(1.0))
+            * (pk(t) - F.lit(1.0))
+            + (t["n_k"] - t["pos_k"]).cast("double") * pk(t) * pk(t)
+        ),
+    ) / F.col("n").cast("double")
+    return tot.select(
+        "n",
+        F.round(obar, 6).alias("base_rate"),
+        F.round(brier, 6).alias("brier"),
+        F.round(rel, 6).alias("reliability"),
+        F.round(res, 6).alias("resolution"),
+        F.round(obar * (F.lit(1.0) - obar), 6).alias("uncertainty"),
+    )

@@ -721,3 +721,85 @@ def modularity(
             "modularity"
         ),
     )
+
+
+def link_prediction(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Neighborhood-overlap link prediction (Liben-Nowell & Kleinberg
+    2003) over the simple undirected graph: for every NON-adjacent pair
+    (u < v) sharing at least one neighbor, emit the three classic
+    scores —
+
+    * ``cn``       — |Γ(u) ∩ Γ(v)| (common neighbors, exact BIGINT)
+    * ``jaccard``  — cn / |Γ(u) ∪ Γ(v)| = cn / (deg_u + deg_v − cn)
+    * ``adamic_adar`` — Σ_{z ∈ Γ(u)∩Γ(v)} 1/ln(deg_z)
+
+    Float discipline: degrees are exact BIGINTs; jaccard is ONE
+    division at emit; the Adamic–Adar sum is a LEFT fold over the
+    common neighbors sorted by z (1/ln of an exact integer per term),
+    so the DuckDB replay is bit-identical. deg_z ≥ 2 holds by
+    construction (z touches both u and v), so ln never hits 0.
+
+    Plan shape: ONE self-join of the directed-both adjacency on the
+    shared neighbor (the wedge join triangle_counts also uses, here
+    without orientation), degree joins that broadcast at dimension
+    size, one anti-join against the edge set to drop already-linked
+    pairs. No per-node collect; candidate volume is Σ_z deg_z², the
+    standard wedge bound — pre-filter high-degree hubs upstream if the
+    graph has them (same guidance as triangle_counts).
+
+    Reference analog: cernan's filter topology routes by static config
+    (src/filter/programmable_filter.rs); a link predictor is the
+    evidence layer for SUGGESTING routes — kept here as the pure graph
+    operator.
+    """
+    e = _simple_undirected(edges, src, dst)
+    adj = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = adj.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    a = adj.select(F.col("u").alias("pu"), F.col("v").alias("z"))
+    b = adj.select(F.col("u").alias("pv"), F.col("v").alias("z"))
+    wedges = a.join(b, "z").filter(F.col("pu") < F.col("pv"))
+    cand = wedges.join(
+        e.select(F.col("u").alias("pu"), F.col("v").alias("pv")),
+        ["pu", "pv"],
+        "left_anti",
+    )
+    with_degz = cand.join(
+        F.broadcast(deg.select(F.col("u").alias("z"), F.col("deg").alias("deg_z"))),
+        "z",
+    )
+    aa_terms = F.sort_array(
+        F.collect_list(F.struct(F.col("z"), F.col("deg_z")))
+    )
+    grouped = with_degz.groupBy("pu", "pv").agg(
+        F.count(F.lit(1)).cast("long").alias("cn"),
+        F.aggregate(
+            aa_terms,
+            F.lit(0.0),
+            lambda acc, t: acc
+            + F.lit(1.0) / F.log(t["deg_z"].cast("double")),
+        ).alias("aa"),
+    )
+    du = deg.select(F.col("u").alias("pu"), F.col("deg").alias("deg_u"))
+    dv = deg.select(F.col("u").alias("pv"), F.col("deg").alias("deg_v"))
+    return (
+        grouped.join(F.broadcast(du), "pu")
+        .join(F.broadcast(dv), "pv")
+        .select(
+            F.col("pu").alias("u"),
+            F.col("pv").alias("v"),
+            "cn",
+            "deg_u",
+            "deg_v",
+            F.round(
+                F.col("cn").cast("double")
+                / (F.col("deg_u") + F.col("deg_v") - F.col("cn")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("jaccard"),
+            F.round("aa", 6).alias("adamic_adar"),
+        )
+        .orderBy("u", "v")
+    )

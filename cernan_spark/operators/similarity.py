@@ -1401,3 +1401,122 @@ def embedding_drift(
     return a.join(b, "label").select(
         "label", "n_a", "n_b", F.round(F.sqrt(d2), 6).alias("drift")
     )
+
+
+def grid_dbscan(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    eps: float = 0.08,
+    min_pts: int = 3,
+    max_iter: int = 64,
+) -> DataFrame:
+    """Grid-density clustering of the embedding cloud's first two
+    coordinates — the cell-granular cousin of DBSCAN (GriDBSCAN family):
+    bucket points into eps-width grid cells, keep cells with ≥ min_pts
+    points as DENSE, and merge 8-neighborhood-adjacent dense cells into
+    clusters; points in sparse cells are noise. Cell granularity (not
+    point granularity) is the deliberate scale trade: density tests and
+    merges touch only the bounded CELL rollup, never pairwise points.
+
+    Scale shape: the neighbor relation is an EQUIJOIN on shifted cell
+    keys (each dense cell emits its 8 neighbor coordinates and joins
+    back on (cx, cy)) — no |Δ|≤1 theta join, so it shuffles on the cell
+    key like any other aggregate. Component merge is iterative min-label
+    propagation over dense cells with localCheckpoint per round and a
+    bounded-count early exit (the repo's iterative-operator pattern —
+    pagerank/BFS/LPA). Cluster ids are the component's MIN dense-cell
+    id, so labels are deterministic and replayable.
+
+    Float discipline: the ONLY float op is floor(coord / eps) — a
+    correctly-rounded division of exactly-converted float32 coordinates
+    by a shared literal, then an exact floor — after which everything is
+    BIGINT cell arithmetic.
+
+    Output: one row per cluster ``cluster_id, n_cells, n_points`` (by
+    min cell id) plus one noise row ``cluster_id = −1`` counting sparse
+    cells/points (omitted when there is no noise).
+    """
+    pts = vectors.select(
+        F.col(id_col).alias("pid"),
+        F.floor(F.element_at(vec_col, 1).cast("double") / F.lit(eps))
+        .cast("long")
+        .alias("cx"),
+        F.floor(F.element_at(vec_col, 2).cast("double") / F.lit(eps))
+        .cast("long")
+        .alias("cy"),
+    )
+    counts = pts.groupBy("cx", "cy").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pts")
+    )
+    cell_id = (F.col("cx") + F.lit(100000)) * F.lit(1000000) + (
+        F.col("cy") + F.lit(100000)
+    )
+    dense = counts.filter(F.col("n_pts") >= F.lit(min_pts)).select(
+        cell_id.alias("id"), "cx", "cy", "n_pts"
+    )
+    sparse = counts.filter(F.col("n_pts") < F.lit(min_pts))
+    offsets = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+               if (dx, dy) != (0, 0)]
+    shifted = dense.select(
+        F.col("id").alias("src_id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (F.col("cx") + F.lit(dx)).alias("cx"),
+                        (F.col("cy") + F.lit(dy)).alias("cy"),
+                    )
+                    for dx, dy in offsets
+                ]
+            )
+        ).alias("nb"),
+    ).select("src_id", F.col("nb.cx").alias("cx"), F.col("nb.cy").alias("cy"))
+    edges = shifted.join(
+        dense.select(F.col("id").alias("dst_id"), "cx", "cy"), ["cx", "cy"]
+    ).select("src_id", "dst_id")
+    labels = dense.select("id", F.col("id").alias("label")).localCheckpoint()
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(
+                labels.select(
+                    F.col("id").alias("src_id"),
+                    F.col("label").alias("nbr_label"),
+                ),
+                "src_id",
+            )
+            .groupBy(F.col("dst_id").alias("id"))
+            .agg(F.min("nbr_label").alias("nbr_min"))
+        )
+        merged = (
+            labels.join(nbr, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    "label", F.coalesce("nbr_min", "label")
+                ).alias("label"),
+                (F.coalesce("nbr_min", "label") < F.col("label")).alias(
+                    "chg"
+                ),
+            )
+        ).localCheckpoint()
+        changed = merged.filter("chg").limit(1).count()
+        labels = merged.select("id", "label")
+        if changed == 0:
+            break
+    clusters = (
+        labels.join(dense.select("id", "n_pts"), "id")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cells"),
+            F.sum("n_pts").alias("n_points"),
+        )
+        .select(F.col("label").alias("cluster_id"), "n_cells", "n_points")
+    )
+    noise = sparse.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.coalesce(F.sum("n_pts"), F.lit(0)).cast("long").alias("n_points"),
+    ).select(
+        F.lit(-1).cast("long").alias("cluster_id"), "n_cells", "n_points"
+    ).filter(F.col("n_cells") > 0)
+    return clusters.unionAll(noise).orderBy("cluster_id")

@@ -801,3 +801,84 @@ def stl_decompose(
         F.round("seasonal", 6).alias("seasonal"),
         F.round(mean_abs, 6).alias("mean_abs_resid"),
     )
+
+
+def acf_profile(
+    series: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    value_col: str,
+    max_lag: int = 6,
+) -> DataFrame:
+    """Sample autocorrelation function of a bounded per-key series at
+    lags 1..max_lag — the periodicity probe a telemetry pipeline runs
+    on its rollup series before picking a seasonal window (compose
+    with :func:`stl_decompose`, which ASSUMES the season; this
+    measures it).
+
+        acf_k = Σ_t (y_t − ȳ)(y_{t+k} − ȳ) / Σ_t (y_t − ȳ)²
+
+    Float discipline: values are exact integers (rollup cents), ȳ is
+    ONE correctly-rounded division, every (y−ȳ) is one IEEE subtract,
+    and both the lag-k numerator and the denominator are LEFT folds in
+    series order over the collected array — bit-replayable in the
+    DuckDB oracle with scalar ``list_reduce`` accumulators.
+
+    Plan shape: ONE hash aggregate collects each bounded series (use on
+    rollup grain, never raw events), then the lag axis is a row-local
+    array explode — no second shuffle, no self-join of the series.
+
+    Output: ``*key_cols, lag, n_pairs, acf`` (round 6), lags with
+    n_pairs ≥ 2 only.
+
+    Reference analog: cernan's windowed buckets (src/buckets.rs:118-170)
+    fix the flush interval statically; this derives the evidence for it.
+    """
+    ordered = F.sort_array(
+        F.collect_list(
+            F.struct(
+                F.col(order_col).alias("__o"),
+                F.col(value_col).cast("double").alias("__v"),
+            )
+        )
+    )
+    per_key = series.groupBy(*key_cols).agg(
+        F.transform(ordered, lambda t: t["__v"]).alias("ys"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum(value_col).alias("s"),
+    )
+    m = F.col("s").cast("double") / F.col("n").cast("double")
+    dem = per_key.select(
+        *key_cols,
+        "n",
+        F.transform("ys", lambda v: v - m).alias("zs"),
+    )
+    den = F.aggregate(
+        "zs", F.lit(0.0), lambda acc, z: acc + z * z
+    )
+    with_den = dem.select(*key_cols, "n", "zs", den.alias("den"))
+    lagged = with_den.select(
+        *key_cols,
+        "n",
+        "zs",
+        "den",
+        F.explode(F.array(*[F.lit(k) for k in range(1, max_lag + 1)])).alias(
+            "lag"
+        ),
+    ).filter((F.col("n") - F.col("lag")) >= F.lit(2))
+    pair_terms = F.zip_with(
+        F.slice(F.col("zs"), F.lit(1), (F.col("n") - F.col("lag")).cast("int")),
+        F.slice(
+            F.col("zs"),
+            (F.col("lag") + F.lit(1)).cast("int"),
+            (F.col("n") - F.col("lag")).cast("int"),
+        ),
+        lambda a, b: a * b,
+    )
+    num = F.aggregate(pair_terms, F.lit(0.0), lambda acc, x: acc + x)
+    return lagged.select(
+        *key_cols,
+        "lag",
+        (F.col("n") - F.col("lag")).alias("n_pairs"),
+        F.round(num / F.col("den"), 6).alias("acf"),
+    ).orderBy(*key_cols, "lag")
