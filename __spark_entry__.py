@@ -3221,6 +3221,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sprt": q_sprt,
         "operating_point": q_operating_point,
         "yule_k": q_yule_k,
+        "cmh": q_cmh,
+        "brier_decomp": q_brier_decomp,
+        "turn_hazard": q_turn_hazard,
+        "grid_dbscan": q_grid_dbscan,
     }
 
 
@@ -13494,5 +13498,181 @@ def oracle_sql() -> dict[str, str]:
                round(10000.0 * CAST(sum(m * m) - sum(m) AS DOUBLE)
                      / CAST(sum(m) * sum(m) AS DOUBLE), 6) AS yule_k
         FROM per GROUP BY 1
+    """
+    d["cmh"] = """
+        WITH s AS (
+            SELECT event_type AS stratum,
+                   (user_id % 2 = 0) AS ex,
+                   (((CAST(round(value * 100, 0) AS BIGINT) % 7) + 7) % 7
+                    < 4) AS outc
+            FROM events
+        ), g AS (
+            SELECT stratum,
+                   CAST(sum(CASE WHEN ex AND outc THEN 1 ELSE 0 END)
+                        AS BIGINT) AS a,
+                   CAST(sum(CASE WHEN ex AND NOT outc THEN 1 ELSE 0 END)
+                        AS BIGINT) AS b,
+                   CAST(sum(CASE WHEN NOT ex AND outc THEN 1 ELSE 0 END)
+                        AS BIGINT) AS c,
+                   CAST(sum(CASE WHEN NOT ex AND NOT outc THEN 1 ELSE 0
+                            END) AS BIGINT) AS d
+            FROM s GROUP BY 1
+        ), t AS (
+            SELECT stratum, a, b, c, d,
+                   CAST(a * d AS DOUBLE)
+                     / CAST(a + b + c + d AS DOUBLE) AS t_num,
+                   CAST(b * c AS DOUBLE)
+                     / CAST(a + b + c + d AS DOUBLE) AS t_den
+            FROM g
+        ), p AS (
+            SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                       list(t_num ORDER BY stratum)),
+                       (x, y) -> x + y) AS s_num,
+                   list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                       list(t_den ORDER BY stratum)),
+                       (x, y) -> x + y) AS s_den
+            FROM t
+        )
+        SELECT stratum, a, b, c, d,
+               round(CASE WHEN b * c <> 0
+                          THEN CAST(a * d AS DOUBLE)
+                               / CAST(b * c AS DOUBLE) END, 6)
+                 AS or_stratum,
+               round(CASE WHEN s_den <> 0.0 THEN s_num / s_den END, 6)
+                 AS or_cmh
+        FROM t CROSS JOIN p
+    """
+    d["brier_decomp"] = """
+        WITH s AS (
+            SELECT (label * 12 + vec_id % 13) AS sc,
+                   CASE WHEN label >= 5 THEN 1 ELSE 0 END AS y
+            FROM embeddings
+        ), g AS (
+            SELECT sc, CAST(count(*) AS BIGINT) AS n_k,
+                   CAST(sum(y) AS BIGINT) AS pos_k
+            FROM s GROUP BY 1
+        ), t AS (
+            SELECT CAST(sum(n_k) AS BIGINT) AS n,
+                   CAST(sum(pos_k) AS BIGINT) AS p,
+                   list(struct_pack(s := sc, n_k := n_k, pos_k := pos_k)
+                        ORDER BY sc) AS bins
+            FROM g
+        )
+        SELECT n,
+               round(CAST(p AS DOUBLE) / CAST(n AS DOUBLE), 6)
+                 AS base_rate,
+               round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(bins, b ->
+                       CAST(b.pos_k AS DOUBLE)
+                       * (CAST(b.s AS DOUBLE) / 128.0 - 1.0)
+                       * (CAST(b.s AS DOUBLE) / 128.0 - 1.0)
+                       + CAST(b.n_k - b.pos_k AS DOUBLE)
+                         * (CAST(b.s AS DOUBLE) / 128.0)
+                         * (CAST(b.s AS DOUBLE) / 128.0))),
+                   (x, y) -> x + y) / CAST(n AS DOUBLE), 6) AS brier,
+               round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(bins, b ->
+                       CAST(b.n_k AS DOUBLE)
+                       * (CAST(b.s AS DOUBLE) / 128.0
+                          - CAST(b.pos_k AS DOUBLE)
+                            / CAST(b.n_k AS DOUBLE))
+                       * (CAST(b.s AS DOUBLE) / 128.0
+                          - CAST(b.pos_k AS DOUBLE)
+                            / CAST(b.n_k AS DOUBLE)))),
+                   (x, y) -> x + y) / CAST(n AS DOUBLE), 6)
+                 AS reliability,
+               round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(bins, b ->
+                       CAST(b.n_k AS DOUBLE)
+                       * (CAST(b.pos_k AS DOUBLE) / CAST(b.n_k AS DOUBLE)
+                          - CAST(p AS DOUBLE) / CAST(n AS DOUBLE))
+                       * (CAST(b.pos_k AS DOUBLE) / CAST(b.n_k AS DOUBLE)
+                          - CAST(p AS DOUBLE) / CAST(n AS DOUBLE)))),
+                   (x, y) -> x + y) / CAST(n AS DOUBLE), 6)
+                 AS resolution,
+               round((CAST(p AS DOUBLE) / CAST(n AS DOUBLE))
+                     * (1.0 - CAST(p AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+                 AS uncertainty
+        FROM t
+    """
+    d["turn_hazard"] = P + """
+        , lens AS (
+            SELECT conv_id,
+                   CAST(max(turn_idx) + 1 AS BIGINT) AS t_turns
+            FROM parsed GROUP BY 1
+        ), rollup AS (
+            SELECT t_turns, CAST(count(*) AS BIGINT) AS n_end
+            FROM lens GROUP BY 1
+        ), wr AS (
+            SELECT t_turns, n_end,
+                   CAST(sum(n_end) OVER (ORDER BY t_turns DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS n_risk
+            FROM rollup
+        ), ks AS (
+            SELECT list(struct_pack(t := t_turns,
+                       keep := 1.0 - CAST(n_end AS DOUBLE)
+                               / CAST(n_risk AS DOUBLE))
+                       ORDER BY t_turns) AS ks
+            FROM wr
+        ), surv AS (
+            SELECT unnest(list_transform(range(1, len(ks) + 1),
+                       i -> struct_pack(
+                           t := list_extract(ks, i).t,
+                           s := list_reduce(
+                               list_prepend(CAST(1.0 AS DOUBLE),
+                                   list_transform(list_slice(ks, 1, i),
+                                       k -> k.keep)),
+                               (a, b) -> a * b)))) AS sv
+            FROM ks
+        )
+        SELECT wr.t_turns, wr.n_end, wr.n_risk,
+               round(CAST(wr.n_end AS DOUBLE)
+                     / CAST(wr.n_risk AS DOUBLE), 6) AS hazard,
+               round(sv.s, 6) AS survival
+        FROM wr JOIN surv ON sv.t = wr.t_turns
+    """
+    d["grid_dbscan"] = """
+        WITH RECURSIVE pts AS (
+            SELECT CAST(floor(CAST(embedding[1] AS DOUBLE) / 0.05)
+                        AS BIGINT) AS cx,
+                   CAST(floor(CAST(embedding[2] AS DOUBLE) / 0.05)
+                        AS BIGINT) AS cy
+            FROM embeddings
+        ), cnt AS (
+            SELECT cx, cy, CAST(count(*) AS BIGINT) AS n_pts
+            FROM pts GROUP BY 1, 2
+        ), dense AS (
+            SELECT (cx + 100000) * 1000000 + (cy + 100000) AS id,
+                   cx, cy, n_pts
+            FROM cnt WHERE n_pts >= 4
+        ), edges AS (
+            SELECT a.id AS src_id, b.id AS dst_id
+            FROM dense a JOIN dense b
+              ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
+             AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
+             AND a.id <> b.id
+        ), r AS (
+            SELECT id, id AS label FROM dense
+            UNION
+            SELECT e.dst_id AS id, r.label
+            FROM r JOIN edges e ON r.id = e.src_id
+            WHERE r.label < e.dst_id
+        ), lab AS (
+            SELECT id, min(label) AS label FROM r GROUP BY 1
+        ), clus AS (
+            SELECT lab.label AS cluster_id,
+                   CAST(count(*) AS BIGINT) AS n_cells,
+                   CAST(sum(dense.n_pts) AS BIGINT) AS n_points
+            FROM lab JOIN dense ON lab.id = dense.id
+            GROUP BY 1
+        ), noise AS (
+            SELECT CAST(-1 AS BIGINT) AS cluster_id,
+                   CAST(count(*) AS BIGINT) AS n_cells,
+                   CAST(coalesce(sum(n_pts), 0) AS BIGINT) AS n_points
+            FROM cnt WHERE n_pts < 4
+            HAVING count(*) > 0
+        )
+        SELECT * FROM clus UNION ALL SELECT * FROM noise
     """
     return d

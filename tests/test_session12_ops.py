@@ -249,3 +249,150 @@ def test_yule_k_textbook_spectrum(spark):
     out = yule_k(df, ["lang"]).collect()[0]
     assert out["n_tokens"] == 4 and out["v_types"] == 3
     assert out["yule_k"] == pytest.approx(1250.0)
+
+
+# ------------------------------------------------------------- cmh
+
+
+def _cmh_frame(spark, tables):
+    """tables: {stratum: (a, b, c, d)} expanded to row grain."""
+    rows = []
+    for s, (a, b, c, d) in tables.items():
+        rows += [(s, True, True)] * a + [(s, True, False)] * b
+        rows += [(s, False, True)] * c + [(s, False, False)] * d
+    return spark.createDataFrame(
+        rows, "stratum string, ex boolean, outc boolean"
+    )
+
+
+def test_cmh_hand_tables(spark):
+    from cernan_spark.operators.experiment import cmh_odds
+
+    df = _cmh_frame(spark, {"A": (4, 1, 1, 4), "B": (2, 2, 2, 2)})
+    out = {r["stratum"]: r for r in cmh_odds(df, "stratum", "ex", "outc").collect()}
+    assert (out["A"]["a"], out["A"]["d"]) == (4, 4)
+    assert out["A"]["or_stratum"] == pytest.approx(16.0)
+    assert out["B"]["or_stratum"] == pytest.approx(1.0)
+    # num = 16/10 + 4/8 = 2.1 ; den = 1/10 + 4/8 = 0.6
+    assert out["A"]["or_cmh"] == pytest.approx(3.5)
+    assert out["B"]["or_cmh"] == pytest.approx(3.5)
+
+
+def test_cmh_zero_cell_stratum_or_null(spark):
+    from cernan_spark.operators.experiment import cmh_odds
+
+    df = _cmh_frame(spark, {"A": (3, 0, 2, 3)})
+    out = cmh_odds(df, "stratum", "ex", "outc").collect()[0]
+    assert out["or_stratum"] is None  # b·c = 0
+    # pooled still defined: num = 9/8, den = 0 -> NULL pooled too
+    assert out["or_cmh"] is None
+
+
+# ----------------------------------------------------- brier decomp
+
+
+def test_brier_identity_and_value(spark):
+    from cernan_spark.operators.experiment import brier_decomposition
+
+    # scores 32 (p=.25) and 96 (p=.75); outcomes 1/4 and 3/4 positive
+    rows = [(32, 1)] + [(32, 0)] * 3 + [(96, 1)] * 3 + [(96, 0)]
+    df = spark.createDataFrame(rows, "score int, y int")
+    out = brier_decomposition(df, "score", "y", denom=128).collect()[0]
+    # perfectly calibrated bins: REL = 0
+    assert out["reliability"] == pytest.approx(0.0)
+    assert out["base_rate"] == pytest.approx(0.5)
+    assert out["uncertainty"] == pytest.approx(0.25)
+    # RES = mean (o_k - .5)^2 = .0625 ; brier = REL - RES + UNC
+    assert out["resolution"] == pytest.approx(0.0625)
+    assert out["brier"] == pytest.approx(0.25 - 0.0625)
+
+
+def test_brier_miscalibrated_reliability(spark):
+    from cernan_spark.operators.experiment import brier_decomposition
+
+    # one bin predicting .25 but empirically always positive
+    rows = [(32, 1)] * 4
+    df = spark.createDataFrame(rows, "score int, y int")
+    out = brier_decomposition(df, "score", "y", denom=128).collect()[0]
+    assert out["reliability"] == pytest.approx(0.5625)  # (0.25-1)^2
+    assert out["resolution"] == pytest.approx(0.0)
+    assert out["uncertainty"] == pytest.approx(0.0)
+    assert out["brier"] == pytest.approx(0.5625)
+
+
+# ------------------------------------------------------ turn hazard
+
+
+def test_turn_hazard_life_table(spark):
+    from cernan_spark.operators.conversation import turn_hazard
+
+    rows = []
+    for conv, n in [("c1", 1), ("c2", 1), ("c3", 2), ("c4", 3)]:
+        rows += [(conv, i) for i in range(n)]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int")
+    out = {r["t_turns"]: r for r in turn_hazard(df).collect()}
+    assert out[1]["n_end"] == 2 and out[1]["n_risk"] == 4
+    assert out[1]["hazard"] == pytest.approx(0.5)
+    assert out[1]["survival"] == pytest.approx(0.5)
+    assert out[2]["n_risk"] == 2
+    assert out[2]["survival"] == pytest.approx(0.25)
+    assert out[3]["hazard"] == pytest.approx(1.0)
+    assert out[3]["survival"] == pytest.approx(0.0)
+
+
+# ------------------------------------------------------ grid dbscan
+
+
+def test_grid_dbscan_merge_and_noise(spark):
+    from cernan_spark.operators.similarity import grid_dbscan
+
+    def pt(i, x, y):
+        return (i, [float(x), float(y)])
+
+    rows = (
+        # cluster A: cells (0,0) and (1,1) touch diagonally, 2 pts each
+        [pt(1, 0.1, 0.1), pt(2, 0.2, 0.2), pt(3, 1.1, 1.1), pt(4, 1.2, 1.2)]
+        # cluster B: cell (5,5) with 3 pts, isolated
+        + [pt(5, 5.1, 5.1), pt(6, 5.2, 5.2), pt(7, 5.3, 5.3)]
+        # noise: lone point
+        + [pt(8, 10.5, 10.5)]
+    )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = grid_dbscan(df, "vec_id", "embedding", eps=1.0, min_pts=2)
+    got = sorted(
+        (r["n_cells"], r["n_points"]) for r in out.collect()
+    )
+    # noise row: 1 sparse cell, 1 point
+    assert got == [(1, 1), (1, 3), (2, 4)]
+    noise = [r for r in out.collect() if r["cluster_id"] == -1]
+    assert len(noise) == 1 and noise[0]["n_points"] == 1
+
+
+def test_grid_dbscan_chain_converges_to_one_component(spark):
+    from cernan_spark.operators.similarity import grid_dbscan
+
+    # a 6-cell horizontal chain, 2 pts per cell -> ONE cluster
+    rows = []
+    i = 0
+    for cx in range(6):
+        for k in range(2):
+            i += 1
+            rows.append((i, [cx + 0.5, 0.5, 0.0]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = grid_dbscan(df, "vec_id", "embedding", eps=1.0, min_pts=2).collect()
+    assert len(out) == 1
+    assert out[0]["n_cells"] == 6 and out[0]["n_points"] == 12
+    assert out[0]["cluster_id"] != -1
+
+
+def test_grid_dbscan_all_noise(spark):
+    from cernan_spark.operators.similarity import grid_dbscan
+
+    df = spark.createDataFrame(
+        [(1, [0.5, 0.5]), (2, [3.5, 3.5])],
+        "vec_id long, embedding array<float>",
+    )
+    out = grid_dbscan(df, "vec_id", "embedding", eps=1.0, min_pts=2).collect()
+    assert len(out) == 1
+    assert out[0]["cluster_id"] == -1
+    assert out[0]["n_points"] == 2 and out[0]["n_cells"] == 2
