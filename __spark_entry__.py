@@ -3225,6 +3225,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brier_decomp": q_brier_decomp,
         "turn_hazard": q_turn_hazard,
         "grid_dbscan": q_grid_dbscan,
+        "seq_patterns": q_seq_patterns,
+        "assoc_rules": q_assoc_rules,
+        "burrows_delta": q_burrows_delta,
     }
 
 
@@ -7723,6 +7726,51 @@ def q_grid_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return grid_dbscan(e, "vec_id", "embedding", eps=0.05, min_pts=4)
+
+
+def q_seq_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gapped sequential patterns (PrefixSpan semantics, lengths 2–3)
+    over per-conversation tool streams: containment via first/last/
+    position algebra, exact integer supports, threshold scaling with
+    SF like apriori (operators/behavior.seq_patterns)."""
+    from cernan_spark.operators.behavior import seq_patterns
+
+    _utc(spark)
+    t = transcripts_from_events(spark, sf_dir)
+    ev = t.filter(F.col("tool") != "none").select(
+        "conv_id", "turn_idx", "tool"
+    )
+    n_convs = ev.select("conv_id").distinct().count()
+    ms = max(2, n_convs // 4)
+    return seq_patterns(ev, "conv_id", "turn_idx", "tool", ms)
+
+
+def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed association rules a→b over the apriori baskets:
+    confidence and lift from exact supports, both rule directions
+    emitted (operators/behavior.assoc_rules)."""
+    from cernan_spark.operators.behavior import assoc_rules
+
+    _utc(spark)
+    t = transcripts_from_events(spark, sf_dir)
+    baskets = t.filter(F.col("tool") != "none").select("conv_id", "tool")
+    n_convs = baskets.select("conv_id").distinct().count()
+    ms = max(2, n_convs // 4)
+    return assoc_rules(baskets, "conv_id", "tool", ms)
+
+
+def q_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burrows' Delta stylometric distance between the corpus's source
+    shards over the top-30 words: z-scored relative frequencies with
+    every Σ a pinned fold, σ one correctly-rounded sqrt
+    (operators/textstats.burrows_delta)."""
+    from cernan_spark.operators.textstats import burrows_delta
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = d.select(
+        "source", F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.length("tok") > 0)
+    return burrows_delta(toks, "source", "tok", top_k=30)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -13674,5 +13722,123 @@ def oracle_sql() -> dict[str, str]:
             HAVING count(*) > 0
         )
         SELECT * FROM clus UNION ALL SELECT * FROM noise
+    """
+    d["seq_patterns"] = P + """
+        , ev AS (
+            SELECT conv_id AS g, turn_idx AS o, tool AS i
+            FROM transcripts WHERE tool <> 'none'
+        ), per AS (
+            SELECT g, i, min(o) AS fpos, max(o) AS lpos,
+                   list(o ORDER BY o) AS ps
+            FROM ev GROUP BY 1, 2
+        ), ms AS (
+            SELECT greatest(2, count(DISTINCT g) // 4) AS ms FROM ev
+        ), p2 AS (
+            SELECT a.i AS ia, b.i AS ib,
+                   CAST(count(*) AS BIGINT) AS n_groups
+            FROM per a JOIN per b ON a.g = b.g AND a.fpos < b.lpos
+            GROUP BY 1, 2
+            HAVING count(*) >= (SELECT ms FROM ms)
+        ), p3 AS (
+            SELECT a.i AS ia, m.i AS im, c.i AS ic,
+                   CAST(count(*) AS BIGINT) AS n_groups
+            FROM per a
+            JOIN per m ON m.g = a.g
+            JOIN per c ON c.g = a.g
+            WHERE len(list_filter(m.ps,
+                      p -> p > a.fpos AND p < c.lpos)) > 0
+            GROUP BY 1, 2, 3
+            HAVING count(*) >= (SELECT ms FROM ms)
+        )
+        SELECT 2 AS "len", ia || '>' || ib AS pattern, n_groups FROM p2
+        UNION ALL
+        SELECT 3, ia || '>' || im || '>' || ic, n_groups FROM p3
+    """
+    d["assoc_rules"] = P + """
+        , b AS (
+            SELECT DISTINCT conv_id AS g, tool AS i
+            FROM transcripts WHERE tool <> 'none'
+        ), ms AS (
+            SELECT greatest(2, count(DISTINCT g) // 4) AS ms FROM b
+        ), nt AS (
+            SELECT CAST(count(DISTINCT g) AS BIGINT) AS n FROM b
+        ), supp AS (
+            SELECT i, CAST(count(*) AS BIGINT) AS s FROM b GROUP BY 1
+        ), pair AS (
+            SELECT a.i AS ia, c.i AS ib,
+                   CAST(count(*) AS BIGINT) AS sp
+            FROM b a JOIN b c ON a.g = c.g AND a.i < c.i
+            GROUP BY 1, 2
+            HAVING count(*) >= (SELECT ms FROM ms)
+        ), bd AS (
+            SELECT ia, ib, sp FROM pair
+            UNION ALL
+            SELECT ib AS ia, ia AS ib, sp FROM pair
+        )
+        SELECT bd.ia AS antecedent, bd.ib AS consequent,
+               sp AS supp_pair, sa.s AS supp_a, sb.s AS supp_b,
+               round(CAST(sp AS DOUBLE) / CAST(sa.s AS DOUBLE), 6)
+                 AS confidence,
+               round(CAST(sp * nt.n AS DOUBLE)
+                     / CAST(sa.s * sb.s AS DOUBLE), 6) AS lift
+        FROM bd
+        JOIN supp sa ON bd.ia = sa.i
+        JOIN supp sb ON bd.ib = sb.i
+        CROSS JOIN nt
+    """
+    d["burrows_delta"] = """
+        WITH b2 AS (
+            SELECT g, w FROM (
+                SELECT source AS g,
+                       unnest(string_split(text, ' ')) AS w
+                FROM documents
+            ) WHERE length(w) > 0
+        ), counts AS (
+            SELECT g, w, CAST(count(*) AS BIGINT) AS c
+            FROM b2 GROUP BY 1, 2
+        ), totals AS (
+            SELECT g, CAST(count(*) AS BIGINT) AS tot FROM b2 GROUP BY 1
+        ), topw AS (
+            SELECT w FROM (
+                SELECT w, count(*) AS cw FROM b2 GROUP BY 1
+            ) QUALIFY row_number() OVER (ORDER BY cw DESC, w) <= 30
+        ), dense AS (
+            SELECT t.g, topw.w,
+                   CAST(coalesce(c.c, 0) AS DOUBLE)
+                     / CAST(t.tot AS DOUBLE) AS f
+            FROM totals t CROSS JOIN topw
+            LEFT JOIN counts c ON c.g = t.g AND c.w = topw.w
+        ), pw AS (
+            SELECT w, list(struct_pack(g := g, f := f) ORDER BY g) AS fs
+            FROM dense GROUP BY 1
+        ), mv AS (
+            SELECT w, fs,
+                   list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                       list_transform(fs, t -> t.f)), (x, y) -> x + y)
+                     / CAST(len(fs) AS DOUBLE) AS mu
+            FROM pw
+        ), sg AS (
+            SELECT w, fs, mu,
+                   sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                       list_transform(fs,
+                           t -> (t.f - mu) * (t.f - mu))),
+                       (x, y) -> x + y)
+                       / CAST(len(fs) AS DOUBLE)) AS sigma
+            FROM mv
+        ), z AS (
+            SELECT w, t.g AS g, (t.f - mu) / sigma AS z
+            FROM (SELECT w, mu, sigma, unnest(fs) AS t
+                  FROM sg WHERE sigma > 0.0)
+        ), pairs AS (
+            SELECT z1.g AS g1, z2.g AS g2,
+                   list(abs(z1.z - z2.z) ORDER BY z1.w) AS ds
+            FROM z z1 JOIN z z2 ON z1.w = z2.w AND z1.g < z2.g
+            GROUP BY 1, 2
+        )
+        SELECT g1, g2, CAST(len(ds) AS INT) AS n_words,
+               round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), ds),
+                     (x, y) -> x + y) / CAST(len(ds) AS DOUBLE), 6)
+                 AS delta
+        FROM pairs
     """
     return d

@@ -599,3 +599,156 @@ def stickiness(
             ).alias("stickiness"),
         )
     )
+
+
+def seq_patterns(
+    events: DataFrame,
+    group_col: str,
+    order_col: str,
+    item_col: str,
+    min_support: int,
+    include_triples: bool = True,
+) -> DataFrame:
+    """Gapped sequential-pattern mining (PrefixSpan semantics, lengths
+    2–3) over per-group ordered item streams — the ORDER-aware sibling
+    of :func:`apriori_itemsets` (sets say "these tools co-occur";
+    sequences say "retrieval is FOLLOWED BY code-exec, eventually").
+    Support = number of groups containing the subsequence with
+    arbitrary gaps.
+
+    The containment tests collapse to first/last/position algebra, so
+    nothing enumerates index combinations:
+
+    * a→b  holds in a group  iff  first(a) < last(b)
+    * a→b→c  holds  iff  some position of b lies strictly between
+      first(a) and last(c)
+
+    Plan shape: ONE aggregate to the (group, item) grain keeping
+    (first, last, sorted position list); candidate pairs/triples are
+    joins at the group grain over the group's own item vocabulary
+    (bounded by the alphabet, not the sequence length); supports are
+    exact integer group-counts. Repeats (a→a) count via first < last
+    of the same item.
+
+    Output: ``len, pattern ('a>b' / 'a>b>c'), n_groups`` for patterns
+    with n_groups ≥ min_support.
+    """
+    per = events.groupBy(
+        F.col(group_col).alias("g"), F.col(item_col).alias("i")
+    ).agg(
+        F.min(order_col).alias("fpos"),
+        F.max(order_col).alias("lpos"),
+        F.sort_array(F.collect_list(order_col)).alias("ps"),
+    )
+    a = per.select("g", F.col("i").alias("ia"), F.col("fpos").alias("fa"))
+    b = per.select("g", F.col("i").alias("ib"), F.col("lpos").alias("lb"))
+    pairs = (
+        a.join(b, "g")
+        .filter(F.col("fa") < F.col("lb"))
+        .groupBy("ia", "ib")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_groups"))
+        .filter(F.col("n_groups") >= F.lit(min_support))
+    )
+    out2 = pairs.select(
+        F.lit(2).alias("len"),
+        F.concat_ws(">", "ia", "ib").alias("pattern"),
+        "n_groups",
+    )
+    if not include_triples:
+        return out2.orderBy("len", "pattern")
+    mid = per.select("g", F.col("i").alias("im"), F.col("ps").alias("pm"))
+    c = per.select("g", F.col("i").alias("ic"), F.col("lpos").alias("lc"))
+    triples = (
+        a.join(mid, "g")
+        .join(c, "g")
+        .filter(
+            F.exists(
+                "pm",
+                lambda p: (p > F.col("fa")) & (p < F.col("lc")),
+            )
+        )
+        .groupBy("ia", "im", "ic")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_groups"))
+        .filter(F.col("n_groups") >= F.lit(min_support))
+    )
+    out3 = triples.select(
+        F.lit(3).alias("len"),
+        F.concat_ws(">", "ia", "im", "ic").alias("pattern"),
+        "n_groups",
+    )
+    return out2.unionAll(out3).orderBy("len", "pattern")
+
+
+def assoc_rules(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    min_support: int,
+) -> DataFrame:
+    """Association rules a → b from frequent item PAIRS over per-group
+    baskets — the directed, strength-scored layer above
+    :func:`apriori_itemsets` (which stops at "frequent"):
+
+        confidence(a→b) = supp(ab) / supp(a)
+        lift(a→b)       = supp(ab) · N / (supp(a) · supp(b))
+
+    Both emitted per ordered rule (a→b AND b→a — confidence is
+    asymmetric), plus the exact integer supports. Floats are single
+    divisions of exact BIGINTs at emit (lift's numerator and
+    denominator are exact products).
+
+    Plan shape: dedup to (group, item), one item-grain support
+    aggregate, one within-group self-join (i < j) for pair supports,
+    the rule frame broadcast-joins the item supports.
+
+    Output: ``antecedent, consequent, supp_pair, supp_a, supp_b,
+    confidence, lift`` (round 6) for pairs with supp_pair ≥
+    min_support.
+    """
+    b = df.select(
+        F.col(group_col).alias("g"), F.col(item_col).alias("i")
+    ).distinct()
+    n_groups = b.agg(
+        F.countDistinct("g").cast("long").alias("n")
+    )
+    supp = b.groupBy("i").agg(F.count(F.lit(1)).cast("long").alias("s"))
+    l = b.select("g", F.col("i").alias("ia"))
+    r = b.select("g", F.col("i").alias("ib"))
+    pair = (
+        l.join(r, "g")
+        .filter(F.col("ia") < F.col("ib"))
+        .groupBy("ia", "ib")
+        .agg(F.count(F.lit(1)).cast("long").alias("sp"))
+        .filter(F.col("sp") >= F.lit(min_support))
+    )
+    both = pair.unionAll(
+        pair.select(
+            F.col("ib").alias("ia"), F.col("ia").alias("ib"), "sp"
+        )
+    )
+    rules = (
+        both.join(
+            F.broadcast(supp.select(F.col("i").alias("ia"), F.col("s").alias("sa"))),
+            "ia",
+        )
+        .join(
+            F.broadcast(supp.select(F.col("i").alias("ib"), F.col("s").alias("sb"))),
+            "ib",
+        )
+        .crossJoin(F.broadcast(n_groups))
+    )
+    return rules.select(
+        F.col("ia").alias("antecedent"),
+        F.col("ib").alias("consequent"),
+        F.col("sp").alias("supp_pair"),
+        F.col("sa").alias("supp_a"),
+        F.col("sb").alias("supp_b"),
+        F.round(
+            F.col("sp").cast("double") / F.col("sa").cast("double"), 6
+        ).alias("confidence"),
+        F.round(
+            (F.col("sp") * F.col("n")).cast("double")
+            / (F.col("sa") * F.col("sb")).cast("double"),
+            6,
+        ).alias("lift"),
+    ).orderBy("antecedent", "consequent")

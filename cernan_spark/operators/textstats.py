@@ -1440,3 +1440,106 @@ def rake_keyphrases(
         .limit(top_k)
         .select("phrase", "n_occurrences", "score")
     )
+
+
+def burrows_delta(
+    tokens: DataFrame,
+    group_col: str,
+    tok_col: str = "tok",
+    top_k: int = 30,
+) -> DataFrame:
+    """Burrows' Delta stylometric distance between corpus shards
+    (Burrows 2002): z-score each shard's relative frequency of the
+    top_k corpus words against the across-shard mean/std, then Delta =
+    mean |z₁ − z₂| per shard pair — the authorship/provenance signal a
+    corpus pipeline uses to flag shards whose function-word profile
+    drifts from the rest (the distributional companion of the log-odds
+    ``distinctive_terms``: that ranks words, this scores SHARDS).
+
+    Float discipline: counts/totals exact BIGINTs; relative frequency,
+    per-word mean, variance, z and the final /K are single divisions in
+    a fixed op order; σ is one correctly-rounded sqrt; EVERY Σ is a
+    LEFT fold over an explicitly sorted list (shards by name, words by
+    token), so the DuckDB replay is bit-identical. Zero-variance words
+    (identical f in every shard) carry no signal and are excluded; the
+    divisor is the surviving word count ``n_words``.
+
+    Plan shape: two hash aggregates to the (shard, word) and word
+    grains, a dense shard×top_k frame built by cross-joining the
+    bounded vocabulary (never the corpus), one self-join at the word
+    grain for pairs. Raw tokens are touched exactly once.
+
+    Output per unordered pair: ``g1, g2, n_words, delta`` (round 6).
+    """
+    base = tokens.select(
+        F.col(group_col).alias("g"), F.col(tok_col).alias("w")
+    )
+    counts = base.groupBy("g", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    totals = base.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("tot")
+    )
+    topw = (
+        base.groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("cw"))
+        .orderBy(F.col("cw").desc(), F.col("w"))
+        .limit(top_k)
+        .select("w")
+    )
+    dense = (
+        totals.crossJoin(F.broadcast(topw))
+        .join(counts, ["g", "w"], "left")
+        .select(
+            "g",
+            "w",
+            (
+                F.coalesce("c", F.lit(0)).cast("double")
+                / F.col("tot").cast("double")
+            ).alias("f"),
+        )
+    )
+    per_word = dense.groupBy("w").agg(
+        F.sort_array(F.collect_list(F.struct("g", "f"))).alias("fs")
+    )
+    s = F.size("fs").cast("double")
+    mu = (
+        F.aggregate("fs", F.lit(0.0), lambda acc, t: acc + t["f"]) / s
+    )
+    with_mu = per_word.select("w", "fs", mu.alias("mu"))
+    var = (
+        F.aggregate(
+            "fs",
+            F.lit(0.0),
+            lambda acc, t: acc
+            + (t["f"] - F.col("mu")) * (t["f"] - F.col("mu")),
+        )
+        / F.size("fs").cast("double")
+    )
+    zrows = (
+        with_mu.select("w", "mu", F.sqrt(var).alias("sigma"), "fs")
+        .filter(F.col("sigma") > 0.0)
+        .select("w", "mu", "sigma", F.explode("fs").alias("t"))
+        .select(
+            "w",
+            F.col("t.g").alias("g"),
+            ((F.col("t.f") - F.col("mu")) / F.col("sigma")).alias("z"),
+        )
+    )
+    z1 = zrows.select("w", F.col("g").alias("g1"), F.col("z").alias("z1"))
+    z2 = zrows.select("w", F.col("g").alias("g2"), F.col("z").alias("z2"))
+    pairs = z1.join(z2, "w").filter(F.col("g1") < F.col("g2"))
+    agg = pairs.groupBy("g1", "g2").agg(
+        F.sort_array(
+            F.collect_list(F.struct("w", F.abs(F.col("z1") - F.col("z2")).alias("d")))
+        ).alias("ds")
+    )
+    delta = F.aggregate(
+        "ds", F.lit(0.0), lambda acc, t: acc + t["d"]
+    ) / F.size("ds").cast("double")
+    return agg.select(
+        "g1",
+        "g2",
+        F.size("ds").alias("n_words"),
+        F.round(delta, 6).alias("delta"),
+    ).orderBy("g1", "g2")

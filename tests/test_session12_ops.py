@@ -396,3 +396,142 @@ def test_grid_dbscan_all_noise(spark):
     assert len(out) == 1
     assert out[0]["cluster_id"] == -1
     assert out[0]["n_points"] == 2 and out[0]["n_cells"] == 2
+
+
+# ---------------------------------------------------- seq patterns
+
+
+def _seq_frame(spark, seqs):
+    rows = [
+        (g, i, tool)
+        for g, toks in seqs.items()
+        for i, tool in enumerate(toks)
+    ]
+    return spark.createDataFrame(rows, "g string, o int, i string")
+
+
+def test_seq_patterns_gapped_support(spark):
+    from cernan_spark.operators.behavior import seq_patterns
+
+    df = _seq_frame(
+        spark, {"c1": ["a", "b", "a"], "c2": ["b", "a"], "c3": ["a", "b"]}
+    )
+    out = {
+        r["pattern"]: r["n_groups"]
+        for r in seq_patterns(df, "g", "o", "i", min_support=2).collect()
+    }
+    # a->b in c1 (0<1) and c3; NOT c2 (first a=1, last b=0)
+    # b->a in c1 (1<2) and c2
+    assert out == {"a>b": 2, "b>a": 2}
+
+
+def test_seq_patterns_repeats_and_triples(spark):
+    from cernan_spark.operators.behavior import seq_patterns
+
+    df = _seq_frame(spark, {"c1": ["a", "b", "a"]})
+    out = {
+        r["pattern"]: r["n_groups"]
+        for r in seq_patterns(df, "g", "o", "i", min_support=1).collect()
+    }
+    # repeat a->a via first(a)=0 < last(a)=2; triple a>b>a via b at 1
+    assert out["a>a"] == 1
+    assert out["a>b>a"] == 1
+    assert "b>a>b" not in out  # only one b occurrence
+    # gap requirement is STRICT betweenness: a>a>a needs an 'a' strictly
+    # between first and last -> absent with two occurrences
+    assert "a>a>a" not in out
+
+
+def test_seq_patterns_order_sensitivity(spark):
+    from cernan_spark.operators.behavior import seq_patterns
+
+    # identical BAGS, opposite orders: sets agree, sequences must not
+    df = _seq_frame(spark, {"c1": ["x", "y"], "c2": ["y", "x"]})
+    out = {
+        r["pattern"]: r["n_groups"]
+        for r in seq_patterns(df, "g", "o", "i", min_support=2).collect()
+    }
+    assert out == {}  # neither direction reaches support 2
+
+
+# ----------------------------------------------------- assoc rules
+
+
+def test_assoc_rules_confidence_lift(spark):
+    from cernan_spark.operators.behavior import assoc_rules
+
+    rows = [
+        ("g1", "a"), ("g1", "b"),
+        ("g2", "a"), ("g2", "b"),
+        ("g3", "a"),
+        ("g4", "b"), ("g4", "c"),
+    ]
+    df = spark.createDataFrame(rows, "g string, i string")
+    out = {
+        (r["antecedent"], r["consequent"]): r
+        for r in assoc_rules(df, "g", "i", min_support=2).collect()
+    }
+    assert set(out) == {("a", "b"), ("b", "a")}
+    ab = out[("a", "b")]
+    assert (ab["supp_pair"], ab["supp_a"], ab["supp_b"]) == (2, 3, 3)
+    assert ab["confidence"] == pytest.approx(round(2 / 3, 6))
+    assert ab["lift"] == pytest.approx(round(8 / 9, 6))
+    # direction asymmetry shows in confidence when supports differ
+    assert out[("b", "a")]["confidence"] == pytest.approx(round(2 / 3, 6))
+
+
+# --------------------------------------------------- burrows delta
+
+
+def test_burrows_delta_three_shards(spark):
+    from cernan_spark.operators.textstats import burrows_delta
+
+    shards = {
+        "s1": ["the"] * 6 + ["of"] * 2 + ["and"] * 2,
+        "s2": ["the"] * 4 + ["of"] * 4 + ["and"] * 2,
+        "s3": ["the"] * 2 + ["of"] * 2 + ["and"] * 6,
+    }
+    rows = [(g, w) for g, ws in shards.items() for w in ws]
+    df = spark.createDataFrame(rows, "g string, tok string")
+    out = {
+        (r["g1"], r["g2"]): r
+        for r in burrows_delta(df, "g", "tok", top_k=3).collect()
+    }
+
+    # python reference
+    import statistics
+
+    words = ["and", "of", "the"]  # all tie at 10 -> top-3 by token
+    f = {
+        g: {w: ws.count(w) / len(ws) for w in words}
+        for g, ws in shards.items()
+    }
+    mu = {w: sum(f[g][w] for g in shards) / 3 for w in words}
+    sg = {
+        w: math.sqrt(sum((f[g][w] - mu[w]) ** 2 for g in shards) / 3)
+        for w in words
+    }
+    z = {g: {w: (f[g][w] - mu[w]) / sg[w] for w in words} for g in shards}
+
+    def delta(g1, g2):
+        return sum(abs(z[g1][w] - z[g2][w]) for w in words) / 3
+
+    assert set(out) == {("s1", "s2"), ("s1", "s3"), ("s2", "s3")}
+    for (g1, g2), r in out.items():
+        assert r["n_words"] == 3
+        assert r["delta"] == pytest.approx(delta(g1, g2), abs=1e-5)
+    # s1 vs s3 differ most
+    assert out[("s1", "s3")]["delta"] > out[("s1", "s2")]["delta"]
+
+
+def test_burrows_delta_zero_variance_word_excluded(spark):
+    from cernan_spark.operators.textstats import burrows_delta
+
+    # 'zz' has identical relative frequency in both shards -> excluded
+    rows = (
+        [("a", "zz")] * 2 + [("a", "x")] * 2
+        + [("b", "zz")] * 2 + [("b", "y")] * 2
+    )
+    df = spark.createDataFrame(rows, "g string, tok string")
+    out = burrows_delta(df, "g", "tok", top_k=3).collect()[0]
+    assert out["n_words"] == 2  # x and y survive, zz dropped
