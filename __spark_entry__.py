@@ -3228,6 +3228,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_patterns": q_seq_patterns,
         "assoc_rules": q_assoc_rules,
         "burrows_delta": q_burrows_delta,
+        "anova": q_anova,
+        "textrank": q_textrank,
+        "hurst": q_hurst,
     }
 
 
@@ -6494,18 +6497,23 @@ def _countmin_oracle_sql_entry() -> str:
     )
 
 
-def _pagerank_oracle_sql(iters: int = 3) -> str:
-    """DuckDB twin of q_domain_pagerank: the same edge construction,
+_DOMAIN_EDGES_CTE = """
+            SELECT DISTINCT
+                   'site' || CAST(doc_id % 23 AS VARCHAR) AS src,
+                   'site' || CAST((doc_id * 7 + 3) % 29 AS VARCHAR) AS dst
+            FROM documents
+"""
+
+
+def _pagerank_oracle_sql(iters: int = 3, edges_cte: str | None = None) -> str:
+    """DuckDB twin of a pagerank query: a caller-supplied distinct
+    (src, dst) edge CTE (default: the domain link graph), then
     per-iteration dangling-mass and inflow folds replayed with
     ``list_reduce(list(x ORDER BY …))`` so every double addition has the
     same pinned order as the Spark ``array_sort`` + ``F.aggregate``
     folds."""
     head = """
-        WITH e AS (
-            SELECT DISTINCT
-                   'site' || CAST(doc_id % 23 AS VARCHAR) AS src,
-                   'site' || CAST((doc_id * 7 + 3) % 29 AS VARCHAR) AS dst
-            FROM documents
+        WITH e AS (""" + (edges_cte or _DOMAIN_EDGES_CTE) + """
         ), nodes AS (
             SELECT n.node, CAST(coalesce(dg.deg, 0) AS BIGINT) AS out_deg
             FROM (SELECT src AS node FROM e UNION SELECT dst FROM e) n
@@ -7771,6 +7779,54 @@ def q_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", F.explode(F.split("text", " ")).alias("tok")
     ).filter(F.length("tok") > 0)
     return burrows_delta(toks, "source", "tok", top_k=30)
+
+
+def q_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F across the five hourly cent-sum series: exact
+    BIGINT group sums/squares, S_g²/n_g terms folded in group order,
+    F and η² as a fixed IEEE chain (operators/rankstats.anova_oneway).
+    The omnibus screen before mann_whitney's pairwise look."""
+    from cernan_spark.operators.rankstats import anova_oneway
+
+    ser = _hourly_cents_xy(spark, sf_dir)
+    return anova_oneway(ser, "event_type", "y")
+
+
+def q_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword centrality: PageRank (3 iterations, d=0.85)
+    over the corpus's distinct adjacent-token graph, both directions —
+    the SAME pagerank operator as domain_pagerank on a token
+    co-occurrence graph, oracle via the parameterized replay
+    (operators/graph.pagerank)."""
+    from cernan_spark.operators.graph import pagerank
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    arr = F.split("text", " ")
+    prs = F.zip_with(
+        F.slice(arr, 1, F.size(arr) - 1),
+        F.slice(arr, 2, F.size(arr) - 1),
+        lambda a, b: F.struct(a.alias("s"), b.alias("d")),
+    )
+    e0 = (
+        d.select(F.explode(prs).alias("p"))
+        .select(F.col("p.s").alias("src"), F.col("p.d").alias("dst"))
+        .filter((F.length("src") > 0) & (F.length("dst") > 0))
+    )
+    edges = e0.unionAll(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return pagerank(edges, iters=3, damping=0.85)
+
+
+def q_hurst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent by rescaled-range analysis of each hourly cent
+    series at window sizes 16–128: per-block R/S with prefix-slice
+    folds, size means, ln–ln OLS slope — the long-memory companion to
+    acf (operators/temporal.hurst_rs)."""
+    from cernan_spark.operators.temporal import hurst_rs
+
+    ser = _hourly_cents_xy(spark, sf_dir)
+    return hurst_rs(ser, ["event_type"], "x", "y")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -13840,5 +13896,141 @@ def oracle_sql() -> dict[str, str]:
                      (x, y) -> x + y) / CAST(len(ds) AS DOUBLE), 6)
                  AS delta
         FROM pairs
+    """
+    d["anova"] = f"""
+        WITH ser AS ({_hourly_sql}),
+        g AS (
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n_g,
+                   CAST(sum(y) AS BIGINT) AS s_g,
+                   CAST(sum(y * y) AS BIGINT) AS ss_g
+            FROM ser GROUP BY 1
+        ), t AS (
+            SELECT CAST(count(*) AS BIGINT) AS k,
+                   CAST(sum(n_g) AS BIGINT) AS n,
+                   CAST(sum(s_g) AS BIGINT) AS s,
+                   CAST(sum(ss_g) AS BIGINT) AS ss,
+                   list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                       list(CAST(s_g * s_g AS DOUBLE)
+                            / CAST(n_g AS DOUBLE) ORDER BY event_type)),
+                       (a, b) -> a + b) AS t_sum
+            FROM g
+        )
+        SELECT k, n,
+               round(t_sum - CAST(s * s AS DOUBLE) / CAST(n AS DOUBLE), 6)
+                 AS ss_between,
+               round(CAST(ss AS DOUBLE) - t_sum, 6) AS ss_within,
+               round(CASE WHEN k > 1 AND n > k THEN
+                   ((t_sum - CAST(s * s AS DOUBLE) / CAST(n AS DOUBLE))
+                    / CAST(k - 1 AS DOUBLE))
+                   / ((CAST(ss AS DOUBLE) - t_sum)
+                      / CAST(n - k AS DOUBLE)) END, 6) AS f_stat,
+               round(CASE WHEN CAST(ss AS DOUBLE)
+                               - CAST(s * s AS DOUBLE) / CAST(n AS DOUBLE)
+                               <> 0.0 THEN
+                   (t_sum - CAST(s * s AS DOUBLE) / CAST(n AS DOUBLE))
+                   / (CAST(ss AS DOUBLE)
+                      - CAST(s * s AS DOUBLE) / CAST(n AS DOUBLE))
+                     END, 6) AS eta_sq
+        FROM t
+    """
+    _token_edges_cte = """
+            SELECT DISTINCT src, dst FROM (
+                SELECT p.s AS src, p.d AS dst FROM (
+                    SELECT unnest(list_transform(range(1, len(a)),
+                        i -> struct_pack(s := a[i], d := a[i + 1]))) AS p
+                    FROM (SELECT string_split(text, ' ') AS a
+                          FROM documents)
+                ) WHERE length(p.s) > 0 AND length(p.d) > 0
+                UNION ALL
+                SELECT p.d AS src, p.s AS dst FROM (
+                    SELECT unnest(list_transform(range(1, len(a)),
+                        i -> struct_pack(s := a[i], d := a[i + 1]))) AS p
+                    FROM (SELECT string_split(text, ' ') AS a
+                          FROM documents)
+                ) WHERE length(p.s) > 0 AND length(p.d) > 0
+            )
+"""
+    d["textrank"] = _pagerank_oracle_sql(iters=3, edges_cte=_token_edges_cte)
+    d["hurst"] = f"""
+        WITH ser AS ({_hourly_sql}),
+        a AS (
+            SELECT event_type, list(CAST(y AS DOUBLE) ORDER BY x) AS ys,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM ser GROUP BY 1
+        ), sized AS (
+            SELECT event_type, ys, n, unnest([16, 32, 64, 128]) AS w
+            FROM a
+        ), sized2 AS (
+            SELECT event_type, ys, n, w FROM sized WHERE n >= w
+        ), blocks AS (
+            SELECT event_type, w, ys,
+                   unnest(range(1, CAST(n // w AS BIGINT) + 1)) AS j
+            FROM sized2
+        ), blk AS (
+            SELECT event_type, w, j,
+                   list_slice(ys, (j - 1) * w + 1, j * w) AS b
+            FROM blocks
+        ), wm AS (
+            SELECT event_type, w, j, b,
+                   list_reduce(list_prepend(CAST(0.0 AS DOUBLE), b),
+                       (p, q) -> p + q) / CAST(w AS DOUBLE) AS m
+            FROM blk
+        ), rsr AS (
+            SELECT event_type, w, j,
+                   list_max(list_transform(range(1, w + 1),
+                       i -> list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                list_slice(b, 1, i)), (p, q) -> p + q)
+                            - CAST(i AS DOUBLE) * m))
+                   - list_min(list_transform(range(1, w + 1),
+                       i -> list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                list_slice(b, 1, i)), (p, q) -> p + q)
+                            - CAST(i AS DOUBLE) * m)) AS r,
+                   sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                       list_transform(b, x -> (x - m) * (x - m))),
+                       (p, q) -> p + q) / CAST(w AS DOUBLE)) AS s
+            FROM wm
+        ), valid AS (
+            SELECT * FROM rsr WHERE s > 0.0
+        ), per_size AS (
+            SELECT event_type, w, CAST(count(*) AS BIGINT) AS n_blocks,
+                   list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                       list(r / s ORDER BY j)), (p, q) -> p + q)
+                     / CAST(count(*) AS DOUBLE) AS mean_rs
+            FROM valid GROUP BY 1, 2
+        ), fit AS (
+            SELECT event_type,
+                   list(struct_pack(w := w,
+                        x := ln(CAST(w AS DOUBLE)),
+                        y := ln(mean_rs)) ORDER BY w) AS a2
+            FROM per_size WHERE mean_rs > 0.0 GROUP BY 1
+        ), hc AS (
+            SELECT event_type,
+                   CASE WHEN len(a2) >= 2 THEN
+                     (CAST(len(a2) AS DOUBLE)
+                      * list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                          list_transform(a2, t -> t.x * t.y)),
+                          (p, q) -> p + q)
+                      - list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                          list_transform(a2, t -> t.x)), (p, q) -> p + q)
+                        * list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                            list_transform(a2, t -> t.y)),
+                            (p, q) -> p + q))
+                     / (CAST(len(a2) AS DOUBLE)
+                        * list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                            list_transform(a2, t -> t.x * t.x)),
+                            (p, q) -> p + q)
+                        - list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                            list_transform(a2, t -> t.x)),
+                            (p, q) -> p + q)
+                          * list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                              list_transform(a2, t -> t.x)),
+                              (p, q) -> p + q))
+                   END AS hurst
+            FROM fit
+        )
+        SELECT per_size.event_type, per_size.w, per_size.n_blocks,
+               round(per_size.mean_rs, 6) AS mean_rs,
+               round(hc.hurst, 6) AS hurst
+        FROM per_size LEFT JOIN hc ON per_size.event_type = hc.event_type
     """
     return d

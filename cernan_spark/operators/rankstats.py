@@ -335,3 +335,71 @@ def ks_two_sample(
         F.round(crit, 6).alias("d_crit"),
         (d > crit).alias("reject"),
     )
+
+
+def anova_oneway(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """One-way ANOVA F over k groups of an exact-integer metric — the
+    omnibus "do ANY of these differ" gate run before the pairwise tests
+    in this module (mann_whitney compares two; this screens k):
+
+        SSB = Σ_g S_g²/n_g − S²/n      SSW = ΣΣ y² − Σ_g S_g²/n_g
+        F   = (SSB/(k−1)) / (SSW/(n−k))      η² = SSB / SST
+
+    Float discipline: S_g, n_g, S, n and Σy² are exact BIGINTs (values
+    must be pre-scaled integers — cents); each S_g²/n_g is one exact
+    product over one division, folded in group-sorted order; SSB/SSW/F/
+    η² are a fixed chain of IEEE subtract/divide on those terms, so the
+    DuckDB replay is bit-identical. S² must fit int64 — fine for cent
+    sums ≲ 3·10⁹ (sf ≤ 1); rescale upstream beyond that.
+
+    Plan shape: ONE map-side-combined aggregate to the group grain,
+    one fold over the ≤k-row rollup. Returns one row: ``k, n,
+    ss_between, ss_within, f_stat, eta_sq`` (round 6; F NULL when a
+    degenerate k=1 or n=k leaves a zero df).
+    """
+    g = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum(F.col(value_col).cast("long")).alias("s_g"),
+        F.sum(
+            F.col(value_col).cast("long") * F.col(value_col).cast("long")
+        ).alias("ss_g"),
+    )
+    tot = g.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n_g").alias("n"),
+        F.sum("s_g").alias("s"),
+        F.sum("ss_g").alias("ss"),
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    "grp",
+                    (
+                        (F.col("s_g") * F.col("s_g")).cast("double")
+                        / F.col("n_g").cast("double")
+                    ).alias("t"),
+                )
+            )
+        ).alias("ts"),
+    )
+    t_sum = F.aggregate("ts", F.lit(0.0), lambda acc, t: acc + t["t"])
+    c = (F.col("s") * F.col("s")).cast("double") / F.col("n").cast("double")
+    ssb = t_sum - c
+    ssw = F.col("ss").cast("double") - t_sum
+    sst = F.col("ss").cast("double") - c
+    f_stat = F.when(
+        (F.col("k") > 1) & (F.col("n") > F.col("k")),
+        (ssb / (F.col("k") - 1).cast("double"))
+        / (ssw / (F.col("n") - F.col("k")).cast("double")),
+    )
+    return tot.select(
+        "k",
+        "n",
+        F.round(ssb, 6).alias("ss_between"),
+        F.round(ssw, 6).alias("ss_within"),
+        F.round(f_stat, 6).alias("f_stat"),
+        F.round(
+            F.when(sst != 0.0, ssb / sst), 6
+        ).alias("eta_sq"),
+    )

@@ -882,3 +882,144 @@ def acf_profile(
         (F.col("n") - F.col("lag")).alias("n_pairs"),
         F.round(num / F.col("den"), 6).alias("acf"),
     ).orderBy(*key_cols, "lag")
+
+
+def hurst_rs(
+    series: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    value_col: str,
+    window_sizes: tuple[int, ...] = (16, 32, 64, 128),
+) -> DataFrame:
+    """Hurst exponent by rescaled-range (R/S) analysis per key — the
+    long-memory probe (H > ½ trending / persistent, H < ½
+    mean-reverting) that says whether a metric's bursts cluster, where
+    :func:`acf_profile` only sees fixed short lags. Classic Mandelbrot–
+    Wallis recipe: split the series into complete blocks of each window
+    size w, per block compute R = range of the cumulative mean
+    deviations and S = population std, average R/S per size, then H is
+    the slope of ln(R/S) on ln(w).
+
+    Float discipline: the collected values are exact integers (rollup
+    cents); block mean is one division; every cumulative deviation is a
+    LEFT fold over a PREFIX SLICE of the block (O(w²) adds per block —
+    bounded by max(window_sizes)², the deliberate price for a fold
+    order the DuckDB replay reproduces exactly); R from order-
+    insensitive array max/min; S one correctly-rounded sqrt;
+    the ln–ln OLS folds over the size-sorted means (the heaps_law
+    fit shape). Zero-variance blocks are excluded from the size mean.
+
+    Plan shape: ONE hash aggregate collects each bounded series; the
+    size × block axes are row-local array explodes — no shuffle ever
+    touches a per-observation row again. Use on rollup series.
+
+    Output per (key, w): ``*key_cols, w, n_blocks, mean_rs, hurst``
+    (round 6; hurst repeated across the key's rows, NULL when fewer
+    than two sizes survive).
+    """
+    ordered = F.sort_array(
+        F.collect_list(
+            F.struct(
+                F.col(order_col).alias("__o"),
+                F.col(value_col).cast("double").alias("__v"),
+            )
+        )
+    )
+    per_key = series.groupBy(*key_cols).agg(
+        F.transform(ordered, lambda t: t["__v"]).alias("ys"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    sized = per_key.select(
+        *key_cols,
+        "ys",
+        "n",
+        F.explode(
+            F.array(*[F.lit(int(w)) for w in window_sizes])
+        ).alias("w"),
+    ).filter(F.col("n") >= F.col("w"))
+    blocks = sized.select(
+        *key_cols,
+        "w",
+        F.explode(
+            F.sequence(F.lit(1), F.floor(F.col("n") / F.col("w")).cast("int"))
+        ).alias("j"),
+        F.slice(
+            "ys",
+            ((F.col("j") - 1) * F.col("w") + 1).cast("int"),
+            F.col("w").cast("int"),
+        ).alias("blk"),
+    )
+    m = F.aggregate("blk", F.lit(0.0), lambda acc, x: acc + x) / F.col(
+        "w"
+    ).cast("double")
+    with_m = blocks.select(*key_cols, "w", "j", "blk", m.alias("m"))
+    zs = F.transform(
+        F.sequence(F.lit(1), F.col("w").cast("int")),
+        lambda i: F.aggregate(
+            F.slice("blk", F.lit(1), i), F.lit(0.0), lambda acc, x: acc + x
+        )
+        - i.cast("double") * F.col("m"),
+    )
+    s = F.sqrt(
+        F.aggregate(
+            "blk",
+            F.lit(0.0),
+            lambda acc, x: acc + (x - F.col("m")) * (x - F.col("m")),
+        )
+        / F.col("w").cast("double")
+    )
+    rs_rows = with_m.select(
+        *key_cols,
+        "w",
+        "j",
+        (F.array_max(zs) - F.array_min(zs)).alias("r"),
+        s.alias("s"),
+    ).filter(F.col("s") > 0.0)
+    per_size = rs_rows.groupBy(*key_cols, "w").agg(
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        F.aggregate(
+            F.sort_array(
+                F.collect_list(F.struct("j", (F.col("r") / F.col("s")).alias("rs")))
+            ),
+            F.lit(0.0),
+            lambda acc, t: acc + t["rs"],
+        ).alias("rs_sum"),
+    ).select(
+        *key_cols,
+        "w",
+        "n_blocks",
+        (F.col("rs_sum") / F.col("n_blocks").cast("double")).alias("mean_rs"),
+    )
+    pts = per_size.filter(F.col("mean_rs") > 0.0)
+    fit = pts.groupBy(*key_cols).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    "w",
+                    F.log(F.col("w").cast("double")).alias("x"),
+                    F.log("mean_rs").alias("y"),
+                )
+            )
+        ).alias("a")
+    )
+    kk = F.size("a").cast("double")
+    sx = F.aggregate("a", F.lit(0.0), lambda acc, t: acc + t["x"])
+    sy = F.aggregate("a", F.lit(0.0), lambda acc, t: acc + t["y"])
+    sxy = F.aggregate("a", F.lit(0.0), lambda acc, t: acc + t["x"] * t["y"])
+    sxx = F.aggregate("a", F.lit(0.0), lambda acc, t: acc + t["x"] * t["x"])
+    hurst = F.when(
+        F.size("a") >= 2,
+        (kk * sxy - sx * sy) / (kk * sxx - sx * sx),
+    )
+    fitted = fit.select(*key_cols, hurst.alias("hurst"))
+    return (
+        per_size.join(fitted, key_cols, "left")
+        .select(
+            *key_cols,
+            "w",
+            "n_blocks",
+            F.round("mean_rs", 6).alias("mean_rs"),
+            F.round("hurst", 6).alias("hurst"),
+        )
+        .orderBy(*key_cols, "w")
+    )

@@ -535,3 +535,118 @@ def test_burrows_delta_zero_variance_word_excluded(spark):
     df = spark.createDataFrame(rows, "g string, tok string")
     out = burrows_delta(df, "g", "tok", top_k=3).collect()[0]
     assert out["n_words"] == 2  # x and y survive, zz dropped
+
+
+# ------------------------------------------------------------ anova
+
+
+def test_anova_hand_value(spark):
+    from cernan_spark.operators.rankstats import anova_oneway
+
+    rows = [("A", 1), ("A", 2), ("A", 3), ("B", 4), ("B", 5), ("B", 6)]
+    df = spark.createDataFrame(rows, "g string, y long")
+    out = anova_oneway(df, "g", "y").collect()[0]
+    assert (out["k"], out["n"]) == (2, 6)
+    # S=21 SS=91 C=73.5 ; t=36/3+225/3=87 ; SSB=13.5 SSW=4
+    assert out["ss_between"] == pytest.approx(13.5)
+    assert out["ss_within"] == pytest.approx(4.0)
+    assert out["f_stat"] == pytest.approx(13.5)
+    assert out["eta_sq"] == pytest.approx(round(13.5 / 17.5, 6))
+
+
+def test_anova_identical_groups_f_zero(spark):
+    from cernan_spark.operators.rankstats import anova_oneway
+
+    rows = [("A", 1), ("A", 3), ("B", 1), ("B", 3)]
+    df = spark.createDataFrame(rows, "g string, y long")
+    out = anova_oneway(df, "g", "y").collect()[0]
+    assert out["ss_between"] == pytest.approx(0.0)
+    assert out["f_stat"] == pytest.approx(0.0)
+
+
+def test_anova_single_group_null_f(spark):
+    from cernan_spark.operators.rankstats import anova_oneway
+
+    df = spark.createDataFrame([("A", 1), ("A", 2)], "g string, y long")
+    out = anova_oneway(df, "g", "y").collect()[0]
+    assert out["f_stat"] is None
+
+
+# ------------------------------------------------------------ hurst
+
+
+def _rs_ref(block):
+    m = sum(block) / len(block)
+    zs, acc = [], 0.0
+    for i, v in enumerate(block, 1):
+        acc += v
+        zs.append(acc - i * m)
+    r = max(zs) - min(zs)
+    s = math.sqrt(sum((v - m) ** 2 for v in block) / len(block))
+    return r / s
+
+
+def test_hurst_block_rs_matches_hand(spark):
+    from cernan_spark.operators.temporal import hurst_rs
+
+    ys = [1, 2, 3, 4, 2, 2, 4, 4]
+    df = spark.createDataFrame(
+        [("a", i, v) for i, v in enumerate(ys)], "k string, x int, y long"
+    )
+    out = hurst_rs(df, ["k"], "x", "y", window_sizes=(4,)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_blocks"] == 2
+    exp = (_rs_ref([1, 2, 3, 4]) + _rs_ref([2, 2, 4, 4])) / 2
+    assert r["mean_rs"] == pytest.approx(round(exp, 6), abs=1e-6)
+    assert r["hurst"] is None  # single size -> no fit
+
+
+def test_hurst_trending_vs_alternating(spark):
+    from cernan_spark.operators.temporal import hurst_rs
+
+    n = 128
+    rows = [("trend", i, i * 10) for i in range(n)]
+    rows += [("alt", i, 100 + 10 * (i % 2)) for i in range(n)]
+    df = spark.createDataFrame(rows, "k string, x int, y long")
+    out = {
+        (r["k"], r["w"]): r
+        for r in hurst_rs(
+            df, ["k"], "x", "y", window_sizes=(8, 16, 32)
+        ).collect()
+    }
+    h_trend = out[("trend", 8)]["hurst"]
+    h_alt = out[("alt", 8)]["hurst"]
+    assert h_trend > 0.9  # persistent ramp
+    assert h_alt < 0.3  # mean-reverting oscillation
+    assert out[("trend", 8)]["n_blocks"] == 16
+
+
+# --------------------------------------------------------- textrank
+
+
+def test_textrank_hub_token_ranks_highest(spark):
+    from cernan_spark.operators.graph import pagerank
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "b c")], "doc_id long, text string"
+    )
+    arr = F.split("text", " ")
+    prs = F.zip_with(
+        F.slice(arr, 1, F.size(arr) - 1),
+        F.slice(arr, 2, F.size(arr) - 1),
+        lambda a, b: F.struct(a.alias("s"), b.alias("d")),
+    )
+    e0 = (
+        docs.select(F.explode(prs).alias("p"))
+        .select(F.col("p.s").alias("src"), F.col("p.d").alias("dst"))
+        .filter((F.length("src") > 0) & (F.length("dst") > 0))
+    )
+    edges = e0.unionAll(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    out = {r["node"]: r["rank"] for r in pagerank(edges, iters=3).collect()}
+    # path a-b-c: b is the hub
+    assert set(out) == {"a", "b", "c"}
+    assert out["b"] > out["a"] and out["b"] > out["c"]
+    assert out["a"] == pytest.approx(out["c"])
