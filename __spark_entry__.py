@@ -3231,6 +3231,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anova": q_anova,
         "textrank": q_textrank,
         "hurst": q_hurst,
+        "friedman": q_friedman,
+        "logrank": q_logrank,
+        "lindley": q_lindley,
     }
 
 
@@ -7827,6 +7830,66 @@ def q_hurst(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ser = _hourly_cents_xy(spark, sf_dir)
     return hurst_rs(ser, ["event_type"], "x", "y")
+
+
+def q_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman rank test of the five metrics across complete hourly
+    blocks: within-block doubled tie-averaged ranks (exact ints),
+    χ²_F = 3·ΣR2² / (n·k·(k+1)) − 3n(k+1) — the blocked, rank-based
+    omnibus next to anova's pooled one
+    (operators/rankstats.friedman_test)."""
+    from cernan_spark.operators.rankstats import friedman_test
+
+    ser = _hourly_cents_xy(spark, sf_dir)
+    return friedman_test(ser, "x", "event_type", "y")
+
+
+def q_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mantel–Cox log-rank test between even- and odd-user cohorts'
+    time-to-first-purchase curves: exact at-risk/event integers per
+    event time, E and V terms folded time-sorted, χ² one division
+    (operators/survival.logrank_test). The test layer over
+    kaplan_meier's curves."""
+    from cernan_spark.operators.survival import logrank_test
+
+    _utc(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    fe = ev.groupBy("user_id").agg(F.min("ts").alias("t0"))
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tp"))
+    )
+    mx = ev.agg(F.max("ts").alias("tmax"))
+    lt = (
+        fe.join(fp, "user_id", "left")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.datediff(
+                F.to_date(F.coalesce("tp", "tmax")), F.to_date("t0")
+            )
+            .cast("long")
+            .alias("t"),
+            F.col("tp").isNotNull().alias("event"),
+            (F.col("user_id") % 2).alias("grp"),
+        )
+    )
+    return logrank_test(lt, "t", "event", "grp")
+
+
+def q_lindley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-server FIFO queue replay of each hourly metric stream
+    (Lindley recursion, arrival = hour index, service = cents % 3 hour
+    units): every state an exact BIGINT, the one float the final mean
+    division (operators/temporal.lindley_wait). Oracle replays the
+    fold as a recursive CTE over the rank spine."""
+    from cernan_spark.operators.temporal import lindley_wait
+
+    ser = _hourly_cents_xy(spark, sf_dir)
+    jobs = ser.select(
+        "event_type", "x", (F.col("y") % 3).alias("s")
+    )
+    return lindley_wait(jobs, ["event_type"], ["x"], "x", "s")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -14032,5 +14095,150 @@ def oracle_sql() -> dict[str, str]:
                round(per_size.mean_rs, 6) AS mean_rs,
                round(hc.hurst, 6) AS hurst
         FROM per_size LEFT JOIN hc ON per_size.event_type = hc.event_type
+    """
+    d["friedman"] = f"""
+        WITH ser AS ({_hourly_sql}),
+        kk AS (
+            SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS k
+            FROM ser
+        ), complete AS (
+            SELECT x FROM ser GROUP BY x
+            HAVING count(*) = (SELECT k FROM kk)
+               AND count(DISTINCT event_type) = (SELECT k FROM kk)
+        ), obs AS (
+            SELECT s.x AS b, s.event_type AS trt, s.y AS v
+            FROM ser s JOIN complete USING (x)
+        ), ranked AS (
+            SELECT b, trt,
+                   CAST(2 * rank() OVER (PARTITION BY b ORDER BY v)
+                        + count(*) OVER (PARTITION BY b, v) - 1
+                        AS BIGINT) AS r2
+            FROM obs
+        ), per AS (
+            SELECT trt, CAST(count(*) AS BIGINT) AS n_blocks,
+                   CAST(sum(r2) AS BIGINT) AS r2_sum
+            FROM ranked GROUP BY 1
+        ), tot AS (
+            SELECT CAST(max(n_blocks) AS BIGINT) AS n,
+                   CAST(sum(r2_sum * r2_sum) AS BIGINT) AS s
+            FROM per
+        )
+        SELECT trt AS treatment, n_blocks, r2_sum,
+               round(CAST(r2_sum AS DOUBLE)
+                     / CAST(2 * n_blocks AS DOUBLE), 6) AS mean_rank,
+               round(3.0 * CAST(tot.s AS DOUBLE)
+                     / CAST(tot.n * kk.k * (kk.k + 1) AS DOUBLE)
+                     - CAST(3 * tot.n * (kk.k + 1) AS DOUBLE), 6)
+                 AS chi2_f
+        FROM per CROSS JOIN tot CROSS JOIN kk
+    """
+    d["logrank"] = """
+        WITH fe AS (
+            SELECT user_id, min(ts) AS t0 FROM events GROUP BY 1
+        ), fp AS (
+            SELECT user_id, min(ts) AS tp FROM events
+            WHERE event_type = 'purchase' GROUP BY 1
+        ), mx AS (
+            SELECT max(ts) AS tmax FROM events
+        ), lt AS (
+            SELECT CAST(date_diff('day', CAST(fe.t0 AS DATE),
+                        CAST(coalesce(fp.tp, mx.tmax) AS DATE))
+                        AS BIGINT) AS t,
+                   fp.tp IS NOT NULL AS ev,
+                   (fe.user_id % 2 = 1) AS g1
+            FROM fe LEFT JOIN fp USING (user_id) CROSS JOIN mx
+        ), rollup AS (
+            SELECT t, CAST(count(*) AS BIGINT) AS c_all,
+                   CAST(sum(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS c_1,
+                   CAST(sum(CASE WHEN ev THEN 1 ELSE 0 END) AS BIGINT)
+                     AS d_all,
+                   CAST(sum(CASE WHEN ev AND g1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS d_1
+            FROM lt GROUP BY 1
+        ), at_risk AS (
+            SELECT t, d_all, d_1,
+                   CAST(sum(c_all) OVER wd AS BIGINT) AS n_t,
+                   CAST(sum(c_1) OVER wd AS BIGINT) AS n1_t
+            FROM rollup
+            WINDOW wd AS (ORDER BY t DESC
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW)
+        ), terms AS (
+            SELECT t, d_1,
+                   CAST(d_1 AS DOUBLE)
+                   - CAST(d_all AS DOUBLE)
+                     * (CAST(n1_t AS DOUBLE) / CAST(n_t AS DOUBLE))
+                     AS ome,
+                   CAST(d_all AS DOUBLE)
+                   * (CAST(n1_t AS DOUBLE) / CAST(n_t AS DOUBLE))
+                   * (1.0 - CAST(n1_t AS DOUBLE) / CAST(n_t AS DOUBLE))
+                   * (CAST(n_t - d_all AS DOUBLE)
+                      / CAST(n_t - 1 AS DOUBLE)) AS v
+            FROM at_risk WHERE d_all > 0 AND n_t > 1
+        ), folded AS (
+            SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                       list(ome ORDER BY t)), (a, b) -> a + b)
+                     AS o_minus_e,
+                   list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                       list(v ORDER BY t)), (a, b) -> a + b) AS var_sum
+            FROM terms
+        ), counts AS (
+            SELECT CAST(sum(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n1,
+                   CAST(sum(CASE WHEN g1 THEN 0 ELSE 1 END) AS BIGINT)
+                     AS n2,
+                   CAST(sum(CASE WHEN ev AND g1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS events1,
+                   CAST(sum(CASE WHEN ev AND NOT g1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS events2
+            FROM lt
+        )
+        SELECT n1, n2, events1, events2,
+               round(o_minus_e, 6) AS o_minus_e,
+               round(var_sum, 6) AS var_sum,
+               round(CASE WHEN var_sum <> 0.0
+                          THEN o_minus_e * o_minus_e / var_sum END, 6)
+                 AS chi2
+        FROM counts CROSS JOIN folded
+    """
+    d["lindley"] = f"""
+        WITH RECURSIVE ser AS ({_hourly_sql}),
+        ranked AS (
+            SELECT event_type,
+                   CAST(row_number() OVER (PARTITION BY event_type
+                                           ORDER BY x) AS BIGINT) AS t,
+                   CAST(coalesce(x - lag(x) OVER (
+                        PARTITION BY event_type ORDER BY x), 0)
+                        AS BIGINT) AS a,
+                   CAST(y % 3 AS BIGINT) AS s
+            FROM ser
+        ), r AS (
+            SELECT event_type, t, CAST(0 AS BIGINT) AS w, s AS sp,
+                   CAST(0 AS BIGINT) AS sw, CAST(0 AS BIGINT) AS mw,
+                   CAST(0 AS BIGINT) AS np
+            FROM ranked WHERE t = 1
+            UNION ALL
+            SELECT q.event_type, q.t,
+                   greatest(CAST(0 AS BIGINT), r.w + r.sp - q.a),
+                   q.s,
+                   r.sw + greatest(CAST(0 AS BIGINT), r.w + r.sp - q.a),
+                   greatest(r.mw,
+                       greatest(CAST(0 AS BIGINT), r.w + r.sp - q.a)),
+                   r.np + CASE WHEN greatest(CAST(0 AS BIGINT),
+                                    r.w + r.sp - q.a) > 0
+                               THEN 1 ELSE 0 END
+            FROM r JOIN ranked q
+              ON q.event_type = r.event_type AND q.t = r.t + 1
+        ), nj AS (
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n_jobs
+            FROM ranked GROUP BY 1
+        )
+        SELECT r.event_type, nj.n_jobs, r.sw AS sum_wait,
+               r.mw AS max_wait, r.np AS n_waited, r.w AS final_wait,
+               round(CAST(r.sw AS DOUBLE) / CAST(nj.n_jobs AS DOUBLE), 6)
+                 AS mean_wait
+        FROM r JOIN nj ON nj.event_type = r.event_type
+                      AND r.t = nj.n_jobs
     """
     return d

@@ -403,3 +403,94 @@ def anova_oneway(
             F.when(sst != 0.0, ssb / sst), 6
         ).alias("eta_sq"),
     )
+
+
+def friedman_test(
+    df: DataFrame,
+    block_col: str,
+    treatment_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Friedman rank test across k treatments in matched blocks — the
+    BLOCKED, rank-based omnibus: where :func:`anova_oneway` pools all
+    observations, this ranks treatments WITHIN each block (hour), so a
+    shared hourly level shift cancels instead of inflating the error
+    term. Only COMPLETE blocks (all k treatments present exactly once)
+    enter; ties take average ranks via the module's doubled-rank
+    arithmetic (2·min_rank + cnt − 1, exact ints).
+
+        χ²_F = 3·Σ_j R2_j² / (n·k·(k+1)) − 3·n·(k+1)
+
+    with R2_j the doubled rank sum of treatment j over n blocks (the
+    doubled form folds the usual 12/(nk(k+1))·ΣR_j² constant exactly).
+
+    Float discipline: ranks and R2_j are exact BIGINTs; χ²_F is two
+    exact integer products over ONE division minus an exact integer —
+    no folds, no sqrt.
+
+    Plan shape: one within-block rank window (partitioned by block —
+    parallel across blocks), one treatment-grain aggregate, one
+    broadcast of the k-row rollup's exact Σ.
+
+    Output per treatment: ``treatment, n_blocks, r2_sum, mean_rank,
+    chi2_f`` (round 6; chi2_f repeated, the whole-result broadcast
+    convention).
+    """
+    k_treat = df.select(treatment_col).distinct().count()
+    complete = (
+        df.groupBy(block_col)
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.countDistinct(treatment_col).alias("ct"),
+        )
+        .filter((F.col("c") == k_treat) & (F.col("ct") == k_treat))
+        .select(block_col)
+    )
+    obs = df.join(complete, block_col).select(
+        F.col(block_col).alias("b"),
+        F.col(treatment_col).alias("trt"),
+        F.col(value_col).cast("long").alias("v"),
+    )
+    wb = Window.partitionBy("b").orderBy("v")
+    wtie = Window.partitionBy("b", "v")
+    ranked = obs.select(
+        "b",
+        "trt",
+        (
+            F.lit(2) * F.rank().over(wb)
+            + F.count(F.lit(1)).over(wtie)
+            - F.lit(1)
+        )
+        .cast("long")
+        .alias("r2"),
+    )
+    per_trt = ranked.groupBy("trt").agg(
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        F.sum("r2").alias("r2_sum"),
+    )
+    tot = per_trt.agg(
+        F.max("n_blocks").alias("n"),
+        F.sum(F.col("r2_sum") * F.col("r2_sum")).alias("s_r2sq"),
+    )
+    k_lit = F.lit(int(k_treat)).cast("long")
+    chi2 = (
+        F.lit(3.0)
+        * F.col("s_r2sq").cast("double")
+        / (F.col("n") * k_lit * (k_lit + 1)).cast("double")
+        - (F.lit(3) * F.col("n") * (k_lit + 1)).cast("double")
+    )
+    return (
+        per_trt.crossJoin(F.broadcast(tot.select("n", chi2.alias("chi2_f"))))
+        .select(
+            F.col("trt").alias("treatment"),
+            "n_blocks",
+            "r2_sum",
+            F.round(
+                F.col("r2_sum").cast("double")
+                / (F.lit(2) * F.col("n_blocks")).cast("double"),
+                6,
+            ).alias("mean_rank"),
+            F.round("chi2_f", 6).alias("chi2_f"),
+        )
+        .orderBy("treatment")
+    )

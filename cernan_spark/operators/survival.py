@@ -102,3 +102,103 @@ def kaplan_meier(lifetimes: DataFrame, t_col: str, event_col: str) -> DataFrame:
         F.round(surv, 6).alias("survival"),
         F.round(haz, 6).alias("cum_hazard"),
     )
+
+
+def logrank_test(
+    lifetimes: DataFrame,
+    t_col: str,
+    event_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Two-sample log-rank test (Mantel–Cox) between the survival
+    curves of two cohorts — "did cohort A start purchasing faster than
+    cohort B", the hypothesis-test layer over :func:`kaplan_meier`
+    (which only draws the curves). At each distinct EVENT time t:
+
+        E1_t = d_t · n1_t / n_t
+        V_t  = d_t · (n1_t/n_t) · (1 − n1_t/n_t) · (n_t − d_t)/(n_t − 1)
+
+    and χ² = (Σ(d1_t − E1_t))² / ΣV_t with df = 1.
+
+    Float discipline: at-risk and event counts are exact BIGINTs from
+    one rollup + descending cumulative windows (the kaplan_meier
+    shape); each E1_t/V_t is a fixed chain of products and divisions of
+    those integers; both Σ are LEFT folds over the time-sorted term
+    list. Ties (events in both groups at one t) follow the standard
+    pooled-d_t treatment.
+
+    Output one row: ``n1, n2, events1, events2, o_minus_e, var_sum,
+    chi2`` (round 6; χ² NULL when ΣV = 0).
+    """
+    base = lifetimes.select(
+        F.col(t_col).cast("long").alias("t"),
+        F.col(event_col).cast("boolean").alias("ev"),
+        (F.col(group_col).cast("long") == 1).alias("g1"),
+    )
+    rollup = base.groupBy("t").agg(
+        F.count(F.lit(1)).cast("long").alias("c_all"),
+        F.sum(F.col("g1").cast("long")).alias("c_1"),
+        F.sum(F.col("ev").cast("long")).alias("d_all"),
+        F.sum((F.col("ev") & F.col("g1")).cast("long")).alias("d_1"),
+    )
+    wdesc = (
+        Window.orderBy(F.col("t").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    at_risk = rollup.select(
+        "t",
+        "d_all",
+        "d_1",
+        F.sum("c_all").over(wdesc).alias("n_t"),
+        F.sum("c_1").over(wdesc).alias("n1_t"),
+    ).filter((F.col("d_all") > 0) & (F.col("n_t") > 1))
+    p1 = F.col("n1_t").cast("double") / F.col("n_t").cast("double")
+    terms = at_risk.select(
+        "t",
+        "d_1",
+        (F.col("d_1").cast("double") - F.col("d_all").cast("double") * p1).alias(
+            "ome"
+        ),
+        (
+            F.col("d_all").cast("double")
+            * p1
+            * (F.lit(1.0) - p1)
+            * (
+                (F.col("n_t") - F.col("d_all")).cast("double")
+                / (F.col("n_t") - 1).cast("double")
+            )
+        ).alias("v"),
+    )
+    folded = terms.agg(
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("t", "ome"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["ome"],
+        ).alias("o_minus_e"),
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("t", "v"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["v"],
+        ).alias("var_sum"),
+    )
+    counts = base.agg(
+        F.sum(F.col("g1").cast("long")).alias("n1"),
+        F.sum((~F.col("g1")).cast("long")).alias("n2"),
+        F.sum((F.col("ev") & F.col("g1")).cast("long")).alias("events1"),
+        F.sum((F.col("ev") & ~F.col("g1")).cast("long")).alias("events2"),
+    )
+    return counts.crossJoin(F.broadcast(folded)).select(
+        "n1",
+        "n2",
+        "events1",
+        "events2",
+        F.round("o_minus_e", 6).alias("o_minus_e"),
+        F.round("var_sum", 6).alias("var_sum"),
+        F.round(
+            F.when(
+                F.col("var_sum") != 0.0,
+                F.col("o_minus_e") * F.col("o_minus_e") / F.col("var_sum"),
+            ),
+            6,
+        ).alias("chi2"),
+    )

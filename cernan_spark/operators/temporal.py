@@ -1023,3 +1023,96 @@ def hurst_rs(
         )
         .orderBy(*key_cols, "w")
     )
+
+
+def lindley_wait(
+    jobs: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    arrival_col: str,
+    service_col: str,
+) -> DataFrame:
+    """Lindley-recursion queueing replay per key: treat the ordered
+    event stream as a single-server FIFO queue (arrival epochs +
+    deterministic service demands, both exact integers) and fold the
+    waiting-time recursion
+
+        W₁ = 0,   W_n = max(0, W_{n−1} + S_{n−1} − A_n)
+
+    (A_n the n-th interarrival gap) — the capacity-planning answer "if
+    one worker served this stream, how long would jobs wait" read
+    straight off routed telemetry, with NO floating point anywhere:
+    every state and every output except mean_wait is an exact BIGINT,
+    so the DuckDB replay (a recursive CTE over the rank spine — the
+    holt discipline, chosen over a struct-accumulator ``list_reduce``
+    which DuckDB 1.0 mis-evaluates) is exact by construction.
+
+    Plan shape: one lag window for gaps, ONE hash aggregate collecting
+    each bounded (rollup-grain) stream, a single integer fold.
+
+    Output per key: ``*key_cols, n_jobs, sum_wait, max_wait, n_waited,
+    final_wait, mean_wait`` (round 6 on the one division).
+    """
+    w = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    gapped = jobs.select(
+        *key_cols,
+        *order_cols,
+        F.coalesce(
+            F.col(arrival_col).cast("long")
+            - F.lag(F.col(arrival_col).cast("long")).over(w),
+            F.lit(0),
+        ).alias("a"),
+        F.col(service_col).cast("long").alias("s"),
+    )
+    ordered = F.sort_array(
+        F.collect_list(
+            F.struct(
+                *[F.col(c) for c in order_cols],
+                F.col("a").alias("a"),
+                F.col("s").alias("s"),
+            )
+        )
+    )
+    init = F.struct(
+        F.lit(0).cast("long").alias("w"),
+        F.lit(0).cast("long").alias("sp"),
+        F.lit(0).cast("long").alias("sw"),
+        F.lit(0).cast("long").alias("mw"),
+        F.lit(0).cast("long").alias("np"),
+    )
+
+    def step(acc, e):
+        w_new = F.greatest(
+            F.lit(0).cast("long"), acc["w"] + acc["sp"] - e["a"]
+        )
+        return F.struct(
+            w_new.alias("w"),
+            e["s"].alias("sp"),
+            (acc["sw"] + w_new).alias("sw"),
+            F.greatest(acc["mw"], w_new).alias("mw"),
+            (acc["np"] + (w_new > 0).cast("long")).alias("np"),
+        )
+
+    folded = F.aggregate(ordered, init, step)
+    return (
+        jobs.select(*key_cols)
+        .groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_jobs"))
+        .join(
+            gapped.groupBy(*key_cols).agg(folded.alias("st")),
+            key_cols,
+        )
+        .select(
+            *key_cols,
+            "n_jobs",
+            F.col("st.sw").alias("sum_wait"),
+            F.col("st.mw").alias("max_wait"),
+            F.col("st.np").alias("n_waited"),
+            F.col("st.w").alias("final_wait"),
+            F.round(
+                F.col("st.sw").cast("double") / F.col("n_jobs").cast("double"),
+                6,
+            ).alias("mean_wait"),
+        )
+        .orderBy(*key_cols)
+    )

@@ -650,3 +650,132 @@ def test_textrank_hub_token_ranks_highest(spark):
     assert set(out) == {"a", "b", "c"}
     assert out["b"] > out["a"] and out["b"] > out["c"]
     assert out["a"] == pytest.approx(out["c"])
+
+
+# --------------------------------------------------------- friedman
+
+
+def test_friedman_hand_blocks(spark):
+    from cernan_spark.operators.rankstats import friedman_test
+
+    # 3 blocks x 3 treatments, no ties; classic rank sums
+    rows = [
+        ("b1", "A", 1), ("b1", "B", 2), ("b1", "C", 3),
+        ("b2", "A", 1), ("b2", "B", 2), ("b2", "C", 3),
+        ("b3", "A", 2), ("b3", "B", 1), ("b3", "C", 3),
+    ]
+    df = spark.createDataFrame(rows, "b string, trt string, v long")
+    out = {r["treatment"]: r for r in friedman_test(df, "b", "trt", "v").collect()}
+    # rank sums: A=1+1+2=4, B=2+2+1=5, C=9 ; doubled = 8,10,18
+    assert out["A"]["r2_sum"] == 8 and out["C"]["r2_sum"] == 18
+    assert out["C"]["mean_rank"] == pytest.approx(3.0)
+    # chi2 = 12/(3*3*4) * (16+25+81) - 3*3*4 = (122/3) - 36
+    exp = 12 / 36 * (16 + 25 + 81) - 36
+    assert out["A"]["chi2_f"] == pytest.approx(round(exp, 6))
+
+
+def test_friedman_incomplete_block_dropped(spark):
+    from cernan_spark.operators.rankstats import friedman_test
+
+    rows = [
+        ("b1", "A", 1), ("b1", "B", 2),
+        ("b2", "A", 5),  # incomplete -> dropped
+    ]
+    df = spark.createDataFrame(rows, "b string, trt string, v long")
+    out = {r["treatment"]: r for r in friedman_test(df, "b", "trt", "v").collect()}
+    assert out["A"]["n_blocks"] == 1 and out["B"]["n_blocks"] == 1
+
+
+def test_friedman_tie_average_ranks(spark):
+    from cernan_spark.operators.rankstats import friedman_test
+
+    rows = [("b1", "A", 5), ("b1", "B", 5), ("b1", "C", 7)]
+    df = spark.createDataFrame(rows, "b string, trt string, v long")
+    out = {r["treatment"]: r for r in friedman_test(df, "b", "trt", "v").collect()}
+    # A,B tie at ranks 1-2 -> avg 1.5 -> doubled 3 ; C rank 3 -> 6
+    assert out["A"]["r2_sum"] == 3 and out["B"]["r2_sum"] == 3
+    assert out["C"]["r2_sum"] == 6
+
+
+# ---------------------------------------------------------- logrank
+
+
+def test_logrank_identical_groups_chi2_zero(spark):
+    from cernan_spark.operators.survival import logrank_test
+
+    # mirrored cohorts: every event time has one death per group
+    rows = [(1, True, 0), (1, True, 1), (3, True, 0), (3, True, 1)]
+    df = spark.createDataFrame(rows, "t long, ev boolean, g long")
+    out = logrank_test(df, "t", "ev", "g").collect()[0]
+    assert out["o_minus_e"] == pytest.approx(0.0)
+    assert out["chi2"] == pytest.approx(0.0)
+    assert (out["n1"], out["n2"]) == (2, 2)
+
+
+def test_logrank_hand_value(spark):
+    from cernan_spark.operators.survival import logrank_test
+
+    # g1 dies at 1,2 ; g0 dies at 3,4 -> strong separation
+    rows = [(1, True, 1), (2, True, 1), (3, True, 0), (4, True, 0)]
+    df = spark.createDataFrame(rows, "t long, ev boolean, g long")
+    out = logrank_test(df, "t", "ev", "g").collect()[0]
+    # hand: t=1: E1=.5 V=.25 ; t=2: E1=1/3 V=2/9 ; t=3: E1=0
+    # V=0 (n1=0) ; t=4 skipped (n_t=1)
+    ome = (1 - 0.5) + (1 - 1 / 3) + (0 - 0.0)
+    vs = 0.25 + 2 / 9 + 0.0
+    assert out["o_minus_e"] == pytest.approx(round(ome, 6), abs=1e-6)
+    assert out["var_sum"] == pytest.approx(round(vs, 6), abs=1e-6)
+    assert out["chi2"] == pytest.approx(round(ome * ome / vs, 6), abs=1e-5)
+
+
+def test_logrank_censoring_shrinks_risk(spark):
+    from cernan_spark.operators.survival import logrank_test
+
+    # censored g0 subject at t=1 leaves the risk set before t=2
+    rows = [(1, False, 0), (2, True, 1), (2, True, 0)]
+    df = spark.createDataFrame(rows, "t long, ev boolean, g long")
+    out = logrank_test(df, "t", "ev", "g").collect()[0]
+    # at t=2: n=2, n1=1, d=2 -> E1=1, V=2*(1/2)*(1/2)*0/1=0
+    assert out["o_minus_e"] == pytest.approx(0.0)
+    assert out["chi2"] is None  # V sums to 0
+
+
+# ---------------------------------------------------------- lindley
+
+
+def test_lindley_hand_walk(spark):
+    from cernan_spark.operators.temporal import lindley_wait
+
+    # arrivals at 0,1,2,5 ; services 3,3,1,2
+    # W1=0; W2=max(0,0+3-1)=2; W3=max(0,2+3-1)=4; W4=max(0,4+1-3)=2
+    rows = [("k", 0, 3), ("k", 1, 3), ("k", 2, 1), ("k", 5, 2)]
+    df = spark.createDataFrame(rows, "k string, at long, s long")
+    out = lindley_wait(df, ["k"], ["at"], "at", "s").collect()[0]
+    assert out["n_jobs"] == 4
+    assert out["sum_wait"] == 8
+    assert out["max_wait"] == 4
+    assert out["n_waited"] == 3
+    assert out["final_wait"] == 2
+    assert out["mean_wait"] == pytest.approx(2.0)
+
+
+def test_lindley_idle_server_never_waits(spark):
+    from cernan_spark.operators.temporal import lindley_wait
+
+    rows = [("k", i * 10, 1) for i in range(5)]
+    df = spark.createDataFrame(rows, "k string, at long, s long")
+    out = lindley_wait(df, ["k"], ["at"], "at", "s").collect()[0]
+    assert out["sum_wait"] == 0 and out["max_wait"] == 0
+    assert out["n_waited"] == 0
+
+
+def test_lindley_saturated_server_backlog_grows(spark):
+    from cernan_spark.operators.temporal import lindley_wait
+
+    # service 2 every 1 tick: W_n = n-1
+    rows = [("k", i, 2) for i in range(6)]
+    df = spark.createDataFrame(rows, "k string, at long, s long")
+    out = lindley_wait(df, ["k"], ["at"], "at", "s").collect()[0]
+    assert out["final_wait"] == 5
+    assert out["max_wait"] == 5
+    assert out["sum_wait"] == 15
