@@ -3234,6 +3234,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "friedman": q_friedman,
         "logrank": q_logrank,
         "lindley": q_lindley,
+        "gumbel": q_gumbel,
+        "chrf": q_chrf,
+        "poststrat": q_poststrat,
+        "chapman": q_chapman,
     }
 
 
@@ -7890,6 +7894,70 @@ def q_lindley(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "x", (F.col("y") % 3).alias("s")
     )
     return lindley_wait(jobs, ["event_type"], ["x"], "x", "s")
+
+
+def q_gumbel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gumbel extreme-value fit of each metric's daily maxima (≥18 of
+    24 hours observed): method-of-moments β/μ from pinned folds,
+    return levels for 7/30/365 blocks — "the hourly load seen once per
+    T days" (operators/anomaly.gumbel_fit)."""
+    from cernan_spark.operators.anomaly import gumbel_fit
+
+    ser = _hourly_cents_xy(spark, sf_dir)
+    return gumbel_fit(
+        ser, ["event_type"], "x", "y", block=24, min_fill=18
+    )
+
+
+def q_chrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """chrF₂ character-bigram/trigram F-score per document against the
+    every-3rd-token-dropped golden (the rouge_overlap pairing):
+    clipped multiset overlap, exact counts, fixed division chain
+    (operators/textstats.chrf_score)."""
+    from cernan_spark.operators.textstats import chrf_score
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.split(F.col("text"), " ")
+    ref = F.array_join(
+        F.filter(toks, lambda x, i: (i + 1) % 3 != 0), " "
+    )
+    pairs = d.select(
+        "doc_id", F.col("text").alias("cand"), ref.alias("ref")
+    )
+    return chrf_score(pairs, "cand", "ref", "doc_id", ns=(2, 3))
+
+
+def q_poststrat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-stratified mean document length from the deterministic
+    doc_id%7 sample, reweighted by population language shares — with
+    the uncovered-stratum share disclosed instead of extrapolated
+    (operators/experiment.poststratified_mean)."""
+    from cernan_spark.operators.experiment import poststratified_mean
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    frame = d.select(
+        "lang",
+        "n_chars",
+        (F.col("doc_id") % 7 == 0).alias("in_sample"),
+    )
+    return poststratified_mean(frame, "lang", "n_chars", "in_sample")
+
+
+def q_chapman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capture–recapture user-population estimate from the click and
+    view observation channels: Lincoln–Petersen and bias-corrected
+    Chapman from exact per-channel distincts, plus observed coverage
+    (operators/sketch.chapman_estimate)."""
+    from cernan_spark.operators.sketch import chapman_estimate
+
+    _utc(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    frame = ev.select(
+        "user_id",
+        (F.col("event_type") == "click").alias("s1"),
+        (F.col("event_type") == "view").alias("s2"),
+    )
+    return chapman_estimate(frame, "user_id", "s1", "s2")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -14240,5 +14308,189 @@ def oracle_sql() -> dict[str, str]:
                  AS mean_wait
         FROM r JOIN nj ON nj.event_type = r.event_type
                       AND r.t = nj.n_jobs
+    """
+    d["gumbel"] = f"""
+        WITH ser AS ({_hourly_sql}),
+        blk AS (SELECT event_type, x // 24 AS b, y FROM ser),
+        mx AS (
+            SELECT event_type, b, CAST(max(y) AS BIGINT) AS m,
+                   count(*) AS c
+            FROM blk GROUP BY 1, 2
+        ), ok AS (
+            SELECT event_type, b, CAST(m AS DOUBLE) AS m
+            FROM mx WHERE c >= 18
+        ), f AS (
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n_blocks,
+                   list(m ORDER BY b) AS ms
+            FROM ok GROUP BY 1
+        ), mm AS (
+            SELECT event_type, n_blocks, ms,
+                   list_reduce(list_prepend(CAST(0.0 AS DOUBLE), ms),
+                       (a, b2) -> a + b2)
+                     / CAST(n_blocks AS DOUBLE) AS mean_max
+            FROM f
+        ), sv AS (
+            SELECT event_type, n_blocks, mean_max,
+                   sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                       list_transform(ms,
+                           v -> (v - mean_max) * (v - mean_max))),
+                       (a, b2) -> a + b2)
+                       / CAST(n_blocks AS DOUBLE)) AS sd
+            FROM mm
+        )
+        SELECT event_type, n_blocks,
+               round(mean_max, 6) AS mean_max,
+               round(sd, 6) AS sd_max,
+               round(sd * sqrt(6.0) / 3.141592653589793, 6) AS beta,
+               round(mean_max - 0.5772156649015329
+                     * (sd * sqrt(6.0) / 3.141592653589793), 6) AS mu,
+               round((mean_max - 0.5772156649015329
+                      * (sd * sqrt(6.0) / 3.141592653589793))
+                     - (sd * sqrt(6.0) / 3.141592653589793)
+                       * ln(-ln(1.0 - 1.0 / 7.0)), 6) AS rl_7,
+               round((mean_max - 0.5772156649015329
+                      * (sd * sqrt(6.0) / 3.141592653589793))
+                     - (sd * sqrt(6.0) / 3.141592653589793)
+                       * ln(-ln(1.0 - 1.0 / 30.0)), 6) AS rl_30,
+               round((mean_max - 0.5772156649015329
+                      * (sd * sqrt(6.0) / 3.141592653589793))
+                     - (sd * sqrt(6.0) / 3.141592653589793)
+                       * ln(-ln(1.0 - 1.0 / 365.0)), 6) AS rl_365
+        FROM sv
+    """
+    d["chrf"] = """
+        WITH pr AS (
+            SELECT doc_id, replace(text, ' ', '') AS c,
+                   replace(array_to_string(list_filter(
+                       string_split(text, ' '),
+                       (x, i) -> i % 3 <> 0), ' '), ' ', '') AS r
+            FROM documents
+        ), wn AS (
+            SELECT doc_id, c, r, unnest([2, 3]) AS n FROM pr
+        ), cg AS (
+            SELECT doc_id, n,
+                   unnest(CASE WHEN length(c) >= n THEN
+                       list_transform(range(1, length(c) - n + 2),
+                           i -> substr(c, CAST(i AS INT), n))
+                       ELSE CAST([] AS VARCHAR[]) END) AS g,
+                   1 AS cc, 0 AS cr
+            FROM wn
+        ), rg AS (
+            SELECT doc_id, n,
+                   unnest(CASE WHEN length(r) >= n THEN
+                       list_transform(range(1, length(r) - n + 2),
+                           i -> substr(r, CAST(i AS INT), n))
+                       ELSE CAST([] AS VARCHAR[]) END) AS g,
+                   0 AS cc, 1 AS cr
+            FROM wn
+        ), pgr AS (
+            SELECT doc_id, n, g,
+                   CAST(sum(cc) AS BIGINT) AS nc,
+                   CAST(sum(cr) AS BIGINT) AS nr
+            FROM (SELECT * FROM cg UNION ALL SELECT * FROM rg)
+            GROUP BY 1, 2, 3
+        ), ru AS (
+            SELECT doc_id, n,
+                   CAST(sum(least(nc, nr)) AS BIGINT) AS matched,
+                   CAST(sum(nc) AS BIGINT) AS cand_grams,
+                   CAST(sum(nr) AS BIGINT) AS ref_grams
+            FROM pgr GROUP BY 1, 2
+        )
+        SELECT doc_id, n, matched, cand_grams, ref_grams,
+               round(CASE WHEN cand_grams > 0
+                     THEN CAST(matched AS DOUBLE)
+                          / CAST(cand_grams AS DOUBLE)
+                     ELSE 0.0 END, 6) AS prec,
+               round(CASE WHEN ref_grams > 0
+                     THEN CAST(matched AS DOUBLE)
+                          / CAST(ref_grams AS DOUBLE)
+                     ELSE 0.0 END, 6) AS rec,
+               round(CASE WHEN 4.0 * (CASE WHEN cand_grams > 0
+                          THEN CAST(matched AS DOUBLE)
+                               / CAST(cand_grams AS DOUBLE)
+                          ELSE 0.0 END)
+                          + (CASE WHEN ref_grams > 0
+                             THEN CAST(matched AS DOUBLE)
+                                  / CAST(ref_grams AS DOUBLE)
+                             ELSE 0.0 END) > 0.0
+                     THEN 5.0 * (CASE WHEN cand_grams > 0
+                              THEN CAST(matched AS DOUBLE)
+                                   / CAST(cand_grams AS DOUBLE)
+                              ELSE 0.0 END)
+                          * (CASE WHEN ref_grams > 0
+                             THEN CAST(matched AS DOUBLE)
+                                  / CAST(ref_grams AS DOUBLE)
+                             ELSE 0.0 END)
+                          / (4.0 * (CASE WHEN cand_grams > 0
+                                 THEN CAST(matched AS DOUBLE)
+                                      / CAST(cand_grams AS DOUBLE)
+                                 ELSE 0.0 END)
+                             + (CASE WHEN ref_grams > 0
+                                THEN CAST(matched AS DOUBLE)
+                                     / CAST(ref_grams AS DOUBLE)
+                                ELSE 0.0 END))
+                     ELSE 0.0 END, 6) AS fscore
+        FROM ru
+    """
+    d["poststrat"] = """
+        WITH g AS (
+            SELECT lang AS h, CAST(count(*) AS BIGINT) AS n_h,
+                   CAST(sum(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS s_n,
+                   CAST(sum(CASE WHEN doc_id % 7 = 0 THEN n_chars
+                            ELSE 0 END) AS BIGINT) AS s_v
+            FROM documents GROUP BY 1
+        ), t AS (
+            SELECT CAST(sum(n_h) AS BIGINT) AS n_pop,
+                   CAST(sum(s_n) AS BIGINT) AS n_sample,
+                   CAST(count(*) AS BIGINT) AS n_strata,
+                   CAST(sum(CASE WHEN s_n > 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_covered,
+                   CAST(sum(CASE WHEN s_n > 0 THEN n_h ELSE 0 END)
+                        AS BIGINT) AS n_pop_cov,
+                   CAST(sum(s_v) AS BIGINT) AS sv_all,
+                   list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                       list(CAST(n_h * s_v AS DOUBLE)
+                            / CAST(s_n AS DOUBLE) ORDER BY h)
+                         FILTER (s_n > 0)),
+                       (a, b) -> a + b) AS wsum
+            FROM g
+        )
+        SELECT n_pop, n_sample, n_strata, n_covered,
+               round(CAST(n_pop - n_pop_cov AS DOUBLE)
+                     / CAST(n_pop AS DOUBLE), 6) AS uncovered_share,
+               round(CASE WHEN n_sample > 0 THEN
+                     CAST(sv_all AS DOUBLE) / CAST(n_sample AS DOUBLE)
+                     END, 6) AS naive_mean,
+               round(CASE WHEN n_pop_cov > 0 THEN
+                     wsum / CAST(n_pop_cov AS DOUBLE) END, 6)
+                 AS poststrat_mean
+        FROM t
+    """
+    d["chapman"] = """
+        WITH per AS (
+            SELECT user_id,
+                   max(CASE WHEN event_type = 'click' THEN 1 ELSE 0
+                       END) AS s1,
+                   max(CASE WHEN event_type = 'view' THEN 1 ELSE 0
+                       END) AS s2
+            FROM events GROUP BY 1
+        ), a AS (
+            SELECT CAST(sum(s1) AS BIGINT) AS n1,
+                   CAST(sum(s2) AS BIGINT) AS n2,
+                   CAST(sum(s1 * s2) AS BIGINT) AS m,
+                   CAST(count(*) AS BIGINT) AS n_observed
+            FROM per
+        )
+        SELECT n1, n2, m, n_observed,
+               round(CASE WHEN m > 0 THEN
+                     CAST(n1 * n2 AS DOUBLE) / CAST(m AS DOUBLE)
+                     END, 6) AS petersen,
+               round(CAST((n1 + 1) * (n2 + 1) AS DOUBLE)
+                     / CAST(m + 1 AS DOUBLE) - 1.0, 6) AS chapman,
+               round(CAST(n_observed AS DOUBLE)
+                     / (CAST((n1 + 1) * (n2 + 1) AS DOUBLE)
+                        / CAST(m + 1 AS DOUBLE) - 1.0), 6) AS coverage
+        FROM a
     """
     return d

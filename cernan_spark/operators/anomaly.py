@@ -869,3 +869,87 @@ def hbos_scores(
         .orderBy(F.col("score").desc(), "id")
         .limit(top_k)
     )
+
+
+def gumbel_fit(
+    series: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    value_col: str,
+    block: int = 24,
+    return_periods: tuple[int, ...] = (7, 30, 365),
+    min_fill: int | None = None,
+) -> DataFrame:
+    """Extreme-value capacity planning per key: block maxima (daily max
+    of the hourly series, ``block`` rows per block) fitted to a Gumbel
+    distribution by the method of moments —
+
+        β = s·√6/π,   μ = m − γ·β   (γ = Euler–Mascheroni)
+
+    — then return levels x_T = μ − β·ln(−ln(1 − 1/T)): "the load we
+    should see once per T blocks", the statistically-grounded sibling
+    of the empirical peak_range_load (which can only report maxima it
+    has SEEN; this extrapolates beyond them).
+
+    Float discipline: block maxima are exact integers (order-
+    insensitive max); mean and variance are LEFT folds over the
+    block-sorted maxima list with single divisions; √6/π, γ and the
+    1 − 1/T terms are engine-evaluated from shared literals; ln as in
+    the repo's other ln-based fits. Incomplete trailing blocks are
+    dropped (the stl complete-window rule).
+
+    Output per key: ``*key_cols, n_blocks, mean_max, sd_max, beta, mu``
+    plus one ``rl_<T>`` per return period (round 6).
+    """
+    blk = series.select(
+        *key_cols,
+        F.floor(F.col(order_col) / F.lit(block)).cast("long").alias("b"),
+        F.col(value_col).cast("long").alias("v"),
+    )
+    fill = block if min_fill is None else min_fill
+    maxima = blk.groupBy(*key_cols, "b").agg(
+        F.max("v").alias("mx"), F.count(F.lit(1)).alias("c")
+    ).filter(F.col("c") >= F.lit(fill))
+    folded = maxima.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        F.sort_array(
+            F.collect_list(F.struct("b", F.col("mx").cast("double").alias("m")))
+        ).alias("ms"),
+    )
+    n = F.col("n_blocks").cast("double")
+    mean = F.aggregate("ms", F.lit(0.0), lambda acc, t: acc + t["m"]) / n
+    with_mean = folded.select(
+        *key_cols, "n_blocks", "ms", mean.alias("mean_max")
+    )
+    var = (
+        F.aggregate(
+            "ms",
+            F.lit(0.0),
+            lambda acc, t: acc
+            + (t["m"] - F.col("mean_max")) * (t["m"] - F.col("mean_max")),
+        )
+        / F.col("n_blocks").cast("double")
+    )
+    sd = F.sqrt(var)
+    beta = sd * F.sqrt(F.lit(6.0)) / F.lit(3.141592653589793)
+    mu = F.col("mean_max") - F.lit(0.5772156649015329) * beta
+    out = with_mean.select(
+        *key_cols,
+        "n_blocks",
+        F.round("mean_max", 6).alias("mean_max"),
+        F.round(sd, 6).alias("sd_max"),
+        F.round(beta, 6).alias("beta"),
+        F.round(mu, 6).alias("mu"),
+        *[
+            F.round(
+                mu
+                - beta
+                * F.log(
+                    -F.log(F.lit(1.0) - F.lit(1.0) / F.lit(float(t)))
+                ),
+                6,
+            ).alias(f"rl_{t}")
+            for t in return_periods
+        ],
+    )
+    return out.orderBy(*key_cols)

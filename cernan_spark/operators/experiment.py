@@ -803,3 +803,95 @@ def brier_decomposition(
         F.round(res, 6).alias("resolution"),
         F.round(obar * (F.lit(1.0) - obar), 6).alias("uncertainty"),
     )
+
+
+def poststratified_mean(
+    pop: DataFrame,
+    stratum_col: str,
+    value_col: str,
+    sample_col: str,
+) -> DataFrame:
+    """Post-stratified population-mean estimator from a non-uniform
+    sample: reweight per-stratum sample means by POPULATION stratum
+    shares — the survey-statistics correction a measurement pipeline
+    applies when its measured subset over-represents some shards (the
+    estimation sibling of stratified_sample, which CONSTRUCTS balanced
+    samples; this repairs estimates from unbalanced ones):
+
+        ŷ_ps = Σ_h N_h·(S_h/n_h) / Σ_h N_h      (h over SAMPLED strata)
+
+    Strata with no sampled rows are excluded from both sums and their
+    population share is reported as ``uncovered_share`` — an honest
+    coverage disclosure instead of a silent extrapolation.
+
+    Float discipline: N_h, S_h, n_h, N are exact BIGINTs from one
+    map-side-combined aggregate; each stratum term N_h·S_h/n_h is one
+    exact product over one division, folded in stratum order; the
+    naive mean and final estimate are single divisions.
+
+    Output one row: ``n_pop, n_sample, n_strata, n_covered,
+    uncovered_share, naive_mean, poststrat_mean`` (round 6).
+    """
+    g = pop.groupBy(F.col(stratum_col).alias("h")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_h"),
+        F.sum(F.col(sample_col).cast("long")).alias("s_n"),
+        F.sum(
+            F.when(F.col(sample_col).cast("boolean"), F.col(value_col))
+            .otherwise(F.lit(0))
+            .cast("long")
+        ).alias("s_v"),
+    )
+    tot = g.agg(
+        F.sum("n_h").alias("n_pop"),
+        F.sum("s_n").alias("n_sample"),
+        F.count(F.lit(1)).cast("long").alias("n_strata"),
+        F.sum((F.col("s_n") > 0).cast("long")).alias("n_covered"),
+        F.sum(F.when(F.col("s_n") > 0, F.col("n_h")).otherwise(F.lit(0))).alias(
+            "n_pop_cov"
+        ),
+        F.sum("s_v").alias("sv_all"),
+        F.aggregate(
+            F.sort_array(
+                F.collect_list(
+                    F.when(
+                        F.col("s_n") > 0,
+                        F.struct(
+                            "h",
+                            (
+                                (F.col("n_h") * F.col("s_v")).cast("double")
+                                / F.col("s_n").cast("double")
+                            ).alias("t"),
+                        ),
+                    )
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, t: acc + t["t"],
+        ).alias("wsum"),
+    )
+    return tot.select(
+        "n_pop",
+        "n_sample",
+        "n_strata",
+        "n_covered",
+        F.round(
+            (F.col("n_pop") - F.col("n_pop_cov")).cast("double")
+            / F.col("n_pop").cast("double"),
+            6,
+        ).alias("uncovered_share"),
+        F.round(
+            F.when(
+                F.col("n_sample") > 0,
+                F.col("sv_all").cast("double")
+                / F.col("n_sample").cast("double"),
+            ),
+            6,
+        ).alias("naive_mean"),
+        F.round(
+            F.when(
+                F.col("n_pop_cov") > 0,
+                F.col("wsum") / F.col("n_pop_cov").cast("double"),
+            ),
+            6,
+        ).alias("poststrat_mean"),
+    )

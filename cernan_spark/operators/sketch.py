@@ -280,3 +280,64 @@ def kmv_merge(shards: list[DataFrame], k: int = 64) -> DataFrame:
     return kmv_estimate(
         merged.distinct().orderBy("h").limit(k), k
     )
+
+
+def chapman_estimate(
+    df: DataFrame,
+    id_col: str,
+    in1_col: str,
+    in2_col: str,
+) -> DataFrame:
+    """Capture–recapture population estimate from two overlapping
+    observation channels (Lincoln–Petersen and the bias-corrected
+    Chapman form) — "how many users exist, given what two independent
+    streams each saw", the closed-population complement of the HLL/KMV
+    cardinality sketches in this module (those count what WAS seen;
+    this extrapolates what WASN'T):
+
+        N̂_P = n₁·n₂ / m        N̂_C = (n₁+1)(n₂+1)/(m+1) − 1
+
+    with n₁/n₂ the per-channel distinct ids and m the recaptures
+    (seen by both).
+
+    Float discipline: n₁, n₂, m, and the observed distinct total are
+    exact BIGINTs from ONE aggregate over the id-grain rollup;
+    both estimators are single divisions of exact products (Petersen
+    NULL when m = 0).
+
+    Output one row: ``n1, n2, m, n_observed, petersen, chapman,
+    coverage`` (round 6; coverage = n_observed / chapman).
+    """
+    per_id = df.groupBy(F.col(id_col).alias("id")).agg(
+        F.max(F.col(in1_col).cast("int")).alias("s1"),
+        F.max(F.col(in2_col).cast("int")).alias("s2"),
+    )
+    agg = per_id.agg(
+        F.sum("s1").cast("long").alias("n1"),
+        F.sum("s2").cast("long").alias("n2"),
+        F.sum((F.col("s1") * F.col("s2"))).cast("long").alias("m"),
+        F.count(F.lit(1)).cast("long").alias("n_observed"),
+    )
+    chapman = (
+        ((F.col("n1") + 1) * (F.col("n2") + 1)).cast("double")
+        / (F.col("m") + 1).cast("double")
+        - F.lit(1.0)
+    )
+    return agg.select(
+        "n1",
+        "n2",
+        "m",
+        "n_observed",
+        F.round(
+            F.when(
+                F.col("m") > 0,
+                (F.col("n1") * F.col("n2")).cast("double")
+                / F.col("m").cast("double"),
+            ),
+            6,
+        ).alias("petersen"),
+        F.round(chapman, 6).alias("chapman"),
+        F.round(F.col("n_observed").cast("double") / chapman, 6).alias(
+            "coverage"
+        ),
+    )

@@ -1543,3 +1543,105 @@ def burrows_delta(
         F.size("ds").alias("n_words"),
         F.round(delta, 6).alias("delta"),
     ).orderBy("g1", "g2")
+
+
+def chrf_score(
+    pairs: DataFrame,
+    cand_col: str,
+    ref_col: str,
+    id_col: str,
+    ns: tuple[int, ...] = (2, 3),
+    beta2: float = 4.0,
+) -> DataFrame:
+    """chrF — character n-gram F-score per (candidate, reference) pair
+    (Popović 2015, β=2 by default so recall dominates) — the
+    tokenization-free eval metric next to the word-level
+    ``unigram_overlap_eval``: robust to tokenizer drift and morphology
+    because it never segments. Whitespace is stripped first (the
+    standard chrF convention); overlap is CLIPPED multiset overlap of
+    the character n-grams.
+
+    Float discipline: gram counts, matches (Σ min(c_cand, c_ref)) and
+    totals are exact BIGINTs from order-free integer aggregates;
+    precision, recall and F_β = (1+β²)PR / (β²P + R) are a fixed chain
+    of single divisions (0 when a side has no grams).
+
+    Plan shape: grams materialize as one explode per side (rows ≈
+    Σ len(text) · |ns| — linear, no pairwise anything), collapse in ONE
+    (id, n, gram) hash aggregate, then an (id, n) rollup.
+
+    Output per (id, n): ``id_col, n, matched, cand_grams, ref_grams,
+    prec, rec, fscore`` (round 6).
+    """
+    base = pairs.select(
+        F.col(id_col).alias("id"),
+        F.regexp_replace(F.col(cand_col), " ", "").alias("c"),
+        F.regexp_replace(F.col(ref_col), " ", "").alias("r"),
+    ).select(
+        "id",
+        "c",
+        "r",
+        F.explode(F.array(*[F.lit(int(n)) for n in ns])).alias("n"),
+    )
+
+    def grams(col: str):
+        ln = F.length(col)
+        seq = F.sequence(F.lit(1), (ln - F.col("n") + 1).cast("int"))
+        return F.when(
+            ln >= F.col("n"),
+            F.transform(seq, lambda i: F.substring(F.col(col), i, F.col("n"))),
+        ).otherwise(F.array().cast("array<string>"))
+
+    cg = base.select(
+        "id", "n", F.explode(grams("c")).alias("g"), F.lit(1).alias("cc"),
+        F.lit(0).alias("cr"),
+    )
+    rg = base.select(
+        "id", "n", F.explode(grams("r")).alias("g"), F.lit(0).alias("cc"),
+        F.lit(1).alias("cr"),
+    )
+    per_gram = (
+        cg.unionAll(rg)
+        .groupBy("id", "n", "g")
+        .agg(
+            F.sum("cc").cast("long").alias("nc"),
+            F.sum("cr").cast("long").alias("nr"),
+        )
+    )
+    rollup = per_gram.groupBy("id", "n").agg(
+        F.sum(F.least("nc", "nr")).alias("matched"),
+        F.sum("nc").alias("cand_grams"),
+        F.sum("nr").alias("ref_grams"),
+    )
+    prec = F.when(
+        F.col("cand_grams") > 0,
+        F.col("matched").cast("double") / F.col("cand_grams").cast("double"),
+    ).otherwise(F.lit(0.0))
+    rec = F.when(
+        F.col("ref_grams") > 0,
+        F.col("matched").cast("double") / F.col("ref_grams").cast("double"),
+    ).otherwise(F.lit(0.0))
+    with_pr = rollup.select(
+        F.col("id").alias(id_col),
+        "n",
+        "matched",
+        "cand_grams",
+        "ref_grams",
+        prec.alias("p"),
+        rec.alias("r"),
+    )
+    fscore = F.when(
+        (F.lit(beta2) * F.col("p") + F.col("r")) > 0.0,
+        (F.lit(1.0 + beta2) * F.col("p") * F.col("r"))
+        / (F.lit(beta2) * F.col("p") + F.col("r")),
+    ).otherwise(F.lit(0.0))
+    return with_pr.select(
+        id_col,
+        "n",
+        "matched",
+        "cand_grams",
+        "ref_grams",
+        F.round("p", 6).alias("prec"),
+        F.round("r", 6).alias("rec"),
+        F.round(fscore, 6).alias("fscore"),
+    ).orderBy(id_col, "n")

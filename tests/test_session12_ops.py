@@ -779,3 +779,148 @@ def test_lindley_saturated_server_backlog_grows(spark):
     assert out["final_wait"] == 5
     assert out["max_wait"] == 5
     assert out["sum_wait"] == 15
+
+
+# ------------------------------------------------------------ gumbel
+
+
+def test_gumbel_moments_and_return_levels(spark):
+    from cernan_spark.operators.anomaly import gumbel_fit
+
+    # two 4-hour blocks with maxima 10 and 20
+    rows = [("k", 0, 1), ("k", 1, 10), ("k", 2, 3), ("k", 3, 4),
+            ("k", 4, 20), ("k", 5, 5), ("k", 6, 6), ("k", 7, 7)]
+    df = spark.createDataFrame(rows, "k string, x long, y long")
+    out = gumbel_fit(
+        df, ["k"], "x", "y", block=4, return_periods=(10,)
+    ).collect()[0]
+    assert out["n_blocks"] == 2
+    assert out["mean_max"] == pytest.approx(15.0)
+    assert out["sd_max"] == pytest.approx(5.0)
+    beta = 5.0 * math.sqrt(6.0) / math.pi
+    mu = 15.0 - 0.5772156649015329 * beta
+    assert out["beta"] == pytest.approx(round(beta, 6), abs=1e-6)
+    assert out["mu"] == pytest.approx(round(mu, 6), abs=1e-6)
+    rl = mu - beta * math.log(-math.log(1.0 - 1.0 / 10.0))
+    assert out["rl_10"] == pytest.approx(round(rl, 6), abs=1e-5)
+    assert out["rl_10"] > out["mean_max"]  # extrapolates beyond seen
+
+
+def test_gumbel_incomplete_block_dropped(spark):
+    from cernan_spark.operators.anomaly import gumbel_fit
+
+    rows = [("k", 0, 1), ("k", 1, 10), ("k", 2, 3), ("k", 3, 4),
+            ("k", 4, 99)]  # second block has 1 of 4 rows
+    df = spark.createDataFrame(rows, "k string, x long, y long")
+    out = gumbel_fit(df, ["k"], "x", "y", block=4).collect()[0]
+    assert out["n_blocks"] == 1
+    assert out["mean_max"] == pytest.approx(10.0)
+    # min_fill loosens the gate
+    out2 = gumbel_fit(df, ["k"], "x", "y", block=4, min_fill=1).collect()[0]
+    assert out2["n_blocks"] == 2
+
+
+# -------------------------------------------------------------- chrf
+
+
+def test_chrf_identical_pair_is_one(spark):
+    from cernan_spark.operators.textstats import chrf_score
+
+    df = spark.createDataFrame(
+        [(1, "abcd ef", "abcd ef")], "id long, cand string, ref string"
+    )
+    out = {r["n"]: r for r in chrf_score(df, "cand", "ref", "id").collect()}
+    # stripped text 'abcdef': 5 bigrams, 4 trigrams, all matched
+    assert out[2]["matched"] == 5 and out[2]["fscore"] == pytest.approx(1.0)
+    assert out[3]["matched"] == 4 and out[3]["fscore"] == pytest.approx(1.0)
+
+
+def test_chrf_clipped_multiset_overlap(spark):
+    from cernan_spark.operators.textstats import chrf_score
+
+    # cand 'aaaa' has bigram aa x3 ; ref 'aab' has aa x1, ab x1
+    df = spark.createDataFrame(
+        [(1, "aaaa", "aab")], "id long, cand string, ref string"
+    )
+    out = {r["n"]: r for r in chrf_score(df, "cand", "ref", "id").collect()}
+    r2 = out[2]
+    assert r2["matched"] == 1  # clipped at ref count
+    assert r2["prec"] == pytest.approx(round(1 / 3, 6))
+    assert r2["rec"] == pytest.approx(0.5)
+    p, r = 1 / 3, 1 / 2
+    assert r2["fscore"] == pytest.approx(
+        round(5 * p * r / (4 * p + r), 6), abs=1e-6
+    )
+
+
+def test_chrf_short_text_zero_grams(spark):
+    from cernan_spark.operators.textstats import chrf_score
+
+    df = spark.createDataFrame(
+        [(1, "ab", "xy")], "id long, cand string, ref string"
+    )
+    out = {r["n"]: r for r in chrf_score(df, "cand", "ref", "id").collect()}
+    # trigrams: neither side has any gram -> NO row for that order
+    # (the oracle's unnest-of-empty-list has the same semantics)
+    assert 3 not in out
+    # bigrams exist but do not overlap
+    assert out[2]["matched"] == 0 and out[2]["fscore"] == pytest.approx(0.0)
+
+
+# --------------------------------------------------------- poststrat
+
+
+def test_poststrat_corrects_oversampled_stratum(spark):
+    from cernan_spark.operators.experiment import poststratified_mean
+
+    # population: stratum A 80 docs of length 10, B 20 docs of length 100
+    # sample: 2 from A, 8 from B (B massively over-sampled)
+    rows = []
+    for i in range(80):
+        rows.append(("A", 10, i < 2))
+    for i in range(20):
+        rows.append(("B", 100, i < 8))
+    df = spark.createDataFrame(rows, "h string, v long, s boolean")
+    out = poststratified_mean(df, "h", "v", "s").collect()[0]
+    # naive: (2*10+8*100)/10 = 82 ; truth/poststrat: .8*10+.2*100 = 28
+    assert out["naive_mean"] == pytest.approx(82.0)
+    assert out["poststrat_mean"] == pytest.approx(28.0)
+    assert out["uncovered_share"] == pytest.approx(0.0)
+
+
+def test_poststrat_uncovered_stratum_disclosed(spark):
+    from cernan_spark.operators.experiment import poststratified_mean
+
+    rows = [("A", 10, True), ("A", 20, False), ("B", 99, False)]
+    df = spark.createDataFrame(rows, "h string, v long, s boolean")
+    out = poststratified_mean(df, "h", "v", "s").collect()[0]
+    assert out["n_covered"] == 1 and out["n_strata"] == 2
+    assert out["uncovered_share"] == pytest.approx(round(1 / 3, 6))
+    # estimate over covered strata only: stratum A mean 10
+    assert out["poststrat_mean"] == pytest.approx(10.0)
+
+
+# ----------------------------------------------------------- chapman
+
+
+def test_chapman_hand_population(spark):
+    from cernan_spark.operators.sketch import chapman_estimate
+
+    # 6 ids: 1-4 in ch1 ; 3-6 in ch2 ; recaptures {3,4}
+    rows = [(i, i <= 4, i >= 3) for i in range(1, 7)]
+    df = spark.createDataFrame(rows, "id long, s1 boolean, s2 boolean")
+    out = chapman_estimate(df, "id", "s1", "s2").collect()[0]
+    assert (out["n1"], out["n2"], out["m"]) == (4, 4, 2)
+    assert out["petersen"] == pytest.approx(8.0)
+    assert out["chapman"] == pytest.approx(round(25 / 3 - 1, 6))
+    assert out["n_observed"] == 6
+
+
+def test_chapman_no_recapture_null_petersen(spark):
+    from cernan_spark.operators.sketch import chapman_estimate
+
+    rows = [(1, True, False), (2, False, True)]
+    df = spark.createDataFrame(rows, "id long, s1 boolean, s2 boolean")
+    out = chapman_estimate(df, "id", "s1", "s2").collect()[0]
+    assert out["petersen"] is None
+    assert out["chapman"] == pytest.approx(3.0)  # (2)(2)/1 - 1
