@@ -3238,6 +3238,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chrf": q_chrf,
         "poststrat": q_poststrat,
         "chapman": q_chapman,
+        "haar": q_haar,
+        "goertzel": q_goertzel,
+        "naive_bayes": q_naive_bayes,
     }
 
 
@@ -7958,6 +7961,46 @@ def q_chapman(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("event_type") == "view").alias("s2"),
     )
     return chapman_estimate(frame, "user_id", "s1", "s2")
+
+
+def q_haar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Haar wavelet energy by level (1–5) of each hourly cent series:
+    every coefficient an IEEE add and an exact halving, per-level
+    energies folded in coefficient order — where the variance LIVES
+    across time scales (operators/temporal.haar_energy)."""
+    from cernan_spark.operators.temporal import haar_energy
+
+    ser = _hourly_cents_xy(spark, sf_dir)
+    return haar_energy(ser, ["event_type"], "x", "y", levels=5)
+
+
+def q_goertzel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goertzel spectral power at the daily and weekly periods with
+    PINNED 2cos(2π/p) coefficients (no engine cos); the recursion is a
+    series-order fold, replayed as a recursive CTE; rel_power = share
+    of variance in that bin (operators/temporal.goertzel_power)."""
+    from cernan_spark.operators.temporal import goertzel_power
+
+    ser = _hourly_cents_xy(spark, sf_dir)
+    return goertzel_power(ser, ["event_type"], "x", "y", (24, 168))
+
+
+def q_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes (add-1) trained on even doc_ids to
+    predict lang, evaluated as the odd-split confusion matrix — exact
+    count ratios under pinned ln, per-(doc,class) word-order folds,
+    argmax ties to the first class
+    (operators/corpus.naive_bayes_eval)."""
+    from cernan_spark.operators.corpus import naive_bayes_eval
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split("text", " ")).alias("tok"),
+        (F.col("doc_id") % 2 == 0).alias("tr"),
+    ).filter(F.length("tok") > 0)
+    return naive_bayes_eval(toks, "doc_id", "lang", "tok", "tr")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -14492,5 +14535,213 @@ def oracle_sql() -> dict[str, str]:
                      / (CAST((n1 + 1) * (n2 + 1) AS DOUBLE)
                         / CAST(m + 1 AS DOUBLE) - 1.0), 6) AS coverage
         FROM a
+    """
+    d["haar"] = f"""
+        WITH ser AS ({_hourly_sql}),
+        a0 AS (
+            SELECT event_type, list(CAST(y AS DOUBLE) ORDER BY x) AS a
+            FROM ser GROUP BY 1
+        ),
+        l1 AS (
+            SELECT event_type,
+                   list_transform(range(1, len(a) // 2 + 1),
+                       i -> (list_extract(a, 2 * i - 1)
+                             + list_extract(a, 2 * i)) * 0.5) AS a,
+                   list_transform(range(1, len(a) // 2 + 1),
+                       i -> (list_extract(a, 2 * i - 1)
+                             - list_extract(a, 2 * i)) * 0.5) AS d
+            FROM a0
+        ),
+        l2 AS (
+            SELECT event_type,
+                   list_transform(range(1, len(a) // 2 + 1),
+                       i -> (list_extract(a, 2 * i - 1)
+                             + list_extract(a, 2 * i)) * 0.5) AS a,
+                   list_transform(range(1, len(a) // 2 + 1),
+                       i -> (list_extract(a, 2 * i - 1)
+                             - list_extract(a, 2 * i)) * 0.5) AS d
+            FROM l1
+        ),
+        l3 AS (
+            SELECT event_type,
+                   list_transform(range(1, len(a) // 2 + 1),
+                       i -> (list_extract(a, 2 * i - 1)
+                             + list_extract(a, 2 * i)) * 0.5) AS a,
+                   list_transform(range(1, len(a) // 2 + 1),
+                       i -> (list_extract(a, 2 * i - 1)
+                             - list_extract(a, 2 * i)) * 0.5) AS d
+            FROM l2
+        ),
+        l4 AS (
+            SELECT event_type,
+                   list_transform(range(1, len(a) // 2 + 1),
+                       i -> (list_extract(a, 2 * i - 1)
+                             + list_extract(a, 2 * i)) * 0.5) AS a,
+                   list_transform(range(1, len(a) // 2 + 1),
+                       i -> (list_extract(a, 2 * i - 1)
+                             - list_extract(a, 2 * i)) * 0.5) AS d
+            FROM l3
+        ),
+        l5 AS (
+            SELECT event_type,
+                   list_transform(range(1, len(a) // 2 + 1),
+                       i -> (list_extract(a, 2 * i - 1)
+                             + list_extract(a, 2 * i)) * 0.5) AS a,
+                   list_transform(range(1, len(a) // 2 + 1),
+                       i -> (list_extract(a, 2 * i - 1)
+                             - list_extract(a, 2 * i)) * 0.5) AS d
+            FROM l4
+        )
+        SELECT event_type, 1 AS level,
+               CAST(len(d) AS INT) AS n_coeffs,
+               round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(d, x -> x * x)), (p, q) -> p + q), 6)
+                 AS energy
+        FROM l1 WHERE len(d) > 0
+        UNION ALL
+        SELECT event_type, 2 AS level,
+               CAST(len(d) AS INT) AS n_coeffs,
+               round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(d, x -> x * x)), (p, q) -> p + q), 6)
+                 AS energy
+        FROM l2 WHERE len(d) > 0
+        UNION ALL
+        SELECT event_type, 3 AS level,
+               CAST(len(d) AS INT) AS n_coeffs,
+               round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(d, x -> x * x)), (p, q) -> p + q), 6)
+                 AS energy
+        FROM l3 WHERE len(d) > 0
+        UNION ALL
+        SELECT event_type, 4 AS level,
+               CAST(len(d) AS INT) AS n_coeffs,
+               round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(d, x -> x * x)), (p, q) -> p + q), 6)
+                 AS energy
+        FROM l4 WHERE len(d) > 0
+        UNION ALL
+        SELECT event_type, 5 AS level,
+               CAST(len(d) AS INT) AS n_coeffs,
+               round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(d, x -> x * x)), (p, q) -> p + q), 6)
+                 AS energy
+        FROM l5 WHERE len(d) > 0
+    """
+    d["goertzel"] = f"""
+        WITH RECURSIVE ser AS ({_hourly_sql}),
+        ranked AS (
+            SELECT event_type,
+                   CAST(row_number() OVER (PARTITION BY event_type
+                                           ORDER BY x) AS BIGINT) AS t,
+                   CAST(y AS DOUBLE) AS v
+            FROM ser
+        ), a AS (
+            SELECT event_type,
+                   list(CAST(y AS DOUBLE) ORDER BY x) AS ys,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(y) AS BIGINT) AS s
+            FROM ser GROUP BY 1
+        ), b AS (
+            SELECT event_type, n,
+                   list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                       list_transform(
+                           list_transform(ys,
+                               v -> v - CAST(s AS DOUBLE)
+                                        / CAST(n AS DOUBLE)),
+                           z -> z * z)),
+                       (p, q) -> p + q) AS sst
+            FROM a
+        ), r AS (
+            SELECT k.event_type, pp.period, CAST(0 AS BIGINT) AS t,
+                   CAST(0.0 AS DOUBLE) AS s1, CAST(0.0 AS DOUBLE) AS s2
+            FROM (SELECT DISTINCT event_type FROM ser) k
+            CROSS JOIN (SELECT unnest([24, 168]) AS period) pp
+            UNION ALL
+            SELECT q.event_type, r.period, q.t,
+                   q.v + (CASE r.period WHEN 24
+                          THEN 1.9318516525781366
+                          ELSE 1.998601409576797 END) * r.s1 - r.s2,
+                   r.s1
+            FROM r JOIN ranked q
+              ON q.event_type = r.event_type AND q.t = r.t + 1
+        )
+        SELECT r.event_type, CAST(r.period AS INT) AS period,
+               b.n AS n_points,
+               round(r.s1 * r.s1 + r.s2 * r.s2
+                     - (CASE r.period WHEN 24
+                        THEN 1.9318516525781366
+                        ELSE 1.998601409576797 END) * r.s1 * r.s2, 6)
+                 AS power,
+               round(CASE WHEN b.sst > 0.0 THEN
+                     2.0 * (r.s1 * r.s1 + r.s2 * r.s2
+                            - (CASE r.period WHEN 24
+                               THEN 1.9318516525781366
+                               ELSE 1.998601409576797 END)
+                              * r.s1 * r.s2)
+                     / (CAST(b.n AS DOUBLE) * b.sst) END, 6)
+                 AS rel_power
+        FROM r JOIN b ON b.event_type = r.event_type
+        WHERE r.t = b.n AND b.n >= r.period
+    """
+    d["naive_bayes"] = """
+        WITH tk AS (
+            SELECT doc_id AS doc, lang AS lbl,
+                   unnest(string_split(text, ' ')) AS w,
+                   doc_id % 2 = 0 AS tr
+            FROM documents
+        ), tk2 AS (
+            SELECT * FROM tk WHERE length(w) > 0
+        ), trn AS (
+            SELECT * FROM tk2 WHERE tr
+        ), te AS (
+            SELECT * FROM tk2 WHERE NOT tr
+        ), cls AS (
+            SELECT lbl AS cls,
+                   CAST(count(DISTINCT doc) AS BIGINT) AS nd,
+                   CAST(count(*) AS BIGINT) AS ntok
+            FROM trn GROUP BY 1
+        ), nda AS (
+            SELECT CAST(count(DISTINCT doc) AS BIGINT) AS nd_all FROM trn
+        ), vo AS (
+            SELECT CAST(count(DISTINCT w) AS BIGINT) AS v FROM trn
+        ), cw AS (
+            SELECT lbl AS cls, w, CAST(count(*) AS BIGINT) AS c
+            FROM trn GROUP BY 1, 2
+        ), tf AS (
+            SELECT doc, lbl AS label_true, w,
+                   CAST(count(*) AS BIGINT) AS tf
+            FROM te GROUP BY 1, 2, 3
+        ), terms AS (
+            SELECT tf.doc, tf.label_true, cls.cls, tf.w,
+                   CAST(tf.tf AS DOUBLE)
+                   * ln(CAST(coalesce(cw.c, 0) + 1 AS DOUBLE)
+                        / CAST(cls.ntok + vo.v AS DOUBLE)) AS term
+            FROM tf CROSS JOIN cls
+            LEFT JOIN cw ON cw.cls = cls.cls AND cw.w = tf.w
+            CROSS JOIN vo
+        ), fl AS (
+            SELECT doc, label_true, cls,
+                   list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                       list(term ORDER BY w)), (p, q) -> p + q) AS ll
+            FROM terms GROUP BY 1, 2, 3
+        ), sc AS (
+            SELECT fl.doc, fl.label_true, fl.cls,
+                   ln(CAST(cls.nd AS DOUBLE)
+                      / CAST(nda.nd_all AS DOUBLE)) + fl.ll AS score
+            FROM fl JOIN cls ON cls.cls = fl.cls CROSS JOIN nda
+        ), pred AS (
+            SELECT doc, label_true, cls AS label_pred FROM sc
+            QUALIFY row_number() OVER (PARTITION BY doc
+                ORDER BY score DESC, cls ASC) = 1
+        ), pt AS (
+            SELECT label_true, CAST(count(*) AS BIGINT) AS n_true
+            FROM pred GROUP BY 1
+        )
+        SELECT p.label_true, p.label_pred,
+               CAST(count(*) AS BIGINT) AS n,
+               round(CAST(count(*) AS DOUBLE)
+                     / CAST(pt.n_true AS DOUBLE), 6) AS share
+        FROM pred p JOIN pt USING (label_true)
+        GROUP BY 1, 2, pt.n_true
     """
     return d

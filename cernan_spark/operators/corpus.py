@@ -2616,3 +2616,142 @@ def yule_k(
         )
         .orderBy(*group_cols)
     )
+
+
+def naive_bayes_eval(
+    tokens: DataFrame,
+    id_col: str,
+    label_col: str,
+    tok_col: str,
+    train_col: str,
+) -> DataFrame:
+    """Multinomial Naive Bayes with add-1 smoothing, trained on the
+    ``train_col`` split and evaluated on the rest — the classic
+    bag-of-words router a corpus pipeline trains off routed shards
+    (the supervised sibling of lang_id's fixed heuristic), emitted as
+    the test-split confusion matrix.
+
+    Scoring per (test doc, class):
+
+        score = ln(n_docs_cls / n_docs) +
+                Σ_w tf_w · ln((c_{w,cls} + 1) / (N_cls + V))
+
+    with c the train token counts, N_cls the class token total, V the
+    TRAIN vocabulary size; test-only words smooth to c = 0. Prediction
+    is argmax (ties → lexicographically first class).
+
+    Float discipline: every count is an exact BIGINT; each term is an
+    exact-integer ratio under one ln (the repo's pinned-ln discipline),
+    folded per (doc, class) in word order; the prior adds once at the
+    end. Identical doubles → identical argmax in both engines.
+
+    Plan shape: train-side aggregates at (class, word) and class
+    grains; the test score frame is (test tf rows) × k classes joined
+    against the broadcast-sized count tables; ONE fold per (doc,
+    class); argmax via a per-doc window over k rows.
+
+    Output per (label_true, label_pred): ``label_true, label_pred, n,
+    share`` (round 6; share within the true label).
+    """
+    base = tokens.select(
+        F.col(id_col).alias("doc"),
+        F.col(label_col).alias("lbl"),
+        F.col(tok_col).alias("w"),
+        F.col(train_col).cast("boolean").alias("tr"),
+    )
+    train = base.filter("tr")
+    test = base.filter(~F.col("tr"))
+    cls_docs = train.groupBy("lbl").agg(
+        F.countDistinct("doc").cast("long").alias("nd"),
+        F.count(F.lit(1)).cast("long").alias("ntok"),
+    )
+    n_docs = train.select(
+        F.countDistinct("doc").cast("long").alias("nd_all")
+    )
+    vocab = train.select("w").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("v")
+    )
+    cw = train.groupBy("lbl", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    tf = test.groupBy("doc", "lbl", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    ).withColumnRenamed("lbl", "label_true")
+    classes = cls_docs.select(F.col("lbl").alias("cls"), "nd", "ntok")
+    scored_terms = (
+        tf.crossJoin(F.broadcast(classes))
+        .join(
+            F.broadcast(
+                cw.select(
+                    F.col("lbl").alias("cls"),
+                    "w",
+                    F.col("c").alias("c_wc"),
+                )
+            ),
+            ["cls", "w"],
+            "left",
+        )
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc",
+            "label_true",
+            "cls",
+            "w",
+            (
+                F.col("tf").cast("double")
+                * F.log(
+                    (F.coalesce("c_wc", F.lit(0)) + 1).cast("double")
+                    / (F.col("ntok") + F.col("v")).cast("double")
+                )
+            ).alias("term"),
+        )
+    )
+    folded = scored_terms.groupBy("doc", "label_true", "cls").agg(
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("w", "term"))),
+            F.lit(0.0),
+            lambda acc, t: acc + t["term"],
+        ).alias("ll")
+    )
+    scored = (
+        folded.join(F.broadcast(classes), "cls")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc",
+            "label_true",
+            "cls",
+            (
+                F.log(
+                    F.col("nd").cast("double") / F.col("nd_all").cast("double")
+                )
+                + F.col("ll")
+            ).alias("score"),
+        )
+    )
+    from pyspark.sql import Window as W2
+
+    wdoc = W2.partitionBy("doc").orderBy(
+        F.col("score").desc(), F.col("cls").asc()
+    )
+    pred = (
+        scored.withColumn("rn", F.row_number().over(wdoc))
+        .filter(F.col("rn") == 1)
+        .select("doc", "label_true", F.col("cls").alias("label_pred"))
+    )
+    per_true = pred.groupBy("label_true").agg(
+        F.count(F.lit(1)).cast("long").alias("n_true")
+    )
+    return (
+        pred.groupBy("label_true", "label_pred")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .join(F.broadcast(per_true), "label_true")
+        .select(
+            "label_true",
+            "label_pred",
+            "n",
+            F.round(
+                F.col("n").cast("double") / F.col("n_true").cast("double"), 6
+            ).alias("share"),
+        )
+        .orderBy("label_true", "label_pred")
+    )

@@ -1116,3 +1116,198 @@ def lindley_wait(
         )
         .orderBy(*key_cols)
     )
+
+
+def haar_energy(
+    series: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    value_col: str,
+    levels: int = 5,
+) -> DataFrame:
+    """Haar wavelet energy decomposition of a bounded per-key series —
+    multiresolution variance: at each level, adjacent pairs split into
+    averages (carried down) and differences (whose squared sum is that
+    level's energy), so level 1 captures hour-to-hour jitter and level
+    5 captures 32-hour swings. The scale-localized companion of
+    :func:`acf_profile` (which asks "is lag k correlated", not "where
+    does the variance LIVE").
+
+    Float discipline: inputs are exact integers; every Haar coefficient
+    is (a ± b)·0.5 — an IEEE add/subtract and an EXACT halving — and
+    each level's energy is a LEFT fold of d² in coefficient order. Odd
+    tails are dropped per level (the dyadic convention).
+
+    Plan shape: ONE hash aggregate collects the series; the level
+    cascade is a chain of row-local array transforms — no shuffle,
+    no self-join. Use on rollup series.
+
+    Output per (key, level): ``*key_cols, level, n_coeffs, energy``
+    (round 6).
+    """
+    ordered = F.sort_array(
+        F.collect_list(
+            F.struct(
+                F.col(order_col).alias("__o"),
+                F.col(value_col).cast("double").alias("__v"),
+            )
+        )
+    )
+    per_key = series.groupBy(*key_cols).agg(
+        F.transform(ordered, lambda t: t["__v"]).alias("a0")
+    )
+    frame = per_key
+    cur = "a0"
+    for lv in range(1, levels + 1):
+        half = F.floor(F.size(cur) / 2).cast("int")
+
+        def _pairs(sign: float, src: str, h):
+            return F.transform(
+                F.sequence(F.lit(1), h),
+                lambda i: (
+                    F.element_at(src, (2 * i - 1).cast("int"))
+                    + F.lit(sign)
+                    * F.element_at(src, (2 * i).cast("int"))
+                )
+                * F.lit(0.5),
+            )
+
+        empty = F.array().cast("array<double>")
+        frame = frame.select(
+            *key_cols,
+            *[f"d{j}" for j in range(1, lv)],
+            F.when(half >= 1, _pairs(1.0, cur, half))
+            .otherwise(empty)
+            .alias(f"a{lv}"),
+            F.when(half >= 1, _pairs(-1.0, cur, half))
+            .otherwise(empty)
+            .alias(f"d{lv}"),
+        )
+        # Materialize each level: CollapseProject would otherwise
+        # INLINE level l's array expression into every element_at of
+        # level l+1 (two references per coefficient), so the collapsed
+        # expression tree grows ~4^levels and the analyzer/codegen
+        # never finishes. The per-level frame is rollup-sized, so the
+        # eager cut is cheap — same discipline as the iterative graph
+        # operators' per-round localCheckpoint.
+        frame = frame.localCheckpoint(eager=True)
+        cur = f"a{lv}"
+    rows = []
+    for lv in range(1, levels + 1):
+        energy = F.aggregate(
+            f"d{lv}", F.lit(0.0), lambda acc, d: acc + d * d
+        )
+        rows.append(
+            frame.select(
+                *key_cols,
+                F.lit(lv).alias("level"),
+                F.size(f"d{lv}").alias("n_coeffs"),
+                F.round(energy, 6).alias("energy"),
+            ).filter(F.col("n_coeffs") > 0)
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out.orderBy(*key_cols, "level")
+
+
+#: 2·cos(2π/p) for the Goertzel recursion, pinned decimal literals
+#: shared with the SQL oracle (no cross-engine cos()).
+GOERTZEL_COEFFS = {24: 1.9318516525781366, 168: 1.998601409576797}
+
+
+def goertzel_power(
+    series: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    value_col: str,
+    periods: tuple[int, ...] = (24, 168),
+) -> DataFrame:
+    """Spectral power at FIXED periods via the Goertzel recursion — "how
+    much daily / weekly rhythm does this metric carry", the frequency-
+    domain answer next to stl (which assumes the season) and acf (which
+    scans short lags):
+
+        s_n = x_n + c·s_{n−1} − s_{n−2},   c = 2cos(2π/p)  (pinned)
+        P   = s_N² + s_{N−1}² − c·s_N·s_{N−1}
+
+    plus rel_power = 2P/(n·SST): the fraction of total variance
+    attributable to that single frequency bin (≈ amplitude²·n/4 / SST
+    scaling folded into one pinned chain).
+
+    Float discipline: the coefficients are shared decimal literals (no
+    engine cos()); the recursion is a LEFT fold in series order over
+    exact-integer inputs — replayed in DuckDB as a recursive CTE over
+    the rank spine (the lindley/holt discipline); SST folds from the
+    same collected list; divisions only at emit.
+
+    Output per (key, period): ``*key_cols, period, n_points, power,
+    rel_power`` (round 6; periods longer than the series are skipped).
+    """
+    unknown = [p for p in periods if p not in GOERTZEL_COEFFS]
+    if unknown:
+        raise ValueError(
+            f"no pinned Goertzel coefficient for periods {unknown}; "
+            f"add 2*cos(2*pi/p) to GOERTZEL_COEFFS (and the SQL oracle)"
+        )
+    ordered = F.sort_array(
+        F.collect_list(
+            F.struct(
+                F.col(order_col).alias("__o"),
+                F.col(value_col).cast("double").alias("__v"),
+            )
+        )
+    )
+    per_key = series.groupBy(*key_cols).agg(
+        F.transform(ordered, lambda t: t["__v"]).alias("ys"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(value_col).alias("s"),
+    )
+    m = F.col("s").cast("double") / F.col("n").cast("double")
+    sst = F.aggregate(
+        F.transform("ys", lambda v: v - m),
+        F.lit(0.0),
+        lambda acc, z: acc + z * z,
+    )
+    base = per_key.select(*key_cols, "ys", "n", sst.alias("sst"))
+    outs = []
+    for p in periods:
+        c = F.lit(GOERTZEL_COEFFS[p])
+        init = F.struct(
+            F.lit(0.0).alias("s1"), F.lit(0.0).alias("s2")
+        )
+        fold = F.aggregate(
+            "ys",
+            init,
+            lambda acc, x: F.struct(
+                (x + c * acc["s1"] - acc["s2"]).alias("s1"),
+                acc["s1"].alias("s2"),
+            ),
+        )
+        power = (
+            fold["s1"] * fold["s1"]
+            + fold["s2"] * fold["s2"]
+            - c * fold["s1"] * fold["s2"]
+        )
+        outs.append(
+            base.filter(F.col("n") >= F.lit(int(p)))
+            .select(
+                *key_cols,
+                F.lit(int(p)).alias("period"),
+                F.col("n").alias("n_points"),
+                F.round(power, 6).alias("power"),
+                F.round(
+                    F.when(
+                        F.col("sst") > 0.0,
+                        F.lit(2.0)
+                        * power
+                        / (F.col("n").cast("double") * F.col("sst")),
+                    ),
+                    6,
+                ).alias("rel_power"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out.orderBy(*key_cols, "period")

@@ -924,3 +924,185 @@ def test_chapman_no_recapture_null_petersen(spark):
     out = chapman_estimate(df, "id", "s1", "s2").collect()[0]
     assert out["petersen"] is None
     assert out["chapman"] == pytest.approx(3.0)  # (2)(2)/1 - 1
+
+
+# -------------------------------------------------------------- haar
+
+
+def test_haar_hand_two_levels(spark):
+    from cernan_spark.operators.temporal import haar_energy
+
+    df = spark.createDataFrame(
+        [("k", 0, 1), ("k", 1, 3), ("k", 2, 2), ("k", 3, 2)],
+        "k string, x int, y long",
+    )
+    out = {r["level"]: r for r in haar_energy(df, ["k"], "x", "y").collect()}
+    # level1: d = [-1, 0] -> energy 1 ; level2: avg [2,2] -> d=[0]
+    assert out[1]["n_coeffs"] == 2 and out[1]["energy"] == pytest.approx(1.0)
+    assert out[2]["n_coeffs"] == 1 and out[2]["energy"] == pytest.approx(0.0)
+    assert 3 not in out  # single coefficient cannot pair again
+
+
+def test_haar_python_mirror(spark):
+    from cernan_spark.operators.temporal import haar_energy
+
+    ys = [5, 1, 4, 4, 2, 8, 7, 3, 9, 9, 1]
+    df = spark.createDataFrame(
+        [("k", i, v) for i, v in enumerate(ys)], "k string, x int, y long"
+    )
+    out = {r["level"]: r["energy"] for r in haar_energy(df, ["k"], "x", "y").collect()}
+
+    a = [float(v) for v in ys]
+    ref = {}
+    for lv in range(1, 6):
+        half = len(a) // 2
+        if half == 0:
+            break
+        d = [(a[2 * i] - a[2 * i + 1]) * 0.5 for i in range(half)]
+        a = [(a[2 * i] + a[2 * i + 1]) * 0.5 for i in range(half)]
+        ref[lv] = sum(x * x for x in d)
+    assert set(out) == set(ref)
+    for lv, e in ref.items():
+        assert out[lv] == pytest.approx(round(e, 6), abs=1e-6)
+
+
+def test_haar_jitter_vs_slow_swing(spark):
+    from cernan_spark.operators.temporal import haar_energy
+
+    # alternating series: ALL energy at level 1
+    ys = [0, 10] * 16
+    df = spark.createDataFrame(
+        [("k", i, v) for i, v in enumerate(ys)], "k string, x int, y long"
+    )
+    out = {r["level"]: r["energy"] for r in haar_energy(df, ["k"], "x", "y").collect()}
+    assert out[1] > 0 and out[2] == pytest.approx(0.0)
+    assert out[5] == pytest.approx(0.0)
+
+
+# ----------------------------------------------------------- goertzel
+
+
+def _goertzel_ref(ys, coeff):
+    s1 = s2 = 0.0
+    for x in ys:
+        s1, s2 = x + coeff * s1 - s2, s1
+    return s1 * s1 + s2 * s2 - coeff * s1 * s2
+
+
+def test_goertzel_python_mirror_and_daily_peak(spark):
+    from cernan_spark.operators.temporal import (
+        GOERTZEL_COEFFS,
+        goertzel_power,
+    )
+
+    # period-24 pulse train over 14 days
+    ys = [100 + (50 if i % 24 == 0 else 0) for i in range(336)]
+    df = spark.createDataFrame(
+        [("k", i, v) for i, v in enumerate(ys)], "k string, x int, y long"
+    )
+    out = {
+        r["period"]: r
+        for r in goertzel_power(df, ["k"], "x", "y", (24, 168)).collect()
+    }
+    for p in (24, 168):
+        ref = _goertzel_ref([float(v) for v in ys], GOERTZEL_COEFFS[p])
+        assert out[p]["power"] == pytest.approx(ref, rel=1e-9)
+    # a 24-periodic signal carries more relative power in the 24 bin
+    assert out[24]["rel_power"] > out[168]["rel_power"]
+
+
+def test_goertzel_short_series_skips_period(spark):
+    from cernan_spark.operators.temporal import goertzel_power
+
+    ys = list(range(48))
+    df = spark.createDataFrame(
+        [("k", i, v) for i, v in enumerate(ys)], "k string, x int, y long"
+    )
+    out = goertzel_power(df, ["k"], "x", "y", (24, 168)).collect()
+    assert [r["period"] for r in out] == [24]  # 168 > n -> skipped
+
+
+def test_goertzel_unknown_period_raises(spark):
+    from cernan_spark.operators.temporal import goertzel_power
+
+    df = spark.createDataFrame([("k", 0, 1)], "k string, x int, y long")
+    with pytest.raises(ValueError):
+        goertzel_power(df, ["k"], "x", "y", (12,))
+
+
+# -------------------------------------------------------- naive bayes
+
+
+def _nb_frame(spark, docs):
+    rows = []
+    for doc, (lbl, text, train) in docs.items():
+        for w in text.split():
+            rows.append((doc, lbl, w, train))
+    return spark.createDataFrame(
+        rows, "doc long, lbl string, w string, tr boolean"
+    )
+
+
+def test_naive_bayes_separable_classes(spark):
+    from cernan_spark.operators.corpus import naive_bayes_eval
+
+    df = _nb_frame(
+        spark,
+        {
+            1: ("A", "x x y", True),
+            2: ("B", "z z y", True),
+            3: ("A", "x x", False),
+            4: ("B", "z", False),
+        },
+    )
+    out = {
+        (r["label_true"], r["label_pred"]): r
+        for r in naive_bayes_eval(df, "doc", "lbl", "w", "tr").collect()
+    }
+    assert out[("A", "A")]["n"] == 1 and out[("A", "A")]["share"] == 1.0
+    assert out[("B", "B")]["n"] == 1
+    assert ("A", "B") not in out
+
+
+def test_naive_bayes_unseen_word_ties_to_first_class(spark):
+    from cernan_spark.operators.corpus import naive_bayes_eval
+
+    df = _nb_frame(
+        spark,
+        {
+            1: ("A", "x x y", True),
+            2: ("B", "z z y", True),
+            3: ("B", "q", False),  # unseen word: symmetric scores
+        },
+    )
+    out = naive_bayes_eval(df, "doc", "lbl", "w", "tr").collect()
+    assert len(out) == 1
+    # equal priors, equal likelihoods -> lexicographically first class
+    assert out[0]["label_pred"] == "A" and out[0]["label_true"] == "B"
+
+
+def test_naive_bayes_prior_breaks_likelihood_tie(spark):
+    from cernan_spark.operators.corpus import naive_bayes_eval
+
+    df = _nb_frame(
+        spark,
+        {
+            1: ("A", "y", True),
+            2: ("A", "y", True),
+            3: ("B", "y", True),
+            4: ("B", "q", False),
+        },
+    )
+    out = naive_bayes_eval(df, "doc", "lbl", "w", "tr").collect()[0]
+    # A has prior 2/3 and the same smoothed likelihood denominator
+    # shape; its ntok differs though: A ntok=2, B ntok=1 -> check the
+    # actual argmax matches a python mirror
+    import math as _m
+
+    v = 1  # train vocab {'y'}
+    def score(cls, nd, ntok):
+        return _m.log(nd / 3) + 1.0 * _m.log((0 + 1) / (ntok + v))
+
+    sa, sb = score("A", 2, 2), score("B", 1, 1)
+    expect = "A" if (sa, "A") > (sb, "B") or sa > sb else ("A" if sa == sb else "B")
+    assert out["label_pred"] == ("A" if sa >= sb else "B") == expect
