@@ -3241,6 +3241,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "haar": q_haar,
         "goertzel": q_goertzel,
         "naive_bayes": q_naive_bayes,
+        "yule_walker": q_yule_walker,
+        "lru": q_lru,
+        "theil": q_theil,
     }
 
 
@@ -8001,6 +8004,49 @@ def q_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % 2 == 0).alias("tr"),
     ).filter(F.length("tok") > 0)
     return naive_bayes_eval(toks, "doc_id", "lang", "tok", "tr")
+
+
+def q_yule_walker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AR(2) Yule–Walker fit of each hourly cent series: r1/r2 from the
+    acf construction, closed-form φ₁/φ₂/σ²_rel and the stationarity
+    triangle check (operators/temporal.yule_walker_ar2) — acf's lags
+    turned into a forecasting model."""
+    from cernan_spark.operators.temporal import yule_walker_ar2
+
+    ser = _hourly_cents_xy(spark, sf_dir)
+    return yule_walker_ar2(ser, ["event_type"], "x", "y")
+
+
+def q_lru(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LRU cache replay over each metric's hourly residue stream at
+    capacities 4 and 16: pure list-surgery integer fold, hit rate the
+    only division (operators/temporal.lru_hit_rate); the oracle
+    replays the state machine as a recursive CTE carrying the MRU
+    list."""
+    from cernan_spark.operators.temporal import lru_hit_rate
+
+    ser = _hourly_cents_xy(spark, sf_dir)
+    acc = ser.select(
+        "event_type", "x", (F.col("y") % 32).cast("string").alias("item")
+    )
+    return lru_hit_rate(acc, ["event_type"], ["x"], "item", (4, 16))
+
+
+def q_theil(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T and L inequality of per-user spend within each event
+    type — exact-integer ratios under pinned ln folded in user order,
+    the decomposable companion of gini_traffic
+    (operators/skew.theil_indices)."""
+    from cernan_spark.operators.skew import theil_indices
+
+    _utc(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    frame = ev.select(
+        "event_type",
+        "user_id",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    return theil_indices(frame, ["event_type"], "user_id", "cents")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -14743,5 +14789,130 @@ def oracle_sql() -> dict[str, str]:
                      / CAST(pt.n_true AS DOUBLE), 6) AS share
         FROM pred p JOIN pt USING (label_true)
         GROUP BY 1, 2, pt.n_true
+    """
+    d["yule_walker"] = f"""
+        WITH ser AS ({_hourly_sql}),
+        a AS (
+            SELECT event_type,
+                   list(CAST(y AS DOUBLE) ORDER BY x) AS ys,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(y) AS BIGINT) AS s
+            FROM ser GROUP BY 1 HAVING count(*) >= 3
+        ), b AS (
+            SELECT event_type, n,
+                   list_transform(
+                       ys, v -> v - CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                   ) AS zs
+            FROM a
+        ), c AS (
+            SELECT event_type, n, zs,
+                   list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                       list_transform(zs, z -> z * z)),
+                       (p, q) -> p + q) AS den
+            FROM b
+        ), rs AS (
+            SELECT event_type, n,
+                   list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                       list_transform(range(1, CAST(n - 1 AS BIGINT) + 1),
+                           i -> list_extract(zs, i)
+                                * list_extract(zs, i + 1))),
+                       (p, q) -> p + q) / den AS r1,
+                   list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                       list_transform(range(1, CAST(n - 2 AS BIGINT) + 1),
+                           i -> list_extract(zs, i)
+                                * list_extract(zs, i + 2))),
+                       (p, q) -> p + q) / den AS r2
+            FROM c
+        )
+        SELECT event_type, n,
+               round(r1, 6) AS r1, round(r2, 6) AS r2,
+               round(CASE WHEN 1.0 - r1 * r1 <> 0.0 THEN
+                     r1 * (1.0 - r2) / (1.0 - r1 * r1) END, 6) AS phi1,
+               round(CASE WHEN 1.0 - r1 * r1 <> 0.0 THEN
+                     (r2 - r1 * r1) / (1.0 - r1 * r1) END, 6) AS phi2,
+               round(CASE WHEN 1.0 - r1 * r1 <> 0.0 THEN
+                     1.0 - (r1 * (1.0 - r2) / (1.0 - r1 * r1)) * r1
+                         - ((r2 - r1 * r1) / (1.0 - r1 * r1)) * r2
+                     END, 6) AS sigma2_rel,
+               CASE WHEN 1.0 - r1 * r1 <> 0.0 THEN
+                   ((r2 - r1 * r1) / (1.0 - r1 * r1))
+                     + (r1 * (1.0 - r2) / (1.0 - r1 * r1)) < 1.0
+                   AND ((r2 - r1 * r1) / (1.0 - r1 * r1))
+                     - (r1 * (1.0 - r2) / (1.0 - r1 * r1)) < 1.0
+                   AND abs((r2 - r1 * r1) / (1.0 - r1 * r1)) < 1.0
+               END AS stationary
+        FROM rs
+    """
+    d["lru"] = f"""
+        WITH RECURSIVE ser AS ({_hourly_sql}),
+        ranked AS (
+            SELECT event_type,
+                   CAST(row_number() OVER (PARTITION BY event_type
+                                           ORDER BY x) AS BIGINT) AS t,
+                   CAST(y % 32 AS VARCHAR) AS i
+            FROM ser
+        ), np AS (
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n
+            FROM ser GROUP BY 1
+        ), r AS (
+            SELECT k.event_type, cp.cap, CAST(0 AS BIGINT) AS t,
+                   CAST([] AS VARCHAR[]) AS c, CAST(0 AS BIGINT) AS h
+            FROM (SELECT DISTINCT event_type FROM ser) k
+            CROSS JOIN (SELECT unnest([4, 16]) AS cap) cp
+            UNION ALL
+            SELECT q.event_type, r.cap, q.t,
+                   list_slice(list_prepend(q.i,
+                       list_filter(r.c, e -> e <> q.i)), 1, r.cap),
+                   r.h + CASE WHEN list_contains(r.c, q.i)
+                              THEN 1 ELSE 0 END
+            FROM r JOIN ranked q
+              ON q.event_type = r.event_type AND q.t = r.t + 1
+        )
+        SELECT r.event_type, CAST(r.cap AS INT) AS capacity,
+               np.n AS n_accesses, r.h AS n_hits,
+               round(CAST(r.h AS DOUBLE) / CAST(np.n AS DOUBLE), 6)
+                 AS hit_rate
+        FROM r JOIN np ON np.event_type = r.event_type AND r.t = np.n
+    """
+    d["theil"] = """
+        WITH pu AS (
+            SELECT event_type, user_id AS u,
+                   CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                        AS BIGINT) AS x
+            FROM events GROUP BY 1, 2
+        ), nz AS (
+            SELECT * FROM pu WHERE x > 0
+        ), f0 AS (
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n_units,
+                   CAST(sum(x) AS BIGINT) AS s
+            FROM nz GROUP BY 1
+        ), z AS (
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n_zero
+            FROM pu WHERE x <= 0 GROUP BY 1
+        ), t AS (
+            SELECT nz.event_type, nz.u,
+                   CAST(f0.n_units * nz.x AS DOUBLE)
+                     / CAST(f0.s AS DOUBLE) AS rt,
+                   CAST(f0.s AS DOUBLE)
+                     / CAST(f0.n_units * nz.x AS DOUBLE) AS irt
+            FROM nz JOIN f0 USING (event_type)
+        ), f AS (
+            SELECT event_type,
+                   list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                       list(rt * ln(rt) ORDER BY u)),
+                       (p, q) -> p + q) AS st,
+                   list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                       list(ln(irt) ORDER BY u)),
+                       (p, q) -> p + q) AS sl
+            FROM t GROUP BY 1
+        )
+        SELECT f0.event_type, f0.n_units,
+               coalesce(z.n_zero, 0) AS n_zero,
+               round(f.st / CAST(f0.n_units AS DOUBLE), 6) + 0.0
+                 AS theil_t,
+               round(f.sl / CAST(f0.n_units AS DOUBLE), 6) + 0.0
+                 AS theil_l
+        FROM f0 JOIN f USING (event_type)
+        LEFT JOIN z USING (event_type)
     """
     return d

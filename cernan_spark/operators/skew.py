@@ -408,3 +408,79 @@ def fair_share_alloc(
         ).alias("allocated"),
         F.col("sat").alias("saturated"),
     )
+
+
+def theil_indices(
+    df: DataFrame,
+    group_cols: list[str],
+    unit_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Theil inequality indices of an exact-integer quantity across
+    units — the DECOMPOSABLE inequality family next to
+    :func:`gini_concentration` (Gini compares pairs; Theil is additive
+    across partitions, which is why capacity teams use it to ask "is
+    the imbalance BETWEEN shards or WITHIN them"):
+
+        T = (1/n) Σ (xᵢ/μ)·ln(xᵢ/μ)      (top-sensitive)
+        L = (1/n) Σ ln(μ/xᵢ)             (bottom-sensitive; xᵢ > 0)
+
+    Float discipline: per-unit totals and the grand sum are exact
+    BIGINTs; each term is exact-integer ratios under one ln — using
+    xᵢ/μ = n·xᵢ/S so the ratio argument is a division of exact
+    integers (the repo's pinned-ln rule) — folded in unit order.
+    Zero-valued units are excluded (ln(0)) and reported.
+
+    Output per group: ``*group_cols, n_units, n_zero, theil_t,
+    theil_l`` (round 6).
+    """
+    per_unit = df.groupBy(
+        *group_cols, F.col(unit_col).alias("u")
+    ).agg(F.sum(F.col(value_col).cast("long")).alias("x"))
+    nz = per_unit.filter(F.col("x") > 0)
+    folded = nz.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_units"),
+        F.sum("x").alias("s"),
+        F.sort_array(F.collect_list(F.struct("u", "x"))).alias("xs"),
+    )
+    zeros = per_unit.filter(F.col("x") <= 0).groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_zero")
+    )
+    n = F.col("n_units").cast("double")
+    # x/mu = n*x/S : exact-integer ratio under the ln
+    ratio = lambda t: (F.col("n_units") * t["x"]).cast("double") / F.col(
+        "s"
+    ).cast("double")
+    theil_t = (
+        F.aggregate(
+            "xs",
+            F.lit(0.0),
+            lambda acc, t: acc + ratio(t) * F.log(ratio(t)),
+        )
+        / n
+    )
+    theil_l = (
+        F.aggregate(
+            "xs",
+            F.lit(0.0),
+            lambda acc, t: acc
+            + F.log(
+                F.col("s").cast("double")
+                / (F.col("n_units") * t["x"]).cast("double")
+            ),
+        )
+        / n
+    )
+    out = (
+        folded.join(zeros, group_cols, "left")
+        .select(
+            *group_cols,
+            "n_units",
+            F.coalesce("n_zero", F.lit(0)).cast("long").alias("n_zero"),
+            F.round(theil_t, 6).alias("theil_t"),
+            F.round(theil_l, 6).alias("theil_l"),
+        )
+    )
+    if group_cols:
+        return out.orderBy(*group_cols)
+    return out

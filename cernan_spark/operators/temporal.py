@@ -1311,3 +1311,177 @@ def goertzel_power(
     for o in outs[1:]:
         out = out.unionAll(o)
     return out.orderBy(*key_cols, "period")
+
+
+def yule_walker_ar2(
+    series: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    value_col: str,
+) -> DataFrame:
+    """AR(2) model fit per key by the Yule–Walker equations — the
+    closed-form autoregression that turns :func:`acf_profile`'s
+    descriptive lags into a FORECASTING model (and the stationarity
+    check on its roots):
+
+        φ₁ = r₁(1 − r₂)/(1 − r₁²)     φ₂ = (r₂ − r₁²)/(1 − r₁²)
+        σ²ᵣₑₗ = 1 − φ₁r₁ − φ₂r₂       (innovation variance share)
+
+    with r₁, r₂ the lag-1/2 autocorrelations. Stationarity holds iff
+    φ₂ ± φ₁ < 1 and |φ₂| < 1 (emitted as a flag).
+
+    Float discipline: r₁/r₂ come from the same pinned numerator/
+    denominator folds as acf_profile (shared construction); φ and σ²
+    are a fixed chain of IEEE ops on those two doubles; degenerate
+    r₁² = 1 emits NULLs.
+
+    Output per key: ``*key_cols, n, r1, r2, phi1, phi2, sigma2_rel,
+    stationary`` (round 6).
+    """
+    ordered = F.sort_array(
+        F.collect_list(
+            F.struct(
+                F.col(order_col).alias("__o"),
+                F.col(value_col).cast("double").alias("__v"),
+            )
+        )
+    )
+    per_key = series.groupBy(*key_cols).agg(
+        F.transform(ordered, lambda t: t["__v"]).alias("ys"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(value_col).alias("s"),
+    ).filter(F.col("n") >= 3)
+    m = F.col("s").cast("double") / F.col("n").cast("double")
+    dem = per_key.select(
+        *key_cols, "n", F.transform("ys", lambda v: v - m).alias("zs")
+    )
+    den = F.aggregate("zs", F.lit(0.0), lambda acc, z: acc + z * z)
+
+    def acf_at(k: int):
+        return (
+            F.aggregate(
+                F.zip_with(
+                    F.slice(F.col("zs"), F.lit(1), (F.col("n") - k).cast("int")),
+                    F.slice(
+                        F.col("zs"),
+                        F.lit(k + 1),
+                        (F.col("n") - k).cast("int"),
+                    ),
+                    lambda a, b: a * b,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / F.col("den")
+        )
+
+    rs = dem.select(*key_cols, "n", "zs", den.alias("den")).select(
+        *key_cols, "n", acf_at(1).alias("r1"), acf_at(2).alias("r2")
+    )
+    d2 = F.lit(1.0) - F.col("r1") * F.col("r1")
+    phi1 = F.col("r1") * (F.lit(1.0) - F.col("r2")) / d2
+    phi2 = (F.col("r2") - F.col("r1") * F.col("r1")) / d2
+    out = rs.select(
+        *key_cols,
+        "n",
+        F.round("r1", 6).alias("r1"),
+        F.round("r2", 6).alias("r2"),
+        F.round(F.when(d2 != 0.0, phi1), 6).alias("phi1"),
+        F.round(F.when(d2 != 0.0, phi2), 6).alias("phi2"),
+        F.round(
+            F.when(
+                d2 != 0.0,
+                F.lit(1.0)
+                - phi1 * F.col("r1")
+                - phi2 * F.col("r2"),
+            ),
+            6,
+        ).alias("sigma2_rel"),
+        F.when(
+            d2 != 0.0,
+            (phi2 + phi1 < 1.0)
+            & (phi2 - phi1 < 1.0)
+            & (F.abs(phi2) < 1.0),
+        ).alias("stationary"),
+    )
+    return out.orderBy(*key_cols)
+
+
+def lru_hit_rate(
+    accesses: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    item_col: str,
+    capacities: tuple[int, ...] = (4, 16),
+) -> DataFrame:
+    """LRU cache replay per key: "what hit rate WOULD a cache of k
+    entries have gotten on this exact access stream" — the
+    capacity-sizing twin of :func:`lindley_wait` (that sizes compute,
+    this sizes memory), answered by deterministic simulation instead
+    of a working-set heuristic.
+
+    State per step is (MRU-ordered key list, hit count) — the fold is
+    pure list surgery and integer adds, NO floating point until the
+    final hit-rate division, so the DuckDB replay (recursive CTE over
+    the rank spine carrying the list state — the let-trick vector
+    style) is exact by construction.
+
+    Plan shape: one lag-free collect of each bounded keyed stream, one
+    fold per capacity (row-local). Use on rollup-grain or bounded
+    streams; the state list is capped at the capacity.
+
+    Output per (key, capacity): ``*key_cols, capacity, n_accesses,
+    n_hits, hit_rate`` (round 6).
+    """
+    ordered = F.sort_array(
+        F.collect_list(
+            F.struct(
+                *[F.col(c) for c in order_cols],
+                F.col(item_col).cast("string").alias("__i"),
+            )
+        )
+    )
+    per_key = accesses.groupBy(*key_cols).agg(
+        F.transform(ordered, lambda t: t["__i"]).alias("xs"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    outs = []
+    for cap in capacities:
+        init = F.struct(
+            F.array().cast("array<string>").alias("c"),
+            F.lit(0).cast("long").alias("h"),
+        )
+
+        def make_step(_cap):
+            # arity matters: F.aggregate reads the python signature, so
+            # the capacity binds via closure, not a defaulted 3rd param
+            def step(acc, x):
+                hit = F.array_contains(acc["c"], x)
+                evicted = F.filter(acc["c"], lambda e: e != x)
+                new_cache = F.slice(
+                    F.concat(F.array(x), evicted), 1, _cap
+                )
+                return F.struct(
+                    new_cache.alias("c"),
+                    (acc["h"] + hit.cast("long")).alias("h"),
+                )
+
+            return step
+
+        folded = F.aggregate("xs", init, make_step(cap))
+        outs.append(
+            per_key.select(
+                *key_cols,
+                F.lit(int(cap)).alias("capacity"),
+                F.col("n").alias("n_accesses"),
+                folded["h"].alias("n_hits"),
+                F.round(
+                    folded["h"].cast("double") / F.col("n").cast("double"),
+                    6,
+                ).alias("hit_rate"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out.orderBy(*key_cols, "capacity")

@@ -1106,3 +1106,131 @@ def test_naive_bayes_prior_breaks_likelihood_tie(spark):
     sa, sb = score("A", 2, 2), score("B", 1, 1)
     expect = "A" if (sa, "A") > (sb, "B") or sa > sb else ("A" if sa == sb else "B")
     assert out["label_pred"] == ("A" if sa >= sb else "B") == expect
+
+
+# -------------------------------------------------------- yule-walker
+
+
+def test_yule_walker_ar1_like_series(spark):
+    from cernan_spark.operators.temporal import yule_walker_ar2
+
+    # deterministic ramp+wiggle; mirror the closed form in python
+    ys = [i * 3 + (7 * i * i) % 11 for i in range(40)]
+    df = spark.createDataFrame(
+        [("k", i, v) for i, v in enumerate(ys)], "k string, x int, y long"
+    )
+    out = yule_walker_ar2(df, ["k"], "x", "y").collect()[0]
+    r1, r2 = _acf_ref(ys, 1), _acf_ref(ys, 2)
+    d2 = 1 - r1 * r1
+    phi1 = r1 * (1 - r2) / d2
+    phi2 = (r2 - r1 * r1) / d2
+    assert out["r1"] == pytest.approx(round(r1, 6), abs=1e-6)
+    assert out["phi1"] == pytest.approx(round(phi1, 6), abs=1e-5)
+    assert out["phi2"] == pytest.approx(round(phi2, 6), abs=1e-5)
+    assert out["sigma2_rel"] == pytest.approx(
+        round(1 - phi1 * r1 - phi2 * r2, 6), abs=1e-5
+    )
+    assert out["stationary"] == (
+        phi2 + phi1 < 1 and phi2 - phi1 < 1 and abs(phi2) < 1
+    )
+
+
+def test_yule_walker_short_series_dropped(spark):
+    from cernan_spark.operators.temporal import yule_walker_ar2
+
+    df = spark.createDataFrame(
+        [("k", 0, 1), ("k", 1, 2)], "k string, x int, y long"
+    )
+    assert yule_walker_ar2(df, ["k"], "x", "y").count() == 0
+
+
+# --------------------------------------------------------------- lru
+
+
+def _lru_ref(xs, cap):
+    cache, hits = [], 0
+    for x in xs:
+        if x in cache:
+            hits += 1
+            cache.remove(x)
+        cache.insert(0, x)
+        cache = cache[:cap]
+    return hits
+
+
+def test_lru_hand_stream(spark):
+    from cernan_spark.operators.temporal import lru_hit_rate
+
+    xs = ["a", "b", "a", "c", "b", "d", "a"]
+    df = spark.createDataFrame(
+        [("k", i, x) for i, x in enumerate(xs)], "k string, o int, i string"
+    )
+    out = {
+        r["capacity"]: r
+        for r in lru_hit_rate(df, ["k"], ["o"], "i", (2, 3)).collect()
+    }
+    assert out[2]["n_hits"] == _lru_ref(xs, 2)
+    assert out[3]["n_hits"] == _lru_ref(xs, 3)
+    assert out[3]["n_hits"] >= out[2]["n_hits"]  # monotone in capacity
+    assert out[2]["n_accesses"] == 7
+
+
+def test_lru_capacity_one_vs_unbounded(spark):
+    from cernan_spark.operators.temporal import lru_hit_rate
+
+    xs = ["a", "a", "b", "a", "b"]
+    df = spark.createDataFrame(
+        [("k", i, x) for i, x in enumerate(xs)], "k string, o int, i string"
+    )
+    out = {
+        r["capacity"]: r
+        for r in lru_hit_rate(df, ["k"], ["o"], "i", (1, 100)).collect()
+    }
+    # cap 1: only the immediate repeat hits
+    assert out[1]["n_hits"] == 1
+    # unbounded: every revisit hits (a twice more, b once more)
+    assert out[100]["n_hits"] == 3
+    assert out[100]["hit_rate"] == pytest.approx(0.6)
+
+
+def test_lru_eviction_order_is_lru_not_fifo(spark):
+    from cernan_spark.operators.temporal import lru_hit_rate
+
+    # a b a c : with cap 2, touching 'a' must keep it resident so the
+    # insert of 'c' evicts 'b' (LRU), not 'a' (FIFO) -> final probe
+    # of 'a' hits
+    xs = ["a", "b", "a", "c", "a"]
+    df = spark.createDataFrame(
+        [("k", i, x) for i, x in enumerate(xs)], "k string, o int, i string"
+    )
+    out = lru_hit_rate(df, ["k"], ["o"], "i", (2,)).collect()[0]
+    assert out["n_hits"] == 2  # the re-touch of a, then the final a
+
+
+# ------------------------------------------------------------- theil
+
+
+def test_theil_equal_distribution_zero(spark):
+    from cernan_spark.operators.skew import theil_indices
+
+    rows = [("g", u, 50) for u in range(8)]
+    df = spark.createDataFrame(rows, "g string, u long, v long")
+    out = theil_indices(df, ["g"], "u", "v").collect()[0]
+    assert out["theil_t"] == pytest.approx(0.0)
+    assert out["theil_l"] == pytest.approx(0.0)
+    assert str(out["theil_t"]) != "-0.0"  # sign-normalized
+
+
+def test_theil_hand_value_and_zero_exclusion(spark):
+    from cernan_spark.operators.skew import theil_indices
+
+    rows = [("g", 1, 10), ("g", 2, 30), ("g", 3, 0)]
+    df = spark.createDataFrame(rows, "g string, u long, v long")
+    out = theil_indices(df, ["g"], "u", "v").collect()[0]
+    assert out["n_units"] == 2 and out["n_zero"] == 1
+    mu = 20.0
+    t = (10 / mu * math.log(10 / mu) + 30 / mu * math.log(30 / mu)) / 2
+    l = (math.log(mu / 10) + math.log(mu / 30)) / 2
+    assert out["theil_t"] == pytest.approx(round(t, 6), abs=1e-6)
+    assert out["theil_l"] == pytest.approx(round(l, 6), abs=1e-6)
+    assert out["theil_t"] > 0 and out["theil_l"] > 0
