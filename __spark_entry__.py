@@ -3244,6 +3244,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "yule_walker": q_yule_walker,
         "lru": q_lru,
         "theil": q_theil,
+        "holt_winters": q_holt_winters,
+        "kruskal": q_kruskal,
+        "mcnemar": q_mcnemar,
+        "runs": q_runs,
     }
 
 
@@ -8047,6 +8051,63 @@ def q_theil(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
     )
     return theil_indices(frame, ["event_type"], "user_id", "cents")
+
+
+def q_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive Holt–Winters (α=β=γ=½, season 24) of each hourly cent
+    series: standard two-season init, the seasonal ring carried as
+    array state through a pinned fold, h=1..3 forecasts off the final
+    ring (operators/temporal.holt_winters); the oracle replays the
+    recursion as a recursive CTE carrying the ring list."""
+    from cernan_spark.operators.temporal import holt_winters
+
+    ser = _hourly_cents_xy(spark, sf_dir)
+    return holt_winters(ser, ["event_type"], "x", "y", season=24)
+
+
+def q_kruskal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal–Wallis H across the five metrics' pooled hourly cents —
+    doubled tie-averaged ranks, exact R²/n terms folded in group
+    order, tie-corrected H_adj
+    (operators/rankstats.kruskal_wallis). Completes the omnibus
+    triangle with anova (parametric) and friedman (blocked)."""
+    from cernan_spark.operators.rankstats import kruskal_wallis
+
+    ser = _hourly_cents_xy(spark, sf_dir)
+    return kruskal_wallis(ser.select("event_type", "y"), "event_type", "y")
+
+
+def q_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's paired test between two deterministic predictors of
+    the even-user bit (cent-residue vs event-parity): discordant-pair
+    χ² from exact counts (operators/rankstats.mcnemar_test)."""
+    from cernan_spark.operators.rankstats import mcnemar_test
+
+    _utc(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    truth = F.col("user_id") % 2 == 0
+    paired = ev.select(
+        ((((cents % 7) + 7) % 7 < 4) == truth).alias("a_ok"),
+        ((F.col("event_id") % 2 == 0) == truth).alias("b_ok"),
+    )
+    return mcnemar_test(paired, "a_ok", "b_ok")
+
+
+def q_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz runs test of each metric's cent-parity stream:
+    run count from one lag window, E/Var/Z a fixed exact-integer chain
+    (operators/rankstats.runs_test) — the randomness check before
+    trusting ordered-stream tests."""
+    from cernan_spark.operators.rankstats import runs_test
+
+    _utc(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    stream = ev.select(
+        "event_type", "ts", "event_id", (cents % 2).alias("x")
+    )
+    return runs_test(stream, ["event_type"], ["ts", "event_id"], "x")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -14914,5 +14975,162 @@ def oracle_sql() -> dict[str, str]:
                  AS theil_l
         FROM f0 JOIN f USING (event_type)
         LEFT JOIN z USING (event_type)
+    """
+    d["holt_winters"] = f"""
+        WITH RECURSIVE ser AS ({_hourly_sql}),
+        a AS (
+            SELECT event_type,
+                   list(CAST(y AS DOUBLE) ORDER BY x) AS ys,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM ser GROUP BY 1 HAVING count(*) >= 48
+        ), seed0 AS (
+            SELECT event_type, n, ys,
+                   list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                       list_slice(ys, 1, 24)), (p, q) -> p + q)
+                     / 24.0 AS m1,
+                   list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                       list_slice(ys, 25, 48)), (p, q) -> p + q)
+                     / 24.0 AS m2
+            FROM a
+        ), seed AS (
+            SELECT event_type, n,
+                   list_slice(ys, 25, CAST(n AS BIGINT)) AS tl,
+                   m1 AS l0, (m2 - m1) / 24.0 AS b0,
+                   list_transform(list_slice(ys, 1, 24),
+                       v -> v - m1) AS s0
+            FROM seed0
+        ), tls AS (
+            SELECT event_type, unnest(tl) AS y,
+                   CAST(generate_subscripts(tl, 1) AS BIGINT) AS t
+            FROM seed
+        ), r AS (
+            SELECT event_type, CAST(0 AS BIGINT) AS t,
+                   l0 AS l, b0 AS b, s0 AS s
+            FROM seed
+            UNION ALL
+            SELECT r.event_type, r.t + 1,
+                   ((q.y - list_extract(r.s, 1)) + (r.l + r.b)) * 0.5,
+                   ((((q.y - list_extract(r.s, 1)) + (r.l + r.b)) * 0.5
+                     - r.l) + r.b) * 0.5,
+                   list_append(list_slice(r.s, 2, 24),
+                       ((q.y - ((q.y - list_extract(r.s, 1))
+                                + (r.l + r.b)) * 0.5)
+                        + list_extract(r.s, 1)) * 0.5)
+            FROM r JOIN tls q
+              ON q.event_type = r.event_type AND q.t = r.t + 1
+        )
+        SELECT r.event_type, a.n AS n_points,
+               round(r.l, 6) AS level, round(r.b, 6) AS trend,
+               round(r.l + r.b * 1.0 + list_extract(r.s, 1), 6) AS f_1,
+               round(r.l + r.b * 2.0 + list_extract(r.s, 2), 6) AS f_2,
+               round(r.l + r.b * 3.0 + list_extract(r.s, 3), 6) AS f_3
+        FROM r JOIN a USING (event_type)
+        WHERE r.t = a.n - 24
+    """
+    d["kruskal"] = f"""
+        WITH ser AS ({_hourly_sql}),
+        obs AS (SELECT event_type AS grp, y AS v FROM ser),
+        ranked AS (
+            SELECT grp, v,
+                   CAST(2 * rank() OVER (ORDER BY v)
+                        + count(*) OVER (PARTITION BY v) - 1
+                        AS BIGINT) AS r2
+            FROM obs
+        ), per_grp AS (
+            SELECT grp, CAST(count(*) AS BIGINT) AS n_g,
+                   CAST(sum(r2) AS BIGINT) AS r2_sum
+            FROM ranked GROUP BY 1
+        ), ties AS (
+            SELECT CAST(sum(t * t * t - t) AS BIGINT) AS tie_sum
+            FROM (SELECT CAST(count(*) AS BIGINT) AS t
+                  FROM obs GROUP BY v)
+        ), tot AS (
+            SELECT CAST(sum(n_g) AS BIGINT) AS n,
+                   list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                       list(CAST(r2_sum * r2_sum AS DOUBLE)
+                            / CAST(n_g AS DOUBLE) ORDER BY grp)),
+                       (p, q) -> p + q) AS sr
+            FROM per_grp
+        ), stats AS (
+            SELECT 3.0 * sr / CAST(n * (n + 1) AS DOUBLE)
+                   - CAST(3 * (n + 1) AS DOUBLE) AS h_raw,
+                   CASE WHEN 1.0 - CAST(tie_sum AS DOUBLE)
+                             / CAST(n * n * n - n AS DOUBLE) <> 0.0
+                        THEN (3.0 * sr / CAST(n * (n + 1) AS DOUBLE)
+                              - CAST(3 * (n + 1) AS DOUBLE))
+                             / (1.0 - CAST(tie_sum AS DOUBLE)
+                                / CAST(n * n * n - n AS DOUBLE))
+                   END AS h_adj_raw
+            FROM tot CROSS JOIN ties
+        )
+        SELECT grp, n_g, r2_sum,
+               round(CAST(r2_sum AS DOUBLE)
+                     / CAST(2 * n_g AS DOUBLE), 6) AS mean_rank,
+               round(h_raw, 6) AS h,
+               round(h_adj_raw, 6) AS h_adj
+        FROM per_grp CROSS JOIN stats
+    """
+    d["mcnemar"] = """
+        WITH p AS (
+            SELECT (((CAST(round(value * 100, 0) AS BIGINT) % 7) + 7)
+                    % 7 < 4) = (user_id % 2 = 0) AS a_ok,
+                   (event_id % 2 = 0) = (user_id % 2 = 0) AS b_ok
+            FROM events
+        ), agg AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN a_ok AND b_ok THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_both,
+                   CAST(sum(CASE WHEN a_ok AND NOT b_ok THEN 1 ELSE 0
+                            END) AS BIGINT) AS n_a_only,
+                   CAST(sum(CASE WHEN NOT a_ok AND b_ok THEN 1 ELSE 0
+                            END) AS BIGINT) AS n_b_only,
+                   CAST(sum(CASE WHEN NOT a_ok AND NOT b_ok THEN 1
+                            ELSE 0 END) AS BIGINT) AS n_neither
+            FROM p
+        )
+        SELECT n, n_both, n_a_only, n_b_only, n_neither,
+               round(CASE WHEN n_a_only + n_b_only > 0 THEN
+                     CAST((n_a_only - n_b_only) * (n_a_only - n_b_only)
+                          AS DOUBLE)
+                     / CAST(n_a_only + n_b_only AS DOUBLE) END, 6)
+                 AS chi2
+        FROM agg
+    """
+    d["runs"] = """
+        WITH s AS (
+            SELECT event_type, ts, event_id,
+                   CAST(CAST(round(value * 100, 0) AS BIGINT) % 2
+                        AS INT) AS x
+            FROM events
+        ), lagged AS (
+            SELECT event_type, x,
+                   lag(x) OVER (PARTITION BY event_type
+                                ORDER BY ts, event_id) AS xp
+            FROM s
+        ), agg AS (
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT) AS n1,
+                   CAST(1 + sum(CASE WHEN xp IS NOT NULL AND x <> xp
+                                THEN 1 ELSE 0 END) AS BIGINT) AS runs
+            FROM lagged GROUP BY 1
+        )
+        SELECT event_type, n, n1, n - n1 AS n0, runs,
+               round(CASE WHEN n1 > 0 AND n - n1 > 0 AND n > 1 THEN
+                     1.0 + CAST(2 * n1 * (n - n1) AS DOUBLE)
+                           / CAST(n AS DOUBLE) END, 6) AS e_runs,
+               round(CASE WHEN n1 > 0 AND n - n1 > 0 AND n > 1
+                          AND CAST(2 * n1 * (n - n1)
+                                   * (2 * n1 * (n - n1) - n) AS DOUBLE)
+                              / CAST(n * n * (n - 1) AS DOUBLE) > 0.0
+                     THEN (CAST(runs AS DOUBLE)
+                           - (1.0 + CAST(2 * n1 * (n - n1) AS DOUBLE)
+                              / CAST(n AS DOUBLE)))
+                          / sqrt(CAST(2 * n1 * (n - n1)
+                                      * (2 * n1 * (n - n1) - n)
+                                 AS DOUBLE)
+                                 / CAST(n * n * (n - 1) AS DOUBLE))
+                     END, 6) AS z
+        FROM agg
     """
     return d

@@ -494,3 +494,206 @@ def friedman_test(
         )
         .orderBy("treatment")
     )
+
+
+def kruskal_wallis(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Kruskal–Wallis H — the rank-based k-group omnibus that completes
+    the module's test triangle: :func:`anova_oneway` pools raw values
+    (parametric), :func:`friedman_test` ranks within matched blocks;
+    this ranks the POOLED sample, so it is the k-group generalization
+    of :func:`mann_whitney`:
+
+        H = 12/(N(N+1)) · Σ_j R_j²/n_j − 3(N+1)
+        H_adj = H / (1 − Σ(t³−t)/(N³−N))     (tie correction)
+
+    Float discipline: pooled doubled tie-averaged ranks (2·min_rank +
+    cnt − 1) are exact BIGINTs, as are R2_j, Σ(t³−t) and N³−N; each
+    R2_j²/n_j is one exact product over one division folded in group
+    order; H is a fixed chain on those (the doubled form folds the /4
+    into 3/(N(N+1))).
+
+    Output per group: ``grp, n_g, r2_sum, mean_rank, h, h_adj``
+    (round 6; h repeated — the whole-result broadcast convention;
+    h_adj NULL when every value ties).
+    """
+    obs = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(value_col).cast("long").alias("v"),
+    )
+    wall = Window.orderBy("v")
+    wtie = Window.partitionBy("v")
+    ranked = obs.select(
+        "grp",
+        "v",
+        (
+            F.lit(2) * F.rank().over(wall)
+            + F.count(F.lit(1)).over(wtie)
+            - F.lit(1)
+        )
+        .cast("long")
+        .alias("r2"),
+    )
+    per_grp = ranked.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum("r2").alias("r2_sum"),
+    )
+    ties = obs.groupBy("v").agg(
+        F.count(F.lit(1)).cast("long").alias("t")
+    ).agg(
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias(
+            "tie_sum"
+        )
+    )
+    tot = per_grp.agg(
+        F.sum("n_g").alias("n"),
+        F.aggregate(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        "grp",
+                        (
+                            (F.col("r2_sum") * F.col("r2_sum")).cast(
+                                "double"
+                            )
+                            / F.col("n_g").cast("double")
+                        ).alias("t"),
+                    )
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, t: acc + t["t"],
+        ).alias("sr"),
+    ).crossJoin(F.broadcast(ties))
+    n = F.col("n")
+    h = (
+        F.lit(3.0) * F.col("sr") / (n * (n + 1)).cast("double")
+        - (F.lit(3) * (n + 1)).cast("double")
+    )
+    corr = F.lit(1.0) - F.col("tie_sum").cast("double") / (
+        n * n * n - n
+    ).cast("double")
+    stats = tot.select(
+        h.alias("h_raw"),
+        F.when(corr != 0.0, h / corr).alias("h_adj_raw"),
+    )
+    return (
+        per_grp.crossJoin(F.broadcast(stats))
+        .select(
+            "grp",
+            "n_g",
+            "r2_sum",
+            F.round(
+                F.col("r2_sum").cast("double")
+                / (F.lit(2) * F.col("n_g")).cast("double"),
+                6,
+            ).alias("mean_rank"),
+            F.round("h_raw", 6).alias("h"),
+            F.round("h_adj_raw", 6).alias("h_adj"),
+        )
+        .orderBy("grp")
+    )
+
+
+def mcnemar_test(
+    paired: DataFrame, a_col: str, b_col: str
+) -> DataFrame:
+    """McNemar's test on paired binary outcomes — "is classifier A
+    right where B is wrong more often than vice versa", the PAIRED
+    comparison that a naive two-proportion look gets wrong because
+    both run on the SAME items:
+
+        χ² = (n₀₁ − n₁₀)² / (n₀₁ + n₁₀)     (discordant pairs only)
+
+    Float discipline: the 2×2 concordance counts are exact BIGINTs
+    from one aggregate; χ² is one exact-integer square over one
+    division (NULL when no discordant pairs).
+
+    Output one row: ``n, n_both, n_a_only, n_b_only, n_neither,
+    chi2`` (round 6).
+    """
+    a = F.col(a_col).cast("boolean")
+    b = F.col(b_col).cast("boolean")
+    agg = paired.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((a & b).cast("long")).alias("n_both"),
+        F.sum((a & ~b).cast("long")).alias("n_a_only"),
+        F.sum((~a & b).cast("long")).alias("n_b_only"),
+        F.sum((~a & ~b).cast("long")).alias("n_neither"),
+    )
+    d = F.col("n_a_only") - F.col("n_b_only")
+    s = F.col("n_a_only") + F.col("n_b_only")
+    return agg.select(
+        "n",
+        "n_both",
+        "n_a_only",
+        "n_b_only",
+        "n_neither",
+        F.round(
+            F.when(s > 0, (d * d).cast("double") / s.cast("double")), 6
+        ).alias("chi2"),
+    )
+
+
+def runs_test(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    x_col: str,
+) -> DataFrame:
+    """Wald–Wolfowitz runs test per key: is a binary stream RANDOM, or
+    does it clump (fewer runs) / alternate (more runs) than chance —
+    the independence check to run BEFORE trusting :func:`mann_whitney`
+    or the SPRT on an ordered stream:
+
+        E[R] = 1 + 2n₁n₀/n
+        Var  = 2n₁n₀(2n₁n₀ − n) / (n²(n−1))
+        Z    = (R − E[R]) / √Var
+
+    Float discipline: n₁, n₀ and the run count R (1 + Σ transitions,
+    one lag window) are exact BIGINTs; E, Var, Z are a fixed chain of
+    exact-product divisions and one sqrt (NULL when a side is empty).
+
+    Output per key: ``*key_cols, n, n1, n0, runs, e_runs, z``
+    (round 6).
+    """
+    w = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    seq = df.select(
+        *key_cols,
+        F.col(x_col).cast("int").alias("x"),
+        F.lag(F.col(x_col).cast("int")).over(w).alias("xp"),
+    )
+    agg = seq.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("n1"),
+        (
+            F.lit(1)
+            + F.sum(
+                (F.col("xp").isNotNull() & (F.col("x") != F.col("xp")))
+                .cast("long")
+            )
+        ).cast("long").alias("runs"),
+    )
+    n0 = F.col("n") - F.col("n1")
+    two = F.lit(2) * F.col("n1") * n0
+    e_runs = F.lit(1.0) + two.cast("double") / F.col("n").cast("double")
+    var = (two * (two - F.col("n"))).cast("double") / (
+        F.col("n") * F.col("n") * (F.col("n") - 1)
+    ).cast("double")
+    ok = (F.col("n1") > 0) & (n0 > 0) & (F.col("n") > 1)
+    return agg.select(
+        *key_cols,
+        "n",
+        "n1",
+        n0.alias("n0"),
+        "runs",
+        F.round(F.when(ok, e_runs), 6).alias("e_runs"),
+        F.round(
+            F.when(
+                ok & (var > 0.0),
+                (F.col("runs").cast("double") - e_runs) / F.sqrt(var),
+            ),
+            6,
+        ).alias("z"),
+    ).orderBy(*key_cols)

@@ -1485,3 +1485,103 @@ def lru_hit_rate(
     for o in outs[1:]:
         out = out.unionAll(o)
     return out.orderBy(*key_cols, "capacity")
+
+
+def holt_winters(
+    series: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    value_col: str,
+    season: int = 24,
+    horizons: tuple[int, ...] = (1, 2, 3),
+) -> DataFrame:
+    """Additive Holt–Winters (triple exponential smoothing) per key
+    with α = β = γ = ½ and season length m — the level+trend+SEASONAL
+    completion of :func:`holt_forecast` (which a daily-rhythmed metric
+    defeats: its forecast chases yesterday's shape a half-day late).
+
+    Init (first two seasons, standard):  l₀ = mean(y₁..m),
+    b₀ = (mean(y_{m+1..2m}) − l₀)/m,  s_i = y_i − l₀.  Then for
+    t > m:
+
+        l_t = ((y_t − s_{t−m}) + (l + b))·½
+        b_t = ((l_t − l) + b)·½
+        s_t = ((y_t − l_t) + s_{t−m})·½
+
+    and forecasts f_h = l + b·h + s_{(h)} off the final seasonal ring.
+
+    Float discipline: inputs exact integers; the ½ gains make every
+    update IEEE adds plus exact halvings in a pinned fold whose state
+    carries the m-slot seasonal ring as an array — the DuckDB replay
+    is a recursive CTE carrying the ring list (the lru_hit_rate
+    discipline). Keys shorter than 2m are dropped.
+
+    Output per key: ``*key_cols, n_points, level, trend`` plus one
+    ``f_<h>`` per horizon (round 6; horizons must be ≤ season).
+    """
+    assert all(1 <= h <= season for h in horizons)
+    m = season
+    ordered = F.sort_array(
+        F.collect_list(
+            F.struct(
+                F.col(order_col).alias("__o"),
+                F.col(value_col).cast("double").alias("__v"),
+            )
+        )
+    )
+    per_key = series.groupBy(*key_cols).agg(
+        F.transform(ordered, lambda t: t["__v"]).alias("ys"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    ).filter(F.col("n") >= 2 * m)
+    mean1 = F.aggregate(
+        F.slice("ys", 1, m), F.lit(0.0), lambda a, x: a + x
+    ) / F.lit(float(m))
+    mean2 = F.aggregate(
+        F.slice("ys", m + 1, m), F.lit(0.0), lambda a, x: a + x
+    ) / F.lit(float(m))
+    seeded = per_key.select(
+        *key_cols,
+        "n",
+        F.slice(
+            "ys", m + 1, (F.col("n") - m).cast("int")
+        ).alias("tail"),
+        mean1.alias("l0"),
+        ((mean2 - mean1) / F.lit(float(m))).alias("b0"),
+        F.transform(
+            F.slice("ys", 1, m), lambda v: v - mean1
+        ).alias("s0"),
+    )
+    init = F.struct(
+        F.col("l0").alias("l"), F.col("b0").alias("b"), F.col("s0").alias("s")
+    )
+
+    def step(acc, y):
+        sold = F.element_at(acc["s"], 1)
+        l_new = ((y - sold) + (acc["l"] + acc["b"])) * F.lit(0.5)
+        b_new = ((l_new - acc["l"]) + acc["b"]) * F.lit(0.5)
+        s_new = ((y - l_new) + sold) * F.lit(0.5)
+        return F.struct(
+            l_new.alias("l"),
+            b_new.alias("b"),
+            F.concat(
+                F.slice(acc["s"], 2, m - 1), F.array(s_new)
+            ).alias("s"),
+        )
+
+    folded = F.aggregate("tail", init, step)
+    fin = seeded.select(*key_cols, "n", folded.alias("st"))
+    return fin.select(
+        *key_cols,
+        F.col("n").alias("n_points"),
+        F.round(F.col("st.l"), 6).alias("level"),
+        F.round(F.col("st.b"), 6).alias("trend"),
+        *[
+            F.round(
+                F.col("st.l")
+                + F.col("st.b") * F.lit(float(h))
+                + F.element_at(F.col("st.s"), h),
+                6,
+            ).alias(f"f_{h}")
+            for h in horizons
+        ],
+    ).orderBy(*key_cols)

@@ -1234,3 +1234,160 @@ def test_theil_hand_value_and_zero_exclusion(spark):
     assert out["theil_t"] == pytest.approx(round(t, 6), abs=1e-6)
     assert out["theil_l"] == pytest.approx(round(l, 6), abs=1e-6)
     assert out["theil_t"] > 0 and out["theil_l"] > 0
+
+
+# ------------------------------------------------------ holt-winters
+
+
+def _hw_ref(ys, m=4):
+    m1 = sum(ys[:m]) / m
+    m2 = sum(ys[m : 2 * m]) / m
+    l, b = m1, (m2 - m1) / m
+    s = [y - m1 for y in ys[:m]]
+    for y in ys[m:]:
+        sold = s[0]
+        l_new = ((y - sold) + (l + b)) * 0.5
+        b_new = ((l_new - l) + b) * 0.5
+        s_new = ((y - l_new) + sold) * 0.5
+        s = s[1:] + [s_new]
+        l, b = l_new, b_new
+    return l, b, s
+
+
+def test_holt_winters_python_mirror(spark):
+    from cernan_spark.operators.temporal import holt_winters
+
+    # season 4, period-4 sawtooth with drift
+    ys = [10 + (i % 4) * 5 + i for i in range(20)]
+    df = spark.createDataFrame(
+        [("k", i, v) for i, v in enumerate(ys)], "k string, x int, y long"
+    )
+    out = holt_winters(
+        df, ["k"], "x", "y", season=4, horizons=(1, 2)
+    ).collect()[0]
+    l, b, s = _hw_ref([float(v) for v in ys], 4)
+    assert out["level"] == pytest.approx(round(l, 6), abs=1e-6)
+    assert out["trend"] == pytest.approx(round(b, 6), abs=1e-6)
+    assert out["f_1"] == pytest.approx(round(l + b + s[0], 6), abs=1e-6)
+    assert out["f_2"] == pytest.approx(
+        round(l + 2 * b + s[1], 6), abs=1e-6
+    )
+
+
+def test_holt_winters_tracks_seasonal_pattern(spark):
+    from cernan_spark.operators.temporal import holt_winters
+
+    # pure period-4 pattern, no drift: forecast ≈ the pattern
+    pat = [100, 200, 150, 50]
+    ys = pat * 10
+    df = spark.createDataFrame(
+        [("k", i, v) for i, v in enumerate(ys)], "k string, x int, y long"
+    )
+    out = holt_winters(
+        df, ["k"], "x", "y", season=4, horizons=(1, 2, 3)
+    ).collect()[0]
+    # next values would be 100, 200, 150
+    assert abs(out["f_1"] - 100) < 10
+    assert abs(out["f_2"] - 200) < 10
+    assert abs(out["trend"]) < 1.0
+
+
+def test_holt_winters_short_series_dropped(spark):
+    from cernan_spark.operators.temporal import holt_winters
+
+    df = spark.createDataFrame(
+        [("k", i, i) for i in range(7)], "k string, x int, y long"
+    )
+    assert holt_winters(df, ["k"], "x", "y", season=4).count() == 0
+
+
+# ----------------------------------------------------------- kruskal
+
+
+def test_kruskal_hand_value(spark):
+    from cernan_spark.operators.rankstats import kruskal_wallis
+
+    # textbook: A=[1,2], B=[3,4] no ties -> ranks 1,2 / 3,4
+    rows = [("A", 1), ("A", 2), ("B", 3), ("B", 4)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = {r["grp"]: r for r in kruskal_wallis(df, "g", "v").collect()}
+    # H = 12/(4*5) * (3^2/2 + 7^2/2) - 3*5 = 0.6*29 - 15 = 2.4... wait
+    # R_A=3, R_B=7 -> 12/20*(9/2+49/2)-15 = 0.6*29-15 = 2.4
+    assert out["A"]["mean_rank"] == pytest.approx(1.5)
+    assert out["B"]["mean_rank"] == pytest.approx(3.5)
+    assert out["A"]["h"] == pytest.approx(
+        round(12 / 20 * (9 / 2 + 49 / 2) - 15, 6), abs=1e-6
+    )
+    # no ties -> correction is 1
+    assert out["A"]["h_adj"] == pytest.approx(out["A"]["h"])
+
+
+def test_kruskal_ties_average_and_correct(spark):
+    from cernan_spark.operators.rankstats import kruskal_wallis
+
+    rows = [("A", 5), ("A", 5), ("B", 5), ("B", 9)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = {r["grp"]: r for r in kruskal_wallis(df, "g", "v").collect()}
+    # three 5s tie at avg rank 2 -> doubled 4; 9 has rank 4 -> doubled 8
+    assert out["A"]["r2_sum"] == 8
+    assert out["B"]["r2_sum"] == 12
+    # tie correction: sum(t^3-t)=24, n^3-n=60 -> C=0.6
+    h = 3.0 * (64 / 2 + 144 / 2) / 20 - 15
+    assert out["A"]["h"] == pytest.approx(round(h, 6), abs=1e-6)
+    assert out["A"]["h_adj"] == pytest.approx(round(h / 0.6, 6), abs=1e-6)
+
+
+# ----------------------------------------------------------- mcnemar
+
+
+def test_mcnemar_hand_counts(spark):
+    from cernan_spark.operators.rankstats import mcnemar_test
+
+    rows = (
+        [(True, True)] * 5 + [(True, False)] * 6
+        + [(False, True)] * 2 + [(False, False)] * 3
+    )
+    df = spark.createDataFrame(rows, "a boolean, b boolean")
+    out = mcnemar_test(df, "a", "b").collect()[0]
+    assert (out["n_both"], out["n_a_only"], out["n_b_only"]) == (5, 6, 2)
+    assert out["chi2"] == pytest.approx(round(16 / 8, 6))
+
+
+def test_mcnemar_no_discordance_null(spark):
+    from cernan_spark.operators.rankstats import mcnemar_test
+
+    df = spark.createDataFrame(
+        [(True, True), (False, False)], "a boolean, b boolean"
+    )
+    out = mcnemar_test(df, "a", "b").collect()[0]
+    assert out["chi2"] is None
+
+
+# -------------------------------------------------------------- runs
+
+
+def test_runs_alternating_vs_clumped(spark):
+    from cernan_spark.operators.rankstats import runs_test
+
+    alt = [i % 2 for i in range(20)]
+    clump = [0] * 10 + [1] * 10
+    rows = [("alt", i, 0, x) for i, x in enumerate(alt)]
+    rows += [("clump", i, 0, x) for i, x in enumerate(clump)]
+    df = spark.createDataFrame(rows, "k string, t1 int, t2 int, x int")
+    out = {r["k"]: r for r in runs_test(df, ["k"], ["t1", "t2"], "x").collect()}
+    assert out["alt"]["runs"] == 20
+    assert out["clump"]["runs"] == 2
+    assert out["alt"]["e_runs"] == pytest.approx(11.0)
+    assert out["alt"]["z"] > 3  # way more runs than chance
+    assert out["clump"]["z"] < -3  # way fewer
+
+
+def test_runs_degenerate_one_sided(spark):
+    from cernan_spark.operators.rankstats import runs_test
+
+    df = spark.createDataFrame(
+        [("k", i, 0, 1) for i in range(5)], "k string, t1 int, t2 int, x int"
+    )
+    out = runs_test(df, ["k"], ["t1", "t2"], "x").collect()[0]
+    assert out["runs"] == 1 and out["n0"] == 0
+    assert out["e_runs"] is None and out["z"] is None
