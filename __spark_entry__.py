@@ -3248,6 +3248,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kruskal": q_kruskal,
         "mcnemar": q_mcnemar,
         "runs": q_runs,
+        "welch": q_welch,
+        "brown_forsythe": q_brown_forsythe,
+        "best_split": q_best_split,
+        "pca2": q_pca2,
     }
 
 
@@ -8108,6 +8112,56 @@ def q_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "ts", "event_id", (cents % 2).alias("x")
     )
     return runs_test(stream, ["event_type"], ["ts", "event_id"], "x")
+
+
+def q_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t between the click and view hourly
+    cent sums, with Welch–Satterthwaite df and Cohen's d — exact
+    BIGINT sums, single-division variances, two sqrts
+    (operators/rankstats.welch_t)."""
+    from cernan_spark.operators.rankstats import welch_t
+
+    ser = _hourly_cents_xy(spark, sf_dir)
+    return welch_t(ser, "event_type", "y", "click", "view")
+
+
+def q_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown–Forsythe spread-homogeneity test across the five metrics:
+    ANOVA on doubled absolute deviations from exact group medians
+    (|2x − (lo+hi)| stays BIGINT) — the assumption check for anova
+    itself (operators/rankstats.brown_forsythe)."""
+    from cernan_spark.operators.rankstats import brown_forsythe
+
+    ser = _hourly_cents_xy(spark, sf_dir)
+    return brown_forsythe(ser, "event_type", "y")
+
+
+def q_best_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-segmentation changepoint per metric: the split of the
+    hourly series maximizing the SSE reduction, from exact cumulative
+    sums with earliest-tie argmax (operators/anomaly.best_split) —
+    WHERE the level changed, next to cusum's THAT it drifted."""
+    from cernan_spark.operators.anomaly import best_split
+
+    ser = _hourly_cents_xy(spark, sf_dir)
+    return best_split(ser, ["event_type"], "x", "y")
+
+
+def q_pca2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form 2-D PCA of the (click, view) hourly scatter: exact
+    covariance rationals, analytic eigenvalues, explained-variance
+    ratio and the first principal axis
+    (operators/experiment.pca2)."""
+    from cernan_spark.operators.experiment import pca2
+
+    ser = _hourly_cents_xy(spark, sf_dir)
+    c = ser.filter(F.col("event_type") == "click").select(
+        "x", F.col("y").alias("yc")
+    )
+    v = ser.filter(F.col("event_type") == "view").select(
+        "x", F.col("y").alias("yv")
+    )
+    return pca2(c.join(v, "x"), "yc", "yv")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -14200,7 +14254,8 @@ def oracle_sql() -> dict[str, str]:
                round(t_sum - CAST(s * s AS DOUBLE) / CAST(n AS DOUBLE), 6)
                  AS ss_between,
                round(CAST(ss AS DOUBLE) - t_sum, 6) AS ss_within,
-               round(CASE WHEN k > 1 AND n > k THEN
+               round(CASE WHEN k > 1 AND n > k
+                               AND CAST(ss AS DOUBLE) - t_sum <> 0.0 THEN
                    ((t_sum - CAST(s * s AS DOUBLE) / CAST(n AS DOUBLE))
                     / CAST(k - 1 AS DOUBLE))
                    / ((CAST(ss AS DOUBLE) - t_sum)
@@ -15132,5 +15187,208 @@ def oracle_sql() -> dict[str, str]:
                                  / CAST(n * n * (n - 1) AS DOUBLE))
                      END, 6) AS z
         FROM agg
+    """
+    d["welch"] = f"""
+        WITH ser AS ({_hourly_sql}),
+        g AS (
+            SELECT (event_type = 'click') AS is_a,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(y) AS BIGINT) AS s,
+                   CAST(sum(y * y) AS BIGINT) AS ss
+            FROM ser WHERE event_type IN ('click', 'view') GROUP BY 1
+        ), j AS (
+            SELECT a.n AS n1, a.s AS s1, a.ss AS ss1,
+                   b.n AS n2, b.s AS s2, b.ss AS ss2
+            FROM (SELECT * FROM g WHERE is_a) a
+            CROSS JOIN (SELECT * FROM g WHERE NOT is_a) b
+        ), e AS (
+            SELECT n1, n2,
+                   CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1,
+                   CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS m2,
+                   CAST(n1 * ss1 - s1 * s1 AS DOUBLE)
+                     / CAST(n1 * (n1 - 1) AS DOUBLE) AS var1,
+                   CAST(n2 * ss2 - s2 * s2 AS DOUBLE)
+                     / CAST(n2 * (n2 - 1) AS DOUBLE) AS var2
+            FROM j
+        ), f AS (
+            SELECT n1, n2, m1, m2, var1, var2,
+                   var1 / CAST(n1 AS DOUBLE) AS v1,
+                   var2 / CAST(n2 AS DOUBLE) AS v2
+            FROM e
+        )
+        SELECT n1, n2, round(m1, 6) AS mean1, round(m2, 6) AS mean2,
+               round(CASE WHEN n1 > 1 AND n2 > 1
+                          AND sqrt(v1 + v2) > 0.0
+                     THEN (m1 - m2) / sqrt(v1 + v2) END, 6) + 0.0 AS t,
+               round(CASE WHEN n1 > 1 AND n2 > 1 AND v1 + v2 > 0.0
+                     THEN ((v1 + v2) * (v1 + v2))
+                          / (v1 * v1 / CAST(n1 - 1 AS DOUBLE)
+                             + v2 * v2 / CAST(n2 - 1 AS DOUBLE))
+                     END, 6) AS df_welch,
+               round(CASE WHEN n1 > 1 AND n2 > 1
+                          AND sqrt((CAST(n1 - 1 AS DOUBLE) * var1
+                                    + CAST(n2 - 1 AS DOUBLE) * var2)
+                                   / CAST(n1 + n2 - 2 AS DOUBLE)) > 0.0
+                     THEN (m1 - m2)
+                          / sqrt((CAST(n1 - 1 AS DOUBLE) * var1
+                                  + CAST(n2 - 1 AS DOUBLE) * var2)
+                                 / CAST(n1 + n2 - 2 AS DOUBLE))
+                     END, 6) + 0.0 AS cohen_d
+        FROM f
+    """
+    d["brown_forsythe"] = f"""
+        WITH ser AS ({_hourly_sql}),
+        ranked AS (
+            SELECT event_type AS g, y AS v,
+                   CAST(row_number() OVER (PARTITION BY event_type
+                                           ORDER BY y) AS BIGINT) AS rn,
+                   CAST(count(*) OVER (PARTITION BY event_type)
+                        AS BIGINT) AS cnt
+            FROM ser
+        ), mids AS (
+            SELECT g, CAST(sum(v) AS BIGINT) AS lohi,
+                   CAST(count(*) AS BIGINT) AS k
+            FROM ranked
+            WHERE rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2
+            GROUP BY 1
+        ), med2 AS (
+            SELECT g, CASE WHEN k = 1 THEN lohi * 2 ELSE lohi END AS m2
+            FROM mids
+        ), dev AS (
+            SELECT r.g, abs(2 * r.v - m.m2) AS dev2
+            FROM ranked r JOIN med2 m USING (g)
+        ), ag AS (
+            SELECT g, CAST(count(*) AS BIGINT) AS n_g,
+                   CAST(sum(dev2) AS BIGINT) AS s_g,
+                   CAST(sum(dev2 * dev2) AS BIGINT) AS ss_g
+            FROM dev GROUP BY 1
+        ), t AS (
+            SELECT CAST(count(*) AS BIGINT) AS k,
+                   CAST(sum(n_g) AS BIGINT) AS n,
+                   CAST(sum(s_g) AS BIGINT) AS s,
+                   CAST(sum(ss_g) AS BIGINT) AS ss,
+                   list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                       list(CAST(s_g * s_g AS DOUBLE)
+                            / CAST(n_g AS DOUBLE) ORDER BY g)),
+                       (a, b) -> a + b) AS t_sum
+            FROM ag
+        )
+        SELECT k, n,
+               round(t_sum - CAST(s * s AS DOUBLE) / CAST(n AS DOUBLE),
+                     6) + 0.0 AS ss_between,
+               round(CAST(ss AS DOUBLE) - t_sum, 6) AS ss_within,
+               round(CASE WHEN k > 1 AND n > k
+                               AND CAST(ss AS DOUBLE) - t_sum <> 0.0 THEN
+                   ((t_sum - CAST(s * s AS DOUBLE) / CAST(n AS DOUBLE))
+                    / CAST(k - 1 AS DOUBLE))
+                   / ((CAST(ss AS DOUBLE) - t_sum)
+                      / CAST(n - k AS DOUBLE)) END, 6) + 0.0 AS f_stat,
+               round(CASE WHEN CAST(ss AS DOUBLE)
+                               - CAST(s * s AS DOUBLE) / CAST(n AS DOUBLE)
+                               <> 0.0 THEN
+                   (t_sum - CAST(s * s AS DOUBLE) / CAST(n AS DOUBLE))
+                   / (CAST(ss AS DOUBLE)
+                      - CAST(s * s AS DOUBLE) / CAST(n AS DOUBLE))
+                     END, 6) + 0.0 AS eta_sq
+        FROM t
+    """
+    d["best_split"] = f"""
+        WITH ser AS ({_hourly_sql}),
+        rws AS (
+            SELECT event_type, x AS o,
+                   CAST(row_number() OVER w AS BIGINT) AS i,
+                   CAST(sum(y) OVER (PARTITION BY event_type ORDER BY x
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS cs,
+                   CAST(sum(y * y) OVER (PARTITION BY event_type
+                        ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS BIGINT) AS css
+            FROM ser
+            WINDOW w AS (PARTITION BY event_type ORDER BY x)
+        ), tot AS (
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   CAST(arg_max(cs, i) AS BIGINT) AS s_tot,
+                   CAST(arg_max(css, i) AS BIGINT) AS ss_tot
+            FROM rws GROUP BY 1
+        ), cand AS (
+            SELECT r.event_type, tot.n, r.i, r.o, r.cs, r.css,
+                   tot.s_tot, tot.ss_tot,
+                   (CAST(tot.ss_tot AS DOUBLE)
+                    - (CAST(tot.s_tot * tot.s_tot AS DOUBLE)
+                       / CAST(tot.n AS DOUBLE)))
+                   - ((CAST(r.css AS DOUBLE)
+                       - (CAST(r.cs * r.cs AS DOUBLE)
+                          / CAST(r.i AS DOUBLE)))
+                      + (CAST(tot.ss_tot - r.css AS DOUBLE)
+                         - (CAST((tot.s_tot - r.cs)
+                                 * (tot.s_tot - r.cs) AS DOUBLE)
+                            / CAST(tot.n - r.i AS DOUBLE)))) AS gain
+            FROM rws r JOIN tot USING (event_type)
+            WHERE r.i >= 2 AND r.i <= tot.n - 2 AND tot.n >= 4
+        ), best AS (
+            SELECT * FROM cand
+            QUALIFY row_number() OVER (PARTITION BY event_type
+                ORDER BY gain DESC, i ASC) = 1
+        )
+        SELECT event_type, n, i AS split_i, o AS split_at,
+               round(gain, 6) + 0.0 AS gain,
+               round(CAST(cs AS DOUBLE) / CAST(i AS DOUBLE), 6)
+                 AS mean_left,
+               round(CAST(s_tot - cs AS DOUBLE)
+                     / CAST(n - i AS DOUBLE), 6) AS mean_right
+        FROM best
+    """
+    d["pca2"] = f"""
+        WITH ser AS ({_hourly_sql}),
+        p AS (
+            SELECT a.y AS xv, b.y AS yv
+            FROM (SELECT x, y FROM ser WHERE event_type = 'click') a
+            JOIN (SELECT x, y FROM ser WHERE event_type = 'view') b
+              USING (x)
+        ), g AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(xv) AS BIGINT) AS sx,
+                   CAST(sum(yv) AS BIGINT) AS sy,
+                   CAST(sum(xv * xv) AS BIGINT) AS sxx,
+                   CAST(sum(yv * yv) AS BIGINT) AS syy,
+                   CAST(sum(xv * yv) AS BIGINT) AS sxy
+            FROM p
+        ), e AS (
+            SELECT n,
+                   CAST(n * sxx - sx * sx AS DOUBLE)
+                     / CAST(n * (n - 1) AS DOUBLE) AS a,
+                   CAST(n * syy - sy * sy AS DOUBLE)
+                     / CAST(n * (n - 1) AS DOUBLE) AS c,
+                   CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * (n - 1) AS DOUBLE) AS b
+            FROM g
+        ), l AS (
+            SELECT n, a, c, b,
+                   (a + c + sqrt((a - c) * (a - c) + 4.0 * b * b))
+                     * 0.5 AS l1,
+                   (a + c - sqrt((a - c) * (a - c) + 4.0 * b * b))
+                     * 0.5 AS l2
+            FROM e
+        ), v AS (
+            SELECT n, a, c, b, l1, l2,
+                   CASE WHEN b <> 0.0 THEN b
+                        WHEN a >= c THEN 1.0 ELSE 0.0 END AS vx,
+                   CASE WHEN b <> 0.0 THEN l1 - a
+                        WHEN a >= c THEN 0.0 ELSE 1.0 END AS vy
+            FROM l
+        )
+        SELECT n, round(a, 6) AS var_x, round(c, 6) AS var_y,
+               round(b, 6) + 0.0 AS cov_xy,
+               round(l1, 6) AS lambda1,
+               round(l2, 6) + 0.0 AS lambda2,
+               round(CASE WHEN l1 + l2 <> 0.0
+                     THEN l1 / (l1 + l2) END, 6) AS evr1,
+               round(CASE WHEN sqrt(vx * vx + vy * vy) > 0.0
+                     THEN vx / sqrt(vx * vx + vy * vy) END, 6) + 0.0
+                 AS axis_x,
+               round(CASE WHEN sqrt(vx * vx + vy * vy) > 0.0
+                     THEN vy / sqrt(vx * vx + vy * vy) END, 6) + 0.0
+                 AS axis_y
+        FROM v
     """
     return d

@@ -953,3 +953,116 @@ def gumbel_fit(
         ],
     )
     return out.orderBy(*key_cols)
+
+
+def best_split(
+    series: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Single-changepoint detection by binary segmentation per key:
+    the split of the ordered series into a left/right segment that
+    maximizes the SSE reduction
+
+        gain(i) = SSE_total − (SSE[1..i] + SSE[i+1..n])
+
+    — "WHERE did this metric change level", where CUSUM
+    (loghygiene.cusum) only says THAT it drifted from a target. The
+    first level of the classic binary-segmentation recursion; recurse
+    on the emitted segments for more changepoints.
+
+    Float discipline: per-row cumulative S_i/ΣX²_i are exact BIGINT
+    window sums (order-free integer adds); each candidate's SSE parts
+    are the exact rationals SS − S²/n with single divisions, so every
+    gain is an identical double in both engines; the argmax takes the
+    EARLIEST split on ties. ΣX² must fit int64 (cents² × rows ≲ 10¹⁸).
+
+    Plan shape: one window pass for cumulative sums, ONE collect of
+    the bounded rollup spine per key, a row-local scan over the ≤n
+    candidate splits. Use on rollup series.
+
+    Output per key: ``*key_cols, n, split_i, split_at (last order
+    value of the left segment), gain, mean_left, mean_right``
+    (round 6; keys with n < 4 are dropped — both segments need ≥ 2
+    points to carry a variance).
+    """
+    w = (
+        W.partitionBy(*key_cols)
+        .orderBy(order_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    v = F.col(value_col).cast("long")
+    rows = series.select(
+        *key_cols,
+        F.col(order_col).alias("o"),
+        F.row_number()
+        .over(W.partitionBy(*key_cols).orderBy(order_col))
+        .cast("long")
+        .alias("i"),
+        F.sum(v).over(w).alias("cs"),
+        F.sum(v * v).over(w).alias("css"),
+    )
+    per_key = rows.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sort_array(
+            F.collect_list(F.struct("i", "o", "cs", "css"))
+        ).alias("sp"),
+    ).filter(F.col("n") >= 4)
+    last = F.element_at("sp", F.col("n").cast("int"))
+    s_tot = last["cs"]
+    ss_tot = last["css"]
+    n_d = F.col("n").cast("double")
+    sse_tot = ss_tot.cast("double") - (
+        (s_tot * s_tot).cast("double") / n_d
+    )
+
+    def gain_of(t):
+        i_d = t["i"].cast("double")
+        sse_l = t["css"].cast("double") - (
+            (t["cs"] * t["cs"]).cast("double") / i_d
+        )
+        sr = s_tot - t["cs"]
+        ssr = ss_tot - t["css"]
+        nr = (F.col("n") - t["i"]).cast("double")
+        sse_r = ssr.cast("double") - ((sr * sr).cast("double") / nr)
+        return sse_tot - (sse_l + sse_r)
+
+    cands = F.filter(
+        "sp", lambda t: (t["i"] >= 2) & (t["i"] <= F.col("n") - 2)
+    )
+    best = F.aggregate(
+        cands,
+        F.lit(None).cast(
+            "struct<gain:double,i:bigint,o:bigint,cs:bigint,css:bigint>"
+        ),
+        lambda acc, t: F.when(
+            acc.isNull() | (gain_of(t) > acc["gain"]),
+            F.struct(
+                gain_of(t).alias("gain"),
+                t["i"].alias("i"),
+                t["o"].cast("bigint").alias("o"),
+                t["cs"].alias("cs"),
+                t["css"].alias("css"),
+            ),
+        ).otherwise(acc),
+    )
+    withb = per_key.select(*key_cols, "n", "sp", best.alias("b")).filter(
+        F.col("b").isNotNull()
+    )
+    return withb.select(
+        *key_cols,
+        "n",
+        F.col("b.i").alias("split_i"),
+        F.col("b.o").alias("split_at"),
+        F.round("b.gain", 6).alias("gain"),
+        F.round(
+            F.col("b.cs").cast("double") / F.col("b.i").cast("double"), 6
+        ).alias("mean_left"),
+        F.round(
+            (F.element_at("sp", F.col("n").cast("int"))["cs"] - F.col("b.cs"))
+            .cast("double")
+            / (F.col("n") - F.col("b.i")).cast("double"),
+            6,
+        ).alias("mean_right"),
+    ).orderBy(*key_cols)

@@ -895,3 +895,70 @@ def poststratified_mean(
             6,
         ).alias("poststrat_mean"),
     )
+
+
+def pca2(
+    pairs: DataFrame, x_col: str, y_col: str
+) -> DataFrame:
+    """Closed-form PCA of a 2-metric scatter (exact-integer inputs):
+    eigendecompose the 2×2 covariance analytically —
+
+        λ = (a + c ± √((a−c)² + 4b²)) / 2
+
+    — and emit both eigenvalues, the explained-variance ratio, and the
+    FIRST principal axis as the (unnormalized-then-normalized)
+    eigenvector (b, λ₁ − a): "which direction do these two metrics
+    actually co-move in", the two-variable completion of metric_corr
+    (which stops at the correlation scalar).
+
+    Float discipline: a, b, c are the exact rationals
+    (n·Σxy − ΣxΣy)/(n(n−1)) etc. — one division each off exact BIGINT
+    sums; λ, the ratio, and the axis are a fixed chain with two
+    correctly-rounded sqrts. Degenerate b = 0 emits the axis-aligned
+    eigenvector by comparing a and c. Σx·Σy must fit int64.
+
+    Output one row: ``n, var_x, var_y, cov_xy, lambda1, lambda2,
+    evr1, axis_x, axis_y`` (round 6).
+    """
+    g = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col(x_col).cast("long")).alias("sx"),
+        F.sum(F.col(y_col).cast("long")).alias("sy"),
+        F.sum(
+            F.col(x_col).cast("long") * F.col(x_col).cast("long")
+        ).alias("sxx"),
+        F.sum(
+            F.col(y_col).cast("long") * F.col(y_col).cast("long")
+        ).alias("syy"),
+        F.sum(
+            F.col(x_col).cast("long") * F.col(y_col).cast("long")
+        ).alias("sxy"),
+    )
+    n = F.col("n")
+    den = (n * (n - 1)).cast("double")
+    a = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double") / den
+    c = (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double") / den
+    b = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double") / den
+    disc = F.sqrt((a - c) * (a - c) + F.lit(4.0) * b * b)
+    l1 = (a + c + disc) * F.lit(0.5)
+    l2 = (a + c - disc) * F.lit(0.5)
+    vx = F.when(b != 0.0, b).otherwise(
+        F.when(a >= c, F.lit(1.0)).otherwise(F.lit(0.0))
+    )
+    vy = F.when(b != 0.0, l1 - a).otherwise(
+        F.when(a >= c, F.lit(0.0)).otherwise(F.lit(1.0))
+    )
+    norm = F.sqrt(vx * vx + vy * vy)
+    return g.select(
+        "n",
+        F.round(a, 6).alias("var_x"),
+        F.round(c, 6).alias("var_y"),
+        F.round(b, 6).alias("cov_xy"),
+        F.round(l1, 6).alias("lambda1"),
+        F.round(l2, 6).alias("lambda2"),
+        F.round(
+            F.when(l1 + l2 != 0.0, l1 / (l1 + l2)), 6
+        ).alias("evr1"),
+        F.round(F.when(norm > 0.0, vx / norm), 6).alias("axis_x"),
+        F.round(F.when(norm > 0.0, vy / norm), 6).alias("axis_y"),
+    )

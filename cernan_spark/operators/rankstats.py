@@ -389,7 +389,7 @@ def anova_oneway(
     ssw = F.col("ss").cast("double") - t_sum
     sst = F.col("ss").cast("double") - c
     f_stat = F.when(
-        (F.col("k") > 1) & (F.col("n") > F.col("k")),
+        (F.col("k") > 1) & (F.col("n") > F.col("k")) & (ssw != 0.0),
         (ssb / (F.col("k") - 1).cast("double"))
         / (ssw / (F.col("n") - F.col("k")).cast("double")),
     )
@@ -697,3 +697,145 @@ def runs_test(
             6,
         ).alias("z"),
     ).orderBy(*key_cols)
+
+
+def welch_t(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Welch's unequal-variance t with Welch–Satterthwaite df and the
+    Cohen's d / Hedges-pooled effect size — the parametric two-group
+    comparison that doesn't assume equal spread (mann_whitney drops
+    the distributional assumption entirely; this keeps means but not
+    variances):
+
+        t  = (m₁ − m₂) / √(s₁²/n₁ + s₂²/n₂)
+        df = (v₁+v₂)² / (v₁²/(n₁−1) + v₂²/(n₂−1)),  v_i = s_i²/n_i
+        d  = (m₁ − m₂) / s_pooled
+
+    Float discipline: n, S, ΣX² are exact BIGINTs; each sample
+    variance is the exact rational (n·ΣX² − S²)/(n(n−1)) — ONE
+    division; every later step is a fixed chain of IEEE ops incl. two
+    correctly-rounded sqrts. S² must fit int64 (cent sums ≲ 3·10⁹).
+
+    Output one row: ``n1, n2, mean1, mean2, t, df_welch, cohen_d``
+    (round 6; NULLs when a group has < 2 rows or zero variance makes
+    the denominator 0).
+    """
+    g = (
+        df.filter(F.col(group_col).isin([group_a, group_b]))
+        .groupBy(
+            (F.col(group_col) == F.lit(group_a)).alias("is_a")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col(value_col).cast("long")).alias("s"),
+            F.sum(
+                F.col(value_col).cast("long")
+                * F.col(value_col).cast("long")
+            ).alias("ss"),
+        )
+    )
+    a = g.filter("is_a").select(
+        F.col("n").alias("n1"), F.col("s").alias("s1"), F.col("ss").alias("ss1")
+    )
+    b = g.filter(~F.col("is_a")).select(
+        F.col("n").alias("n2"), F.col("s").alias("s2"), F.col("ss").alias("ss2")
+    )
+    j = a.crossJoin(b)
+    m1 = F.col("s1").cast("double") / F.col("n1").cast("double")
+    m2 = F.col("s2").cast("double") / F.col("n2").cast("double")
+    # greatest(·,1): a single-row group would make the denominator 0 and
+    # ANSI mode faults even under a later when()-guard; the clamped
+    # value only flows into outputs that the `ok` guard NULLs anyway
+    var1 = (F.col("n1") * F.col("ss1") - F.col("s1") * F.col("s1")).cast(
+        "double"
+    ) / F.greatest(F.col("n1") * (F.col("n1") - 1), F.lit(1)).cast("double")
+    var2 = (F.col("n2") * F.col("ss2") - F.col("s2") * F.col("s2")).cast(
+        "double"
+    ) / F.greatest(F.col("n2") * (F.col("n2") - 1), F.lit(1)).cast("double")
+    v1 = var1 / F.col("n1").cast("double")
+    v2 = var2 / F.col("n2").cast("double")
+    ok = (F.col("n1") > 1) & (F.col("n2") > 1)
+    se = F.sqrt(v1 + v2)
+    sp = F.sqrt(
+        (
+            (F.col("n1") - 1).cast("double") * var1
+            + (F.col("n2") - 1).cast("double") * var2
+        )
+        / (F.col("n1") + F.col("n2") - 2).cast("double")
+    )
+    return j.select(
+        "n1",
+        "n2",
+        F.round(m1, 6).alias("mean1"),
+        F.round(m2, 6).alias("mean2"),
+        F.round(
+            F.when(ok & (se > 0.0), (m1 - m2) / se), 6
+        ).alias("t"),
+        F.round(
+            F.when(
+                ok & (v1 + v2 > 0.0),
+                ((v1 + v2) * (v1 + v2))
+                / (
+                    v1 * v1 / (F.col("n1") - 1).cast("double")
+                    + v2 * v2 / (F.col("n2") - 1).cast("double")
+                ),
+            ),
+            6,
+        ).alias("df_welch"),
+        F.round(
+            F.when(ok & (sp > 0.0), (m1 - m2) / sp), 6
+        ).alias("cohen_d"),
+    )
+
+
+def brown_forsythe(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Brown–Forsythe variance-homogeneity test: one-way ANOVA on the
+    absolute deviations from each group's MEDIAN — the robust Levene
+    variant, and the assumption check :func:`anova_oneway` itself
+    needs ("are the group spreads even comparable"). Composes directly
+    onto anova_oneway over the doubled deviations |2x − (lo+hi)|
+    (lo/hi the two middle order statistics), so every deviation stays
+    an exact BIGINT even when the median is a half-integer.
+
+    Output: anova_oneway's one-row frame over the deviations —
+    ``k, n, ss_between, ss_within, f_stat, eta_sq``.
+    """
+    w = Window.partitionBy(group_col).orderBy(value_col)
+    ranked = df.select(
+        F.col(group_col).alias("g"),
+        F.col(value_col).cast("long").alias("v"),
+        F.row_number()
+        .over(
+            Window.partitionBy(group_col).orderBy(
+                F.col(value_col).cast("long")
+            )
+        )
+        .cast("long")
+        .alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy(group_col))
+        .cast("long")
+        .alias("cnt"),
+    )
+    mids = ranked.filter(
+        (F.col("rn") == F.floor((F.col("cnt") + 1) / 2))
+        | (F.col("rn") == F.floor((F.col("cnt") + 2) / 2))
+    ).groupBy("g").agg(F.sum("v").alias("lohi"), F.count(F.lit(1)).alias("k"))
+    # odd n keeps ONE middle row -> double it so lohi is always lo+hi
+    med2 = mids.select(
+        "g",
+        F.when(F.col("k") == 1, F.col("lohi") * 2)
+        .otherwise(F.col("lohi"))
+        .alias("m2"),
+    )
+    dev = ranked.join(F.broadcast(med2), "g").select(
+        "g", F.abs(F.lit(2) * F.col("v") - F.col("m2")).alias("dev2")
+    )
+    return anova_oneway(dev, "g", "dev2")

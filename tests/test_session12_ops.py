@@ -1391,3 +1391,152 @@ def test_runs_degenerate_one_sided(spark):
     out = runs_test(df, ["k"], ["t1", "t2"], "x").collect()[0]
     assert out["runs"] == 1 and out["n0"] == 0
     assert out["e_runs"] is None and out["z"] is None
+
+
+# -------------------------------------------------------------- welch
+
+
+def test_welch_hand_value(spark):
+    from cernan_spark.operators.rankstats import welch_t
+
+    rows = [("a", v) for v in [1, 2, 3, 4]] + [("b", v) for v in [10, 30]]
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = welch_t(df, "g", "v", "a", "b").collect()[0]
+    import statistics as st
+
+    m1, m2 = 2.5, 20.0
+    var1 = st.variance([1, 2, 3, 4])
+    var2 = st.variance([10, 30])
+    v1, v2 = var1 / 4, var2 / 2
+    t = (m1 - m2) / math.sqrt(v1 + v2)
+    dfw = (v1 + v2) ** 2 / (v1 * v1 / 3 + v2 * v2 / 1)
+    sp = math.sqrt((3 * var1 + 1 * var2) / 4)
+    assert out["mean1"] == pytest.approx(2.5)
+    assert out["t"] == pytest.approx(round(t, 6), abs=1e-6)
+    assert out["df_welch"] == pytest.approx(round(dfw, 6), abs=1e-5)
+    assert out["cohen_d"] == pytest.approx(round((m1 - m2) / sp, 6), abs=1e-6)
+
+
+def test_welch_degenerate_single_row_group(spark):
+    from cernan_spark.operators.rankstats import welch_t
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 5)], "g string, v long"
+    )
+    out = welch_t(df, "g", "v", "a", "b").collect()[0]
+    assert out["t"] is None and out["df_welch"] is None
+
+
+# ---------------------------------------------------- brown-forsythe
+
+
+def test_brown_forsythe_equal_spreads_f_zero(spark):
+    from cernan_spark.operators.rankstats import brown_forsythe
+
+    # both groups have |dev from median| = {1,0,1}
+    rows = [("a", 1), ("a", 2), ("a", 3), ("b", 11), ("b", 12), ("b", 13)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = brown_forsythe(df, "g", "v").collect()[0]
+    assert out["f_stat"] == pytest.approx(0.0)
+
+
+def test_brown_forsythe_detects_spread_difference(spark):
+    from cernan_spark.operators.rankstats import brown_forsythe
+
+    rows = [("tight", v) for v in [100, 100, 100, 101]]
+    rows += [("wide", v) for v in [0, 100, 200, 300]]
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = brown_forsythe(df, "g", "v").collect()[0]
+    assert out["f_stat"] > 5.0
+    assert out["k"] == 2 and out["n"] == 8
+
+
+def test_brown_forsythe_even_n_half_integer_median(spark):
+    from cernan_spark.operators.rankstats import brown_forsythe
+
+    # median of [1, 2] is 1.5 -> doubled deviations |2v-3| = 1, 1
+    rows = [("a", 1), ("a", 2), ("b", 5), ("b", 5)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = brown_forsythe(df, "g", "v").collect()[0]
+    # group a dev2 = {1,1}; group b dev2 = {0,0} -> SSB = 1, SSW = 0
+    assert out["ss_between"] == pytest.approx(1.0)
+    assert out["ss_within"] == pytest.approx(0.0)
+
+
+# --------------------------------------------------------- best split
+
+
+def test_best_split_obvious_step(spark):
+    from cernan_spark.operators.anomaly import best_split
+
+    ys = [10] * 6 + [50] * 6
+    df = spark.createDataFrame(
+        [("k", i, v) for i, v in enumerate(ys)], "k string, x int, y long"
+    )
+    out = best_split(df, ["k"], "x", "y").collect()[0]
+    assert out["split_i"] == 6
+    assert out["split_at"] == 5  # last x of the left segment
+    assert out["mean_left"] == pytest.approx(10.0)
+    assert out["mean_right"] == pytest.approx(50.0)
+    # gain = full SSE of the step series (segments are constant)
+    assert out["gain"] == pytest.approx(12 * (20.0**2), abs=1e-6)
+
+
+def test_best_split_tie_takes_earliest(spark):
+    from cernan_spark.operators.anomaly import best_split
+
+    # perfectly flat series: every split gains 0 -> earliest candidate
+    df = spark.createDataFrame(
+        [("k", i, 7) for i in range(8)], "k string, x int, y long"
+    )
+    out = best_split(df, ["k"], "x", "y").collect()[0]
+    assert out["gain"] == pytest.approx(0.0)
+    assert out["split_i"] == 2  # first allowed candidate
+
+
+def test_best_split_short_series_dropped(spark):
+    from cernan_spark.operators.anomaly import best_split
+
+    df = spark.createDataFrame(
+        [("k", i, i) for i in range(3)], "k string, x int, y long"
+    )
+    assert best_split(df, ["k"], "x", "y").count() == 0
+
+
+# --------------------------------------------------------------- pca2
+
+
+def test_pca2_diagonal_scatter(spark):
+    from cernan_spark.operators.experiment import pca2
+
+    # y = x exactly: all variance on the 45-degree axis
+    rows = [(v, v) for v in [1, 2, 3, 4, 5]]
+    df = spark.createDataFrame(rows, "a long, b long")
+    out = pca2(df, "a", "b").collect()[0]
+    assert out["evr1"] == pytest.approx(1.0)
+    assert out["lambda2"] == pytest.approx(0.0)
+    assert out["axis_x"] == pytest.approx(round(1 / math.sqrt(2), 6))
+    assert out["axis_y"] == pytest.approx(round(1 / math.sqrt(2), 6))
+
+
+def test_pca2_axis_aligned_no_covariance(spark):
+    from cernan_spark.operators.experiment import pca2
+
+    # x varies, y constant-ish with no covariance
+    rows = [(1, 5), (2, 5), (3, 5), (4, 5)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    out = pca2(df, "a", "b").collect()[0]
+    assert out["cov_xy"] == pytest.approx(0.0)
+    assert (out["axis_x"], out["axis_y"]) == (1.0, 0.0)
+    assert out["evr1"] == pytest.approx(1.0)
+
+
+def test_pca2_anticorrelated_axis(spark):
+    from cernan_spark.operators.experiment import pca2
+
+    rows = [(v, 10 - v) for v in [1, 2, 3, 4, 5]]
+    df = spark.createDataFrame(rows, "a long, b long")
+    out = pca2(df, "a", "b").collect()[0]
+    # principal axis along (1, -1): sign convention vx = b < 0
+    assert out["axis_x"] == pytest.approx(-out["axis_y"])
+    assert out["evr1"] == pytest.approx(1.0)
