@@ -3252,6 +3252,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brown_forsythe": q_brown_forsythe,
         "best_split": q_best_split,
         "pca2": q_pca2,
+        "ols_diag": q_ols_diag,
+        "dr": q_dr,
+        "power": q_power,
     }
 
 
@@ -8162,6 +8165,57 @@ def q_pca2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "x", F.col("y").alias("yv")
     )
     return pca2(c.join(v, "x"), "yc", "yv")
+
+
+def q_ols_diag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLS influence screen on each hourly trend fit: exact-rational
+    leverages, x-order SSE fold, top-3 observations by |studentized
+    residual| (operators/anomaly.ols_diagnostics) — which points the
+    metric_trend slope should not be trusted around."""
+    from cernan_spark.operators.anomaly import ols_diagnostics
+
+    ser = _hourly_cents_xy(spark, sf_dir)
+    return ols_diagnostics(ser, ["event_type"], "x", "y", top_k=3)
+
+
+def q_dr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doubly-robust off-policy value of the same candidate router as
+    ips — per-action mean-reward model plus the matched-row IPS
+    correction, id-sorted pinned folds
+    (operators/experiment.dr_policy_value)."""
+    from cernan_spark.operators.experiment import dr_policy_value
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    tool = (
+        F.when(F.col("event_type") == "click", "grep")
+        .when(F.col("event_type") == "view", "read")
+        .when(F.col("event_type") == "purchase", "search")
+        .when(F.col("event_type") == "signup", "none")
+        .otherwise("bash")
+    )
+    logs = ev.select(
+        "event_id",
+        tool.alias("a"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("r"),
+        F.when(tool.isin("grep", "read", "search"), F.lit(0.25))
+        .otherwise(F.lit(0.125))
+        .alias("p"),
+        F.when(F.col("user_id") % 2 == 0, F.lit("read"))
+        .otherwise(F.lit("grep"))
+        .alias("pi"),
+    )
+    return dr_policy_value(logs, "event_id", "a", "r", "p", "pi")
+
+
+def q_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B sample-size plan per metric at 1/5/10 % MDE (α=.05,
+    power=.8, pinned z literals): exact-rational μ/σ², one IEEE chain
+    to the ceil (operators/experiment.power_sample_size) — how much
+    data the later tests would need."""
+    from cernan_spark.operators.experiment import power_sample_size
+
+    ser = _hourly_cents_xy(spark, sf_dir)
+    return power_sample_size(ser, "event_type", "y")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -15390,5 +15444,135 @@ def oracle_sql() -> dict[str, str]:
                      THEN vy / sqrt(vx * vx + vy * vy) END, 6) + 0.0
                  AS axis_y
         FROM v
+    """
+    d["ols_diag"] = f"""
+        WITH ser AS ({_hourly_sql}),
+        g AS (
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT) AS sx,
+                   CAST(sum(y) AS BIGINT) AS sy,
+                   CAST(sum(x * x) AS BIGINT) AS sxx,
+                   CAST(sum(x * y) AS BIGINT) AS sxy
+            FROM ser GROUP BY 1 HAVING count(*) >= 4
+        ), g2 AS (
+            SELECT *, n * sxx - sx * sx AS den FROM g
+            WHERE n * sxx - sx * sx <> 0
+        ), g3 AS (
+            SELECT event_type, n, sx, den,
+                   CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(den AS DOUBLE) AS beta,
+                   (CAST(sy AS DOUBLE)
+                    - (CAST(n * sxy - sx * sy AS DOUBLE)
+                       / CAST(den AS DOUBLE)) * CAST(sx AS DOUBLE))
+                     / CAST(n AS DOUBLE) AS alpha
+            FROM g2
+        ), fit AS (
+            SELECT s.event_type, s.x, s.y, g3.n,
+                   CAST(s.y AS DOUBLE)
+                   - (g3.alpha + g3.beta * CAST(s.x AS DOUBLE)) AS e,
+                   1.0 / CAST(g3.n AS DOUBLE)
+                   + CAST((g3.n * s.x - g3.sx) * (g3.n * s.x - g3.sx)
+                          AS DOUBLE)
+                     / CAST(g3.n * g3.den AS DOUBLE) AS h
+            FROM ser s JOIN g3 USING (event_type)
+        ), sse AS (
+            SELECT event_type,
+                   list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                       list(e * e ORDER BY x)), (p, q) -> p + q) AS sse,
+                   CAST(max(n) AS BIGINT) AS n2
+            FROM fit GROUP BY 1
+        ), sc AS (
+            SELECT f.event_type, f.x, f.y, f.h, f.e,
+                   CASE WHEN sqrt(sse.sse / CAST(sse.n2 - 2 AS DOUBLE))
+                             > 0.0 AND f.h < 1.0
+                        THEN f.e / (sqrt(sse.sse
+                                         / CAST(sse.n2 - 2 AS DOUBLE))
+                                    * sqrt(1.0 - f.h)) END AS sr
+            FROM fit f JOIN sse USING (event_type)
+        ), top AS (
+            SELECT * FROM sc
+            QUALIFY row_number() OVER (PARTITION BY event_type
+                ORDER BY abs(sr) DESC, x ASC) <= 3
+        )
+        SELECT event_type, x, y,
+               round(h, 6) AS leverage,
+               round(e, 6) + 0.0 AS resid,
+               round(sr, 6) + 0.0 AS std_resid
+        FROM top
+    """
+    d["dr"] = """
+        WITH logs AS (
+            SELECT event_id AS id,
+                   CASE event_type WHEN 'click' THEN 'grep'
+                        WHEN 'view' THEN 'read'
+                        WHEN 'purchase' THEN 'search'
+                        WHEN 'signup' THEN 'none'
+                        ELSE 'bash' END AS a,
+                   CAST(round(value * 100, 0) AS BIGINT) AS r,
+                   CASE WHEN event_type IN ('click', 'view', 'purchase')
+                        THEN 0.25 ELSE 0.125 END AS p,
+                   CASE WHEN user_id % 2 = 0 THEN 'read'
+                        ELSE 'grep' END AS pi
+            FROM events
+        ), q AS (
+            SELECT a, CAST(sum(r) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                     AS qv
+            FROM logs GROUP BY 1
+        ), j AS (
+            SELECT l.id, (l.a = l.pi) AS m,
+                   coalesce(qp.qv, 0.0) AS q_pi, qa.qv AS q_a, l.r, l.p
+            FROM logs l
+            LEFT JOIN q qp ON qp.a = l.pi
+            JOIN q qa ON qa.a = l.a
+        ), rws AS (
+            SELECT CAST(id AS VARCHAR) AS id,
+                   CASE WHEN m THEN 1 ELSE 0 END AS m,
+                   q_pi AS dm_t,
+                   q_pi + CASE WHEN m
+                               THEN (CAST(r AS DOUBLE) - q_a) / p
+                               ELSE 0.0 END AS dr_t
+            FROM j
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(m) AS BIGINT) AS n_match,
+               round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                     list(dm_t ORDER BY id)), (p, q) -> p + q)
+                     / CAST(count(*) AS DOUBLE), 6) AS v_dm,
+               round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                     list(dr_t ORDER BY id)), (p, q) -> p + q)
+                     / CAST(count(*) AS DOUBLE), 6) AS v_dr
+        FROM rws
+    """
+    d["power"] = f"""
+        WITH ser AS ({_hourly_sql}),
+        g AS (
+            SELECT event_type AS grp,
+                   CAST(count(*) AS BIGINT) AS n_obs,
+                   CAST(sum(y) AS BIGINT) AS s,
+                   CAST(sum(y * y) AS BIGINT) AS ss
+            FROM ser GROUP BY 1 HAVING count(*) >= 2
+        ), e AS (
+            SELECT grp, n_obs,
+                   CAST(s AS DOUBLE) / CAST(n_obs AS DOUBLE) AS mu,
+                   CAST(n_obs * ss - s * s AS DOUBLE)
+                     / CAST(n_obs * (n_obs - 1) AS DOUBLE) AS sigma2
+            FROM g
+        ), w AS (
+            SELECT grp, n_obs, mu, sigma2,
+                   unnest([1, 5, 10]) AS mde_pct
+            FROM e
+        )
+        SELECT grp, CAST(mde_pct AS INT) AS mde_pct, n_obs,
+               round(mu, 6) AS mean,
+               round(sigma2, 6) AS sigma2,
+               CASE WHEN mu <> 0.0 AND sigma2 > 0.0 THEN
+                   CAST(ceil(2.0
+                        * ((1.959963984540054 + 0.8416212335729143)
+                           * (1.959963984540054 + 0.8416212335729143))
+                        * sigma2
+                        / ((mu * CAST(mde_pct AS DOUBLE) / 100.0)
+                           * (mu * CAST(mde_pct AS DOUBLE) / 100.0)))
+                        AS BIGINT) END AS n_required
+        FROM w
     """
     return d

@@ -1066,3 +1066,128 @@ def best_split(
             6,
         ).alias("mean_right"),
     ).orderBy(*key_cols)
+
+
+def ols_diagnostics(
+    series: DataFrame,
+    key_cols: list[str],
+    x_col: str,
+    y_col: str,
+    top_k: int = 3,
+) -> DataFrame:
+    """OLS regression DIAGNOSTICS per key — leverage and standardized
+    residuals for the hourly trend fit, surfacing the top_k most
+    anomalous observations: metric_trend reports the fit; this reports
+    which points the fit should not be trusted around (the classical
+    influence screen before believing a slope):
+
+        h_i = 1/n + (n·x_i − Sx)² / (n·(n·Σx² − Sx²))     (leverage)
+        r_i = e_i / (s·√(1 − h_i))                        (studentized)
+
+    with e_i the residual and s² = Σe²/(n−2).
+
+    Float discipline: slope/intercept come from exact BIGINT sums
+    (one division each); leverages are exact-integer rationals under
+    one division; Σe² is a LEFT fold in x order; each residual is a
+    fixed IEEE chain. Ranking takes |r| desc with x-asc ties — both
+    engines order identical doubles identically. n·Σx² must fit int64
+    (epoch-hour x over ≤ ~10³ rows does, with slack).
+
+    Output per (key, picked row): ``*key_cols, x, y, leverage, resid,
+    std_resid`` (round 6), top_k rows per key; keys with n < 4 or a
+    degenerate x-spread are dropped.
+    """
+    v = F.col(y_col).cast("long")
+    xs = F.col(x_col).cast("long")
+    g = series.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(xs).alias("sx"),
+        F.sum(v).alias("sy"),
+        F.sum(xs * xs).alias("sxx"),
+        F.sum(xs * v).alias("sxy"),
+    ).filter(F.col("n") >= 4)
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    beta = (
+        F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    ).cast("double") / den.cast("double")
+    alpha = (
+        F.col("sy").cast("double") - beta * F.col("sx").cast("double")
+    ) / F.col("n").cast("double")
+    fitted = (
+        series.select(
+            *key_cols, xs.alias("x"), v.alias("y")
+        )
+        .join(
+            F.broadcast(
+                g.filter(den != 0).select(
+                    *key_cols,
+                    "n",
+                    "sx",
+                    den.alias("den"),
+                    beta.alias("beta"),
+                    alpha.alias("alpha"),
+                )
+            ),
+            key_cols,
+        )
+        .select(
+            *key_cols,
+            "x",
+            "y",
+            "n",
+            (
+                F.col("y").cast("double")
+                - (F.col("alpha") + F.col("beta") * F.col("x").cast("double"))
+            ).alias("e"),
+            (
+                F.lit(1.0) / F.col("n").cast("double")
+                + (
+                    (F.col("n") * F.col("x") - F.col("sx"))
+                    * (F.col("n") * F.col("x") - F.col("sx"))
+                ).cast("double")
+                / (F.col("n") * F.col("den")).cast("double")
+            ).alias("h"),
+        )
+    )
+    sse = fitted.groupBy(*key_cols).agg(
+        F.aggregate(
+            F.sort_array(
+                F.collect_list(F.struct("x", (F.col("e") * F.col("e")).alias("e2")))
+            ),
+            F.lit(0.0),
+            lambda acc, t: acc + t["e2"],
+        ).alias("sse"),
+        F.max("n").alias("n2"),
+    )
+    s = F.sqrt(F.col("sse") / (F.col("n2") - 2).cast("double"))
+    scored = fitted.join(
+        F.broadcast(sse.select(*key_cols, s.alias("s"))), key_cols
+    ).select(
+        *key_cols,
+        "x",
+        "y",
+        "h",
+        "e",
+        F.when(
+            (F.col("s") > 0.0) & (F.col("h") < 1.0),
+            F.col("e") / (F.col("s") * F.sqrt(F.lit(1.0) - F.col("h"))),
+        ).alias("sr"),
+    )
+    from pyspark.sql import Window as W2
+
+    wk = W2.partitionBy(*key_cols).orderBy(
+        F.abs(F.col("sr")).desc(), F.col("x").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= top_k)
+        .select(
+            *key_cols,
+            "x",
+            "y",
+            F.round("h", 6).alias("leverage"),
+            F.round("e", 6).alias("resid"),
+            F.round("sr", 6).alias("std_resid"),
+        )
+        .orderBy(*key_cols, F.col("x"))
+    )

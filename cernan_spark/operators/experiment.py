@@ -962,3 +962,161 @@ def pca2(
         F.round(F.when(norm > 0.0, vx / norm), 6).alias("axis_x"),
         F.round(F.when(norm > 0.0, vy / norm), 6).alias("axis_y"),
     )
+
+
+def dr_policy_value(
+    logs: DataFrame,
+    id_col: str,
+    action_col: str,
+    reward_col: str,
+    propensity_col: str,
+    target_col: str,
+) -> DataFrame:
+    """Doubly-robust off-policy value (DR = direct model + IPS
+    correction) — the third leg of the OPE family next to
+    :func:`ips_policy_value`: unbiased if EITHER the reward model OR
+    the propensities are right, with the model soaking up most of the
+    IPS variance:
+
+        q̂(a)  = mean logged reward of action a   (the direct model)
+        V̂_DM  = (1/n) Σ q̂(π(xᵢ))
+        V̂_DR  = (1/n) Σ [ q̂(π(xᵢ)) + 1[aᵢ=π(xᵢ)]·(rᵢ − q̂(aᵢ))/pᵢ ]
+
+    Float discipline: q̂ is one division of exact BIGINT sums per
+    action; each row's DR term is a fixed chain (subtract, divide by
+    the dyadic-rational propensity, add); both Σ are LEFT folds over
+    the id-sorted term list — the ips_policy_value discipline.
+
+    Output one row: ``n, n_match, v_dm, v_dr`` (round 6).
+    """
+    base = logs.select(
+        F.col(id_col).cast("string").alias("id"),
+        F.col(action_col).alias("a"),
+        F.col(reward_col).cast("long").alias("r"),
+        F.col(propensity_col).cast("double").alias("p"),
+        F.col(target_col).alias("pi"),
+    )
+    qhat = base.groupBy("a").agg(
+        (
+            F.sum("r").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("q")
+    )
+    joined = (
+        base.join(
+            F.broadcast(qhat.select(F.col("a").alias("pi"), F.col("q").alias("q_pi"))),
+            "pi",
+            "left",
+        )
+        .join(
+            F.broadcast(qhat.select("a", F.col("q").alias("q_a"))),
+            "a",
+        )
+        .select(
+            "id",
+            (F.col("a") == F.col("pi")).alias("m"),
+            F.coalesce("q_pi", F.lit(0.0)).alias("q_pi"),
+            "q_a",
+            "r",
+            "p",
+        )
+    )
+    term = F.col("q_pi") + F.when(
+        F.col("m"),
+        (F.col("r").cast("double") - F.col("q_a")) / F.col("p"),
+    ).otherwise(F.lit(0.0))
+    rows = joined.select(
+        "id",
+        F.col("m").cast("long").alias("m"),
+        F.col("q_pi").alias("dm_t"),
+        term.alias("dr_t"),
+    )
+    agg = rows.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("m").alias("n_match"),
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("id", "dm_t"))),
+            F.lit(0.0),
+            lambda acc, t: acc + t["dm_t"],
+        ).alias("s_dm"),
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("id", "dr_t"))),
+            F.lit(0.0),
+            lambda acc, t: acc + t["dr_t"],
+        ).alias("s_dr"),
+    )
+    return agg.select(
+        "n",
+        "n_match",
+        F.round(F.col("s_dm") / F.col("n").cast("double"), 6).alias("v_dm"),
+        F.round(F.col("s_dr") / F.col("n").cast("double"), 6).alias("v_dr"),
+    )
+
+
+#: z_{0.975} and z_{0.8} as pinned decimal literals shared with the SQL
+#: oracle (no cross-engine inverse-normal).
+Z_ALPHA_025 = 1.959963984540054
+Z_BETA_20 = 0.8416212335729143
+
+
+def power_sample_size(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    mde_pcts: tuple[int, ...] = (1, 5, 10),
+) -> DataFrame:
+    """A/B sample-size planning per metric (normal approximation,
+    α = 0.05 two-sided, power = 0.8): the experiment-DESIGN closure of
+    this module — cuped/welch/mann_whitney decide afterwards; this
+    says how much data the decision needs up front:
+
+        n_per_arm = ⌈ 2·(z_α/2 + z_β)²·σ² / (μ·MDE)² ⌉
+
+    Float discipline: μ and σ² are single divisions of exact BIGINT
+    sums ((nΣX²−S²)/(n(n−1))); the z constants are pinned decimal
+    literals; δ, the quotient and the final ceil are a fixed IEEE
+    chain, so both engines land on the same integer.
+
+    Output per (group, mde_pct): ``grp, mde_pct, n_obs, mean, sigma2,
+    n_required`` (round 6 on the floats; NULL n_required when μ = 0
+    or σ² = 0 ... degenerate metrics can't be powered).
+    """
+    g = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs"),
+        F.sum(F.col(value_col).cast("long")).alias("s"),
+        F.sum(
+            F.col(value_col).cast("long") * F.col(value_col).cast("long")
+        ).alias("ss"),
+    ).filter(F.col("n_obs") >= 2)
+    mu = F.col("s").cast("double") / F.col("n_obs").cast("double")
+    sigma2 = (
+        F.col("n_obs") * F.col("ss") - F.col("s") * F.col("s")
+    ).cast("double") / (F.col("n_obs") * (F.col("n_obs") - 1)).cast(
+        "double"
+    )
+    zz = F.lit(Z_ALPHA_025) + F.lit(Z_BETA_20)
+    withm = g.select(
+        "grp", "n_obs", mu.alias("mu"), sigma2.alias("sigma2")
+    ).select(
+        "grp",
+        "n_obs",
+        "mu",
+        "sigma2",
+        F.explode(
+            F.array(*[F.lit(int(m)) for m in mde_pcts])
+        ).alias("mde_pct"),
+    )
+    delta = F.col("mu") * F.col("mde_pct").cast("double") / F.lit(100.0)
+    n_req = F.ceil(
+        F.lit(2.0) * (zz * zz) * F.col("sigma2") / (delta * delta)
+    ).cast("long")
+    return withm.select(
+        "grp",
+        "mde_pct",
+        "n_obs",
+        F.round("mu", 6).alias("mean"),
+        F.round("sigma2", 6).alias("sigma2"),
+        F.when(
+            (F.col("mu") != 0.0) & (F.col("sigma2") > 0.0), n_req
+        ).alias("n_required"),
+    ).orderBy("grp", "mde_pct")

@@ -1540,3 +1540,112 @@ def test_pca2_anticorrelated_axis(spark):
     # principal axis along (1, -1): sign convention vx = b < 0
     assert out["axis_x"] == pytest.approx(-out["axis_y"])
     assert out["evr1"] == pytest.approx(1.0)
+
+
+# ----------------------------------------------------------- ols diag
+
+
+def test_ols_diag_flags_planted_outlier(spark):
+    from cernan_spark.operators.anomaly import ols_diagnostics
+
+    # clean line y = 10x with one planted outlier at x=7
+    rows = [("k", i, 10 * i) for i in range(12)]
+    rows[7] = ("k", 7, 10 * 7 + 500)
+    df = spark.createDataFrame(rows, "k string, x long, y long")
+    out = ols_diagnostics(df, ["k"], "x", "y", top_k=1).collect()
+    assert len(out) == 1
+    assert out[0]["x"] == 7
+    assert abs(out[0]["std_resid"]) > 2.0
+    # leverage is an interior point's: modest
+    assert out[0]["leverage"] < 0.3
+
+
+def test_ols_diag_leverage_extremes(spark):
+    from cernan_spark.operators.anomaly import ols_diagnostics
+
+    rows = [("k", i, i + (1 if i % 2 else 0)) for i in range(10)]
+    df = spark.createDataFrame(rows, "k string, x long, y long")
+    out = ols_diagnostics(df, ["k"], "x", "y", top_k=10).collect()
+    lev = {r["x"]: r["leverage"] for r in out}
+    # endpoints carry the highest leverage; python mirror for x=0
+    n, sx = 10, sum(range(10))
+    sxx = sum(i * i for i in range(10))
+    den = n * sxx - sx * sx
+    h0 = 1 / n + (n * 0 - sx) ** 2 / (n * den)
+    assert lev[0] == pytest.approx(round(h0, 6), abs=1e-6)
+    assert lev[0] > lev[4] and lev[9] > lev[5]
+
+
+# ------------------------------------------------------------------ dr
+
+
+def test_dr_perfect_model_matches_dm(spark):
+    from cernan_spark.operators.experiment import dr_policy_value
+
+    # rewards depend ONLY on action -> q-hat is exact -> correction 0
+    rows = [
+        (1, "a", 10, 0.5, "a"),
+        (2, "a", 10, 0.5, "b"),
+        (3, "b", 20, 0.5, "a"),
+        (4, "b", 20, 0.5, "b"),
+    ]
+    df = spark.createDataFrame(rows, "id long, a string, r long, p double, pi string")
+    out = dr_policy_value(df, "id", "a", "r", "p", "pi").collect()[0]
+    # q(a)=10, q(b)=20 ; pi targets a,b,a,b -> DM = (10+20+10+20)/4
+    assert out["v_dm"] == pytest.approx(15.0)
+    assert out["v_dr"] == pytest.approx(15.0)  # zero-residual correction
+    assert out["n_match"] == 2
+
+
+def test_dr_correction_moves_with_residual(spark):
+    from cernan_spark.operators.experiment import dr_policy_value
+
+    # one matched row with reward above its action mean
+    rows = [
+        (1, "a", 30, 0.5, "a"),
+        (2, "a", 10, 0.5, "b"),
+    ]
+    df = spark.createDataFrame(rows, "id long, a string, r long, p double, pi string")
+    out = dr_policy_value(df, "id", "a", "r", "p", "pi").collect()[0]
+    # q(a) = 20 ; q(b) missing -> 0
+    # row1: q_pi=20 + (30-20)/.5 = 40 ; row2: q_pi(b)=0, no match
+    assert out["v_dm"] == pytest.approx(10.0)
+    assert out["v_dr"] == pytest.approx(20.0)
+
+
+# --------------------------------------------------------------- power
+
+
+def test_power_closed_form(spark):
+    from cernan_spark.operators.experiment import (
+        Z_ALPHA_025,
+        Z_BETA_20,
+        power_sample_size,
+    )
+
+    rows = [("m", v) for v in [90, 100, 110, 100]]
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = {
+        r["mde_pct"]: r
+        for r in power_sample_size(df, "g", "v", (5, 10)).collect()
+    }
+    import statistics as st
+
+    mu, s2 = 100.0, st.variance([90, 100, 110, 100])
+    zz = Z_ALPHA_025 + Z_BETA_20
+    for m in (5, 10):
+        d = mu * m / 100
+        exp = math.ceil(2 * zz * zz * s2 / (d * d))
+        assert out[m]["n_required"] == exp
+    # smaller effects need more data
+    assert out[5]["n_required"] > out[10]["n_required"]
+
+
+def test_power_degenerate_zero_variance(spark):
+    from cernan_spark.operators.experiment import power_sample_size
+
+    df = spark.createDataFrame(
+        [("g", 5), ("g", 5)], "g string, v long"
+    )
+    out = power_sample_size(df, "g", "v", (5,)).collect()[0]
+    assert out["n_required"] is None
