@@ -95,6 +95,37 @@ def _r4(c) -> F.Column:
     return F.round(c, 4)
 
 
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet with a parallelism-deficient scan spread to the
+    session's cores (guide §2.5): the test files are single-row-group
+    parquet, unsplittable below file granularity, so without this every
+    narrow chain fused onto the scan runs in ONE task. No-op whenever the
+    scan already yields enough splits (any at-scale warehouse)."""
+    from cernan_spark.sources.tables import spread_scan
+
+    return spread_scan(
+        spark.read.parquet(f"{sf_dir}/events.parquet"), "event_id"
+    )
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.parquet, scan spread (see :func:`_events`)."""
+    from cernan_spark.sources.tables import spread_scan
+
+    return spread_scan(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), "doc_id"
+    )
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings.parquet, scan spread (see :func:`_events`)."""
+    from cernan_spark.sources.tables import spread_scan
+
+    return spread_scan(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"), "vec_id"
+    )
+
+
 # ---------------------------------------------------------------------------
 # queries
 # ---------------------------------------------------------------------------
@@ -122,7 +153,7 @@ def q_parse_graphite(spark: SparkSession, sf_dir: str) -> DataFrame:
     (protocols/graphite.rs:9-47). Lines synthesized from events on both
     sides."""
     _utc(spark)
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _events(spark, sf_dir)
     lines = ev.select(
         F.col("event_id"),
         F.concat_ws(
@@ -323,8 +354,13 @@ def q_prometheus_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     late = pb.filter(F.col("bin") >= F.col("_thr")).drop("mn", "mx", "_thr")
     state = prometheus_final_state(prometheus_accumulate(early, ["name"]), ["name"])
     resumed = prometheus_resume(state, late, ["name"])
+    # decimal(38,0): the oracle's un-cast sum(BIGINT) is HUGEINT →
+    # arrow decimal128(38,0); the driver's hash is type-sensitive (r5
+    # postmortem), so the Spark side aligns to the frozen oracle type.
+    # Exact — cum_count is an int64-ranged integer.
     return resumed.select(
-        "name", "bin", _r4(F.col("cum_value")).alias("cum_value"), "cum_count"
+        "name", "bin", _r4(F.col("cum_value")).alias("cum_value"),
+        F.col("cum_count").cast("decimal(38,0)").alias("cum_count"),
     )
 
 
@@ -369,7 +405,7 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape of a real pretraining-corpus build."""
     from cernan_spark.operators.textstats import lang_id, quality_scores, token_stats
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _docs(spark, sf_dir)
     q = quality_scores(d).filter(F.col("quality_ok"))
     w = W.partitionBy(F.md5("text")).orderBy("doc_id")
     uniq = q.withColumn("_rn", F.row_number().over(w)).filter(
@@ -398,7 +434,7 @@ def q_corpus_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     _utc(spark)
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _docs(spark, sf_dir)
     seeded = d.select(
         "doc_id",
         F.concat(
@@ -648,7 +684,11 @@ def q_tick_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- training-data operators over documents / embeddings -------------------
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup: hash-groupBy on text, canonical = min doc_id."""
+    """Exact dedup: hash-groupBy on text, canonical = min doc_id.
+
+    Deliberately NOT spread_scan'd: the per-row work (one md5) is far
+    cheaper than an extra exchange of the full text — measured 0.19 s
+    direct vs 0.44 s spread at sf1.0 (OPTIMIZATION_r06.md)."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return (
         d.groupBy(F.md5("text").alias("text_hash"))
@@ -658,7 +698,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting (whitespace tokenizer) per document."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _docs(spark, sf_dir)
     return d.select(
         "doc_id",
         F.size(F.split("text", " ")).alias("n_tokens"),
@@ -668,7 +708,7 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: length + lexical-diversity ratios per document."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _docs(spark, sf_dir)
     toks = F.split(F.col("text"), " ")
     return d.select(
         "doc_id",
@@ -683,7 +723,7 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language/source profile of the corpus (language-ID rollup)."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _docs(spark, sf_dir)
     return d.groupBy("lang", "source").agg(
         F.count("*").alias("n_docs"),
         _r4(F.avg("n_chars")).alias("avg_chars"),
@@ -698,7 +738,7 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold ascending by bin (operators/corpus.py)."""
     from cernan_spark.operators.corpus import psi_length_drift
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _docs(spark, sf_dir)
     return psi_length_drift(d).select("n_bins", "n_zero_bins", "psi")
 
 
@@ -710,7 +750,7 @@ def q_self_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/dedup.py)."""
     from cernan_spark.operators.dedup import self_repetition_spans
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _docs(spark, sf_dir)
     return self_repetition_spans(d, gram_len=16).select(
         "doc_id", "n_spans", "rep_chars", "longest_span"
     )
@@ -724,7 +764,7 @@ def q_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/corpus.py)."""
     from cernan_spark.operators.corpus import vocab_oov_rate
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _docs(spark, sf_dir)
     return vocab_oov_rate(d, top_v=100).select(
         "doc_id", "split", "n_tokens", "n_oov", "oov_rate"
     )
@@ -738,7 +778,7 @@ def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/textstats.py)."""
     from cernan_spark.operators.textstats import char_entropy
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _docs(spark, sf_dir)
     return char_entropy(d).select(
         "doc_id", "n_chars_text", "distinct_chars", "char_entropy"
     )
@@ -752,7 +792,7 @@ def q_containment_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold 4/5 (operators/dedup.py)."""
     from cernan_spark.operators.dedup import containment_pairs
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+    d = _docs(spark, sf_dir).filter(
         F.col("doc_id") < 150
     ).select("doc_id", "text")
     frag = d.filter(F.col("doc_id") % 5 == 0).select(
@@ -773,7 +813,7 @@ def q_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/corpus.py)."""
     from cernan_spark.operators.corpus import length_deciles
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _docs(spark, sf_dir)
     return length_deciles(d).select("doc_id", "n_chars", "tile")
 
 
@@ -786,7 +826,7 @@ def q_knn_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     per id (operators/similarity.py)."""
     from cernan_spark.operators.similarity import knn_label_propagate
 
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    e = _embs(spark, sf_dir)
     seeds = e.filter(F.col("vec_id") % 7 == 0)
     others = e.filter(F.col("vec_id") % 7 != 0)
     pred = knn_label_propagate(seeds, others, k=3)
@@ -807,7 +847,11 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 per probe (vec_id < 5) — the ANN baseline.
     Dot products fold left-to-right in doubles on both engines."""
     _utc(spark)
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+    from cernan_spark.sources.tables import spread_scan
+
+    e = spread_scan(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"), "vec_id"
+    ).select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
     probes = e.filter(F.col("vec_id") < 5).select(
@@ -839,7 +883,7 @@ def q_json_log_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON log-line field extraction (json_encode_filter.rs:85-120):
     events.props is a JSON payload column."""
     _utc(spark)
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _events(spark, sf_dir)
     return ev.select(
         "event_id",
         F.from_json("props", "map<string,string>")["k"].alias("k_val"),
@@ -908,7 +952,7 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cernan_spark.operators.skew import sessionize_chunked
 
     _utc(spark)
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _events(spark, sf_dir)
     sess = sessionize_chunked(ev, "user_id", "event_id", "ts", gap_s=1800)
     return sess.groupBy("user_id").agg(
         F.max("session_idx").alias("n_sessions"),
@@ -924,7 +968,7 @@ def q_topk_docs_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical to the single-window form."""
     from cernan_spark.operators.skew import salted_topk
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _docs(spark, sf_dir)
     top = salted_topk(
         d,
         ["lang"],
@@ -938,7 +982,7 @@ def q_topk_docs_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_token_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-set Jaccard for consecutive doc pairs (the exact-verify stage
     of near-dup detection, SQL-expressible twin of shingle Jaccard)."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+    d = _docs(spark, sf_dir).filter(
         F.col("doc_id") < 200
     )
     toks = F.array_distinct(F.split("text", " "))
@@ -961,7 +1005,7 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle: DuckDB recursive CTE reachability."""
     from cernan_spark.operators.dedup import dedup_groups
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+    d = _docs(spark, sf_dir).filter(
         F.col("doc_id") < 200
     )
     toks = F.array_distinct(F.split("text", " "))
@@ -988,7 +1032,7 @@ def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         simhash_hamming_pairs,
     )
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _docs(spark, sf_dir)
     return simhash_hamming_pairs(seed_text_near_dups(d), portable=True)
 
 
@@ -1000,7 +1044,7 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     code with portable=False (tests/test_training_ops.py)."""
     from cernan_spark.operators.dedup import minhash_lsh_candidates
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _docs(spark, sf_dir)
     return minhash_lsh_candidates(d, portable=True).select(
         "id_a", "id_b", "n_match", "est_jaccard"
     )
@@ -1023,7 +1067,7 @@ def q_simhash_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     _utc(spark)
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    d = _docs(spark, sf_dir).select(
         "doc_id", "text"
     )
     twins = d.filter(F.col("doc_id") < 50).select(
@@ -1056,7 +1100,7 @@ def q_minhash_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_signatures,
     )
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _docs(spark, sf_dir)
     shard1 = d.filter(F.col("doc_id") % 2 == 0)
     shard2 = d.filter(F.col("doc_id") % 2 != 0)
     run1 = minhash_lsh_candidates(shard1, portable=True)
@@ -1086,7 +1130,7 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from cernan_spark.streaming.pipeline import streaming_exact_dedup
 
-    d0 = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    d0 = _docs(spark, sf_dir).select(
         "doc_id", "text"
     )
     # twins of docs 0..49 arrive with HIGH ids (land in the last batch) —
@@ -1138,7 +1182,7 @@ def q_span_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cernan_spark.operators.dedup import span_overlap_pairs
 
     _utc(spark)
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _docs(spark, sf_dir)
     grp = (F.col("doc_id") % 200).cast("string")
     span = F.concat_ws(
         " ", *[F.concat(F.lit(f"sp{j}x"), grp) for j in range(16)]
@@ -1160,7 +1204,7 @@ def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cernan_spark.operators.dedup import paragraph_dedup
 
     _utc(spark)
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _docs(spark, sf_dir)
     seeded = d.select(
         "doc_id",
         F.concat(
@@ -1184,7 +1228,7 @@ def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cernan_spark.operators.textstats import cap_docs_per_domain
 
     _utc(spark)
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _docs(spark, sf_dir)
     hosted = d.select(
         "doc_id",
         F.when(F.col("doc_id") % 3 == 0, F.lit("big.com"))
@@ -1203,7 +1247,7 @@ def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cernan_spark.operators.textstats import normalize_text
 
     _utc(spark)
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _docs(spark, sf_dir)
     seeded = d.select(
         "doc_id",
         F.concat(
@@ -1221,7 +1265,7 @@ def q_url_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cernan_spark.operators.textstats import domain_rollup
 
     _utc(spark)
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _docs(spark, sf_dir)
     seeded = d.select(
         "doc_id",
         F.concat(
@@ -1251,7 +1295,7 @@ def q_multi_signal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     _utc(spark)
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _docs(spark, sf_dir)
     seeded = seed_text_near_dups(d, n_seed=30)
     mh = minhash_lsh_candidates(seeded, portable=True).select("id_a", "id_b")
     sh = simhash_hamming_pairs(seeded, portable=True).select("id_a", "id_b")
@@ -1262,7 +1306,7 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-scoring operator (stopword/digit ratios + verdict)."""
     from cernan_spark.operators.textstats import quality_scores
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _docs(spark, sf_dir)
     q = quality_scores(d)
     return q.select(
         "doc_id",
@@ -1277,7 +1321,7 @@ def q_bpeish_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish token budget per document (≤4-char word pieces)."""
     from cernan_spark.operators.textstats import token_stats
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _docs(spark, sf_dir)
     return token_stats(d).select("doc_id", "n_tokens", "n_bpeish_tokens")
 
 
@@ -1286,7 +1330,7 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     CASE generated from the same LANG_STOPWORDS dict on both sides)."""
     from cernan_spark.operators.textstats import lang_id
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _docs(spark, sf_dir)
     return lang_id(d).select("doc_id", "lang_pred", "lang_score")
 
 
@@ -1295,7 +1339,7 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     top word-bigram share (explode → count → max/total per doc)."""
     from cernan_spark.operators.textstats import repetition_stats
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _docs(spark, sf_dir)
     return repetition_stats(d).select(
         "doc_id", "n_tokens", "dup_token_frac", "top_bigram_frac"
     )
@@ -1306,7 +1350,7 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes the same char 8-grams), stringified for the driver canon."""
     from cernan_spark.operators.textstats import doc_fingerprint
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+    d = _docs(spark, sf_dir).filter(
         F.col("doc_id") < 500
     )
     fp = doc_fingerprint(d, portable=True)
@@ -1326,7 +1370,7 @@ def q_ann_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_similarity_multimodal."""
     from cernan_spark.operators.similarity import cosine_topk_lsh
 
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    e = _embs(spark, sf_dir)
     probes = e.filter(F.col("vec_id") < 5)
     return cosine_topk_lsh(
         e, probes, k=5, bits=16, bands=8, portable=True
@@ -1341,7 +1385,7 @@ def q_ann_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe recall path is asserted in pytest."""
     from cernan_spark.operators.similarity import cosine_topk_ivf
 
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    e = _embs(spark, sf_dir)
     probes = e.filter(F.col("vec_id") < 5)
     return cosine_topk_ivf(e, probes, k=5, n_cells=8, n_probe=8).select(
         "qid", "vec_id", F.round("cos", 6).alias("cos"), "rank"
@@ -1360,7 +1404,7 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         seed_near_dups,
     )
 
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    e = _embs(spark, sf_dir)
     aug = seed_near_dups(e, n_seed=50, id_offset=1_000_000, delta=0.05)
     return embedding_near_dup_pairs(aug, threshold=0.9).select(
         "id_a", "id_b", F.round("cos", 6).alias("cos")
@@ -1381,7 +1425,7 @@ def q_native_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     _utc(spark)
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _events(spark, sf_dir)
     grp = (
         ev.withColumn("bin", F.floor(F.unix_timestamp("ts") / 3600).cast("long"))
         .groupBy(F.col("event_type").alias("name"), "bin")
@@ -1436,7 +1480,7 @@ def q_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"name": "ts", "type": "long"},
         ],
     }
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+    ev = _events(spark, sf_dir).withColumn(
         "epoch", F.unix_timestamp("ts")
     )
     grp = ev.groupBy(
@@ -1495,7 +1539,7 @@ def _mixed_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     JSON log, plain log, bad) — one class per event_type, deterministically,
     so the full parse_stage classification + internal telemetry counters are
     oracle-checkable."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _events(spark, sf_dir)
     et = F.col("event_type")
     text = (
         F.when(et == "click", F.concat(
@@ -1563,7 +1607,7 @@ def q_telemetry_with_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     tel = q_internal_telemetry(spark, sf_dir)
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _docs(spark, sf_dir)
     boiler = d.select(
         "doc_id",
         F.when(F.col("doc_id") % 3 == 0, F.lit(_BOILER))
@@ -1587,7 +1631,7 @@ def _synthetic_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Routed-log-shaped rows with a tag named ``path`` (contends with the
     synthesized base key) and a field named ``payload`` (contends with the
     base payload) — the precedence probes for the ES/Kafka formatters."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _events(spark, sf_dir)
     return ev.select(
         F.concat(F.lit("conv-"),
                  F.lpad(F.col("user_id").cast("string"), 6, "0")).alias("conv_id"),
@@ -1650,7 +1694,7 @@ def q_benchmark_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cernan_spark.operators.textstats import benchmark_ngram_overlap
 
     _utc(spark)
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    d = _docs(spark, sf_dir).select("doc_id", "text")
     bench = d.filter(F.col("doc_id") % 97 == 0)
     snippet = F.array_join(F.slice(F.split("text", " "), 1, 10), " ")
     twins = (
@@ -1680,7 +1724,7 @@ def q_decontam_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cernan_spark.operators.textstats import decontam_token_spans
 
     _utc(spark)
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    d = _docs(spark, sf_dir).select("doc_id", "text")
     bench = d.filter(F.col("doc_id") % 97 == 0)
     snippet = F.array_join(F.slice(F.split("text", " "), 1, 10), " ")
     twins = (
@@ -1715,7 +1759,7 @@ def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     _utc(spark)
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _docs(spark, sf_dir)
     t = token_stats(lang_id(d).select("doc_id", "text", "lang_pred"))
     out = sample_to_token_budget(t, budget=2000)
     return out.select(
@@ -1743,7 +1787,7 @@ def q_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     _utc(spark)
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _docs(spark, sf_dir)
     t = token_stats(lang_id(d).select("doc_id", "text", "lang_pred"))
     out = sample_to_token_budget(
         t, budget=_MIX_BUDGETS, default_budget=_MIX_DEFAULT
@@ -1765,7 +1809,7 @@ def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cernan_spark.operators.textstats import redact_pii
 
     _utc(spark)
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _docs(spark, sf_dir)
     seeded = d.select(
         "doc_id",
         F.concat(
@@ -1816,7 +1860,7 @@ def q_dedup_drop_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     _utc(spark)
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _docs(spark, sf_dir)
     boiler = d.select(
         "doc_id",
         F.when(F.col("doc_id") % 3 == 0, F.lit(_BOILER))
@@ -1952,7 +1996,7 @@ def q_fuzzy_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     only prefix+length-bucket candidates reach the levenshtein kernel."""
     from cernan_spark.operators.textstats import fuzzy_probe_matches
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _docs(spark, sf_dir)
     probes = d.filter(F.col("doc_id") % 83 == 0).select(
         F.col("doc_id").alias("probe_id"),
         F.concat(
@@ -1974,7 +2018,7 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a doc's keep/drop never changes as other docs arrive)."""
     from cernan_spark.operators.textstats import stratified_sample
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _docs(spark, sf_dir)
     s = stratified_sample(d, STRATIFIED_RATES, lang_col="lang")
     return s.select("doc_id", "lang", "n_chars")
 
@@ -2033,7 +2077,11 @@ def q_tail_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = transcripts_from_events(spark, sf_dir).withColumn(
         "text", F.expr("concat(text, repeat(' pad', turn_idx % 5))")
     )
-    return trim_to_tail_budget(t, budget=37)
+    # decimal(38,0) ← frozen oracle's windowed sum(BIGINT) = HUGEINT
+    # (type-parity, r5 postmortem); exact for int64-ranged totals.
+    return trim_to_tail_budget(t, budget=37).withColumn(
+        "rev_cum_tokens", F.col("rev_cum_tokens").cast("decimal(38,0)")
+    )
 
 
 def q_context_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2044,8 +2092,17 @@ def q_context_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     many windows it spans."""
     from cernan_spark.operators.conversation import pack_concat_chop
 
+    # NOT spread_scan'd: one size(split()) per row is cheaper than an
+    # extra exchange of the text (0.51 s direct vs 0.87 s spread, sf1.0)
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return pack_concat_chop(d, bin_tokens=512, chunk_width=64)
+    # start_offset / first_bin: decimal(38,0) ← the frozen oracle's
+    # windowed sum(BIGINT) (and its // 512) are HUGEINT (type-parity,
+    # r5 postmortem); exact for int64-ranged offsets.
+    return (
+        pack_concat_chop(d, bin_tokens=512, chunk_width=64)
+        .withColumn("start_offset", F.col("start_offset").cast("decimal(38,0)"))
+        .withColumn("first_bin", F.col("first_bin").cast("decimal(38,0)"))
+    )
 
 
 def q_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2057,6 +2114,8 @@ def q_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     one tiny global sort."""
     from cernan_spark.operators.conversation import priority_sample
 
+    # NOT spread_scan'd: integer LCG arithmetic per row is cheaper than
+    # an extra exchange (0.12 s direct vs 0.34 s spread, sf1.0)
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return priority_sample(d, k=200, weight_col="n_chars")
 
@@ -2065,7 +2124,10 @@ def _apache_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic Apache combined-log corpus seeded from events (the
     same construction exists as SQL in the oracle), with every 13th line
     replaced by garbage to exercise bad-line accounting."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from cernan_spark.sources.tables import spread_scan
+
+    # single-row-group file: distribute the fused build+grok chain
+    ev = spread_scan(spark.read.parquet(f"{sf_dir}/events.parquet"), "event_id")
     verb = (
         F.when(F.col("event_type").isin("click", "view"), "GET")
         .when(F.col("event_type") == "purchase", "POST")
@@ -2259,7 +2321,7 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     run-to-run)."""
     from cernan_spark.operators.similarity import label_centroids
 
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    e = _embs(spark, sf_dir)
     return label_centroids(e)
 
 
@@ -2294,7 +2356,7 @@ def q_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/corpus.py)."""
     from cernan_spark.operators.corpus import train_val_split
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _docs(spark, sf_dir)
     return train_val_split(d).select("doc_id", "split_bucket", "split")
 
 
@@ -2303,7 +2365,7 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     pretraining/RAG segmentation shape. Narrow explode, zero shuffles."""
     from cernan_spark.operators.corpus import doc_token_chunks
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _docs(spark, sf_dir)
     return doc_token_chunks(d).select(
         "doc_id", "chunk_idx", "n_chunk_tokens", "chunk_text"
     )
@@ -2317,7 +2379,7 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic."""
     from cernan_spark.operators.corpus import BM25_QUERY, bm25_scores
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _docs(spark, sf_dir)
     s = bm25_scores(d, BM25_QUERY)
     return s.filter(F.col("n_query_hits") > 0).select(
         "doc_id", F.round("bm25", 6).alias("bm25"), "n_query_hits"
@@ -2330,7 +2392,7 @@ def q_unigram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     outputs — oracle equality is exact by construction."""
     from cernan_spark.operators.corpus import unigram_familiarity
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _docs(spark, sf_dir)
     return unigram_familiarity(d)
 
 
@@ -2342,7 +2404,7 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     correction bit-for-bit."""
     from cernan_spark.operators.corpus import hll_distinct
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _docs(spark, sf_dir)
     toks = F.split(F.col("text"), " ")
     n = F.size(toks)
     idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
@@ -2366,7 +2428,7 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine. Pure narrow transforms."""
     from cernan_spark.operators.similarity import quantize_int8
 
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    e = _embs(spark, sf_dir)
     q = quantize_int8(e)
     return q.select(
         "vec_id",
@@ -2386,7 +2448,7 @@ def q_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cernan_spark.operators.temporal import cdc_upsert_snapshot
 
     _utc(spark)
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _events(spark, sf_dir)
     changes = ev.select(
         "user_id",
         "event_id",
@@ -2431,7 +2493,7 @@ def q_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     join twin is benchmark_decontam)."""
     from cernan_spark.operators.sketch import bloom_build, bloom_probe_shingles
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    d = _docs(spark, sf_dir).select("doc_id", "text")
     bench = d.filter(F.col("doc_id") % 97 == 0)
     items = bench.select(F.explode(_doc_shingles(8)).alias("item")).distinct()
     bloom = bloom_build(items)
@@ -2451,7 +2513,7 @@ def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cernan_spark.operators.temporal import ewma_fold
 
     _utc(spark)
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _events(spark, sf_dir)
     return ewma_fold(
         ev.select(
             "user_id", "event_type", F.unix_timestamp("ts").alias("epoch"),
@@ -2474,7 +2536,7 @@ def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cernan_spark.operators.temporal import interval_bucket_join
 
     _utc(spark)
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+    ev = _events(spark, sf_dir).withColumn(
         "epoch", F.unix_timestamp("ts")
     )
     top_hours = (
@@ -2491,7 +2553,11 @@ def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     points = ev.filter(F.col("event_type") != "error").select(
         "epoch", F.round(F.col("value") * 100, 0).cast("long").alias("cents")
     )
-    return interval_bucket_join(points, intervals, bucket_seconds=3600)
+    # sum_cents: decimal(38,0) ← the frozen oracle's un-cast sum(BIGINT)
+    # is HUGEINT (type-parity, r5 postmortem); exact integer total.
+    return interval_bucket_join(points, intervals, bucket_seconds=3600).withColumn(
+        "sum_cents", F.col("sum_cents").cast("decimal(38,0)")
+    )
 
 
 def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2501,7 +2567,7 @@ def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation is order-sensitive."""
     from cernan_spark.operators.corpus import pmi_bigrams
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _docs(spark, sf_dir)
     return pmi_bigrams(d, min_count=3)
 
 
@@ -2512,7 +2578,7 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     every rounding cross-engine."""
     from cernan_spark.operators.corpus import unigram_logprob
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _docs(spark, sf_dir)
     return unigram_logprob(d)
 
 
@@ -2523,7 +2589,7 @@ def q_winsorized_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     no shuffle-order float sum exists."""
     from cernan_spark.operators.corpus import winsorized_length_stats
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _docs(spark, sf_dir)
     return winsorized_length_stats(d)
 
 
@@ -2560,7 +2626,7 @@ def q_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the norm-preservation diagnostics replay bit-for-bit."""
     from cernan_spark.operators.similarity import jl_project
 
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    e = _embs(spark, sf_dir)
     out = jl_project(e, k=16, dim=64)
     return out.select(
         "vec_id",
@@ -2624,7 +2690,7 @@ def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     what a compaction job schedules."""
     from cernan_spark.operators.packing import greedy_pack, pack_summary
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    d = _docs(spark, sf_dir).select(
         F.concat_ws("/", "lang", "source").alias("part"),
         "doc_id",
         F.col("n_chars").alias("sz"),
@@ -2651,7 +2717,7 @@ def q_editdist_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         seed_text_near_dups,
     )
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _docs(spark, sf_dir)
     seeded = seed_text_near_dups(d, n_seed=30)
     return editdist_blocked_pairs(
         seeded, max_dist=4, prefix_len=16, max_block=50
@@ -2668,7 +2734,7 @@ def q_thread_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     max(d)/arg_max(anc, d) per node."""
     from cernan_spark.operators.conversation import thread_paths
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _events(spark, sf_dir)
     idx = (
         F.row_number().over(
             W.partitionBy("user_id").orderBy("event_id")
@@ -2701,7 +2767,7 @@ def q_json_schema_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     json_keys + unnest."""
     from cernan_spark.functions.jsonlog import json_schema_profile
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _events(spark, sf_dir)
     m = F.col("event_id") % 3
     pay = (
         F.when(
@@ -2752,7 +2818,7 @@ def q_exact_substr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/dedup.py)."""
     from cernan_spark.operators.dedup import exact_substr_spans
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _docs(spark, sf_dir)
     return exact_substr_spans(d).select(
         "doc_id", "n_spans", "dup_chars", "longest_span", "n_dup_grams"
     )
@@ -2770,7 +2836,7 @@ def q_exact_substr_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact_substr_resume_spans,
     )
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _docs(spark, sf_dir)
     shard1 = d.filter(F.col("doc_id") % 2 == 0)
     shard2 = d.filter(F.col("doc_id") % 2 != 0)
     idx1 = exact_substr_gram_index(shard1)  # the persisted state
@@ -2804,7 +2870,7 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     proven cross-engine-exact class (operators/corpus.py)."""
     from cernan_spark.operators.corpus import bigram_logprob_holdout
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _docs(spark, sf_dir)
     return bigram_logprob_holdout(d).select(
         "doc_id", "n_scored", "logprob", "avg_logprob"
     )
@@ -2819,7 +2885,7 @@ def q_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-reproducible (operators/corpus.py)."""
     from cernan_spark.operators.corpus import js_divergence_drift
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _docs(spark, sf_dir)
     return js_divergence_drift(d).select(
         "vocab_union", "n_train_tokens", "n_val_tokens", "jsd_nats"
     )
@@ -2833,7 +2899,7 @@ def q_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/corpus.py)."""
     from cernan_spark.operators.corpus import distinct_ngram_profile
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _docs(spark, sf_dir)
     return distinct_ngram_profile(d).select(
         "lang", "n", "total_ngrams", "distinct_ngrams", "distinct_ratio"
     )
@@ -2847,7 +2913,7 @@ def q_cluster_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side), members labeled keep/drop (operators/dedup.py)."""
     from cernan_spark.operators.dedup import cluster_representatives, dedup_groups
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+    d = _docs(spark, sf_dir).filter(
         F.col("doc_id") < 200
     )
     toks = F.array_distinct(F.split("text", " "))
@@ -2891,7 +2957,7 @@ def q_drift_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrdered, never a global sort (operators/corpus.py)."""
     from cernan_spark.operators.corpus import jsd_top_drifters
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _docs(spark, sf_dir)
     return jsd_top_drifters(d, k=20).select(
         "tok", "train_count", "val_count", "jsd_term", "over_in"
     )
@@ -2905,7 +2971,7 @@ def q_exact_substr_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
     byte-identical (operators/dedup.py)."""
     from cernan_spark.operators.dedup import exact_substr_remove
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _docs(spark, sf_dir)
     return exact_substr_remove(d).select(
         "doc_id", "clean_text", "n_spans", "n_chars_removed", "n_chars_clean"
     )
@@ -4129,7 +4195,7 @@ def _syslog_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     prog: msg``, with every 11th line missing its ``<pri>`` header to
     exercise bad-line accounting. ``cents`` rides along for the matched-
     line value rollup."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _events(spark, sf_dir)
     pri = (F.col("user_id") % 8) * 8 + F.col("event_id") % 8
     line = F.concat(
         F.lit("<"), pri.cast("string"), F.lit(">"),
@@ -4241,7 +4307,7 @@ def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cernan_spark.operators.behavior import funnel_steps
 
     _utc(spark)
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _events(spark, sf_dir)
     return funnel_steps(ev, ["click", "view", "purchase"])
 
 
@@ -4253,7 +4319,7 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cernan_spark.operators.behavior import cohort_retention
 
     _utc(spark)
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _events(spark, sf_dir)
     return cohort_retention(ev)
 
 
@@ -4267,7 +4333,7 @@ def q_slo_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cernan_spark.operators.anomaly import slo_burn_windows
 
     _utc(spark)
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _events(spark, sf_dir)
     flagged = ev.select(
         F.unix_timestamp("ts").alias("epoch"),
         (F.col("event_type") == "error").alias("is_err"),
@@ -4301,7 +4367,7 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cernan_spark.operators.corpus import BM25_QUERY, bm25_scores
     from cernan_spark.operators.similarity import rrf_fuse
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _docs(spark, sf_dir)
     s = (
         bm25_scores(d, BM25_QUERY)
         .filter(F.col("n_query_hits") > 0)
@@ -4313,7 +4379,7 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(W.orderBy(F.col("s").desc(), "doc_id")).cast("int"),
     )
 
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+    e = _embs(spark, sf_dir).select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
@@ -4398,7 +4464,7 @@ def q_dlq_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus and CASE chain."""
     from cernan_spark.functions.classify import dlq_reason
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _events(spark, sf_dir)
     line = (
         F.when(
             F.col("event_id") % 7 == 0,
@@ -4436,7 +4502,7 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cernan_spark.operators.temporal import cdc_snapshot_diff
 
     _utc(spark)
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _events(spark, sf_dir)
     mn = ev.agg(F.min(F.unix_timestamp("ts"))).collect()[0][0]
     t1, t2 = mn + 10 * 86400, mn + 20 * 86400
     changes = ev.select(
@@ -4597,7 +4663,7 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cernan_spark.operators.packing import zorder_key
 
     _utc(spark)
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _events(spark, sf_dir)
     mn = ev.agg(F.min(F.unix_timestamp("ts"))).collect()[0][0]
     hours = ((F.unix_timestamp("ts") - F.lit(mn)) / 3600).cast("long")
     z = zorder_key(
@@ -4629,7 +4695,7 @@ def q_pruning_benefit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cernan_spark.operators.packing import pruning_benefit
 
     _utc(spark)
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _events(spark, sf_dir)
     return pruning_benefit(ev, [3, 41, 977])
 
 
@@ -4669,7 +4735,7 @@ def q_alpha_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     approximately checked."""
     from cernan_spark.operators.textstats import alpha_mix_weights
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _docs(spark, sf_dir)
     return alpha_mix_weights(d, budget_docs=1000)
 
 
@@ -4680,7 +4746,7 @@ def q_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     string byte-checked against the DuckDB replay."""
     from cernan_spark.operators.corpus import fim_transform
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _docs(spark, sf_dir)
     return fim_transform(d)
 
 
@@ -4707,7 +4773,7 @@ def q_hll_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
         hll_registers,
     )
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _docs(spark, sf_dir)
     toks = F.split(F.col("text"), " ")
     n = F.size(toks)
     idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
@@ -4736,7 +4802,7 @@ def q_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     native regex, no state machine, no window."""
     from cernan_spark.operators.behavior import event_pattern_match
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _events(spark, sf_dir)
     return event_pattern_match(ev, _PATTERN_CODES, _CEP_PATTERN)
 
 
@@ -4748,7 +4814,7 @@ def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     URL. Every canonical string is byte-checked against the SQL twin."""
     from cernan_spark.operators.textstats import canonical_url
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _docs(spark, sf_dir)
     site = (F.col("doc_id") % 13).cast("string")
     page = (F.col("doc_id") % 7).cast("string")
     b = (F.col("doc_id") % 3).cast("string")
@@ -4809,7 +4875,7 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         tempfile.gettempdir(),
         f"cernan_evo_{os.path.basename(os.path.normpath(sf_dir))}",
     )
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _events(spark, sf_dir)
     if not os.path.isdir(base):
         snap1 = ev.filter(F.col("event_id") % 2 == 0).select(
             "event_id", "event_type", "value"
@@ -4835,7 +4901,7 @@ def q_partition_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cernan_spark.operators.relational import partition_advisor
 
     _utc(spark)
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _events(spark, sf_dir)
     return partition_advisor(
         ev,
         {
@@ -4871,7 +4937,7 @@ def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
     import uuid
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    d = _docs(spark, sf_dir).select(
         "doc_id", "lang", "n_chars"
     )
     dim = spark.createDataFrame(_LANG_FAMILY, "lang string, family string")
@@ -4915,7 +4981,7 @@ def q_fightin_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     no order pinning needed."""
     from cernan_spark.operators.corpus import distinctive_terms
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _docs(spark, sf_dir)
     seeded = d.select(
         "source",
         F.when(
@@ -4936,7 +5002,7 @@ def q_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     string is hash-checked against the SQL replay."""
     from cernan_spark.operators.dedup import cdc_duplicate_chunks
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _docs(spark, sf_dir)
     twins = d.filter(F.col("doc_id") < 20).select(
         (F.col("doc_id") + 1_000_000).alias("doc_id"),
         F.concat(F.lit("Z "), F.col("text")).alias("text"),
@@ -4953,7 +5019,7 @@ def q_bot_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cernan_spark.operators.behavior import user_behavior_profile
 
     _utc(spark)
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _events(spark, sf_dir)
     mn = ev.agg(F.min(F.unix_timestamp("ts")).alias("mn"))
     bot = (
         spark.range(50)
@@ -4979,7 +5045,7 @@ def q_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cernan_spark.operators.anomaly import lag_correlation
 
     _utc(spark)
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _events(spark, sf_dir)
     mn = ev.agg(F.min(F.unix_timestamp("ts")).alias("mn"))
     hourly = (
         ev.crossJoin(F.broadcast(mn))
@@ -5006,7 +5072,7 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     folds."""
     from cernan_spark.operators.textstats import zipf_fit
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _docs(spark, sf_dir)
     return zipf_fit(d)
 
 
@@ -5018,7 +5084,7 @@ def q_metric_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cernan_spark.operators.anomaly import metric_trend
 
     _utc(spark)
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _events(spark, sf_dir)
     mn = ev.agg(F.min(F.unix_timestamp("ts")).alias("mn"))
     prep = ev.crossJoin(F.broadcast(mn)).select(
         "event_type",
@@ -5045,7 +5111,7 @@ def q_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         tempfile.gettempdir(),
         f"cernan_partscan_{os.path.basename(os.path.normpath(sf_dir))}",
     )
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _events(spark, sf_dir)
     if not os.path.isdir(base):
         ev.withColumn("day", F.to_date("ts")).write.partitionBy(
             "day"
@@ -5071,7 +5137,7 @@ def q_kmv_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimate."""
     from cernan_spark.operators.sketch import kmv_merge, kmv_minima
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _docs(spark, sf_dir)
     toks = d.select(
         "doc_id", F.explode(F.split("text", " ")).alias("tok")
     ).filter(F.length("tok") > 0)
@@ -5091,7 +5157,7 @@ def q_hll_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cernan_spark.operators.corpus import hll_distinct
 
     _utc(spark)
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _events(spark, sf_dir)
     keyed = ev.select(
         (F.unix_timestamp("ts") / 3600).cast("long").alias("hour"),
         F.col("user_id").cast("string").alias("uid"),
@@ -5107,7 +5173,7 @@ def q_neg_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     draw allocation under 10k samples."""
     from cernan_spark.operators.corpus import negative_sampling_weights
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _docs(spark, sf_dir)
     return negative_sampling_weights(d)
 
 
@@ -5158,7 +5224,7 @@ def q_watermark_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cernan_spark.operators.temporal import watermark_advisor
 
     _utc(spark)
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _events(spark, sf_dir)
     arr = F.col("event_id") + F.when(
         F.col("event_id") % 7 == 3, 25
     ).otherwise(0)
@@ -5174,7 +5240,7 @@ def q_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
     pointer-doubling CC; the rollup is two key-grain aggregates."""
     from cernan_spark.operators.dedup import dedup_groups
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+    d = _docs(spark, sf_dir).filter(
         F.col("doc_id") < 200
     )
     toks = F.array_distinct(F.split("text", " "))
@@ -5214,7 +5280,7 @@ def q_ndcg_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     every frame after the TakeOrdered cut is 10 rows."""
     from cernan_spark.operators.corpus import BM25_QUERY, bm25_scores, ndcg_at_k
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _docs(spark, sf_dir)
     s = bm25_scores(d, BM25_QUERY).filter(F.col("n_query_hits") > 0)
     scored = s.select(
         "doc_id",
@@ -5232,7 +5298,7 @@ def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-K so an epoch group never serializes a global sort."""
     from cernan_spark.operators.corpus import epoch_shuffle_heads
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    d = _docs(spark, sf_dir).select("doc_id")
     return epoch_shuffle_heads(d, n_epochs=3, k=20)
 
 
@@ -5247,7 +5313,7 @@ def q_template_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _utc(spark)
     t = transcripts_from_events(spark, sf_dir).select("text", "ts")
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _events(spark, sf_dir)
     ep = F.unix_timestamp("ts")
     bounds = ev.agg(
         F.floor(F.min(ep) + ((F.max(ep) - F.min(ep)) * 3) / 4)
@@ -5276,7 +5342,7 @@ def q_field_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cernan_spark.operators.relational import field_mutual_information
 
     _utc(spark)
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _events(spark, sf_dir)
     base = ev.select(
         "event_type",
         F.pmod((F.unix_timestamp("ts") / 3600).cast("long"), F.lit(24)).alias(
@@ -5304,7 +5370,7 @@ def q_pref_length_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
         preference_pairs,
     )
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _docs(spark, sf_dir)
     scored = d.select(
         "doc_id",
         "lang",
@@ -5324,7 +5390,7 @@ def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     word vocabulary so the corpus is touched once."""
     from cernan_spark.operators.textstats import bpe_pair_counts
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _docs(spark, sf_dir)
     return bpe_pair_counts(d, top_k=50)
 
 
@@ -5366,7 +5432,7 @@ def q_burst_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cernan_spark.operators.loghygiene import burst_collapse
 
     _utc(spark)
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _events(spark, sf_dir)
     b = burst_collapse(ev, ["user_id"], "event_id", "ts", "event_type", gap_s=43200)
     return b.select("user_id", "msg", "n_repeats", "first_e", "last_e", "first_order")
 
@@ -5380,7 +5446,7 @@ def q_tail_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cernan_spark.operators.loghygiene import tail_sample
 
     _utc(spark)
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _events(spark, sf_dir)
     spans = ev.select(
         "user_id",
         "event_id",
@@ -5405,7 +5471,7 @@ def q_scd2_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cernan_spark.operators.temporal import scd2_intervals
 
     _utc(spark)
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _events(spark, sf_dir)
     v = scd2_intervals(ev, ["user_id"], "event_id", "ts", "event_type")
     return v.select(
         "user_id",
@@ -5425,7 +5491,7 @@ def q_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pair is rerun-deterministic)."""
     from cernan_spark.operators.conversation import preference_pairs
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _events(spark, sf_dir)
     cands = ev.filter(F.col("event_type") == "purchase")
     return preference_pairs(cands, ["user_id"], "event_id", "value", 0.5)
 
@@ -5440,7 +5506,7 @@ def q_seasonal_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cernan_spark.operators.anomaly import seasonal_baseline
 
     _utc(spark)
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _events(spark, sf_dir)
     prep = ev.select(
         "event_type",
         ((F.floor(F.unix_timestamp("ts")).cast("bigint") / 3600).cast("bigint") % 24).alias(
@@ -5463,7 +5529,7 @@ def q_token_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cernan_spark.operators.loghygiene import token_bucket_admit
 
     _utc(spark)
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _events(spark, sf_dir)
     spans = ev.select(
         "user_id",
         "event_id",
@@ -5488,7 +5554,7 @@ def q_rendezvous_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     weights; nothing shuffles but the 8-row report."""
     from cernan_spark.operators.sharding import resize_movement
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _docs(spark, sf_dir)
     return resize_movement(d, "doc_id", 8, 9)
 
 
@@ -5513,7 +5579,7 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange, plus key-grain broadcast joins)."""
     from cernan_spark.operators.anomaly import robust_mad_profile
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _events(spark, sf_dir)
     prep = ev.select(
         "event_type",
         "event_id",
@@ -5531,7 +5597,7 @@ def q_decayed_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cernan_spark.operators.temporal import decayed_counts
 
     _utc(spark)
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _events(spark, sf_dir)
     e = F.floor(F.unix_timestamp("ts")).cast("bigint")
     mx = ev.agg(F.max(e).alias("_mx"))
     aged = ev.select("user_id", e.alias("_e")).crossJoin(F.broadcast(mx)).select(
@@ -5552,7 +5618,7 @@ def q_discounted_return(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W2
 
     _utc(spark)
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _events(spark, sf_dir)
     w = W2.partitionBy("user_id").orderBy("event_id")
     turns = ev.select(
         "user_id",
@@ -5574,7 +5640,7 @@ def q_gdpr_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
     destructive rewrite, one equi-join + one aggregate)."""
     from cernan_spark.operators.loghygiene import purge_accounting
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _events(spark, sf_dir)
     del_keys = (
         ev.filter((F.col("event_type") == "signup") & (F.col("value") < 5))
         .select("user_id")
@@ -5591,7 +5657,7 @@ def q_k_anon(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cernan_spark.operators.loghygiene import k_anonymity_suppress
 
     _utc(spark)
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _events(spark, sf_dir)
     qi = ev.select(
         "event_type",
         ((F.floor(F.unix_timestamp("ts")).cast("bigint") / 3600).cast("bigint") % 24).alias(
@@ -5607,7 +5673,7 @@ def _hourly_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-group series the sequential detectors (CUSUM, seasonal-naive)
     consume. One map-side-combined aggregate over the corpus."""
     _utc(spark)
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _events(spark, sf_dir)
     e = F.floor(F.unix_timestamp("ts")).cast("bigint")
     return ev.groupBy(
         "event_type",
@@ -5645,7 +5711,7 @@ def q_reward_qnorm(spark: SparkSession, sf_dir: str) -> DataFrame:
     Σ rank_before stays BIGINT so the mean is one exact division)."""
     from cernan_spark.operators.corpus import rank_normalize
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _events(spark, sf_dir)
     base = ev.select(
         "event_type",
         "user_id",
@@ -5673,7 +5739,7 @@ def q_skew_salts(spark: SparkSession, sf_dir: str) -> DataFrame:
     with_salt/salted_topk)."""
     from cernan_spark.operators.skew import skew_report
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _events(spark, sf_dir)
     return skew_report(ev, ["event_type"], target_rows_per_task=500)
 
 
@@ -5683,7 +5749,7 @@ def q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/similarity.truncation_recall — two exact brute-force
     rankings with broadcast probes, overlap counted as integers). The
     go/no-go measurement before deploying a cheaper prefix index."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _embs(spark, sf_dir)
     from cernan_spark.operators.similarity import truncation_recall
 
     return truncation_recall(emb, n_probes=50, k=10, trunc_dim=16)
@@ -5695,7 +5761,7 @@ def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     statistic that sizes valve/queue depth at a given mean rate
     (operators/anomaly.burstiness_profile)."""
     _utc(spark)
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _events(spark, sf_dir)
     base = ev.select(
         "event_type",
         "user_id",
@@ -5729,7 +5795,7 @@ def q_hourly_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale trap of the unlisted form. The DuckDB twin is the same CASE
     aggregation, so the gate checks every cell."""
     _utc(spark)
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _events(spark, sf_dir)
     e = F.floor(F.unix_timestamp("ts")).cast("bigint")
     base = ev.select(
         ((e / 3600).cast("bigint") % 24).alias("hour"),
@@ -5755,7 +5821,7 @@ def q_peak_2h_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cernan_spark.operators.temporal import peak_range_load
 
     _utc(spark)
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _events(spark, sf_dir)
     base = ev.select(
         "event_type",
         F.floor(F.unix_timestamp("ts")).cast("bigint").alias("e"),
@@ -5773,7 +5839,7 @@ def q_chi2_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     operational read: which (metric, hour) cells drive the
     time-dependence of load."""
     _utc(spark)
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _events(spark, sf_dir)
     e = F.floor(F.unix_timestamp("ts")).cast("bigint")
     cells = ev.groupBy(
         "event_type", ((e / 3600).cast("bigint") % 24).alias("hour")
@@ -5815,7 +5881,7 @@ def q_infogain_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     in the oracle (operators/similarity.py)."""
     from cernan_spark.operators.similarity import sign_split_infogain
 
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    e = _embs(spark, sf_dir)
     return sign_split_infogain(e, labels=list(range(10)))
 
 
@@ -5826,7 +5892,7 @@ def q_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass produces before fitting anything (operators/similarity.py)."""
     from cernan_spark.operators.similarity import label_noise_knn
 
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    e = _embs(spark, sf_dir)
     return label_noise_knn(e, n_probes=40, k=5)
 
 
@@ -5837,7 +5903,7 @@ def _trace_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     otherwise, '    at …' indent); every 13th event LOSES its head so
     its frames misattach to the previous event on that host — the
     rotation-mid-trace failure the stitcher must survive."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _events(spark, sf_dir)
     n_cont = F.when(F.col("event_type") == "error", F.lit(3)).otherwise(
         F.col("event_id") % 2
     )
@@ -5891,7 +5957,7 @@ def q_disorder_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cernan_spark.operators.temporal import disorder_profile
 
     _utc(spark)
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _events(spark, sf_dir)
     arr = F.col("event_id") + F.when(F.col("event_id") % 7 == 3, 25).otherwise(0)
     d = ev.select("event_type", "ts", "event_id", arr.alias("arrival"))
     return disorder_profile(
@@ -5907,7 +5973,7 @@ def q_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels?"""
     from cernan_spark.operators.similarity import cluster_purity
 
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    e = _embs(spark, sf_dir)
     return cluster_purity(e, labels=list(range(10)), n_sign_dims=3)
 
 
@@ -5919,7 +5985,7 @@ def q_kappa_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     folded in literal label order."""
     from cernan_spark.operators.similarity import kappa_agreement
 
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    e = _embs(spark, sf_dir)
     b = (
         F.col("label")
         + F.when(F.col("vec_id") % 7 == 0, F.lit(1)).otherwise(F.lit(0))
@@ -6031,7 +6097,7 @@ def q_partition_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cernan_spark.operators.temporal import partition_checksum_diff
 
     _utc(spark)
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+    ev = _events(spark, sf_dir).select(
         F.date_format("ts", "yyyy-MM-dd").alias("day"),
         "event_id",
         "event_type",
@@ -6099,7 +6165,7 @@ def q_native_spool(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.isdir(base):
         kinds = ["SUM", "SET", "SUMMARIZE"]
         ev = (
-            spark.read.parquet(f"{sf_dir}/events.parquet")
+            _events(spark, sf_dir)
             .select(
                 "event_id",
                 F.unix_timestamp(F.col("ts").cast("timestamp")).alias("sec"),
@@ -6139,7 +6205,7 @@ def q_sessionize_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cernan_spark.operators.skew import sessionize_resume
 
     _utc(spark)
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _events(spark, sf_dir)
     return sessionize_resume(ev, split_epoch=1705276800, gap_s=1800)
 
 
@@ -6151,7 +6217,7 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cernan_spark.operators.behavior import attribute_conversions
 
     _utc(spark)
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _events(spark, sf_dir)
     return attribute_conversions(
         ev, convert_type="purchase", touch_type="view", window_s=3600
     )
@@ -6165,7 +6231,7 @@ def q_ppjoin_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/dedup.prefix_filter_join)."""
     from cernan_spark.operators.dedup import prefix_filter_join
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _docs(spark, sf_dir)
     return prefix_filter_join(d, t_num=4, t_den=5, shingle_n=3)
 
 
@@ -6194,7 +6260,7 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid
 
     _utc(spark)
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _events(spark, sf_dir)
     mid = ev.agg(F.max("event_id")).first()[0] // 2
 
     def spool(df: DataFrame) -> str:
@@ -6584,7 +6650,7 @@ def _scored_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic classifier eval frame: integer score in [0, 117)
     correlated with the binary high-label target (the same construction
     exists as SQL in the oracle)."""
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    e = _embs(spark, sf_dir)
     return e.select(
         (F.col("label") * 12 + F.col("vec_id") % 13).alias("score"),
         (F.col("label") >= 5).cast("int").alias("y"),
@@ -6625,7 +6691,7 @@ def q_domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/graph.py)."""
     from cernan_spark.operators.graph import pagerank
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _docs(spark, sf_dir)
     edges = d.select(
         F.concat(
             F.lit("site"), (F.col("doc_id") % 23).cast("string")
@@ -6645,7 +6711,7 @@ def q_rouge_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts, divisions only at emit (operators/textstats.py)."""
     from cernan_spark.operators.textstats import unigram_overlap_eval
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _docs(spark, sf_dir)
     toks = F.split(F.col("text"), " ")
     ref = F.array_join(
         F.filter(toks, lambda x, i: (i + 1) % 3 != 0), " "
@@ -6664,7 +6730,7 @@ def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/loghygiene.l_diversity_audit)."""
     from cernan_spark.operators.loghygiene import l_diversity_audit
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    d = _docs(spark, sf_dir).select(
         "lang",
         F.floor(F.col("n_chars") / F.lit(32.0)).alias("len_bucket"),
         "source",
@@ -6679,7 +6745,7 @@ def q_wilson_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/anomaly.wilson_error_bounds)."""
     from cernan_spark.operators.anomaly import wilson_error_bounds
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+    ev = _events(spark, sf_dir).select(
         (F.col("user_id") % 50).alias("cohort"),
         (F.col("event_type") == "error").cast("int").alias("is_err"),
     )
@@ -6697,7 +6763,7 @@ def q_posting_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cernan_spark.operators.corpus import posting_lists
 
     return posting_lists(
-        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        _docs(spark, sf_dir)
     )
 
 
@@ -6709,7 +6775,7 @@ def q_sliced_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     worse (operators/similarity.py)."""
     from cernan_spark.operators.similarity import sliced_auc
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _docs(spark, sf_dir)
     y = (F.col("doc_id") % 5 < 2).cast("int")
     boost = (
         F.when(F.col("lang") == "en", F.lit(20))
@@ -6791,7 +6857,7 @@ def q_tri_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     coefficient is one exact-integer division."""
     from cernan_spark.operators.graph import triangle_counts
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _docs(spark, sf_dir)
     edges = d.select(
         (F.col("doc_id") % 23).alias("src"),
         (F.col("doc_id") % 29).alias("dst"),
@@ -6811,7 +6877,7 @@ def q_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cernan_spark.operators.graph import bradley_terry
 
     _utc(spark)
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _events(spark, sf_dir)
     s = ev.groupBy("user_id", "event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("sc"),
@@ -6858,7 +6924,7 @@ def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cernan_spark.operators.rankstats import mann_whitney
 
     _utc(spark)
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _events(spark, sf_dir)
     prep = ev.filter(F.col("event_type").isin("click", "view")).select(
         "event_type",
         F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
@@ -6874,7 +6940,7 @@ def q_spearman_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cernan_spark.operators.rankstats import spearman_corr
 
     _utc(spark)
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _events(spark, sf_dir)
     prep = ev.select(
         "event_type",
         (F.unix_timestamp("ts") / 3600).cast("long").alias("h"),
@@ -6903,7 +6969,7 @@ def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cernan_spark.operators.rankstats import theil_sen
 
     _utc(spark)
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _events(spark, sf_dir)
     prep = ev.select(
         "event_type",
         (F.unix_timestamp("ts") / 3600).cast("long").alias("x"),
@@ -6923,7 +6989,7 @@ def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cernan_spark.operators.loghygiene import t_closeness_audit
 
     _utc(spark)
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _events(spark, sf_dir)
     base = ev.select(F.hour("ts").alias("hh"), "event_type")
     return t_closeness_audit(base, ["hh"], "event_type", 0.15)
 
@@ -6951,7 +7017,7 @@ def q_gini_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
     salting / AQE-skew decision that skew_report's top-k view feeds."""
     from cernan_spark.operators.skew import gini_concentration
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _events(spark, sf_dir)
     return gini_concentration(ev, ["user_id"])
 
 
@@ -6963,7 +7029,7 @@ def q_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/corpus.good_turing_spectrum)."""
     from cernan_spark.operators.corpus import good_turing_spectrum
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _docs(spark, sf_dir)
     return good_turing_spectrum(d, max_r=10, type_cols=["doc_id"])
 
 
@@ -6975,7 +7041,7 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/corpus.phrase_search)."""
     from cernan_spark.operators.corpus import phrase_search
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _docs(spark, sf_dir)
     return phrase_search(d, ["order", "order"])
 
 
@@ -6990,7 +7056,7 @@ def q_mrr_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         retrieval_metrics,
     )
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _docs(spark, sf_dir)
     parts = []
     for qid, terms in [
         (1, BM25_QUERY),
@@ -7019,7 +7085,7 @@ def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cernan_spark.operators.experiment import cuped_adjust
 
     _utc(spark)
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _events(spark, sf_dir)
     mn = ev.agg(F.min(F.unix_timestamp("ts")).alias("mn"))
     per_user = (
         ev.crossJoin(F.broadcast(mn))
@@ -7059,7 +7125,7 @@ def q_poisson_boot(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cernan_spark.operators.experiment import poisson_bootstrap_mean
 
     _utc(spark)
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _events(spark, sf_dir)
     prep = ev.filter(F.col("event_type") == "purchase").select(
         "event_id",
         F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
@@ -7075,7 +7141,7 @@ def q_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB twin replays the rounds in a list-carried recursive CTE."""
     from cernan_spark.operators.graph import label_propagation
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _docs(spark, sf_dir)
     edges = d.select(
         (F.col("doc_id") % 23).alias("src"),
         (F.col("doc_id") % 29).alias("dst"),
@@ -7091,7 +7157,7 @@ def q_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/corpus.hll_set_overlap)."""
     from cernan_spark.operators.corpus import hll_set_overlap
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _events(spark, sf_dir)
     return hll_set_overlap(
         ev, "event_type", F.col("user_id").cast("string"),
         "click", "purchase",
@@ -7105,7 +7171,7 @@ def q_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     after label_centroids (operators/similarity.simplified_silhouette)."""
     from cernan_spark.operators.similarity import simplified_silhouette
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _embs(spark, sf_dir)
     return simplified_silhouette(emb)
 
 
@@ -7116,7 +7182,7 @@ def q_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     domain_cap/alpha_mix (operators/textstats.diversity_profile)."""
     from cernan_spark.operators.textstats import diversity_profile
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _docs(spark, sf_dir)
     return diversity_profile(d, ["source"], "lang")
 
 
@@ -7125,7 +7191,7 @@ def _hourly_cents_xy(spark: SparkSession, sf_dir: str) -> DataFrame:
     as (event_type, x, y) — NOT the cusum/forecast helper of the same
     family above, which emits (…, day, hour, …)."""
     _utc(spark)
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _events(spark, sf_dir)
     prep = ev.select(
         "event_type",
         (F.unix_timestamp("ts") / 3600).cast("long").alias("x"),
@@ -7163,7 +7229,7 @@ def q_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
     phrase) (operators/textstats.rake_keyphrases)."""
     from cernan_spark.operators.textstats import rake_keyphrases
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _docs(spark, sf_dir)
     return rake_keyphrases(d, top_k=20)
 
 
@@ -7175,7 +7241,7 @@ def q_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cernan_spark.operators.rankstats import kendall_tau
 
     _utc(spark)
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _events(spark, sf_dir)
     prep = ev.select(
         "event_type",
         (F.unix_timestamp("ts") / 3600).cast("long").alias("h"),
@@ -7200,7 +7266,7 @@ def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cernan_spark.operators.rankstats import ks_two_sample
 
     _utc(spark)
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _events(spark, sf_dir)
     prep = ev.filter(F.col("event_type").isin("click", "view")).select(
         "event_type",
         F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
@@ -7226,7 +7292,7 @@ def q_overdispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cernan_spark.operators.anomaly import overdispersion_index
 
     _utc(spark)
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _events(spark, sf_dir)
     counts = ev.select(
         "event_type",
         (F.unix_timestamp("ts") / 3600).cast("long").alias("x"),
@@ -7257,7 +7323,7 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     boolean-flags recursive CTE that stops at the same fixed point."""
     from cernan_spark.operators.graph import k_core
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _docs(spark, sf_dir)
     edges = d.select(
         (F.col("doc_id") % 89).alias("src"),
         (F.col("doc_id") % 97).alias("dst"),
@@ -7271,7 +7337,7 @@ def q_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     distance map, integer-only (operators/graph.bfs_hops)."""
     from cernan_spark.operators.graph import bfs_hops
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _docs(spark, sf_dir)
     edges = d.select(
         (F.col("doc_id") % 89).alias("src"),
         (F.col("doc_id") % 97).alias("dst"),
@@ -7287,7 +7353,7 @@ def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical (operators/graph.hits_scores)."""
     from cernan_spark.operators.graph import hits_scores
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _docs(spark, sf_dir)
     edges = d.select(
         (F.col("doc_id") % 89).alias("src"),
         (F.col("doc_id") % 97).alias("dst"),
@@ -7316,7 +7382,7 @@ def q_cidr(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cernan_spark.operators.loghygiene import cidr_rollup
 
     _utc(spark)
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _events(spark, sf_dir)
     ip = F.when(F.col("event_id") % 13 == 0, F.lit("bad.ip")).otherwise(
         F.concat(
             F.lit("10."),
@@ -7362,7 +7428,7 @@ def q_fair_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/skew.fair_share_alloc)."""
     from cernan_spark.operators.skew import fair_share_alloc
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _events(spark, sf_dir)
     demands = ev.groupBy(F.col("user_id").alias("user")).agg(
         F.count(F.lit(1)).alias("demand")
     )
@@ -7378,7 +7444,7 @@ def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cernan_spark.operators.behavior import rfm_scores
 
     _utc(spark)
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _events(spark, sf_dir)
     prep = ev.select(
         "user_id",
         "ts",
@@ -7394,7 +7460,7 @@ def q_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/behavior.item_cosine)."""
     from cernan_spark.operators.behavior import item_cosine
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _events(spark, sf_dir)
     return item_cosine(ev, "user_id", "event_type", 2)
 
 
@@ -7405,7 +7471,7 @@ def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/similarity.embedding_drift)."""
     from cernan_spark.operators.similarity import embedding_drift
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _embs(spark, sf_dir)
     return embedding_drift(emb, F.col("vec_id") % 2 == 1)
 
 
@@ -7417,7 +7483,7 @@ def q_hbos(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cernan_spark.operators.anomaly import hbos_scores
 
     _utc(spark)
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _events(spark, sf_dir)
     prep = ev.select(
         "event_id",
         F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
@@ -7444,7 +7510,7 @@ def q_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cernan_spark.operators.behavior import stickiness
 
     _utc(spark)
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _events(spark, sf_dir)
     return stickiness(ev, "user_id", "ts", 28)
 
 
@@ -7455,7 +7521,7 @@ def q_ips(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/experiment.ips_policy_value)."""
     from cernan_spark.operators.experiment import ips_policy_value
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _events(spark, sf_dir)
     tool = (
         F.when(F.col("event_type") == "click", "grep")
         .when(F.col("event_type") == "view", "read")
@@ -7509,7 +7575,7 @@ def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cernan_spark.operators.survival import kaplan_meier
 
     _utc(spark)
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _events(spark, sf_dir)
     fe = ev.groupBy("user_id").agg(F.min("ts").alias("t0"))
     fp = (
         ev.filter(F.col("event_type") == "purchase")
@@ -7535,7 +7601,7 @@ def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _residue_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The residue co-citation graph shared by label_prop / modularity /
     assortativity: doc_id mod 23 cites doc_id mod 29."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _docs(spark, sf_dir)
     return d.select(
         (F.col("doc_id") % 23).alias("src"),
         (F.col("doc_id") % 29).alias("dst"),
@@ -7613,7 +7679,7 @@ def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkpoint list (operators/corpus.heaps_law)."""
     from cernan_spark.operators.corpus import heaps_law
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _docs(spark, sf_dir)
     arr = F.split("text", " ")
     bigrams = F.zip_with(
         F.slice(arr, 1, F.size(arr) - 1),
@@ -7643,7 +7709,7 @@ def _lp_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id·31 + 7) % 211 — stays sparse at every SF, unlike the dense
     mod-23/29 graph the community queries share (which is complete at
     sf0.1 and would make every pair adjacent)."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _docs(spark, sf_dir)
     return d.select(
         (F.col("doc_id") % 211).alias("src"),
         ((F.col("doc_id") * 31 + 7) % 211).alias("dst"),
@@ -7668,7 +7734,7 @@ def q_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cernan_spark.operators.experiment import sprt_decision
 
     _utc(spark)
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _events(spark, sf_dir)
     cents = F.round(F.col("value") * 100, 0).cast("long")
     stream = ev.select(
         "event_type",
@@ -7699,7 +7765,7 @@ def q_yule_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/corpus.yule_k)."""
     from cernan_spark.operators.corpus import yule_k
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _docs(spark, sf_dir)
     toks = d.select(
         "lang", F.explode(F.split("text", " ")).alias("tok")
     ).filter(F.length("tok") > 0)
@@ -7715,7 +7781,7 @@ def q_cmh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cernan_spark.operators.experiment import cmh_odds
 
     _utc(spark)
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _events(spark, sf_dir)
     cents = F.round(F.col("value") * 100, 0).cast("long")
     frame = ev.select(
         "event_type",
@@ -7756,7 +7822,7 @@ def q_grid_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/similarity.grid_dbscan)."""
     from cernan_spark.operators.similarity import grid_dbscan
 
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    e = _embs(spark, sf_dir)
     return grid_dbscan(e, "vec_id", "embedding", eps=0.05, min_pts=4)
 
 
@@ -7798,7 +7864,7 @@ def q_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/textstats.burrows_delta)."""
     from cernan_spark.operators.textstats import burrows_delta
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _docs(spark, sf_dir)
     toks = d.select(
         "source", F.explode(F.split("text", " ")).alias("tok")
     ).filter(F.length("tok") > 0)
@@ -7824,7 +7890,7 @@ def q_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/graph.pagerank)."""
     from cernan_spark.operators.graph import pagerank
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _docs(spark, sf_dir)
     arr = F.split("text", " ")
     prs = F.zip_with(
         F.slice(arr, 1, F.size(arr) - 1),
@@ -7874,7 +7940,7 @@ def q_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cernan_spark.operators.survival import logrank_test
 
     _utc(spark)
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _events(spark, sf_dir)
     fe = ev.groupBy("user_id").agg(F.min("ts").alias("t0"))
     fp = (
         ev.filter(F.col("event_type") == "purchase")
@@ -7933,7 +7999,7 @@ def q_chrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/textstats.chrf_score)."""
     from cernan_spark.operators.textstats import chrf_score
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _docs(spark, sf_dir)
     toks = F.split(F.col("text"), " ")
     ref = F.array_join(
         F.filter(toks, lambda x, i: (i + 1) % 3 != 0), " "
@@ -7951,7 +8017,7 @@ def q_poststrat(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/experiment.poststratified_mean)."""
     from cernan_spark.operators.experiment import poststratified_mean
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _docs(spark, sf_dir)
     frame = d.select(
         "lang",
         "n_chars",
@@ -7968,7 +8034,7 @@ def q_chapman(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cernan_spark.operators.sketch import chapman_estimate
 
     _utc(spark)
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _events(spark, sf_dir)
     frame = ev.select(
         "user_id",
         (F.col("event_type") == "click").alias("s1"),
@@ -8007,7 +8073,7 @@ def q_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/corpus.naive_bayes_eval)."""
     from cernan_spark.operators.corpus import naive_bayes_eval
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _docs(spark, sf_dir)
     toks = d.select(
         "doc_id",
         "lang",
@@ -8051,7 +8117,7 @@ def q_theil(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cernan_spark.operators.skew import theil_indices
 
     _utc(spark)
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _events(spark, sf_dir)
     frame = ev.select(
         "event_type",
         "user_id",
@@ -8091,7 +8157,7 @@ def q_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cernan_spark.operators.rankstats import mcnemar_test
 
     _utc(spark)
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _events(spark, sf_dir)
     cents = F.round(F.col("value") * 100, 0).cast("long")
     truth = F.col("user_id") % 2 == 0
     paired = ev.select(
@@ -8109,7 +8175,7 @@ def q_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cernan_spark.operators.rankstats import runs_test
 
     _utc(spark)
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _events(spark, sf_dir)
     cents = F.round(F.col("value") * 100, 0).cast("long")
     stream = ev.select(
         "event_type", "ts", "event_id", (cents % 2).alias("x")
@@ -8185,7 +8251,7 @@ def q_dr(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/experiment.dr_policy_value)."""
     from cernan_spark.operators.experiment import dr_policy_value
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _events(spark, sf_dir)
     tool = (
         F.when(F.col("event_type") == "click", "grep")
         .when(F.col("event_type") == "view", "read")

@@ -75,13 +75,46 @@ def grok_extract(
     all-empty fields — the bad-line accounting shape of the statsd
     parser (bad lines counted, never dropped silently)."""
     rx, fields = grok_compile(template)
-    cols: list[Column] = [F.col(c) for c in df.columns] if keep else [
-        F.col(line_col)
-    ]
+    line = F.col(line_col)
+
+    # ONE regex evaluation extracts every field: rewrite the matched line
+    # into '\x01'-joined capture groups with a single regexp_replace (the
+    # anchored ^...$ template matches at most once), then slice with a
+    # plain split. The per-field regexp_extract form re-ran the full
+    # regex once per referenced field (+1 rlike) — measured 4 evals/line
+    # and ~1.4 s of the 2.0 s grok_apache time at sf1.0
+    # (OPTIMIZATION_r06.md; guide §1.2 "per-task work"). The match flag
+    # keeps its own rlike so `grok_matched` semantics are exact, and a
+    # line whose *captured content* contains the separator itself (none
+    # of the driver corpora can) falls back to the per-field extract.
+    sep = "\x01"
+    repl = sep.join(f"${i}" for i in range(1, len(fields) + 1))
+    parts = F.split(F.regexp_replace(line, rx, repl), sep)
+    matched = line.rlike(rx)
+    base = list(df.columns) if keep else [line_col]
+
+    # (matched, parts) materialize ONCE per row behind a single-element
+    # explode (a Generate barrier, same trick as parse_statsd_lines):
+    # downstream projections wrap fields in CASE WHEN, and conditional
+    # expressions defeat codegen subexpression elimination — without the
+    # barrier every referencing column would re-run the regex.
+    staged = df.select(
+        *base,
+        F.explode(
+            F.array(F.struct(matched.alias("m"), parts.alias("p")))
+        ).alias("_gk"),
+    )
+    clean = F.col("_gk.m") & ~line.contains(sep)
+    cols: list[Column] = [F.col(c) for c in base]
     for i, name in enumerate(fields, start=1):
-        cols.append(F.regexp_extract(F.col(line_col), rx, i).alias(name))
-    cols.append((F.col(line_col).rlike(rx)).alias("grok_matched"))
-    return df.select(*cols)
+        cols.append(
+            F.when(clean, F.element_at(F.col("_gk.p"), i))
+            .when(~F.col("_gk.m"), F.lit(""))  # unmatched: cheap constant
+            .otherwise(F.regexp_extract(line, rx, i))  # sep-collision only
+            .alias(name)
+        )
+    cols.append(F.col("_gk.m").alias("grok_matched"))
+    return staged.select(*cols)
 
 
 #: ready-made line templates — literal text is escaped by grok_compile,

@@ -127,16 +127,58 @@ def minhash_signatures(
     # combined arithmetically from per-token hashes — no n-gram strings are
     # ever materialized. The input is repartitioned first: signature
     # computation is CPU-bound and a few-file parquet scan would otherwise
-    # pin it to a handful of tasks.
+    # pin it to a handful of tasks. Hash-partition on the id (NOT keyless
+    # round-robin, which pays a local sort of the full text in the scan
+    # task — SPARK-23207 — and is retry-unsafe); ×2 over-decomposition
+    # evens out doc-length variance across tasks.
     par = docs.sparkSession.sparkContext.defaultParallelism * 2
     hashed = with_shingle_hashes(
-        docs.repartition(par).select(F.col(id_col).alias("id"), text_col),
+        docs.repartition(par, F.col(id_col)).select(
+            F.col(id_col).alias("id"), text_col
+        ),
         text_col,
         shingle_n,
         portable=portable,
-    ).select("id", "_h").filter(F.size("_h") > 0)
-    return hashed.select(
-        "id", minhash_signature(F.col("_h"), num_hashes).alias("sig")
+    ).select("id", "_h")
+    # NO `filter(size(_h) > 0)` here: Catalyst pushes such a predicate
+    # below the staged projections, substituting the FULL shingle-hash
+    # expression (interpreted HOFs) into the Filter — the whole pipeline
+    # then evaluates twice per row, measured 0.26 s → 4.15 s at sf1.0
+    # (OPTIMIZATION_r06.md). The explode below already drops empty-shingle
+    # docs (explode of an empty array emits no rows), which is exactly
+    # what the filter enforced.
+    # The 32 permutation-mins run as FLAT aggregate expressions over the
+    # exploded shingle hashes, not as array HOFs over `_h`: higher-order
+    # functions (transform/array_min) are CodegenFallback in Spark — the
+    # 32-transform form evaluated interpreted, per row, per permutation,
+    # and measured 6.4 s at sf1.0 where this form runs in well under a
+    # second (OPTIMIZATION_r06.md, guide §1.2 "per-task work"). The
+    # groupBy(id) reuses the repartition(par, id) exchange, so no extra
+    # shuffle; min() over the same integers is bit-identical to the
+    # array_min form (equality pytest-pinned against minhash_signature).
+    p = F.lit(_MERSENNE31)
+    h = F.col("_shv")
+    mins = [
+        F.min((h * F.lit(a) + F.lit(b)) % p).alias(f"_s{i}")
+        for i, (a, b) in enumerate(_perm_coeffs(num_hashes))
+    ]
+    # `_h` materializes ONCE per doc behind a single-element explode (the
+    # parse_statsd_lines Generate-barrier trick) BEFORE the real explode:
+    # exploding the HOF chain directly re-evaluates it per emitted
+    # element (measured 3.45 s vs 0.03 s over materialized arrays at
+    # sf1.0 — OPTIMIZATION_r06.md).
+    staged = hashed.select(
+        "id",
+        F.explode(F.array(F.struct(F.col("_h").alias("h")))).alias("_hs"),
+    )
+    return (
+        staged.select("id", F.explode("_hs.h").alias("_shv"))
+        .groupBy("id")
+        .agg(*mins)
+        .select(
+            "id",
+            F.array(*[F.col(f"_s{i}") for i in range(num_hashes)]).alias("sig"),
+        )
     )
 
 

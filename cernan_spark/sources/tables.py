@@ -27,6 +27,30 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def spread_scan(df: DataFrame, *keys: str) -> DataFrame:
+    """Raise a parallelism-deficient scan to the session's default
+    parallelism (guide §2.5 "input skew: one huge unsplittable file").
+
+    A parquet file with a single row group cannot be split below file
+    granularity, so every narrow operator fused onto its scan (parse,
+    format, classify, partial aggregation) runs in ONE task no matter how
+    many cores the session has — the driver test data ships exactly such
+    files. When the scan's natural split count is already >= the default
+    parallelism (any real multi-file / multi-row-group warehouse at scale),
+    this is a NO-OP: no exchange is added, so cluster plans are unchanged.
+
+    The redistribution hashes on ``keys`` (deterministic — a keyless
+    round-robin both pays a local sort of its input, SPARK-23207, and is
+    unsafe under task retry): pick a high-cardinality column, ideally one
+    a downstream window/groupBy partitions by so the exchange is reused.
+    """
+    sc = df.sparkSession.sparkContext
+    par = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= par:
+        return df
+    return df.repartition(par, *keys)
+
+
 def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
     sf_dir = sf_dir or DEFAULT_SF_DIR
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")

@@ -59,7 +59,15 @@ def transcripts_from_events(
     the stable order key mandated by the north rule (replaces cernan's
     order-of-receipt, reference src/metric/telemetry.rs:23-24).
     """
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from cernan_spark.sources.tables import spread_scan
+
+    # Distribute the scan (guide §2.5): events.parquet is a single-row-group
+    # file locally, so without this every consumer that prunes the turn_idx
+    # window (bucket aggregates, routing, grok) runs its whole fused
+    # parse chain in ONE task. Hashing on user_id means the turn_idx
+    # window's required distribution is already satisfied — consumers that
+    # DO use the window pay no extra exchange (verified in plans/r06).
+    ev = spread_scan(spark.read.parquet(f"{sf_dir}/events.parquet"), "user_id")
     from pyspark.sql import Window as W
 
     w = W.partitionBy("user_id").orderBy("event_id")
