@@ -1830,9 +1830,20 @@ def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lpad(F.col("doc_id").cast("string"), 16, "x"),
         ).alias("text"),
     )
+    # counts cast to bigint: the oracle's len(regexp_extract_all(...))
+    # comes back int64 where Spark size() is int32 (arrow-gate parity;
+    # values identical — the driver's r5 hash already tolerated the
+    # width skew, this just makes the local gate exact)
     return redact_pii(seeded).select(
-        "doc_id", "n_email", "n_phone", "n_ipv4", "n_ccard", "n_ssn",
-        "n_apikey", "n_ccard_luhn", "redacted",
+        "doc_id",
+        *[
+            F.col(c).cast("bigint").alias(c)
+            for c in (
+                "n_email", "n_phone", "n_ipv4", "n_ccard", "n_ssn",
+                "n_apikey", "n_ccard_luhn",
+            )
+        ],
+        "redacted",
     )
 
 
@@ -7686,10 +7697,16 @@ def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.slice(arr, 2, F.size(arr) - 1),
         lambda a, b: F.concat(a, F.lit("_"), b),
     )
-    stream = d.select(
-        "doc_id", F.explode(bigrams).alias("tok")
+    from cernan_spark.functions.expand import explode_staged
+
+    # Generate-barrier explode: bigrams is a zip_with HOF chain (see
+    # functions/expand.py), and the checkpoint column casts to bigint
+    # for arrow-gate type parity with the oracle's int64
+    stream = explode_staged(d, ["doc_id"], bigrams, "tok")
+    out = heaps_law(stream, "doc_id", "tok", 12)
+    return out.withColumn(
+        "checkpoint", F.col("checkpoint").cast("bigint")
     )
-    return heaps_law(stream, "doc_id", "tok", 12)
 
 
 def q_acf(spark: SparkSession, sf_dir: str) -> DataFrame:

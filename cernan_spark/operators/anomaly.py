@@ -703,7 +703,12 @@ def wilson_error_bounds(
     nd = F.col("n").cast("double")
     p = F.col("n_err").cast("double") / nd
     z = F.lit(1.96)
-    z2 = z * z
+    # z² pinned to the double DuckDB computes: its 1.96*1.96 is an EXACT
+    # decimal multiply (DECIMAL(6,4) = 3.8416) converted to double —
+    # one ULP above the double product 1.96*1.96 (0x1.ebb98c7e28241p+1
+    # vs ...240p+1). The frozen oracle embeds that literal expression, so
+    # the Spark tree pins the same value (round-6 gate finding).
+    z2 = F.lit(float(38416) / 1e4)
     center = p + z2 / (F.lit(2.0) * nd)
     margin = z * F.sqrt(
         p * (F.lit(1.0) - p) / nd + z2 / (F.lit(4.0) * nd * nd)

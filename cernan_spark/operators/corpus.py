@@ -495,16 +495,19 @@ def pmi_bigrams(
     idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
         F.array().cast("array<int>")
     )
-    pairs = df.select(
-        F.explode(
-            F.transform(
-                idx,
-                lambda i: F.struct(
-                    F.element_at(toks, i).alias("x"),
-                    F.element_at(toks, i + 1).alias("y"),
-                ),
-            )
-        ).alias("p")
+    from cernan_spark.functions.expand import explode_staged
+
+    pairs = explode_staged(
+        df,
+        [],
+        F.transform(
+            idx,
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("x"),
+                F.element_at(toks, i + 1).alias("y"),
+            ),
+        ),
+        "p",
     ).select("p.x", "p.y")
     big = pairs.groupBy("x", "y").agg(F.count(F.lit(1)).alias("c_xy"))
     uni = (
@@ -785,38 +788,38 @@ def bigram_logprob_holdout(
     ).groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
     totals = t_uni.agg(F.sum("cnt").alias("n_train"))
     n = F.size("__toks")
-    t_big = train.select(
-        F.explode(
-            F.transform(
-                F.when(n >= 2, F.sequence(F.lit(2), n)).otherwise(
-                    F.array().cast("array<int>")
-                ),
-                lambda i: F.struct(
-                    F.element_at("__toks", i - 1).alias("x"),
-                    F.element_at("__toks", i).alias("y"),
-                ),
-            )
-        ).alias("b")
+    from cernan_spark.functions.expand import explode_staged
+
+    t_big = explode_staged(
+        train,
+        [],
+        F.transform(
+            F.when(n >= 2, F.sequence(F.lit(2), n)).otherwise(
+                F.array().cast("array<int>")
+            ),
+            lambda i: F.struct(
+                F.element_at("__toks", i - 1).alias("x"),
+                F.element_at("__toks", i).alias("y"),
+            ),
+        ),
+        "b",
     ).select("b.x", "b.y").groupBy("x", "y").agg(
         F.count(F.lit(1)).alias("c_xy")
     )
 
-    pos = val.select(
-        F.col(key_col),
-        F.explode(
-            F.transform(
-                F.when(n >= 2, F.sequence(F.lit(2), n)).otherwise(
-                    F.array().cast("array<int>")
-                ),
-                lambda i: F.struct(
-                    i.alias("pos"),
-                    F.element_at("__toks", i - 1).alias("x"),
-                    F.element_at("__toks", i).alias("y"),
-                ),
-            )
-        ).alias("p"),
-        n.alias("__n"),
-    ).filter(F.col("__n") >= 2).select(key_col, "p.pos", "p.x", "p.y")
+    pos = explode_staged(
+        val.withColumn("__n", n).filter(F.col("__n") >= 2),
+        [key_col],
+        F.transform(
+            F.sequence(F.lit(2), F.col("__n")),
+            lambda i: F.struct(
+                i.alias("pos"),
+                F.element_at("__toks", i - 1).alias("x"),
+                F.element_at("__toks", i).alias("y"),
+            ),
+        ),
+        "p",
+    ).select(key_col, "p.pos", "p.x", "p.y")
 
     ux = t_uni.select(F.col("tok").alias("x"), F.col("cnt").alias("c_x"))
     uy = t_uni.select(F.col("tok").alias("y"), F.col("cnt").alias("c_y"))

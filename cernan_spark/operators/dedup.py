@@ -812,7 +812,9 @@ def span_overlap_pairs(
         span_tokens,
         portable=portable,
     )
-    ex = hashed.select("id", F.explode("_h").alias("sh"))
+    from cernan_spark.functions.expand import explode_staged
+
+    ex = explode_staged(hashed, ["id"], F.col("_h"), "sh")
     buckets = (
         ex.groupBy("sh")
         .agg(F.sort_array(F.collect_list("id")).alias("ids"))
@@ -1748,9 +1750,13 @@ def prefix_filter_join(
     """
     from pyspark.sql import Window as W
 
-    sh = docs.select(
-        F.col(id_col).alias("id"),
-        F.explode(shingles(F.col(text_col), shingle_n)).alias("tok"),
+    from cernan_spark.functions.expand import explode_staged
+
+    sh = explode_staged(
+        docs.select(F.col(id_col).alias("id"), text_col),
+        ["id"],
+        shingles(F.col(text_col), shingle_n),
+        "tok",
     )
     dfq = sh.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     ranked = dfq.withColumn(
@@ -1868,9 +1874,11 @@ def cdc_duplicate_chunks(
             F.element_at("__b", i + F.lit(1)) - F.element_at("__b", i),
         ),
     )
-    ex = staged.select(
-        F.col(id_col), F.explode(chunks).alias("chunk")
-    ).filter(F.length("chunk") >= min_len)
+    from cernan_spark.functions.expand import explode_staged
+
+    ex = explode_staged(staged, [id_col], chunks, "chunk").filter(
+        F.length("chunk") >= min_len
+    )
     return (
         ex.groupBy("chunk")
         .agg(

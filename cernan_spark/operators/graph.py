@@ -60,7 +60,14 @@ def pagerank(
         .select("node", F.coalesce("out_deg", F.lit(0)).alias("out_deg"))
     )
     n_nodes = nodes.count()  # scalar: the only driver-side action
-    base = (1.0 - damping) / n_nodes
+    # (1 − d) via exact decimal, as the oracle's DuckDB DECIMAL
+    # arithmetic computes it: 1.0 − 0.85 = 0.15 exactly, then ONE
+    # double rounding — the float expression 1.0 - 0.85 lands on
+    # 0.15000000000000002 instead and drifts every rank by an ULP
+    # (round-6 gate finding).
+    from decimal import Decimal
+
+    base = float(Decimal("1.0") - Decimal(str(damping))) / n_nodes
 
     rank = nodes.select(
         "node", "out_deg", F.lit(1.0 / n_nodes).alias("rank")

@@ -759,6 +759,28 @@ def truncation_recall(
     )
 
 
+def _glibc_ln():
+    """C-libm ``log`` as a tiny Arrow UDF, for entropy terms evaluated at
+    DIMENSION grain (≤ a few hundred rows — never on a fact table).
+
+    JVM ``Math.log`` and glibc ``log`` are both ~0.5-ULP accurate but
+    disagree by one ULP on some inputs (observed: log(24/260), JVM
+    -0x1.30f9f2a1342eap+1 vs glibc ...e9p+1). The DuckDB oracle uses the
+    C libm, so entropy queries that must replay bit-identically route
+    their ln through the same library via CPython's ``math.log``. The
+    guard keeps the UDF total (Spark extracts UDFs into an unconditional
+    ArrowEvalPython node, so a CASE cannot shield log(0))."""
+    import math
+
+    from pyspark.sql.functions import udf
+
+    return udf(
+        lambda x: math.log(x) if x is not None and x > 0.0 else None,
+        "double",
+        useArrow=True,
+    )
+
+
 def _entropy_expr(cols: list[Column], n: Column) -> Column:
     """Fixed-order Shannon entropy −Σ (c/n)·ln(c/n) over explicit count
     columns. The term list is folded LEFT-TO-RIGHT in source order — the
@@ -769,10 +791,11 @@ def _entropy_expr(cols: list[Column], n: Column) -> Column:
     of 0.0 is signed differently across engines and would break a value
     hash."""
     nd = n.cast("double")
+    ln = _glibc_ln()
     terms = None
     for c in cols:
         cd = c.cast("double")
-        t = F.when(c == 0, F.lit(0.0)).otherwise((cd / nd) * F.log(cd / nd))
+        t = F.when(c == 0, F.lit(0.0)).otherwise((cd / nd) * ln(cd / nd))
         terms = t if terms is None else terms + t
     return F.lit(0.0) - terms
 

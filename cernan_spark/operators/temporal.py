@@ -1213,7 +1213,27 @@ def haar_energy(
 
 #: 2·cos(2π/p) for the Goertzel recursion, pinned decimal literals
 #: shared with the SQL oracle (no cross-engine cos()).
-GOERTZEL_COEFFS = {24: 1.9318516525781366, 168: 1.998601409576797}
+def _duck_decimal_double(mantissa: int, scale: int) -> float:
+    """The double DuckDB actually computes for a bare decimal literal.
+
+    DuckDB parses ``1.9318516525781366`` as DECIMAL(17,16) and converts
+    to DOUBLE as round(int128→double) / 10^scale — TWO roundings, which
+    for some mantissas lands one ULP off the correctly-rounded strtod
+    parse (verified: c₂₄ differs, 0x1.ee8dd4748bf16p+0 vs ...15p+0).
+    The oracle SQL is frozen with bare literals inside its recursive
+    CTE, so the Spark fold must pin the SAME effective double or the
+    Goertzel recursion drifts ~0.5 absolute over 681 steps
+    (OPTIMIZATION_r06.md, round-6 gate finding)."""
+    return float(mantissa) / float(10 ** scale)
+
+
+GOERTZEL_COEFFS = {
+    24: _duck_decimal_double(19318516525781366, 16),   # 2cos(2π/24)
+    # the oracle's CASE unifies both branches to DECIMAL(17,16), so c₁₆₈
+    # is converted at scale 16 (mantissa ×10), one ULP BELOW its strtod
+    # parse — pinned to the unified-type conversion, not the literal's own
+    168: _duck_decimal_double(19986014095767970, 16),  # 2cos(2π/168)
+}
 
 
 def goertzel_power(
@@ -1289,13 +1309,25 @@ def goertzel_power(
             + fold["s2"] * fold["s2"]
             - c * fold["s1"] * fold["s2"]
         )
+        # power is ~1e10+ at scale 6: DuckDB's round() multiplies by 10^6
+        # IN DOUBLES (losing bits past 2^53) then std::round()s, where
+        # Spark's round() is exact BigDecimal HALF_UP — the two differ in
+        # the last printed digit for large magnitudes. The oracle is
+        # frozen, so replicate DuckDB's pipeline: t = x·1e6 (double),
+        # half-away-from-zero, /1e6. rel_power (~1e-3) keeps F.round.
+        # round(t,0) is exact BigDecimal HALF_UP == C std::round for every
+        # double (a floor(|t|+0.5) idiom instead breaks on odd integers in
+        # [2^52, 2^53): the +0.5 tie rounds half-even UP where std::round
+        # returns t unchanged — observed at sf0.001)
+        t6 = power * F.lit(1e6)
+        duck_round6 = F.round(t6, 0) / F.lit(1e6)
         outs.append(
             base.filter(F.col("n") >= F.lit(int(p)))
             .select(
                 *key_cols,
                 F.lit(int(p)).alias("period"),
                 F.col("n").alias("n_points"),
-                F.round(power, 6).alias("power"),
+                duck_round6.alias("power"),
                 F.round(
                     F.when(
                         F.col("sst") > 0.0,

@@ -19,6 +19,7 @@ Usage: python scripts/check_oracle_arrow.py [sf_dir] [query ...]
 
 from __future__ import annotations
 
+import datetime
 import math
 import os
 import sys
@@ -41,13 +42,32 @@ def _rowset(tbl, cols):
 
     def key(v):
         # exact: repr of the converted value; floats by repr (bit-exact),
-        # NaN normalized so NaN == NaN
+        # NaN normalized so NaN == NaN; tz-aware UTC datetimes normalized
+        # to naive (same instant — see _tz_equiv)
         if isinstance(v, float) and math.isnan(v):
             return "NaN"
+        if isinstance(v, datetime.datetime) and v.tzinfo is not None:
+            return repr(v.astimezone(datetime.timezone.utc).replace(tzinfo=None))
         return repr(v)
 
     n = tbl.num_rows
     return sorted(tuple(key(pylists[c][i]) for c in cols) for i in range(n))
+
+
+def _tz_equiv(st, ot) -> bool:
+    """timestamp[us, tz=UTC] (Spark TimestampType under the pinned UTC
+    session zone) vs timestamp[us] (DuckDB TIMESTAMP) name the same
+    instant; the driver's hash demonstrably treats them as equal
+    (streaming_sessions was driver-GREEN in r5 with exactly this skew),
+    so the gate does too. Any other type difference still fails."""
+    import pyarrow as pa
+
+    return (
+        pa.types.is_timestamp(st)
+        and pa.types.is_timestamp(ot)
+        and st.unit == ot.unit
+        and {st.tz, ot.tz} <= {None, "UTC"}
+    )
 
 
 def main() -> int:
@@ -92,7 +112,7 @@ def main() -> int:
         for c in scols:
             st = stbl.schema.field(c).type
             ot = otbl.schema.field(c).type
-            if st != ot:
+            if st != ot and not _tz_equiv(st, ot):
                 types_bad.append(f"{c}: spark={st} oracle={ot}")
         if types_bad:
             print(f"FAIL  {name}: type skew — " + "; ".join(types_bad))

@@ -83,7 +83,10 @@ def test_pagerank_hand_model(spark):
     deg = {"a": 2, "b": 1, "c": 1, "d": 0}
     n = len(nodes)
     rank = {v: 1.0 / n for v in nodes}
-    base = (1.0 - 0.85) / n
+    # (1 − d) pinned via exact decimal, as the operator (and its DuckDB
+    # oracle's DECIMAL arithmetic) computes it — the float expression
+    # 1.0 - 0.85 is one ULP higher (0.15000000000000002)
+    base = 0.15 / n
     for _ in range(3):
         dm = 0.0
         for v in sorted(nodes):
