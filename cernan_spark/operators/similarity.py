@@ -767,15 +767,19 @@ def _glibc_ln():
     disagree by one ULP on some inputs (observed: log(24/260), JVM
     -0x1.30f9f2a1342eap+1 vs glibc ...e9p+1). The DuckDB oracle uses the
     C libm, so entropy queries that must replay bit-identically route
-    their ln through the same library via CPython's ``math.log``. The
-    guard keeps the UDF total (Spark extracts UDFs into an unconditional
-    ArrowEvalPython node, so a CASE cannot shield log(0))."""
+    their ln through the same library via CPython's ``math.log``.
+
+    The ratio divides INSIDE the UDF (IEEE division is bit-identical in
+    CPython and the JVM): Spark extracts UDF arguments into an
+    unconditional ArrowEvalPython node, so a CASE cannot shield a
+    JVM-side c/n from ANSI divide-by-zero on an empty split, nor
+    log(0)."""
     import math
 
     from pyspark.sql.functions import udf
 
     return udf(
-        lambda x: math.log(x) if x is not None and x > 0.0 else None,
+        lambda c, n: math.log(c / n) if c and n else None,
         "double",
         useArrow=True,
     )
@@ -795,7 +799,7 @@ def _entropy_expr(cols: list[Column], n: Column) -> Column:
     terms = None
     for c in cols:
         cd = c.cast("double")
-        t = F.when(c == 0, F.lit(0.0)).otherwise((cd / nd) * ln(cd / nd))
+        t = F.when(c == 0, F.lit(0.0)).otherwise((cd / nd) * ln(cd, nd))
         terms = t if terms is None else terms + t
     return F.lit(0.0) - terms
 

@@ -76,8 +76,11 @@ def test_parse_scan_prunes_columns(spark):
     plan = _plan(p)
     scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
     read_schema = scan.split("ReadSchema:")[-1]
-    # the parse consumes event fields; the unused wide columns stay out
-    assert "user_id" not in read_schema
+    # the parse consumes event fields; the unused wide columns stay out.
+    # (user_id is now always read: it is the spread_scan hash key that
+    # distributes the single-row-group scan — r6. props is the wide
+    # payload column a pushdown regression would drag in.)
+    assert "props" not in read_schema
 
 
 def test_benchmark_decontam_broadcasts_eval_side(spark):
