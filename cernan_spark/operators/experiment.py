@@ -949,18 +949,24 @@ def pca2(
         F.when(a >= c, F.lit(0.0)).otherwise(F.lit(1.0))
     )
     norm = F.sqrt(vx * vx + vy * vy)
+    # duck_round: the oracle rounds DOUBLE variances at 1e9 magnitude —
+    # ×10⁶ approaches 2^53 and DuckDB's lossy-product round differs from
+    # Spark's exact round in the last digit (sf0.1 gate finding). The
+    # `+ 0.0` on cov_xy/lambda2 mirrors the oracle's −0.0 normalization.
+    from cernan_spark.operators.temporal import duck_round
+
     return g.select(
         "n",
-        F.round(a, 6).alias("var_x"),
-        F.round(c, 6).alias("var_y"),
-        F.round(b, 6).alias("cov_xy"),
-        F.round(l1, 6).alias("lambda1"),
-        F.round(l2, 6).alias("lambda2"),
-        F.round(
+        duck_round(a, 6).alias("var_x"),
+        duck_round(c, 6).alias("var_y"),
+        (duck_round(b, 6) + F.lit(0.0)).alias("cov_xy"),
+        duck_round(l1, 6).alias("lambda1"),
+        (duck_round(l2, 6) + F.lit(0.0)).alias("lambda2"),
+        duck_round(
             F.when(l1 + l2 != 0.0, l1 / (l1 + l2)), 6
         ).alias("evr1"),
-        F.round(F.when(norm > 0.0, vx / norm), 6).alias("axis_x"),
-        F.round(F.when(norm > 0.0, vy / norm), 6).alias("axis_y"),
+        duck_round(F.when(norm > 0.0, vx / norm), 6).alias("axis_x"),
+        duck_round(F.when(norm > 0.0, vy / norm), 6).alias("axis_y"),
     )
 
 

@@ -261,7 +261,10 @@ def ewma_fold(
     ).select(
         *key_cols,
         "n_samples",
-        F.round("__y", 9).alias("ewma"),
+        # duck_round: the frozen oracle rounds the double through
+        # DuckDB's lossy ×10⁹ pipeline; at sf0.1 15/7500 rows land on
+        # the other side of the .5 boundary under Spark's exact round
+        duck_round(F.col("__y"), 9).alias("ewma"),
     )
 
 
@@ -786,20 +789,28 @@ def stl_decompose(
     seasonal = F.aggregate(
         "xs", F.lit(0.0), lambda acc, x: acc + x["d"]
     ) / F.col("n_obs").cast("double")
+    # the full-precision seasonal gets a PRIVATE name: the output select
+    # below aliases a rounded column "seasonal", and Spark's implicit
+    # lateral-column-alias resolution would otherwise bind the
+    # mean_abs fold's F.col("seasonal") to that ROUNDED alias — the
+    # oracle folds |d − seasonal| at full precision (sf0.1 gate finding:
+    # the rounded-seasonal fold drifts 1e-7 and flips round boundaries)
     with_seasonal = agg.select(
-        *key_cols, "hos", "n_obs", "xs", seasonal.alias("seasonal")
+        *key_cols, "hos", "n_obs", "xs", seasonal.alias("__sea_full")
     )
     mean_abs = F.aggregate(
         "xs",
         F.lit(0.0),
-        lambda acc, x: acc + F.abs(x["d"] - F.col("seasonal")),
+        lambda acc, x: acc + F.abs(x["d"] - F.col("__sea_full")),
     ) / F.col("n_obs").cast("double")
+    # duck_round: the frozen oracle rounds these doubles through DuckDB's
+    # lossy ×10⁶ pipeline (sf0.1 gate finding: 3/120 seasonal rows)
     return with_seasonal.select(
         *key_cols,
         "hos",
         "n_obs",
-        F.round("seasonal", 6).alias("seasonal"),
-        F.round(mean_abs, 6).alias("mean_abs_resid"),
+        duck_round(F.col("__sea_full"), 6).alias("seasonal"),
+        duck_round(mean_abs, 6).alias("mean_abs_resid"),
     )
 
 
@@ -1202,7 +1213,9 @@ def haar_energy(
                 *key_cols,
                 F.lit(lv).alias("level"),
                 F.size(f"d{lv}").alias("n_coeffs"),
-                F.round(energy, 6).alias("energy"),
+                # duck_round: energies reach 1.4e10 → ×10⁶ > 2^53, where
+                # DuckDB's round is lossy (sf0.1 gate finding: 8/25 rows)
+                duck_round(energy, 6).alias("energy"),
             ).filter(F.col("n_coeffs") > 0)
         )
     out = rows[0]
@@ -1213,6 +1226,21 @@ def haar_energy(
 
 #: 2·cos(2π/p) for the Goertzel recursion, pinned decimal literals
 #: shared with the SQL oracle (no cross-engine cos()).
+def duck_round(c: Column, digits: int) -> Column:
+    """DuckDB's ``round(x, n)`` for DOUBLE, replayed exactly: DuckDB
+    multiplies by 10^n IN DOUBLES (its own rounding) and then rounds
+    half-away-from-zero, where Spark's ``F.round`` is an exact BigDecimal
+    HALF_UP on the unscaled value — the two differ in the last digit
+    whenever the lossy product crosses a .5 boundary the exact expansion
+    does not (and always for |x·10^n| > 2^53). ``F.round(t, 0)`` is
+    itself exact BigDecimal HALF_UP == C ``std::round`` for every double,
+    so applying it to the lossy product reproduces DuckDB bit-for-bit.
+    Use where a FROZEN oracle rounds a double; plain F.round stays right
+    when the oracle side rounds exact integers/decimals."""
+    p = F.lit(float(10**digits))
+    return F.round(c * p, 0) / p
+
+
 def _duck_decimal_double(mantissa: int, scale: int) -> float:
     """The double DuckDB actually computes for a bare decimal literal.
 
@@ -1315,12 +1343,7 @@ def goertzel_power(
         # the last printed digit for large magnitudes. The oracle is
         # frozen, so replicate DuckDB's pipeline: t = x·1e6 (double),
         # half-away-from-zero, /1e6. rel_power (~1e-3) keeps F.round.
-        # round(t,0) is exact BigDecimal HALF_UP == C std::round for every
-        # double (a floor(|t|+0.5) idiom instead breaks on odd integers in
-        # [2^52, 2^53): the +0.5 tie rounds half-even UP where std::round
-        # returns t unchanged — observed at sf0.001)
-        t6 = power * F.lit(1e6)
-        duck_round6 = F.round(t6, 0) / F.lit(1e6)
+        duck_round6 = duck_round(power, 6)
         outs.append(
             base.filter(F.col("n") >= F.lit(int(p)))
             .select(
