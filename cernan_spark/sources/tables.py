@@ -46,9 +46,40 @@ def spread_scan(df: DataFrame, *keys: str) -> DataFrame:
     """
     sc = df.sparkSession.sparkContext
     par = sc.defaultParallelism
-    if df.rdd.getNumPartitions() >= par:
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par, *keys)
+    # natural splits can be PHANTOM: byte-range splits of a parquet file
+    # only yield rows for the range holding a row group's midpoint, so a
+    # 32-split scan of a 16-row-group file still runs 16 real tasks.
+    # Cap the no-op decision by the actual row-group count when that is
+    # cheap to know (local parquet, fewer files than cores — any real
+    # warehouse passes the file-count check without touching footers).
+    # Only a BARE scan can have phantom splits; any transformed/
+    # repartitioned frame's partition count is real.
+    plan = df._jdf.queryExecution().analyzed()
+    if plan.getClass().getSimpleName() not in (
+        "LogicalRelation", "LogicalRelationWithTable"
+    ):
         return df
-    return df.repartition(par, *keys)
+    files = df.inputFiles()
+    if not files or len(files) >= par:
+        return df
+    if all(f.startswith("file:") and f.endswith(".parquet") for f in files):
+        try:
+            import pyarrow.parquet as pq
+            from urllib.parse import unquote, urlparse
+
+            groups = sum(
+                pq.ParquetFile(
+                    unquote(urlparse(f).path)
+                ).metadata.num_row_groups
+                for f in files
+            )
+        except Exception:
+            return df
+        if groups < par:
+            return df.repartition(par, *keys)
+    return df
 
 
 def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
